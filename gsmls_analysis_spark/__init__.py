@@ -1,0 +1,28 @@
+"""gsmls_analysis_spark — a PySpark-native analytics engine with the data
+processing capabilities of TheNJineer/GSMLS-Analysis, re-expressed Spark-first.
+
+The reference (``/root/reference``: GSMLS.py, Kafka_GSMLSConsumer.py,
+RealEstateImages.py) is an eager single-threaded pandas ETL.  This package
+provides the same *semantics* — schemas, cleaning transforms, joins, dedup,
+text-derived labels, streaming ingest, image-document assembly — as
+declarative, distributed Spark DataFrame pipelines that Catalyst can
+optimize (predicate pushdown, column pruning, broadcast joins, whole-stage
+codegen) and that scale to 100 TB via partitioning, AQE, and broadcast
+strategy instead of row-at-a-time loops.
+
+Layout
+------
+- ``session``     : tuned SparkSession builder
+- ``schemas``     : explicit StructTypes for the five property classes,
+                    event log, and nested image documents
+- ``sources``     : readers/writers (parquet, csv, jdbc, kafka)
+- ``operators``   : DataFrame→DataFrame transforms (cleaning, labels,
+                    dedup, joins, windows, similarity, text, multimodal)
+- ``functions``   : Column-level expression helpers (regex families,
+                    parsers, normalizers)
+- ``streaming``   : Structured Streaming ingest (micro-batch, watermark,
+                    dedup-within-watermark, windowed aggregates)
+- ``plans``       : plan-inspection helpers (pushdown/broadcast assertions)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,3 @@
+from .exprs import dec, dsum, davg, one_minus_dec, charge_factor_dec
+
+__all__ = ["dec", "dsum", "davg", "one_minus_dec", "charge_factor_dec"]

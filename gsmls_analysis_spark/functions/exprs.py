@@ -1,0 +1,47 @@
+"""Column-expression helpers shared by the query catalog.
+
+Determinism-by-construction for cross-engine (DuckDB oracle) comparison:
+
+Floating-point SUM/AVG is summation-order dependent, and Spark's partial
+aggregation order is nondeterministic across partitions.  Any metric that
+must hash-match an external engine is therefore aggregated in *decimal*
+(exact, associative, order-independent) and only cast to double at the end
+— one deterministic IEEE conversion.  Per-row double arithmetic (same
+expression tree on both engines) is already deterministic and needs no
+special handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(12,2)"
+
+
+def dec(c: str | Column, typ: str = MONEY) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(typ)
+
+
+def dsum(c: Column, alias: str) -> Column:
+    """Order-independent exact sum, surfaced as double."""
+    return F.sum(c).cast("double").alias(alias)
+
+
+def davg(c: Column, alias: str) -> Column:
+    """avg as exact-decimal-sum / count: one IEEE division, deterministic."""
+    return (F.sum(c).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def one_minus_dec(c: str) -> Column:
+    """(1 - x) captured as DECIMAL(4,2) — e.g. discount multiplier."""
+    return (F.lit(1.0) - F.col(c)).cast("decimal(4,2)")
+
+
+def charge_factor_dec(disc: str, tax: str) -> Column:
+    """(1-disc)*(1+tax) captured as DECIMAL(8,4) before the money multiply,
+    keeping decimal widths inside both engines' 38-digit cap."""
+    return ((F.lit(1.0) - F.col(disc)) * (F.lit(1.0) + F.col(tax))).cast(
+        "decimal(8,4)"
+    )

@@ -1,0 +1,44 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 exposed as a
+named (spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a
+DuckDB-runnable ANSI oracle string.
+
+Submodules register into REGISTRY via the @query decorator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Import all catalog submodules (side effect: fill REGISTRY)."""
+    from . import core  # noqa: F401
+
+    for mod in ("cleaning", "dedup", "text", "similarity", "stream_batch"):
+        try:
+            __import__(f"{__name__}.{mod}")
+        except ImportError:
+            pass
+    return REGISTRY

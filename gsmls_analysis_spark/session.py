@@ -1,0 +1,69 @@
+"""SparkSession builder tuned for both local testing and cluster scale.
+
+Settings rationale (100 TB mindset, tested on local[N]):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy demotion are exactly what saves a 1000-executor
+  job from one skewed municipality/county key (the reference's NJ data is
+  county-skewed; see SURVEY.md §4.2).
+- ``spark.sql.session.timeZone=UTC``: deterministic timestamp semantics so
+  results match an external oracle (DuckDB reads parquet timestamps naive).
+- Arrow enabled: every pandas_udf / toPandas boundary is Arrow-batched.
+- shuffle partitions default 32 locally; on a real cluster AQE coalesces
+  from a deliberately high initial number, so we set the *initial* number
+  high and let AQE shrink it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gsmls-analysis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a real cluster, drop ``master`` and submit with spark-submit; every
+    other setting below is master-agnostic.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- adaptive execution: the scale story -------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- determinism for oracle comparison ---------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- Python boundary is always Arrow-batched ---------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- shuffle geometry -------------------------------------------
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or cpus),
+        )
+        # parquet scans: vectorized reader + pushdown are default-on; keep
+        # file split size at default 128m (right for the 100 TB target).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # broadcast threshold: 10 MB default is right for the dims here
+        # (region/nation/supplier); explicit broadcast() hints used for
+        # dims we *know* are small regardless of stats.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # quiet the UI/driver logs for test runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
