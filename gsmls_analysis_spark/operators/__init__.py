@@ -1,0 +1,12 @@
+from . import cleaning, dedup, joins, labels, pipelines, similarity, text, windows
+
+__all__ = [
+    "cleaning",
+    "dedup",
+    "joins",
+    "labels",
+    "pipelines",
+    "similarity",
+    "text",
+    "windows",
+]

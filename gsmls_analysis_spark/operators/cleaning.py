@@ -1,0 +1,368 @@
+"""Cleaning transforms — the reference's consumer pipeline re-expressed as
+pure DataFrame→DataFrame functions built from JVM-side expressions only.
+
+Reference parity map (SURVEY.md §2.8/§2.9):
+- standard_cleaning         ← Kafka_GSMLSConsumer.py:1105-1182 (F3)
+- baths_empty               ← Kafka_GSMLSConsumer.py:29-42
+- escape_illegal_chars      ← Kafka_GSMLSConsumer.py:286-313 (F4)
+- combine_listing_remarks   ← Kafka_GSMLSConsumer.py:142-149 (F2)
+- calculate_dates           ← Kafka_GSMLSConsumer.py:45-90 (F18-F20, W3, F24)
+- change_datatypes          ← Kafka_GSMLSConsumer.py:92-128 (F30)
+- fill_na_values            ← Kafka_GSMLSConsumer.py:315-491 (F29)
+- convert_lot_size          ← Kafka_GSMLSConsumer.py:493-519, 222-240 (F12, F25)
+- original_lp_diff          ← Kafka_GSMLSConsumer.py:604-614 (F23)
+- parse_currency            ← GSMLS.py:915-928 (F5)
+- clean_address             ← GSMLS.py:131-151 (F10)
+- normalize_apn             ← GSMLS.py:693-754 (F11)
+- uppercase_columns         ← GSMLS.py:1362 (F1)
+
+Every function is a single narrow projection (``select``/``withColumns``)
+so Catalyst fuses the whole chain into one whole-stage-codegen pass — the
+reference materializes 13 intermediate pandas frames; we materialize none.
+No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import TYPED_OVERRIDES
+
+# ---------------------------------------------------------------------------
+# F1 — header/value uppercase (GSMLS.py:1362)
+# ---------------------------------------------------------------------------
+
+
+def uppercase_columns(df: DataFrame) -> DataFrame:
+    return df.toDF(*[c.upper() for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# F3 — standard_cleaning (Kafka_GSMLSConsumer.py:1105-1182)
+# Table-driven literal/regex replacement.  The table below reproduces the
+# reference's cleaning_dict verbatim as *data*; execution is a fold of
+# regexp_replace/replace over one projection.
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement, is_regex, columns)
+_CLEANING_RULES: dict[str, list[tuple[str, str, bool, list[str]]]] = {
+    "ALL": [
+        ("*", "", False,
+         ["ACRES", "BLOCKID", "COUNTY", "COUNTYCODE", "LOTID", "LOTSIZE",
+          "OWNERNAME", "STREETNAME", "TAXID", "TOWNCODE", "ZIPCODE"]),
+        ("%", "", False, ["SP/LP%"]),
+        (r"\.?\*?\(\d{4}\*?\)", "", True, ["TOWN"]),
+    ],
+    "RES": [
+        ("00:00:00", "0.0", False,
+         ["ASSESSAMOUNTBLDG", "ASSESSTOTAL", "ASSESSAMOUNTLAND", "APPFEE"]),
+        (r"^Assoctn(,\w+)?", "Assoctn", True, ["WATER_SHORT"]),
+        (r"^Private(,\w+)?", "Private", True, ["WATER_SHORT"]),
+        (r"^Public(,\w+)?", "Public", True, ["WATER_SHORT"]),
+        (r"^Well(,\w+)?", "Well", True, ["WATER_SHORT"]),
+        (r"^WatrXtra(,\w+)?", "WatrXtra", True, ["WATER_SHORT"]),
+        (r"(\d)\1{3,}", "0.0", True, ["SQFTAPPROX", "YEARBUILT"]),
+    ],
+    "MUL": [
+        ("00:00:00", "0.0", False,
+         ["ASSESSAMOUNTBLDG", "ASSESSTOTAL", "ASSESSAMOUNTLAND"]),
+        (r"(\d)\1{3,}", "0.0", True,
+         ["YEARBUILT", "SQFTBLDG", "INCOMENETOPERATING", "EXPENSEOPERATING",
+          "INCOMEGROSSOPERATING"]),
+    ],
+    "LND": [
+        ("00:00:00", "0.0", False,
+         ["ASSESSAMOUNTBLDG", "ASSESSTOTAL", "ASSESSAMOUNTLAND"]),
+    ],
+    "RNT": [
+        ("*", "", False,
+         ["BLOCKID", "COUNTY", "COUNTYCODE", "LOTID", "STREETNAME", "TAXID",
+          "TOWNCODE", "ZIPCODE"]),
+        ("%", "", False, ["RP/LP%"]),
+        (r"\.?\*?\(\d{4}\*?\)", "", True, ["TOWN"]),
+    ],
+    "TAX": [],
+}
+
+
+def standard_cleaning(df: DataFrame, prop_type: str) -> DataFrame:
+    if prop_type in ("RES", "MUL", "LND"):
+        rules = _CLEANING_RULES["ALL"] + _CLEANING_RULES[prop_type]
+    else:
+        rules = _CLEANING_RULES.get(prop_type, [])
+    exprs: dict[str, Column] = {}
+    for pattern, repl, is_regex, cols in rules:
+        for c in cols:
+            if c not in df.columns:
+                continue
+            cur = exprs.get(c, F.col(c))
+            if is_regex:
+                exprs[c] = F.regexp_replace(cur, pattern, repl)
+            else:
+                exprs[c] = F.replace(cur, F.lit(pattern), F.lit(repl))
+    out = df.withColumns(exprs) if exprs else df
+    return baths_empty(out, prop_type)
+
+
+# Kafka_GSMLSConsumer.py:29-42 — BATHSTOTAL==0.0 backfilled from BATHSFULLTOTAL
+def baths_empty(df: DataFrame, prop_type: str) -> DataFrame:
+    if prop_type not in ("RES", "MUL", "RNT") or "BATHSTOTAL" not in df.columns:
+        return df
+    return df.withColumn(
+        "BATHSTOTAL",
+        F.when(F.col("BATHSTOTAL").cast("double") == 0.0, F.col("BATHSFULLTOTAL"))
+        .otherwise(F.col("BATHSTOTAL")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — control-character scrub (Kafka_GSMLSConsumer.py:286-313)
+# ---------------------------------------------------------------------------
+
+_ILLEGAL_CHAR_COLS = {
+    "RES": ["STREETNAME", "TOWN", "COUNTY", "SUBDIVISION", "OWNERNAME",
+            "OFFICESELLNAME", "AGENTSELLNAME", "REMARKSAGENT",
+            "REMARKSPUBLIC", "SHOWSPECIAL", "LISTING_REMARKS", "SELLERNAME"],
+    "MUL": ["STREETNAME", "TOWN", "COUNTY", "SUBDIVISION", "OWNERNAME",
+            "OFFICESELLNAME", "AGENTSELLNAME", "REMARKSAGENT",
+            "REMARKSPUBLIC", "SHOWSPECIAL", "LISTING_REMARKS", "SELLERNAME"],
+    "LND": ["STREETNAME", "TOWN", "COUNTY", "SUBDIVISION", "OWNERNAME",
+            "OFFICESELLNAME", "AGENTSELLNAME", "REMARKSAGENT",
+            "REMARKSPUBLIC", "SHOWSPECIAL", "LISTING_REMARKS", "SELLERNAME"],
+    "RNT": ["STREETNAME", "TOWN", "COUNTY", "SUBDIVISION", "REMARKSAGENT",
+            "REMARKSPUBLIC", "SHOWSPECIAL", "LISTING_REMARKS"],
+    "TAX": ["LOCSTREET", "LOCCITY", "OWNER", "OWNERS", "PRIOROWNER",
+            "MAILSTREET", "MAILCITY", "PROPERTYDESC", "BUILDINGDESC"],
+}
+
+
+def escape_illegal_chars(df: DataFrame, prop_type: str) -> DataFrame:
+    cols = [c for c in _ILLEGAL_CHAR_COLS.get(prop_type, []) if c in df.columns]
+    return df.withColumns(
+        {c: F.regexp_replace(F.col(c), r"[\x00-\x1F]", "") for c in cols}
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — remarks concat (Kafka_GSMLSConsumer.py:142-149)
+# pandas str.cat(na_rep='_', sep='. '): null parts become '_'; if the base
+# column itself participates the same way.  concat_ws *skips* nulls, so
+# coalesce each part first for parity.
+# ---------------------------------------------------------------------------
+
+
+def combine_listing_remarks(df: DataFrame) -> DataFrame:
+    parts = [
+        F.coalesce(F.col(c), F.lit("_"))
+        for c in ("REMARKSPUBLIC", "REMARKSAGENT", "SHOWSPECIAL")
+    ]
+    return df.withColumn("LISTING_REMARKS", F.concat_ws(". ", *parts))
+
+
+# ---------------------------------------------------------------------------
+# F18-F20, W3, F24 — calculate_dates (Kafka_GSMLSConsumer.py:45-90)
+# ---------------------------------------------------------------------------
+
+_DATE_FMT = "M/d/y H:m:s"
+
+
+def _coerce_ts(c: str) -> Column:
+    # pandas to_datetime(errors='coerce') parity: unparseable → null.
+    # Source format is 'MM/DD/YYYY HH:MM:SS' (GSMLS export).
+    return F.coalesce(
+        F.try_to_timestamp(F.col(c), F.lit(_DATE_FMT)),
+        F.try_to_timestamp(F.col(c)),
+    )
+
+
+def calculate_dates(df: DataFrame, prop_type: str) -> DataFrame:
+    if prop_type in ("RES", "MUL", "LND"):
+        anchor = "CLOSEDDATE"
+        out = df.withColumns(
+            {
+                # parse_month/parse_year (:887-895) split the raw string
+                "YEAR": F.split(F.col(anchor), "/").getItem(2).substr(1, 4).cast("long"),
+                "MONTH": F.split(F.col(anchor), "/").getItem(0).cast("long"),
+                "LISTDATE": _coerce_ts("LISTDATE"),
+                "CLOSEDDATE": _coerce_ts("CLOSEDDATE"),
+                "PENDINGDATE": _coerce_ts("PENDINGDATE"),
+                "ANTICCLOSEDDATE": _coerce_ts("ANTICCLOSEDDATE"),
+            }
+        )
+        out = out.withColumns(
+            {
+                "DAYS_TO_CLOSE": F.datediff("CLOSEDDATE", "PENDINGDATE"),
+                "ANTIC_CLOSEDATE_DIFF": F.datediff("CLOSEDDATE", "ANTICCLOSEDDATE"),
+                "SP/LP%": F.col("SP/LP%").cast("double") - F.lit(100.0),
+            }
+        )
+        renames = {"OWNERNAME": "SELLERNAME"}
+        if prop_type == "RES":
+            renames["SUBPROPTYPE"] = "SUBPROPTYPE_SFH"
+        for old, new in renames.items():
+            if old in out.columns:
+                out = out.withColumnRenamed(old, new)
+        return out
+    if prop_type == "RNT":
+        return df.withColumns(
+            {
+                "YEAR": F.split(F.col("RENTEDDATE"), "/").getItem(2).substr(1, 4).cast("long"),
+                "MONTH": F.split(F.col("RENTEDDATE"), "/").getItem(0).cast("long"),
+                "RENTEDDATE": _coerce_ts("RENTEDDATE"),
+                "RP/LP%": F.col("RP/LP%").cast("double") - F.lit(100.0),
+            }
+        )
+    if prop_type == "TAX":
+        out = df.withColumns(
+            {
+                "SALEDATE": _coerce_ts("SALEDATE"),
+                "PRIORSALEDATE": _coerce_ts("PRIORSALEDATE"),
+            }
+        )
+        return out.withColumn(
+            "PREVOWN_POSS_TIME (YRS)",
+            F.datediff("SALEDATE", "PRIORSALEDATE") / F.lit(365.0),
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# F29/F30 — typed NA fill + cast (Kafka_GSMLSConsumer.py:92-128, 315-491)
+# pandas astype raises-and-skips on bad values; Spark policy: try_cast
+# (invalid → null) then fill the declared default — the quarantine-friendly
+# version of the same contract.  Missing columns are created with defaults
+# (reference inserts them positionally, :484-488).
+# ---------------------------------------------------------------------------
+
+
+def fill_na_values(
+    df: DataFrame, defaults: dict[str, tuple[object, str]]
+) -> DataFrame:
+    exprs: dict[str, Column] = {}
+    for col, (default, dtype) in defaults.items():
+        src = F.col(col) if col in df.columns else F.lit(None).cast("string")
+        exprs[col] = F.coalesce(src.try_cast(dtype), F.lit(default).cast(dtype))
+    return df.withColumns(exprs)
+
+
+def change_datatypes(df: DataFrame, prop_type: str) -> DataFrame:
+    casts = TYPED_OVERRIDES.get(prop_type, {})
+    exprs = {
+        c: F.col(c).try_cast(t.simpleString())
+        for c, t in casts.items()
+        if c in df.columns and not str(df.schema[c].dataType) == str(t)
+    }
+    return df.withColumns(exprs) if exprs else df
+
+
+# ---------------------------------------------------------------------------
+# F12 + F25 — lot-size parser (Kafka_GSMLSConsumer.py:493-519, 222-240)
+# Reference dispatch order: 'L X W' → L*W; '^N SF' → N; else acres regex
+# (which matches digits at start) → N*43560; no match → 0.0.
+# ---------------------------------------------------------------------------
+
+_DIM_PAT = r"(?i)^(\d{2,4}(\.\d{0,4})?)\s?X\s?(\d{2,4}(\.\d{0,4})?)"
+_SF_PAT = r"(?i)^(\d{3,6})\s?SF"
+_ACRE_PAT = r"^(\d{0,4}\.?\d{0,5})"
+
+
+def parse_lot_size(col: Column) -> Column:
+    return (
+        F.when(
+            col.rlike(_DIM_PAT),
+            F.regexp_extract(col, _DIM_PAT, 1).try_cast("double")
+            * F.regexp_extract(col, _DIM_PAT, 3).try_cast("double"),
+        )
+        .when(col.rlike(_SF_PAT), F.regexp_extract(col, _SF_PAT, 1).try_cast("double"))
+        .when(
+            col.rlike(_ACRE_PAT + r"\d"),  # needs at least one digit
+            F.regexp_extract(col, _ACRE_PAT, 1).try_cast("double") * F.lit(43560.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
+def convert_lot_size(df: DataFrame) -> DataFrame:
+    """LOTSIZE string → SQFT double; ACRES numeric fallback (:222-240)."""
+    out = df
+    if "ACRES" in df.columns:
+        out = out.withColumn("ACRES_SQFT", F.col("ACRES").try_cast("double") * 43560.0)
+    return out.withColumn("LOTSIZE_SQFT", parse_lot_size(F.col("LOTSIZE")))
+
+
+# ---------------------------------------------------------------------------
+# F23 — price ratios (Kafka_GSMLSConsumer.py:604-614)
+# ---------------------------------------------------------------------------
+
+
+def original_lp_diff(df: DataFrame) -> DataFrame:
+    olp = F.col("ORIGLISTPRICE").try_cast("double")
+    return df.withColumns(
+        {
+            "OLP/LP%": F.round(
+                (F.col("LISTPRICE").try_cast("double") - olp) / olp * 100.0, 0
+            ),
+            "SP/OLP%": F.round(
+                (F.col("SALESPRICE").try_cast("double") - olp) / olp * 100.0, 0
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — currency normalize (GSMLS.py:915-928)
+# ---------------------------------------------------------------------------
+
+
+def parse_currency(col: Column) -> Column:
+    cleaned = F.regexp_replace(col, r"[$,]", "")
+    return (
+        F.when(F.trim(col) == "---", F.lit(0.0))
+        .otherwise(cleaned.try_cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — address normalize (GSMLS.py:131-151)
+# ---------------------------------------------------------------------------
+
+
+def clean_address(df: DataFrame, address_col: str = "ADDRESS") -> DataFrame:
+    parts = F.split(F.regexp_replace(F.col(address_col), "\xa0", ","), ",")
+    street = F.trim(F.regexp_replace(parts.getItem(0), r"\*", ""))
+    num = F.regexp_replace(F.split(street, " ").getItem(0), r"\.0$", "")
+    zipc = F.trim(F.element_at(parts, -1))
+    zipc = F.when(F.length(zipc) == 4, F.concat(F.lit("0"), zipc)).otherwise(zipc)
+    return df.withColumns(
+        {
+            "STREET_CLEAN": street,
+            "STREETNUM_CLEAN": num,
+            "ZIP_CLEAN": zipc,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11/F13 — APN normalize (GSMLS.py:693-754): split on '_' / '.', zero-pad
+# each block/lot segment to 5, compose 'town-BBBBB-bbbbb-LLLLL-lllll'.
+# ---------------------------------------------------------------------------
+
+
+def normalize_apn(town: Column, block_lot: Column) -> Column:
+    block, lot = F.split_part(block_lot, F.lit("_"), F.lit(1)), F.split_part(
+        block_lot, F.lit("_"), F.lit(2)
+    )
+
+    def seg(c: Column, i: int) -> Column:
+        s = F.split_part(c, F.lit("."), F.lit(i))
+        return F.lpad(F.coalesce(F.nullif(s, F.lit("")), F.lit("0")), 5, "0")
+
+    return F.concat_ws(
+        "-", town, seg(block, 1), seg(block, 2), seg(lot, 1), seg(lot, 2)
+    )
+
+
+def zero_pad2(col: Column) -> Column:
+    """F13 (GSMLS.py:2315-2324): '7' → '07'."""
+    return F.lpad(col, 2, "0")

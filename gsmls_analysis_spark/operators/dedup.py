@@ -1,0 +1,306 @@
+"""Deduplication operators — reference parity (D1-D4) plus the at-scale
+near-duplicate suite a training-data pipeline needs (exact hash, MinHash+
+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+
+Reference parity:
+- keep_last_dedup  ← Kafka_GSMLSConsumer.py:200-219 (drop_duplicates
+  keep='last' in Kafka arrival order).  Spark's dropDuplicates keeps an
+  *arbitrary* row, so parity needs an explicit order column + row_number
+  DESC (SURVEY.md §4.3).
+- first_by_group   ← RealEstateImages.py:552-561 (Mongo $group $first + $sort)
+
+Scale notes:
+- keep_last is a single hash-partition shuffle on the dedup keys; at 100 TB
+  prefer pre-bucketed storage on the same keys to make it shuffle-free.
+- MinHash/SimHash signatures are computed in one projection (no shuffle);
+  candidate generation shuffles once on (band, signature) — standard LSH
+  banding; the O(n²) pair join never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# D1-D4 — keep-last dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_KEYS: dict[str, list[str]] = {
+    # Kafka_GSMLSConsumer.py:200-219
+    "RES": ["STREETNUMDISPLAY", "STREETNAME", "TOWN", "LISTDATE"],
+    "MUL": ["STREETNUMDISPLAY", "STREETNAME", "TOWN", "LISTDATE"],
+    "LND": ["STREETNUMDISPLAY", "STREETNAME", "TOWN", "LISTDATE"],
+    "RNT": ["STREETNUMDISPLAY", "STREETNAME", "TOWN", "LISTDATE", "RENTEDDATE"],
+    "TAX": ["AUTOROW"],
+    "DEFAULT": ["MLSNUM", "STREETNUMDISPLAY", "STREETNAME", "TOWN"],
+}
+
+
+def keep_last_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the LAST row per key group by ``order_col`` (e.g. Kafka offset,
+    ingest sequence).  One shuffle on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_last_dedup_for_class(
+    df: DataFrame, prop_type: str, order_col: str
+) -> DataFrame:
+    keys = DEDUP_KEYS.get(prop_type, DEDUP_KEYS["DEFAULT"])
+    out = df
+    if prop_type == "RNT" and "RENTEDDATE" not in df.columns:
+        # reference inserts the sentinel column first (:203-211)
+        out = out.withColumn("RENTEDDATE", F.lit("00/00/0000 00:00:00"))
+    return keep_last_dedup(out, keys, order_col)
+
+
+def first_by_group(df: DataFrame, key: str, order: Column) -> DataFrame:
+    """A3: Mongo $group {$first: $$ROOT} with $sort — first row per key."""
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup at scale: hash-groupBy on a content digest.
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (digest, n_dups, min_id)."""
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative of each digest group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding.
+#
+# Engine-portable hashing: h_i(token) = md5(seed_i || token) compared as a
+# hex string; the min over tokens is an order statistic of a uniform hash —
+# the standard MinHash estimator, and (being md5) reproducible in ANY
+# engine, which keeps this oracle-checkable (DuckDB md5 == Spark md5).
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of a whitespace-tokenized text."""
+    toks = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 16) -> list[Column]:
+    return [
+        F.array_min(F.transform(sh, lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t))))
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: rows sharing any band
+    signature.  Returns (id_a, id_b, band) distinct pairs, id_a < id_b.
+
+    Plan shape: project (id, band, sig) → explode bands → shuffle on
+    (band, sig) via self-join of the tiny bucketed projection.  The full
+    cross product never exists.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        *[
+            F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band])).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc", "bs.band", "bs.sig")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification or small domains)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
+    sa, sb = shingles(a, n), shingles(b, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature from token hashes; near-dups = small Hamming
+# distance.  xxhash64 is JVM-side and stable across Spark runs.
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: Column) -> Column:
+    toks = F.array_distinct(F.split(F.trim(col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        bit = F.lit(1 << i) if i < 63 else F.lit(-(2**63))
+        out = out + F.when(v > 0, bit).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, segments: int = 4
+) -> DataFrame:
+    """Candidate pairs by SimHash with pigeonhole segment blocking: split
+    the 64-bit signature into ``segments`` chunks; any pair with Hamming
+    ≤ segments-1 must agree on at least one whole chunk, so candidates are
+    pairs sharing (chunk_idx, chunk_value) — one equi-join shuffle, never
+    the O(n²) cross product.  Larger ``max_hamming`` keeps the same
+    blocking as a recall-tunable approximation."""
+    width = 64 // segments
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig")
+    )
+    chunks = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftrightunsigned(F.col("sig"), s * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for s in range(segments)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sig", "c.seg", "c.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: LSH-bucketed (sign of selected dims) pairs
+# above a cosine threshold.  See similarity.py for the top-k search path.
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    sign_dims: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, blocked by sign-pattern of fixed dims
+    (random-hyperplane LSH with axis-aligned planes — deterministic and
+    engine-portable)."""
+    from .similarity import cosine_sim, l2_normalize
+
+    sign_bits = [
+        F.when(F.element_at(F.col(vec_col), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in sign_dims
+    ]
+    vecs = df.select(
+        F.col(id_col).alias("doc"),
+        l2_normalize(F.col(vec_col)).alias("v"),
+        F.concat(*sign_bits).alias("block"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .withColumn("cosine", cosine_sim(F.col("a.v"), F.col("b.v"), normalized=True))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"), "cosine")
+    )

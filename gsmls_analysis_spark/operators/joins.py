@@ -1,0 +1,104 @@
+"""Join operators — the reference's N+1 lookup loops re-expressed as real
+distributed joins (SURVEY.md §2.3).
+
+- broadcast_enrich      ← J1 (GSMLS.py:1370-1376): listings ⨝ geo on MLSNUM
+- prefix_lookup_join    ← J2/J3 (GSMLS.py:163/936-946, 184/948-955): per-row
+  SQL `WHERE code=x AND num=n AND street ILIKE 'pref%'` becomes ONE left
+  join with equi keys + prefix residual.  Keeping the equi keys as join
+  keys lets Catalyst pick hash/sort-merge; the ILIKE-prefix stays a cheap
+  post-join filter (never a theta join — SURVEY.md §4.3).
+- condition_lookup      ← J4 (RealEstateImages.py:458-485)
+- coalesce_repair       ← J5 + F32 (GSMLS.py:229-249, 756-866): the
+  try/except source-priority cascades become coalesce() over the joined
+  frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_enrich(
+    facts: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """J1: enrich a big fact table with a small dim — always broadcast."""
+    return facts.join(F.broadcast(dim), on, how)
+
+
+def prefix_lookup_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: list[tuple[str, str]],
+    prefix_left: str,
+    prefix_right: str,
+    prefix_len: int = 4,
+    how: str = "left",
+) -> DataFrame:
+    """J2/J3: equi-key join + case-insensitive prefix residual.
+
+    ``right.prefix_right`` must start with the first ``prefix_len`` chars
+    of ``left.prefix_left`` (the reference's ILIKE 'pref%').
+    """
+    l, r = left.alias("l"), right.alias("r")
+    cond = None
+    for lc, rc in equi:
+        c = F.col(f"l.{lc}") == F.col(f"r.{rc}")
+        cond = c if cond is None else (cond & c)
+    residual = F.lower(F.col(f"r.{prefix_right}")).startswith(
+        F.lower(F.substring(F.col(f"l.{prefix_left}"), 1, prefix_len))
+    )
+    return l.join(r, cond & residual, how)
+
+
+def condition_lookup(images: DataFrame, listings: DataFrame) -> DataFrame:
+    """J4: attach listing CONDITION to image rows by MLSNUM."""
+    return images.join(
+        F.broadcast(listings.select("MLSNUM", "CONDITION")), "MLSNUM", "left"
+    )
+
+
+def coalesce_repair(
+    df: DataFrame, repairs: dict[str, tuple[Column, list[Column]]]
+) -> DataFrame:
+    """F32 family: per column, `when(invalid, coalesce(src1, src2, ...))
+    otherwise(keep)`.
+
+    ``repairs[col] = (invalid_condition, [fallback1, fallback2, ...])``
+    """
+    return df.withColumns(
+        {
+            col: F.when(invalid, F.coalesce(*fallbacks)).otherwise(F.col(col))
+            for col, (invalid, fallbacks) in repairs.items()
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# F32 concrete repair conditions (GSMLS.py:756-866)
+# ---------------------------------------------------------------------------
+
+
+def invalid_year(col: Column, current_year: int) -> Column:
+    """fix_property_year bounds (GSMLS.py:195-196)."""
+    return col.isNull() | (col < 1626) | (col > current_year)
+
+
+def invalid_lat_long(col: Column) -> Column:
+    """fix_lat_long sentinel (GSMLS.py:207-208)."""
+    return col.isNull() | (col == "0E-20")
+
+
+def invalid_sqft(col: Column) -> Column:
+    """fix_sqft sentinels (GSMLS.py:241-249)."""
+    return col.isNull() | col.isin(0.0, 9999.0)
+
+
+def assessment_total(a1: Column, a2: Column) -> Column:
+    """F26 (GSMLS.py:851-855)."""
+    return a1.cast("double") + a2.cast("double")
+
+
+def property_age(closed_date: Column, year_built: Column) -> Column:
+    """F28 (GSMLS.py:266-270)."""
+    return F.year(closed_date) - year_built

@@ -1,0 +1,365 @@
+"""Derived-label transforms: regex classifiers and multi-hot expansion.
+
+Reference parity (SURVEY.md §2.8):
+- investment_label      ← Kafka_GSMLSConsumer.py:589-597 (F6)
+- condition_flags       ← Kafka_GSMLSConsumer.py:521-587 (F7, `fixer_upper`)
+- parse_property_attr   ← Kafka_GSMLSConsumer.py:616-885 (F8)
+- sub_property_type     ← Kafka_GSMLSConsumer.py:1184-1218 (F9)
+
+Patterns are translated Python-`re` → Java regex 1:1 (the dialect overlap
+covers them; the reference's missing-`|` typos are reproduced as-is —
+*behavior*, not intent, per SURVEY.md §7 watch-list).
+
+All of these are pure `when`/`rlike` column expressions — the reference's
+iterrows loops (e.g. :540) disappear; at 100 TB these stay inside
+whole-stage codegen with zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# F6 — investor-seller flag (Kafka_GSMLSConsumer.py:592-594)
+# ---------------------------------------------------------------------------
+
+INVESTMENT_PATTERN = (
+    r"(?i)\,?\s?\,?l\s?l\s?c|Investment|Improvement|Builders|Inc\.?"
+    r"|Management|Corp\.?|Group"
+)
+
+
+def investment_label(df: DataFrame, seller_col: str = "SELLERNAME") -> DataFrame:
+    # pandas str.contains(na=False): null seller → False
+    return df.withColumn(
+        "INVESTMENT_SALE",
+        F.coalesce(F.col(seller_col).rlike(INVESTMENT_PATTERN), F.lit(False)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — condition / distress flags (Kafka_GSMLSConsumer.py:521-587)
+# The reference's multi-line pattern concatenation lacks `|` between some
+# lines (e.g. 'BOARDED(\sUP)?IN NEED OF WORK'); reproduced verbatim.
+# ---------------------------------------------------------------------------
+
+FIXUP_PATTERN = (
+    r"(?i)HANDY(\s)?MAN|NEEDS WORK|FIXER(-|\s)?UPPER|BOARDED(\sUP)?"
+    r"IN NEED OF WORK|NEEDS REHAB|TOTAL REHAB|EXTENSIVE REPAIR|COMPLETE OVERHAUL"
+    r"YOUR OWN RISK|TLC|INVESTOR SPECIAL|203(\s)?K|PROCEED WITH CAUTION"
+    r"SIGNIFICANT REPAIR|DAMAGE|CASH(\sOFFER(S)?\s)?ONLY|NEED OF REPAIR|FULL GUT(\sRENOVATION)?"
+    r"TOTAL GUT(\sRENOVATION)?|MOLD"
+)
+BANKOWNED_PATTERN = r"(?i)BANK OWNED|ESTATE SALE|BANK FORECLOSURE|CORPORATE OWNED"
+SHORT_SALE_PATTERN = (
+    r"(?i)SHORT SALE|SUBJECT TO LENDER(S)? APPROVAL|SUBJECT TO THIRD PARTY APPROVAL"
+    r"SUBJECT TO BANK(S)? APPROVAL"
+)
+NOT_SHORT_SALE_PATTERN = r"(?i)(THIS\sIS\s)?NOT A SHORT SALE"
+
+_STYLE_COLS = {"RES": ("STYLEPRIMARY_SHORT", "STYLE_SHORT"),
+               "MUL": ("UNITSTYLE_SHORT", "UNITSTYLE_SHORT")}
+
+
+def condition_flags(
+    df: DataFrame, prop_type: str = "RES", remarks_col: str = "LISTING_REMARKS"
+) -> DataFrame:
+    """BANK_OWNED / SHORT_SALE / CONDITION / POTENTIAL_INVESTMENT /
+    DISTRESSED_SALE.
+
+    The reference's per-row cascade (:540-584) nets out to:
+      bank  = bankowned_pattern in remarks
+      ss    = short_sale_pattern in remarks AND NOT not_short_sale_pattern
+      fixer = primary style == 'FixrUppr' OR 'FixrUppr' in styles
+              OR fixup_pattern in remarks
+      POTENTIAL_INVESTMENT = DISTRESSED_SALE = bank | ss | fixer
+      CONDITION = 'Fixer Upper' if fixer else 'Unknown'
+    """
+    primary_col, styles_col = _STYLE_COLS.get(prop_type, _STYLE_COLS["RES"])
+    remarks = F.coalesce(F.col(remarks_col), F.lit(""))
+    bank = remarks.rlike(BANKOWNED_PATTERN)
+    ss = remarks.rlike(SHORT_SALE_PATTERN) & ~remarks.rlike(NOT_SHORT_SALE_PATTERN)
+    fixer = (
+        (F.coalesce(F.col(primary_col), F.lit("")) == "FixrUppr")
+        | F.array_contains(
+            F.split(F.coalesce(F.col(styles_col), F.lit("")), ","), "FixrUppr"
+        )
+        | remarks.rlike(FIXUP_PATTERN)
+    )
+    distressed = bank | ss | fixer
+    return df.withColumns(
+        {
+            "BANK_OWNED": bank,
+            "SHORT_SALE": ss,
+            "CONDITION": F.when(fixer, F.lit("Fixer Upper")).otherwise(
+                F.lit("Unknown")
+            ),
+            "POTENTIAL_INVESTMENT": distressed,
+            "DISTRESSED_SALE": distressed,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — sub-property reclassify (Kafka_GSMLSConsumer.py:1184-1218)
+# Net behavior of the branch cascade: CCT iff STYLEPRIMARY_SHORT is one of
+# the six target styles, else SinglFam.
+# ---------------------------------------------------------------------------
+
+TARGET_STYLES = ["TwnIntUn", "OneFloor", "MultiFlr", "TwnEndUn", "FirstFlr", "HighRise"]
+
+
+def sub_property_type(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "SUBPROPTYPE_SFH",
+        F.when(
+            F.col("STYLEPRIMARY_SHORT").isin(TARGET_STYLES), F.lit("CCT")
+        ).otherwise(F.lit("SinglFam")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — multi-hot attribute expansion (Kafka_GSMLSConsumer.py:616-885)
+# The token table is the reference's attributes_dict verbatim (data, not
+# code); execution is ONE wide projection of case-sensitive rlike flags —
+# pandas str.contains(case=True, na=False, regex=True) parity.
+# ---------------------------------------------------------------------------
+
+ATTRIBUTES: dict[str, dict[str, str]] = {
+    "POOL_SHORT": {"POOL_SHORT": "Y"},
+    "SUBPROPTYPE_SFH": {"SUBPROPTYPE_SFH": "SinglFam"},
+    "FLOORS_SHORT": {
+        "WOOD_FLOORS": "Wood", "MARBLE_FLOORS": "Marble", "TILE_FLOORS": "Tile",
+        "CARPET_FLOORS": "Carpet", "VINYL_FLOORS": "Vinyl",
+        "LAMINATE_FLOORS": "Laminate", "STONE_FLOORS": "Stone",
+        "PARQUET_FLOORS": "Parquet",
+    },
+    "DRIVEWAYDESC_SHORT": {
+        "OFF_STREET_PKNG": "OffStret", "1_CAR_WIDE": "1CarWide",
+        "2_CAR_WIDE": "2CarWide",
+    },
+    "COOLSYSTEM_SHORT": {
+        "WINDOW_AC": "WindowAC", "CENTRAL_AC": "Central", "1_UNIT_AC": "1Unit",
+        "2_UNITS_AC": "2Units", "3_UNITS_AC": "3Units", "WALL_UNIT_AC": "WallUnit",
+        "CEILFAN_AC": "CeilFan", "DUCTLESS_AC": "Ductless",
+        "MULTIZONE_AC": "MultiZon",
+    },
+    "HEATSRC_SHORT": {
+        "HEAT_SRC_NATGAS": "GasNatur", "HEAT_SRC_ELECTRIC": "Electric",
+        "HEAT_SRC_OILABV": "OilAbIn", "HEAT_SRC_OILBEL": "OilBelow",
+        "HEAT_SRC_SOLAR": "SolarLse",
+    },
+    "BASEMENT_SHORT": {"BASEMENT_SHORT": "Y"},
+    "BASEDESC_SHORT": {
+        "BASEDESC_BILCOSTY": "BilcoSty", "BASEDESC_FINISHED": "Finished",
+        "BASEDESC_FINPART": "FinPart", "BASEDESC_FRNCHDRN": "FrnchDrn",
+        "BASEDESC_FULL": "Full", "BASEDESC_PARTIAL": "Partial",
+        "BASEDESC_SLAB": "Slab", "BASEDESC_UNFINISH": "Unfinish",
+        "BASEDESC_WALKOUT": "Walkout", "BASEDESC_NONE": "None",
+    },
+    "EXTERIOR_SHORT": {
+        "EXTERIOR_SHORT_DECK": "Deck", "EXTERIOR_ENCLPRCH": "EnclPrch",
+        "EXTERIOR_FENCPRIV": "FencPriv", "EXTERIOR_FENCVNYL": "FencVnyl",
+        "EXTERIOR_FENCWOOD": "FencWood", "EXTERIOR_GAZEBO": "Gazebo",
+        "EXTERIOR_HOTTUB": "HotTub", "EXTERIOR_METALFNC": "MetalFnc",
+        "EXTERIOR_OPENPRCH": "OpenPrch", "EXTERIOR_OUTDRKIT": "OutDrKit",
+        "EXTERIOR_PATIO": "Patio", "EXTERIOR_PERGOLA": "Pergola",
+        "EXTERIOR_SPRINKLR": "Sprinklr", "EXTERIOR_STORAGE": "Storage",
+        "EXTERIOR_WORKSHOP": "Workshop",
+    },
+    "ROOF_SHORT": {
+        "ROOF_ASPHSHNG": "AsphShng", "ROOF_COMPSHNG": "CompShng",
+        "ROOF_FLAT": "Flat",
+    },
+    "SIDING_SHORT": {
+        "SIDING_ALUMINUM": "Aluminum", "SIDING_BRICK": "Brick",
+        "SIDING_CEDARSID": "CedarSid", "SIDING_CLAPBRD": "Clapbrd",
+        "SIDING_COMPSHNG": "CompShng", "SIDING_COMPSIDE": "CompSide",
+        "SIDING_CONCBRD": "ConcBrd", "SIDING_METAL": "Metal",
+        "SIDING_STONE": "Stone", "SIDING_STUCCO": "Stucco",
+        "SIDING_VERTICAL": "Vertical", "SIDING_VINYL": "Vinyl",
+        "SIDING_WOOD": "Wood", "SIDING_WOODSHNG": "WoodShng",
+    },
+    "HEATSYSTEM_SHORT": {
+        "HEATSYSTEM_1UNIT": "1Unit", "HEATSYSTEMT_2UNITS": "2Units",
+        "HEATSYSTEM_3UNITS": "3Units", "HEATSYSTEM_4UNITS": "4Units",
+        "HEATSYSTEM_BSBDCAST": "BsbdCast", "HEATSYSTEM_BSBDELEC": "BsbdElec",
+        "HEATSYSTEM_BSBDHOTW": "BsbdHotw", "HEATSYSTEM_FORCEDHA": "ForcedHA",
+        "HEATSYSTEM_MULTIZON": "MultiZon", "HEATSYSTEM_RDNTHOTW": "RdntHotW",
+        "HEATSYSTEM_RDTRHOTW": "RdtrHotW", "HEATSYSTEM_RDTRSTM": "RdtrStm",
+        "HEATSYSTEM_REGISTER": "Register",
+    },
+    "SEWER_SHORT": {
+        "SEWER_ASSOCTN": "Assoctn", "SEWER_PUBLAVAL": "PublAval",
+        "SEWER_PUBLIC": "Public", "SEWER_SEPTIC": "Septic",
+    },
+    "WATER_SHORT": {
+        "WATER_ASSOCTN": "Assoctn", "WATER_PUBLIC": "Public",
+        "WATER_PRIVATE": "Private", "WATER_WELL": "Well",
+        "WATER_WATRXTRA": "WatrXtra",
+    },
+    "UTILITIES_SHORT": {
+        "UTILITIES_ALLUNDER": "AllUnder", "UTILITIES_ELECTRIC": "Electric",
+        "UTILITIES_GASNATUR": "GasNatur", "UTILITIES_GASINSTR": "GasInStr",
+        "UTILITIES_GASPROPN": "GasPropn",
+    },
+    "EASEMENT_SHORT": {"EASEMENT_SHORT": "Y"},
+    "UNITSTYLE_SHORT": {
+        "UNITSTYLE_ONESTORY": "OneStory", "UNITSTYLE_TWOSTORY": "TwoStory",
+        "UNITSTYLE_THREESTORY": "ThreStry", "UNITSTYLE_DUPLEX": "Duplex",
+        "UNITSTYLE_TRIPLEX": "Triplex", "UNITSTYLE_FOURPLEX": "FourPlex",
+        "UNITSTYLE_UNDROVER": "UndrOver",
+    },
+    "BUILDINGSINCLUDED_SHORT": {
+        "BUILDINGSINCLUDED_BARN": "Barn", "BUILDINGSINCLUDED_BLDGRMVD": "BldgRmvd",
+        "BUILDINGSINCLUDED_GARAGE": "Garage", "BUILDINGSINCLUDED_NOBLDGS": "NoBldgs",
+        "BUILDINGSINCLUDED_NOVALUE": "NoValue",
+        "BUILDINGSINCLUDED_RESIDENC": "Residenc",
+        "BUILDINGSINCLUDED_TENOCCUP": "TenOccup",
+        "BUILDINGSINCLUDED_UTILBLDG": "UtilBldg",
+        "BUILDINGSINCLUDED_WELLMNTD": "WellMntd",
+    },
+    "CURRENTUSE_SHORT": {
+        "CURRENTUSE_COMMERCL": "Commercl", "CURRENTUSE_FARMHORS": "FarmHors",
+        "CURRENTUSE_FARMORCH": "FarmOrch", "CURRENTUSE_INDUSTRL": "Industrl",
+        "CURRENTUSE_RESIDENT": "Resident", "CURRENTUSE_VCNTIMPR": "VcntImpr",
+        "CURRENTUSE_VCNTUNIM": "VcntUnim", "CURRENTUSE_WETLANDS": "WetLands",
+    },
+    "DEVSTATUS_SHORT": {
+        "DEVSTATUS_BLDGPERM": "BldgPerm", "DEVSTATUS_FINSHLOT": "FinshLot",
+        "DEVSTATUS_PLANAPPD": "PlanAppd", "DEVSTATUS_PLANFILD": "PlanFild",
+        "DEVSTATUS_PLANREQD": "PlanReqd", "DEVSTATUS_RAWLAND": "RawLand",
+        "DEVSTATUS_ROUGHGRD": "RoughGrd", "DEVSTATUS_SUBBUYXP": "SubBuyXp",
+        "DEVSTATUS_SUBFINAP": "SubFinAp", "DEVSTATUS_SUBPREAP": "SubPreAp",
+        "DEVSTATUS_VARAPPRD": "VarApprd", "DEVSTATUS_VARBYOBT": "VarByObt",
+        "DEVSTATUS_VARREQRD": "VarReqrd",
+    },
+    "IMPROVEMENTS_SHORT": {
+        "IMPROVEMENTS_CURBS": "Curbs", "IMPROVEMENTS_FENCE": "Fence",
+        "IMPROVEMENTS_FILLED": "Filled", "IMPROVEMENTS_NONE": "None",
+        "IMPROVEMENTS_NOPUB": "NoPub", "IMPROVEMENTS_SHADTREE": "ShadTree",
+        "IMPROVEMENTS_SIDEWALK": "SideWalk", "IMPROVEMENTS_UTILINST": "UtilInSt",
+        "IMPROVEMENTS_UTILONPR": "UtilOnPr",
+    },
+    "LOTDESC_SHORT": {
+        "LOTDESC_CORNER": "Corner", "LOTDESC_CULDESAC": "CulDeSac",
+        "LOTDESC_FLAGLOT": "Flaglot", "LOTDESC_IRREGULR": "Irregulr",
+        "LOTDESC_LAKEFRNT": "LakeFrnt", "LOTDESC_LAKONLOT": "LakOnLot",
+        "LOTDESC_LEVEL": "Level", "LOTDESC_LKWTVIEW": "LkWtView",
+        "LOTDESC_MTNVIEW": "MtnView", "LOTDESC_OPEN": "Open",
+        "LOTDESC_POND": "Pond", "LOTDESC_POSSSUBD": "PossSubd",
+        "LOTDESC_PRIVATE": "Private", "LOTDESC_SKYLVIEW": "SkyLView",
+        "LOTDESC_STREAM": "Stream", "LOTDESC_WATRFRNT": "WatrFrnt",
+        "LOTDESC_WOODED": "Wooded",
+    },
+    "ROADSURFACEDESC_SHORT": {
+        "ROADSURFACEDESC_BLACKTOP": "Blacktop",
+        "ROADSURFACEDESC_CONCRETE": "Concrete",
+        "ROADSURFACEDESC_CRUSHSTN": "CrushStn", "ROADSURFACEDESC_DIRT": "Dirt",
+        "ROADSURFACEDESC_GRAVEL": "Gravel", "ROADSURFACEDESC_PRIVATE": "Private",
+        "ROADSURFACEDESC_PUBLIC": "Public",
+    },
+    "SEWERINFO_SHORT": {
+        "SEWERINFO_500-": "500-", "SEWERINFO_500-1000": "500-1000",
+        "SEWERINFO_BUYPYHUP": "BuyPyHUp", "SEWERINFO_CESSPOOL": "Cesspool",
+        "SEWERINFO_INTAX": "InTax", "SEWERINFO_NONE": "None",
+        "SEWERINFO_PUBLINST": "PublInSt", "SEWERINFO_PUBLONPR": "PublOnPr",
+        "SEWERINFO_SPTONSIT": "SptOnSit", "SEWERINFO_SPTSYREQ": "SptSyReq",
+        "SEWERINFO_STRMSEWR": "StrmSewr",
+    },
+    "SITEPARTICULARS_SHORT": {
+        "SITEPARTICULARS_CLRDALL": "ClrdAll", "SITEPARTICULARS_CLRDPART": "ClrdPart",
+        "SITEPARTICULARS_LANDFILL": "LandFill",
+        "SITEPARTICULARS_LIGHTING": "Lighting",
+        "SITEPARTICULARS_MOWDGRAS": "MowdGras",
+        "SITEPARTICULARS_PASTORAL": "Pastoral",
+        "SITEPARTICULARS_SOMEFLD": "SomeFld",
+        "SITEPARTICULARS_STRLKPND": "StrLkPnd",
+        "SITEPARTICULARS_STRMDRAN": "StrmDran", "SITEPARTICULARS_VIEW": "View",
+        "SITEPARTICULARS_WATRACCS": "WatrAccs",
+        "SITEPARTICULARS_WATRFRNT": "WatrFrnt",
+        "SITEPARTICULARS_WATRVIEW": "WatrView",
+        "SITEPARTICULARS_WETLNONE": "WetlNone",
+        "SITEPARTICULARS_WETLSOME": "WetlSome",
+    },
+    "WATERINFO_SHORT": {
+        "WATERINFO_1000+": "1000+", "WATERINFO_500": "500",
+        "WATERINFO_BUYPYHUP": "BuyPyHUp", "WATERINFO_NONE": "None",
+        "WATERINFO_PUBLINST": "PublInSt", "WATERINFO_PUBLONPR": "PublOnPr",
+        "WATERINFO_SEEREM": "SeeRem", "WATERINFO_WELLREQD": "WellReqd",
+        "WATERINFO_WLLONSIT": "WllOnSit",
+    },
+    "ZONINGDESC_SHORT": {
+        "ZONINGDESC_BUSNDIST": "BusnDist", "ZONINGDESC_CONDO": "Condo",
+        "ZONINGDESC_FLOODWET": "FloodWet", "ZONINGDESC_GENCOMMR": "GenCommr",
+        "ZONINGDESC_HIWYCOMM": "HiwyComm", "ZONINGDESC_LIGHTIND": "LightInd",
+        "ZONINGDESC_LOWINCOM": "LowIncom", "ZONINGDESC_MULTIFAM": "MultiFam",
+        "ZONINGDESC_OFCRSRCH": "OfcRsrch", "ZONINGDESC_ONEFAMLY": "OneFamly",
+        "ZONINGDESC_PLANRES": "PlanRes", "ZONINGDESC_SEEREM": "SeeRem",
+        "ZONINGDESC_SHOPCNTR": "ShopCntr", "ZONINGDESC_TWOFAMLY": "TwoFamly",
+    },
+    "PETS_SHORT": {"PETS_SHORT": "^[^N]"},
+    "RENTINCLUDES_SHORT": {
+        "RENTINCLUDES_BLDGINSR": "BldgInsr", "RENTINCLUDES_COOLING": "Cooling",
+        "RENTINCLUDES_ELECTRIC": "Electric", "RENTINCLUDES_GAS": "Gas",
+        "RENTINCLUDES_HEAT": "Heat", "RENTINCLUDES_JANITSRV": "JanitSrv",
+        "RENTINCLUDES_MAINTBLG": "MaintBlg", "RENTINCLUDES_MAINTCOM": "MaintCom",
+        "RENTINCLUDES_SEWER": "Sewer", "RENTINCLUDES_TAXES": "Taxes",
+        "RENTINCLUDES_TRASHREM": "TrashRem", "RENTINCLUDES_WATER": "Water",
+    },
+    "TENANTPAYS_SHORT": {
+        "TENANTPAYS_CABLE": "Cable", "TENANTPAYS_ELECTRIC": "Electric",
+        "TENANTPAYS_GAS": "Gas", "TENANTPAYS_HEAT": "Heat",
+        "TENANTPAYS_HOTWATER": "HotWater", "TENANTPAYS_SEWER": "Sewer",
+        "TENANTPAYS_SNOWREMV": "SnowRemv", "TENANTPAYS_TENPYREP": "TenPyRep",
+        "TENANTPAYS_TRASHREM": "TrashRem", "TENANTPAYS_WATER": "Water",
+    },
+}
+
+_KEYS = list(ATTRIBUTES.keys())
+# per-class slices of the dict (Kafka_GSMLSConsumer.py:864-871)
+CLASS_ATTR_KEYS: dict[str, list[str]] = {
+    "RES": _KEYS[:16],
+    "MUL": _KEYS[3:17],
+    "LND": _KEYS[17:27],
+    "RNT": _KEYS[2:8] + _KEYS[11:14] + _KEYS[27:],
+}
+
+
+def parse_property_attr(df: DataFrame, prop_type: str) -> DataFrame:
+    """~150 boolean columns in ONE wide projection."""
+    keys = CLASS_ATTR_KEYS.get(prop_type, [])
+    flags: dict[str, Column] = {}
+    for src in keys:
+        if src not in df.columns:
+            continue
+        for new_col, pattern in ATTRIBUTES[src].items():
+            flags[new_col] = F.coalesce(F.col(src).rlike(pattern), F.lit(False))
+    return df.withColumns(flags) if flags else df
+
+
+# ---------------------------------------------------------------------------
+# F16 — style-type resolver (RealEstateImages.py:351-400, 487-529)
+# priority Duplex > Triplex > FourPlex > MultiFam; FixrUppr in the style
+# list additionally forces Condition='FIXER UPPER' (as a separate column —
+# no side effects).
+# ---------------------------------------------------------------------------
+
+
+def resolve_style(df: DataFrame, style_col: str = "STYLE_SHORT") -> DataFrame:
+    styles = F.split(F.coalesce(F.col(style_col), F.lit("")), ",")
+    pick = (
+        F.when(F.array_contains(styles, "Duplex"), "Duplex")
+        .when(F.array_contains(styles, "Triplex"), "Triplex")
+        .when(F.array_contains(styles, "FourPlex"), "FourPlex")
+        .otherwise("MultiFam")
+    )
+    return df.withColumns(
+        {
+            "PROP_STYLE": pick,
+            "STYLE_CONDITION": F.when(
+                F.array_contains(styles, "FixrUppr"), F.lit("FIXER UPPER")
+            ).otherwise(F.lit("Unknown")),
+        }
+    )

@@ -1,0 +1,93 @@
+"""Per-property-class cleaning pipelines — the reference's ``.pipe`` chains
+(Kafka_GSMLSConsumer.py:1015-1102) as composed DataFrame transforms.
+
+The reference executes 13 eager stages with full materialization between
+each; composing the same stages lazily lets Catalyst collapse them into a
+single whole-stage-codegen pass over the data (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from . import cleaning, labels
+
+
+def clean_res(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    """RES chain (Kafka_GSMLSConsumer.py:1015-1030)."""
+    out = df
+    if defaults:
+        out = cleaning.fill_na_values(out, defaults)
+    out = cleaning.standard_cleaning(out, "RES")
+    out = cleaning.convert_lot_size(out)
+    out = cleaning.calculate_dates(out, "RES")
+    out = cleaning.change_datatypes(out, "RES")
+    out = cleaning.combine_listing_remarks(out)
+    out = labels.sub_property_type(out)
+    out = labels.parse_property_attr(out, "RES")
+    out = labels.investment_label(out)
+    out = labels.condition_flags(out, "RES")
+    out = cleaning.original_lp_diff(out)
+    return cleaning.escape_illegal_chars(out, "RES")
+
+
+def clean_mul(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    out = df
+    if defaults:
+        out = cleaning.fill_na_values(out, defaults)
+    out = cleaning.standard_cleaning(out, "MUL")
+    out = cleaning.convert_lot_size(out)
+    out = cleaning.calculate_dates(out, "MUL")
+    out = cleaning.change_datatypes(out, "MUL")
+    out = cleaning.combine_listing_remarks(out)
+    out = labels.parse_property_attr(out, "MUL")
+    out = labels.investment_label(out)
+    out = labels.condition_flags(out, "MUL")
+    out = cleaning.original_lp_diff(out)
+    return cleaning.escape_illegal_chars(out, "MUL")
+
+
+def clean_lnd(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    out = df
+    if defaults:
+        out = cleaning.fill_na_values(out, defaults)
+    out = cleaning.standard_cleaning(out, "LND")
+    out = cleaning.convert_lot_size(out)
+    out = cleaning.calculate_dates(out, "LND")
+    out = cleaning.change_datatypes(out, "LND")
+    out = cleaning.combine_listing_remarks(out)
+    out = labels.parse_property_attr(out, "LND")
+    out = labels.investment_label(out)
+    out = cleaning.original_lp_diff(out)
+    return cleaning.escape_illegal_chars(out, "LND")
+
+
+def clean_rnt(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    out = df
+    if defaults:
+        out = cleaning.fill_na_values(out, defaults)
+    out = cleaning.standard_cleaning(out, "RNT")
+    out = cleaning.calculate_dates(out, "RNT")
+    out = cleaning.change_datatypes(out, "RNT")
+    out = cleaning.combine_listing_remarks(out)
+    out = labels.parse_property_attr(out, "RNT")
+    return cleaning.escape_illegal_chars(out, "RNT")
+
+
+def clean_tax(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    """TAX chain (Kafka_GSMLSConsumer.py:1094-1102)."""
+    out = df
+    if defaults:
+        out = cleaning.fill_na_values(out, defaults)
+    out = cleaning.standard_cleaning(out, "TAX")
+    out = cleaning.calculate_dates(out, "TAX")
+    return cleaning.escape_illegal_chars(out, "TAX")
+
+
+CLASS_PIPELINES = {
+    "RES": clean_res,
+    "MUL": clean_mul,
+    "LND": clean_lnd,
+    "RNT": clean_rnt,
+    "TAX": clean_tax,
+}

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+The BASELINE.json 100 TB mandate: approximate-nearest-neighbor over an
+embedding column.  Two paths:
+
+- ``brute_force_topk``: exact cosine top-k via a blocked cross join —
+  the correctness baseline.  All arithmetic is built-in higher-order
+  functions (zip_with/aggregate) → JVM-side, no Python.
+- ``lsh_topk``: sign-LSH bucketed variant — candidates only from matching
+  hyperplane-sign blocks, then exact re-rank.  At 100 TB the bucket join
+  replaces the O(n·q) cross product; recall is tunable by probing
+  neighboring blocks (multi-probe = relax `block` equality to Hamming ≤ 1).
+
+Dot products accumulate left-to-right via F.aggregate — deterministic
+order, so results are reproducible (and oracle-comparable after a
+round()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def l2_normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def cosine_sim(a: Column, b: Column, normalized: bool = False) -> Column:
+    if normalized:
+        return dot(a, b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (cosine), excluding self-matches.
+    Returns (query_id, neighbor_id, cosine, rank).
+
+    Plan: corpus is broadcast when small; per (query, corpus-partition)
+    partial top-k happens inside the window's sort.  For huge corpora use
+    lsh_topk.
+    """
+    q = queries.select(
+        F.col(q_id).alias("query_id"), l2_normalize(F.col(vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), l2_normalize(F.col(vec)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv"), normalized=True).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_block(vec: Column, dims: tuple[int, ...]) -> Column:
+    """Random-hyperplane LSH bucket id from the signs of fixed dimensions
+    (1-indexed) — deterministic, engine-portable."""
+    bits = [
+        F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+    dims: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-LSH block, then exact
+    cosine re-rank.  One equi-join shuffle on `block` instead of a cross
+    join — the 100 TB path."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        l2_normalize(F.col(vec)).alias("qv"),
+        sign_block(F.col(vec), dims).alias("block"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        l2_normalize(F.col(vec)).alias("cv"),
+        sign_block(F.col(vec), dims).alias("block"),
+    )
+    scored = (
+        q.join(c, "block")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv"), normalized=True).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north-star extensions): language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure built-in expressions (split/regexp/aggregate) — JVM-side, no
+Python in the hot path; engine-portable formulas so each has a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization & counting
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a trimmed text (empty text → empty array)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+BPE_ISH_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored proxy: letter runs, single digits, single punctuation —
+    a deterministic regex count, not a real tokenizer."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PAT), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n > 0, sw.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] doc-quality: rewards moderate length, prose-like
+    punctuation, and a natural stopword rate.  Deterministic arithmetic."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.3)) * 2.0, F.lit(1.0))
+    punct = punct_ratio(col)
+    punct_score = F.lit(1.0) - F.least(punct * 5.0, F.lit(1.0))
+    return (len_score + sw_score + punct_score) / F.lit(3.0)
+
+
+def add_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_bpe_ish": bpe_ish_token_count(c),
+            "stopword_ratio": stopword_ratio(c),
+            "punct_ratio": punct_ratio(c),
+            "mean_word_len": mean_word_length(c),
+            "quality": quality_score(c),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-evidence heuristic (n-gram flavored).
+# Scores a text against tiny per-language marker lexicons; argmax wins.
+# Deterministic tie-break by language code.
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with", "that", "this"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "que", "por"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(col))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("double") / n
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker score; 'und' when no evidence."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score asc then lang desc-safe
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: content digest + shape signature (rolling-hash
+# flavored, engine-portable via md5).
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column, prefix_chars: int = 100) -> Column:
+    """md5 over (normalized prefix, length, token count) — a cheap stable
+    identity for shard-level dedup bookkeeping."""
+    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.substring(norm, 1, prefix_chars),
+            F.length(norm).cast("string"),
+            token_count(col).cast("string"),
+        )
+    )

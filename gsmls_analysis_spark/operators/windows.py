@@ -1,0 +1,38 @@
+"""Window / time-series operators (SURVEY.md §2.7).
+
+- possession_time  ← W1 (GSMLS.py:1832-1867): per-parcel consecutive sale
+  dates → years between, default 10 on edges.  The reference sorts lists in
+  Python per property; here it's one lag() window — single shuffle on the
+  parcel key.
+- row-local intervals ← W2/W3 (Kafka_GSMLSConsumer.py:55-56, 69-70, 85-87).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def possession_time(
+    df: DataFrame,
+    parcel_col: str,
+    date_col: str,
+    out_col: str = "TIME_OF_POSSESSION",
+    default_years: float = 10.0,
+) -> DataFrame:
+    """Years between consecutive sales per parcel, newest first; rows with
+    no prior sale default to ``default_years`` (GSMLS.py:1852-1867)."""
+    w = Window.partitionBy(parcel_col).orderBy(F.col(date_col).desc())
+    prev = F.lag(F.col(date_col), -1).over(w)  # next-older sale
+    years = F.datediff(F.col(date_col), prev) / F.lit(365.0)
+    return df.withColumn(out_col, F.coalesce(years, F.lit(default_years)))
+
+
+def interval_days(later: Column, earlier: Column) -> Column:
+    """W3: CLOSEDDATE−PENDINGDATE etc. as whole days."""
+    return F.datediff(later, earlier)
+
+
+def interval_years(later: Column, earlier: Column) -> Column:
+    """W2: (SALEDATE − PRIORSALEDATE)/365 (Kafka_GSMLSConsumer.py:87)."""
+    return F.datediff(later, earlier) / F.lit(365.0)

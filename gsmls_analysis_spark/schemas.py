@@ -1,0 +1,249 @@
+"""Explicit schemas for the five property classes + metadata tables.
+
+The reference infers schemas from Excel then coerces with per-column dicts
+(GSMLS.py:1361-1363, Kafka_GSMLSConsumer.py:92-128, 315-491).  Spark-first
+design: declare the contract once as a StructType; ingest lands *bronze*
+(all columns string, permissive) and the typed cast stage produces
+*silver* via ``try_cast``-style semantics (invalid → null, matching
+pandas ``errors='coerce'``).
+
+Column lists are the reference's fixed projections
+(GSMLS.py::return_target_columns, 1612-1698) plus producer-appended columns
+(GSMLS.py:1377-1381) and the geo-merge columns (GSMLS.py:1370-1376).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# per-class column contracts (GSMLS.py:1612-1698)
+# ---------------------------------------------------------------------------
+
+_COMMON_HEAD = [
+    "MLSNUM", "STATUS_SHORT", "STREETNUMDISPLAY", "STREETNAME", "TOWN",
+    "COUNTY", "ZIPCODE", "TOWNCODE", "COUNTYCODE", "BLOCKID", "LOTID",
+    "TAXID", "DAYSONMARKET",
+]
+_COMMON_TAIL = [
+    "COMPBUY", "COMPSELL", "COMPTRANS", "LISTTYPE_SHORT", "OFFICELIST",
+    "OFFICESELL", "OFFICESELLNAME", "AGENTSELLNAME", "OWNERNAME",
+    "AGENTLIST", "AGENTSELL", "REMARKSAGENT", "REMARKSPUBLIC",
+    "SHOWSPECIAL", "BUSRELATION_SHORT",
+]
+_DATES = [
+    "LISTDATE", "PENDINGDATE", "ANTICCLOSEDDATE", "CLOSEDDATE",
+    "EXPIREDATE", "WITHDRAWNDATE",
+]
+# appended by the producer (GSMLS.py:1377-1381) and the geo join (:1370-1376)
+PRODUCER_APPENDED = ["MLS", "QTR", "CONDITION", "PROP_CLASS", "SCRAPED_DATE"]
+GEO_COLUMNS = ["LATITUDE", "LONGITUDE", "IMAGES"]
+
+RES_COLUMNS = (
+    _COMMON_HEAD
+    + ["ORIGLISTPRICE", "LISTPRICE", "SALESPRICE", "SP/LP%", "LOANTERMS_SHORT",
+       "ROOMS", "BEDS", "BATHSFULLTOTAL", "BATHSHALFTOTAL", "BATHSTOTAL",
+       "SQFTAPPROX", "ACRES", "LOTSIZE", "ASSESSAMOUNTBLDG",
+       "ASSESSAMOUNTLAND", "ASSESSTOTAL", "SUBPROPTYPE", "STYLEPRIMARY_SHORT",
+       "STYLE_SHORT", "SUBDIVISION", "TAXAMOUNT", "TAXRATE", "TAXYEAR",
+       "YEARBUILT"]
+    + _DATES
+    + ["OWNERSHIP_SHORT", "EASEMENT_SHORT", "PARKNBRAVAIL",
+       "DRIVEWAYDESC_SHORT", "GARAGECAP", "HEATSRC_SHORT", "HEATSYSTEM_SHORT",
+       "COOLSYSTEM_SHORT", "WATER_SHORT", "UTILITIES_SHORT", "EXTERIOR_SHORT",
+       "FIREPLACES", "FLOORS_SHORT", "POOL_SHORT", "ROOF_SHORT", "SEWER_SHORT",
+       "SIDING_SHORT", "BASEMENT_SHORT", "BASEDESC_SHORT", "FLOODZONE",
+       "ZONING", "APPFEE", "ASSOCFEE"]
+    + _COMMON_TAIL
+)
+
+MUL_COLUMNS = (
+    _COMMON_HEAD
+    + ["ORIGLISTPRICE", "LISTPRICE", "SALESPRICE", "SP/LP%", "LOANTERMS_SHORT",
+       "NUMUNITS", "ROOMS", "BEDS", "BATHSFULLTOTAL", "BATHSHALFTOTAL",
+       "BATHSTOTAL", "SQFTBLDG", "ACRES", "LOTSIZE", "ASSESSAMOUNTBLDG",
+       "ASSESSAMOUNTLAND", "ASSESSTOTAL", "UNITSTYLE_SHORT", "SUBDIVISION",
+       "TAXAMOUNT", "TAXRATE", "TAXYEAR", "YEARBUILT",
+       "INCOMEGROSSOPERATING", "EXPENSEOPERATING", "INCOMENETOPERATING",
+       "EXPENSESINCLUDE_SHORT"]
+    + [f"UNIT{i}{f}" for i in (1, 2, 3, 4)
+       for f in ("BEDS", "BATHS", "ROOMS", "OWNERTENANTPAYS_SHORT")]
+    + _DATES
+    + ["EASEMENT_SHORT", "PARKNBRAVAIL", "DRIVEWAYDESC_SHORT", "GARAGECAP",
+       "HEATSRC_SHORT", "HEATSYSTEM_SHORT", "COOLSYSTEM_SHORT", "WATER_SHORT",
+       "UTILITIES_SHORT", "EXTERIOR_SHORT", "ROOF_SHORT", "SEWER_SHORT",
+       "SIDING_SHORT", "BASEMENT_SHORT", "BASEDESC_SHORT", "FLOODZONE",
+       "ZONING"]
+    + _COMMON_TAIL
+)
+
+LND_COLUMNS = (
+    _COMMON_HEAD
+    + ["ORIGLISTPRICE", "LISTPRICE", "SALESPRICE", "SP/LP%", "LOANTERMS",
+       "NUMLOTS", "ACRES", "LOTSIZE", "ASSESSAMOUNTBLDG", "ASSESSAMOUNTLAND",
+       "ASSESSTOTAL", "SUBDIVISION", "TAXAMOUNT", "TAXRATE", "TAXYEAR"]
+    + _DATES
+    + ["FLOODZONE", "ZONINGDESC_SHORT", "BUILDINGSINCLUDED_SHORT",
+       "CURRENTUSE_SHORT", "DEVRESTRICT_SHORT", "DEVSTATUS_SHORT",
+       "EASEMENT_SHORT", "IMPROVEMENTS_SHORT", "LOTDESC_SHORT",
+       "PERCTEST_SHORT", "ROADFRONTDESC_SHORT", "ROADSURFACEDESC_SHORT",
+       "SERVICES_SHORT", "SEWERINFO_SHORT", "SITEPARTICULARS_SHORT",
+       "SOILTYPE_SHORT", "TOPOGRAPHY_SHORT", "WATERINFO_SHORT"]
+    + _COMMON_TAIL
+)
+
+RNT_COLUMNS = (
+    _COMMON_HEAD
+    + ["RENTPRICEORIG", "LP", "RENTMONTHPERLSE", "RP/LP%", "RENTEDDATE",
+       "LEASETERMS_SHORT", "ROOMS", "BEDS", "BATHSFULLTOTAL",
+       "BATHSHALFTOTAL", "BATHSTOTAL", "SQFTAPPROX", "SUBDIVISION",
+       "YEARBUILT", "PROPERTYTYPEPRIMARY_SHORT", "PROPSUBTYPERN",
+       "LOCATION_SHORT", "PRERENTREQUIRE_SHORT", "OWNERPAYS_SHORT",
+       "TENANTPAYS_SHORT", "TENANTUSEOF_SHORT", "RENTINCLUDES_SHORT",
+       "RENTTERMS_SHORT", "LENGTHOFLEASE", "AVAILABLE_SHORT",
+       "AMENITIES_SHORT", "APPLIANCES_SHORT", "LAUNDRYFAC",
+       "FURNISHINFO_SHORT", "PETS_SHORT", "PARKNBRAVAIL",
+       "DRIVEWAYDESC_SHORT", "BASEMENT_SHORT", "BASEDESC_SHORT", "GARAGECAP",
+       "HEATSRC_SHORT", "HEATSYSTEM_SHORT", "COOLSYSTEM_SHORT", "WATER_SHORT",
+       "UTILITIES_SHORT", "FLOORS_SHORT", "SEWER_SHORT", "TENLANDCOMM_SHORT",
+       "REMARKSAGENT", "REMARKSPUBLIC", "SHOWSPECIAL"]
+)
+
+TAX_COLUMNS = [
+    "AUTOROW", "CITYCODE", "BLOCKID", "BLOCKSUFFIX", "LOT", "LOTSUFFIX",
+    "PARCEL_NO", "MCR", "MAP", "LOCNUM", "LOCDIR", "LOCSTREET", "LOCMODE",
+    "LOCCITY", "LOCSTATE", "LOCZIP", "PROPERTYDESC", "PROPERTYUSECODE",
+    "EQVALUE", "BANKCODE", "SALEDATE", "SALEPRICE", "TAXES", "TAXYR", "RATE",
+    "RATIO", "RATIOYR", "TOTALASSESSMENT", "ASSESSMENT2", "ASSESSMENT1",
+    "YEARBUILT", "BUILDINGDESC", "BUILDINGCLASSCODE", "ACRES",
+    "ADDITIONALLOTS", "DEEDBOOK", "DEEDPAGE", "OWNER", "OWNERS", "MAILNUM",
+    "MAILDIR", "MAILSTREET", "MAILMODE", "MAILCITY", "MAILSTATE", "MAILZIP",
+    "PRIOROWNER", "PRIORSALEAMT", "PRIORSALEDATE", "PRIORDEEDBOOK",
+    "PRIORDEEDPAGE", "DATEMODIFIED", "LCR",
+]
+
+CLASS_COLUMNS: dict[str, list[str]] = {
+    "RES": RES_COLUMNS,
+    "MUL": MUL_COLUMNS,
+    "LND": LND_COLUMNS,
+    "RNT": RNT_COLUMNS,
+    "TAX": TAX_COLUMNS,
+}
+
+# ---------------------------------------------------------------------------
+# typed (silver) overrides — Kafka_GSMLSConsumer.py:92-128 cast maps plus
+# date coercions at :51-54, 65-68, 79, 85-86.  Anything not listed stays
+# string at silver; derived columns are typed by their transforms.
+# ---------------------------------------------------------------------------
+
+_LONG = T.LongType()
+_DOUBLE = T.DoubleType()
+_TS = T.TimestampType()
+
+TYPED_OVERRIDES: dict[str, dict[str, T.DataType]] = {
+    "RES": {
+        "TOWNCODE": _LONG, "ASSESSAMOUNTBLDG": _DOUBLE, "APPFEE": _DOUBLE,
+        "ASSESSAMOUNTLAND": _DOUBLE, "ASSESSTOTAL": _DOUBLE,
+        "TAXAMOUNT": _DOUBLE, "YEARBUILT": _DOUBLE, "SQFTAPPROX": _DOUBLE,
+        "ORIGLISTPRICE": _LONG, "LISTPRICE": _LONG, "SALESPRICE": _LONG,
+        "PARKNBRAVAIL": _LONG, "SP/LP%": _DOUBLE, "DAYSONMARKET": _DOUBLE,
+        "ROOMS": _DOUBLE, "BEDS": _DOUBLE, "BATHSFULLTOTAL": _DOUBLE,
+        "BATHSHALFTOTAL": _DOUBLE, "BATHSTOTAL": _DOUBLE, "ACRES": _DOUBLE,
+        **{c: _TS for c in _DATES},
+    },
+    "MUL": {
+        "TOWNCODE": _LONG, "ASSESSAMOUNTBLDG": _DOUBLE,
+        "ASSESSAMOUNTLAND": _DOUBLE, "ASSESSTOTAL": _DOUBLE,
+        "TAXAMOUNT": _DOUBLE, "YEARBUILT": _DOUBLE, "SQFTBLDG": _DOUBLE,
+        "INCOMEGROSSOPERATING": _DOUBLE, "EXPENSEOPERATING": _DOUBLE,
+        "INCOMENETOPERATING": _DOUBLE, "ORIGLISTPRICE": _LONG,
+        "LISTPRICE": _LONG, "SALESPRICE": _LONG, "PARKNBRAVAIL": _LONG,
+        "SP/LP%": _DOUBLE,
+        **{c: _TS for c in _DATES},
+    },
+    "LND": {
+        "TOWNCODE": _LONG, "ASSESSAMOUNTBLDG": _DOUBLE,
+        "ASSESSAMOUNTLAND": _DOUBLE, "ASSESSTOTAL": _DOUBLE,
+        "TAXAMOUNT": _DOUBLE, "ORIGLISTPRICE": _LONG, "LISTPRICE": _LONG,
+        "SALESPRICE": _LONG, "SP/LP%": _DOUBLE,
+        **{c: _TS for c in _DATES},
+    },
+    "RNT": {
+        "TOWNCODE": _LONG, "BEDS": _LONG, "YEARBUILT": _DOUBLE,
+        "SQFTAPPROX": _DOUBLE, "RENTMONTHPERLSE": _LONG, "GARAGECAP": _LONG,
+        "LP": _LONG, "RENTPRICEORIG": _LONG, "LENGTHOFLEASE": _LONG,
+        "RP/LP%": _DOUBLE, "RENTEDDATE": _TS,
+    },
+    "TAX": {
+        "AUTOROW": _LONG, "CITYCODE": _LONG, "SALEDATE": _TS,
+        "PRIORSALEDATE": _TS, "SALEPRICE": _LONG, "PRIORSALEAMT": _LONG,
+        "TAXES": _DOUBLE, "RATE": _DOUBLE, "RATIO": _DOUBLE,
+        "EQVALUE": _DOUBLE, "TOTALASSESSMENT": _LONG, "ASSESSMENT1": _LONG,
+        "ASSESSMENT2": _LONG, "ACRES": _DOUBLE,
+    },
+}
+
+
+def bronze_schema(prop_class: str) -> T.StructType:
+    """All-string ingest schema (Kafka_GSMLSConsumer.py:318 astype('string'))."""
+    return T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in CLASS_COLUMNS[prop_class]]
+    )
+
+
+def silver_schema(prop_class: str) -> T.StructType:
+    """Typed post-clean schema."""
+    over = TYPED_OVERRIDES[prop_class]
+    return T.StructType(
+        [
+            T.StructField(c, over.get(c, T.StringType()), True)
+            for c in CLASS_COLUMNS[prop_class]
+        ]
+    )
+
+
+# event-log checkpoint table (GSMLS.py:312-327, 1700-1705)
+EVENT_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("year_", T.LongType(), True),
+        T.StructField("quarter", T.LongType(), True),
+        T.StructField("county", T.LongType(), True),
+        T.StructField("municipality", T.StringType(), True),
+        T.StructField("initiated", T.StringType(), True),
+        T.StructField("results_found", T.StringType(), True),
+        T.StructField("finished", T.StringType(), True),
+        T.StructField("rows_produced", T.LongType(), True),
+        T.StructField("date_produced", T.StringType(), True),
+        T.StructField("property_type", T.StringType(), True),
+    ]
+)
+
+# nested image document (RealEstateImages.py:147-152, 603-687)
+IMAGE_RECORD = T.StructType(
+    [
+        T.StructField("Condition", T.StringType(), True),
+        T.StructField("URL", T.StringType(), True),
+        T.StructField("Directory", T.StringType(), True),
+    ]
+)
+IMAGE_DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("MLSNum", T.StringType(), False),
+        T.StructField("Date", T.StringType(), True),
+        T.StructField("Address", T.StringType(), True),
+        T.StructField("Town", T.StringType(), True),
+        T.StructField("State", T.StringType(), True),
+        T.StructField("Zipcode", T.StringType(), True),
+        T.StructField("CountyCode", T.StringType(), True),
+        T.StructField("BlockID", T.StringType(), True),
+        T.StructField("LotID", T.StringType(), True),
+        T.StructField("Condition", T.StringType(), True),
+        T.StructField("Prop_Style", T.StringType(), True),
+        T.StructField(
+            "Images",
+            T.MapType(T.StringType(), T.ArrayType(IMAGE_RECORD), True),
+            True,
+        ),
+    ]
+)

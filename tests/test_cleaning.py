@@ -1,0 +1,164 @@
+"""Unit tests for the cleaning operator library against the reference's
+dirty-value inventory (FIXTURES.md §1; semantics from
+Kafka_GSMLSConsumer.py — see each operator's docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators import cleaning
+
+
+def test_standard_cleaning_strips_literals_and_town_suffix(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                ACRES="1.5*", BLOCKID="07*12", COUNTY="MORRIS", COUNTYCODE="14",
+                LOTID="5", LOTSIZE="100 X 50*", OWNERNAME="SMITH*",
+                STREETNAME="MAIN ST*", TAXID="123", TOWNCODE="1408",
+                ZIPCODE="07960", TOWN="Morristown.(1234*)",
+                **{"SP/LP%": "98%"},
+                ASSESSAMOUNTBLDG="00:00:00", ASSESSTOTAL="100", APPFEE="0",
+                ASSESSAMOUNTLAND="00:00:00", WATER_SHORT="Public,Well",
+                SQFTAPPROX="1111", YEARBUILT="1950",
+                BATHSTOTAL="0.0", BATHSFULLTOTAL="2.0",
+            )
+        ]
+    )
+    out = cleaning.standard_cleaning(df, "RES").first()
+    assert out["ACRES"] == "1.5"
+    assert out["STREETNAME"] == "MAIN ST"
+    assert out["TOWN"] == "Morristown"
+    assert out["SP/LP%"] == "98"
+    assert out["ASSESSAMOUNTBLDG"] == "0.0"
+    assert out["WATER_SHORT"] == "Public"
+    # repeated-digit junk (\d)\1{3,} → '0.0'
+    assert out["SQFTAPPROX"] == "0.0"
+    assert out["YEARBUILT"] == "1950"
+    # baths backfill (Kafka_GSMLSConsumer.py:29-42)
+    assert out["BATHSTOTAL"] == "2.0"
+
+
+def test_escape_illegal_chars(spark):
+    df = spark.createDataFrame([Row(STREETNAME="MAIN\x00 ST\x1f", TOWN="OK")])
+    out = cleaning.escape_illegal_chars(df, "RES").first()
+    assert out["STREETNAME"] == "MAIN ST"
+
+
+def test_combine_listing_remarks_na_rep(spark):
+    df = spark.createDataFrame(
+        [("Nice house", None, "Go"), (None, None, None)],
+        "REMARKSPUBLIC string, REMARKSAGENT string, SHOWSPECIAL string",
+    )
+    rows = cleaning.combine_listing_remarks(df).collect()
+    assert rows[0]["LISTING_REMARKS"] == "Nice house. _. Go"
+    assert rows[1]["LISTING_REMARKS"] == "_. _. _"
+
+
+def test_parse_lot_size_dispatch(spark):
+    df = spark.createDataFrame(
+        [
+            Row(LOTSIZE="100 X 50"),      # L*W
+            Row(LOTSIZE="100X50"),        # no spaces
+            Row(LOTSIZE="7500 SF"),       # square feet
+            Row(LOTSIZE=".25 ACRES"),     # acres
+            Row(LOTSIZE="2 ACRES"),       # acres integer
+            Row(LOTSIZE="0x0"),           # lowercase x, too-short digits → acres-ish
+            Row(LOTSIZE="garbage"),       # no match
+            Row(LOTSIZE=None),
+        ]
+    )
+    vals = [
+        r["LOTSIZE_SQFT"]
+        for r in df.withColumn(
+            "LOTSIZE_SQFT", cleaning.parse_lot_size(F.col("LOTSIZE"))
+        ).collect()
+    ]
+    assert vals[0] == 5000.0
+    assert vals[1] == 5000.0
+    assert vals[2] == 7500.0
+    assert vals[3] == 0.25 * 43560
+    assert vals[4] == 2 * 43560
+    assert vals[5] == 0.0 * 43560  # '0x0': acres regex grabs leading 0
+    assert vals[6] == 0.0
+    assert vals[7] == 0.0
+
+
+def test_calculate_dates_res(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                CLOSEDDATE="06/15/2020 00:00:00",
+                LISTDATE="01/02/2020 00:00:00",
+                PENDINGDATE="05/01/2020 00:00:00",
+                ANTICCLOSEDDATE="06/01/2020 00:00:00",
+                **{"SP/LP%": "98.5"},
+                OWNERNAME="JANE DOE",
+                SUBPROPTYPE="SFH",
+            ),
+            Row(
+                CLOSEDDATE="00/00/0000 00:00:00",  # sentinel → null
+                LISTDATE=None,
+                PENDINGDATE=None,
+                ANTICCLOSEDDATE=None,
+                **{"SP/LP%": "100"},
+                OWNERNAME=None,
+                SUBPROPTYPE=None,
+            ),
+        ]
+    )
+    rows = cleaning.calculate_dates(df, "RES").collect()
+    r0 = rows[0]
+    assert r0["YEAR"] == 2020 and r0["MONTH"] == 6
+    assert r0["DAYS_TO_CLOSE"] == 45
+    assert r0["ANTIC_CLOSEDATE_DIFF"] == 14
+    assert r0["SP/LP%"] == -1.5
+    assert "SELLERNAME" in rows[0].asDict() and "SUBPROPTYPE_SFH" in rows[0].asDict()
+    r1 = rows[1]
+    assert r1["CLOSEDDATE"] is None and r1["DAYS_TO_CLOSE"] is None
+    assert r1["SP/LP%"] == 0.0
+
+
+def test_fill_na_values_missing_column_and_bad_cast(spark):
+    df = spark.createDataFrame([Row(A="12"), Row(A="junk")])
+    out = cleaning.fill_na_values(
+        df, {"A": (0, "long"), "B": (99.0, "double")}
+    ).collect()
+    assert [r["A"] for r in out] == [12, 0]
+    assert [r["B"] for r in out] == [99.0, 99.0]
+
+
+def test_parse_currency(spark):
+    df = spark.createDataFrame(
+        [Row(P="$1,234.56"), Row(P="---"), Row(P="77"), Row(P="bad")]
+    )
+    vals = [
+        r["V"]
+        for r in df.withColumn("V", cleaning.parse_currency(F.col("P"))).collect()
+    ]
+    assert vals == [1234.56, 0.0, 77.0, None]
+
+
+def test_original_lp_diff(spark):
+    df = spark.createDataFrame(
+        [Row(ORIGLISTPRICE=200000, LISTPRICE=190000, SALESPRICE=210000)]
+    )
+    r = cleaning.original_lp_diff(df).first()
+    assert r["OLP/LP%"] == -5.0
+    assert r["SP/OLP%"] == 5.0
+
+
+def test_normalize_apn(spark):
+    df = spark.createDataFrame([Row(TOWN="0712", BL="13.02_5")])
+    r = df.withColumn(
+        "APN", cleaning.normalize_apn(F.col("TOWN"), F.col("BL"))
+    ).first()
+    assert r["APN"] == "0712-00013-00002-00005-00000"
+
+
+def test_clean_address(spark):
+    df = spark.createDataFrame([Row(ADDRESS="12.0 Main St*,Morristown,7960")])
+    r = cleaning.clean_address(df).first()
+    assert r["STREETNUM_CLEAN"] == "12"
+    assert r["ZIP_CLEAN"] == "07960"

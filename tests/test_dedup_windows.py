@@ -1,0 +1,109 @@
+"""Keep-last dedup (D1-D4), first-by-group (A3), windows (W1-W3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators import dedup, windows
+
+
+def test_keep_last_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(STREETNUMDISPLAY="12", STREETNAME="MAIN", TOWN="MTOWN",
+                LISTDATE="01/01/2020", PRICE=100, seq=1),
+            Row(STREETNUMDISPLAY="12", STREETNAME="MAIN", TOWN="MTOWN",
+                LISTDATE="01/01/2020", PRICE=200, seq=2),
+            Row(STREETNUMDISPLAY="9", STREETNAME="OAK", TOWN="MTOWN",
+                LISTDATE="02/01/2020", PRICE=300, seq=3),
+        ]
+    )
+    out = dedup.keep_last_dedup_for_class(df, "RES", "seq").collect()
+    assert len(out) == 2
+    kept = {r["STREETNAME"]: r["PRICE"] for r in out}
+    assert kept["MAIN"] == 200  # last by arrival order wins
+    assert kept["OAK"] == 300
+
+
+def test_keep_last_rnt_inserts_sentinel(spark):
+    df = spark.createDataFrame(
+        [Row(STREETNUMDISPLAY="1", STREETNAME="A", TOWN="T",
+             LISTDATE="01/01/2020", seq=1)]
+    )
+    out = dedup.keep_last_dedup_for_class(df, "RNT", "seq")
+    assert "RENTEDDATE" in out.columns
+    assert out.first()["RENTEDDATE"] == "00/00/0000 00:00:00"
+
+
+def test_first_by_group(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=5), Row(k="b", v=2)]
+    )
+    out = dedup.first_by_group(df, "k", F.col("v").desc()).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {"a": 5, "b": 2}
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="same text"), Row(doc_id=2, text="same text"),
+         Row(doc_id=3, text="unique")]
+    )
+    groups = dedup.exact_dup_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+    survivors = dedup.drop_exact_dups(df, "text", "doc_id")
+    assert survivors.count() == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words having nothing in common whatsoever at all"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=far)]
+    )
+    pairs = dedup.minhash_lsh_candidates(df, "doc_id", "text", num_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_jaccard_ngram(spark):
+    df = spark.createDataFrame([Row(a="x y z w", b="x y z w"), Row(a="a b c d", b="e f g h")])
+    vals = [
+        r["j"]
+        for r in df.select(
+            dedup.jaccard_ngram(F.col("a"), F.col("b"), 2).alias("j")
+        ).collect()
+    ]
+    assert vals[0] == 1.0 and vals[1] == 0.0
+
+
+def test_simhash_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=far)]
+    )
+    pairs = dedup.simhash_near_dups(df, "doc_id", "text", max_hamming=12).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_possession_time_lag(spark):
+    df = spark.createDataFrame(
+        [
+            Row(parcel="p1", sale="2020-01-01"),
+            Row(parcel="p1", sale="2010-01-01"),
+            Row(parcel="p2", sale="2015-06-01"),
+        ]
+    ).withColumn("sale", F.col("sale").cast("date"))
+    rows = windows.possession_time(df, "parcel", "sale").collect()
+    by_key = {(r["parcel"], str(r["sale"])): r["TIME_OF_POSSESSION"] for r in rows}
+    # 3652 days (two leap years) / 365
+    assert abs(by_key[("p1", "2020-01-01")] - 3652 / 365.0) < 1e-9
+    assert by_key[("p1", "2010-01-01")] == 10.0  # no prior sale → default
+    assert by_key[("p2", "2015-06-01")] == 10.0
