@@ -59,9 +59,12 @@ def keep_last_dedup_for_class(
     return keep_last_dedup(out, keys, order_col)
 
 
-def first_by_group(df: DataFrame, key: str, order: Column) -> DataFrame:
+def first_by_group(
+    df: DataFrame, key: str, order: Column | list[Column]
+) -> DataFrame:
     """A3: Mongo $group {$first: $$ROOT} with $sort — first row per key."""
-    w = Window.partitionBy(key).orderBy(order)
+    orders = order if isinstance(order, list) else [order]
+    w = Window.partitionBy(key).orderBy(*orders)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

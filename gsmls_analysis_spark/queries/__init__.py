@@ -36,7 +36,14 @@ def load_all() -> dict[str, QueryDef]:
     """Import all catalog submodules (side effect: fill REGISTRY)."""
     from . import core  # noqa: F401
 
-    for mod in ("cleaning", "dedup", "text", "similarity", "stream_batch"):
+    for mod in (
+        "cleaning_q",
+        "joins_windows_q",
+        "dedup_q",
+        "text_q",
+        "similarity_q",
+        "stream_q",
+    ):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

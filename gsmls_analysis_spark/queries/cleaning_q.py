@@ -1,0 +1,322 @@
+"""Cleaning-operator queries: each exercises a §2.8/§2.9 transform from the
+operator library over the driver's tables, synthesizing the reference's
+dirty-value shapes (currency strings, 'L X W' lot sizes, town suffixes,
+APN fragments) deterministically from testdata columns so a DuckDB oracle
+can check exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import cleaning
+from ..sources import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# F5/F3 — currency + sentinel normalize (GSMLS.py:915-928)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_currency_clean",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN '---'
+              ELSE '$' || CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+         END AS raw
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN trim(raw) = '---' THEN 0.0
+            ELSE TRY_CAST(regexp_replace(raw, '[$,]', '', 'g') AS DOUBLE)
+       END / 100.0 AS parsed
+FROM dirty
+""",
+    doc="F5 currency normalize on synthesized '$12345'/'---' strings.",
+)
+def q_currency_clean(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("---"))
+        .otherwise(
+            F.concat(
+                F.lit("$"),
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            )
+        )
+        .alias("raw"),
+    )
+    return dirty.select(
+        "o_orderkey",
+        (cleaning.parse_currency(F.col("raw")) / 100.0).alias("parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12/F25 — lot-size regex dispatch (Kafka_GSMLSConsumer.py:493-519)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lot_size_parse",
+    oracle="""
+WITH dirty AS (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN CAST(p_size + 20 AS VARCHAR) || ' X ' || CAST(p_size + 30 AS VARCHAR)
+           WHEN 1 THEN CAST((p_size + 1) * 100 AS VARCHAR) || ' SF'
+           WHEN 2 THEN '0.' || CAST(p_size + 10 AS VARCHAR) || ' ACRES'
+           ELSE 'garbage'
+         END AS lot
+  FROM part
+)
+SELECT p_partkey, lot,
+  CASE
+    WHEN regexp_matches(lot, '(?i)^(\\d{2,4}(\\.\\d{0,4})?)\\s?X\\s?(\\d{2,4}(\\.\\d{0,4})?)')
+      THEN TRY_CAST(regexp_extract(lot, '(?i)^(\\d{2,4}(\\.\\d{0,4})?)\\s?X\\s?(\\d{2,4}(\\.\\d{0,4})?)', 1) AS DOUBLE)
+         * TRY_CAST(regexp_extract(lot, '(?i)^(\\d{2,4}(\\.\\d{0,4})?)\\s?X\\s?(\\d{2,4}(\\.\\d{0,4})?)', 3) AS DOUBLE)
+    WHEN regexp_matches(lot, '(?i)^(\\d{3,6})\\s?SF')
+      THEN TRY_CAST(regexp_extract(lot, '(?i)^(\\d{3,6})\\s?SF', 1) AS DOUBLE)
+    WHEN regexp_matches(lot, '^(\\d{0,4}\\.?\\d{0,5})\\d')
+      THEN TRY_CAST(regexp_extract(lot, '^(\\d{0,4}\\.?\\d{0,5})', 1) AS DOUBLE) * 43560.0
+    ELSE 0.0
+  END AS lot_sqft
+FROM dirty
+""",
+    doc="F12 three-way lot-size regex dispatch on synthesized strings.",
+)
+def q_lot_size_parse(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.concat(
+                (F.col("p_size") + 20).cast("string"),
+                F.lit(" X "),
+                (F.col("p_size") + 30).cast("string"),
+            ),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 1,
+            F.concat(((F.col("p_size") + 1) * 100).cast("string"), F.lit(" SF")),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 2,
+            F.concat(F.lit("0."), (F.col("p_size") + 10).cast("string"), F.lit(" ACRES")),
+        )
+        .otherwise(F.lit("garbage"))
+        .alias("lot"),
+    )
+    return dirty.select(
+        "p_partkey", "lot", cleaning.parse_lot_size(F.col("lot")).alias("lot_sqft")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — town-suffix strip (Kafka_GSMLSConsumer.py:1116-1118) + F17
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_town_suffix_strip",
+    oracle="""
+SELECT n_nationkey,
+  regexp_replace(n_name || '.(' || CAST(1000 + n_nationkey AS VARCHAR) || '*)',
+                 '\\.?\\*?\\(\\d{4}\\*?\\)', '', 'g') AS town
+FROM nation
+""",
+    doc="F3 regex strip of the '(1234*)' town suffix.",
+)
+def q_town_suffix_strip(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    dirty = F.concat(
+        F.col("n_name"), F.lit(".("), (F.lit(1000) + F.col("n_nationkey")).cast("string"), F.lit("*)")
+    )
+    return nation.select(
+        "n_nationkey", F.regexp_replace(dirty, r"\.?\*?\(\d{4}\*?\)", "").alias("town")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11/F13 — APN normalize (GSMLS.py:693-754)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_apn_normalize",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey,
+         lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS town,
+         CAST(c_custkey AS VARCHAR) || '.' || CAST(c_nationkey AS VARCHAR)
+           || '_' || CAST(c_custkey % 7 AS VARCHAR) AS block_lot
+  FROM customer
+)
+SELECT c_custkey,
+  concat_ws('-', town,
+    lpad(COALESCE(NULLIF(split_part(split_part(block_lot, '_', 1), '.', 1), ''), '0'), 5, '0'),
+    lpad(COALESCE(NULLIF(split_part(split_part(block_lot, '_', 1), '.', 2), ''), '0'), 5, '0'),
+    lpad(COALESCE(NULLIF(split_part(split_part(block_lot, '_', 2), '.', 1), ''), '0'), 5, '0'),
+    lpad(COALESCE(NULLIF(split_part(split_part(block_lot, '_', 2), '.', 2), ''), '0'), 5, '0')
+  ) AS apn
+FROM src
+""",
+    doc="F11 APN zero-pad/compose from synthesized block_lot fragments.",
+)
+def q_apn_normalize(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    src = cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("town"),
+        F.concat(
+            F.col("c_custkey").cast("string"), F.lit("."),
+            F.col("c_nationkey").cast("string"), F.lit("_"),
+            (F.col("c_custkey") % 7).cast("string"),
+        ).alias("block_lot"),
+    )
+    return src.select(
+        "c_custkey",
+        cleaning.normalize_apn(F.col("town"), F.col("block_lot")).alias("apn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — remarks concat with NA sentinel (Kafka_GSMLSConsumer.py:142-149)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_remarks_concat",
+    oracle="""
+SELECT c_custkey,
+  concat_ws('. ',
+    COALESCE(NULLIF(c_name, ''), '_'),
+    COALESCE(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END, '_'),
+    '_') AS listing_remarks
+FROM customer
+""",
+    doc="F2 concat_ws + na_rep='_' parity (null parts become underscores).",
+)
+def q_remarks_concat(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    part2 = F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    return cust.select(
+        "c_custkey",
+        F.concat_ws(
+            ". ",
+            F.coalesce(F.nullif(F.col("c_name"), F.lit("")), F.lit("_")),
+            F.coalesce(part2, F.lit("_")),
+            F.lit("_"),
+        ).alias("listing_remarks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F32 — bounds repair (GSMLS.py:756-866): invalid year → fallback source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_year_bounds_repair",
+    oracle="""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber,
+         1500 + (l_partkey % 600) AS year_raw,
+         1900 + (l_suppkey % 100) AS year_fallback
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN year_raw < 1626 OR year_raw > 2026 THEN year_fallback
+       ELSE year_raw END AS year_fixed
+FROM src
+""",
+    doc="F32 fix_property_year: out-of-bounds year repaired from fallback.",
+)
+def q_year_bounds_repair(spark, sf_dir):
+    from ..operators.joins import coalesce_repair, invalid_year
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(1500) + F.col("l_partkey") % 600).alias("year_raw"),
+        (F.lit(1900) + F.col("l_suppkey") % 100).alias("year_fallback"),
+    ).withColumn("year_fixed", F.col("year_raw"))
+    out = coalesce_repair(
+        src,
+        {"year_fixed": (invalid_year(F.col("year_raw"), 2026), [F.col("year_fallback")])},
+    )
+    return out.select("l_orderkey", "l_linenumber", "year_fixed")
+
+
+# ---------------------------------------------------------------------------
+# F18-F22 — date derivations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_date_derivations",
+    oracle="""
+SELECT o_orderkey,
+  CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+  CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+  CAST(date_part('month', o_orderdate) AS BIGINT) AS mth,
+  lpad(CAST(date_part('month', o_orderdate) AS VARCHAR), 2, '0') AS mth_padded,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY AS DATE)::VARCHAR AS next_day
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+    doc="F18-F22: year/quarter/month extraction, zero-pad, last_day, date_add.",
+)
+def q_date_derivations(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mth"),
+        cleaning.zero_pad2(F.month(d).cast("string")).alias("mth_padded"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_add(d.cast("date"), 1).cast("string").alias("next_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F23 — price ratio vs a reference price (Kafka_GSMLSConsumer.py:604-614)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_price_ratio",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  round((l_extendedprice - p_retailprice) / p_retailprice * 100.0, 0) AS sp_olp_pct,
+  round(CAST(l_extendedprice * (1.0 - l_discount) AS DOUBLE) / p_retailprice, 4) AS net_ratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey % 7 = 0
+""",
+    doc="F23 OLP/SP ratio math on joined real prices (broadcast dim join).",
+)
+def q_price_ratio(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    retail = F.col("p_retailprice")
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round((F.col("l_extendedprice") - retail) / retail * 100.0, 0).alias(
+            "sp_olp_pct"
+        ),
+        F.round(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) / retail, 4
+        ).alias("net_ratio"),
+    )

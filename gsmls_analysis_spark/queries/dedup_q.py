@@ -1,0 +1,191 @@
+"""Dedup-suite queries over the documents table (BASELINE.json north-star:
+dedup at 100 TB scale).
+
+The MinHash oracle trick: h_i(shingle) = md5('s<i>:' || shingle) compared
+lexicographically — MD5 is identical in every engine, so even the MinHash
+signature and LSH band buckets are oracle-checkable in DuckDB.  SimHash
+uses xxhash64 (JVM) → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signature,
+    shingles,
+    simhash_near_dups,
+)
+from ..sources import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# exact dedup via content digest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_exact_dup_groups",
+    oracle="""
+SELECT digest, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM (SELECT doc_id, md5(substr(text, 1, 40)) AS digest FROM documents)
+GROUP BY digest
+HAVING COUNT(*) > 1
+""",
+    doc="exact dedup: hash-groupBy on a 40-char prefix digest.",
+)
+def q_exact_dup_groups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(F.substring("text", 1, 40)).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature (oracle-checkable!)
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS shingle
+  FROM toks
+)
+SELECT doc_id,
+  min(md5('s0:' || shingle)) AS h0,
+  min(md5('s1:' || shingle)) AS h1,
+  min(md5('s2:' || shingle)) AS h2,
+  min(md5('s3:' || shingle)) AS h3
+FROM sh
+GROUP BY doc_id
+"""
+
+
+@query(
+    "q_minhash_signature",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash signature via engine-portable md5 order statistics.",
+)
+def q_minhash_signature(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(shingles(F.col("text"), 3), 4)
+    return docs.select(
+        "doc_id", *[s.alias(f"h{i}") for i, s in enumerate(sig)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup candidate pairs (oracle-checkable banding)
+# ---------------------------------------------------------------------------
+
+_LSH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS shingle
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+    md5(min(md5('s0:' || shingle)) || '|' || min(md5('s1:' || shingle))) AS band0,
+    md5(min(md5('s2:' || shingle)) || '|' || min(md5('s3:' || shingle))) AS band1,
+    md5(min(md5('s4:' || shingle)) || '|' || min(md5('s5:' || shingle))) AS band2,
+    md5(min(md5('s6:' || shingle)) || '|' || min(md5('s7:' || shingle))) AS band3
+  FROM sh GROUP BY doc_id
+), stacked AS (
+  SELECT doc_id, 0 AS band, band0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, band1 FROM sig
+  UNION ALL SELECT doc_id, 2, band2 FROM sig
+  UNION ALL SELECT doc_id, 3, band3 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM stacked a JOIN stacked b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "q_minhash_lsh_pairs",
+    oracle=_LSH_ORACLE,
+    doc="MinHash+LSH banding near-dup candidates (8 hashes, 4 bands).",
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard on a deterministic pairing (consecutive doc ids)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS shingle_set
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CASE WHEN len(list_distinct(a.shingle_set || b.shingle_set)) > 0
+       THEN CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+            / len(list_distinct(a.shingle_set || b.shingle_set))
+       ELSE 0.0 END AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""",
+    doc="exact n-gram Jaccard on the (i, i+1) pairing.",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from ..operators.dedup import jaccard_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_ngram(F.col("ta"), F.col("tb"), 3).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dups — xxhash64 is JVM-only → rows-only driver check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_simhash_near_dups",
+    oracle=None,
+    doc="SimHash(64) near-dups with pigeonhole segment blocking (rows-only: "
+    "xxhash64 has no DuckDB equivalent).",
+)
+def q_simhash_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)

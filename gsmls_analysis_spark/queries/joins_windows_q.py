@@ -1,0 +1,312 @@
+"""Join / window / dedup / set-op queries (SURVEY.md §2.3-2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dec, dsum
+from ..operators.dedup import first_by_group, keep_last_dedup
+from ..operators.joins import prefix_lookup_join
+from ..sources import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# D1 — keep-LAST dedup with explicit order column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_keep_last_dedup",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                            ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+    doc="D1-D4 keep-last dedup (Kafka arrival order ≈ l_linenumber; "
+    "l_quantity tiebreak for groups with duplicated order values).",
+)
+def q_keep_last_dedup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        F.col("l_linenumber").desc(), F.col("l_quantity").desc()
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — first-by-group (Mongo $group $first with $sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_latest_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    doc="A3 group-first dedup aggregate (RealEstateImages.py:552-561).",
+)
+def q_latest_order_per_customer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return first_by_group(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 — equi + ILIKE-prefix residual lookup join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_prefix_lookup_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name
+FROM customer c
+LEFT JOIN supplier s
+  ON c.c_nationkey = s.s_nationkey
+ AND lower(s.s_name) LIKE lower(substr(c.c_name, 1, 4)) || '%'
+""",
+    doc="J2/J3: per-row ILIKE lookup loop → one equi join + prefix residual.",
+)
+def q_prefix_lookup_join(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = prefix_lookup_join(
+        cust,
+        supp,
+        equi=[("c_nationkey", "s_nationkey")],
+        prefix_left="c_name",
+        prefix_right="s_name",
+        prefix_len=4,
+        how="left",
+    )
+    return j.select("c_custkey", "c_name", "s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# J5/F32 — coalesce-priority enrichment across two lookup sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_coalesce_enrichment",
+    oracle="""
+SELECT c.c_custkey,
+  COALESCE(n.n_name, r.r_name, 'UNKNOWN') AS region_label,
+  COALESCE(NULLIF(c.c_acctbal, 0.0), s.s_acctbal, -1.0) AS balance_fixed
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_nationkey % 3 = 0
+LEFT JOIN region r ON c.c_nationkey % 5 = r.r_regionkey
+LEFT JOIN supplier s ON c.c_nationkey = s.s_nationkey AND s.s_suppkey % 2 = 0
+""",
+    doc="J5 fallback-priority merge: try/except cascade → coalesce chain.",
+)
+def q_coalesce_enrichment(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").alias("c")
+    nation = (
+        load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 3 == 0).alias("n")
+    )
+    region = load_table(spark, sf_dir, "region").alias("r")
+    supp = (
+        load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0).alias("s")
+    )
+    j = (
+        cust.join(F.broadcast(nation), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left")
+        .join(F.broadcast(region), (F.col("c.c_nationkey") % 5) == F.col("r.r_regionkey"), "left")
+        .join(F.broadcast(supp), F.col("c.c_nationkey") == F.col("s.s_nationkey"), "left")
+    )
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("n_name"), F.col("r_name"), F.lit("UNKNOWN")).alias(
+            "region_label"
+        ),
+        F.coalesce(
+            F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.col("s_acctbal"), F.lit(-1.0)
+        ).alias("balance_fixed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — previous-sale lag → possession years
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_possession_time_lag",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+  COALESCE(
+    date_diff('day',
+      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+      CAST(o_orderdate AS DATE)) / 365.0,
+    10.0) AS possession_years
+FROM orders
+""",
+    doc="W1 per-parcel consecutive-sale lag (GSMLS.py:1832-1867); default 10.",
+)
+def q_possession_time_lag(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate").cast("date"), prev) / F.lit(365.0),
+            F.lit(10.0),
+        ).alias("possession_years"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — conditional sum over group (flood-coverage shape, GSMLS.py:1757-1770)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_conditional_sum",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus <> 'F'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS open_value,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="A4 sum(when(cond, x).otherwise(0)) grouped.",
+)
+def q_conditional_sum(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(
+            F.when(F.col("l_linestatus") != "F", dec("l_extendedprice")).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            ),
+            "open_value",
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — scalar-subquery predicate (GSMLS.py:1006-1015)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE ts = (SELECT max(ts) FROM events)
+""",
+    doc="P8 latest-cursor lookup via scalar subquery.",
+)
+def q_scalar_subquery(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__events_ssq")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, event_type, value
+        FROM __events_ssq
+        WHERE ts = (SELECT max(ts) FROM __events_ssq)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — 1.5·IQR outlier filter (GSMLS.py:228/240 declared intent).
+# Quartiles via the explicit rank/interpolation formula so Spark and the
+# oracle share one deterministic definition (engine quantile functions
+# differ in interpolation details).
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH ranked AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM events
+), qpos AS (
+  SELECT DISTINCT
+    CAST(floor((n - 1) * 0.25) AS BIGINT) AS lo25,
+    (n - 1) * 0.25 - floor((n - 1) * 0.25) AS f25,
+    CAST(floor((n - 1) * 0.75) AS BIGINT) AS lo75,
+    (n - 1) * 0.75 - floor((n - 1) * 0.75) AS f75
+  FROM ranked
+), quart AS (
+  SELECT
+    (SELECT min(value) FROM ranked WHERE rk = lo25) * (1 - f25)
+      + (SELECT min(value) FROM ranked WHERE rk = lo25 + 1) * f25 AS q1,
+    (SELECT min(value) FROM ranked WHERE rk = lo75) * (1 - f75)
+      + (SELECT min(value) FROM ranked WHERE rk = lo75 + 1) * f75 AS q3
+  FROM qpos
+)
+SELECT event_id, user_id, value
+FROM events, quart
+WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+"""
+
+
+@query(
+    "q_iqr_outliers",
+    oracle=_IQR_ORACLE,
+    doc="A5 1.5·IQR outlier filter with explicit linear-interp quartiles.",
+)
+def q_iqr_outliers(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_iqr")
+    return spark.sql(_IQR_ORACLE.replace("events", "__ev_iqr"))
+
+
+# ---------------------------------------------------------------------------
+# set ops the reference lacks (SURVEY.md §2.5: engine gets them free)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+EXCEPT
+SELECT r_regionkey AS nationkey FROM region
+""",
+    doc="intersect/except set ops.",
+)
+def q_set_ops(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("nationkey")
+    )
+    return cust.intersect(supp).subtract(region)

@@ -1,0 +1,151 @@
+"""Similarity-search queries over the embeddings table.
+
+Cross-engine float caution: cosine is computed as a strictly sequential
+double-precision fold in Spark (F.aggregate) and as list_sum over a
+double-cast product list in DuckDB — same element order, same arithmetic
+width.  Scores are rounded to 6 dp in the oracle-checked outputs to absorb
+any residual last-bit differences; ranking itself uses the full-precision
+value with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, lsh_topk, sign_block
+from ..sources import load_table
+from . import query
+
+_COSINE_DUCK = """
+list_sum(list_transform(list_zip(a.nv, b.nv),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+"""
+
+_NORMALIZE_DUCK = """
+SELECT vec_id,
+  list_transform(embedding,
+    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+FROM embeddings
+"""
+
+
+@query(
+    "q_cosine_topk_bruteforce",
+    oracle=f"""
+WITH nv AS ({_NORMALIZE_DUCK}),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_COSINE_DUCK} AS cosine
+  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="exact cosine top-5 per query (first 20 queries), brute force.",
+)
+def q_cosine_topk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+@query(
+    "q_lsh_sign_buckets",
+    oracle="""
+SELECT
+  concat_ws('',
+    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS block,
+  COUNT(*) AS n_vectors,
+  MIN(vec_id) AS min_id
+FROM embeddings
+GROUP BY block
+""",
+    doc="sign-hyperplane LSH bucket histogram (the ANN partitioning).",
+)
+def q_lsh_sign_buckets(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            sign_block(F.col("embedding"), (1, 2, 3, 4)).alias("block"), "vec_id"
+        )
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_id"))
+    )
+
+
+@query(
+    "q_lsh_topk",
+    oracle=None,
+    doc="LSH-bucketed approximate top-k (rows-only: approximation is "
+    "recall-dependent by design; exactness checked via q_cosine_topk_bruteforce).",
+)
+def q_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5)
+
+
+@query(
+    "q_embedding_label_centroid_sim",
+    oracle=f"""
+WITH nv AS ({_NORMALIZE_DUCK}),
+lbl AS (SELECT vec_id, label FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         la.label AS label_a, lb.label AS label_b,
+         {_COSINE_DUCK} AS cosine
+  FROM nv a JOIN nv b ON b.vec_id = a.vec_id + 1
+  JOIN lbl la ON la.vec_id = a.vec_id
+  JOIN lbl lb ON lb.vec_id = b.vec_id
+)
+SELECT CASE WHEN label_a = label_b THEN 'same' ELSE 'diff' END AS pair_kind,
+       COUNT(*) AS n_pairs,
+       round(CAST(SUM(CAST(round(cosine, 6) AS DECIMAL(10,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_cosine
+FROM pairs
+GROUP BY pair_kind
+""",
+    doc="cosine similarity of consecutive-id pairs, same- vs cross-label.",
+)
+def q_embedding_label_centroid_sim(spark, sf_dir):
+    from ..operators.similarity import cosine_sim, l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        l2_normalize(F.col("embedding")).alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        l2_normalize(F.col("embedding")).alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        F.when(F.col("label_a") == F.col("label_b"), "same")
+        .otherwise("diff")
+        .alias("pair_kind"),
+        F.round(cosine_sim(F.col("va"), F.col("vb"), normalized=True), 6).alias(
+            "cos_r"
+        ),
+    )
+    return pairs.groupBy("pair_kind").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cos_r").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cosine"),
+    )

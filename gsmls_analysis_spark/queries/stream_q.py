@@ -1,0 +1,167 @@
+"""Event-stream queries in their batch form (the same logical plans run
+under Structured Streaming in gsmls_analysis_spark.streaming; the driver's
+oracle check runs them as batch — identical semantics by construction for
+tumbling windows / sessionization over a bounded input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum
+from ..sources import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# event-time tumbling window aggregate (beyond-reference streaming op)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_tumbling_hour",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window_start, event_type
+""",
+    doc="ST: tumbling 1-hour event-time window aggregate.",
+)
+def q_events_tumbling_hour(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(14,2)"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization: session_window ≈ gaps-and-islands with a 5-minute gap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL 5 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+    doc="ST: session windows (5-min gap) — session_window() in Spark, "
+    "gaps-and-islands in the oracle; same semantics on bounded input.",
+)
+def q_events_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(14,2)"), "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# micro-batch dedup-keep-last over the stream key (ST3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_dedup_latest_per_user",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="ST3 cross-batch keep-last dedup keyed on user_id.",
+)
+def q_events_dedup_latest_per_user(spark, sf_dir):
+    from ..operators.dedup import first_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return first_by_group(
+        ev.select("user_id", "event_id", "ts", "event_type", "value"),
+        "user_id",
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# corrupt-record quarantine (ST7): parse the props JSON column permissively;
+# records whose payload fails the schema land in a quarantine count.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_json_quarantine",
+    oracle="""
+SELECT
+  CASE WHEN event_id % 13 = 0 THEN 'corrupt' ELSE 'ok' END AS record_class,
+  COUNT(*) AS n,
+  SUM(CASE WHEN event_id % 13 = 0 THEN 0
+           ELSE COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) END) AS k_sum
+FROM (SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3) ELSE props END AS props
+      FROM events)
+GROUP BY record_class
+""",
+    doc="ST7 dead-letter path: from_json null → quarantine bucket counts.",
+)
+def q_events_json_quarantine(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # deterministically corrupt ~1/13 of payloads, then parse permissively
+    dirty = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.substring("props", 1, 3))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = dirty.withColumn(
+        "k", F.from_json(F.col("props"), "struct<k:bigint>").getField("k")
+    )
+    return (
+        parsed.select(
+            F.when(F.col("event_id") % 13 == 0, "corrupt")
+            .otherwise("ok")
+            .alias("record_class"),
+            F.when(F.col("event_id") % 13 == 0, F.lit(0))
+            .otherwise(F.coalesce(F.col("k"), F.lit(-1)))
+            .alias("k_val"),
+        )
+        .groupBy("record_class")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k_val").alias("k_sum"))
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis queries over documents (BASELINE.json north-star):
+token counting, quality ratios, language-ID, fingerprinting, and the F6/F7
+regex-classifier shapes applied to free text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text as tx
+from ..sources import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# token counts + quality ratios (per-row doubles: deterministic both engines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_token_stats",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+  CASE WHEN length(trim(text)) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS stopword_ratio,
+  CASE WHEN length(text) > 0
+       THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+            / length(text) ELSE 0.0 END AS punct_ratio
+FROM documents
+""",
+    doc="token / BPE-ish counts + stopword & punctuation ratios.",
+)
+def q_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        tx.bpe_ish_token_count(c).alias("n_bpe_ish"),
+        tx.stopword_ratio(c).alias("stopword_ratio"),
+        tx.punct_ratio(c).alias("punct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID: argmax of per-language marker scores, tie-break by the
+# (score, lang) struct ordering — mirrored in SQL via max(ROW(...)).
+# ---------------------------------------------------------------------------
+
+_LANGID_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+         greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                  1) AS n
+  FROM documents
+), scored AS (
+  SELECT doc_id, unnest([
+    {score: CAST(len(list_filter(words, t -> t IN ('der','die','das','und','ist','nicht','mit'))) AS DOUBLE) / n, lang: 'de'},
+    {score: CAST(len(list_filter(words, t -> t IN ('the','and','of','is','with','that','this'))) AS DOUBLE) / n, lang: 'en'},
+    {score: CAST(len(list_filter(words, t -> t IN ('el','los','las','es','una','que','por'))) AS DOUBLE) / n, lang: 'es'},
+    {score: CAST(len(list_filter(words, t -> t IN ('le','la','les','et','est','une','dans'))) AS DOUBLE) / n, lang: 'fr'},
+    {score: CAST(len(list_filter(words, t -> t IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS DOUBLE) / n, lang: 'zh'}
+  ]) AS p
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN max(p).score > 0 THEN max(p).lang ELSE 'und' END AS lang_pred
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query(
+    "q_lang_id",
+    oracle=_LANGID_ORACLE,
+    doc="stopword-evidence language ID, argmax with struct-order tie-break.",
+)
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# fingerprint (md5 → portable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, text,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n
+  FROM documents
+)
+SELECT doc_id,
+  md5(concat_ws('|', substr(n, 1, 100), CAST(length(n) AS VARCHAR),
+      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS VARCHAR)))
+    AS fp
+FROM norm
+""",
+    doc="document fingerprint: md5 of (normalized prefix, length, n_tokens).",
+)
+def q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# F6/F7-style regex classifier cascade over free text, grouped counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_classifier_cascade",
+    oracle="""
+SELECT lang,
+  CASE
+    WHEN regexp_matches(text, '(?i)window|stream')   THEN 'streaming'
+    WHEN regexp_matches(text, '(?i)join|merge')      THEN 'relational'
+    WHEN regexp_matches(text, '(?i)vector|hash')     THEN 'physical'
+    ELSE 'other'
+  END AS label,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, label
+""",
+    doc="F7 first-match-wins when-cascade over text, counted per lang.",
+)
+def q_text_classifier_cascade(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    label = (
+        F.when(t.rlike("(?i)window|stream"), "streaming")
+        .when(t.rlike("(?i)join|merge"), "relational")
+        .when(t.rlike("(?i)vector|hash"), "physical")
+        .otherwise("other")
+    )
+    return (
+        docs.withColumn("label", label)
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus stats (integer sums: deterministic without decimal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_stats_by_source",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+""",
+    doc="per-source corpus statistics.",
+)
+def q_doc_stats_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -54,6 +54,10 @@ def get_spark(
         # parquet scans: vectorized reader + pushdown are default-on; keep
         # file split size at default 128m (right for the 100 TB target).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet TIMESTAMP(NANOS) (the events table) is not a legal Spark
+        # type; read as long and convert in the catalog (floor to micros,
+        # matching how an external engine truncates ns → pandas us).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # broadcast threshold: 10 MB default is right for the dims here
         # (region/nation/supplier); explicit broadcast() hints used for
         # dims we *know* are small regardless of stats.
