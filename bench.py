@@ -1,0 +1,76 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is executed to completion via the noop sink (full computation,
+no driver-side collect bottleneck, no column-pruning shortcuts a count()
+would allow).  Session startup is excluded; per-query time is wall clock
+of its full materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gsmls_analysis_spark.queries import load_all  # noqa: E402
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_keep_last_dedup",
+    "q_latest_order_per_customer",
+    "q_prefix_lookup_join",
+    "q_possession_time_lag",
+    "q_minhash_lsh_pairs",
+    "q_token_stats",
+    "q_lang_id",
+    "q_cosine_topk_bruteforce",
+    "q_events_tumbling_hour",
+    "q_events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    reg = load_all()
+
+    # warm the JVM/codegen once on a trivial action (not counted)
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = reg[name]
+        t0 = time.time()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
