@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import ensure_min_partitions
+
 # ---------------------------------------------------------------------------
 # D1-D4 — keep-last dedup
 # ---------------------------------------------------------------------------
@@ -143,7 +145,10 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
-    banded = df.select(
+    # signature computation is the CPU-heavy stage — make sure it runs at
+    # full width even when the scan is a single small file
+    proj = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+    banded = proj.select(
         F.col(id_col).alias("doc"),
         *[
             F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band])).alias(
@@ -231,7 +236,7 @@ def simhash_near_dups(
     blocking as a recall-tunable approximation."""
     width = 64 // segments
     mask = (1 << width) - 1
-    sigs = df.select(
+    sigs = ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig")
     )
     chunks = sigs.select(

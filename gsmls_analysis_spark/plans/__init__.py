@@ -1,0 +1,12 @@
+"""Physical-plan shaping helpers: partitioning, broadcast policy, and
+plan-inspection utilities.
+
+Catalyst owns logical optimization (pushdown, pruning, join selection);
+this package holds the few *deliberate* physical choices the engine makes —
+minimum parallelism for CPU-heavy projections, explain capture for plan
+assertions in tests.
+"""
+
+from .partitioning import ensure_min_partitions
+
+__all__ = ["ensure_min_partitions"]

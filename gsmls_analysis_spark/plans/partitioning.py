@@ -1,0 +1,29 @@
+"""Partition-geometry helpers.
+
+Why this exists: a small parquet table (one file, one row group) scans as a
+SINGLE partition, so any CPU-heavy projection chained on it (MinHash
+signatures, SimHash bit votes, per-token hashing) runs on one core no
+matter how many the cluster has.  At the 100 TB target the scan itself
+yields thousands of splits and these helpers become no-ops — the guard
+`only widen, never shrink` makes them safe to leave in the operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to ``min_parts`` (default: the
+    session's default parallelism) iff it currently has fewer partitions.
+
+    Use before a CPU-heavy projection whose input may be a small scan.
+    Never shrinks: at real scale (scan already wide) this is a no-op and
+    costs nothing; locally it turns a 1-task hash loop into a full-width
+    stage.  The shuffle it introduces is on the *narrow* pre-projection
+    rows, which is the cheap side of the pipeline.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -17,6 +17,7 @@ from ..operators.dedup import (
     shingles,
     simhash_near_dups,
 )
+from ..plans.partitioning import ensure_min_partitions
 from ..sources import load_table
 from . import query
 
@@ -79,7 +80,9 @@ GROUP BY doc_id
     doc="MinHash signature via engine-portable md5 order statistics.",
 )
 def q_minhash_signature(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     sig = minhash_signature(shingles(F.col("text"), 3), 4)
     return docs.select(
         "doc_id", *[s.alias(f"h{i}") for i, s in enumerate(sig)]
@@ -162,7 +165,9 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from ..operators.dedup import jaccard_ngram
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
     return (
