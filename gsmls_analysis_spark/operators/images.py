@@ -1,0 +1,187 @@
+"""Image-document branch: caption extraction, room classification, and
+nested document assembly — the Spark re-expression of the reference's
+RealEstateImages pipeline.
+
+Reference parity (all cited into /root/reference):
+- F15 image (caption, url) extraction from a stringified dict column —
+  RealEstateImages.py:605 (image_pattern.findall), :648-651 (section =
+  caption.split('-')[1].strip()).
+- F14 room-category classifier: 23 named regexes tried in dict insertion
+  order, first match wins, 'Alternates' handled separately, default
+  'Other' — RealEstateImages.py:36-60 (patterns), :655-680 (dispatch).
+- F16 style resolver priority Duplex > Triplex > FourPlex > MultiFam —
+  RealEstateImages.py:351-400, 487-529.
+- A3 + nested doc: per-listing document {identity fields, Images: {category
+  -> [{Condition, URL, Directory}]}} — RealEstateImages.py:640-687.
+
+Spark-first notes: the whole branch is one projection (extract) + one
+explode + one when-chain + two aggregations (category grouping, then map
+assembly).  No Python UDFs — regexp_extract_all / posexplode /
+map_from_entries are all JVM-side, so the classifier runs inside
+whole-stage codegen at any scale.  The per-listing map assembly shuffles
+once on the listing key; at 100 TB pre-bucket the listing table on that
+key to make it shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# F14 — room-category classifier.
+# Order matters: the reference iterates dict insertion order and breaks on
+# the first match (RealEstateImages.py:655-680).  Patterns are translated
+# Python→Java (same semantics for these alternations); (?i) replaces
+# flags=re.IGNORECASE.
+# ---------------------------------------------------------------------------
+
+ROOM_PATTERNS: list[tuple[str, str]] = [
+    ("Bathroom", r"(?i)bath(\s)?room|bath|powder|master bath"),
+    ("Bedroom", r"(?i)bed(\s)?room|bed|master suite|master br|master bedrm"),
+    ("Kitchen", r"(?i)kitchen|breakfast"),
+    ("Garage", r"(?i)garage"),
+    ("Front", r"(?i)front yard|front(\sexterior)?"),
+    ("Entrance", r"(?i)entrance"),
+    ("Foyer", r"(?i)foyer"),
+    ("Laundry", r"(?i)laundry(\sroom)?|washer|dryer"),
+    ("Backyard", r"(?i)back(\s)?yard|rear(\sexterior)?|yard"),
+    ("Living Room", r"(?i)living(\sroom)?|family(\sroom)?|liv rm|family rm"),
+    ("Basement", r"(?i)basement|recreation|rec|lower level|bsmt"),
+    ("Gym", r"(?i)exercise(\sroom)?|gym(\sroom)?"),
+    ("Attic", r"(?i)attic"),
+    ("Office", r"(?i)office|den"),
+    ("Deck", r"(?i)deck|patio"),
+    ("Pool", r"(?i)pool"),
+    ("Driveway", r"(?i)driveway|parking"),
+    ("Dining Room", r"(?i)dining(\sroom)?"),
+    ("Porch", r"(?i)porch"),
+    ("Floor Plans", r"(?i)floor plan(s)?"),
+    ("Tax Map", r"(?i)(tax\s)?map"),
+    ("Sun Room", r"(?i)sun(\s)?room|solarium"),
+    ("Alternates", r"(?i)Image of listing"),
+]
+
+OTHER_CATEGORY = "Other"
+
+
+def classify_room(caption: Column) -> Column:
+    """First-match-wins room category for an image caption (F14)."""
+    expr = None
+    for category, pattern in ROOM_PATTERNS:
+        cond = caption.rlike(pattern)
+        expr = F.when(cond, F.lit(category)) if expr is None else expr.when(
+            cond, F.lit(category)
+        )
+    return expr.otherwise(F.lit(OTHER_CATEGORY))
+
+
+# ---------------------------------------------------------------------------
+# F15 — (caption, url) pair extraction from the stringified image dict.
+# The reference regex (RealEstateImages.py:605) matches
+# "'{addr} - {caption} - {n}': '{https://img.gsmls.com/...jpg}'" entries;
+# the section label is the middle '-'-delimited field (:651-652).
+# ---------------------------------------------------------------------------
+
+ENTRY_PATTERN = r"'([^']+? - [^']+? - \d+)': '(https://img\.gsmls\.com/[^']+?)'"
+
+
+def extract_image_entries(
+    df: DataFrame, id_col: str, images_col: str
+) -> DataFrame:
+    """Explode a stringified image dict into one row per image:
+    (id, image_num, caption, section, url).
+
+    One projection + one posexplode — no shuffle, no Python.
+    """
+    captions = F.regexp_extract_all(F.col(images_col), F.lit(ENTRY_PATTERN), 1)
+    urls = F.regexp_extract_all(F.col(images_col), F.lit(ENTRY_PATTERN), 2)
+    pairs = F.arrays_zip(captions.alias("caption"), urls.alias("url"))
+    out = df.select(
+        F.col(id_col), F.posexplode(pairs).alias("image_num", "entry")
+    )
+    return out.select(
+        id_col,
+        "image_num",
+        F.col("entry.caption").alias("caption"),
+        F.trim(F.element_at(F.split("entry.caption", " - "), 2)).alias("section"),
+        F.col("entry.url").alias("url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16 — style resolver: priority Duplex > Triplex > FourPlex > MultiFam
+# (RealEstateImages.py:351-400); anything else keeps the first style token.
+# ---------------------------------------------------------------------------
+
+STYLE_PRIORITY = ["Duplex", "Triplex", "FourPlex", "MultiFam"]
+
+
+def resolve_style_type(style_list: Column) -> Column:
+    """Resolve a comma-delimited style string to one style by priority."""
+    arr = F.transform(F.split(style_list, ","), lambda s: F.trim(s))
+    expr = None
+    for style in STYLE_PRIORITY:
+        cond = F.array_contains(arr, style)
+        expr = F.when(cond, F.lit(style)) if expr is None else expr.when(
+            cond, F.lit(style)
+        )
+    return expr.otherwise(F.element_at(arr, 1))
+
+
+# ---------------------------------------------------------------------------
+# Nested document assembly (RealEstateImages.py:640-687):
+# per listing: Images = map<category, array<struct{Condition, URL,
+# Directory}>>.  Directory mirrors the reference's download path layout.
+# ---------------------------------------------------------------------------
+
+
+def assemble_image_documents(
+    entries: DataFrame,
+    id_col: str,
+    condition_col: str,
+    address_col: str,
+) -> DataFrame:
+    """Build the nested per-listing image document from exploded entries.
+
+    Input: one row per image with (id, image_num, section, url, condition,
+    address).  Output: one row per listing with an ``Images`` map column.
+    Two aggregations, both shuffling on the listing key only.
+    """
+    record = F.struct(
+        F.col(condition_col).alias("Condition"),
+        F.col("url").alias("URL"),
+        F.concat_ws(
+            "/",
+            F.lit("images"),
+            F.col(address_col),
+            F.col("category"),
+            F.col("image_num").cast("string"),
+        ).alias("Directory"),
+    )
+    with_cat = entries.withColumn("category", classify_room(F.col("section")))
+    per_category = (
+        with_cat.withColumn("record", record)
+        .groupBy(id_col, address_col, "category")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("image_num"), F.col("record")))
+            ).alias("ordered")
+        )
+        .select(
+            id_col,
+            address_col,
+            "category",
+            F.transform("ordered", lambda x: x["record"]).alias("records"),
+        )
+    )
+    return (
+        per_category.groupBy(id_col, address_col)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("category"), F.col("records")))
+                )
+            ).alias("Images")
+        )
+    )

@@ -1,0 +1,159 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched pandas functions over
+``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(``decode_media`` raises NotImplementedError unless given the deterministic
+fake codec) — but the Spark-side plumbing is real and tested: schema,
+partitioning, UDF signatures, Arrow batch shapes, and the feature/
+frame-sample transforms run on actual bytes.
+
+Scale notes: payloads never pass through the driver; mapInPandas streams
+Arrow record batches executor-side, so memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` × mean payload size.
+Partition by a content-hash prefix for even payload-size distribution
+(media sizes are heavy-tailed — a time- or id-ordered layout skews
+partitions badly at 100 TB).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# asset = payload + typed metadata (SURVEY.md §2 multimodal extension)
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("n_bytes", LongType(), True),
+                    StructField("codec", StringType(), True),
+                    StructField("width", LongType(), True),
+                    StructField("height", LongType(), True),
+                    StructField("duration_ms", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "asset_id long, n_bytes long, digest string"
+FRAME_SCHEMA = "asset_id long, frame_idx long, frame_digest string"
+
+FRAME_BYTES = 64
+
+
+def synthesize_assets(
+    df: DataFrame, id_col: str, text_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Build a binary asset column from a text column (UTF-8 bytes) — the
+    deterministic stand-in for real media ingestion; schema and byte
+    semantics match what a real loader would produce."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit(media_type).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit("raw").alias("codec"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
+    """STUB — real decode needs image/audio libs absent from this container.
+
+    ``codec='real'`` raises; ``codec='fake'`` applies a deterministic fake
+    decode (dims derived from the first payload bytes) so downstream
+    plumbing is exercisable end-to-end.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "media decode requires codec libraries (PIL/ffmpeg) not present "
+            "in this environment; use codec='fake' for the deterministic stub"
+        )
+    # fake dims from the first two payload bytes (payloads here are ASCII,
+    # so a string round-trip reads the raw byte values)
+    as_str = F.col("payload").cast("string")
+    first = F.ascii(F.substring(as_str, 1, 1)).cast("long")
+    second = F.ascii(F.substring(as_str, 2, 1)).cast("long")
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.lit("fake-decoded").alias("codec"),
+            (first % 64 + 1).alias("width"),
+            (second % 64 + 1).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Per-asset content features via Arrow-batched mapInPandas:
+    byte length + md5 digest.  Python is unavoidable here (byte-level
+    digest of opaque payloads); mapInPandas keeps it vectorized per batch
+    and executor-side."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_k: int = 3) -> DataFrame:
+    """Frame sampling for 'video' payloads: fixed FRAME_BYTES blocks, every
+    k-th kept, md5 per frame.  Real frame decode would replace the block
+    slicing; the batch shape (1 input row → N output rows) is the part that
+    matters for the pipeline."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_k):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(
+                            data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_digest": digests}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(frames, FRAME_SCHEMA)

@@ -43,9 +43,11 @@ def load_all() -> dict[str, QueryDef]:
         "text_q",
         "similarity_q",
         "stream_q",
+        "images_q",
+        "streaming_native_q",
+        "multimodal_q",
     ):
-        try:
-            __import__(f"{__name__}.{mod}")
-        except ImportError:
-            pass
+        # import errors must be LOUD: a silently-skipped module would drop
+        # every query it registers from the driver's correctness run.
+        __import__(f"{__name__}.{mod}")
     return REGISTRY

@@ -1,0 +1,226 @@
+"""Image-document branch queries (F14/F15/F16/A3 — RealEstateImages.py).
+
+The testdata has no stringified-image-dict column, so these queries
+construct one deterministically from ``part`` (same arithmetic in the
+DuckDB oracle), then run the REAL operators on it: regexp extraction of
+(caption, url) pairs, first-match-wins room classification, priority style
+resolution, and nested per-listing document assembly.  The oracle computes
+the expected values directly from the construction arithmetic — so the
+Spark side's regex round-trip (build string → extract → split → classify)
+is exactly what's being verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.images import (
+    assemble_image_documents,
+    classify_room,
+    extract_image_entries,
+    resolve_style_type,
+)
+from ..sources import load_table
+from . import query
+
+# caption pool — exercises first-match-wins traps ('master bath' must hit
+# Bathroom not Bedroom, 'powder' → Bathroom, 'den' → Office, 'Image of
+# listing' → Alternates, 'mystery chamber' → Other)
+CAPTIONS = [
+    "master bath", "bed room", "kitchen", "garage", "front exterior",
+    "entrance", "foyer", "laundry room", "back yard", "living room",
+    "basement", "exercise room", "attic", "den", "patio",
+    "pool", "parking", "dining room", "porch", "floor plans",
+    "tax map", "solarium", "Image of listing", "mystery chamber", "powder",
+]
+
+_DUCK_CAPS = "[" + ", ".join(f"'{c}'" for c in CAPTIONS) + "]"
+
+# DuckDB CASE chain mirroring operators.images.ROOM_PATTERNS order
+_DUCK_CLASSIFY = """CASE
+  WHEN regexp_matches(section, 'bath(\\s)?room|bath|powder|master bath', 'i') THEN 'Bathroom'
+  WHEN regexp_matches(section, 'bed(\\s)?room|bed|master suite|master br|master bedrm', 'i') THEN 'Bedroom'
+  WHEN regexp_matches(section, 'kitchen|breakfast', 'i') THEN 'Kitchen'
+  WHEN regexp_matches(section, 'garage', 'i') THEN 'Garage'
+  WHEN regexp_matches(section, 'front yard|front(\\sexterior)?', 'i') THEN 'Front'
+  WHEN regexp_matches(section, 'entrance', 'i') THEN 'Entrance'
+  WHEN regexp_matches(section, 'foyer', 'i') THEN 'Foyer'
+  WHEN regexp_matches(section, 'laundry(\\sroom)?|washer|dryer', 'i') THEN 'Laundry'
+  WHEN regexp_matches(section, 'back(\\s)?yard|rear(\\sexterior)?|yard', 'i') THEN 'Backyard'
+  WHEN regexp_matches(section, 'living(\\sroom)?|family(\\sroom)?|liv rm|family rm', 'i') THEN 'Living Room'
+  WHEN regexp_matches(section, 'basement|recreation|rec|lower level|bsmt', 'i') THEN 'Basement'
+  WHEN regexp_matches(section, 'exercise(\\sroom)?|gym(\\sroom)?', 'i') THEN 'Gym'
+  WHEN regexp_matches(section, 'attic', 'i') THEN 'Attic'
+  WHEN regexp_matches(section, 'office|den', 'i') THEN 'Office'
+  WHEN regexp_matches(section, 'deck|patio', 'i') THEN 'Deck'
+  WHEN regexp_matches(section, 'pool', 'i') THEN 'Pool'
+  WHEN regexp_matches(section, 'driveway|parking', 'i') THEN 'Driveway'
+  WHEN regexp_matches(section, 'dining(\\sroom)?', 'i') THEN 'Dining Room'
+  WHEN regexp_matches(section, 'porch', 'i') THEN 'Porch'
+  WHEN regexp_matches(section, 'floor plan(s)?', 'i') THEN 'Floor Plans'
+  WHEN regexp_matches(section, '(tax\\s)?map', 'i') THEN 'Tax Map'
+  WHEN regexp_matches(section, 'sun(\\s)?room|solarium', 'i') THEN 'Sun Room'
+  WHEN regexp_matches(section, 'Image of listing', 'i') THEN 'Alternates'
+  ELSE 'Other' END"""
+
+
+def _images_col():
+    """Stringified image-dict column built from p_partkey (Spark side)."""
+    arr = F.array(*[F.lit(c) for c in CAPTIONS])
+
+    def cap(i: int):
+        return F.element_at(
+            arr, (F.pmod(F.col("p_partkey") * 7 + i * 3, F.lit(25)) + 1).cast("int")
+        )
+
+    addr = F.concat(F.col("p_partkey").cast("string"), F.lit(" Main St, Newark"))
+
+    def entry(i: int):
+        return F.concat(
+            F.lit("'"),
+            addr,
+            F.lit(" - "),
+            cap(i),
+            F.lit(f" - {i}': 'https://img.gsmls.com/imagedb/highres/a/1/"),
+            F.col("p_partkey").cast("string"),
+            F.lit(f"_{i}.jpg'"),
+        )
+
+    return F.concat(
+        F.lit("{"), entry(0), F.lit(", "), entry(1), F.lit(", "), entry(2), F.lit("}")
+    )
+
+
+_EXTRACT_ORACLE = f"""
+WITH exploded AS (
+  SELECT p_partkey AS listing_id,
+         i AS image_num,
+         list_extract({_DUCK_CAPS}, CAST((p_partkey * 7 + i * 3) % 25 + 1 AS INT)) AS section
+  FROM part, unnest([0, 1, 2]) AS t(i)
+)
+SELECT listing_id, image_num,
+       CAST(listing_id AS VARCHAR) || ' Main St, Newark - ' || section || ' - '
+         || CAST(image_num AS VARCHAR) AS caption,
+       section,
+       {_DUCK_CLASSIFY} AS category,
+       'https://img.gsmls.com/imagedb/highres/a/1/' || CAST(listing_id AS VARCHAR)
+         || '_' || CAST(image_num AS VARCHAR) || '.jpg' AS url
+FROM exploded
+"""
+
+
+@query(
+    "q_image_extract_classify",
+    oracle=_EXTRACT_ORACLE,
+    doc="F15+F14: regexp (caption,url) extraction from a stringified image "
+    "dict, section split, first-match-wins room classification.",
+)
+def q_image_extract_classify(spark, sf_dir):
+    listings = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"), _images_col().alias("IMAGES")
+    )
+    entries = extract_image_entries(listings, "listing_id", "IMAGES")
+    return entries.withColumn("category", classify_room(F.col("section"))).select(
+        "listing_id",
+        F.col("image_num").cast("int").alias("image_num"),
+        "caption",
+        "section",
+        "category",
+        "url",
+    )
+
+
+_COUNTS_ORACLE = f"""
+WITH exploded AS (
+  SELECT p_partkey AS listing_id,
+         list_extract({_DUCK_CAPS}, CAST((p_partkey * 7 + i * 3) % 25 + 1 AS INT)) AS section
+  FROM part, unnest([0, 1, 2]) AS t(i)
+)
+SELECT {_DUCK_CLASSIFY} AS category,
+       COUNT(*) AS n_images,
+       COUNT(DISTINCT listing_id) AS n_listings
+FROM exploded
+GROUP BY category
+"""
+
+
+@query(
+    "q_room_category_counts",
+    oracle=_COUNTS_ORACLE,
+    doc="F14 classifier distribution: images and listings per room category.",
+)
+def q_room_category_counts(spark, sf_dir):
+    listings = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"), _images_col().alias("IMAGES")
+    )
+    entries = extract_image_entries(listings, "listing_id", "IMAGES")
+    return (
+        entries.withColumn("category", classify_room(F.col("section")))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("listing_id").alias("n_listings"),
+        )
+    )
+
+
+_STYLES = [
+    "Duplex,Ranch", "Ranch,Triplex", "Colonial", "MultiFam,FourPlex",
+    "Cape Cod,Duplex", "FourPlex", "Ranch", "Triplex,MultiFam",
+]
+_DUCK_STYLES = "[" + ", ".join(f"'{s}'" for s in _STYLES) + "]"
+
+
+@query(
+    "q_style_resolve",
+    oracle=f"""
+WITH s AS (
+  SELECT p_partkey AS listing_id,
+         list_extract({_DUCK_STYLES}, CAST(p_partkey % 8 + 1 AS INT)) AS style_list
+  FROM part
+)
+SELECT listing_id, style_list,
+  CASE
+    WHEN list_contains(list_transform(string_split(style_list, ','), x -> trim(x)), 'Duplex') THEN 'Duplex'
+    WHEN list_contains(list_transform(string_split(style_list, ','), x -> trim(x)), 'Triplex') THEN 'Triplex'
+    WHEN list_contains(list_transform(string_split(style_list, ','), x -> trim(x)), 'FourPlex') THEN 'FourPlex'
+    WHEN list_contains(list_transform(string_split(style_list, ','), x -> trim(x)), 'MultiFam') THEN 'MultiFam'
+    ELSE trim(list_extract(string_split(style_list, ','), 1))
+  END AS style_type
+FROM s
+""",
+    doc="F16: priority style resolution Duplex>Triplex>FourPlex>MultiFam.",
+)
+def q_style_resolve(spark, sf_dir):
+    styles_arr = F.array(*[F.lit(s) for s in _STYLES])
+    s = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"),
+        F.element_at(
+            styles_arr, (F.pmod(F.col("p_partkey"), F.lit(8)) + 1).cast("int")
+        ).alias("style_list"),
+    )
+    return s.withColumn("style_type", resolve_style_type(F.col("style_list")))
+
+
+@query(
+    "q_image_documents_nested",
+    oracle=None,
+    doc="A3 + nested assembly: per-listing document with Images "
+    "map<category, array<struct{Condition,URL,Directory}>> (rows-only: "
+    "nested map output is not hash-comparable across engines).",
+)
+def q_image_documents_nested(spark, sf_dir):
+    listings = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"),
+        F.concat(F.col("p_partkey").cast("string"), F.lit(" Main St, Newark")).alias(
+            "address"
+        ),
+        F.when(F.pmod("p_partkey", F.lit(3)) == 0, F.lit("Fixer Upper"))
+        .otherwise(F.lit("Move-in Ready"))
+        .alias("condition"),
+        _images_col().alias("IMAGES"),
+    )
+    entries = extract_image_entries(
+        listings.select("listing_id", "IMAGES"), "listing_id", "IMAGES"
+    ).join(listings.select("listing_id", "address", "condition"), "listing_id")
+    return assemble_image_documents(entries, "listing_id", "condition", "address")

@@ -1,0 +1,88 @@
+"""Multimodal-column queries: binary payloads + Arrow-batched mapInPandas.
+
+Payloads are the UTF-8 bytes of ``documents.text`` (ASCII by construction),
+so DuckDB can compute the same md5/length on the text — certifying the
+whole binary path: encode → Arrow batch transfer → pandas byte ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    FRAME_BYTES,
+    extract_features,
+    sample_frames,
+    synthesize_assets,
+)
+from ..plans.partitioning import ensure_min_partitions
+from ..sources import load_table
+from . import query
+
+
+def _assets(spark, sf_dir):
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return synthesize_assets(docs, "doc_id", "text")
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+    doc="Multimodal: binary payload features (length, md5) via Arrow-batched "
+    "mapInPandas; oracle recomputes on the source text.",
+)
+def q_multimodal_features(spark, sf_dir):
+    return extract_features(_assets(spark, sf_dir))
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+WITH sized AS (
+  SELECT CAST(doc_id AS BIGINT) AS asset_id, text,
+         CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_digest
+FROM sized, unnest(range(0, n_frames)) AS t(i)
+WHERE i % 3 = 0
+""",
+    doc="Multimodal: every-3rd-frame sampling over 64-byte blocks (1 row -> "
+    "N rows mapInPandas batch shape); oracle slices the source text.",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    return sample_frames(_assets(spark, sf_dir), every_k=3)
+
+
+@query(
+    "q_multimodal_fake_decode",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       'fake-decoded' AS codec,
+       CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS BIGINT) AS width,
+       CAST(ascii(substring(text, 2, 1)) % 64 + 1 AS BIGINT) AS height
+FROM documents
+""",
+    doc="Multimodal: deterministic fake decode stub (real decode gated on "
+    "codec libs) — verifies metadata struct plumbing.",
+)
+def q_multimodal_fake_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_media
+
+    decoded = decode_media(_assets(spark, sf_dir), codec="fake")
+    return decoded.select(
+        "asset_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.codec").alias("codec"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )

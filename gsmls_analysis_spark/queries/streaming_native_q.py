@@ -1,0 +1,154 @@
+"""Streaming-NATIVE queries: each runs a real Structured Streaming job
+(file source → watermarked stateful op → availableNow drain → memory/
+parquet sink) and returns the drained result, so the driver's DuckDB
+comparison certifies actual micro-batch execution, not just a batch
+re-phrasing.  Batch twins of the same plans live in stream_q.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import (
+    drain_to_memory,
+    events_file_stream,
+    foreach_batch_ingest,
+    json_quarantine,
+    session_counts,
+    stream_dedup_within_watermark,
+    tumbling_counts,
+)
+from . import query
+
+
+@query(
+    "q_stream_tumbling_hour_native",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window_start, event_type
+""",
+    doc="ST (native): watermarked tumbling 1-hour window over a file-source "
+    "stream, availableNow drain to memory sink.",
+)
+def q_stream_tumbling_hour_native(spark, sf_dir):
+    sdf = events_file_stream(spark, sf_dir)
+    return drain_to_memory(
+        tumbling_counts(sdf), "stream_tumbling_hour", output_mode="complete"
+    )
+
+
+@query(
+    "q_stream_sessionize_native",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL 5 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+    doc="ST (native): session_window(5 min) stateful aggregation under real "
+    "micro-batch execution.",
+)
+def q_stream_sessionize_native(spark, sf_dir):
+    sdf = events_file_stream(spark, sf_dir)
+    return drain_to_memory(
+        session_counts(sdf), "stream_sessionize", output_mode="complete"
+    )
+
+
+@query(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+    doc="ST3 (native): dropDuplicatesWithinWatermark keyed on event_id — "
+    "unique keys make the kept-row deterministic; certifies the stateful "
+    "dedup plumbing end-to-end.",
+)
+def q_stream_dedup_within_watermark(spark, sf_dir):
+    sdf = events_file_stream(spark, sf_dir)
+    deduped = stream_dedup_within_watermark(sdf, ["event_id"])
+    return drain_to_memory(
+        deduped.select("event_id", "user_id", "event_type"), "stream_dedup"
+    )
+
+
+@query(
+    "q_stream_json_quarantine_native",
+    oracle="""
+SELECT
+  CASE WHEN event_id % 13 = 0 THEN 'corrupt' ELSE 'ok' END AS record_class,
+  COUNT(*) AS n
+FROM (SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3) ELSE props END AS props
+      FROM events)
+GROUP BY record_class
+""",
+    doc="ST7 (native): permissive from_json over the stream; unparsable "
+    "payloads routed to a quarantine bucket instead of failing the batch.",
+)
+def q_stream_json_quarantine_native(spark, sf_dir):
+    sdf = events_file_stream(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.substring("props", 1, 3))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    flagged = json_quarantine(sdf, "props", "struct<k:bigint>")
+    classed = flagged.select(
+        F.when(F.col("quarantined"), "corrupt").otherwise("ok").alias("record_class")
+    )
+    drained = drain_to_memory(classed, "stream_quarantine")
+    return drained.groupBy("record_class").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_stream_foreach_batch_ingest",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type <> 'error'
+GROUP BY event_type
+""",
+    doc="ST2/ST4 (native): foreachBatch clean→parquet-append sink with an "
+    "ingest-log row per micro-batch; result read back from the sink.",
+)
+def q_stream_foreach_batch_ingest(spark, sf_dir):
+    sdf = events_file_stream(spark, sf_dir)
+    sink_dir = tempfile.mkdtemp(prefix="ingest_sink_")
+    log_dir = tempfile.mkdtemp(prefix="ingest_log_")
+
+    def clean(batch_df):
+        return batch_df.filter(F.col("event_type") != "error").select(
+            "event_id", "event_type", "value"
+        )
+
+    foreach_batch_ingest(sdf, clean, sink_dir, log_dir)
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

@@ -1,0 +1,44 @@
+"""Structured Streaming leg of the engine (SURVEY.md §2.10, ST1-ST7).
+
+The reference's streaming shape — Kafka poll loop → micro-batch assembly →
+clean → JDBC load with manual commit (Kafka_GSMLSConsumer.py:151-219,
+1220-1254) — maps to:
+
+- bounded drain            → ``trigger(availableNow=True)``       (ST1)
+- manual commit after sink → ``foreachBatch`` + checkpointLocation (ST2)
+- in-batch keep-last dedup → ``dropDuplicates`` per batch; cross-batch
+  ``dropDuplicatesWithinWatermark``                               (ST3)
+- event-log resume         → checkpoint + ingest-log sink         (ST4)
+- dead-letter handling     → PERMISSIVE ``from_json`` quarantine  (ST7)
+
+Beyond-reference (BASELINE 100 TB mandate): event-time tumbling windows
+and session windows with watermarks over the ``events`` table.
+
+No Kafka broker exists in the test container, so sources are file streams
+(identical DataFrame API after the source exchange); the Kafka wiring is
+`kafka_source`/`kafka_sink` below, gated on a broker being configured.
+"""
+
+from .ingest import (
+    drain_to_memory,
+    events_file_stream,
+    foreach_batch_ingest,
+    json_quarantine,
+    kafka_sink,
+    kafka_source,
+    session_counts,
+    stream_dedup_within_watermark,
+    tumbling_counts,
+)
+
+__all__ = [
+    "drain_to_memory",
+    "events_file_stream",
+    "foreach_batch_ingest",
+    "json_quarantine",
+    "kafka_sink",
+    "kafka_source",
+    "session_counts",
+    "stream_dedup_within_watermark",
+    "tumbling_counts",
+]

@@ -1,0 +1,217 @@
+"""Structured Streaming ingest primitives (ST1-ST7 re-expression).
+
+Design: every transform here takes/returns streaming DataFrames built with
+the same expressions as the batch operators — the logical plan is shared,
+only the source/sink exchange differs.  ``drain_to_memory`` executes a
+bounded stream (``trigger(availableNow=True)`` — the Spark analog of the
+reference's "poll until 10 empty polls" drain, Kafka_GSMLSConsumer.py:
+160-194) so correctness queries run REAL streaming micro-batches yet
+return a comparable batch result.
+
+Scale notes: file/Kafka sources shard by file/partition; the watermark
+bounds all window/dedup state, so state size is O(active windows), not
+O(stream length).  ``foreachBatch`` sinks inherit exactly-once via the
+checkpoint (offsets commit atomically with the batch — the reference's
+manual ``commit()`` after successful write, :199-218).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (stand-in for the Kafka
+    topic; same DataFrame surface after the source).  ts arrives as
+    TIMESTAMP(NANOS) → long (session nanosAsLong), converted to micros
+    exactly like the batch catalog."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; glob down to the one table
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+# ---------------------------------------------------------------------------
+# Kafka wiring (S3/S5) — the real topic leg; gated on a broker being
+# configured since the test container has none.
+# ---------------------------------------------------------------------------
+
+
+def kafka_source(
+    spark: SparkSession, brokers: str, topic: str, value_schema: str
+) -> DataFrame:
+    """readStream from Kafka + permissive JSON parse of the value column.
+    One Kafka partition = one Spark input partition; offsets are tracked in
+    the checkpoint (exactly-once with a transactional/idempotent sink)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("payload"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+    )
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """Row-per-message Kafka sink (vs the reference's whole-DataFrame-as-one-
+    message + recursive size-splitting, GSMLS.py:1574-1590 — moot here)."""
+    return (
+        df.select(F.to_json(F.struct("*")).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windowed aggregates (watermarked)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(
+    sdf: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window: count + decimal-exact value sum per
+    (window, event_type).  Watermark bounds state for late data."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(14,2)"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    sdf: DataFrame, gap: str = "5 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-merged) per user — streaming-native stateful op
+    the reference lacks (its 'windows' are calendar columns)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(14,2)"), "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    sdf: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """ST3 cross-batch dedup: state expires once the watermark passes the
+    first-seen event time — bounded state at any scale."""
+    return sdf.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def json_quarantine(sdf: DataFrame, json_col: str, schema: str) -> DataFrame:
+    """ST7 dead-letter: PERMISSIVE parse with a ``_corrupt_record`` column —
+    the Spark quarantine idiom (malformed JSON yields an all-null struct,
+    so a bare null-check can't detect it).  Unparsable payloads get
+    quarantined=true instead of killing the batch (the reference skips
+    JSONDecodeError rows, Kafka_GSMLSConsumer.py:185-186)."""
+    schema_with_corrupt = schema.rstrip(">") + ",_corrupt_record:string>"
+    parsed = sdf.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(json_col),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    return parsed.withColumn(
+        "quarantined", F.col("__parsed._corrupt_record").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# execution helpers
+# ---------------------------------------------------------------------------
+
+
+def drain_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Run a bounded stream to completion (availableNow) into a memory sink
+    and return the result table.  Real micro-batch execution — the batch
+    result is comparable against a SQL oracle."""
+    spark = sdf.sparkSession
+    spark.catalog.dropTempView(name)  # no-op when absent; frees a rerun
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def foreach_batch_ingest(
+    sdf: DataFrame,
+    clean_fn,
+    sink_dir: str,
+    log_dir: str | None = None,
+) -> None:
+    """ST2/ST4: foreachBatch → clean → append parquet sink + ingest-log row
+    per micro-batch (the reference's event-log checkpoint row per chunk,
+    GSMLS.py:1700-1705).  Offsets commit with the batch via the checkpoint —
+    exactly-once to the idempotent (batch-id-named) sink paths."""
+    spark = sdf.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = clean_fn(batch_df)
+        cleaned.write.mode("append").parquet(sink_dir)
+        if log_dir is not None:
+            log_row = spark.createDataFrame(
+                [(batch_id, cleaned.count())], "batch_id long, n_rows long"
+            )
+            log_row.write.mode("append").parquet(log_dir)
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_ingest_")
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

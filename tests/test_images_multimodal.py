@@ -1,0 +1,175 @@
+"""Unit tests: image-document branch (F14/F15/F16, nested assembly) and
+multimodal binary-column operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.images import (
+    assemble_image_documents,
+    classify_room,
+    extract_image_entries,
+    resolve_style_type,
+)
+from gsmls_analysis_spark.operators.multimodal import (
+    FRAME_BYTES,
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_assets,
+)
+
+URL = "https://img.gsmls.com/imagedb/highres/a/1/12345_{}.jpg"
+
+
+def _images_string(*captions: str) -> str:
+    entries = [
+        f"'12 Main St, Newark - {cap} - {i}': '{URL.format(i)}'"
+        for i, cap in enumerate(captions)
+    ]
+    return "{" + ", ".join(entries) + "}"
+
+
+# ---------------------------------------------------------------------------
+# F14 classifier: first-match-wins order parity with the reference dict
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_CASES = [
+    ("master bath", "Bathroom"),          # 'bath' wins before Bedroom's 'bed'
+    ("powder", "Bathroom"),
+    ("bed room", "Bedroom"),
+    ("master suite", "Bedroom"),
+    ("breakfast nook", "Kitchen"),
+    ("front exterior", "Front"),
+    ("washer", "Laundry"),
+    ("rear view", "Backyard"),            # 'rear' in the Backyard family
+    ("family rm", "Living Room"),
+    ("recreation area", "Basement"),      # 'rec' substring
+    ("den", "Office"),
+    ("patio", "Deck"),
+    ("parking", "Driveway"),
+    ("dining", "Dining Room"),
+    ("floor plans", "Floor Plans"),
+    ("tax map", "Tax Map"),
+    ("solarium", "Sun Room"),
+    ("Image of listing", "Alternates"),
+    ("mystery chamber", "Other"),
+]
+
+
+def test_classify_room_first_match_order(spark):
+    df = spark.createDataFrame(
+        [(c,) for c, _ in CLASSIFIER_CASES], ["caption"]
+    ).withColumn("category", classify_room(F.col("caption")))
+    got = {r["caption"]: r["category"] for r in df.collect()}
+    for caption, expected in CLASSIFIER_CASES:
+        assert got[caption] == expected, caption
+
+
+# ---------------------------------------------------------------------------
+# F15 extraction round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_extract_image_entries_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _images_string("master bath", "back yard")),
+            (2, "None"),  # reference skips rows whose IMAGES is 'None'
+            (3, None),
+        ],
+        ["listing_id", "IMAGES"],
+    )
+    rows = extract_image_entries(df, "listing_id", "IMAGES").collect()
+    assert len(rows) == 2  # non-matching / null IMAGES yield no entries
+    by_num = {r["image_num"]: r for r in rows}
+    assert by_num[0]["section"] == "master bath"
+    assert by_num[0]["url"] == URL.format(0)
+    assert by_num[1]["section"] == "back yard"
+
+
+# ---------------------------------------------------------------------------
+# F16 style priority
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("styles", "expected"),
+    [
+        ("Ranch,Duplex", "Duplex"),
+        ("MultiFam, Triplex", "Triplex"),
+        ("Colonial,FourPlex", "FourPlex"),
+        ("MultiFam", "MultiFam"),
+        ("Colonial, Cape Cod", "Colonial"),
+    ],
+)
+def test_resolve_style_priority(spark, styles, expected):
+    df = spark.createDataFrame([(styles,)], ["s"]).select(
+        resolve_style_type(F.col("s")).alias("out")
+    )
+    assert df.first()["out"] == expected
+
+
+# ---------------------------------------------------------------------------
+# nested document assembly
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_image_documents_nested_shape(spark):
+    listings = spark.createDataFrame(
+        [(1, "12 Main St", "Fixer Upper", _images_string("master bath", "bath", "garage"))],
+        ["listing_id", "address", "condition", "IMAGES"],
+    )
+    entries = extract_image_entries(
+        listings.select("listing_id", "IMAGES"), "listing_id", "IMAGES"
+    ).join(listings.select("listing_id", "address", "condition"), "listing_id")
+    doc = assemble_image_documents(entries, "listing_id", "condition", "address").first()
+    images = doc["Images"]
+    assert set(images.keys()) == {"Bathroom", "Garage"}
+    bathroom = images["Bathroom"]
+    assert [r["URL"] for r in bathroom] == [URL.format(0), URL.format(1)]  # ordered
+    assert bathroom[0]["Condition"] == "Fixer Upper"
+    assert bathroom[0]["Directory"].startswith("images/12 Main St/Bathroom/")
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary plumbing on REAL bytes (incl. non-ASCII)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_features_matches_hashlib(spark):
+    payloads = [bytes([0, 1, 2, 255, 128]), b"hello world"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in extract_features(df).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i]["n_bytes"] == len(p)
+        assert got[i]["digest"] == hashlib.md5(p).hexdigest()
+
+
+def test_sample_frames_shape_and_digests(spark):
+    data = bytes(range(256)) * 2  # 512 bytes → 8 frames of 64 → idx 0,3,6
+    df = spark.createDataFrame([(7, data)], "asset_id long, payload binary")
+    rows = sorted(sample_frames(df, every_k=3).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6]
+    for r in rows:
+        start = r["frame_idx"] * FRAME_BYTES
+        assert r["frame_digest"] == hashlib.md5(
+            data[start : start + FRAME_BYTES]
+        ).hexdigest()
+
+
+def test_decode_media_real_codec_is_stubbed(spark, sf_dir):
+    from gsmls_analysis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    assets = synthesize_assets(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        decode_media(assets, codec="real")
+    fake = decode_media(assets, codec="fake").select("meta.width", "meta.height")
+    for row in fake.collect():
+        assert 1 <= row["width"] <= 64 and 1 <= row["height"] <= 64
