@@ -286,10 +286,13 @@ def embedding_near_dups(
     vec_col: str,
     threshold: float = 0.95,
     sign_dims: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold, blocked by sign-pattern of fixed dims
     (random-hyperplane LSH with axis-aligned planes — deterministic and
-    engine-portable)."""
+    engine-portable).  ``round_dp`` applies the threshold to a rounded
+    cosine (and returns the rounded value) so the comparison is stable
+    across engines' last-bit float differences."""
     from .similarity import cosine_sim, l2_normalize
 
     sign_bits = [
@@ -302,13 +305,16 @@ def embedding_near_dups(
         F.concat(*sign_bits).alias("block"),
     )
     a, b = vecs.alias("a"), vecs.alias("b")
+    cosine = cosine_sim(F.col("a.v"), F.col("b.v"), normalized=True)
+    if round_dp is not None:
+        cosine = F.round(cosine, round_dp)
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .withColumn("cosine", cosine_sim(F.col("a.v"), F.col("b.v"), normalized=True))
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"), "cosine")
     )

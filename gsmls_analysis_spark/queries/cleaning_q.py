@@ -320,3 +320,78 @@ def q_price_ratio(spark, sf_dir):
             (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) / retail, 4
         ).alias("net_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 — multi-hot attribute expansion (Kafka_GSMLSConsumer.py:616-885): one
+# wide projection of rlike flags.  Sources synthesized from part keys; the
+# oracle's CASE flags are generated from the SAME ATTRIBUTES dict, so the
+# two sides can't drift.
+# ---------------------------------------------------------------------------
+
+_MH_SOURCES: dict[str, list[str | None]] = {
+    "POOL_SHORT": ["Y", "N", None, "Y", "N"],
+    "FLOORS_SHORT": [
+        "Wood,Carpet", "Tile", "Marble,Stone", "Vinyl,Laminate,Parquet",
+        "", None, "Carpet,Tile,Wood", "Stone",
+    ],
+    "DRIVEWAYDESC_SHORT": ["OffStret", "1CarWide,2CarWide", "2CarWide", None],
+    "COOLSYSTEM_SHORT": [
+        "Central", "WindowAC,CeilFan", "1Unit,2Units",
+        "Ductless,WallUnit", "3Units", None,
+    ],
+    "SUBPROPTYPE_SFH": ["SinglFam", "CCT", None],
+}
+
+
+def _mh_flag_cols() -> list[tuple[str, str, str]]:
+    """(source_col, flag_col, pattern) for every synthesized source."""
+    from ..operators.labels import ATTRIBUTES
+
+    out = []
+    for src in _MH_SOURCES:
+        for flag, pattern in ATTRIBUTES[src].items():
+            out.append((src, flag, pattern))
+    return out
+
+
+def _mh_oracle() -> str:
+    srcs = []
+    for src, vals in _MH_SOURCES.items():
+        items = ", ".join("NULL" if v is None else f"'{v}'" for v in vals)
+        srcs.append(
+            f"list_extract([{items}], CAST(p_partkey % {len(vals)} + 1 AS INT)) AS {src}"
+        )
+    flags = ",\n  ".join(
+        f'COALESCE(regexp_matches({src}, \'{pat}\'), false) AS "{flag}"'
+        for src, flag, pat in _mh_flag_cols()
+    )
+    return f"""
+WITH src AS (SELECT p_partkey AS listing_id, {", ".join(srcs)} FROM part)
+SELECT listing_id,
+  {flags}
+FROM src
+"""
+
+
+@query(
+    "q_multi_hot_attrs",
+    oracle=_mh_oracle(),
+    doc="F8: multi-hot attribute expansion — one wide projection of rlike "
+    "flags over comma-delimited attribute strings (null-safe false).",
+)
+def q_multi_hot_attrs(spark, sf_dir):
+    from ..operators.labels import parse_property_attr
+
+    cols = [F.col("p_partkey").alias("listing_id")]
+    for src, vals in _MH_SOURCES.items():
+        arr = F.array(
+            *[F.lit(v).cast("string") if v is None else F.lit(v) for v in vals]
+        )
+        cols.append(
+            F.element_at(arr, (F.pmod("p_partkey", F.lit(len(vals))) + 1).cast("int"))
+            .alias(src)
+        )
+    src_df = load_table(spark, sf_dir, "part").select(*cols)
+    flagged = parse_property_attr(src_df, "RES")
+    return flagged.select("listing_id", *[flag for _, flag, _ in _mh_flag_cols()])

@@ -149,3 +149,39 @@ def q_embedding_label_centroid_sim(spark, sf_dir):
             6,
         ).alias("mean_cosine"),
     )
+
+
+@query(
+    "q_embedding_near_dups",
+    oracle=f"""
+WITH nv AS (
+SELECT vec_id,
+  concat_ws('',
+    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS block,
+  list_transform(embedding,
+    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COSINE_DUCK}, 6) AS cosine
+FROM nv a JOIN nv b ON a.block = b.block AND a.vec_id < b.vec_id
+WHERE round({_COSINE_DUCK}, 6) >= 0.3
+""",
+    doc="embedding-cosine near-dup pairs via sign-LSH blocking (8 planes), "
+    "rounded-threshold for cross-engine determinism.",
+)
+def q_embedding_near_dups(spark, sf_dir):
+    from ..operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.3, round_dp=6
+    )
