@@ -90,6 +90,92 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "nv",
+    centroid_id: str = "cell",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: nearest ``n_probe`` centroids per vector by
+    cosine.  Centroid set is small → Catalyst broadcasts the cross join;
+    the per-vector top-n is a bounded window over #centroids rows.
+
+    Inputs must carry l2-normalized vectors in ``vec``.  Returns the input
+    columns + (cell, cell_rank).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local alias)
+
+    scored = vectors.crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col(centroid_id), F.col(vec).alias("__cv")
+            )
+        )
+    ).withColumn("__csim", dot(F.col(vec), F.col("__cv")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.col(centroid_id))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .drop("__cv", "__csim")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "cell",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``n_probe`` nearest cells and exact-reranks
+    only those candidates.  At 100 TB: corpus cell assignment is computed
+    once and persisted partitioned by cell, so a query touches n_probe
+    partitions instead of the full corpus — the classic IVF trade
+    (recall vs probes) with Spark-native partition pruning.
+    """
+    from ..plans.partitioning import ensure_min_partitions
+
+    cents = centroids.select(
+        F.col(centroid_id), l2_normalize(F.col(vec)).alias("nv")
+    )
+    corp = ivf_assign(
+        ensure_min_partitions(
+            corpus.select(
+                F.col(c_id).alias("neighbor_id"), l2_normalize(F.col(vec)).alias("nv")
+            )
+        ),
+        cents,
+        id_col="neighbor_id",
+        n_probe=1,
+    ).select("neighbor_id", F.col("nv").alias("cv"), "cell")
+    qry = ivf_assign(
+        queries.select(F.col(q_id).alias("query_id"), l2_normalize(F.col(vec)).alias("nv")),
+        cents,
+        id_col="query_id",
+        n_probe=n_probe,
+    ).select("query_id", F.col("nv").alias("qv"), "cell")
+    scored = (
+        qry.join(corp, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        # no pair dedup needed: each corpus vector lives in exactly one
+        # cell, so (query, neighbor) joins at most once even multi-probe
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def sign_block(vec: Column, dims: tuple[int, ...]) -> Column:
     """Random-hyperplane LSH bucket id from the signs of fixed dimensions
     (1-indexed) — deterministic, engine-portable."""

@@ -395,3 +395,68 @@ def q_multi_hot_attrs(spark, sf_dir):
     src_df = load_table(spark, sf_dir, "part").select(*cols)
     flagged = parse_property_attr(src_df, "RES")
     return flagged.select("listing_id", *[flag for _, flag, _ in _mh_flag_cols()])
+
+
+# ---------------------------------------------------------------------------
+# S7 — validate-then-quarantine (the distributed replacement for the
+# reference's per-row DataError salvage, Kafka_GSMLSConsumer.py:1244-1254)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_validate_quarantine",
+    oracle="""
+WITH flagged AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+    CASE WHEN length(c_name) > 18 THEN 1 ELSE 0 END
+      + CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END
+      + CASE WHEN NOT regexp_matches(c_mktsegment, '^(BUILDING|AUTOMOBILE|MACHINERY|HOUSEHOLD)$')
+             THEN 1 ELSE 0 END AS n_viol
+  FROM (SELECT c_custkey, c_name, c_mktsegment,
+               CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+        FROM customer)
+)
+SELECT CASE WHEN n_viol > 0 THEN 'quarantine' ELSE 'clean' END AS route,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(COALESCE(c_acctbal, 0) AS DECIMAL(14,2))) AS DOUBLE) AS acctbal_sum
+FROM flagged
+GROUP BY route
+""",
+    doc="S7: constraint validation splits rows into clean vs quarantine "
+    "(varchar length, not-null, legal-value pattern) in one projection.",
+)
+def q_validate_quarantine(spark, sf_dir):
+    from ..sources.io import ColumnConstraint, validate_split
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        # poke some nulls in to exercise the not_null constraint
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    res = validate_split(
+        cust,
+        [
+            ColumnConstraint("c_name", max_length=18),
+            ColumnConstraint("c_acctbal", not_null=True),
+            ColumnConstraint(
+                "c_mktsegment",
+                pattern="^(BUILDING|AUTOMOBILE|MACHINERY|HOUSEHOLD)$",
+            ),
+        ],
+    )
+    clean = res.clean.select(F.lit("clean").alias("route"), "c_acctbal")
+    quar = res.quarantine.select(F.lit("quarantine").alias("route"), "c_acctbal")
+    return (
+        clean.unionByName(quar)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0)).cast("decimal(14,2)"))
+            .cast("double")
+            .alias("acctbal_sum"),
+        )
+    )

@@ -185,3 +185,64 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(
         emb, "vec_id", "embedding", threshold=0.3, round_dp=6
     )
+
+
+_IVF_DOT = """
+list_sum(list_transform(list_zip({a}, {b}),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+"""
+
+
+@query(
+    "q_ivf_topk",
+    oracle=f"""
+WITH nv AS ({_NORMALIZE_DUCK}),
+cents AS (SELECT vec_id AS cell, nv AS cnv FROM nv WHERE vec_id < 32),
+corp AS (
+  SELECT vec_id AS neighbor_id, nv AS cv, cell FROM (
+    SELECT v.vec_id, v.nv, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_DOT.format(a="v.nv", b="c.cnv")} DESC, c.cell) AS rn
+    FROM nv v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qry AS (
+  SELECT vec_id AS query_id, nv AS qv, cell FROM (
+    SELECT v.vec_id, v.nv, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_DOT.format(a="v.nv", b="c.cnv")} DESC, c.cell) AS rn
+    FROM nv v CROSS JOIN cents c
+    WHERE v.vec_id < 20
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.query_id, co.neighbor_id,
+         {_IVF_DOT.format(a="q.qv", b="co.cv")} AS cosine
+  FROM qry q JOIN corp co USING (cell)
+  WHERE q.query_id <> co.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="IVF approximate top-k: 32 deterministic centroids, corpus in "
+    "single nearest cell, queries probe 2 cells, exact re-rank.",
+)
+def q_ivf_topk(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, centroids, k=5, n_probe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )

@@ -1,0 +1,172 @@
+"""Source/sink layer beyond the parquet catalog (SURVEY.md §2.1 S1-S11).
+
+The reference's I/O legs and their Spark re-expressions:
+
+- S1/S2 Excel scan & checkpoint      → parquet read/write (typed, splittable)
+- S3/S5 Kafka produce/consume        → see streaming.ingest kafka_source/sink
+- S6    JDBC scan (Postgres lookups) → ``jdbc_read`` with pushdown query &
+        partitioned parallel read (replaces the reference's recursive
+        range-splitting, GSMLS.py:2210-2309 — Spark shards natively)
+- S7    JDBC sink with per-row DataError salvage
+        (Kafka_GSMLSConsumer.py:1220-1254) → ``validate_split`` +
+        ``jdbc_write``: pre-validate rows against declared constraints,
+        quarantine failures, bulk-write the clean rows.  Spark has no
+        row-level error channel — validate-then-write is the distributed
+        equivalent (SURVEY.md §4.3), and strictly better at scale: the
+        failure path is a DataFrame, not a python loop.
+- S8/S9 MongoDB document sink/source → nested-struct parquet (or the
+        mongo-spark connector where deployed); the nested column itself is
+        built by operators.images.assemble_image_documents
+
+No Postgres/Mongo exists in the test container; jdbc_* build the writer/
+reader config and are exercised against constraints logic in unit tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# S6 — JDBC scan
+# ---------------------------------------------------------------------------
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    query: str | None = None,
+    table: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parallel JDBC scan.  A pushdown ``query`` reproduces the reference's
+    parameterized SQL lookups (GSMLS.py:936-955) server-side; the
+    partition-column bounds shard the read across executors."""
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "fetchsize", str(fetchsize)
+    )
+    if query is not None:
+        reader = reader.option("query", query)
+    elif table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        raise ValueError("either query or table is required")
+    if partition_column is not None:
+        if query is not None:
+            raise ValueError("partitioned reads need dbtable, not query")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# S7 — validate → quarantine → bulk write
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnConstraint:
+    """Declarative per-column write constraint (what the DB would reject)."""
+
+    name: str
+    max_length: int | None = None  # varchar(n)
+    not_null: bool = False
+    pattern: str | None = None  # e.g. legal APN format
+
+    def violation(self) -> Column:
+        c = F.col(self.name)
+        checks: list[Column] = []
+        if self.not_null:
+            checks.append(c.isNull())
+        if self.max_length is not None:
+            checks.append(F.length(c.cast("string")) > self.max_length)
+        if self.pattern is not None:
+            checks.append(c.isNotNull() & ~c.cast("string").rlike(self.pattern))
+        if not checks:
+            return F.lit(False)
+        out = checks[0]
+        for chk in checks[1:]:
+            out = out | chk
+        # null-valued checks (e.g. length(NULL)) are not violations
+        return F.coalesce(out, F.lit(False))
+
+
+@dataclass
+class ValidationResult:
+    clean: DataFrame
+    quarantine: DataFrame  # original rows + __violations array<string>
+    constraints: list[ColumnConstraint] = field(default_factory=list)
+
+
+def validate_split(df: DataFrame, constraints: list[ColumnConstraint]) -> ValidationResult:
+    """Split rows into clean vs quarantine by declared constraints — the
+    distributed replacement for the reference's per-row DataError retry
+    loop (Kafka_GSMLSConsumer.py:1244-1254).  One pass, no shuffle: the
+    violation predicate is a projection."""
+    viol_entries = [
+        F.when(c.violation(), F.lit(c.name)) for c in constraints
+    ]
+    flagged = df.withColumn(
+        "__violations",
+        F.array_compact(F.array(*viol_entries))
+        if viol_entries
+        else F.array().cast("array<string>"),
+    )
+    clean = flagged.filter(F.size("__violations") == 0).drop("__violations")
+    quarantine = flagged.filter(F.size("__violations") > 0)
+    return ValidationResult(clean=clean, quarantine=quarantine, constraints=constraints)
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 500,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Bulk JDBC append (reference chunked 500-row to_sql,
+    Kafka_GSMLSConsumer.py:1222-1226 — same batch size, but parallel per
+    partition).  Call validate_split first; this assumes clean rows."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+# ---------------------------------------------------------------------------
+# S2 — checkpoint sink (Excel → parquet)
+# ---------------------------------------------------------------------------
+
+
+def checkpoint_write(df: DataFrame, path: str, partition_by: list[str] | None = None):
+    """Columnar checkpoint between pipeline legs (reference wrote xlsx,
+    Kafka_GSMLSConsumer.py:130-138).  Partitioning by the reference's
+    natural keys (year/quarter/county) gives partition pruning downstream."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def checkpoint_read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

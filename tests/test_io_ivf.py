@@ -1,0 +1,62 @@
+"""Unit tests: S7 validate/quarantine split and IVF ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources.io import ColumnConstraint, validate_split
+
+
+def test_validate_split_routes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ok", "AB-1"),
+            (2, None, "AB-2"),          # null name
+            (3, "toolongname", "AB-3"),  # > 6 chars
+            (4, "ok2", "bad"),           # pattern violation
+            (5, "ok3", None),            # null id: pattern check skips nulls
+        ],
+        ["id", "name", "code"],
+    )
+    res = validate_split(
+        df,
+        [
+            ColumnConstraint("name", not_null=True, max_length=6),
+            ColumnConstraint("code", pattern=r"^AB-\d$"),
+        ],
+    )
+    clean_ids = {r["id"] for r in res.clean.collect()}
+    quar = {r["id"]: r["__violations"] for r in res.quarantine.collect()}
+    assert clean_ids == {1, 5}
+    assert quar[2] == ["name"]
+    assert quar[3] == ["name"]
+    assert quar[4] == ["code"]
+
+
+def test_validate_split_no_constraints_all_clean(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    res = validate_split(df, [])
+    assert res.clean.count() == 2
+    assert res.quarantine.count() == 0
+
+
+def test_ivf_topk_matches_bruteforce_when_full_probe(spark, sf_dir):
+    """Probing EVERY cell makes IVF exact — results must equal brute force."""
+    from gsmls_analysis_spark.operators.similarity import brute_force_topk, ivf_topk
+    from gsmls_analysis_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = 4
+    centroids = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(queries, emb, centroids, k=3, n_probe=n_cells).collect()
+    }
+    assert ivf == exact
