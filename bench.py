@@ -37,8 +37,15 @@ HEADLINE = [
     "q_token_stats",
     "q_lang_id",
     "q_cosine_topk_bruteforce",
+    "q_ivf_topk",
+    "q_embedding_near_dups",
     "q_events_tumbling_hour",
     "q_events_sessionize",
+    "q_stream_tumbling_hour_native",
+    "q_image_extract_classify",
+    "q_multi_hot_attrs",
+    "q_multimodal_features",
+    "q_validate_quarantine",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the 100 TB story is in the plan shape, not the
+row counts — filters must reach the parquet scan, small dims must
+broadcast, aggregates must have a partial (map-side) phase, and scans must
+prune to the referenced columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.plans.partitioning import ensure_min_partitions
+from gsmls_analysis_spark.queries import load_all
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q06_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no predicates pushed to the lineitem scan"
+
+
+def test_column_pruning_on_scan(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q01_pricing_summary"].fn(spark, sf_dir))
+    # q01 touches 7 lineitem columns; the scan must not read the full table
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema, "scan reads unneeded columns"
+    assert "l_quantity" in read_schema
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q05_nation_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregates_have_partial_phase(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q01_pricing_summary"].fn(spark, sf_dir))
+    # partial + final HashAggregate pair = map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_clean_pipeline(spark, sf_dir):
+    import contextlib
+    import io
+
+    reg = load_all()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # simple mode marks codegen stages with '*(n)'
+        reg["q_currency_clean"].fn(spark, sf_dir).explain()
+    assert "*(1)" in buf.getvalue()
+
+
+def test_ensure_min_partitions_is_noop_when_wide(spark):
+    wide = spark.range(0, 1000, 1, 64)  # 64 partitions > default parallelism?
+    target = spark.sparkContext.defaultParallelism
+    out = ensure_min_partitions(wide.toDF("id"), min_parts=min(target, 64))
+    # already at/above target → identical plan object, no shuffle inserted
+    assert "Exchange" not in _plan(out)
+
+
+def test_keep_last_dedup_single_shuffle(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q_keep_last_dedup"].fn(spark, sf_dir))
+    # one hash-partitioning exchange on the dedup keys, nothing more
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning" in plan
