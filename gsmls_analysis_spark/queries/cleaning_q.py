@@ -460,3 +460,110 @@ def q_validate_quarantine(spark, sf_dir):
             .alias("acctbal_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F6/F7/F9 — investment + condition/distress flags + sub-property reclass.
+# Sources synthesized from part keys; oracle regexes are the SAME pattern
+# constants (Python (?i) prefix stripped, passed as the DuckDB 'i' flag).
+# ---------------------------------------------------------------------------
+
+_SELLERS = [
+    "John Smith", "Apex LLC", "Garden Builders", "Acme Corp.",
+    None, "Improvement Co", "Smith Management", "Holdings Group",
+]
+_REMARKS = [
+    "Lovely home on a quiet street", "BANK OWNED property",
+    "short sale opportunity", "THIS IS NOT A SHORT SALE",
+    "needs TLC badly", "estate sale treasure",
+    "subject to lender approval", "move-in ready",
+    "investor special, cash only", "total rehab project",
+]
+_PRIMARY = ["OneFloor", "Colonial", "FixrUppr", "HighRise", "Ranch", "TwnEndUn"]
+_STYLE_LISTS = ["Colonial,FixrUppr", "Ranch", "OneFloor,Ranch", "Cape"]
+
+
+def _labels_oracle() -> str:
+    from ..operators.labels import (
+        BANKOWNED_PATTERN,
+        FIXUP_PATTERN,
+        INVESTMENT_PATTERN,
+        NOT_SHORT_SALE_PATTERN,
+        SHORT_SALE_PATTERN,
+        TARGET_STYLES,
+    )
+
+    def ci(pat: str) -> str:
+        return pat.replace("(?i)", "", 1)
+
+    def lst(vals):
+        return "[" + ", ".join("NULL" if v is None else f"'{v}'" for v in vals) + "]"
+
+    styles_in = ", ".join(f"'{s}'" for s in TARGET_STYLES)
+    return f"""
+WITH src AS (
+  SELECT p_partkey AS listing_id,
+    list_extract({lst(_SELLERS)}, CAST(p_partkey % {len(_SELLERS)} + 1 AS INT)) AS seller,
+    list_extract({lst(_REMARKS)}, CAST(p_partkey % {len(_REMARKS)} + 1 AS INT)) AS remarks,
+    list_extract({lst(_PRIMARY)}, CAST(p_partkey % {len(_PRIMARY)} + 1 AS INT)) AS primary_style,
+    list_extract({lst(_STYLE_LISTS)}, CAST(p_partkey % {len(_STYLE_LISTS)} + 1 AS INT)) AS style_list
+  FROM part
+), f AS (
+  SELECT listing_id,
+    COALESCE(regexp_matches(seller, '{ci(INVESTMENT_PATTERN)}', 'i'), false) AS inv,
+    regexp_matches(COALESCE(remarks, ''), '{ci(BANKOWNED_PATTERN)}', 'i') AS bank,
+    (regexp_matches(COALESCE(remarks, ''), '{ci(SHORT_SALE_PATTERN)}', 'i')
+     AND NOT regexp_matches(COALESCE(remarks, ''), '{ci(NOT_SHORT_SALE_PATTERN)}', 'i')) AS ss,
+    (COALESCE(primary_style, '') = 'FixrUppr'
+     OR list_contains(string_split(COALESCE(style_list, ''), ','), 'FixrUppr')
+     OR regexp_matches(COALESCE(remarks, ''), '{ci(FIXUP_PATTERN)}', 'i')) AS fixer,
+    primary_style IN ({styles_in}) AS is_cct
+  FROM src
+)
+SELECT listing_id,
+  inv AS "INVESTMENT_SALE",
+  bank AS "BANK_OWNED",
+  ss AS "SHORT_SALE",
+  CASE WHEN fixer THEN 'Fixer Upper' ELSE 'Unknown' END AS "CONDITION",
+  (bank OR ss OR fixer) AS "DISTRESSED_SALE",
+  CASE WHEN is_cct THEN 'CCT' ELSE 'SinglFam' END AS "SUBPROPTYPE_SFH"
+FROM f
+"""
+
+
+@query(
+    "q_condition_labels",
+    oracle=_labels_oracle(),
+    doc="F6+F7+F9: investor-seller flag, bank-owned/short-sale (with "
+    "negation)/fixer-upper cascade, sub-property reclassification.",
+)
+def q_condition_labels(spark, sf_dir):
+    from ..operators.labels import (
+        condition_flags,
+        investment_label,
+        sub_property_type,
+    )
+
+    def pick(vals, n):
+        arr = F.array(
+            *[F.lit(v) if v is not None else F.lit(None).cast("string") for v in vals]
+        )
+        return F.element_at(arr, (F.pmod("p_partkey", F.lit(n)) + 1).cast("int"))
+
+    src = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"),
+        pick(_SELLERS, len(_SELLERS)).alias("SELLERNAME"),
+        pick(_REMARKS, len(_REMARKS)).alias("LISTING_REMARKS"),
+        pick(_PRIMARY, len(_PRIMARY)).alias("STYLEPRIMARY_SHORT"),
+        pick(_STYLE_LISTS, len(_STYLE_LISTS)).alias("STYLE_SHORT"),
+    )
+    out = sub_property_type(condition_flags(investment_label(src)))
+    return out.select(
+        "listing_id",
+        "INVESTMENT_SALE",
+        "BANK_OWNED",
+        "SHORT_SALE",
+        "CONDITION",
+        "DISTRESSED_SALE",
+        "SUBPROPTYPE_SFH",
+    )

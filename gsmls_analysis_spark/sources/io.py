@@ -170,3 +170,58 @@ def checkpoint_write(df: DataFrame, path: str, partition_by: list[str] | None = 
 
 def checkpoint_read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# S11 — side-effect binary fetch (RealEstateImages.py:402-439): HTTP GET per
+# URL with retry cap, executed per-partition so connections amortize.  No
+# network in the test container → the transport is injectable; the default
+# raises.  The distributed shape (mapInPandas over url rows → binary
+# payload + status) is the part the engine owns.
+# ---------------------------------------------------------------------------
+
+
+def fetch_binary(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_retries: int = 3,
+    transport=None,
+) -> DataFrame:
+    """Fetch each URL to a binary payload column: (url, payload, status).
+
+    ``transport(url) -> bytes`` is injected per-partition (tests pass a
+    deterministic fake; production passes an HTTP client).  Retries match
+    the reference's 3-attempt cap.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if transport is None:
+        def transport(url):  # pragma: no cover - no network in container
+            raise NotImplementedError(
+                "no HTTP transport in this environment; inject one"
+            )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, statuses = [], []
+            for url in pdf[url_col]:
+                payload, status = None, "error"
+                for _ in range(max_retries):
+                    try:
+                        payload, status = transport(url), "ok"
+                        break
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        continue
+                payloads.append(payload)
+                statuses.append(status)
+            yield pd.DataFrame(
+                {"url": pdf[url_col], "payload": payloads, "status": statuses}
+            )
+
+    return urls.select(F.col(url_col)).mapInPandas(
+        fetch, "url string, payload binary, status string"
+    )

@@ -60,3 +60,17 @@ def test_ivf_topk_matches_bruteforce_when_full_probe(spark, sf_dir):
         for r in ivf_topk(queries, emb, centroids, k=3, n_probe=n_cells).collect()
     }
     assert ivf == exact
+
+
+def test_fetch_binary_with_injected_transport(spark):
+    from gsmls_analysis_spark.sources.io import fetch_binary
+
+    urls = spark.createDataFrame(
+        [("https://img.gsmls.com/a/1.jpg",), ("https://img.gsmls.com/a/2.jpg",)],
+        ["url"],
+    )
+    out = fetch_binary(urls, transport=lambda u: u.encode("utf-8")).collect()
+    got = {r["url"]: r for r in out}
+    for u in got:
+        assert bytes(got[u]["payload"]) == u.encode("utf-8")
+        assert got[u]["status"] == "ok"
