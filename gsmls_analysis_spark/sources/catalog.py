@@ -30,17 +30,38 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# tables big enough that a serial scan starves downstream parallelism; the
+# tiny dims (region/nation/supplier) stay unspread so they broadcast cleanly
+_SPREAD_TABLES = frozenset(
+    {"lineitem", "orders", "customer", "part", "events", "documents", "embeddings"}
+)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     """Scan one parquet table. Vectorized reader; pushdown-friendly.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a long
     (see session.py nanosAsLong); convert to a real timestamp at microsecond
     precision with integer division (ns values exceed 2^53, so float math
     would corrupt them).
+
+    ``spread``: single-file tables here are written as ONE parquet row
+    group, so only one scan task ever produces rows and everything before
+    the first shuffle runs serially.  For the fact-sized tables we insert a
+    guarded round-robin repartition — filters and column pruning still push
+    through it to the scan (Catalyst moves predicates below Repartition),
+    so the exchange carries only filtered, pruned rows.  At the 100 TB
+    target scans arrive with >= cores partitions and the guard no-ops.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread and name in _SPREAD_TABLES:
+        from ..plans.partitioning import ensure_min_partitions
+
+        df = ensure_min_partitions(df)
     return df
 
 
