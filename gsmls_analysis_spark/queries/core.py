@@ -233,3 +233,73 @@ def q_topk_latest_orders(spark, sf_dir):
         .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension mandate: grouping sets / rollup / cube and approx-distinct
+# (no rollup/cube exists in the reference — Spark built-ins exposed as
+# engine capabilities; BASELINE.json 100 TB mandate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    doc="rollup aggregate: per (flag, status), per flag subtotal, grand total.",
+)
+def q_rollup_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_cube_order_priority",
+    oracle="""
+SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS order_year,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderpriority, EXTRACT(year FROM o_orderdate))
+""",
+    doc="cube aggregate over priority x year (all 4 grouping sets).",
+)
+def q_cube_order_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    return o.cube("o_orderpriority", "order_year").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,
+    doc="approx_count_distinct (HLL) per event_type — rows-only: sketch "
+    "estimates are implementation-specific; exactness bound tested in unit "
+    "tests against countDistinct.",
+)
+def q_approx_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

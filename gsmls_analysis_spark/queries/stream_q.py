@@ -165,3 +165,58 @@ def q_events_json_quarantine(spark, sf_dir):
         .groupBy("record_class")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k_val").alias("k_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom UDF-backed group operator: applyInPandas over per-user event
+# groups — the escape hatch for semantics built-ins can't express
+# (SURVEY.md §2.11 engine policy: built-ins first, vectorized pandas where
+# unavoidable).  Gap arithmetic is integer microseconds → exact, so the
+# result is oracle-comparable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_gap_stats_pandas",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+  FROM events
+)
+SELECT user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(COALESCE(gap_us, 0)) AS BIGINT) AS total_gap_us,
+  CASE WHEN COUNT(*) > 1
+       THEN round(SUM(COALESCE(gap_us, 0)) / 1000000.0 / (COUNT(*) - 1), 3)
+       ELSE NULL END AS mean_gap_s
+FROM gaps
+GROUP BY user_id
+""",
+    doc="applyInPandas group-map: per-user inter-event gap stats computed "
+    "in Arrow-batched pandas (integer-us arithmetic => engine-exact).",
+)
+def q_user_gap_stats_pandas(spark, sf_dir):
+    import pandas as pd
+
+    def gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        gaps = us.diff().dropna()
+        n = len(pdf)
+        total = int(gaps.sum()) if n > 1 else 0
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "total_gap_us": [total],
+                "mean_gap_s": [round(total / 1e6 / (n - 1), 3) if n > 1 else None],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return ev.groupBy("user_id").applyInPandas(
+        gap_stats,
+        "user_id long, n_events long, total_gap_us long, mean_gap_s double",
+    )

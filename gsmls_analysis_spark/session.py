@@ -62,6 +62,8 @@ def get_spark(
         # (region/nation/supplier); explicit broadcast() hints used for
         # dims we *know* are small regardless of stats.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # managed tables (bucketed-join tests) land outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         # quiet the UI/driver logs for test runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1,0 +1,82 @@
+"""Scale-path tests: bucketed co-located joins (shuffle-free) and
+approx-distinct accuracy bounds."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Pre-bucketing both sides on the join key removes the exchange —
+    at 100 TB this is the difference between a co-located join and
+    re-shuffling the fact table every query."""
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    customer = load_table(spark, sf_dir, "customer", spread=False)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    # a crashed prior run can leave the managed location behind with no
+    # catalog entry (in-memory catalog) — clear it
+    import shutil
+
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("b_customer")
+    )
+    joined = (
+        spark.table("b_orders")
+        .hint("merge")  # forbid broadcast so the bucketed SMJ is visible
+        .join(
+            spark.table("b_customer").withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    # the ONLY exchange is the post-join aggregate's ENSURE_REQUIREMENTS;
+    # the join itself reads bucket-aligned scans with no shuffle
+    assert plan.count("Exchange (") == 1, plan
+    assert "BroadcastExchange" not in plan
+    # correctness unchanged
+    expected = (
+        orders.join(
+            customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    got = {r["c_mktsegment"]: r["count"] for r in joined.collect()}
+    want = {r["c_mktsegment"]: r["count"] for r in expected.collect()}
+    assert got == want
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
