@@ -105,11 +105,28 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding.
 #
-# Engine-portable hashing: h_i(token) = md5(seed_i || token) compared as a
-# hex string; the min over tokens is an order statistic of a uniform hash —
-# the standard MinHash estimator, and (being md5) reproducible in ANY
-# engine, which keeps this oracle-checkable (DuckDB md5 == Spark md5).
+# Engine-portable hashing: each shingle is hashed ONCE —
+# base = first 15 hex chars of md5(shingle) as a 60-bit integer — then the
+# k MinHash functions are affine integer rehashes
+# h_i = (a_i * base + b_i) mod P (P = largest 32-bit prime).  The min over
+# shingles is the standard MinHash order statistic; md5 + integer
+# arithmetic reproduce bit-exactly in any engine (DuckDB oracle), and one
+# md5 per shingle instead of k is the dominant cost saving at scale.
 # ---------------------------------------------------------------------------
+
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs; a_i odd, both < 2^31 so
+    a_i * (base mod P) stays under 2^63."""
+    return [
+        (
+            ((2654435761 * (i + 1)) % 2147483647) | 1,
+            (2246822519 * (i + 7)) % 2147483647,
+        )
+        for i in range(num_hashes)
+    ]
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -121,10 +138,24 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_bases(sh: Column) -> Column:
+    """One md5 per shingle → 60-bit integer base, reduced mod P."""
+    return F.transform(
+        sh,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+
+
 def minhash_signature(sh: Column, num_hashes: int = 16) -> list[Column]:
+    bases = shingle_bases(sh)
     return [
-        F.array_min(F.transform(sh, lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t))))
-        for i in range(num_hashes)
+        F.array_min(
+            F.transform(bases, lambda b: F.pmod(a * b + c, F.lit(MINHASH_PRIME)))
+        )
+        for a, c in minhash_coeffs(num_hashes)
     ]
 
 

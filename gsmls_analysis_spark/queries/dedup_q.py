@@ -1,10 +1,11 @@
 """Dedup-suite queries over the documents table (BASELINE.json north-star:
 dedup at 100 TB scale).
 
-The MinHash oracle trick: h_i(shingle) = md5('s<i>:' || shingle) compared
-lexicographically — MD5 is identical in every engine, so even the MinHash
-signature and LSH band buckets are oracle-checkable in DuckDB.  SimHash
-uses xxhash64 (JVM) → rows-only check.
+The MinHash oracle trick: one md5 per shingle → 60-bit integer base, then
+k affine rehashes (a_i*base + b_i) mod P — md5 and integer arithmetic are
+bit-identical in every engine, so the MinHash signature and LSH band
+buckets are oracle-checkable in DuckDB (both sides generated from the same
+coefficient table).  SimHash uses xxhash64 (JVM) → rows-only check.
 """
 
 from __future__ import annotations
@@ -52,26 +53,48 @@ def q_exact_dup_groups(spark, sf_dir):
 # MinHash signature (oracle-checkable!)
 # ---------------------------------------------------------------------------
 
-_MINHASH_ORACLE = """
-WITH toks AS (
+from ..operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+# shared CTE: distinct 3-gram shingles → one 60-bit md5-derived base each,
+# reduced mod P — mirrors operators.dedup.shingle_bases bit-for-bit
+_BASES_CTE = f"""
+toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
   FROM documents
 ), sh AS (
-  SELECT doc_id,
+  SELECT DISTINCT doc_id,
          unnest(list_transform(
            range(1, greatest(len(words) - 2, 1) + 1),
            i -> array_to_string(words[i:i+2], ' ')
          )) AS shingle
   FROM toks
+), b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % {MINHASH_PRIME} AS BIGINT) AS base
+  FROM sh
 )
+"""
+
+
+def _hmin(i: int, a: int, c: int) -> str:
+    return f"CAST(min(({a} * base + {c}) % {MINHASH_PRIME}) AS BIGINT) AS h{i}"
+
+
+def _minhash_oracle(num_hashes: int) -> str:
+    hs = ",\n  ".join(
+        _hmin(i, a, c) for i, (a, c) in enumerate(minhash_coeffs(num_hashes))
+    )
+    return f"""
+WITH {_BASES_CTE}
 SELECT doc_id,
-  min(md5('s0:' || shingle)) AS h0,
-  min(md5('s1:' || shingle)) AS h1,
-  min(md5('s2:' || shingle)) AS h2,
-  min(md5('s3:' || shingle)) AS h3
-FROM sh
+  {hs}
+FROM b
 GROUP BY doc_id
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle(4)
 
 
 @query(
@@ -93,34 +116,42 @@ def q_minhash_signature(spark, sf_dir):
 # MinHash LSH near-dup candidate pairs (oracle-checkable banding)
 # ---------------------------------------------------------------------------
 
-_LSH_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-  FROM documents
-), sh AS (
+def _lsh_oracle(num_hashes: int, bands: int) -> str:
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+
+    def hmin_expr(i: int) -> str:
+        a, c = coeffs[i]
+        return (
+            f"CAST(min(({a} * base + {c}) % {MINHASH_PRIME}) AS BIGINT)"
+            "::VARCHAR"
+        )
+
+    band_exprs = []
+    for bidx in range(bands):
+        parts = " || '|' || ".join(
+            hmin_expr(bidx * rows_per_band + j) for j in range(rows_per_band)
+        )
+        band_exprs.append(f"md5({parts}) AS band{bidx}")
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bidx} AS band, band{bidx} AS sig FROM sig"
+        for bidx in range(bands)
+    )
+    return f"""
+WITH {_BASES_CTE}, sig AS (
   SELECT doc_id,
-         unnest(list_transform(
-           range(1, greatest(len(words) - 2, 1) + 1),
-           i -> array_to_string(words[i:i+2], ' ')
-         )) AS shingle
-  FROM toks
-), sig AS (
-  SELECT doc_id,
-    md5(min(md5('s0:' || shingle)) || '|' || min(md5('s1:' || shingle))) AS band0,
-    md5(min(md5('s2:' || shingle)) || '|' || min(md5('s3:' || shingle))) AS band1,
-    md5(min(md5('s4:' || shingle)) || '|' || min(md5('s5:' || shingle))) AS band2,
-    md5(min(md5('s6:' || shingle)) || '|' || min(md5('s7:' || shingle))) AS band3
-  FROM sh GROUP BY doc_id
+    {", ".join(band_exprs)}
+  FROM b GROUP BY doc_id
 ), stacked AS (
-  SELECT doc_id, 0 AS band, band0 AS sig FROM sig
-  UNION ALL SELECT doc_id, 1, band1 FROM sig
-  UNION ALL SELECT doc_id, 2, band2 FROM sig
-  UNION ALL SELECT doc_id, 3, band3 FROM sig
+  {stacked}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM stacked a JOIN stacked b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
+
+
+_LSH_ORACLE = _lsh_oracle(8, 4)
 
 
 @query(
