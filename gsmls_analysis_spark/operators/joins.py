@@ -102,3 +102,36 @@ def assessment_total(a1: Column, a2: Column) -> Column:
 def property_age(closed_date: Column, year_built: Column) -> Column:
     """F28 (GSMLS.py:266-270)."""
     return F.year(closed_date) - year_built
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation: salted join.  AQE's skew-join split handles most cases
+# (enabled in session.py); explicit salting is the deliberate tool for the
+# pathological hot key (the reference's NJ data skews hard toward populous
+# counties — SURVEY.md §4.2) or for non-AQE paths (streaming foreachBatch).
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed keys: salt the big side with a
+    random-ish bucket derived from a second column-independent hash, and
+    explode the small side across all buckets.  The shuffle then spreads a
+    hot key over ``salt_buckets`` partitions instead of one.
+
+    Deterministic salt (hash of the full row's monotonically increasing id
+    would be non-deterministic under retries — use a stable column hash).
+    """
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(salted_small, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -107,3 +107,16 @@ def test_possession_time_lag(spark):
     assert abs(by_key[("p1", "2020-01-01")] - 3652 / 365.0) < 1e-9
     assert by_key[("p1", "2010-01-01")] == 10.0  # no prior sale → default
     assert by_key[("p2", "2015-06-01")] == 10.0
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from gsmls_analysis_spark.operators.joins import salted_join
+    from gsmls_analysis_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(customer, "o_custkey").count()
+    salted = salted_join(orders, customer, "o_custkey", salt_buckets=4).count()
+    assert salted == plain

@@ -85,3 +85,49 @@ def test_foreach_batch_ingest_sink_and_log(spark, sf_dir):
     log_df = spark.read.parquet(log)
     assert log_df.agg(F.sum("n_rows")).first()[0] == n_src
     assert os.listdir(sink)
+
+
+def test_dedup_across_micro_batches(spark, sf_dir):
+    """Two identical files + maxFilesPerTrigger=1 => two real micro-batches;
+    dropDuplicatesWithinWatermark state must span them.  Events are sliced
+    to one hour so nothing falls behind the 2h watermark."""
+    import tempfile
+
+    from gsmls_analysis_spark.sources import load_table
+    from gsmls_analysis_spark.streaming.ingest import (
+        stream_dedup_within_watermark,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="t_twobatch_")
+    ev = load_table(spark, sf_dir, "events", spread=False)
+    first_hour = ev.filter(
+        F.col("ts") < F.expr("timestamp'2024-01-01 01:00:00' ")
+    ).select("event_id", "ts", "user_id")
+    n = first_hour.count()
+    assert n > 0
+    first_hour.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/f1")
+    first_hour.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/f2")
+
+    schema = spark.read.parquet(f"{src_dir}/f1").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    deduped = stream_dedup_within_watermark(sdf, ["event_id"])
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_twobatch_")
+    q = (
+        deduped.select("event_id")
+        .writeStream.format("memory")
+        .queryName("t_twobatch")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    out = spark.table("t_twobatch")
+    assert n_batches >= 2, "expected multiple micro-batches"
+    assert out.count() == n, "cross-batch duplicates leaked through"
