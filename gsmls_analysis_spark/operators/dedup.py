@@ -199,20 +199,31 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("doc", "bs.band", "bs.sig")
-    a, b = stacked.alias("a"), stacked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-        )
-        .distinct()
+    # collect each (band, sig) bucket once and expand pairs inside it —
+    # signatures are computed ONE time (a self-join would recompute the
+    # whole signature projection on both sides) and only buckets with >= 2
+    # members survive the aggregation
+    buckets = (
+        stacked.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("docs"), i + 2, F.size(F.col("docs"))
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -287,19 +298,37 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("doc", "sig", "c.seg", "c.val")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # bucket-collect (one signature computation) and expand pairs in-bucket
+    buckets = (
+        chunks.groupBy("seg", "val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("sig")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("members"), i + 2, F.size(F.col("members"))
+                        ),
+                        lambda y: F.struct(
+                            x["doc"].alias("id_a"),
+                            y["doc"].alias("id_b"),
+                            hamming64(x["sig"], y["sig"]).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
-        )
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
