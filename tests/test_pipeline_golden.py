@@ -1,0 +1,89 @@
+"""Golden end-to-end test: the full RES cleaning chain (SURVEY.md §5.2.3)
+on a fixture carrying the reference's dirty-value inventory — asserts
+column-by-column expected outputs."""
+
+from __future__ import annotations
+
+from gsmls_analysis_spark.operators.pipelines import clean_res
+
+COLUMNS = [
+    "LOTSIZE", "ACRES", "OWNERNAME", "TOWN", "SP/LP%",
+    "CLOSEDDATE", "LISTDATE", "PENDINGDATE", "ANTICCLOSEDDATE",
+    "REMARKSPUBLIC", "REMARKSAGENT", "SHOWSPECIAL",
+    "STYLEPRIMARY_SHORT", "STYLE_SHORT", "SUBPROPTYPE",
+    "ORIGLISTPRICE", "LISTPRICE", "SALESPRICE",
+    "WATER_SHORT", "SQFTAPPROX", "YEARBUILT",
+    "BATHSTOTAL", "BATHSFULLTOTAL", "POOL_SHORT", "FLOORS_SHORT",
+    "STREETNAME",
+]
+
+ROW_DIRTY = (
+    "100 X 50", "1.5*", "Apex LLC*", "Newark (1234)", "95.5%",
+    "06/15/2020 00:00:00", "03/01/2020 00:00:00", "05/01/2020 00:00:00",
+    "06/10/2020 00:00:00",
+    "BANK OWNED home", None, "needs TLC",
+    "OneFloor", "Colonial,Ranch", "SFH",
+    "200000", "190000", "180000",
+    "Public,City", "9999", "1999",
+    "0.0", "2", "Y", "Wood,Tile",
+    "Main\x01 St",
+)
+
+ROW_CLEAN = (
+    "21780 SF", "0.5", "Jane Doe", "Union", "105%",
+    "01/20/2021 00:00:00", "11/02/2020 00:00:00", "12/21/2020 00:00:00",
+    "01/25/2021 00:00:00",
+    "THIS IS NOT A SHORT SALE", "great bones", None,
+    "Colonial", "Colonial", "SFH",
+    "300000", "330000", "315000",
+    "Well", "2400", "1950",
+    "2.5", "2", "N", "Carpet",
+    "Oak Ave",
+)
+
+
+def test_clean_res_golden(spark):
+    df = spark.createDataFrame([ROW_DIRTY, ROW_CLEAN], COLUMNS)
+    out = {r["SELLERNAME"]: r.asDict() for r in clean_res(df).collect()}
+
+    d = out["Apex LLC"]  # '*' stripped, OWNERNAME→SELLERNAME rename
+    assert d["LOTSIZE_SQFT"] == 5000.0          # '100 X 50' → L*W
+    assert d["ACRES_SQFT"] == 1.5 * 43560.0     # '*' stripped before cast
+    assert d["TOWN"] == "Newark "               # '(1234)' suffix strip
+    assert d["SP/LP%"] == -4.5                  # '%' strip, re-base −100
+    assert d["YEAR"] == 2020 and d["MONTH"] == 6
+    assert d["DAYS_TO_CLOSE"] == 45             # closed − pending
+    assert d["ANTIC_CLOSEDATE_DIFF"] == 5
+    assert d["LISTING_REMARKS"] == "BANK OWNED home. _. needs TLC"
+    assert d["BANK_OWNED"] is True
+    assert d["SHORT_SALE"] is False
+    assert d["CONDITION"] == "Fixer Upper"      # 'TLC' in remarks
+    assert d["DISTRESSED_SALE"] is True
+    assert d["INVESTMENT_SALE"] is True         # 'LLC' seller
+    # reference parity: parse_property_attr re-applies the SUBPROPTYPE_SFH
+    # attribute flag AFTER sub_property_type (Kafka_GSMLSConsumer.py:621,
+    # 1025-1026), turning 'CCT'/'SinglFam' into contains('SinglFam')
+    assert d["SUBPROPTYPE_SFH"] is False        # OneFloor → 'CCT' → False
+    assert d["OLP/LP%"] == -5.0
+    assert d["SP/OLP%"] == -10.0
+    assert d["WATER_SHORT"] == "Public"         # prefix collapse
+    assert d["SQFTAPPROX"] == 0.0               # repeated-digit junk
+    assert d["YEARBUILT"] == 1999.0
+    assert d["BATHSTOTAL"] == 2.0               # backfilled from FULL
+    assert d["POOL_SHORT"] is True              # multi-hot replaces source
+    assert d["WOOD_FLOORS"] is True and d["TILE_FLOORS"] is True
+    assert d["MARBLE_FLOORS"] is False
+    assert d["STREETNAME"] == "Main St"         # control char scrubbed
+
+    c = out["Jane Doe"]
+    assert c["LOTSIZE_SQFT"] == 21780.0         # 'N SF' branch
+    assert c["SP/LP%"] == 5.0
+    assert c["SHORT_SALE"] is False             # negation wins
+    assert c["CONDITION"] == "Unknown"
+    assert c["DISTRESSED_SALE"] is False
+    assert c["INVESTMENT_SALE"] is False
+    assert c["SUBPROPTYPE_SFH"] is True         # 'SinglFam' → flag
+    assert c["LISTING_REMARKS"] == "THIS IS NOT A SHORT SALE. great bones. _"
+    assert c["OLP/LP%"] == 10.0
+    assert c["SP/OLP%"] == 5.0
+    assert c["YEAR"] == 2021 and c["MONTH"] == 1
