@@ -215,3 +215,18 @@ def foreach_batch_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def with_ingest_metrics(sdf: DataFrame, name: str = "ingest_metrics") -> DataFrame:
+    """A1 (running row counts, GSMLS.py:52-58) as streaming-native
+    ``observe`` metrics: per-batch row count and null-key count are
+    published to the StreamingQueryListener / progress events instead of a
+    driver-side counter dict.  Works identically on batch DataFrames
+    (query execution metrics)."""
+    return sdf.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(sdf.columns[0]).isNull(), 1).otherwise(0)).alias(
+            "n_null_first_col"
+        ),
+    )

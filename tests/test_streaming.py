@@ -131,3 +131,26 @@ def test_dedup_across_micro_batches(spark, sf_dir):
     out = spark.table("t_twobatch")
     assert n_batches >= 2, "expected multiple micro-batches"
     assert out.count() == n, "cross-batch duplicates leaked through"
+
+
+def test_observe_metrics_on_batch_and_stream(spark, sf_dir):
+    from gsmls_analysis_spark.sources import load_table
+    from gsmls_analysis_spark.streaming.ingest import (
+        drain_to_memory,
+        events_file_stream,
+        with_ingest_metrics,
+    )
+
+    # batch: metrics surface via the observation API
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("m")
+    observed = ev.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["n_rows"] == ev.count()
+
+    # streaming: observe() metrics appear in query progress
+    sdf = with_ingest_metrics(events_file_stream(spark, sf_dir))
+    drained = drain_to_memory(sdf.select("event_id"), "t_observe")
+    assert drained.count() == ev.count()
