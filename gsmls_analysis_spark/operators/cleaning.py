@@ -297,14 +297,20 @@ def convert_lot_size(df: DataFrame) -> DataFrame:
 
 
 def original_lp_diff(df: DataFrame) -> DataFrame:
+    # try_divide: OLP==0 (the NA default) → null, matching pandas' NaN from
+    # 0/0 instead of an ANSI divide-by-zero error
     olp = F.col("ORIGLISTPRICE").try_cast("double")
     return df.withColumns(
         {
             "OLP/LP%": F.round(
-                (F.col("LISTPRICE").try_cast("double") - olp) / olp * 100.0, 0
+                F.try_divide(F.col("LISTPRICE").try_cast("double") - olp, olp)
+                * 100.0,
+                0,
             ),
             "SP/OLP%": F.round(
-                (F.col("SALESPRICE").try_cast("double") - olp) / olp * 100.0, 0
+                F.try_divide(F.col("SALESPRICE").try_cast("double") - olp, olp)
+                * 100.0,
+                0,
             ),
         }
     )

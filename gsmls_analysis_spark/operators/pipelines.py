@@ -10,14 +10,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..na_defaults import NA_DEFAULTS
 from . import cleaning, labels
+
+
+def _fill(df: DataFrame, defaults: dict | None, prop_type: str) -> DataFrame:
+    """Apply caller defaults, else the reference's per-class table
+    (na_defaults.NA_DEFAULTS); pass {} to skip entirely."""
+    table = defaults if defaults is not None else NA_DEFAULTS.get(prop_type, {})
+    return cleaning.fill_na_values(df, table) if table else df
 
 
 def clean_res(df: DataFrame, defaults: dict | None = None) -> DataFrame:
     """RES chain (Kafka_GSMLSConsumer.py:1015-1030)."""
+    df = _fill(df, defaults, "RES")
     out = df
-    if defaults:
-        out = cleaning.fill_na_values(out, defaults)
     out = cleaning.standard_cleaning(out, "RES")
     out = cleaning.convert_lot_size(out)
     out = cleaning.calculate_dates(out, "RES")
@@ -32,9 +39,8 @@ def clean_res(df: DataFrame, defaults: dict | None = None) -> DataFrame:
 
 
 def clean_mul(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    df = _fill(df, defaults, "MUL")
     out = df
-    if defaults:
-        out = cleaning.fill_na_values(out, defaults)
     out = cleaning.standard_cleaning(out, "MUL")
     out = cleaning.convert_lot_size(out)
     out = cleaning.calculate_dates(out, "MUL")
@@ -48,9 +54,8 @@ def clean_mul(df: DataFrame, defaults: dict | None = None) -> DataFrame:
 
 
 def clean_lnd(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    df = _fill(df, defaults, "LND")
     out = df
-    if defaults:
-        out = cleaning.fill_na_values(out, defaults)
     out = cleaning.standard_cleaning(out, "LND")
     out = cleaning.convert_lot_size(out)
     out = cleaning.calculate_dates(out, "LND")
@@ -63,9 +68,8 @@ def clean_lnd(df: DataFrame, defaults: dict | None = None) -> DataFrame:
 
 
 def clean_rnt(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    df = _fill(df, defaults, "RNT")
     out = df
-    if defaults:
-        out = cleaning.fill_na_values(out, defaults)
     out = cleaning.standard_cleaning(out, "RNT")
     out = cleaning.calculate_dates(out, "RNT")
     out = cleaning.change_datatypes(out, "RNT")
@@ -76,9 +80,8 @@ def clean_rnt(df: DataFrame, defaults: dict | None = None) -> DataFrame:
 
 def clean_tax(df: DataFrame, defaults: dict | None = None) -> DataFrame:
     """TAX chain (Kafka_GSMLSConsumer.py:1094-1102)."""
+    df = _fill(df, defaults, "TAX")
     out = df
-    if defaults:
-        out = cleaning.fill_na_values(out, defaults)
     out = cleaning.standard_cleaning(out, "TAX")
     out = cleaning.calculate_dates(out, "TAX")
     return cleaning.escape_illegal_chars(out, "TAX")

@@ -1,0 +1,50 @@
+"""All five property-class pipelines run end-to-end over their bronze
+(all-string) schemas with the reference's NA-default tables applied —
+catches column-contract drift between schemas, defaults, and transforms."""
+
+from __future__ import annotations
+
+import pytest
+
+from gsmls_analysis_spark.na_defaults import NA_DEFAULTS
+from gsmls_analysis_spark.operators.pipelines import CLASS_PIPELINES
+from gsmls_analysis_spark.schemas import CLASS_COLUMNS, bronze_schema
+
+CLASSES = ["RES", "MUL", "LND", "RNT", "TAX"]
+
+
+@pytest.mark.parametrize("cls", CLASSES)
+def test_pipeline_runs_on_bronze_schema(spark, cls):
+    schema = bronze_schema(cls)
+    # one all-null row: every value must be repaired from NA_DEFAULTS
+    df = spark.createDataFrame([tuple(None for _ in schema)], schema)
+    out = CLASS_PIPELINES[cls](df)
+    rows = out.collect()
+    assert len(rows) == 1
+    row = rows[0].asDict()
+    # defaults landed (spot-check a per-class sentinel)
+    sentinel = {
+        "RES": ("AGENTLIST", "000000"),
+        "MUL": ("AGENTLIST", "000000"),
+        "LND": ("AGENTLIST", "000000"),
+        "RNT": ("TOWNCODE", 0),
+        "TAX": ("AUTOROW", 0),
+    }[cls]
+    assert row[sentinel[0]] == sentinel[1]
+
+
+@pytest.mark.parametrize("cls", CLASSES)
+def test_na_defaults_cover_class_columns(cls):
+    """Every default key should be a known bronze column (post-rename
+    aliases allowed) — guards against typos in the transcription."""
+    cols = set(CLASS_COLUMNS[cls])
+    # post-rename aliases + producer-appended enrichment columns
+    # (GSMLS.py:1370-1381 joins geo LAT/LONG onto every class)
+    aliases = {
+        "SELLERNAME", "SUBPROPTYPE_SFH", "LISTING_REMARKS",
+        "LATITUDE", "LONGITUDE",
+    }
+    unknown = {
+        k for k in NA_DEFAULTS[cls] if k not in cols and k not in aliases
+    }
+    assert not unknown, f"defaults reference unknown columns: {sorted(unknown)}"

@@ -54,7 +54,7 @@ def test_clean_res_golden(spark):
     assert d["YEAR"] == 2020 and d["MONTH"] == 6
     assert d["DAYS_TO_CLOSE"] == 45             # closed − pending
     assert d["ANTIC_CLOSEDATE_DIFF"] == 5
-    assert d["LISTING_REMARKS"] == "BANK OWNED home. _. needs TLC"
+    assert d["LISTING_REMARKS"] == "BANK OWNED home. None. needs TLC"  # NA default
     assert d["BANK_OWNED"] is True
     assert d["SHORT_SALE"] is False
     assert d["CONDITION"] == "Fixer Upper"      # 'TLC' in remarks
@@ -83,7 +83,7 @@ def test_clean_res_golden(spark):
     assert c["DISTRESSED_SALE"] is False
     assert c["INVESTMENT_SALE"] is False
     assert c["SUBPROPTYPE_SFH"] is True         # 'SinglFam' → flag
-    assert c["LISTING_REMARKS"] == "THIS IS NOT A SHORT SALE. great bones. _"
+    assert c["LISTING_REMARKS"] == "THIS IS NOT A SHORT SALE. great bones. None"
     assert c["OLP/LP%"] == 10.0
     assert c["SP/OLP%"] == 5.0
     assert c["YEAR"] == 2021 and c["MONTH"] == 1
