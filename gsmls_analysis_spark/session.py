@@ -66,7 +66,7 @@ def get_spark(
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         # quiet the UI/driver logs for test runs
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
