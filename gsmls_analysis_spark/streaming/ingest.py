@@ -191,6 +191,7 @@ def foreach_batch_ingest(
     clean_fn,
     sink_dir: str,
     log_dir: str | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """ST2/ST4: foreachBatch → clean → append parquet sink + ingest-log row
     per micro-batch (the reference's event-log checkpoint row per chunk,
@@ -207,7 +208,12 @@ def foreach_batch_ingest(
             )
             log_row.write.mode("append").parquet(log_dir)
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_ingest_")
+    # a caller-supplied checkpoint makes re-runs exactly-once: offsets of
+    # processed files are committed there, so a second invocation with the
+    # same checkpoint processes nothing (the reference's manual commit
+    # semantics, Kafka_GSMLSConsumer.py:199-218)
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="ckpt_ingest_")
     q = (
         sdf.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)

@@ -87,3 +87,23 @@ def test_clean_res_golden(spark):
     assert c["OLP/LP%"] == 10.0
     assert c["SP/OLP%"] == 5.0
     assert c["YEAR"] == 2021 and c["MONTH"] == 1
+
+
+def test_clean_tax_possession_time(spark):
+    """W2: PREVOWN_POSS_TIME (YRS) = (SALEDATE − PRIORSALEDATE)/365."""
+    import pytest
+
+    from gsmls_analysis_spark.operators.pipelines import clean_tax
+
+    df = spark.createDataFrame(
+        [
+            ("1", "06/15/2020 00:00:00", "06/15/2010 00:00:00", "Smith\x02 J"),
+            ("2", "01/01/2021 00:00:00", "00/00/0000 00:00:00", "Doe"),
+        ],
+        ["AUTOROW", "SALEDATE", "PRIORSALEDATE", "OWNER"],
+    )
+    out = {int(r["AUTOROW"]): r.asDict() for r in clean_tax(df, defaults={}).collect()}
+    assert out[1]["PREVOWN_POSS_TIME (YRS)"] == pytest.approx(3653 / 365.0)
+    assert out[1]["OWNER"] == "Smith J"          # control char scrub (TAX cols)
+    # sentinel prior date → unparseable → null interval (pandas coerce parity)
+    assert out[2]["PREVOWN_POSS_TIME (YRS)"] is None

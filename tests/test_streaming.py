@@ -154,3 +154,22 @@ def test_observe_metrics_on_batch_and_stream(spark, sf_dir):
     sdf = with_ingest_metrics(events_file_stream(spark, sf_dir))
     drained = drain_to_memory(sdf.select("event_id"), "t_observe")
     assert drained.count() == ev.count()
+
+
+def test_foreach_batch_ingest_exactly_once_on_rerun(spark, sf_dir):
+    """Re-running the drain with the SAME checkpoint must add nothing:
+    file offsets committed with the batch (ST2 exactly-once)."""
+    import tempfile
+
+    from gsmls_analysis_spark.sources import load_table
+    from gsmls_analysis_spark.streaming.ingest import foreach_batch_ingest
+
+    sink = tempfile.mkdtemp(prefix="t_once_sink_")
+    ckpt = tempfile.mkdtemp(prefix="t_once_ckpt_")
+    n_src = load_table(spark, sf_dir, "events").count()
+    for _ in range(2):
+        sdf = events_file_stream(spark, sf_dir)
+        foreach_batch_ingest(
+            sdf, lambda b: b.select("event_id"), sink, checkpoint=ckpt
+        )
+    assert spark.read.parquet(sink).count() == n_src
