@@ -219,3 +219,58 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def multi_probe_blocks(vec: Column, dims: tuple[int, ...]) -> Column:
+    """Multi-probe: the query's own sign block plus every Hamming-1
+    neighbor (one bit flipped).  Probing 1+len(dims) buckets trades
+    len(dims)× candidate volume for the recall lost to near-boundary
+    dimensions — the standard multi-probe LSH move, still one equi-join."""
+    bits = [
+        F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    flipped = [
+        F.when(F.element_at(vec, d) >= 0, F.lit("0")).otherwise(F.lit("1"))
+        for d in dims
+    ]
+    blocks = [F.concat(*bits)]
+    for i in range(len(dims)):
+        parts = [flipped[j] if j == i else bits[j] for j in range(len(dims))]
+        blocks.append(F.concat(*parts))
+    return F.array(*blocks)
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+    dims: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """lsh_topk with Hamming-1 multi-probe on the query side."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        l2_normalize(F.col(vec)).alias("qv"),
+        F.explode(multi_probe_blocks(F.col(vec), dims)).alias("block"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        l2_normalize(F.col(vec)).alias("cv"),
+        sign_block(F.col(vec), dims).alias("block"),
+    )
+    scored = (
+        q.join(c, "block")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv"), normalized=True).alias("cosine"),
+        )
+        # a corpus vector sits in ONE block, so multi-probe cannot duplicate
+        # a (query, neighbor) pair — no dedup shuffle needed
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
