@@ -310,3 +310,29 @@ def q_set_ops(spark, sf_dir):
         F.col("r_regionkey").alias("nationkey")
     )
     return cust.intersect(supp).subtract(region)
+
+
+@query(
+    "q_salted_join_revenue",
+    oracle="""
+SELECT c_mktsegment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="skew-mitigation salted join — result identical to the plain "
+    "equi-join (oracle is the unsalted SQL join).",
+)
+def q_salted_join_revenue(spark, sf_dir):
+    from ..operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, "o_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice").cast("decimal(18,2)"), "total_price"),
+    )

@@ -246,3 +246,16 @@ def q_ivf_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
     )
+
+
+@query(
+    "q_lsh_topk_multiprobe",
+    oracle=None,
+    doc="Hamming-1 multi-probe sign-LSH approximate top-k (rows-only: "
+    "recall-dependent by design; recall floor pinned in unit tests).",
+)
+def q_lsh_topk_multiprobe(spark, sf_dir):
+    from ..operators.similarity import lsh_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk_multiprobe(emb.filter(F.col("vec_id") < 50), emb, k=5)
