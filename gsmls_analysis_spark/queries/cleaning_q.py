@@ -567,3 +567,49 @@ def q_condition_labels(spark, sf_dir):
         "DISTRESSED_SALE",
         "SUBPROPTYPE_SFH",
     )
+
+
+@query(
+    "q_address_normalize",
+    oracle="""
+WITH src AS (
+  SELECT p_partkey AS listing_id,
+         CAST(p_partkey AS VARCHAR) || '.0 Main* St, Newark, '
+           || CASE WHEN p_partkey % 2 = 0 THEN '7102' ELSE '07102' END AS address
+  FROM part
+), parts AS (
+  SELECT listing_id, address,
+         trim(replace(string_split(address, ',')[1], '*', '')) AS street,
+         trim(string_split(address, ',')[-1]) AS zip_raw
+  FROM src
+)
+SELECT listing_id, address,
+  street AS street_clean,
+  regexp_replace(string_split(street, ' ')[1], '\\.0$', '') AS streetnum_clean,
+  CASE WHEN length(zip_raw) = 4 THEN '0' || zip_raw ELSE zip_raw END AS zip_clean
+FROM parts
+""",
+    doc="F10: address decompose/normalize — '*' strip, '.0' street-number "
+    "suffix strip, 4-digit zip zero-pad.",
+)
+def q_address_normalize(spark, sf_dir):
+    from ..operators.cleaning import clean_address
+
+    src = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"),
+        F.concat(
+            F.col("p_partkey").cast("string"),
+            F.lit(".0 Main* St, Newark, "),
+            F.when(F.pmod("p_partkey", F.lit(2)) == 0, F.lit("7102")).otherwise(
+                F.lit("07102")
+            ),
+        ).alias("address"),
+    )
+    out = clean_address(src, "address")
+    return out.select(
+        "listing_id",
+        "address",
+        F.col("STREET_CLEAN").alias("street_clean"),
+        F.col("STREETNUM_CLEAN").alias("streetnum_clean"),
+        F.col("ZIP_CLEAN").alias("zip_clean"),
+    )
