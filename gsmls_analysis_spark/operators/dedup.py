@@ -149,14 +149,29 @@ def shingle_bases(sh: Column) -> Column:
     )
 
 
-def minhash_signature(sh: Column, num_hashes: int = 16) -> list[Column]:
-    bases = shingle_bases(sh)
-    return [
-        F.array_min(
-            F.transform(bases, lambda b: F.pmod(a * b + c, F.lit(MINHASH_PRIME)))
+def minhash_mins(sh: Column, num_hashes: int = 16) -> Column:
+    """All ``num_hashes`` MinHash minima in ONE fold over the shingles.
+
+    Higher-order functions are opaque to common-subexpression elimination,
+    so k separate array_min(transform(...)) calls would re-hash every
+    shingle k times; a single F.aggregate holds the running minima as an
+    array and touches each shingle once — the per-row cost is 1 md5 + k
+    integer ops, which is the floor."""
+    coeffs = minhash_coeffs(num_hashes)
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * num_hashes)
+
+    def step(acc: Column, b: Column) -> Column:
+        hashed = F.array(
+            *[F.pmod(a * b + c, F.lit(MINHASH_PRIME)) for a, c in coeffs]
         )
-        for a, c in minhash_coeffs(num_hashes)
-    ]
+        return F.zip_with(acc, hashed, lambda x, y: F.least(x, y))
+
+    return F.aggregate(shingle_bases(sh), init, step)
+
+
+def minhash_signature(sh: Column, num_hashes: int = 16) -> list[Column]:
+    mins = minhash_mins(sh, num_hashes)
+    return [F.element_at(mins, i + 1) for i in range(num_hashes)]
 
 
 def minhash_lsh_candidates(
@@ -175,16 +190,29 @@ def minhash_lsh_candidates(
     cross product never exists.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
     # signature computation is the CPU-heavy stage — make sure it runs at
     # full width even when the scan is a single small file
     proj = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
-    banded = proj.select(
+    # stage the mins array as its own column: the aggregate is non-cheap, so
+    # CollapseProject keeps it evaluated ONCE however many bands read it
+    with_mins = proj.select(
         F.col(id_col).alias("doc"),
+        minhash_mins(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "mins"
+        ),
+    )
+    banded = with_mins.select(
+        "doc",
         *[
-            F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band])).alias(
-                f"band{b}"
-            )
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("mins", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"band{b}")
             for b in range(bands)
         ],
     )

@@ -103,12 +103,16 @@ _MINHASH_ORACLE = _minhash_oracle(4)
     doc="MinHash signature via engine-portable md5 order statistics.",
 )
 def q_minhash_signature(spark, sf_dir):
+    from ..operators.dedup import minhash_mins
+
     docs = ensure_min_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    sig = minhash_signature(shingles(F.col("text"), 3), 4)
-    return docs.select(
-        "doc_id", *[s.alias(f"h{i}") for i, s in enumerate(sig)]
+    with_mins = docs.select(
+        "doc_id", minhash_mins(shingles(F.col("text"), 3), 4).alias("mins")
+    )
+    return with_mins.select(
+        "doc_id", *[F.element_at("mins", i + 1).alias(f"h{i}") for i in range(4)]
     )
 
 
