@@ -272,23 +272,41 @@ def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def simhash64(col: Column) -> Column:
+def simhash_votes(col: Column) -> Column:
+    """64 SimHash bit votes in ONE fold: the accumulator is the array of
+    per-bit counters, each token contributes ±1 per bit via shift-and-mask.
+    (64 separate F.aggregate calls would re-hash every token 64 times —
+    higher-order funcs don't participate in subexpression elimination.)"""
     toks = F.array_distinct(F.split(F.trim(col), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+    init = F.array(*[F.lit(0)] * 64)
+
+    def step(acc: Column, h: Column) -> Column:
+        votes = F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0, 1
+                ).otherwise(-1)
+                for i in range(64)
+            ]
         )
-        for i in range(64)
-    ]
+        return F.zip_with(acc, votes, lambda x, y: x + y)
+
+    return F.aggregate(hashes, init, step)
+
+
+def votes_to_simhash(votes: Column) -> Column:
+    """Collapse a 64-vote array (ideally a materialized column — it is read
+    64 times here) into the signed-long signature."""
     out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
+    for i in range(64):
         bit = F.lit(1 << i) if i < 63 else F.lit(-(2**63))
-        out = out + F.when(v > 0, bit).otherwise(F.lit(0))
+        out = out + F.when(F.element_at(votes, i + 1) > 0, bit).otherwise(F.lit(0))
     return out
+
+
+def simhash64(col: Column) -> Column:
+    return votes_to_simhash(simhash_votes(col))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -306,9 +324,12 @@ def simhash_near_dups(
     blocking as a recall-tunable approximation."""
     width = 64 // segments
     mask = (1 << width) - 1
-    sigs = ensure_min_partitions(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig")
+    # two staged projections: the vote fold runs once, then the 64-way bit
+    # reconstruction reads the materialized vote column
+    voted = ensure_min_partitions(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), simhash_votes(F.col(text_col)).alias("votes")
     )
+    sigs = voted.select("doc", votes_to_simhash(F.col("votes")).alias("sig"))
     chunks = sigs.select(
         "doc",
         "sig",
