@@ -173,3 +173,57 @@ def test_foreach_batch_ingest_exactly_once_on_rerun(spark, sf_dir):
             sdf, lambda b: b.select("event_id"), sink, checkpoint=ckpt
         )
     assert spark.read.parquet(sink).count() == n_src
+
+
+def test_watermark_finalizes_windows_in_append_mode(spark):
+    """Append-mode window aggregation emits ONLY windows the watermark has
+    passed — the 12:00 window (within the 1h delay of max event time) must
+    stay in state, unemitted, at end of stream.  This is the watermark
+    guarantee (bounded state + finalized-only emission); dropping late rows
+    is best-effort and NOT asserted."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src_dir = tempfile.mkdtemp(prefix="t_late_")
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        ["event_id", "ts_str"],
+    ).select("event_id", F.to_timestamp("ts_str").alias("ts"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 09:00:00")], ["event_id", "ts_str"]
+    ).select("event_id", F.to_timestamp("ts_str").alias("ts"))
+    import time as _time
+
+    on_time.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b1")
+    _time.sleep(2)  # distinct mod times: the file source orders batches by it
+    late.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b2")
+
+    schema = spark.read.parquet(f"{src_dir}/b1").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    ckpt = tempfile.mkdtemp(prefix="t_late_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_late").select(F.col("w.start").alias("s"), "count")
+    rows = {str(r["s"]): r["count"] for r in out.collect()}
+    # finalized: windows ending <= watermark (11:00). The 12:00 window is
+    # NOT final and must be absent from append output.
+    assert "2024-01-01 12:00:00" not in rows
+    assert rows.get("2024-01-01 10:00:00") == 1
