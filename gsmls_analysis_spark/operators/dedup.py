@@ -41,13 +41,14 @@ DEDUP_KEYS: dict[str, list[str]] = {
 
 def keep_last_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Keep the LAST row per key group by ``order_col`` (e.g. Kafka offset,
-    ingest sequence).  One shuffle on ``keys``."""
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    ingest sequence).
+
+    max_by aggregation, not a window: the aggregate gets a map-side partial
+    phase (hot keys collapse before the shuffle) and needs no per-partition
+    sort — at scale that beats row_number over a sorted window for the
+    1-row-per-key case."""
+    row = F.max_by(F.struct(*df.columns), F.col(order_col))
+    return df.groupBy(*keys).agg(row.alias("__row")).select("__row.*")
 
 
 def keep_last_dedup_for_class(
