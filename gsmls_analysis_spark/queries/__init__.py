@@ -46,6 +46,7 @@ def load_all() -> dict[str, QueryDef]:
         "images_q",
         "streaming_native_q",
         "multimodal_q",
+        "pipeline_e2e_q",
     ):
         # import errors must be LOUD: a silently-skipped module would drop
         # every query it registers from the driver's correctness run.

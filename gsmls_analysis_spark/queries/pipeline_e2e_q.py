@@ -1,0 +1,236 @@
+"""End-to-end RES pipeline query: bronze columns synthesized from ``part``
+run through the FULL clean_res chain (standard cleaning → lot size → dates
+→ casts → remarks → labels → ratios → scrub), with a DuckDB oracle that
+replicates every stage — the strongest driver-checked parity artifact
+(per-operator oracles live in cleaning_q/labels land; this one proves the
+composition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+_SELLERS = [
+    "John Smith", "Apex LLC", "Garden Builders", "Acme Corp.",
+    "Jane Doe", "Improvement Co", "Smith Management", "Holdings Group",
+]
+_REMARKS = [
+    "Lovely home", "BANK OWNED property", "short sale opportunity",
+    "THIS IS NOT A SHORT SALE", "needs TLC badly", "estate sale find",
+    "subject to lender approval", "move-in ready",
+]
+_STYLES = ["OneFloor", "Colonial", "FixrUppr", "HighRise", "Ranch", "TwnEndUn"]
+_WATER = ["Public,City", "Well", "Private,Co", "Assoctn"]
+
+
+def _pick(vals, mod_col="p_partkey"):
+    arr = F.array(*[F.lit(v) for v in vals])
+    return F.element_at(arr, (F.pmod(mod_col, F.lit(len(vals))) + 1).cast("int"))
+
+
+def _duck_pick(vals, expr="p_partkey"):
+    items = ", ".join(f"'{v}'" for v in vals)
+    return f"list_extract([{items}], CAST(({expr}) % {len(vals)} + 1 AS INT))"
+
+
+_BRONZE_DUCK = f"""
+SELECT p_partkey AS listing_id,
+  CASE p_partkey % 4
+    WHEN 0 THEN '100 X 50' WHEN 1 THEN '21780 SF'
+    WHEN 2 THEN '0.25 ACRES' ELSE 'garbage' END AS lotsize,
+  CASE WHEN p_partkey % 3 = 0 THEN '1.5*' ELSE NULL END AS acres,
+  {_duck_pick(_SELLERS)} AS ownername,
+  CASE WHEN p_partkey % 2 = 0 THEN 'Newark (1234)' ELSE 'Union' END AS town,
+  CAST(90 + p_partkey % 21 AS VARCHAR) || '%' AS sp_lp_raw,
+  '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/15/'
+     || CAST(2018 + p_partkey % 5 AS VARCHAR) || ' 00:00:00' AS closeddate,
+  '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/01/'
+     || CAST(2018 + p_partkey % 5 AS VARCHAR) || ' 00:00:00' AS pendingdate,
+  CASE WHEN p_partkey % 7 = 0 THEN '00/00/0000 00:00:00'
+       ELSE '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/10/'
+            || CAST(2018 + p_partkey % 5 AS VARCHAR) || ' 00:00:00' END AS anticcloseddate,
+  {_duck_pick(_REMARKS)} AS remarkspublic,
+  CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE 'agent notes' END AS remarksagent,
+  'call first' AS showspecial,
+  {_duck_pick(_STYLES)} AS styleprimary,
+  {_duck_pick(_STYLES, "p_partkey + 1")} AS style_list,
+  CAST(100000 + p_partkey * 10 AS VARCHAR) AS origlistprice,
+  CAST(100000 + p_partkey * 10 + (p_partkey % 5) * 1000 AS VARCHAR) AS listprice,
+  CAST(100000 + p_partkey * 10 - (p_partkey % 4) * 2000 AS VARCHAR) AS salesprice,
+  {_duck_pick(_WATER)} AS water,
+  CASE WHEN p_partkey % 6 = 0 THEN '9999' ELSE CAST(1200 + p_partkey AS VARCHAR) END AS sqft,
+  CASE WHEN p_partkey % 5 = 0 THEN '0.0' ELSE '1.5' END AS bathstotal,
+  '2.0' AS bathsfulltotal,
+  'Ma' || chr(1) || 'in St' AS streetname
+FROM part
+"""
+
+_LOT_DUCK = """CASE
+  WHEN regexp_matches(lotsize, '(?i)^(\\d{2,4}(\\.\\d{0,4})?)\\s?X\\s?(\\d{2,4}(\\.\\d{0,4})?)')
+    THEN TRY_CAST(regexp_extract(lotsize, '(?i)^(\\d{2,4}(\\.\\d{0,4})?)\\s?X\\s?(\\d{2,4}(\\.\\d{0,4})?)', 1) AS DOUBLE)
+       * TRY_CAST(regexp_extract(lotsize, '(?i)^(\\d{2,4}(\\.\\d{0,4})?)\\s?X\\s?(\\d{2,4}(\\.\\d{0,4})?)', 3) AS DOUBLE)
+  WHEN regexp_matches(lotsize, '(?i)^(\\d{3,6})\\s?SF')
+    THEN TRY_CAST(regexp_extract(lotsize, '(?i)^(\\d{3,6})\\s?SF', 1) AS DOUBLE)
+  WHEN regexp_matches(lotsize, '^(\\d{0,4}\\.?\\d{0,5})\\d')
+    THEN TRY_CAST(regexp_extract(lotsize, '^(\\d{0,4}\\.?\\d{0,5})', 1) AS DOUBLE) * 43560.0
+  ELSE 0.0 END"""
+
+
+def _e2e_oracle() -> str:
+    from ..operators.labels import (
+        BANKOWNED_PATTERN,
+        FIXUP_PATTERN,
+        INVESTMENT_PATTERN,
+        NOT_SHORT_SALE_PATTERN,
+        SHORT_SALE_PATTERN,
+        TARGET_STYLES,
+    )
+
+    def ci(p: str) -> str:
+        return p.replace("(?i)", "", 1)
+
+    styles_in = ", ".join(f"'{s}'" for s in TARGET_STYLES)
+    return f"""
+WITH bronze AS ({_BRONZE_DUCK}),
+cleaned AS (
+  SELECT listing_id,
+    {_LOT_DUCK} AS lot_sqft,
+    TRY_CAST(replace(acres, '*', '') AS DOUBLE) * 43560.0 AS acres_sqft,
+    regexp_replace(town, '\\.?\\*?\\(\\d{{4}}\\*?\\)', '') AS town,
+    TRY_CAST(replace(sp_lp_raw, '%', '') AS DOUBLE) - 100.0 AS sp_lp_pct,
+    TRY_CAST(substr(string_split(closeddate, '/')[3], 1, 4) AS BIGINT) AS year_,
+    TRY_CAST(string_split(closeddate, '/')[1] AS BIGINT) AS month_,
+    date_diff('day', try_strptime(pendingdate, '%m/%d/%Y %H:%M:%S'),
+              try_strptime(closeddate, '%m/%d/%Y %H:%M:%S')) AS days_to_close,
+    remarkspublic || '. ' || COALESCE(remarksagent, '_') || '. ' || showspecial
+      AS listing_remarks,
+    replace(ownername, '*', '') AS seller,
+    styleprimary, style_list,
+    TRY_CAST(origlistprice AS DOUBLE) AS olp,
+    TRY_CAST(listprice AS DOUBLE) AS lp,
+    TRY_CAST(salesprice AS DOUBLE) AS sp,
+    CASE WHEN regexp_matches(water, '^Public(,\\w+)?') THEN regexp_replace(water, '^Public(,\\w+)?', 'Public')
+         WHEN regexp_matches(water, '^Private(,\\w+)?') THEN regexp_replace(water, '^Private(,\\w+)?', 'Private')
+         WHEN regexp_matches(water, '^Assoctn(,\\w+)?') THEN regexp_replace(water, '^Assoctn(,\\w+)?', 'Assoctn')
+         WHEN regexp_matches(water, '^Well(,\\w+)?') THEN regexp_replace(water, '^Well(,\\w+)?', 'Well')
+         ELSE water END AS water,
+    -- DuckDB RE2 has no backreferences; in this synthesized range
+    -- (1200-3199 plus the literal '9999') the reference junk rule
+    -- (\d)\1{{3,}} fires exactly on '9999' and '2222'
+    CASE WHEN sqft IN ('9999', '2222') THEN '0.0' ELSE sqft END AS sqft_str,
+    CASE WHEN TRY_CAST(bathstotal AS DOUBLE) = 0.0
+         THEN TRY_CAST(bathsfulltotal AS DOUBLE)
+         ELSE TRY_CAST(bathstotal AS DOUBLE) END AS baths,
+    regexp_replace(streetname, '[\\x00-\\x1F]', '') AS street
+  FROM bronze
+)
+SELECT listing_id, lot_sqft, acres_sqft, town, sp_lp_pct, year_, month_,
+  days_to_close, listing_remarks, seller, water,
+  TRY_CAST(sqft_str AS DOUBLE) AS sqft, baths, street,
+  COALESCE(regexp_matches(seller, '{ci(INVESTMENT_PATTERN)}', 'i'), false) AS investment,
+  regexp_matches(listing_remarks, '{ci(BANKOWNED_PATTERN)}', 'i') AS bank_owned,
+  (regexp_matches(listing_remarks, '{ci(SHORT_SALE_PATTERN)}', 'i')
+   AND NOT regexp_matches(listing_remarks, '{ci(NOT_SHORT_SALE_PATTERN)}', 'i')) AS short_sale,
+  CASE WHEN styleprimary = 'FixrUppr'
+         OR list_contains(string_split(style_list, ','), 'FixrUppr')
+         OR regexp_matches(listing_remarks, '{ci(FIXUP_PATTERN)}', 'i')
+       THEN 'Fixer Upper' ELSE 'Unknown' END AS condition,
+  (regexp_matches(listing_remarks, '{ci(BANKOWNED_PATTERN)}', 'i')
+   OR (regexp_matches(listing_remarks, '{ci(SHORT_SALE_PATTERN)}', 'i')
+       AND NOT regexp_matches(listing_remarks, '{ci(NOT_SHORT_SALE_PATTERN)}', 'i'))
+   OR styleprimary = 'FixrUppr'
+   OR list_contains(string_split(style_list, ','), 'FixrUppr')
+   OR regexp_matches(listing_remarks, '{ci(FIXUP_PATTERN)}', 'i')) AS distressed,
+  styleprimary IN ({styles_in}) AS subprop_cct,
+  round((lp - olp) / olp * 100.0, 0) AS olp_lp_pct,
+  round((sp - olp) / olp * 100.0, 0) AS sp_olp_pct
+FROM cleaned
+"""
+
+
+@query(
+    "q_res_pipeline_e2e",
+    oracle=_e2e_oracle(),
+    doc="FULL RES cleaning chain end-to-end on synthesized bronze columns — "
+    "the composition of every cleaning/label stage, oracle-replicated.",
+)
+def q_res_pipeline_e2e(spark, sf_dir):
+    from ..operators.pipelines import clean_res
+
+    k = F.col("p_partkey")
+    bronze = load_table(spark, sf_dir, "part").select(
+        k.alias("listing_id"),
+        F.when(k % 4 == 0, "100 X 50")
+        .when(k % 4 == 1, "21780 SF")
+        .when(k % 4 == 2, "0.25 ACRES")
+        .otherwise("garbage")
+        .alias("LOTSIZE"),
+        F.when(k % 3 == 0, "1.5*").alias("ACRES"),
+        _pick(_SELLERS).alias("OWNERNAME"),
+        F.when(k % 2 == 0, "Newark (1234)").otherwise("Union").alias("TOWN"),
+        F.concat((90 + k % 21).cast("string"), F.lit("%")).alias("SP/LP%"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/15/"),
+            (2018 + k % 5).cast("string"), F.lit(" 00:00:00"),
+        ).alias("CLOSEDDATE"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/01/"),
+            (2018 + k % 5).cast("string"), F.lit(" 00:00:00"),
+        ).alias("PENDINGDATE"),
+        F.when(k % 7 == 0, "00/00/0000 00:00:00")
+        .otherwise(
+            F.concat(
+                F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/10/"),
+                (2018 + k % 5).cast("string"), F.lit(" 00:00:00"),
+            )
+        )
+        .alias("ANTICCLOSEDDATE"),
+        F.lit("01/01/2018 00:00:00").alias("LISTDATE"),
+        _pick(_REMARKS).alias("REMARKSPUBLIC"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("agent notes"))
+        .alias("REMARKSAGENT"),
+        F.lit("call first").alias("SHOWSPECIAL"),
+        _pick(_STYLES).alias("STYLEPRIMARY_SHORT"),
+        _pick(_STYLES, F.col("p_partkey") + 1).alias("STYLE_SHORT"),
+        (100000 + k * 10).cast("string").alias("ORIGLISTPRICE"),
+        (100000 + k * 10 + (k % 5) * 1000).cast("string").alias("LISTPRICE"),
+        (100000 + k * 10 - (k % 4) * 2000).cast("string").alias("SALESPRICE"),
+        _pick(_WATER).alias("WATER_SHORT"),
+        F.when(k % 6 == 0, "9999").otherwise((1200 + k).cast("string")).alias(
+            "SQFTAPPROX"
+        ),
+        F.when(k % 5 == 0, "0.0").otherwise("1.5").alias("BATHSTOTAL"),
+        F.lit("2.0").alias("BATHSFULLTOTAL"),
+        F.concat(F.lit("Ma"), F.lit("\x01"), F.lit("in St")).alias("STREETNAME"),
+    )
+    out = clean_res(bronze, defaults={})
+    return out.select(
+        "listing_id",
+        F.col("LOTSIZE_SQFT").alias("lot_sqft"),
+        F.col("ACRES_SQFT").alias("acres_sqft"),
+        F.col("TOWN").alias("town"),
+        F.col("SP/LP%").alias("sp_lp_pct"),
+        F.col("YEAR").alias("year_"),
+        F.col("MONTH").alias("month_"),
+        F.col("DAYS_TO_CLOSE").alias("days_to_close"),
+        F.col("LISTING_REMARKS").alias("listing_remarks"),
+        F.col("SELLERNAME").alias("seller"),
+        F.col("WATER_SHORT").alias("water"),
+        F.col("SQFTAPPROX").alias("sqft"),
+        F.col("BATHSTOTAL").alias("baths"),
+        F.col("STREETNAME").alias("street"),
+        F.col("INVESTMENT_SALE").alias("investment"),
+        F.col("BANK_OWNED").alias("bank_owned"),
+        F.col("SHORT_SALE").alias("short_sale"),
+        F.col("CONDITION").alias("condition"),
+        F.col("DISTRESSED_SALE").alias("distressed"),
+        (F.col("STYLEPRIMARY_SHORT").isin(
+            ["TwnIntUn", "OneFloor", "MultiFlr", "TwnEndUn", "FirstFlr", "HighRise"]
+        )).alias("subprop_cct"),
+        F.col("OLP/LP%").alias("olp_lp_pct"),
+        F.col("SP/OLP%").alias("sp_olp_pct"),
+    )
