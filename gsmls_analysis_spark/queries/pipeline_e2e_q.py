@@ -234,3 +234,119 @@ def q_res_pipeline_e2e(spark, sf_dir):
         F.col("OLP/LP%").alias("olp_lp_pct"),
         F.col("SP/OLP%").alias("sp_olp_pct"),
     )
+
+
+@query(
+    "q_tax_pipeline_e2e",
+    oracle="""
+WITH bronze AS (
+  SELECT p_partkey AS parcel_id,
+    '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/15/'
+       || CAST(2015 + p_partkey % 8 AS VARCHAR) || ' 00:00:00' AS saledate,
+    CASE WHEN p_partkey % 6 = 0 THEN '00/00/0000 00:00:00'
+         ELSE '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/15/'
+              || CAST(2005 + p_partkey % 8 AS VARCHAR) || ' 00:00:00' END AS priorsaledate,
+    'Sm' || chr(2) || 'ith' AS owner
+  FROM part
+)
+SELECT parcel_id,
+  try_strptime(saledate, '%m/%d/%Y %H:%M:%S') AS saledate,
+  date_diff('day', try_strptime(priorsaledate, '%m/%d/%Y %H:%M:%S'),
+            try_strptime(saledate, '%m/%d/%Y %H:%M:%S')) / 365.0 AS possession_yrs,
+  regexp_replace(owner, '[\\x00-\\x1F]', '') AS owner
+FROM bronze
+""",
+    doc="TAX chain end-to-end: sentinel-date coerce, possession-time "
+    "derivation (W2), control-char scrub.",
+)
+def q_tax_pipeline_e2e(spark, sf_dir):
+    from ..operators.pipelines import clean_tax
+
+    k = F.col("p_partkey")
+    bronze = load_table(spark, sf_dir, "part").select(
+        k.alias("parcel_id"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/15/"),
+            (2015 + k % 8).cast("string"), F.lit(" 00:00:00"),
+        ).alias("SALEDATE"),
+        F.when(k % 6 == 0, "00/00/0000 00:00:00")
+        .otherwise(
+            F.concat(
+                F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/15/"),
+                (2005 + k % 8).cast("string"), F.lit(" 00:00:00"),
+            )
+        )
+        .alias("PRIORSALEDATE"),
+        F.concat(F.lit("Sm"), F.lit("\x02"), F.lit("ith")).alias("OWNER"),
+    )
+    out = clean_tax(bronze, defaults={})
+    return out.select(
+        "parcel_id",
+        F.col("SALEDATE").alias("saledate"),
+        F.col("PREVOWN_POSS_TIME (YRS)").alias("possession_yrs"),
+        F.col("OWNER").alias("owner"),
+    )
+
+
+@query(
+    "q_rnt_pipeline_e2e",
+    oracle="""
+WITH bronze AS (
+  SELECT p_partkey AS listing_id,
+    '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/20/'
+       || CAST(2019 + p_partkey % 4 AS VARCHAR) || ' 00:00:00' AS renteddate,
+    CAST(85 + p_partkey % 31 AS VARCHAR) || '%' AS rp_lp_raw,
+    'Union (5678)' AS town,
+    CASE WHEN p_partkey % 5 = 0 THEN '0.0' ELSE '1.0' END AS bathstotal,
+    '2.0' AS bathsfulltotal,
+    'great rental' AS remarkspublic,
+    CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE 'agent says' END AS remarksagent,
+    'by appt' AS showspecial
+  FROM part
+)
+SELECT listing_id,
+  remarkspublic || '. ' || COALESCE(remarksagent, '_') || '. ' || showspecial
+    AS listing_remarks,
+  TRY_CAST(substr(string_split(renteddate, '/')[3], 1, 4) AS BIGINT) AS year_,
+  TRY_CAST(string_split(renteddate, '/')[1] AS BIGINT) AS month_,
+  TRY_CAST(replace(rp_lp_raw, '%', '') AS DOUBLE) - 100.0 AS rp_lp_pct,
+  regexp_replace(town, '\\.?\\*?\\(\\d{4}\\*?\\)', '') AS town,
+  CASE WHEN TRY_CAST(bathstotal AS DOUBLE) = 0.0 THEN TRY_CAST(bathsfulltotal AS DOUBLE)
+       ELSE TRY_CAST(bathstotal AS DOUBLE) END AS baths
+FROM bronze
+""",
+    doc="RNT chain end-to-end: RENTEDDATE year/month parse, RP/LP% re-base, "
+    "town suffix strip, baths backfill.",
+)
+def q_rnt_pipeline_e2e(spark, sf_dir):
+    from ..operators.pipelines import clean_rnt
+
+    k = F.col("p_partkey")
+    bronze = load_table(spark, sf_dir, "part").select(
+        k.alias("listing_id"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/20/"),
+            (2019 + k % 4).cast("string"), F.lit(" 00:00:00"),
+        ).alias("RENTEDDATE"),
+        F.concat((85 + k % 31).cast("string"), F.lit("%")).alias("RP/LP%"),
+        F.lit("Union (5678)").alias("TOWN"),
+        F.when(k % 5 == 0, "0.0").otherwise("1.0").alias("BATHSTOTAL"),
+        F.lit("2.0").alias("BATHSFULLTOTAL"),
+        F.lit("great rental").alias("REMARKSPUBLIC"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("agent says"))
+        .alias("REMARKSAGENT"),
+        F.lit("by appt").alias("SHOWSPECIAL"),
+    )
+    out = clean_rnt(bronze, defaults={})
+    return out.select(
+        "listing_id",
+        F.col("LISTING_REMARKS").alias("listing_remarks"),
+        F.col("YEAR").alias("year_"),
+        F.col("MONTH").alias("month_"),
+        F.col("RP/LP%").alias("rp_lp_pct"),
+        F.col("TOWN").alias("town"),
+        # RNT typed overrides leave BATHSTOTAL as string (reference parity);
+        # cast here for the numeric compare
+        F.col("BATHSTOTAL").cast("double").alias("baths"),
+    )
