@@ -613,3 +613,25 @@ def q_address_normalize(spark, sf_dir):
         F.col("STREETNUM_CLEAN").alias("streetnum_clean"),
         F.col("ZIP_CLEAN").alias("zip_clean"),
     )
+
+
+@query(
+    "q_upper_and_zero_pad",
+    oracle="""
+SELECT p_partkey AS listing_id,
+  upper(p_name) AS name_upper,
+  lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') AS month_padded
+FROM part
+""",
+    doc="F1 uppercase + F13 zero-pad month (lpad).",
+)
+def q_upper_and_zero_pad(spark, sf_dir):
+    from ..operators.cleaning import zero_pad2
+
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"),
+        F.upper("p_name").alias("name_upper"),
+        zero_pad2((F.pmod("p_partkey", F.lit(12)) + 1).cast("string")).alias(
+            "month_padded"
+        ),
+    )
