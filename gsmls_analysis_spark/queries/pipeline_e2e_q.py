@@ -350,3 +350,94 @@ def q_rnt_pipeline_e2e(spark, sf_dir):
         # cast here for the numeric compare
         F.col("BATHSTOTAL").cast("double").alias("baths"),
     )
+
+
+@query(
+    "q_mul_pipeline_e2e",
+    oracle="""
+WITH bronze AS (
+  SELECT p_partkey AS listing_id,
+    CASE WHEN p_partkey % 4 = 0 THEN '00:00:00' ELSE CAST(250000 + p_partkey AS VARCHAR) END AS assesstotal,
+    CASE WHEN p_partkey % 3 = 0 THEN '1920' ELSE '1955' END AS yearbuilt,
+    CASE WHEN p_partkey % 2 = 0 THEN 'Apex LLC' ELSE 'Jane Doe' END AS ownername,
+    CASE WHEN p_partkey % 5 = 0 THEN 'FixrUppr,Duplex' ELSE 'Colonial' END AS unitstyle,
+    CASE WHEN p_partkey % 7 = 0 THEN 'BANK OWNED building' ELSE 'solid income property' END AS remarkspublic,
+    CAST(300000 + p_partkey * 7 AS VARCHAR) AS origlistprice,
+    CAST(300000 + p_partkey * 7 + (p_partkey % 3) * 5000 AS VARCHAR) AS listprice,
+    CAST(300000 + p_partkey * 7 - (p_partkey % 2) * 4000 AS VARCHAR) AS salesprice,
+    '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/15/'
+       || CAST(2018 + p_partkey % 5 AS VARCHAR) || ' 00:00:00' AS closeddate,
+    '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/01/'
+       || CAST(2018 + p_partkey % 5 AS VARCHAR) || ' 00:00:00' AS pendingdate,
+    '00/00/0000 00:00:00' AS anticcloseddate,
+    CAST(92 + p_partkey % 17 AS VARCHAR) || '%' AS sp_lp_raw
+  FROM part
+)
+SELECT listing_id,
+  CASE WHEN assesstotal = '00:00:00' THEN 0.0 ELSE TRY_CAST(assesstotal AS DOUBLE) END AS assess_total,
+  TRY_CAST(yearbuilt AS DOUBLE) AS year_built,
+  CASE WHEN ownername = 'Apex LLC' THEN true ELSE false END AS investment,
+  regexp_matches(remarkspublic, 'BANK OWNED|ESTATE SALE|BANK FORECLOSURE|CORPORATE OWNED', 'i') AS bank_owned,
+  CASE WHEN list_contains(string_split(unitstyle, ','), 'FixrUppr')
+         OR regexp_matches(remarkspublic || '. _. _',
+            'HANDY(\\s)?MAN|NEEDS WORK|FIXER(-|\\s)?UPPER|BOARDED(\\sUP)?IN NEED OF WORK|NEEDS REHAB|TOTAL REHAB|EXTENSIVE REPAIR|COMPLETE OVERHAULYOUR OWN RISK|TLC|INVESTOR SPECIAL|203(\\s)?K|PROCEED WITH CAUTIONSIGNIFICANT REPAIR|DAMAGE|CASH(\\sOFFER(S)?\\s)?ONLY|NEED OF REPAIR|FULL GUT(\\sRENOVATION)?TOTAL GUT(\\sRENOVATION)?|MOLD', 'i')
+       THEN 'Fixer Upper' ELSE 'Unknown' END AS condition,
+  TRY_CAST(substr(string_split(closeddate, '/')[3], 1, 4) AS BIGINT) AS year_,
+  date_diff('day', try_strptime(pendingdate, '%m/%d/%Y %H:%M:%S'),
+            try_strptime(closeddate, '%m/%d/%Y %H:%M:%S')) AS days_to_close,
+  TRY_CAST(replace(sp_lp_raw, '%', '') AS DOUBLE) - 100.0 AS sp_lp_pct,
+  round((TRY_CAST(listprice AS DOUBLE) - TRY_CAST(origlistprice AS DOUBLE))
+        / TRY_CAST(origlistprice AS DOUBLE) * 100.0, 0) AS olp_lp_pct
+FROM bronze
+""",
+    doc="MUL chain end-to-end: assess sentinel->0.0, typed casts, "
+    "UNITSTYLE-driven fixer flag, bank-owned label, dates, ratios.",
+)
+def q_mul_pipeline_e2e(spark, sf_dir):
+    from ..operators.pipelines import clean_mul
+
+    k = F.col("p_partkey")
+    bronze = load_table(spark, sf_dir, "part").select(
+        k.alias("listing_id"),
+        F.when(k % 4 == 0, "00:00:00")
+        .otherwise((250000 + k).cast("string"))
+        .alias("ASSESSTOTAL"),
+        F.when(k % 3 == 0, "1920").otherwise("1955").alias("YEARBUILT"),
+        F.when(k % 2 == 0, "Apex LLC").otherwise("Jane Doe").alias("OWNERNAME"),
+        F.when(k % 5 == 0, "FixrUppr,Duplex")
+        .otherwise("Colonial")
+        .alias("UNITSTYLE_SHORT"),
+        F.when(k % 7 == 0, "BANK OWNED building")
+        .otherwise("solid income property")
+        .alias("REMARKSPUBLIC"),
+        F.lit(None).cast("string").alias("REMARKSAGENT"),
+        F.lit(None).cast("string").alias("SHOWSPECIAL"),
+        (300000 + k * 7).cast("string").alias("ORIGLISTPRICE"),
+        (300000 + k * 7 + (k % 3) * 5000).cast("string").alias("LISTPRICE"),
+        (300000 + k * 7 - (k % 2) * 4000).cast("string").alias("SALESPRICE"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/15/"),
+            (2018 + k % 5).cast("string"), F.lit(" 00:00:00"),
+        ).alias("CLOSEDDATE"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/01/"),
+            (2018 + k % 5).cast("string"), F.lit(" 00:00:00"),
+        ).alias("PENDINGDATE"),
+        F.lit("00/00/0000 00:00:00").alias("ANTICCLOSEDDATE"),
+        F.lit("01/01/2018 00:00:00").alias("LISTDATE"),
+        F.concat((92 + k % 17).cast("string"), F.lit("%")).alias("SP/LP%"),
+        F.lit("0 SF").alias("LOTSIZE"),
+    )
+    out = clean_mul(bronze, defaults={})
+    return out.select(
+        "listing_id",
+        F.col("ASSESSTOTAL").alias("assess_total"),
+        F.col("YEARBUILT").alias("year_built"),
+        F.col("INVESTMENT_SALE").alias("investment"),
+        F.col("BANK_OWNED").alias("bank_owned"),
+        F.col("CONDITION").alias("condition"),
+        F.col("YEAR").alias("year_"),
+        F.col("DAYS_TO_CLOSE").alias("days_to_close"),
+        F.col("SP/LP%").alias("sp_lp_pct"),
+        F.col("OLP/LP%").alias("olp_lp_pct"),
+    )
