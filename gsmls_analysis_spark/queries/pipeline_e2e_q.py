@@ -441,3 +441,89 @@ def q_mul_pipeline_e2e(spark, sf_dir):
         F.col("SP/LP%").alias("sp_lp_pct"),
         F.col("OLP/LP%").alias("olp_lp_pct"),
     )
+
+
+@query(
+    "q_lnd_pipeline_e2e",
+    oracle="""
+WITH bronze AS (
+  SELECT p_partkey AS listing_id,
+    CASE p_partkey % 3
+      WHEN 0 THEN '200 X 150' WHEN 1 THEN '43560 SF' ELSE '2.0 ACRES' END AS lotsize,
+    CASE WHEN p_partkey % 4 = 0 THEN '00:00:00' ELSE CAST(50000 + p_partkey AS VARCHAR) END AS assesstotal,
+    CASE WHEN p_partkey % 2 = 0 THEN 'Garden Builders' ELSE 'John Smith' END AS ownername,
+    CAST(80000 + p_partkey * 3 AS VARCHAR) AS origlistprice,
+    CAST(80000 + p_partkey * 3 + (p_partkey % 4) * 2500 AS VARCHAR) AS listprice,
+    CAST(80000 + p_partkey * 3 - (p_partkey % 3) * 1500 AS VARCHAR) AS salesprice,
+    '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/15/'
+       || CAST(2019 + p_partkey % 4 AS VARCHAR) || ' 00:00:00' AS closeddate,
+    '0' || CAST(p_partkey % 9 + 1 AS VARCHAR) || '/05/'
+       || CAST(2019 + p_partkey % 4 AS VARCHAR) || ' 00:00:00' AS pendingdate,
+    CAST(95 + p_partkey % 11 AS VARCHAR) || '%' AS sp_lp_raw
+  FROM part
+)
+SELECT listing_id,
+  CASE listing_id % 3
+    WHEN 0 THEN 200.0 * 150.0 WHEN 1 THEN 43560.0 ELSE 2.0 * 43560.0 END AS lot_sqft,
+  CASE WHEN assesstotal = '00:00:00' THEN 0.0 ELSE TRY_CAST(assesstotal AS DOUBLE) END AS assess_total,
+  CASE WHEN ownername = 'Garden Builders' THEN true ELSE false END AS investment,
+  TRY_CAST(substr(string_split(closeddate, '/')[3], 1, 4) AS BIGINT) AS year_,
+  date_diff('day', try_strptime(pendingdate, '%m/%d/%Y %H:%M:%S'),
+            try_strptime(closeddate, '%m/%d/%Y %H:%M:%S')) AS days_to_close,
+  TRY_CAST(replace(sp_lp_raw, '%', '') AS DOUBLE) - 100.0 AS sp_lp_pct,
+  round((TRY_CAST(listprice AS DOUBLE) - TRY_CAST(origlistprice AS DOUBLE))
+        / TRY_CAST(origlistprice AS DOUBLE) * 100.0, 0) AS olp_lp_pct,
+  round((TRY_CAST(salesprice AS DOUBLE) - TRY_CAST(origlistprice AS DOUBLE))
+        / TRY_CAST(origlistprice AS DOUBLE) * 100.0, 0) AS sp_olp_pct
+FROM bronze
+""",
+    doc="LND chain end-to-end: lot-size dispatch, assess sentinel, investor "
+    "flag, dates, price ratios.",
+)
+def q_lnd_pipeline_e2e(spark, sf_dir):
+    from ..operators.pipelines import clean_lnd
+
+    k = F.col("p_partkey")
+    bronze = load_table(spark, sf_dir, "part").select(
+        k.alias("listing_id"),
+        k.alias("p_partkey"),
+        F.when(k % 3 == 0, "200 X 150")
+        .when(k % 3 == 1, "43560 SF")
+        .otherwise("2.0 ACRES")
+        .alias("LOTSIZE"),
+        F.when(k % 4 == 0, "00:00:00")
+        .otherwise((50000 + k).cast("string"))
+        .alias("ASSESSTOTAL"),
+        F.when(k % 2 == 0, "Garden Builders")
+        .otherwise("John Smith")
+        .alias("OWNERNAME"),
+        (80000 + k * 3).cast("string").alias("ORIGLISTPRICE"),
+        (80000 + k * 3 + (k % 4) * 2500).cast("string").alias("LISTPRICE"),
+        (80000 + k * 3 - (k % 3) * 1500).cast("string").alias("SALESPRICE"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/15/"),
+            (2019 + k % 4).cast("string"), F.lit(" 00:00:00"),
+        ).alias("CLOSEDDATE"),
+        F.concat(
+            F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/05/"),
+            (2019 + k % 4).cast("string"), F.lit(" 00:00:00"),
+        ).alias("PENDINGDATE"),
+        F.lit("00/00/0000 00:00:00").alias("ANTICCLOSEDDATE"),
+        F.lit("01/01/2019 00:00:00").alias("LISTDATE"),
+        F.concat((95 + k % 11).cast("string"), F.lit("%")).alias("SP/LP%"),
+        F.lit("remarks").alias("REMARKSPUBLIC"),
+        F.lit(None).cast("string").alias("REMARKSAGENT"),
+        F.lit(None).cast("string").alias("SHOWSPECIAL"),
+    )
+    out = clean_lnd(bronze, defaults={})
+    return out.select(
+        "listing_id",
+        F.col("LOTSIZE_SQFT").alias("lot_sqft"),
+        F.col("ASSESSTOTAL").alias("assess_total"),
+        F.col("INVESTMENT_SALE").alias("investment"),
+        F.col("YEAR").alias("year_"),
+        F.col("DAYS_TO_CLOSE").alias("days_to_close"),
+        F.col("SP/LP%").alias("sp_lp_pct"),
+        F.col("OLP/LP%").alias("olp_lp_pct"),
+        F.col("SP/OLP%").alias("sp_olp_pct"),
+    )
