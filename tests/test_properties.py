@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis): operator semantics vs pure-Python
+reference models on randomized inputs.  Example counts kept small — each
+example round-trips through Spark."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.cleaning import parse_lot_size
+from gsmls_analysis_spark.operators.dedup import keep_last_dedup
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_keep_last_dedup_model(spark, rows):
+    """Output == {for each key: the row with max seq}; seq made unique."""
+    data = [(k1, k2, i, v) for i, (k1, k2, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k1", "k2", "seq", "v"])
+    got = {
+        (r["k1"], r["k2"]): (r["seq"], r["v"])
+        for r in keep_last_dedup(df, ["k1", "k2"], "seq").collect()
+    }
+    expect: dict = {}
+    for k1, k2, seq, v in data:
+        if (k1, k2) not in expect or seq > expect[(k1, k2)][0]:
+            expect[(k1, k2)] = (seq, v)
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    dims=st.tuples(st.integers(10, 9999), st.integers(10, 9999)),
+    sf=st.integers(100, 999999),
+)
+def test_parse_lot_size_model(spark, dims, sf):
+    length, width = dims
+    cases = [
+        (f"{length} X {width}", float(length) * float(width)),
+        (f"{sf} SF", float(sf)),
+        ("total garbage", 0.0),
+        (None, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], ["i", "lot"]
+    ).select("i", parse_lot_size(F.col("lot")).alias("out"))
+    got = {r["i"]: r["out"] for r in df.collect()}
+    for i, (_, expected) in enumerate(cases):
+        assert got[i] == expected, cases[i]
+
+
+@SETTINGS
+@given(
+    a=st.lists(st.sampled_from("abcde"), min_size=3, max_size=25),
+    b=st.lists(st.sampled_from("abcde"), min_size=3, max_size=25),
+)
+def test_jaccard_ngram_model(spark, a, b):
+    from gsmls_analysis_spark.operators.dedup import jaccard_ngram
+
+    ta, tb = " ".join(a), " ".join(b)
+
+    def sh(tokens):
+        return {
+            " ".join(tokens[i : i + 3]) for i in range(max(len(tokens) - 2, 1))
+        }
+
+    sa, sb = sh(a), sh(b)
+    expected = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+    df = spark.createDataFrame([(ta, tb)], ["a", "b"]).select(
+        jaccard_ngram(F.col("a"), F.col("b"), 3).alias("j")
+    )
+    assert abs(df.first()["j"] - expected) < 1e-12
