@@ -29,6 +29,9 @@ HEADLINE = [
     "q05_nation_revenue",
     "q06_forecast_revenue",
     "q10_returned_items",
+    "q04_late_shipment_priority",
+    "q07_volume_shipping",
+    "q19_discounted_revenue",
     "q_keep_last_dedup",
     "q_latest_order_per_customer",
     "q_prefix_lookup_join",
