@@ -1,0 +1,57 @@
+"""Custom stateful streaming operators via applyInPandasWithState —
+the escape hatch for per-key streaming logic that built-in watermarked
+aggregations can't express (running counters with custom emission,
+session-ish accumulators with timeouts).
+
+Scale notes: state lives in the state store keyed by the group columns —
+bounded by key cardinality, checkpointed with the query.  Arrow batches
+per group keep the Python boundary vectorized, same as the batch
+mapInPandas path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) maintained across micro-batches;
+    one updated row emitted per user per batch in which the user appears.
+
+    The reference's per-type running row counters (GSMLS.py:52-58) were
+    driver-side dict mutations; this is the distributed, fault-tolerant
+    re-expression: state checkpointed, per-key, replayable.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -227,3 +227,57 @@ def test_watermark_finalizes_windows_in_append_mode(spark):
     # NOT final and must be absent from append output.
     assert "2024-01-01 12:00:00" not in rows
     assert rows.get("2024-01-01 10:00:00") == 1
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, sf_dir):
+    """Custom stateful operator: per-user running totals accumulate ACROSS
+    micro-batches (state store), finishing at the batch groupBy result."""
+    import tempfile
+
+    from gsmls_analysis_spark.sources import load_table
+    from gsmls_analysis_spark.streaming.stateful import running_user_totals
+
+    src_dir = tempfile.mkdtemp(prefix="t_state_")
+    ev_ids = load_table(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "value"
+    )
+    ev_ids.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/b1")
+    import time as _time
+
+    _time.sleep(2)
+    ev_ids.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/b2")
+
+    schema = spark.read.parquet(f"{src_dir}/b1").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    out = running_user_totals(sdf)
+    ckpt = tempfile.mkdtemp(prefix="t_state_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_state").toPandas()
+    # update mode: per user, the LAST emitted row is the final running total
+    final = emitted.groupby("user_id").last()
+    expect = (
+        ev_ids.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert (final["n_events"].sort_index() == expect["n"].sort_index()).all()
+    # at least one user appears in both batches => emitted twice
+    assert len(emitted) > len(final)
