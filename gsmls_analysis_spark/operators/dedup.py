@@ -269,26 +269,41 @@ def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
 
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit signature from token hashes; near-dups = small Hamming
-# distance.  xxhash64 is JVM-side and stable across Spark runs.
+# distance.  Token hashes are md5-derived (engine-portable), so the vote
+# computation is DuckDB-oracle-checkable; see q_simhash_votes.
 # ---------------------------------------------------------------------------
 
 
-def simhash_votes(col: Column) -> Column:
-    """64 SimHash bit votes in ONE fold: the accumulator is the array of
+def simhash_votes(col: Column, bits: int = 64) -> Column:
+    """SimHash bit votes in ONE fold: the accumulator is the array of
     per-bit counters, each token contributes ±1 per bit via shift-and-mask.
-    (64 separate F.aggregate calls would re-hash every token 64 times —
-    higher-order funcs don't participate in subexpression elimination.)"""
+    (Separate per-bit F.aggregate calls would re-hash every token per bit —
+    higher-order funcs don't participate in subexpression elimination.)
+
+    Token hash: two md5-derived 60-bit integers (hex chars 1-15 and 16-30)
+    cover bits 0-59 and 60-63 — unlike xxhash64, md5 reproduces bit-exactly
+    in any engine, so the votes are DuckDB-oracle-checkable."""
     toks = F.array_distinct(F.split(F.trim(col), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    init = F.array(*[F.lit(0)] * 64)
+    hashes = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring(F.md5(t), 16, 15), 16, 10).cast("long").alias("hi"),
+        ),
+    )
+    init = F.array(*[F.lit(0)] * bits)
 
     def step(acc: Column, h: Column) -> Column:
         votes = F.array(
             *[
                 F.when(
-                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0, 1
+                    F.shiftrightunsigned(
+                        h["lo"] if i < 60 else h["hi"], i if i < 60 else i - 60
+                    ).bitwiseAND(F.lit(1))
+                    != 0,
+                    1,
                 ).otherwise(-1)
-                for i in range(64)
+                for i in range(bits)
             ]
         )
         return F.zip_with(acc, votes, lambda x, y: x + y)

@@ -5,7 +5,9 @@ The MinHash oracle trick: one md5 per shingle → 60-bit integer base, then
 k affine rehashes (a_i*base + b_i) mod P — md5 and integer arithmetic are
 bit-identical in every engine, so the MinHash signature and LSH band
 buckets are oracle-checkable in DuckDB (both sides generated from the same
-coefficient table).  SimHash uses xxhash64 (JVM) → rows-only check.
+coefficient table).  SimHash token hashes are md5-derived too: the vote
+counters are oracle-checked (q_simhash_votes); the near-dup pairing stays
+rows-only (64-bit signed signature reconstruction isn't SQL-portable).
 """
 
 from __future__ import annotations
@@ -216,16 +218,73 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dups — xxhash64 is JVM-only → rows-only driver check
+# SimHash near-dups — rows-only driver check (signature reconstruction
+# isn't SQL-portable); the underlying votes are oracle-checked below
 # ---------------------------------------------------------------------------
 
 
 @query(
     "q_simhash_near_dups",
     oracle=None,
-    doc="SimHash(64) near-dups with pigeonhole segment blocking (rows-only: "
-    "xxhash64 has no DuckDB equivalent).",
+    doc="SimHash(64) near-dups with pigeonhole segment blocking (rows-only; "
+    "the md5-based vote computation is oracle-checked via q_simhash_votes).",
 )
 def q_simhash_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# SimHash vote counters — oracle-checkable since the token hash is
+# md5-derived.  Samples bits from both md5 halves (lo covers 0-59, hi 60-63).
+# ---------------------------------------------------------------------------
+
+_VOTE_BITS = [0, 1, 2, 7, 31, 59, 60, 63]
+
+
+def _vote_expr_duck(i: int) -> str:
+    src, shift = ("lo", i) if i < 60 else ("hi", i - 60)
+    return (
+        f"SUM(CASE WHEN ({src} >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    )
+
+
+@query(
+    "q_simhash_votes",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS lo,
+    CAST(('0x' || substr(md5(tok), 16, 15)) AS UBIGINT) AS hi
+  FROM toks
+)
+SELECT doc_id,
+  {", ".join(_vote_expr_duck(i) for i in _VOTE_BITS)},
+  COUNT(*) AS n_tokens
+FROM h GROUP BY doc_id
+""",
+    doc="SimHash bit-vote counters (md5-based token hash) — pins the core "
+    "of the SimHash computation to the DuckDB oracle bit-for-bit.",
+)
+def q_simhash_votes(spark, sf_dir):
+    from ..operators.dedup import simhash_votes
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    voted = docs.select(
+        "doc_id",
+        simhash_votes(F.col("text")).alias("votes"),
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias(
+            "n_tokens"
+        ),
+    )
+    return voted.select(
+        "doc_id",
+        *[F.element_at("votes", i + 1).alias(f"v{i}") for i in _VOTE_BITS],
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
