@@ -1,0 +1,47 @@
+"""Driver-contract tests: __spark_entry__ surface shape and oracle SQL
+validity.  A syntax error in one oracle (or an import error in one query
+module) would silently cost every query in the driver's correctness run —
+catch it here first."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    return con
+
+
+def test_entry_surface_shape():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 70
+    assert set(oracles) <= set(qs)
+    # every callable, every oracle a non-empty string
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+def test_every_oracle_parses_and_plans_in_duckdb(duck):
+    failures = []
+    for name, sql in entry_mod.oracle_sql().items():
+        try:
+            duck.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {exc}")
+    assert not failures, "\n".join(failures)
