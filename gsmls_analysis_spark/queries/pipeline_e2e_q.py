@@ -161,7 +161,7 @@ def q_res_pipeline_e2e(spark, sf_dir):
     from ..operators.pipelines import clean_res
 
     k = F.col("p_partkey")
-    bronze = load_table(spark, sf_dir, "part").select(
+    bronze = load_table(spark, sf_dir, "part", spread=False).select(
         k.alias("listing_id"),
         F.when(k % 4 == 0, "100 X 50")
         .when(k % 4 == 1, "21780 SF")
@@ -263,7 +263,7 @@ def q_tax_pipeline_e2e(spark, sf_dir):
     from ..operators.pipelines import clean_tax
 
     k = F.col("p_partkey")
-    bronze = load_table(spark, sf_dir, "part").select(
+    bronze = load_table(spark, sf_dir, "part", spread=False).select(
         k.alias("parcel_id"),
         F.concat(
             F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/15/"),
@@ -322,7 +322,7 @@ def q_rnt_pipeline_e2e(spark, sf_dir):
     from ..operators.pipelines import clean_rnt
 
     k = F.col("p_partkey")
-    bronze = load_table(spark, sf_dir, "part").select(
+    bronze = load_table(spark, sf_dir, "part", spread=False).select(
         k.alias("listing_id"),
         F.concat(
             F.lit("0"), (k % 9 + 1).cast("string"), F.lit("/20/"),
@@ -397,7 +397,7 @@ def q_mul_pipeline_e2e(spark, sf_dir):
     from ..operators.pipelines import clean_mul
 
     k = F.col("p_partkey")
-    bronze = load_table(spark, sf_dir, "part").select(
+    bronze = load_table(spark, sf_dir, "part", spread=False).select(
         k.alias("listing_id"),
         F.when(k % 4 == 0, "00:00:00")
         .otherwise((250000 + k).cast("string"))
@@ -484,7 +484,7 @@ def q_lnd_pipeline_e2e(spark, sf_dir):
     from ..operators.pipelines import clean_lnd
 
     k = F.col("p_partkey")
-    bronze = load_table(spark, sf_dir, "part").select(
+    bronze = load_table(spark, sf_dir, "part", spread=False).select(
         k.alias("listing_id"),
         k.alias("p_partkey"),
         F.when(k % 3 == 0, "200 X 150")
