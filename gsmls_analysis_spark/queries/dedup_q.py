@@ -245,7 +245,10 @@ _VOTE_BITS = [0, 1, 2, 7, 31, 59, 60, 63]
 def _vote_expr_duck(i: int) -> str:
     src, shift = ("lo", i) if i < 60 else ("hi", i - 60)
     return (
-        f"SUM(CASE WHEN ({src} >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        # CAST: DuckDB SUM(int) is HUGEINT -> pandas float64; Spark sum is
+        # int64 — the driver's value hash is dtype-sensitive.
+        f"CAST(SUM(CASE WHEN ({src} >> {shift}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS BIGINT) AS v{i}"
     )
 
 

@@ -62,8 +62,8 @@ WITH marked AS (
   FROM events
 ), sessioned AS (
   SELECT user_id, ts, value,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
@@ -132,8 +132,9 @@ def q_events_dedup_latest_per_user(spark, sf_dir):
 SELECT
   CASE WHEN event_id % 13 = 0 THEN 'corrupt' ELSE 'ok' END AS record_class,
   COUNT(*) AS n,
-  SUM(CASE WHEN event_id % 13 = 0 THEN 0
-           ELSE COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) END) AS k_sum
+  CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 0
+           ELSE COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) END)
+       AS BIGINT) AS k_sum
 FROM (SELECT event_id,
              CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3) ELSE props END AS props
       FROM events)

@@ -159,7 +159,7 @@ def q_text_classifier_cascade(spark, sf_dir):
     "q_doc_stats_by_source",
     oracle="""
 SELECT source, COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents

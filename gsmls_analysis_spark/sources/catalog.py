@@ -55,6 +55,16 @@ def load_table(
     so the exchange carries only filtered, pruned rows.  At the 100 TB
     target scans arrive with >= cores partitions and the guard no-ops.
     """
+    # Correctness confs this catalog depends on, set HERE (not only in
+    # session.py's builder) because callers may hand us a vanilla
+    # SparkSession (e.g. an external driver harness).  Both are
+    # runtime-settable on a plain session:
+    #  - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), an illegal
+    #    Spark parquet type unless read as long (converted to us below);
+    #  - UTC timezone: deterministic timestamp values vs external oracles
+    #    (DuckDB reads parquet timestamps naive).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

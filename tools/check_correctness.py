@@ -22,7 +22,6 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from gsmls_analysis_spark.session import get_spark  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -71,6 +70,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return issues
     for c in s.columns:
         sc, oc = s[c], o[c]
+        # dtype-STRICT: the driver's value hash is dtype-sensitive (DuckDB
+        # HUGEINT -> float64 vs Spark int64 hashed differently even when
+        # values were equal — round 1's only hash failures).  normalize()
+        # already coerces within-kind widths, so any remaining dtype gap is
+        # a cross-kind mismatch the driver would flag.
+        if sc.dtype != oc.dtype:
+            issues.append(f"col {c}: dtype spark={sc.dtype} oracle={oc.dtype}")
+            continue
         if pd.api.types.is_float_dtype(sc) and pd.api.types.is_float_dtype(oc):
             both_nan = sc.isna() & oc.isna()
             eq = (sc == oc) | both_nan
@@ -94,7 +101,25 @@ def main() -> int:
     only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
         set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
     )
-    spark = get_spark("check-correctness")
+    # VANILLA session, deliberately NOT session.get_spark(): the external
+    # driver harness builds its own untuned SparkSession, so any conf the
+    # engine's correctness depends on (nanosAsLong, UTC timezone) must be
+    # set by the engine at read time (sources/catalog.py::load_table), not
+    # by this gate.  Round 1 shipped 3 driver crashes because the tuned
+    # gate session masked exactly this.  master/shuffle-partitions are
+    # speed-only knobs with no correctness effect, so they stay.
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("check-correctness")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
     con = duck_connect(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
