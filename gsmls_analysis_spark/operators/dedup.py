@@ -182,6 +182,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 128,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: rows sharing any band
     signature.  Returns (id_a, id_b, band) distinct pairs, id_a < id_b.
@@ -189,6 +190,14 @@ def minhash_lsh_candidates(
     Plan shape: project (id, band, sig) → explode bands → shuffle on
     (band, sig) via self-join of the tiny bucketed projection.  The full
     cross product never exists.
+
+    ``max_bucket`` bounds per-bucket memory AND output: buckets up to the
+    cap expand all pairs from a collected array (≤ max_bucket elements);
+    a degenerate bucket (boilerplate near-identical docs — at 100 TB one
+    such signature can hold millions of rows) instead emits *star* pairs
+    against its min-id representative — O(m) rows, no giant array, and
+    downstream union-find connectivity of the dup cluster is preserved
+    exactly (every member still links to the representative).
     """
     rows_per_band = num_hashes // bands
     # signature computation is the CPU-heavy stage — make sure it runs at
@@ -228,16 +237,28 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("doc", "bs.band", "bs.sig")
-    # collect each (band, sig) bucket once and expand pairs inside it —
-    # signatures are computed ONE time (a self-join would recompute the
-    # whole signature projection on both sides) and only buckets with >= 2
-    # members survive the aggregation
+    # One window over (band, sig) computes bucket size + representative in
+    # the same shuffle the bucketing needs anyway; signatures are computed
+    # ONE time (a self-join would recompute the whole signature projection
+    # on both sides).  WindowExec buffers spill to disk, unlike a
+    # collect_list agg buffer, so even the degenerate bucket never OOMs.
+    w = Window.partitionBy("band", "sig")
+    tagged = stacked.select(
+        "doc",
+        "band",
+        "sig",
+        F.count(F.lit(1)).over(w).alias("bsize"),
+        F.min("doc").over(w).alias("rep"),
+    ).filter(F.col("bsize") > 1)
+    # small buckets: collect (bounded ≤ max_bucket) and expand all pairs;
+    # the groupBy reuses the window's (band, sig) hash partitioning — no
+    # second exchange
     buckets = (
-        stacked.groupBy("band", "sig")
+        tagged.filter(F.col("bsize") <= max_bucket)
+        .groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
-        .filter(F.size("docs") > 1)
     )
-    pairs = buckets.select(
+    pairs_small = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -251,8 +272,14 @@ def minhash_lsh_candidates(
                 )
             )
         ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    # oversized buckets: star expansion — rep is the min doc, so ordering
+    # id_a < id_b holds by construction
+    pairs_large = (
+        tagged.filter((F.col("bsize") > max_bucket) & (F.col("doc") != F.col("rep")))
+        .select(F.col("rep").alias("id_a"), F.col("doc").alias("id_b"))
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    return pairs_small.unionByName(pairs_large).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -330,14 +357,26 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, segments: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    segments: int = 4,
+    max_bucket: int = 128,
 ) -> DataFrame:
     """Candidate pairs by SimHash with pigeonhole segment blocking: split
     the 64-bit signature into ``segments`` chunks; any pair with Hamming
     ≤ segments-1 must agree on at least one whole chunk, so candidates are
     pairs sharing (chunk_idx, chunk_value) — one equi-join shuffle, never
     the O(n²) cross product.  Larger ``max_hamming`` keeps the same
-    blocking as a recall-tunable approximation."""
+    blocking as a recall-tunable approximation.
+
+    ``max_bucket``: buckets above the cap (a 16-bit chunk value shared by
+    boilerplate-heavy corpora — 112 members already at sf0.01) switch from
+    all-pairs expansion to star pairs against the bucket's min-doc
+    representative: O(m) output, no unbounded collect_list array, cluster
+    connectivity preserved.  Star pairs still carry the true Hamming
+    distance, so the ≤ max_hamming filter applies uniformly."""
     width = 64 // segments
     mask = (1 << width) - 1
     # two staged projections: the vote fold runs once, then the 64-way bit
@@ -363,17 +402,28 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("doc", "sig", "c.seg", "c.val")
-    # bucket-collect (one signature computation) and expand pairs in-bucket
+    # size + representative from one window on the bucketing key (same
+    # shuffle; WindowExec spills instead of building unbounded agg arrays)
+    w = Window.partitionBy("seg", "val")
+    tagged = chunks.select(
+        "doc",
+        "sig",
+        "seg",
+        "val",
+        F.count(F.lit(1)).over(w).alias("bsize"),
+        # struct min orders by doc first → the min-doc member and its sig
+        F.min(F.struct(F.col("doc"), F.col("sig"))).over(w).alias("rep"),
+    ).filter(F.col("bsize") > 1)
     buckets = (
-        chunks.groupBy("seg", "val")
+        tagged.filter(F.col("bsize") <= max_bucket)
+        .groupBy("seg", "val")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("doc"), F.col("sig")))
             ).alias("members")
         )
-        .filter(F.size("members") > 1)
     )
-    pairs = buckets.select(
+    pairs_small = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -391,9 +441,19 @@ def simhash_near_dups(
                 )
             )
         ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    pairs_large = (
+        tagged.filter(
+            (F.col("bsize") > max_bucket) & (F.col("doc") != F.col("rep.doc"))
+        )
+        .select(
+            F.col("rep.doc").alias("id_a"),
+            F.col("doc").alias("id_b"),
+            hamming64(F.col("rep.sig"), F.col("sig")).alias("hamming"),
+        )
     )
     return (
-        pairs.select("p.id_a", "p.id_b", "p.hamming")
+        pairs_small.unionByName(pairs_large)
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -69,6 +69,50 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_minhash_lsh_bucket_cap_star_expansion(spark):
+    """A degenerate 1000-member bucket (identical docs) must complete via
+    star expansion: 999 pairs all anchored at the min id, never a
+    1000-element collect_list array or the 499500-pair cross product."""
+    text = "identical boilerplate text repeated across every single document"
+    df = spark.createDataFrame([Row(doc_id=i, text=text) for i in range(1000)])
+    pairs = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=16, bands=4, max_bucket=10
+    ).collect()
+    assert len(pairs) == 999
+    assert all(r["id_a"] == 0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, 1000))
+
+
+def test_simhash_bucket_cap_star_expansion(spark):
+    text = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame([Row(doc_id=i, text=text) for i in range(500)])
+    pairs = dedup.simhash_near_dups(
+        df, "doc_id", "text", max_hamming=3, max_bucket=10
+    ).collect()
+    # identical docs → identical signature → hamming 0, star pairs only
+    assert len(pairs) == 499
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)
+
+
+def test_bucket_cap_does_not_change_small_bucket_output(spark):
+    """Below the cap, the capped operator is pair-for-pair identical to an
+    effectively-uncapped run."""
+    rows = [
+        Row(doc_id=i, text=f"shared prefix words here then unique tail {i} {i*7}")
+        for i in range(12)
+    ] + [Row(doc_id=100 + i, text="dup dup dup dup dup dup dup dup") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(df, "doc_id", "text", max_bucket=128).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(df, "doc_id", "text", max_bucket=10**9).collect()
+    }
+    assert capped == uncapped and capped
+
+
 def test_jaccard_ngram(spark):
     df = spark.createDataFrame([Row(a="x y z w", b="x y z w"), Row(a="a b c d", b="e f g h")])
     vals = [
