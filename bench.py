@@ -39,7 +39,10 @@ HEADLINE = [
     "q_minhash_lsh_pairs",
     "q_token_stats",
     "q_lang_id",
-    "q_cosine_topk_bruteforce",
+    # brute-force cosine stays registered as the correctness oracle but is
+    # NOT benched: a cross join is the canonical 100 TB scale-killer; the
+    # ANN paths below are the headline search operators
+    "q_lsh_topk_multiprobe",
     "q_ivf_topk",
     "q_embedding_near_dups",
     "q_events_tumbling_hour",

@@ -251,8 +251,8 @@ def q_ivf_topk(spark, sf_dir):
 @query(
     "q_lsh_topk_multiprobe",
     oracle=None,
-    doc="Hamming-1 multi-probe sign-LSH approximate top-k (rows-only: "
-    "recall-dependent by design; recall floor pinned in unit tests).",
+    doc="margin-aware multi-probe sign-LSH approximate top-k (rows-only: "
+    "recall-dependent by design; recall >= 0.7 pinned in unit tests).",
 )
 def q_lsh_topk_multiprobe(spark, sf_dir):
     from ..operators.similarity import lsh_topk_multiprobe
