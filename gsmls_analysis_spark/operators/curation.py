@@ -1,0 +1,245 @@
+"""Corpus-curation operators — the training-data pipeline layer above the
+near-dup primitives (dedup.py): cluster resolution, PII scrubbing, quality
+filtering, stratified sampling, and domain-mix resampling.
+
+All operators are built-in-expression only (JVM-side, whole-stage codegen);
+randomness is md5-derived so every sampling decision is reproducible across
+engines (the DuckDB oracles replay the identical arithmetic).
+
+Scale notes:
+- connected_components: label propagation converges in O(graph diameter)
+  rounds of one shuffle each; near-dup graphs are shallow (dup clusters are
+  dense), so a handful of rounds suffice.  For adversarially deep graphs
+  switch to alternating large-star/small-star contraction (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) — same join
+  primitive, O(log n) rounds.
+- pii_scrub / quality_filter: pure per-row projections — no shuffle at all.
+- stratified_sample / domain_mix: one hash-partition shuffle on the stratum
+  key at most (the fraction variant is shuffle-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate CLUSTERS: every node gets the
+    minimum reachable id as ``cluster_id`` — what a dedup pipeline actually
+    keys its keep/drop decision on (pairs alone can't express "A~B, B~C →
+    keep one of {A,B,C}").
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels (one equi-join + one min-aggregate =
+    one shuffle round), until a fixpoint.  ``localCheckpoint`` truncates
+    the lineage each round so the plan doesn't grow with iterations.  The
+    per-round ``count()`` is control flow, not data movement — it reads one
+    aggregated row.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no backreferences / lookaround) so the identical pattern runs in
+# Java regex AND DuckDB RE2
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+# scrub order matters: email first (its local part may contain digits), then
+# SSN (3-2-4 groups) before phone (3-3-4) so neither eats the other's text
+PII_SCRUB_ORDER = ("email", "ssn", "phone")
+
+
+def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
+    """Redact PII with typed placeholders and count matches per category.
+
+    Counts are taken on the ORIGINAL text (before any replacement) so the
+    per-category numbers are order-independent; replacement is sequential
+    in PII_SCRUB_ORDER.  Pure projection — scales linearly, no shuffle.
+    """
+    out = df
+    for kind in PII_SCRUB_ORDER:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind]))
+        )
+    scrubbed = F.col(text_col)
+    for kind in PII_SCRUB_ORDER:
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# quality filtering (Gopher-style rule cascade)
+# ---------------------------------------------------------------------------
+
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """Deterministic per-document quality signals (Rae et al., Gopher,
+    arXiv:2112.11446 §A1.1 -- the repetition/format rules that don't need a
+    model): word count, mean word length, symbol ratio, stopword presence."""
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(text)
+    n_clean = F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    symbol_ratio = F.when(
+        n_chars > 0, (n_chars - n_clean).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    has_stopword = F.arrays_overlap(
+        words, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "has_stopword": has_stopword,
+    }
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_wl: float = 2.0,
+    max_mean_wl: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Rule cascade with a reject reason (first failing rule, in a fixed
+    order) — mirrors how production corpus filters report WHY a document
+    was dropped, which is what makes filter-rate dashboards debuggable."""
+    s = quality_signals(F.col(text_col))
+    reason = (
+        F.when(s["n_words"] < min_words, "too_short")
+        .when(s["n_words"] > max_words, "too_long")
+        .when(
+            (s["mean_word_len"] < min_mean_wl) | (s["mean_word_len"] > max_mean_wl),
+            "word_length",
+        )
+        .when(s["symbol_ratio"] > max_symbol_ratio, "symbols")
+        .when(~s["has_stopword"], "no_stopword")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # raw doubles, not round(): both engines divide the same integers, so
+    # the bits match exactly; engine round() tie-handling would not
+    return df.select(
+        "*",
+        s["n_words"].alias("n_words"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["symbol_ratio"].alias("symbol_ratio"),
+        reason.alias("reject_reason"),
+    ).withColumn("keep", F.col("reject_reason").isNull())
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def md5_uniform(key: Column, salt: str = "") -> Column:
+    """Reproducible uniform in [0, 1): 60 bits of md5(key||salt) — the same
+    arithmetic replays in any engine, unlike rand(seed) whose stream is
+    engine-specific.  The basis for every sampling decision here."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+    return (h % F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
+
+
+def stratified_sample_exact(
+    df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, chosen by md5 order —
+    deterministic, rerun-stable, engine-portable.  One shuffle on the
+    stratum; the per-stratum sort is a bounded top-n (window row_number)."""
+    u = md5_uniform(F.col(key_col), salt="strat")
+    w = Window.partitionBy(stratum_col).orderBy(u, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def stratified_sample_fraction(
+    df: DataFrame, key_col: str, fractions: Column
+) -> DataFrame:
+    """Bernoulli sample at a per-row fraction (a Column, so it can vary by
+    stratum): keep iff md5-uniform(key) < fraction.  Shuffle-free."""
+    return df.filter(md5_uniform(F.col(key_col), salt="frac") < fractions)
+
+
+def domain_mix_resample(
+    df: DataFrame, key_col: str, weight: Column
+) -> DataFrame:
+    """Weighted up/down-sampling for training-mix construction: each row is
+    emitted floor(w) times plus one more with probability frac(w) — so the
+    EXPECTED multiplicity is exactly the weight, and the decision is
+    md5-deterministic per key.  Output adds ``copy_idx`` (1..n) so
+    downstream shuffles can spread the copies.  Explode of a bounded
+    sequence — no shuffle, no driver involvement."""
+    base = F.floor(weight).cast("int")
+    extra = (md5_uniform(F.col(key_col), salt="mix") < (weight - F.floor(weight)))
+    n_copies = (base + extra.cast("int")).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.when(F.col("__n") > 0, F.sequence(F.lit(1), F.col("__n")))
+                .otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__n")
+    )

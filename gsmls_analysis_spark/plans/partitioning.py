@@ -23,7 +23,35 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     stage.  The shuffle it introduces is on the *narrow* pre-projection
     rows, which is the cheap side of the pipeline.
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    # Guard on LOGICAL size stats, not df.rdd.getNumPartitions(): the rdd
+    # accessor forces full physical planning on every call (AQE included),
+    # which is pure overhead when this runs inside query-building code.
+    # Catalyst's sizeInBytes estimate is available pre-physical-planning;
+    # a scan of S bytes yields ~S / maxPartitionBytes splits, so anything
+    # estimated >= target * maxPartitionBytes is already wide enough.  If
+    # the estimate is unavailable or small, the repartition is a shuffle of
+    # small data — cheap by the same estimate that triggered it.
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 134217728)
+        if size >= target * max_pb:
+            return df
+    except Exception:  # stats unavailable → fall through to the exact check
+        pass
+    # small (or unknown) input: the exact partition-count check is cheap
+    # here because the plan it forces physical planning on is small
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            return int(raw[: -len(suffix)]) * mult
+    return int(raw)

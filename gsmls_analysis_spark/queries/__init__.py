@@ -76,25 +76,26 @@ _DRIVER_WINDOW = [
     "q_iqr_outliers",
     "q_simhash_votes",
     "q_doc_stats_by_source",
-    # (c) representative round-1 greens, one+ per family
+    # (c) NEW this round — never seen by any driver run
+    "q_dedup_clusters",
+    "q_pii_scrub",
+    "q_quality_filter",
+    "q_stratified_sample",
+    "q_domain_mix",
+    "q_sample_rate_audit",
+    # (d) representative round-1 greens, one+ per family
     "q01_pricing_summary",
     "q05_nation_revenue",
     "q04_late_shipment_priority",
-    "q_cube_order_priority",
     "q_currency_clean",
     "q_multi_hot_attrs",
-    "q_date_derivations",
     "q_keep_last_dedup",
     "q_prefix_lookup_join",
     "q_coalesce_enrichment",
-    "q_salted_join_revenue",
     "q_exact_dup_groups",
     "q_minhash_lsh_pairs",
-    "q_ngram_jaccard_pairs",
     "q_token_stats",
-    "q_lang_id",
     "q_cosine_topk_bruteforce",
-    "q_lsh_sign_buckets",
 ]
 
 
@@ -115,6 +116,7 @@ def load_all() -> dict[str, QueryDef]:
         "streaming_native_q",
         "multimodal_q",
         "pipeline_e2e_q",
+        "curation_q",
     ):
         # import errors must be LOUD: a silently-skipped module would drop
         # every query it registers from the driver's correctness run.

@@ -1,0 +1,270 @@
+"""Corpus-curation queries: cluster resolution, PII scrub, quality filter,
+deterministic sampling, domain-mix resampling — the training-data layer on
+top of the dedup/text primitives, each pinned to a DuckDB oracle.
+
+Every random decision is md5-derived (operators/curation.py::md5_uniform),
+so the oracles replay the exact arithmetic: 60-bit hex prefix of md5 →
+modulo 1e6 → compare against the same threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    PII_PATTERNS,
+    connected_components,
+    domain_mix_resample,
+    md5_uniform,
+    pii_scrub,
+    quality_filter,
+    stratified_sample_exact,
+)
+from ..operators.dedup import minhash_lsh_candidates
+from ..plans.partitioning import ensure_min_partitions
+from ..sources import load_table
+from . import query
+from .dedup_q import _LSH_ORACLE
+
+# ---------------------------------------------------------------------------
+# connected components over MinHash-LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY node
+""",
+    doc="near-dup cluster resolution: connected components (min-label "
+    "propagation) over the MinHash-LSH candidate pair graph — the keep/drop "
+    "unit of a dedup pipeline.  Oracle: recursive-CTE reachability closure.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+    return connected_components(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (PII injected deterministically from doc_id, then redacted)
+# ---------------------------------------------------------------------------
+
+_DIRTY_SQL = """
+SELECT doc_id,
+  text || ' contact user' || doc_id || '@mail.example.com or 555-123-' ||
+  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+  CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+FROM documents
+"""
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+WITH dirty AS ({_DIRTY_SQL})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ssn"]}')) AS INT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS INT) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+      '{PII_PATTERNS["ssn"]}', '<SSN>', 'g'),
+    '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS scrubbed
+FROM dirty
+""",
+    doc="PII redaction with per-category counts: email/SSN/phone regexes "
+    "(RE2-safe, identical in Java and DuckDB) over deterministically "
+    "PII-injected text.",
+)
+def q_pii_scrub(spark, sf_dir):
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, " ssn 123-45-6789").otherwise(""),
+        ).alias("text"),
+    )
+    out = pii_scrub(dirty, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        "scrubbed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality filter cascade
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_filter",
+    oracle="""
+WITH sig AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    len(text) AS n_chars,
+    len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_clean
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+              / len(words) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars > 0
+         THEN CAST(n_chars - n_clean AS DOUBLE) / n_chars ELSE 0.0 END
+      AS symbol_ratio,
+    len(list_intersect(words, ['the', 'a', 'of', 'and', 'to'])) > 0
+      AS has_stopword
+  FROM sig
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+  symbol_ratio,
+  CASE WHEN n_words < 10 THEN 'too_short'
+       WHEN n_words > 100000 THEN 'too_long'
+       WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_length'
+       WHEN symbol_ratio > 0.1 THEN 'symbols'
+       WHEN NOT has_stopword THEN 'no_stopword'
+       ELSE NULL END AS reject_reason,
+  CASE WHEN n_words < 10 THEN FALSE
+       WHEN n_words > 100000 THEN FALSE
+       WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN FALSE
+       WHEN symbol_ratio > 0.1 THEN FALSE
+       WHEN NOT has_stopword THEN FALSE
+       ELSE TRUE END AS keep
+FROM m
+""",
+    doc="Gopher-style quality rule cascade with first-failing reject "
+    "reason; raw double signals for bit-exact cross-engine parity.",
+)
+def q_quality_filter(spark, sf_dir):
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    out = quality_filter(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "symbol_ratio",
+        "reject_reason",
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (exactly n per source)
+# ---------------------------------------------------------------------------
+
+_U_SQL = (
+    "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15))"
+    " AS UBIGINT) % 1000000 AS DOUBLE) / 1000000.0"
+)
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_U_SQL.format(salt="strat")}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+    doc="exactly 10 docs per source, chosen by md5 order — deterministic, "
+    "rerun-stable, engine-replayable (no rand() stream dependence).",
+)
+def q_stratified_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_exact(docs, "source", "doc_id", 10)
+
+
+# ---------------------------------------------------------------------------
+# domain-mix resampling (weights by source band)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+         WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+         ELSE 1.0 END AS w
+  FROM documents
+), sized AS (
+  SELECT doc_id, source,
+    CAST(floor(w) AS INT) +
+    CASE WHEN {_U_SQL.format(salt="mix")} < w - floor(w) THEN 1 ELSE 0 END AS n
+  FROM weighted
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy_idx
+FROM sized
+""",
+    doc="training-mix construction: up/down-sample by per-domain weight "
+    "(expected multiplicity = weight, md5-deterministic extra copy).",
+)
+def q_domain_mix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weight = (
+        F.when(F.col("source").isin(*[f"src{i}" for i in range(5)]), F.lit(2.5))
+        .when(F.col("source").isin(*[f"src{i}" for i in range(5, 10)]), F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    return domain_mix_resample(docs, "doc_id", weight)
+
+
+# ---------------------------------------------------------------------------
+# sampling-fraction audit: measured keep-rate of the Bernoulli sampler
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_rate_audit",
+    oracle=f"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN {_U_SQL.format(salt="frac")} < 0.25 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+""",
+    doc="per-source keep counts of the deterministic 25% Bernoulli sampler "
+    "— the audit a pipeline runs to confirm sampling did what was asked.",
+)
+def q_sample_rate_audit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = md5_uniform(F.col("doc_id"), salt="frac") < F.lit(0.25)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+    )

@@ -1,0 +1,97 @@
+"""Corpus-curation operators: clustering, PII scrub, quality filter,
+deterministic sampling, domain-mix resampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators import curation
+
+
+def test_connected_components_transitive_chain(spark):
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in curation.connected_components(pairs).collect()
+    }
+    # A~B, B~C collapse to one cluster labeled by the min id
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in curation.connected_components(pairs).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="mail a@b.co and c.d@e.org call 555-123-4567 ssn 123-45-6789")]
+    )
+    r = curation.pii_scrub(df, "t").first()
+    assert r["n_email"] == 2 and r["n_phone"] == 1 and r["n_ssn"] == 1
+    assert r["scrubbed"] == "mail <EMAIL> and <EMAIL> call <PHONE> ssn <SSN>"
+
+
+def test_pii_scrub_ssn_not_eaten_by_phone(spark):
+    df = spark.createDataFrame([Row(id=1, t="123-45-6789 999-888-7777")])
+    r = curation.pii_scrub(df, "t").first()
+    assert r["scrubbed"] == "<SSN> <PHONE>"
+
+
+def test_quality_filter_reasons(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="too short"),
+            Row(doc_id=2, text="the " + " ".join(f"word{i}" for i in range(20))),
+            Row(doc_id=3, text=" ".join("supercalifragilistic" for _ in range(20))),
+            Row(doc_id=4, text=" ".join(f"w{i}" for i in range(20))),  # no stopword
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in curation.quality_filter(df, "text").collect()
+    }
+    assert got[1] == (False, "too_short")
+    assert got[2] == (True, None)
+    assert got[3] == (False, "word_length")
+    assert got[4] == (False, "no_stopword")
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [Row(k=f"s{i % 3}", id=i) for i in range(90)]
+    )
+    a = curation.stratified_sample_exact(df, "k", "id", 5)
+    counts = {r["k"]: r["n"] for r in a.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    b = curation.stratified_sample_exact(df, "k", "id", 5)
+    assert sorted(r["id"] for r in a.collect()) == sorted(r["id"] for r in b.collect())
+
+
+def test_domain_mix_multiplicities(spark):
+    df = spark.createDataFrame([Row(id=i, g="hi" if i < 200 else "lo") for i in range(400)])
+    w = F.when(F.col("g") == "hi", F.lit(2.5)).otherwise(F.lit(0.25))
+    out = curation.domain_mix_resample(df, "id", w)
+    per_row = {
+        r["id"]: r["n"]
+        for r in out.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    hi = [per_row.get(i, 0) for i in range(200)]
+    lo = [per_row.get(i, 0) for i in range(200, 400)]
+    assert set(hi) <= {2, 3} and set(lo) <= {0, 1}
+    # expected multiplicity tracks the weight (md5-uniform, 200 samples)
+    assert 2.2 <= sum(hi) / 200 <= 2.8
+    assert 0.1 <= sum(lo) / 200 <= 0.4
+    # copy_idx enumerates 1..n
+    three = next(i for i, n in enumerate(hi) if n == 3)
+    idxs = sorted(r["copy_idx"] for r in out.filter(F.col("id") == three).collect())
+    assert idxs == [1, 2, 3]
