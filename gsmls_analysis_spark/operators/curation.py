@@ -53,6 +53,10 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # labels only ever DECREASE under min-propagation, so sum(label) is a
+    # strictly-monotone progress measure: unchanged sum ⟺ fixpoint.  One
+    # single-row aggregate per round — no join against the previous state.
+    prev_sum = None
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -63,16 +67,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -135,3 +135,109 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each left row picks the latest right row with
+# right_time <= left_time on the same key (ties inclusive) — the temporal
+# lookup Spark has no native operator for.
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+) -> DataFrame:
+    """Backward as-of join via the union-and-carry-forward trick: tag both
+    sides, union on (key, time), and let ``last(payload, ignorenulls)``
+    over an ordered window carry each right row forward to every later left
+    row.  At equal times the right row sorts FIRST (side 0 < side 1), so
+    the match is inclusive (right_time <= left_time) — the same tie rule as
+    DuckDB/pandas ASOF.
+
+    Scale shape: ONE shuffle on ``key`` + a per-partition sort — identical
+    cost to a sort-merge join, with none of the range-join cross-product
+    blowup.  A skewed key salts the same way any SMJ key does.
+
+    ``right`` must be unique per (key, right_time); pre-dedup it (e.g.
+    ``keep_last_dedup``) or the carried payload is whichever duplicate
+    sorts last.  Left rows with no earlier right row keep NULL payload.
+    """
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*payload).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*payload).alias("__r"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        "__l.*", *[F.col("__m")[c].alias(c) for c in payload]
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Range-bucket join: value BETWEEN lo AND hi against a band table, without
+# the broadcast-nested-loop a raw non-equi join plans to.
+# ---------------------------------------------------------------------------
+
+
+def range_bucket_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join via bucketization: explode each [lo, hi] band into the
+    fixed-width buckets it covers, equi-join facts on their value's bucket,
+    then refine with the exact BETWEEN predicate.
+
+    Spark plans a raw ``v BETWEEN lo AND hi`` join as broadcast-nested-loop
+    — O(|facts| × |bands|) comparisons.  Bucketizing turns it into a hash
+    equi-join: each fact row meets only the bands overlapping its bucket.
+    Pick ``bucket_width`` near the median band width so bands explode into
+    O(1) buckets each."""
+    f = facts.withColumn(
+        "__bucket", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    )
+    b = bands.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    joined = f.join(b, "__bucket", how).filter(
+        F.col(value_col).between(F.col(lo_col), F.col(hi_col))
+    )
+    return joined.drop("__bucket")

@@ -83,6 +83,8 @@ _DRIVER_WINDOW = [
     "q_stratified_sample",
     "q_domain_mix",
     "q_sample_rate_audit",
+    "q_asof_latest_order",
+    "q_range_bucket_join",
     # (d) representative round-1 greens, one+ per family
     "q01_pricing_summary",
     "q05_nation_revenue",
@@ -94,8 +96,6 @@ _DRIVER_WINDOW = [
     "q_coalesce_enrichment",
     "q_exact_dup_groups",
     "q_minhash_lsh_pairs",
-    "q_token_stats",
-    "q_cosine_topk_bruteforce",
 ]
 
 

@@ -336,3 +336,102 @@ def q_salted_join_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice").cast("decimal(18,2)"), "total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (temporal lookup) — operators/joins.py::asof_join; oracle uses
+# DuckDB's native ASOF JOIN, so the union-and-carry-forward plan is pinned
+# against a reference implementation of the same semantics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_latest_order",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), e AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.event_date, '%Y-%m-%d') AS event_date,
+       r.o_orderkey AS asof_orderkey, r.o_totalprice AS asof_totalprice
+FROM e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.event_date >= r.odate
+""",
+    doc="as-of join: each event picks the customer's latest order on or "
+    "before the event date (one shuffle + sort, no range cross product).",
+)
+def q_asof_latest_order(spark, sf_dir):
+    from ..operators.dedup import keep_last_dedup
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("odate"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    latest = keep_last_dedup(orders, ["user_id", "odate"], "o_orderkey")
+    out = asof_join(
+        ev,
+        latest,
+        key="user_id",
+        left_time="event_date",
+        right_time="odate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    # date rendered as a string: Spark DateType maps to pandas object while
+    # an oracle DATE maps to datetime64 — dtype-strict compares would flag it
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range(interval) join via bucketization — operators/joins.py::
+# range_bucket_join; oracle is the plain BETWEEN theta join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_range_bucket_join",
+    oracle="""
+SELECT n_nationkey AS band,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem JOIN nation
+  ON l_quantity BETWEEN n_nationkey * 2 AND n_nationkey * 2 + 3
+GROUP BY band
+""",
+    doc="interval join as a bucketized equi-join (overlapping quantity "
+    "bands) — hash shuffle instead of the broadcast-nested-loop a raw "
+    "BETWEEN join plans to.",
+)
+def q_range_bucket_join(spark, sf_dir):
+    from ..operators.joins import range_bucket_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band"),
+        (F.col("n_nationkey") * 2).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 2 + 3).cast("double").alias("hi"),
+    )
+    joined = range_bucket_join(li, bands, "l_quantity", "lo", "hi", bucket_width=4.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_sum"),
+    )

@@ -164,3 +164,42 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain = orders.join(customer, "o_custkey").count()
     salted = salted_join(orders, customer, "o_custkey", salt_buckets=4).count()
     assert salted == plain
+
+
+def test_asof_join_semantics(spark):
+    from gsmls_analysis_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [Row(id=1, k=10, t=5), Row(id=2, k=10, t=2), Row(id=3, k=10, t=1),
+         Row(id=4, k=99, t=9)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=10, rt=2, v="a"), Row(k=10, rt=4, v="b")]
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    }
+    # t=5 → latest rt<=5 is rt=4; t=2 → tie is INCLUSIVE (rt=2);
+    # t=1 → nothing earlier; k=99 → no right rows at all
+    assert out == {1: "b", 2: "a", 3: None, 4: None}
+
+
+def test_range_bucket_join_matches_theta_join(spark):
+    from gsmls_analysis_spark.operators.joins import range_bucket_join
+
+    facts = spark.createDataFrame([Row(i=i, v=float(i % 23)) for i in range(200)])
+    bands = spark.createDataFrame(
+        [Row(band=b, lo=float(b * 3), hi=float(b * 3 + 4)) for b in range(8)]
+    )
+    got = {
+        (r["i"], r["band"])
+        for r in range_bucket_join(facts, bands, "v", "lo", "hi", 2.0).collect()
+    }
+    want = {
+        (r["i"], r["band"])
+        for r in facts.join(
+            bands, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    assert got == want and got
