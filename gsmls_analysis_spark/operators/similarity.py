@@ -18,6 +18,8 @@ round()).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -221,50 +223,212 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def multi_probe_blocks(
-    vec: Column, dims: tuple[int, ...], n_probe: int = 8
-) -> Column:
-    """Margin-aware (query-directed) multi-probe, the sign-LSH special case
-    of Lv et al., "Multi-Probe LSH" (VLDB 2007): a near neighbor most
-    likely lands across the hyperplanes the query is CLOSEST to, so rank
-    every sign pattern by the summed |margin| of its flipped planes and
-    probe the ``n_probe`` cheapest (the query's own block scores 0 and is
-    always first).  At equal probe budget this dominates naive Hamming-1
-    probing, which wastes probes flipping confident bits: measured top-3
-    recall on the synthetic embeddings, budget 8 of 16 buckets, is 0.71 at
-    sf0.01 / 0.82 at sf0.001 vs 0.48 for Hamming-1 with 5 buckets.
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH: multi-table packed hyperplane codes
+# with margin-aware subset probing (Lv et al., "Multi-Probe LSH", VLDB 2007;
+# Charikar, "Similarity estimation techniques from rounding algorithms",
+# STOC 2002).  See docs/ANN_NOTES.md for the measured recall/candidate
+# tradeoff on the synthetic embeddings and the isotropy bound that governs
+# what ANY angular index can achieve on that data.
+# ---------------------------------------------------------------------------
 
-    Enumerates all 2^len(dims) patterns at plan-build time (fine for the
-    default 4 planes; for wider codes enumerate subsets of the 4 weakest
-    margins instead — same probe order, bounded expression count)."""
-    if len(dims) > 6:
-        raise ValueError("multi_probe_blocks enumerates 2^len(dims) patterns; "
-                         "use <= 6 dims (or subset-of-weakest enumeration)")
-    bits = [
-        F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for d in dims
-    ]
-    flipped = [
-        F.when(F.element_at(vec, d) >= 0, F.lit("0")).otherwise(F.lit("1"))
-        for d in dims
-    ]
-    # |raw coordinate| is a valid margin: normalization rescales all dims
-    # by the same factor, so the subset-score ordering is unchanged
-    margins = [F.abs(F.element_at(vec, d).cast("double")) for d in dims]
-    scored = []
-    for mask in range(2 ** len(dims)):
-        parts = [
-            flipped[i] if (mask >> i) & 1 else bits[i] for i in range(len(dims))
-        ]
-        score: Column = F.lit(0.0)
-        for i in range(len(dims)):
-            if (mask >> i) & 1:
-                score = score + margins[i]
-        scored.append(
-            F.struct(score.alias("score"), F.concat(*parts).alias("block"))
+
+def srp_planes(
+    n_tables: int, n_bits: int, dim: int, seed: str = "srp-v2"
+) -> list[list[float]]:
+    """``n_tables * n_bits`` random hyperplanes with md5-derived Rademacher
+    (±1) entries — deterministic, engine-portable, and dimension-agnostic
+    (unlike raw coordinate signs, which waste bits on correlated dims).
+    Returned stacked: table ``t`` owns rows ``[t*n_bits, (t+1)*n_bits)``."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for j in range(n_tables * n_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _srp_projections(vec: Column, planes: list[list[float]]) -> Column:
+    """array<double> of <vec, plane_j> for every stacked plane row.  One
+    ``transform`` over a literal 2-D array keeps the plan compact (one
+    expression, not n_tables*n_bits separate folds)."""
+    planes_col = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in planes]
+    )
+    return F.transform(planes_col, lambda p: dot(vec, p))
+
+
+def _srp_powers(n_bits: int) -> Column:
+    return F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
+
+
+def _table_key(table: int, code: Column, n_bits: int) -> Column:
+    # single bigint join key: table id in the high bits, code in the low
+    return code + F.lit(table << n_bits).cast("long")
+
+
+def srp_corpus_keys(
+    vec: Column, planes: list[list[float]], n_tables: int, n_bits: int
+) -> Column:
+    """array<bigint> — one packed (table, code) key per table for a corpus
+    vector.  bigint keys join faster than bit-strings."""
+    projs = _srp_projections(vec, planes)
+    powers = _srp_powers(n_bits)
+    keys = []
+    for t in range(n_tables):
+        code = F.aggregate(
+            F.zip_with(
+                F.slice(projs, t * n_bits + 1, n_bits),
+                powers,
+                lambda p, w: F.when(p >= 0, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-    ranked = F.array_sort(F.array(*scored))  # (score, block) lexicographic
-    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["block"])
+        keys.append(_table_key(t, code, n_bits))
+    return F.array(*keys)
+
+
+def srp_code(projs: Column, n_bits: int) -> Column:
+    """Pack n_bits projection signs into one bigint bucket code."""
+    return F.aggregate(
+        F.zip_with(
+            projs, _srp_powers(n_bits),
+            lambda p, w: F.when(p >= 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def srp_weakest(projs: Column, n_bits: int, m_weak: int) -> Column:
+    """The m_weak (|margin|, bit-weight) pairs closest to their
+    hyperplanes, sorted weakest first."""
+    return F.slice(
+        F.array_sort(
+            F.zip_with(
+                projs, _srp_powers(n_bits),
+                lambda p, w: F.struct(F.abs(p).alias("m"), w.alias("w")),
+            )
+        ),
+        1,
+        m_weak,
+    )
+
+
+def srp_probe_keys(
+    code: Column,
+    weakest: Column,
+    table: int,
+    n_bits: int,
+    m_weak: int = 6,
+    n_probe: int = 8,
+) -> Column:
+    """array<bigint> — the ``n_probe`` most likely buckets of one table for
+    a query, ranked by summed |margin| of flipped planes (query's own
+    bucket scores 0, always first).  A near neighbor most likely sits
+    across the planes the query is CLOSEST to, so only subsets of the
+    ``m_weak`` weakest margins are enumerated: 2^m_weak candidate
+    expressions at plan-build time, never the 2^n_bits bucket space.
+
+    ``code`` and ``weakest`` (from srp_code / srp_weakest) should be
+    STAGED projection columns, not inline folds: the 2^m_weak subset
+    expressions reference them repeatedly, and higher-order folds are
+    opaque to Spark CSE."""
+    if m_weak > n_bits:
+        raise ValueError("m_weak cannot exceed n_bits")
+    if n_probe > 2**m_weak:
+        raise ValueError("n_probe > 2^m_weak: not enough enumerable subsets")
+    cands = []
+    for mask in range(2**m_weak):
+        score: Column = F.lit(0.0)
+        xmask: Column = F.lit(0).cast("long")
+        for i in range(m_weak):
+            if (mask >> i) & 1:
+                score = score + F.element_at(weakest, i + 1)["m"]
+                xmask = xmask + F.element_at(weakest, i + 1)["w"]
+        cands.append(
+            F.struct(score.alias("score"), code.bitwiseXOR(xmask).alias("code"))
+        )
+    ranked = F.slice(F.array_sort(F.array(*cands)), 1, n_probe)
+    return F.transform(ranked, lambda s: _table_key(table, s["code"], n_bits))
+
+
+def _srp_corpus_arrow(planes: list[list[float]], n_tables: int, n_bits: int):
+    """Arrow-batched corpus sketch: ONE numpy matmul per batch computes all
+    table codes and the l2-normalized vector.  The pure-expression path
+    evaluates ~n_tables*n_bits interpreted folds per row (higher-order
+    functions run outside whole-stage codegen), which measures ~100x
+    slower; this is exactly the 'vectorized Pandas UDF for numeric
+    kernels' case."""
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, L*b)
+    pw = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("struct<keys:array<bigint>,nv:array<double>>")
+    def sketch(emb: pd.Series) -> pd.DataFrame:
+        X = np.asarray(emb.tolist(), dtype=np.float64)
+        nv = X / np.linalg.norm(X, axis=1, keepdims=True)
+        bits = (X @ P) >= 0
+        keys = np.stack(
+            [
+                (bits[:, t * n_bits : (t + 1) * n_bits] @ pw) + (t << n_bits)
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )
+        return pd.DataFrame(
+            {"keys": list(keys.tolist()), "nv": list(nv.tolist())}
+        )
+
+    return sketch
+
+
+def _srp_probe_arrow(
+    planes: list[list[float]],
+    n_tables: int,
+    n_bits: int,
+    m_weak: int,
+    n_probe: int,
+):
+    """Arrow-batched query sketch: probe keys (margin-aware weakest-subset
+    enumeration, same ordering as srp_probe_keys) + normalized vector."""
+    P = np.asarray(planes, dtype=np.float64).T
+    pw = (1 << np.arange(n_bits)).astype(np.int64)
+    masks = np.arange(2**m_weak)
+    mask_bits = ((masks[:, None] >> np.arange(m_weak)) & 1).astype(bool)
+
+    @F.pandas_udf("struct<keys:array<bigint>,nv:array<double>>")
+    def sketch(emb: pd.Series) -> pd.DataFrame:
+        X = np.asarray(emb.tolist(), dtype=np.float64)
+        nv = X / np.linalg.norm(X, axis=1, keepdims=True)
+        proj = X @ P
+        all_keys = []
+        for row in proj:
+            keys = []
+            for t in range(n_tables):
+                pr = row[t * n_bits : (t + 1) * n_bits]
+                code = int((pr >= 0) @ pw)
+                am = np.abs(pr)
+                # weakest-first; ties on margin broken by bit weight asc,
+                # matching array_sort over (m, w) structs
+                order = np.lexsort((pw, am))[:m_weak]
+                scores = mask_bits @ am[order]
+                xors = (mask_bits @ pw[order]).astype(np.int64)
+                flipped = code ^ xors
+                # rank by (score, flipped code): same tie-break as the
+                # expression path's struct sort
+                top = np.lexsort((flipped, scores))[:n_probe]
+                keys.extend(
+                    (int(flipped[i]) + (t << n_bits)) for i in top
+                )
+            all_keys.append(keys)
+        return pd.DataFrame({"keys": all_keys, "nv": list(nv.tolist())})
+
+    return sketch
 
 
 def lsh_topk_multiprobe(
@@ -274,35 +438,136 @@ def lsh_topk_multiprobe(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec: str = "embedding",
-    dims: tuple[int, ...] = (1, 2, 3, 4),
+    dim: int = 64,
+    n_tables: int = 4,
+    n_bits: int = 16,
+    m_weak: int = 6,
     n_probe: int = 8,
+    seed: str = "srp-v2",
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """lsh_topk with margin-aware multi-probe on the query side.  Probe
-    volume is explicit: candidates ≈ (n_probe / 2^len(dims)) of the corpus
-    per query (uneven buckets skew this; measure, don't assume).  Still a
-    single equi-join on `block`, and because each corpus vector lives in
-    exactly ONE block, no (query, neighbor) pair can duplicate — no dedup
-    shuffle."""
-    q = queries.select(
-        F.col(q_id).alias("query_id"),
-        l2_normalize(F.col(vec)).alias("qv"),
-        F.explode(multi_probe_blocks(F.col(vec), dims, n_probe)).alias("block"),
-    )
-    c = corpus.select(
-        F.col(c_id).alias("neighbor_id"),
-        l2_normalize(F.col(vec)).alias("cv"),
-        sign_block(F.col(vec), dims).alias("block"),
-    )
+    """Multi-table SRP-LSH approximate top-k with margin-aware multi-probe.
+
+    Per table: corpus vectors land in one of 2^n_bits packed-bigint
+    buckets; each query probes its ``n_probe`` cheapest buckets (subsets
+    of its ``m_weak`` weakest margins).  Candidates are the union over
+    ``n_tables`` independent tables (banding amplification), deduped with
+    one ``distinct`` before the exact cosine re-rank.
+
+    At 100 TB: everything before the re-rank is a projection plus ONE
+    equi-join shuffle on a bigint key; candidate volume per query is
+    (sum of probed-bucket sizes), observed ≲1% of the corpus at the
+    defaults on the synthetic embeddings — vs ~50% for the old 4-bit
+    scheme.  Recall on ISOTROPIC data is bounded by the SRP exponent
+    (docs/ANN_NOTES.md); on clustered corpora (the regime ANN indexes are
+    for) the defaults reach ≥0.9 recall — unit-pinned on both."""
+    planes = srp_planes(n_tables, n_bits, dim, seed)
+    if use_arrow:
+        c_sketch = _srp_corpus_arrow(planes, n_tables, n_bits)
+        q_sketch = _srp_probe_arrow(planes, n_tables, n_bits, m_weak, n_probe)
+        c = corpus.select(
+            F.col(c_id).alias("neighbor_id"), c_sketch(F.col(vec)).alias("s")
+        ).select(
+            "neighbor_id",
+            F.col("s.nv").alias("cv"),
+            F.explode("s.keys").alias("key"),
+        )
+        q = queries.select(
+            F.col(q_id).alias("query_id"), q_sketch(F.col(vec)).alias("s")
+        ).select(
+            "query_id",
+            F.col("s.nv").alias("qv"),
+            F.explode("s.keys").alias("key"),
+        )
+    else:
+        # pure-expression path (engine-portable; ~100x slower interpreted)
+        c = corpus.select(
+            F.col(c_id).alias("neighbor_id"),
+            l2_normalize(F.col(vec)).alias("cv"),
+            F.explode(
+                srp_corpus_keys(F.col(vec), planes, n_tables, n_bits)
+            ).alias("key"),
+        )
+        # stage projections once, then per-table (code, weakest) as their
+        # own projection columns so the 2^m_weak subset expressions read
+        # cheap column refs instead of re-evaluated folds
+        qp = queries.select(
+            F.col(q_id).alias("query_id"),
+            l2_normalize(F.col(vec)).alias("qv"),
+            _srp_projections(F.col(vec), planes).alias("__projs"),
+        )
+        staged = qp.select(
+            "query_id",
+            "qv",
+            *[
+                col
+                for t in range(n_tables)
+                for col in (
+                    srp_code(
+                        F.slice(F.col("__projs"), t * n_bits + 1, n_bits),
+                        n_bits,
+                    ).alias(f"__code{t}"),
+                    srp_weakest(
+                        F.slice(F.col("__projs"), t * n_bits + 1, n_bits),
+                        n_bits,
+                        m_weak,
+                    ).alias(f"__weak{t}"),
+                )
+            ],
+        )
+        per_table = [
+            srp_probe_keys(
+                F.col(f"__code{t}"),
+                F.col(f"__weak{t}"),
+                t,
+                n_bits,
+                m_weak,
+                n_probe,
+            )
+            for t in range(n_tables)
+        ]
+        q = staged.select(
+            "query_id",
+            "qv",
+            F.explode(F.flatten(F.array(*per_table))).alias("key"),
+        )
     scored = (
-        q.join(c, "block")
+        q.join(c, "key")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine_sim(F.col("qv"), F.col("cv"), normalized=True).alias("cosine"),
         )
-        # a corpus vector sits in ONE block, so multi-probe cannot duplicate
-        # a (query, neighbor) pair — no dedup shuffle needed
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # multi-table candidates CAN duplicate a (query, neighbor) pair (the
+    # scored triple is identical — cosine is deterministic).  Dedup + top-k
+    # in ONE aggregation shuffle with map-side combine: per-query candidate
+    # count is bounded by n_tables*n_probe probed buckets, so the collected
+    # array is small by construction — cheaper than distinct + window
+    # (three exchanges) both locally and at scale.
+    ranked = scored.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cosine")).alias("negcos"),
+                            F.col("neighbor_id").alias("neighbor_id"),
+                            F.col("cosine").alias("cosine"),
+                        )
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return ranked.select(
+        "query_id", F.posexplode("top").alias("pos", "hit")
+    ).select(
+        "query_id",
+        F.col("hit.neighbor_id").alias("neighbor_id"),
+        F.col("hit.cosine").alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
+    )

@@ -206,8 +206,10 @@ def q_style_resolve(spark, sf_dir):
     "q_image_documents_nested",
     oracle=None,
     doc="A3 + nested assembly: per-listing document with Images "
-    "map<category, array<struct{Condition,URL,Directory}>> (rows-only: "
-    "nested map output is not hash-comparable across engines).",
+    "map<category, array<struct{Condition,URL,Directory}>> (rows-only; the "
+    "map is emitted as key-sorted to_json so the driver's pandas "
+    "canonicalizer can sort/hash the rows — the true nested struct is "
+    "exercised in tests/test_images_multimodal.py).",
 )
 def q_image_documents_nested(spark, sf_dir):
     listings = load_table(spark, sf_dir, "part").select(
@@ -223,4 +225,12 @@ def q_image_documents_nested(spark, sf_dir):
     entries = extract_image_entries(
         listings.select("listing_id", "IMAGES"), "listing_id", "IMAGES"
     ).join(listings.select("listing_id", "address", "condition"), "listing_id")
-    return assemble_image_documents(entries, "listing_id", "condition", "address")
+    docs = assemble_image_documents(entries, "listing_id", "condition", "address")
+    # Key-sort the map entries before serializing: to_json over a map is only
+    # deterministic if entry order is, and pandas cannot sort raw dict cells.
+    sorted_map = F.map_from_entries(F.array_sort(F.map_entries(F.col("Images"))))
+    return docs.select(
+        "listing_id",
+        F.col("address"),
+        F.to_json(sorted_map).alias("images_json"),
+    )
