@@ -199,6 +199,8 @@ def minhash_lsh_candidates(
     downstream union-find connectivity of the dup cluster is preserved
     exactly (every member still links to the representative).
     """
+    if max_bucket is None:
+        max_bucket = 1 << 62  # uncapped: exact all-pairs semantics
     rows_per_band = num_hashes // bands
     # signature computation is the CPU-heavy stage — make sure it runs at
     # full width even when the scan is a single small file
@@ -374,9 +376,17 @@ def simhash_near_dups(
     ``max_bucket``: buckets above the cap (a 16-bit chunk value shared by
     boilerplate-heavy corpora — 112 members already at sf0.01) switch from
     all-pairs expansion to star pairs against the bucket's min-doc
-    representative: O(m) output, no unbounded collect_list array, cluster
-    connectivity preserved.  Star pairs still carry the true Hamming
-    distance, so the ≤ max_hamming filter applies uniformly."""
+    representative: O(m) output, no unbounded collect_list array.  Star
+    pairs carry the true Hamming distance and the ≤ max_hamming filter
+    applies uniformly — which means a member whose distance to the
+    REPRESENTATIVE exceeds max_hamming loses its star edge, so (unlike
+    the MinHash cap, whose star pairs are unfiltered) connectivity of an
+    oversized bucket is NOT guaranteed: a capped bucket approximates
+    recall, trading it for bounded output.  Members usually re-pair
+    through their other ``segments-1`` chunks; pass ``max_bucket=None``
+    for exact all-pairs semantics when the corpus allows it."""
+    if max_bucket is None:
+        max_bucket = 1 << 62  # uncapped: exact all-pairs semantics
     width = 64 // segments
     mask = (1 << width) - 1
     # two staged projections: the vote fold runs once, then the 64-way bit

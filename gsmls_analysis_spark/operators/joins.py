@@ -112,6 +112,14 @@ def property_age(closed_date: Column, year_built: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _row_salt(salt_buckets: int):
+    """Per-row salt bucket: hash of the partition-unique row id, so
+    identical rows still land in different buckets."""
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+    ).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -120,16 +128,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where ``big`` has skewed keys: salt the big side with a
-    random-ish bucket derived from a second column-independent hash, and
-    explode the small side across all buckets.  The shuffle then spreads a
-    hot key over ``salt_buckets`` partitions instead of one.
+    per-row bucket, and explode the small side across all buckets.  The
+    shuffle then spreads a hot key over ``salt_buckets`` partitions
+    instead of one.
 
-    Deterministic salt (hash of the full row's monotonically increasing id
-    would be non-deterministic under retries — use a stable column hash).
+    The salt hashes ``monotonically_increasing_id`` — unique per ROW, so
+    even fully-identical duplicate rows (the pathological hot key) spread
+    across buckets; a content hash would send them all to one bucket and
+    keep the skew.  Salt assignment need not be retry-stable (any bucket
+    is a correct bucket — only the JOIN KEYS affect the result), so the
+    non-determinism of the id under task retries is harmless.
     """
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int")
-    )
+    salted_big = big.withColumn("__salt", _row_salt(salt_buckets))
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
@@ -224,12 +234,26 @@ def range_bucket_join(
     — O(|facts| × |bands|) comparisons.  Bucketizing turns it into a hash
     equi-join: each fact row meets only the bands overlapping its bucket.
     Pick ``bucket_width`` near the median band width so bands explode into
-    O(1) buckets each."""
+    O(1) buckets each.
+
+    ``how``: 'inner' or 'left' (facts-preserving).  The BETWEEN predicate
+    is part of the JOIN CONDITION, not a post-filter — a post-filter would
+    silently turn left joins into inner ones.  Duplicate-free by
+    construction for left: a fact's value maps to exactly one bucket, so
+    each band can match a fact at most once.  'right'/'outer' are
+    rejected: the band side is exploded per covered bucket, so unmatched
+    band rows would surface once per bucket copy."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "range_bucket_join supports how='inner' or 'left'; the band "
+            "side is bucket-exploded, so right/outer would duplicate "
+            "unmatched bands"
+        )
     f = facts.withColumn(
-        "__bucket", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+        "__fb", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
     )
     b = bands.withColumn(
-        "__bucket",
+        "__bb",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
@@ -237,7 +261,7 @@ def range_bucket_join(
             )
         ),
     )
-    joined = f.join(b, "__bucket", how).filter(
-        F.col(value_col).between(F.col(lo_col), F.col(hi_col))
+    cond = (f["__fb"] == b["__bb"]) & f[value_col].between(
+        b[lo_col], b[hi_col]
     )
-    return joined.drop("__bucket")
+    return f.join(b, cond, how).drop("__fb", "__bb")

@@ -58,7 +58,7 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = minhash_lsh_candidates(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
     )
-    return connected_components(pairs, "id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b").labels
 
 
 # ---------------------------------------------------------------------------

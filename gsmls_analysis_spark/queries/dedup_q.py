@@ -122,7 +122,12 @@ def q_minhash_signature(spark, sf_dir):
 # MinHash LSH near-dup candidate pairs (oracle-checkable banding)
 # ---------------------------------------------------------------------------
 
-def _lsh_oracle(num_hashes: int, bands: int) -> str:
+def _lsh_oracle(num_hashes: int, bands: int, max_bucket: int = 128) -> str:
+    """DuckDB replica of minhash_lsh_candidates INCLUDING the max_bucket
+    semantics: buckets up to the cap expand all pairs, oversized buckets
+    emit star pairs against their min-id representative — so the oracle
+    stays exact at any scale or skew, not just while every bucket happens
+    to stay under the cap."""
     rows_per_band = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes)
 
@@ -150,10 +155,22 @@ WITH {_BASES_CTE}, sig AS (
   FROM b GROUP BY doc_id
 ), stacked AS (
   {stacked}
+), sized AS (
+  SELECT doc_id, band, sig,
+         COUNT(*) OVER (PARTITION BY band, sig) AS bsize,
+         MIN(doc_id) OVER (PARTITION BY band, sig) AS rep
+  FROM stacked
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM stacked a JOIN stacked b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.bsize <= {max_bucket}
+  UNION ALL
+  SELECT rep AS id_a, doc_id AS id_b
+  FROM sized
+  WHERE bsize > {max_bucket} AND doc_id <> rep
+)
 """
 
 

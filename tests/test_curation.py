@@ -13,23 +13,83 @@ def test_connected_components_transitive_chain(spark):
     pairs = spark.createDataFrame(
         [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
     )
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in curation.connected_components(pairs).collect()
-    }
+    res = curation.connected_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in res.labels.collect()}
     # A~B, B~C collapse to one cluster labeled by the min id
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert res.converged
 
 
-def test_connected_components_long_path_converges(spark):
-    # a 12-node path needs multiple propagation rounds
-    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in curation.connected_components(pairs).collect()
-    }
+def test_connected_components_deep_chain(spark):
+    """A 1000-node path has diameter 1000: min-label propagation would need
+    1000 rounds, the star contraction must finish in O(log^2 n)."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(1000)]
+    ).repartition(8)
+    res = curation.connected_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in res.labels.collect()}
     assert set(got.values()) == {0}
-    assert len(got) == 13
+    assert len(got) == 1001
+    assert res.converged
+    assert res.n_rounds <= 15
+
+
+def test_connected_components_string_ids(spark):
+    """Id type-agnostic: string doc ids cluster by lexicographic min (the
+    old sum(label) convergence probe returned NULL for strings)."""
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a="doc-b", id_b="doc-c"),
+            Row(id_a="doc-c", id_b="doc-a"),
+            Row(id_a="doc-x", id_b="doc-y"),
+        ]
+    )
+    res = curation.connected_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in res.labels.collect()}
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "doc-x": "doc-x",
+        "doc-y": "doc-x",
+    }
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph vs a plain union-find reference."""
+    import random
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    touched = {n for e in edges for n in e}
+    for n in touched:
+        expected[n] = find(n)
+    # canonicalize union-find roots to component minima
+    comp_min = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[r] for n, r in expected.items()}
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges]
+    )
+    res = curation.connected_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in res.labels.collect()}
+    assert got == expected
 
 
 def test_pii_scrub_counts_and_redaction(spark):

@@ -113,6 +113,47 @@ def test_bucket_cap_does_not_change_small_bucket_output(spark):
     assert capped == uncapped and capped
 
 
+def test_lsh_capped_oracle_matches_spark_when_cap_engages(spark):
+    """Cross-engine: with a cap SMALL enough to actually trigger star
+    expansion on the real documents table, the DuckDB oracle (which now
+    models the cap) must produce the identical pair set — so the oracle
+    stays exact at skewed/large scale, not only while buckets stay small."""
+    import duckdb
+
+    from gsmls_analysis_spark.queries.dedup_q import _lsh_oracle
+    from gsmls_analysis_spark.sources import load_table
+
+    cap = 3
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text",
+            num_hashes=8, bands=4, shingle_n=3, max_bucket=cap,
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text",
+            num_hashes=8, bands=4, shingle_n=3, max_bucket=None,
+        ).collect()
+    }
+    assert got != uncapped, "cap=3 must actually engage on this corpus"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            _lsh_oracle(8, 4, max_bucket=cap)
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_jaccard_ngram(spark):
     df = spark.createDataFrame([Row(a="x y z w", b="x y z w"), Row(a="a b c d", b="e f g h")])
     vals = [
@@ -166,6 +207,28 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_join_spreads_identical_hot_rows(spark):
+    """The pathological hot key: N fully-identical rows.  A content-derived
+    salt puts them all in ONE bucket (the skew survives); the per-row salt
+    must spread them across all buckets."""
+    from gsmls_analysis_spark.operators.joins import _row_salt
+
+    hot = (
+        spark.range(1000)
+        .select(F.lit(7).alias("k"), F.lit("same").alias("payload"))
+        .repartition(8)
+    )
+    buckets = {
+        r["s"]: r["n"]
+        for r in hot.select(_row_salt(8).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(buckets) == 8, f"identical rows collapsed into {buckets}"
+    assert max(buckets.values()) <= 1000 / 8 * 2  # roughly balanced
+
+
 def test_asof_join_semantics(spark):
     from gsmls_analysis_spark.operators.joins import asof_join
 
@@ -202,4 +265,26 @@ def test_range_bucket_join_matches_theta_join(spark):
             bands, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
         ).collect()
     }
-    assert got == want and got
+    assert got == want
+
+
+def test_range_bucket_join_left_keeps_unmatched(spark):
+    """how='left' must keep facts outside every band (the BETWEEN lives in
+    the join condition — a post-filter would drop them)."""
+    import pytest
+
+    from gsmls_analysis_spark.operators.joins import range_bucket_join
+
+    facts = spark.createDataFrame(
+        [Row(i=1, v=5.0), Row(i=2, v=50.0)]  # 50.0 matches no band
+    )
+    bands = spark.createDataFrame([Row(band="b0", lo=4.0, hi=6.0)])
+    got = {
+        r["i"]: r["band"]
+        for r in range_bucket_join(
+            facts, bands, "v", "lo", "hi", 2.0, how="left"
+        ).collect()
+    }
+    assert got == {1: "b0", 2: None}
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        range_bucket_join(facts, bands, "v", "lo", "hi", 2.0, how="outer")
