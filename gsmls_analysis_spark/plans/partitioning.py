@@ -50,8 +50,18 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
 
 
 def _bytes_conf(spark, key: str, default: int) -> int:
+    # two-char suffixes first: '128mb' must not fall into the bare-'b'
+    # branch (int('128m') would raise and silently disable the fast path)
     raw = str(spark.conf.get(key, str(default))).strip().lower()
-    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suffix, mult in (
+        ("kb", 1 << 10),
+        ("mb", 1 << 20),
+        ("gb", 1 << 30),
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("b", 1),
+    ):
         if raw.endswith(suffix):
             return int(raw[: -len(suffix)]) * mult
     return int(raw)

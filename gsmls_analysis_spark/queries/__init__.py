@@ -33,69 +33,71 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The external verification harness checks a fixed-size PREFIX of this
-# registry (50 entries in round 1), so ordering controls which queries get
-# independently verified each round.  The window below front-loads: (a) all
-# 27 queries the round-1 harness never reached (similarity tail, stream,
-# images, native streaming, multimodal, e2e pipelines), (b) the 5 queries
-# that failed round 1 and were fixed (vanilla-session events read; BIGINT
-# oracle casts), (c) a representative green from every operator family.
-# Everything not listed keeps registration order after the window and stays
-# covered by the local gate (tools/check_correctness.py runs ALL queries).
+# registry (50 entries), so ordering controls which queries get
+# independently verified each round.  Rotation policy (deterministic, not
+# hand-picked): (a) every query NOT checked in the previous round's window
+# comes first, in registration order; (b) every query whose code or oracle
+# changed since its last driver check; (c) the remaining slots are
+# representative previous-round greens, one per operator family, in
+# registration order.  Everything else keeps registration order after the
+# window and stays covered by the local gate (tools/check_correctness.py
+# runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # (a) never driver-verified in round 1
+    # (a) round-3: the 35 queries outside the round-2 window (all r1-green;
+    # registration order)
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_topk_latest_orders",
+    "q_rollup_revenue",
+    "q_cube_order_priority",
+    "q_customers_without_orders",
+    "q07_volume_shipping",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q_lot_size_parse",
+    "q_town_suffix_strip",
+    "q_apn_normalize",
+    "q_remarks_concat",
+    "q_year_bounds_repair",
+    "q_date_derivations",
+    "q_price_ratio",
+    "q_validate_quarantine",
+    "q_condition_labels",
+    "q_address_normalize",
+    "q_upper_and_zero_pad",
+    "q_latest_order_per_customer",
+    "q_possession_time_lag",
+    "q_conditional_sum",
+    "q_set_ops",
+    "q_salted_join_revenue",  # salt derivation changed r3
+    "q_minhash_signature",
+    "q_ngram_jaccard_pairs",
+    "q_simhash_near_dups",
+    "q_token_stats",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_text_classifier_cascade",
+    "q_cosine_topk_bruteforce",
+    "q_lsh_sign_buckets",
+    # (b) code/oracle changed in round 3 — must re-verify even though
+    # checked in round 2
+    "q_image_documents_nested",  # r2's only red: now key-sorted to_json
     "q_lsh_topk",
-    "q_embedding_label_centroid_sim",
-    "q_embedding_near_dups",
-    "q_ivf_topk",
-    "q_lsh_topk_multiprobe",
-    "q_events_tumbling_hour",
-    "q_events_sessionize",
-    "q_events_dedup_latest_per_user",
-    "q_events_json_quarantine",
-    "q_user_gap_stats_pandas",
-    "q_image_extract_classify",
-    "q_room_category_counts",
-    "q_style_resolve",
-    "q_image_documents_nested",
-    "q_stream_tumbling_hour_native",
-    "q_stream_sessionize_native",
-    "q_stream_dedup_within_watermark",
-    "q_stream_json_quarantine_native",
-    "q_stream_foreach_batch_ingest",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_fake_decode",
-    "q_res_pipeline_e2e",
-    "q_tax_pipeline_e2e",
-    "q_rnt_pipeline_e2e",
-    "q_mul_pipeline_e2e",
-    "q_lnd_pipeline_e2e",
-    # (b) red in round 1, fixed this round — must re-verify
-    "q_approx_distinct",
-    "q_scalar_subquery",
-    "q_iqr_outliers",
-    "q_simhash_votes",
-    "q_doc_stats_by_source",
-    # (c) NEW this round — never seen by any driver run
-    "q_dedup_clusters",
-    "q_pii_scrub",
-    "q_quality_filter",
-    "q_stratified_sample",
-    "q_domain_mix",
-    "q_sample_rate_audit",
-    "q_asof_latest_order",
-    "q_range_bucket_join",
-    # (d) representative round-1 greens, one+ per family
+    "q_lsh_topk_multiprobe",  # SRP v2 rewrite
+    "q_dedup_clusters",  # large-star/small-star rewrite
+    "q_minhash_lsh_pairs",  # oracle now models max_bucket
+    "q_range_bucket_join",  # BETWEEN folded into join condition
+    # (c) representative round-2 greens, one per family (registration order)
     "q01_pricing_summary",
-    "q05_nation_revenue",
-    "q04_late_shipment_priority",
-    "q_currency_clean",
-    "q_multi_hot_attrs",
-    "q_keep_last_dedup",
-    "q_prefix_lookup_join",
-    "q_coalesce_enrichment",
-    "q_exact_dup_groups",
-    "q_minhash_lsh_pairs",
+    "q_events_dedup_latest_per_user",
+    "q_ivf_topk",
+    "q_stream_sessionize_native",
+    "q_stream_foreach_batch_ingest",
+    "q_image_extract_classify",
+    "q_multimodal_features",
+    "q_res_pipeline_e2e",
+    "q_pii_scrub",
 ]
 
 

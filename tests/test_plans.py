@@ -85,3 +85,23 @@ def test_keep_last_dedup_single_shuffle(spark, sf_dir):
     # other allowed exchange is the guarded round-robin scan spread
     assert plan.count("hashpartitioning") == 1
     assert plan.count("Exchange (") <= 2
+
+
+def test_bytes_conf_parses_two_char_suffixes(spark):
+    """'128mb'-style spellings must hit the mb branch, not bare-'b' (which
+    made int('128m') raise and silently disabled the size-stats fast
+    path)."""
+    from gsmls_analysis_spark.plans.partitioning import _bytes_conf
+
+    key = "spark.gsmls.test.bytes"
+    for raw, want in [
+        ("128mb", 128 << 20),
+        ("64kb", 64 << 10),
+        ("2gb", 2 << 30),
+        ("128m", 128 << 20),
+        ("42b", 42),
+        ("1048576", 1048576),
+    ]:
+        spark.conf.set(key, raw)
+        assert _bytes_conf(spark, key, 0) == want, raw
+    spark.conf.unset(key)
