@@ -250,6 +250,156 @@ def quality_filter(
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk: the pretraining data layout)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    seq_len: int,
+    order_col: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid end-to-end in
+    ``order_col`` order (within each ``partition_col`` stratum) and the
+    token stream is cut into fixed ``seq_len`` sequences — the layout GPT
+    pretraining loaders consume.  A document that straddles a cut emits
+    one row per covered sequence.
+
+    Output adds: ``seq_idx`` (which sequence), ``offset_in_seq`` (where
+    this doc's piece starts inside it), ``tok_start_in_doc`` (which part
+    of the doc it is), ``n_tokens`` (piece length).
+
+    Scale shape: ONE window cumsum per stratum plus a bounded explode —
+    no driver, no state.  Pack per shard (``partition_col``) so the
+    window never funnels the corpus through one partition; sequence ids
+    are then (stratum, seq_idx) pairs, which is what loaders shard on
+    anyway.  All arithmetic is integer (DIV/MOD), so the DuckDB oracle
+    matches exactly."""
+    part = F.col(partition_col) if partition_col else F.lit(0)
+    w = (
+        Window.partitionBy(part)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tc = F.col(token_count_col).cast("long")
+    out = (
+        df.filter(tc > 0)
+        .withColumn("__end", F.sum(tc).over(w))
+        .withColumn("__start", F.col("__end") - tc)
+        .withColumn(
+            "seq_idx",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__start DIV {seq_len}"),
+                    F.expr(f"(__end - 1) DIV {seq_len}"),
+                )
+            ),
+        )
+    )
+    seq_start = F.col("seq_idx") * seq_len
+    return out.select(
+        *df.columns,
+        "seq_idx",
+        F.greatest(F.col("__start") - seq_start, F.lit(0).cast("long")).alias(
+            "offset_in_seq"
+        ),
+        F.greatest(seq_start - F.col("__start"), F.lit(0).cast("long")).alias(
+            "tok_start_in_doc"
+        ),
+        (
+            F.least(F.col("__end"), seq_start + seq_len)
+            - F.greatest(F.col("__start"), seq_start)
+        ).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (the Gopher rules quality_filter doesn't cover)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition analysis needs the multiset;
+    dedup's ``shingles`` dedups).  Short docs yield one (short) gram —
+    same convention as shingles, replayed by the DuckDB oracles."""
+    toks = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def mode_run_length(arr: Column) -> Column:
+    """Count of the most frequent element: longest run in the sorted array,
+    in ONE fold (shuffle-free — the per-doc alternative, explode +
+    groupBy(doc, gram), pays a full shuffle of every n-gram)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(g.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr), init, step, lambda acc: acc["best"]
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str,
+    top2_max: float = 0.20,
+    top3_max: float = 0.18,
+    dup_word_max: float = 0.80,
+) -> DataFrame:
+    """Gopher-style repetition rules (Rae et al., arXiv:2112.11446 §A1.1):
+    fraction of all word 2-/3-grams taken by the single most frequent one,
+    plus the duplicate-word fraction.  Boilerplate and degenerate generated
+    text score high; thresholds default to the Gopher paper's 0.20 / 0.18.
+    Pure projection — no shuffle; the mode counts are single folds over
+    sorted gram arrays.  Fractions are exact integer ratios, so the DuckDB
+    oracle (which computes the mode via unnest + GROUP BY) matches
+    bit-for-bit."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    g2 = word_ngrams(F.col(text_col), 2)
+    g3 = word_ngrams(F.col(text_col), 3)
+    staged = df.select(
+        "*",
+        F.size(toks).alias("__nw"),
+        F.size(F.array_distinct(toks)).alias("__ndw"),
+        mode_run_length(g2).alias("__m2"),
+        F.size(g2).alias("__n2"),
+        mode_run_length(g3).alias("__m3"),
+        F.size(g3).alias("__n3"),
+    )
+    top2 = F.col("__m2").cast("double") / F.col("__n2")
+    top3 = F.col("__m3").cast("double") / F.col("__n3")
+    dupw = (F.col("__nw") - F.col("__ndw")).cast("double") / F.col("__nw")
+    reason = (
+        F.when(top2 > top2_max, "top_2gram")
+        .when(top3 > top3_max, "top_3gram")
+        .when(dupw > dup_word_max, "dup_words")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return staged.select(
+        *df.columns,
+        top2.alias("top2gram_frac"),
+        top3.alias("top3gram_frac"),
+        dupw.alias("dup_word_frac"),
+        reason.alias("repetition_reject"),
+    ).withColumn("keep", F.col("repetition_reject").isNull())
+
+
+# ---------------------------------------------------------------------------
 # deterministic sampling
 # ---------------------------------------------------------------------------
 
@@ -285,6 +435,77 @@ def stratified_sample_fraction(
     """Bernoulli sample at a per-row fraction (a Column, so it can vary by
     stratum): keep iff md5-uniform(key) < fraction.  Shuffle-free."""
     return df.filter(md5_uniform(F.col(key_col), salt="frac") < fractions)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic three-way split keyed on md5-uniform(key): the same
+    document lands in the same split on every rerun, on any engine, and
+    after any repartition — the property that keeps eval sets stable as a
+    corpus is rebuilt.  Shuffle-free projection."""
+    u = md5_uniform(F.col(key_col), salt=salt)
+    return df.withColumn(
+        "split",
+        F.when(u < test_frac, "test")
+        .when(u < test_frac + val_frac, "val")
+        .otherwise("train"),
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    train_id: str,
+    eval_id: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval contamination: for every train document, the number of
+    distinct word n-grams it shares with ANY eval document (n=8 or 13 are
+    the commonly published choices; lower n = stricter).
+
+    Scale shape: both sides explode per-doc DISTINCT n-grams (bounded by
+    doc length); the eval side is deduped to one row per gram and
+    broadcast when small (the usual case — eval sets are tiny next to the
+    corpus), so the train-side gram stream never shuffles for the join;
+    the per-doc count is a partial-aggregated groupBy.  Zero-overlap docs
+    are kept via the final left join (count 0, contaminated=false)."""
+    tg = train.select(
+        F.col(train_id).alias("__tid"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("__g"),
+    )
+    eg = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("__g")
+        )
+        .distinct()
+    )
+    shared = (
+        tg.join(F.broadcast(eg), "__g")
+        .groupBy("__tid")
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+    )
+    return (
+        train.join(
+            shared, train[train_id] == shared["__tid"], "left"
+        )
+        .select(
+            *train.columns,
+            F.coalesce(F.col("__n_shared"), F.lit(0).cast("long")).alias(
+                "n_shared_ngrams"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_shared_ngrams") > 0)
+    )
 
 
 def domain_mix_resample(

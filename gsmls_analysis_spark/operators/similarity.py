@@ -178,6 +178,67 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_train(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 64,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd/k-means refinement of IVF cell centroids,
+    entirely as DataFrame aggregations (no driver-side math, no MLlib):
+
+    - init: the ``n_cells`` lowest-id corpus vectors (deterministic,
+      rerun-stable — rand-free init keeps retrains comparable);
+    - per iteration: assign every vector to its nearest centroid
+      (broadcast cross join + bounded window = ivf_assign), then recompute
+      each cell's mean by ``posexplode`` + groupBy(cell, pos) — two
+      shuffles per iteration, both on small keys; empty cells keep their
+      previous centroid.
+
+    Returns (cell, nv) with l2-normalized centroids, ready for
+    ``ivf_topk`` / the persisted partitionBy("cell") layout.  At 100 TB
+    train on a sample (``corpus.sample`` or a stratified subset) — Lloyd
+    on a 1% sample converges to the same cells at a fraction of the
+    assignment cost."""
+    nv = corpus.select(F.col(id_col).alias("__id"), l2_normalize(F.col(vec)).alias("nv"))
+    w = Window.orderBy("__id")
+    cents = (
+        nv.orderBy("__id")
+        .limit(n_cells)
+        .select((F.row_number().over(w) - 1).alias("cell"), "nv")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(nv, cents, id_col="__id", n_probe=1).select(
+            "cell", "nv"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("mean")
+            )
+            .select("cell", l2_normalize(F.col("mean")).alias("new_nv"))
+        )
+        cents = (
+            cents.join(means, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("new_nv"), F.col("nv")).alias("nv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def sign_block(vec: Column, dims: tuple[int, ...]) -> Column:
     """Random-hyperplane LSH bucket id from the signs of fixed dimensions
     (1-indexed) — deterministic, engine-portable."""

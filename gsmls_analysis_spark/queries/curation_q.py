@@ -14,11 +14,14 @@ from pyspark.sql import functions as F
 from ..operators.curation import (
     PII_PATTERNS,
     connected_components,
+    contamination_check,
     domain_mix_resample,
     md5_uniform,
     pii_scrub,
     quality_filter,
+    repetition_signals,
     stratified_sample_exact,
+    train_val_test_split,
 )
 from ..operators.dedup import minhash_lsh_candidates
 from ..plans.partitioning import ensure_min_partitions
@@ -268,3 +271,171 @@ def q_sample_rate_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept.cast("int")).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher rules over word n-gram multisets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_repetition_signals",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+    list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS g3
+  FROM w
+), m2 AS (
+  SELECT doc_id, MAX(c) AS mode2 FROM (
+    SELECT doc_id, gg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY doc_id, gg
+  ) GROUP BY doc_id
+), m3 AS (
+  SELECT doc_id, MAX(c) AS mode3 FROM (
+    SELECT doc_id, gg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g3) AS gg FROM g) GROUP BY doc_id, gg
+  ) GROUP BY doc_id
+), metrics AS (
+  SELECT g.doc_id,
+    CAST(m2.mode2 AS DOUBLE) / len(g.g2) AS top2gram_frac,
+    CAST(m3.mode3 AS DOUBLE) / len(g.g3) AS top3gram_frac,
+    CAST(len(g.toks) - len(list_distinct(g.toks)) AS DOUBLE)
+      / len(g.toks) AS dup_word_frac
+  FROM g JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
+)
+SELECT doc_id, top2gram_frac, top3gram_frac, dup_word_frac,
+  CASE WHEN top2gram_frac > 0.20 THEN 'top_2gram'
+       WHEN top3gram_frac > 0.18 THEN 'top_3gram'
+       WHEN dup_word_frac > 0.80 THEN 'dup_words'
+       ELSE NULL END AS repetition_reject,
+  (CASE WHEN top2gram_frac > 0.20 THEN 'top_2gram'
+        WHEN top3gram_frac > 0.18 THEN 'top_3gram'
+        WHEN dup_word_frac > 0.80 THEN 'dup_words'
+        ELSE NULL END) IS NULL AS keep
+FROM metrics
+""",
+    doc="Gopher repetition rules: top word-2/3-gram fraction + duplicate "
+    "word fraction, first-failing reject reason.  Shuffle-free fold on the "
+    "Spark side; oracle recomputes the mode via unnest + GROUP BY.",
+)
+def q_repetition_signals(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs, "text").drop("text")
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_train_split",
+    oracle=f"""
+SELECT doc_id, source,
+  CASE WHEN {_U_SQL.format(salt="split")} < 0.05 THEN 'test'
+       WHEN {_U_SQL.format(salt="split")} < 0.10 THEN 'val'
+       ELSE 'train' END AS split
+FROM documents
+""",
+    doc="deterministic md5-keyed train/val/test assignment: same doc, same "
+    "split, on every rerun, any engine, any partitioning.",
+)
+def q_train_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return train_val_test_split(docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination (shared word n-grams)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_contamination_check",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS gs
+  FROM w
+), tr AS (
+  SELECT doc_id, unnest(gs) AS gg FROM g WHERE doc_id % 19 <> 3
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS gg FROM g WHERE doc_id % 19 = 3
+), sh AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tr JOIN ev USING (gg) GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(sh.n_shared, CAST(0 AS BIGINT)) AS n_shared_ngrams,
+  COALESCE(sh.n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 3) d
+LEFT JOIN sh USING (doc_id)
+""",
+    doc="eval-set contamination: per train doc, distinct word 3-grams "
+    "shared with the held-out subset (doc_id % 19 == 3).  Eval grams are "
+    "deduped + broadcast; train grams never shuffle for the join.",
+)
+def q_contamination_check(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.pmod("doc_id", F.lit(19)) != 3)
+    eval_df = docs.filter(F.pmod("doc_id", F.lit(19)) == 3)
+    out = contamination_check(train, eval_df, "doc_id", "doc_id", "text", n=3)
+    return out.select("doc_id", "n_shared_ngrams", "contaminated")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk per source shard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cend
+  FROM t WHERE n_toks > 0
+), s AS (
+  SELECT doc_id, source, n_toks,
+         CAST(cend - n_toks AS BIGINT) AS cstart,
+         CAST(cend AS BIGINT) AS cend
+  FROM c
+)
+SELECT doc_id, source,
+       CAST(seq AS BIGINT) AS seq_idx,
+       CAST(greatest(cstart - seq * 512, 0) AS BIGINT) AS offset_in_seq,
+       CAST(greatest(seq * 512 - cstart, 0) AS BIGINT) AS tok_start_in_doc,
+       CAST(least(cend, (seq + 1) * 512) - greatest(cstart, seq * 512)
+            AS BIGINT) AS n_tokens
+FROM s, UNNEST(generate_series(cstart // 512, (cend - 1) // 512)) AS u(seq)
+""",
+    doc="concat-and-chunk packing into 512-token sequences per source "
+    "shard: the pretraining-loader layout; straddling docs emit one row "
+    "per covered sequence.  One window cumsum + bounded explode.",
+)
+def q_pack_sequences(spark, sf_dir):
+    from ..operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    return pack_sequences(
+        docs, "n_toks", 512, order_col="doc_id", partition_col="source"
+    ).drop("n_toks")

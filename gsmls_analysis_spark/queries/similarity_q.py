@@ -259,3 +259,28 @@ def q_lsh_topk_multiprobe(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk_multiprobe(emb.filter(F.col("vec_id") < 50), emb, k=5)
+
+
+@query(
+    "q_ivf_topk_trained",
+    oracle=None,
+    doc="IVF top-k over Lloyd-trained centroids (ivf_train, 16 cells, 2 "
+    "iterations) — rows-only: distributed float means are not bit-stable "
+    "across engines; quantization improvement is unit-asserted "
+    "(test_ivf_train_improves_quantization).",
+)
+def q_ivf_topk_trained(spark, sf_dir):
+    from ..operators.similarity import ivf_topk, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_cells=16, n_iter=2)
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        cents.select("cell", F.col("nv").alias("embedding")),
+        k=5,
+        n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )

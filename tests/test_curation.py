@@ -155,3 +155,81 @@ def test_domain_mix_multiplicities(spark):
     three = next(i for i, n in enumerate(hi) if n == 3)
     idxs = sorted(r["copy_idx"] for r in out.filter(F.col("id") == three).collect())
     assert idxs == [1, 2, 3]
+
+
+def test_repetition_signals_flags_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="spam spam spam spam spam spam"),
+            Row(id=2, t="a quick brown fox jumps over the lazy sleeping dog"),
+        ]
+    )
+    got = {r["id"]: r for r in curation.repetition_signals(df, "t").collect()}
+    # doc 1: every 2-gram is "spam spam" -> top2gram_frac 1.0, rejected
+    assert got[1]["top2gram_frac"] == 1.0
+    assert got[1]["repetition_reject"] == "top_2gram"
+    assert not got[1]["keep"]
+    assert got[2]["repetition_reject"] is None and got[2]["keep"]
+
+
+def test_train_val_test_split_deterministic_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in
+         curation.train_val_test_split(df, "k").collect()}
+    b = {r["k"]: r["split"] for r in
+         curation.train_val_test_split(df.repartition(13), "k").collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["test"] / 2000 - 0.05) < 0.02
+    assert abs(c["val"] / 2000 - 0.05) < 0.02
+
+
+def test_contamination_check_finds_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the secret eval passage lives here today"),
+            Row(doc_id=2, text="completely unrelated training content words"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="prefix junk the secret eval passage lives on")]
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["contaminated"])
+        for r in curation.contamination_check(
+            train, ev, "doc_id", "doc_id", "text", n=4
+        ).collect()
+    }
+    # "the secret eval passage" and "secret eval passage lives" overlap
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Hand-checked layout: docs of 3/4/5 tokens into length-6 sequences.
+    Stream: [d1:0-3) [d2:3-7) [d3:7-12) → seq0=[0,6) seq1=[6,12)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, n=3), Row(doc_id=2, n=4), Row(doc_id=3, n=5)]
+    )
+    rows = {
+        (r["doc_id"], r["seq_idx"]): (
+            r["offset_in_seq"], r["tok_start_in_doc"], r["n_tokens"]
+        )
+        for r in curation.pack_sequences(
+            df, "n", 6, order_col="doc_id"
+        ).collect()
+    }
+    assert rows == {
+        (1, 0): (0, 0, 3),  # d1 fills seq0[0:3]
+        (2, 0): (3, 0, 3),  # d2 fills seq0[3:6]...
+        (2, 1): (0, 3, 1),  # ...and straddles into seq1[0:1]
+        (3, 1): (1, 0, 5),  # d3 fills seq1[1:6]
+    }
+    # every sequence position is covered exactly once
+    per_seq = {}
+    for (_, seq), (_, _, n) in rows.items():
+        per_seq[seq] = per_seq.get(seq, 0) + n
+    assert per_seq == {0: 6, 1: 6}

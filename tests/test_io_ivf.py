@@ -373,3 +373,39 @@ def test_jdbc_validate_then_write_quarantine(spark, tmp_path):
     stored = jdbc_read(spark, url, table="clean_rows", properties=props)
     assert [r["id"] for r in stored.collect()] == [1]
     assert res.quarantine.count() == 2
+
+
+def test_ivf_train_improves_quantization(spark):
+    """Lloyd refinement must improve the k-means objective (mean cosine of
+    each vector to its assigned centroid) over the raw first-k init on
+    clustered data, keep exactly n_cells centroids, and stay deterministic
+    in shape."""
+    from gsmls_analysis_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        ivf_train,
+        l2_normalize,
+    )
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(), ["vec_id", "embedding"]
+    )
+    nv = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("nv"))
+
+    def objective(cents):
+        a = ivf_assign(nv, cents.select("cell", "nv"), id_col="vec_id",
+                       n_probe=1)
+        joined = a.join(
+            cents.select("cell", F.col("nv").alias("cv")), "cell"
+        )
+        return joined.agg(
+            F.avg(dot(F.col("nv"), F.col("cv"))).alias("o")
+        ).first()["o"]
+
+    w_init = ivf_train(emb, n_cells=10, n_iter=0)
+    w_3 = ivf_train(emb, n_cells=10, n_iter=3)
+    assert w_init.count() == 10 and w_3.count() == 10
+    o0, o3 = objective(w_init), objective(w_3)
+    # init = first 10 vectors (all one cluster); 3 Lloyd rounds must
+    # spread the cells and raise mean assignment similarity materially
+    assert o3 > o0 + 0.05, (o0, o3)
