@@ -202,7 +202,10 @@ def ivf_train(
     on a 1% sample converges to the same cells at a fraction of the
     assignment cost."""
     nv = corpus.select(F.col(id_col).alias("__id"), l2_normalize(F.col(vec)).alias("nv"))
-    w = Window.orderBy("__id")
+    # the init window runs over the already-LIMITed n_cells rows; the
+    # constant partition key silences the single-partition warning without
+    # changing the (intentionally tiny) layout
+    w = Window.partitionBy(F.lit(0)).orderBy("__id")
     cents = (
         nv.orderBy("__id")
         .limit(n_cells)

@@ -8,7 +8,7 @@ Python in the hot path; engine-portable formulas so each has a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -144,4 +144,29 @@ def fingerprint(col: Column, prefix_chars: int = 100) -> Column:
             F.length(norm).cast("string"),
             token_count(col).cast("string"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction: global token frequencies (tokenizer training /
+# vocab pruning input).
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
+    """Top-k corpus vocabulary by token frequency with stable tie-break
+    (count desc, token asc) and 1-based rank.
+
+    Scale shape: explode → partial-aggregated groupBy(token) → global
+    top-k (TakeOrderedAndProject — per-partition heads, never a full
+    sort).  Token cardinality, not corpus size, bounds the shuffle."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # rank window runs over the already-LIMITed k rows; constant partition
+    # key avoids the single-partition warning
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.col("token"))
+    return (
+        counts.orderBy(F.desc("n"), "token")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
     )

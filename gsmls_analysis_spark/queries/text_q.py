@@ -176,3 +176,28 @@ def q_doc_stats_by_source(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank FROM (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM (
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ) GROUP BY token
+  )
+) WHERE rank <= 50
+""",
+    doc="vocabulary construction: global top-50 tokens by frequency "
+    "(count desc, token asc tie-break) — the tokenizer-training / "
+    "vocab-pruning input.  TakeOrderedAndProject, never a full sort.",
+)
+def q_vocab_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = tx.vocab_topk(docs, "text", k=50)
+    return out.select("token", F.col("n").cast("long").alias("n"),
+                      F.col("rank").cast("int").alias("rank"))

@@ -47,6 +47,7 @@ BOUNDED_CROSS_OK = {
     "q_cosine_topk_bruteforce",
     "q_iqr_outliers",
     "q_ivf_topk",
+    "q_ivf_topk_trained",  # same broadcast-centroid scoring as q_ivf_topk
     "q_scalar_subquery",
 }
 
