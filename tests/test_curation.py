@@ -233,3 +233,55 @@ def test_pack_sequences_concat_and_chunk(spark):
     for (_, seq), (_, _, n) in rows.items():
         per_seq[seq] = per_seq.get(seq, 0) + n
     assert per_seq == {0: 6, 1: 6}
+
+
+def test_pack_sequences_properties(spark):
+    """Property check over random corpora: concat-and-chunk packing must
+    (a) partition every document exactly (piece lengths sum to the doc's
+    token count, starts contiguous from 0), and (b) tile the token stream
+    (every sequence except the last holds exactly seq_len tokens, the
+    last holds the remainder)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                        max_size=30),
+        seq_len=st.integers(min_value=1, max_value=17),
+    )
+    def check(counts, seq_len):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, n=c) for i, c in enumerate(counts)]
+        )
+        rows = curation.pack_sequences(
+            df, "n", seq_len, order_col="doc_id"
+        ).collect()
+        per_doc: dict[int, list] = {}
+        per_seq: dict[int, int] = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(
+                (r["tok_start_in_doc"], r["n_tokens"])
+            )
+            per_seq[r["seq_idx"]] = per_seq.get(r["seq_idx"], 0) + r["n_tokens"]
+        total = sum(counts)
+        for i, c in enumerate(counts):
+            pieces = sorted(per_doc.get(i, []))
+            assert sum(n for _, n in pieces) == c
+            # contiguous from 0
+            pos = 0
+            for start, n in pieces:
+                assert start == pos and n > 0
+                pos += n
+        if total:
+            n_seqs = -(-total // seq_len)
+            assert set(per_seq) == set(range(n_seqs))
+            for s in range(n_seqs - 1):
+                assert per_seq[s] == seq_len
+            assert per_seq[n_seqs - 1] == total - (n_seqs - 1) * seq_len
+
+    check()
