@@ -80,3 +80,45 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         F.countDistinct("user_id").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
+
+
+def test_srp_corpus_bucketed_layout_no_corpus_shuffle(spark):
+    """The 100 TB SRP read path: the corpus sketch (one row per vector per
+    table-key) persisted as a bucketed table on `key`.  A probe join then
+    reads bucket-aligned corpus scans — only the (tiny) query side sorts/
+    shuffles, the corpus is never re-partitioned per query batch."""
+    import shutil
+
+    from gsmls_analysis_spark.operators.similarity import (
+        srp_corpus_keys,
+        srp_planes,
+    )
+    from gsmls_analysis_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    planes = srp_planes(4, 16, 64)
+    sketch = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            srp_corpus_keys(F.col("embedding"), planes, 4, 16)
+        ).alias("key"),
+    )
+    spark.sql("DROP TABLE IF EXISTS b_srp_corpus")
+    shutil.rmtree("/tmp/spark_graft_warehouse/b_srp_corpus", ignore_errors=True)
+    (
+        sketch.write.bucketBy(8, "key")
+        .sortBy("key")
+        .mode("overwrite")
+        .saveAsTable("b_srp_corpus")
+    )
+    probes = spark.range(0, 200).select(
+        (F.col("id") * 31 % (1 << 18)).alias("key"),
+        F.col("id").alias("query_id"),
+    )
+    joined = spark.table("b_srp_corpus").hint("merge").join(probes, "key")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    # exactly one exchange: the probe side; the bucketed corpus scan joins
+    # in place
+    assert plan.count("Exchange (") == 1, plan
+    assert "b_srp_corpus" in plan
