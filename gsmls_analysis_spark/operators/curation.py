@@ -145,6 +145,46 @@ def connected_components(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    score: Column,
+) -> DataFrame:
+    """The keep/drop decision a dedup pipeline actually ships: given
+    cluster labels (from ``connected_components``), keep exactly ONE
+    document per duplicate cluster — the highest-``score`` member, ties
+    broken by lowest id (deterministic).  Documents in no cluster are
+    their own singleton and are always kept.
+
+    One broadcast-or-shuffle join to attach labels + one max_by aggregate
+    on the cluster key; no window sort."""
+    lab = labels.select(
+        F.col("doc_id").alias("__lid"), F.col("cluster_id").alias("__cl")
+    )
+    with_cluster = docs.join(
+        lab, docs[id_col] == lab["__lid"], "left"
+    ).select(
+        *docs.columns,
+        F.coalesce(F.col("__cl"), docs[id_col]).alias("cluster_id"),
+        score.alias("__score"),
+    )
+    best = with_cluster.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col("__score"), (-F.col(id_col)).alias("__negid")),
+        ).alias("__best")
+    )
+    return (
+        with_cluster.join(best, "cluster_id")
+        .select(
+            *docs.columns,
+            "cluster_id",
+            (F.col(id_col) == F.col("__best")).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------

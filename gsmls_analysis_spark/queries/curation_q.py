@@ -439,3 +439,63 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(
         docs, "n_toks", 512, order_col="doc_id", partition_col="source"
     ).drop("n_toks")
+
+
+# ---------------------------------------------------------------------------
+# full dedup chain: pairs -> clusters -> keep-best representative
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         len(regexp_split_to_array(trim(d.text), '\\s+')) AS score
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+),
+best AS (
+  SELECT cluster_id, doc_id AS best_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.cluster_id, s.doc_id = b.best_id AS keep
+FROM scored s JOIN best b USING (cluster_id)
+""",
+    doc="the complete dedup chain: MinHash-LSH pairs -> connected "
+    "components -> one kept representative per cluster (highest token "
+    "count, ties to lowest id); singletons always kept.  max_by "
+    "aggregate, no window sort on the Spark side.",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    from ..operators.curation import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+    labels = connected_components(pairs, "id_a", "id_b").labels
+    out = dedup_keep_best(
+        docs, labels, "doc_id",
+        score=F.size(F.split(F.trim("text"), r"\s+")),
+    )
+    return out.select("doc_id", "cluster_id", "keep")

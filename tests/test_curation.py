@@ -285,3 +285,23 @@ def test_pack_sequences_properties(spark):
             assert per_seq[n_seqs - 1] == total - (n_seqs - 1) * seq_len
 
     check()
+
+
+def test_dedup_keep_best_representative_selection(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, quality=5),
+            Row(doc_id=2, quality=9),   # cluster {1,2,3}: best quality
+            Row(doc_id=3, quality=9),   # tie -> loses to lower id 2
+            Row(doc_id=7, quality=1),   # singleton: always kept
+        ]
+    )
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)])
+    labels = curation.connected_components(pairs).labels
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in curation.dedup_keep_best(
+            docs, labels, "doc_id", F.col("quality")
+        ).collect()
+    }
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False), 7: (7, True)}
