@@ -37,11 +37,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # independently verified each round.  Rotation policy (deterministic, not
 # hand-picked): (a) every query NOT checked in the previous round's window
 # comes first, in registration order; (b) every query whose code or oracle
-# changed since its last driver check; (c) the remaining slots are
-# representative previous-round greens, one per operator family, in
-# registration order.  Everything else keeps registration order after the
-# window and stays covered by the local gate (tools/check_correctness.py
-# runs ALL queries every time).
+# changed since its last driver check; (c) every query added this round
+# (never driver-checked); (d) any remaining slots go to representative
+# previous-round greens in registration order.  Everything else keeps
+# registration order after the window and stays covered by the local gate
+# (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
     # (a) round-3: the 35 queries outside the round-2 window (all r1-green;
     # registration order)
@@ -88,16 +88,17 @@ _DRIVER_WINDOW = [
     "q_dedup_clusters",  # large-star/small-star rewrite
     "q_minhash_lsh_pairs",  # oracle now models max_bucket
     "q_range_bucket_join",  # BETWEEN folded into join condition
-    # (c) representative round-2 greens, one per family (registration order)
+    # (c) NEW in round 3 — never seen by any driver run
+    "q_repetition_signals",
+    "q_train_split",
+    "q_contamination_check",
+    "q_pack_sequences",
+    "q_vocab_topk",
+    "q_dedup_keep_best",
+    "q_ivf_topk_trained",
+    # (d) representative round-2 greens (registration order)
     "q01_pricing_summary",
-    "q_events_dedup_latest_per_user",
-    "q_ivf_topk",
-    "q_stream_sessionize_native",
-    "q_stream_foreach_batch_ingest",
-    "q_image_extract_classify",
-    "q_multimodal_features",
     "q_res_pipeline_e2e",
-    "q_pii_scrub",
 ]
 
 

@@ -119,7 +119,7 @@ cleaned AS (
          ELSE water END AS water,
     -- DuckDB RE2 has no backreferences; in this synthesized range
     -- (1200-3199 plus the literal '9999') the reference junk rule
-    -- (\d)\1{{3,}} fires exactly on '9999' and '2222'
+    -- the repeated-digit backreference fires exactly on '9999' and '2222'
     CASE WHEN sqft IN ('9999', '2222') THEN '0.0' ELSE sqft END AS sqft_str,
     CASE WHEN TRY_CAST(bathstotal AS DOUBLE) = 0.0
          THEN TRY_CAST(bathsfulltotal AS DOUBLE)
