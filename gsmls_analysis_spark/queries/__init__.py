@@ -120,6 +120,7 @@ def load_all() -> dict[str, QueryDef]:
         "multimodal_q",
         "pipeline_e2e_q",
         "curation_q",
+        "tpch_extra_q",
     ):
         # import errors must be LOUD: a silently-skipped module would drop
         # every query it registers from the driver's correctness run.

@@ -1,0 +1,386 @@
+"""Advanced TPC-H-shaped queries: outer-join distributions, correlated
+subqueries, EXISTS/NOT-EXISTS rewrites, and share-of-total aggregations.
+
+These widen the relational surface beyond core.py's Q1/Q3/Q4/Q5/Q6/Q7/Q10/
+Q14/Q19 set with the remaining canonical shapes the synthetic schema can
+express (no partsupp table, so Q2/Q9/Q11/Q15/Q16/Q20 are out of reach;
+Q12's ship-mode and Q22's phone-prefix predicates are adapted to available
+columns).
+
+Scale notes (100 TB):
+
+- q13: left-outer join keeps customer as the probe side; the two groupBys
+  are both partial-aggregated, and the second one (distribution over
+  c_count) collapses to at most a few thousand groups regardless of input
+  size.
+- q17: the brand/size filter prunes part to <1% before anything touches
+  lineitem; the pruned key set is broadcast, so lineitem is scanned once
+  with a semi-join-like broadcast filter and the per-part average is a
+  partial agg over that pruned subset only — no correlated re-scan per
+  part, which is how the literal SQL would execute.
+- q21: the classic formulation needs TWO lineitem self-joins (EXISTS +
+  NOT EXISTS).  Here both are rewritten into ONE aggregation over
+  lineitem⨝orders: per order, count distinct suppliers, distinct LATE
+  suppliers, and late lines; a supplier "kept everyone waiting" iff the
+  order has >1 suppliers and exactly 1 late one (itself).  One shuffle
+  instead of three, and the DuckDB oracle runs the *original* correlated
+  EXISTS/NOT-EXISTS form, independently validating the rewrite.
+- q22: the scalar average is computed once (decimal-exact sum / count,
+  cast to double — bit-identical in both engines) and broadcast into the
+  filter; the "has no orders" predicate is a left-anti join, Spark's
+  native NOT EXISTS plan.
+- q08: share-of-total as conditional-sum / sum over exact decimals, cast
+  to double only for the final division; all dimension joins broadcast.
+
+Reference parity: these generalize the reference's seasonal rollup and
+cross-category share reports (GSMLS.py:1556-1572 status+period rollups;
+GSMLS.py:1662-1690 category share-of-total math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dec, dsum, one_minus_dec
+from ..sources import load_table
+from . import query
+
+_LATE = "INTERVAL 60 DAYS"  # adapted lateness: shipped >60d after order
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H q13 shape: conditional left-outer join, two-level count "
+    "distribution (customers with zero orders must survive as c_count=0).",
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size < 5
+),
+li2 AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN pf ON p_partkey = l_partkey
+),
+av AS (
+  SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_thresh
+  FROM li2 GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+  AS avg_yearly
+FROM li2 JOIN av ON l_partkey = pk
+WHERE l_quantity < qty_thresh
+""",
+    doc="TPC-H q17 shape: correlated per-part average threshold, "
+    "decorrelated into one broadcast-pruned aggregation.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pf = part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)).select(
+        "p_partkey"
+    )
+    # broadcast the pruned key set: lineitem is scanned exactly once
+    li2 = li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # l_quantity is integer-valued, so the double AVG is exact and
+    # bit-identical to DuckDB's regardless of summation order
+    av = li2.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li2.join(F.broadcast(av), li2["l_partkey"] == av["pk"])
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H q18 shape: HAVING-filtered big groupBy, then dim joins on "
+    "the tiny surviving set.",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # aggregate lineitem FIRST: the >300 filter keeps a handful of orders,
+    # so the subsequent joins move almost nothing (vs joining 3 tables and
+    # grouping the join product, which shuffles the whole fact table twice)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    j = orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle=f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + {_LATE.replace("DAYS", "DAY")}
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + {_LATE.replace("DAYS", "DAY")}
+  )
+  AND s_nationkey = n_nationkey AND n_regionkey = 2
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    doc="TPC-H q21 shape: EXISTS + NOT-EXISTS lineitem self-joins, "
+    "rewritten as ONE per-order aggregation (the oracle runs the original "
+    "correlated form, independently validating the rewrite).",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li_o = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr(_LATE)
+    )
+    # NOTE the semantics being replaced: l1 qualifies iff its order has
+    # another supplier (EXISTS) and no OTHER late supplier (NOT EXISTS).
+    # Since l1 itself is late, that is exactly: n_supp > 1 and the set of
+    # late suppliers == {l1.suppkey}.  One aggregation per order captures
+    # n_supp, n_late_supp, the late supplier's key, and how many late
+    # lines it had (the original counts one row per late LINE).
+    per_order = li_o.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
+    )
+    waiting = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    supp_dim = supplier.join(
+        nation.filter(F.col("n_regionkey") == 2),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(supp_dim), waiting["late_supp"] == supp_dim["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_inactive_customer_balance",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (0, 3, 7, 11, 14, 19, 22)
+),
+avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM pool WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS nation, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM pool, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY nation
+""",
+    doc="TPC-H q22 shape: scalar-average subquery + NOT EXISTS anti-join "
+    "(phone-prefix predicate adapted to c_nationkey; inactivity = no "
+    "order since 2000, since every synthetic customer has SOME order).",
+)
+def q22_inactive_customer_balance(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pool = customer.filter(
+        F.col("c_nationkey").isin(0, 3, 7, 11, 14, 19, 22)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    # decimal-exact sum / count, ONE double division: bit-identical in
+    # both engines, so the > threshold comparison cannot flip on ulps
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    rich = pool.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    recent_orders = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    inactive = rich.join(
+        recent_orders, rich["c_custkey"] == recent_orders["o_custkey"], "left_anti"
+    )
+    return (
+        inactive.groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END)
+       AS DOUBLE)
+  / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume,
+    n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer,
+       nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND p_type = 'ECONOMY'
+) t
+GROUP BY o_year
+ORDER BY o_year
+""",
+    doc="TPC-H q08 shape: 8-table star join, share-of-total per year "
+    "(conditional decimal sum over decimal sum).",
+)
+def q08_market_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    pf = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    # customer side: nation⨝region collapses to a key set; semi-join keeps
+    # only AMERICA customers before the fact join
+    america_nations = nation.join(
+        region.filter(F.col("r_name") == "AMERICA"),
+        nation["n_regionkey"] == region["r_regionkey"],
+        "left_semi",
+    ).select("n_nationkey")
+    cust_america = customer.join(
+        F.broadcast(america_nations),
+        customer["c_nationkey"] == america_nations["n_nationkey"],
+        "left_semi",
+    ).select("c_custkey")
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = dec("l_extendedprice") * one_minus_dec("l_discount")
+    joined = (
+        li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust_america),
+            F.col("o_custkey") == cust_america["c_custkey"],
+            "left_semi",
+        )
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_6", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(12,2)"))
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

