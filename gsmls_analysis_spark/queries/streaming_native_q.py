@@ -12,6 +12,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..streaming.ingest import (
+    attribution_join,
     drain_to_memory,
     events_file_stream,
     foreach_batch_ingest,
@@ -151,4 +152,30 @@ def q_stream_foreach_batch_ingest(spark, sf_dir):
                 "total_value"
             ),
         )
+    )
+
+
+@query(
+    "q_stream_stream_join_native",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+  c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    doc="ST (native) stream-STREAM inner join: purchases attributed to the "
+    "same user's clicks within 30 minutes; both sides watermarked so join "
+    "state stays bounded.",
+)
+def q_stream_stream_join_native(spark, sf_dir):
+    clicks = events_file_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_file_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return drain_to_memory(
+        attribution_join(clicks, purchases), "stream_stream_join"
     )

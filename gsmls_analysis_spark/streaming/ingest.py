@@ -32,6 +32,10 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) → long (session nanosAsLong), converted to micros
     exactly like the batch catalog."""
     path = os.path.join(sf_dir, "events.parquet")
+    # events.parquet carries TIMESTAMP(NANOS), illegal to the vanilla
+    # reader — must be set HERE, not inherited from an earlier load_table
+    # call, or this stream only works after some batch query ran first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the file source wants a directory; glob down to the one table
     sdf = (
@@ -138,6 +142,47 @@ def stream_dedup_within_watermark(
     """ST3 cross-batch dedup: state expires once the watermark passes the
     first-seen event time — bounded state at any scale."""
     return sdf.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: attribute each purchase to the same user's
+    click(s) in the preceding ``horizon``.
+
+    Both sides are watermarked and the join condition carries the event-
+    time range constraint — the two things Spark needs to bound join
+    state: each side buffers only rows younger than (watermark + horizon),
+    so state is O(recent traffic), never O(stream length).  At 100 TB/day
+    the join shuffles both streams by user_id once; no other exchange.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (c["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
 
 
 def json_quarantine(sdf: DataFrame, json_col: str, schema: str) -> DataFrame:

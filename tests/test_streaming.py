@@ -281,3 +281,41 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_dir):
     assert (final["n_events"].sort_index() == expect["n"].sort_index()).all()
     # at least one user appears in both batches => emitted twice
     assert len(emitted) > len(final)
+
+
+def test_attribution_join_horizon_semantics(spark):
+    """Stream-stream inner join: purchase matches a click iff it lands in
+    [click_ts, click_ts + horizon]; earlier or later purchases drop."""
+    import datetime as dt
+
+    from gsmls_analysis_spark.streaming.ingest import attribution_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, d):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        return (
+            spark.readStream.schema(df.schema).parquet(d)
+        )
+
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    with tempfile.TemporaryDirectory() as root:
+        clicks = mk([(1, 7, mins(0), 0.0), (2, 8, mins(0), 0.0)], f"{root}/c")
+        purchases = mk(
+            [
+                (10, 7, mins(10), 5.0),   # in horizon → match
+                (11, 7, mins(-5), 6.0),   # before click → drop
+                (12, 7, mins(45), 7.0),   # past 30-min horizon → drop
+                (13, 9, mins(10), 8.0),   # other user → drop
+            ],
+            f"{root}/p",
+        )
+        out = drain_to_memory(
+            attribution_join(clicks, purchases, horizon="30 minutes"),
+            "t_attr_join",
+        )
+        rows = [(r.click_id, r.purchase_id) for r in out.collect()]
+        assert rows == [(1, 10)]
