@@ -1,0 +1,63 @@
+"""Slowly-changing-dimension (SCD type 2) history maintenance.
+
+The reference's listing-update flow overwrites rows in place (GSMLS.py:
+1463-1490 status repairs; Kafka_GSMLSConsumer.py:604-614 re-ingest) — a
+type-1 update.  At warehouse scale the standard requirement is type 2:
+keep every historical version with a validity interval, so point-in-time
+queries reconstruct any past state.
+
+Spark has no MERGE on plain parquet, so the operator is expressed as the
+canonical shuffle-minimal rewrite: union(current, updates) → one window
+over (key ORDER BY effective ts) → derive valid_from / valid_to / is_current
+from lead().  ONE shuffle on the business key, no driver round-trips, no
+per-row Python.  At 100 TB the window partitions by key exactly like the
+keep-last dedup path, and writing the result partitioned/bucketed by key
+keeps the next merge co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Merge ``updates`` (new versions keyed by ``key``, effective at
+    ``effective_col``) into the ``current`` version set, producing the full
+    type-2 history.
+
+    Consecutive versions with identical ``tracked`` values collapse (a
+    re-delivered unchanged record must not open a new interval).  Output:
+    key, tracked..., valid_from, valid_to (null = open), is_current.
+    """
+    cols = [key, effective_col, *tracked]
+    all_versions = current.select(*cols).unionByName(updates.select(*cols))
+    w = Window.partitionBy(key).orderBy(effective_col)
+    # change detection vs the previous version: any tracked column differs
+    # (null-safe) → new interval; else the row is a redundant re-delivery
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    deduped = (
+        all_versions.withColumn(
+            "__is_new",
+            F.lag(effective_col).over(w).isNull() | changed,
+        )
+        .filter(F.col("__is_new"))
+        .drop("__is_new")
+    )
+    w2 = Window.partitionBy(key).orderBy(effective_col)
+    nxt = F.lead(effective_col).over(w2)
+    return deduped.select(
+        key,
+        *tracked,
+        F.col(effective_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -121,6 +121,7 @@ def load_all() -> dict[str, QueryDef]:
         "pipeline_e2e_q",
         "curation_q",
         "tpch_extra_q",
+        "warehouse_q",
     ):
         # import errors must be LOUD: a silently-skipped module would drop
         # every query it registers from the driver's correctness run.

@@ -1,0 +1,139 @@
+"""Warehouse-rollup operators: multi-level ROLLUP aggregation, PIVOT
+(long→wide), and SCD type-2 history maintenance.
+
+These generalize the reference's report sheets: the quarterly rollup
+tabs aggregate at several granularities of the same measure
+(GSMLS.py:1556-1572), its category×period matrices are pivots
+(GSMLS.py:1662-1690), and its in-place listing-status repairs
+(GSMLS.py:1463-1490) are the type-1 special case of the SCD2 operator.
+
+Scale notes (100 TB): ROLLUP/CUBE expand inside the partial aggregation
+(Spark's Expand node feeds map-side combine), so the shuffle carries one
+pre-aggregated row per (group, grouping-set) — never a second pass over
+the fact table per level.  Pivot with an explicit value list is a single
+groupBy with N conditional aggregates: one shuffle, no distinct-scan to
+discover columns.  SCD2 is one window shuffle on the business key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dec, dsum, one_minus_dec
+from ..operators.scd import scd2_merge
+from ..sources import load_table
+from . import query
+
+
+@query(
+    "q_revenue_rollup",
+    oracle="""
+SELECT n_name, YEAR(o_orderdate) AS o_year,
+  GROUPING(n_name) * 2 + GROUPING(YEAR(o_orderdate)) AS gid,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, YEAR(o_orderdate))
+ORDER BY gid, n_name, o_year
+""",
+    doc="ROLLUP aggregation: revenue at (nation, year), (nation), and "
+    "grand-total levels in ONE pass (Expand + partial agg, single shuffle).",
+)
+def q_revenue_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            (dec("l_extendedprice") * one_minus_dec("l_discount")).alias("vol"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            (
+                F.grouping("n_name") * 2 + F.grouping("o_year")
+            ).alias("gid"),
+            dsum(F.col("vol"), "revenue"),
+        )
+        .select("n_name", "o_year", "gid", "revenue")
+        .orderBy("gid", "n_name", "o_year")
+    )
+
+
+@query(
+    "q_priority_status_pivot",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="PIVOT long→wide: total price by priority × status with an "
+    "EXPLICIT value list (one shuffle; no distinct-discovery pass).",
+)
+def q_priority_status_pivot(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec("o_totalprice")).cast("double"))
+    )
+
+
+@query(
+    "q_scd2_user_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), kept AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev_ts IS NULL OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM kept
+""",
+    doc="SCD type-2 merge: versioned user-state history with validity "
+    "intervals; consecutive identical versions collapse.  The 'current' "
+    "set and the 'update' stream are merged in one window shuffle.",
+)
+def q_scd2_user_history(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    # split the table into an existing dimension and an update batch to
+    # exercise the merge API (the union inside is what a real incremental
+    # run does with yesterday's history + today's changes)
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    current = events.filter(F.col("ts") < cutoff)
+    updates = events.filter(F.col("ts") >= cutoff)
+    return scd2_merge(
+        current, updates, key="user_id", effective_col="ts",
+        tracked=["event_type"],
+    )

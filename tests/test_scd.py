@@ -1,0 +1,52 @@
+"""SCD type-2 merge semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from gsmls_analysis_spark.operators.scd import scd2_merge
+
+
+def _ts(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_scd2_merge_intervals_and_collapse(spark):
+    current = spark.createDataFrame(
+        [(1, _ts(1), "active"), (1, _ts(5), "pending")],
+        "id long, ts timestamp, status string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, _ts(8), "pending"),   # unchanged re-delivery → collapses
+            (1, _ts(10), "sold"),     # real change → new interval
+            (2, _ts(2), "active"),    # brand-new key
+        ],
+        "id long, ts timestamp, status string",
+    )
+    out = scd2_merge(current, updates, "id", "ts", ["status"]).collect()
+    hist = {
+        (r.id, r.status): (r.valid_from, r.valid_to, r.is_current) for r in out
+    }
+    assert len(out) == 4  # the day-8 re-delivery must NOT appear
+    assert hist[(1, "active")] == (_ts(1), _ts(5), False)
+    # pending keeps its ORIGINAL valid_from; closed by the day-10 change
+    assert hist[(1, "pending")] == (_ts(5), _ts(10), False)
+    assert hist[(1, "sold")] == (_ts(10), None, True)
+    assert hist[(2, "active")] == (_ts(2), None, True)
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    import contextlib
+    import io
+
+    from gsmls_analysis_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = scd2_merge(events, events.limit(0), "user_id", "ts", ["event_type"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # both windows hash-partition by the key → exactly one exchange on it
+    assert plan.count("hashpartitioning(user_id") <= 1
