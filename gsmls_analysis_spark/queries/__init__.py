@@ -43,8 +43,46 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # (a) round-3: the 35 queries outside the round-2 window (all r1-green;
-    # registration order)
+    # (b) code or oracle changed in round 3 — must re-verify even though
+    # previously checked
+    "q_image_documents_nested",  # r2's only red: now key-sorted to_json
+    "q_lsh_topk",
+    "q_lsh_topk_multiprobe",  # SRP v2 rewrite
+    "q_dedup_clusters",  # large-star/small-star rewrite
+    "q_minhash_lsh_pairs",  # oracle now models max_bucket
+    "q_range_bucket_join",  # BETWEEN folded into join condition
+    "q_salted_join_revenue",  # salt derivation changed r3
+    "q_cosine_topk_bruteforce",  # similarity.py rebuilt r3
+    "q_lsh_sign_buckets",  # similarity.py rebuilt r3
+    "q_stream_tumbling_hour_native",  # events_file_stream self-confs r3
+    "q_stream_sessionize_native",
+    "q_stream_dedup_within_watermark",
+    "q_stream_json_quarantine_native",
+    "q_stream_foreach_batch_ingest",
+    "q_res_pipeline_e2e",  # oracle comment text changed r3
+    # (c) NEW in round 3 — never seen by any driver run
+    "q_repetition_signals",
+    "q_train_split",
+    "q_contamination_check",
+    "q_pack_sequences",
+    "q_vocab_topk",
+    "q_dedup_keep_best",
+    "q_ivf_topk_trained",
+    "q_stream_stream_join_native",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+    "q22_inactive_customer_balance",
+    "q08_market_share",
+    "q_nation_year_rollup_gid",
+    "q_priority_status_pivot",
+    "q_scd2_user_history",
+    # (d) flagship
+    "q01_pricing_summary",
+    # (a) last checked in round 1, unchanged since (registration order).
+    # 17 slots left; the other 14 r1-greens carry to the round-4 window
+    # and stay covered by the local gate meanwhile.
     "q03_shipping_priority",
     "q06_forecast_revenue",
     "q10_returned_items",
@@ -62,43 +100,6 @@ _DRIVER_WINDOW = [
     "q_year_bounds_repair",
     "q_date_derivations",
     "q_price_ratio",
-    "q_validate_quarantine",
-    "q_condition_labels",
-    "q_address_normalize",
-    "q_upper_and_zero_pad",
-    "q_latest_order_per_customer",
-    "q_possession_time_lag",
-    "q_conditional_sum",
-    "q_set_ops",
-    "q_salted_join_revenue",  # salt derivation changed r3
-    "q_minhash_signature",
-    "q_ngram_jaccard_pairs",
-    "q_simhash_near_dups",
-    "q_token_stats",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_text_classifier_cascade",
-    "q_cosine_topk_bruteforce",
-    "q_lsh_sign_buckets",
-    # (b) code/oracle changed in round 3 — must re-verify even though
-    # checked in round 2
-    "q_image_documents_nested",  # r2's only red: now key-sorted to_json
-    "q_lsh_topk",
-    "q_lsh_topk_multiprobe",  # SRP v2 rewrite
-    "q_dedup_clusters",  # large-star/small-star rewrite
-    "q_minhash_lsh_pairs",  # oracle now models max_bucket
-    "q_range_bucket_join",  # BETWEEN folded into join condition
-    # (c) NEW in round 3 — never seen by any driver run
-    "q_repetition_signals",
-    "q_train_split",
-    "q_contamination_check",
-    "q_pack_sequences",
-    "q_vocab_topk",
-    "q_dedup_keep_best",
-    "q_ivf_topk_trained",
-    # (d) representative round-2 greens (registration order)
-    "q01_pricing_summary",
-    "q_res_pipeline_e2e",
 ]
 
 

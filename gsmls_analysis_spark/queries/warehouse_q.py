@@ -26,7 +26,7 @@ from . import query
 
 
 @query(
-    "q_revenue_rollup",
+    "q_nation_year_rollup_gid",
     oracle="""
 SELECT n_name, YEAR(o_orderdate) AS o_year,
   GROUPING(n_name) * 2 + GROUPING(YEAR(o_orderdate)) AS gid,
@@ -39,10 +39,10 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, YEAR(o_orderdate))
 ORDER BY gid, n_name, o_year
 """,
-    doc="ROLLUP aggregation: revenue at (nation, year), (nation), and "
+    doc="ROLLUP + GROUPING-ID aggregation (extends q_rollup_revenue with a multi-table input and the grouping-set id exposed cross-engine): revenue at (nation, year), (nation), and "
     "grand-total levels in ONE pass (Expand + partial agg, single shuffle).",
 )
-def q_revenue_rollup(spark, sf_dir):
+def q_nation_year_rollup_gid(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
