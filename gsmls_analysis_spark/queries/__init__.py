@@ -78,10 +78,11 @@ _DRIVER_WINDOW = [
     "q_nation_year_rollup_gid",
     "q_priority_status_pivot",
     "q_scd2_user_history",
+    "q_quantiles_by_priority",
     # (d) flagship
     "q01_pricing_summary",
     # (a) last checked in round 1, unchanged since (registration order).
-    # 17 slots left; the other 14 r1-greens carry to the round-4 window
+    # 16 slots left; the other 15 r1-greens carry to the round-4 window
     # and stay covered by the local gate meanwhile.
     "q03_shipping_priority",
     "q06_forecast_revenue",
@@ -99,7 +100,6 @@ _DRIVER_WINDOW = [
     "q_remarks_concat",
     "q_year_bounds_repair",
     "q_date_derivations",
-    "q_price_ratio",
 ]
 
 

@@ -137,3 +137,29 @@ def q_scd2_user_history(spark, sf_dir):
         current, updates, key="user_id", effective_col="ts",
         tracked=["event_type"],
     )
+
+
+@query(
+    "q_quantiles_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+  quantile_disc(o_totalprice, 0.5) AS p50,
+  quantile_disc(o_totalprice, 0.9) AS p90,
+  quantile_disc(o_totalprice, 0.99) AS p99
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="grouped quantiles via percentile_approx (Greenwald-Khanna).  With "
+    "accuracy >= group size the sketch degenerates to the exact order "
+    "statistic, so the DuckDB quantile_disc oracle hash-matches at the "
+    "checked scales; beyond that the same plan degrades gracefully to the "
+    "approximate answer (bounded-memory at 100 TB, never a global sort).",
+)
+def q_quantiles_by_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    acc = F.lit(50000)
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, acc).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, acc).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, acc).alias("p99"),
+    )

@@ -225,3 +225,33 @@ def fetch_binary(
     return urls.select(F.col(url_col)).mapInPandas(
         fetch, "url string, payload binary, status string"
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV scan with dead-letter quarantine (S1 text-format leg)
+# ---------------------------------------------------------------------------
+
+
+def csv_read_quarantine(
+    spark: SparkSession, path: str, schema: str, **options
+) -> DataFrame:
+    """Typed CSV scan that never drops or kills on malformed rows: the
+    PERMISSIVE reader parses what it can and captures the raw line of any
+    row that fails the schema into ``_corrupt_record``; the result carries
+    ``quarantined`` so callers can route rows exactly like the JSON
+    dead-letter path (json_quarantine).
+
+    Scale: CSV is splittable when uncompressed — each executor parses its
+    own byte range; the corrupt-record channel is a per-row column, not a
+    driver-side error list.
+    """
+    full_schema = schema.rstrip() + ", _corrupt_record string"
+    df = spark.read.csv(
+        path,
+        schema=full_schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+        header=options.pop("header", True),
+        **options,
+    )
+    return df.withColumn("quarantined", F.col("_corrupt_record").isNotNull())

@@ -409,3 +409,23 @@ def test_ivf_train_improves_quantization(spark):
     # init = first 10 vectors (all one cluster); 3 Lloyd rounds must
     # spread the cells and raise mean assignment similarity materially
     assert o3 > o0 + 0.05, (o0, o3)
+
+
+def test_csv_read_quarantine_routes_bad_rows(spark, tmp_path):
+    from gsmls_analysis_spark.sources.io import csv_read_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,price,town\n"
+        "1,100.5,NEWARK\n"
+        "2,not-a-number,KEARNY\n"  # price fails the double cast
+        "3,300.25,HOBOKEN\n"
+    )
+    out = csv_read_quarantine(
+        spark, str(p), "id int, price double, town string"
+    )
+    rows = {r.id: r for r in out.collect() if r.id is not None}
+    bad = [r for r in out.collect() if r.quarantined]
+    assert rows[1].price == 100.5 and not rows[1].quarantined
+    assert rows[3].price == 300.25 and not rows[3].quarantined
+    assert len(bad) == 1 and "not-a-number" in bad[0]._corrupt_record
