@@ -79,10 +79,11 @@ _DRIVER_WINDOW = [
     "q_priority_status_pivot",
     "q_scd2_user_history",
     "q_quantiles_by_priority",
+    "q_stream_status_transitions_native",
     # (d) flagship
     "q01_pricing_summary",
     # (a) last checked in round 1, unchanged since (registration order).
-    # 16 slots left; the other 15 r1-greens carry to the round-4 window
+    # 15 slots left; the other 16 r1-greens carry to the round-4 window
     # and stay covered by the local gate meanwhile.
     "q03_shipping_priority",
     "q06_forecast_revenue",
@@ -99,7 +100,6 @@ _DRIVER_WINDOW = [
     "q_apn_normalize",
     "q_remarks_concat",
     "q_year_bounds_repair",
-    "q_date_derivations",
 ]
 
 

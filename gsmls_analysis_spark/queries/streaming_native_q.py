@@ -179,3 +179,29 @@ def q_stream_stream_join_native(spark, sf_dir):
     return drain_to_memory(
         attribution_join(clicks, purchases), "stream_stream_join"
     )
+
+
+@query(
+    "q_stream_status_transitions_native",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id, ts, event_type FROM ordered
+WHERE prev_ts IS NULL OR prev_type IS DISTINCT FROM event_type
+""",
+    doc="ST (native) custom stateful change-data feed: only state "
+    "TRANSITIONS are emitted, repeats swallowed via per-user last-type "
+    "state (applyInPandasWithState; the Spark-4 StatefulProcessor twin is "
+    "status_transitions_v2, protobuf-gated in this container).",
+)
+def q_stream_status_transitions_native(spark, sf_dir):
+    from ..streaming.stateful import status_transitions
+
+    sdf = events_file_stream(spark, sf_dir)
+    return drain_to_memory(
+        status_transitions(sdf), "stream_status_transitions"
+    )

@@ -55,3 +55,100 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_SCHEMA = "user_id long, ts timestamp, event_type string"
+TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def status_transitions(events: DataFrame) -> DataFrame:
+    """Per-user state-TRANSITION detector: emit a row only when a user's
+    event_type differs from their previous one; repeats are swallowed.
+    The streaming twin of operators.scd.scd2_merge's change detection —
+    the reference's in-place status repairs (GSMLS.py:1463-1490) become an
+    incremental, checkpointed change feed.
+
+    State is one string per user (the last seen type): O(distinct users),
+    independent of stream length.  Transition scan is vectorized
+    (shift+ne), no per-row Python.  Built on applyInPandasWithState; the
+    Spark-4 StatefulProcessor variant (typed ValueState) is
+    ``status_transitions_v2`` below — same semantics, gated on the
+    worker-side protobuf dependency this container lacks.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        last = state.get[0] if state.exists else None
+        shifted = batch["event_type"].shift()
+        if last is not None:
+            shifted.iloc[0] = last
+        # NaN != value is True in pandas .ne → the very first event of a
+        # never-seen user always counts as a transition
+        kept = batch[batch["event_type"].ne(shifted)]
+        state.update((str(batch["event_type"].iloc[-1]),))
+        if len(kept):
+            yield kept[["user_id", "ts", "event_type"]]
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def status_transitions_v2(events: DataFrame) -> DataFrame:
+    """status_transitions on the Spark 4 StatefulProcessor API
+    (transformWithStateInPandas + typed ValueState + RocksDB store).
+
+    ENVIRONMENT-GATED: the transformWithState Python worker requires
+    google.protobuf (its state server speaks protobuf), which is not
+    installed in this container — see COVERAGE.md waivers.  The unit test
+    skips when the import is missing; semantics are certified through the
+    applyInPandasWithState twin above, which the driver oracle-checks.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TransitionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_type", "last_type string")
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            batch = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+            prev = self._last.get()
+            last = prev[0] if prev is not None else None
+            shifted = batch["event_type"].shift()
+            if last is not None:
+                shifted.iloc[0] = last
+            # NaN != value is True in pandas .ne → the very first event of
+            # a never-seen user always counts as a transition
+            kept = batch[batch["event_type"].ne(shifted)]
+            self._last.update((str(batch["event_type"].iloc[-1]),))
+            if len(kept):
+                yield kept[["user_id", "ts", "event_type"]]
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TransitionProcessor(),
+            outputStructType=TRANSITION_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

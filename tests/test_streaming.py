@@ -319,3 +319,65 @@ def test_attribution_join_horizon_semantics(spark):
         )
         rows = [(r.click_id, r.purchase_id) for r in out.collect()]
         assert rows == [(1, 10)]
+
+
+def test_status_transitions_swallows_repeats_across_batches(spark):
+    """State must carry across micro-batches: a repeat arriving in batch 2
+    of the type last seen in batch 1 is NOT a transition."""
+    import datetime as dt
+
+    from gsmls_analysis_spark.streaming.stateful import status_transitions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    schema = "user_id long, ts timestamp, event_type string"
+    with tempfile.TemporaryDirectory() as d:
+        b1 = spark.createDataFrame(
+            [(1, mins(0), "view"), (1, mins(1), "view"), (1, mins(2), "click")],
+            schema,
+        )
+        b2 = spark.createDataFrame(
+            [(1, mins(10), "click"), (1, mins(11), "purchase")], schema
+        )
+        b1.coalesce(1).write.parquet(f"{d}/f1")
+        b2.coalesce(1).write.parquet(f"{d}/f2")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/f*")
+        )
+        out = drain_to_memory(status_transitions(sdf), "t_transitions")
+        got = sorted((r.ts, r.event_type) for r in out.collect())
+        # batch-2 'click' repeats the last batch-1 state → swallowed
+        assert got == [
+            (mins(0), "view"),
+            (mins(2), "click"),
+            (mins(11), "purchase"),
+        ]
+
+
+def test_status_transitions_v2_stateful_processor(spark):
+    """Spark-4 transformWithStateInPandas variant — runs only where the
+    worker-side protobuf dependency exists (not in this container; the
+    semantics are covered by the applyInPandasWithState twin above)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    import datetime as dt
+
+    from gsmls_analysis_spark.streaming.stateful import status_transitions_v2
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_type string"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, t0, "view"), (1, t0 + dt.timedelta(minutes=1), "view")], schema
+        ).coalesce(1).write.parquet(f"{d}/f1")
+        sdf = spark.readStream.schema(schema).parquet(f"{d}/f*")
+        out = drain_to_memory(status_transitions_v2(sdf), "t_transitions_v2")
+        assert [r.event_type for r in out.collect()] == ["view"]
