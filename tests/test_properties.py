@@ -83,3 +83,53 @@ def test_jaccard_ngram_model(spark, a, b):
         jaccard_ngram(F.col("a"), F.col("b"), 3).alias("j")
     )
     assert abs(df.first()["j"] - expected) < 1e-12
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 40),         # effective day offset (unique-ified)
+            st.sampled_from(["a", "b", "c"]),  # tracked status
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_merge_model(spark, rows):
+    """SCD2 invariants vs a pure-Python model: per key, intervals tile the
+    timeline from first version to the open current one (valid_to of row i
+    == valid_from of row i+1, exactly one open interval), and consecutive
+    versions never repeat the tracked value."""
+    import datetime as dt
+
+    from gsmls_analysis_spark.operators.scd import scd2_merge
+
+    base = dt.datetime(2024, 1, 1)
+    # unique (key, ts): last write wins in a dict, mirroring distinct input
+    uniq = {(k, d): s for k, d, s in rows}
+    data = [
+        (k, base + dt.timedelta(days=d), s) for (k, d), s in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(data, "id long, ts timestamp, status string")
+    # arbitrary split into current/updates must not matter
+    cur = df.filter(F.dayofmonth("ts") % 2 == 0)
+    upd = df.filter(F.dayofmonth("ts") % 2 == 1)
+    out = scd2_merge(cur, upd, "id", "ts", ["status"]).collect()
+
+    # pure-python model: sort per key, collapse consecutive repeats
+    model: dict = {}
+    for k, ts, s in sorted(data, key=lambda r: (r[0], r[1])):
+        hist = model.setdefault(k, [])
+        if not hist or hist[-1][1] != s:
+            hist.append((ts, s))
+    expect = set()
+    for k, hist in model.items():
+        for i, (ts, s) in enumerate(hist):
+            nxt = hist[i + 1][0] if i + 1 < len(hist) else None
+            expect.add((k, s, ts, nxt, nxt is None))
+    got = {
+        (r.id, r.status, r.valid_from, r.valid_to, r.is_current) for r in out
+    }
+    assert got == expect
