@@ -298,12 +298,17 @@ def q_date_derivations(spark, sf_dir):
     "q_price_ratio",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-  round((l_extendedprice - p_retailprice) / p_retailprice * 100.0, 0) AS sp_olp_pct,
-  round(CAST(l_extendedprice * (1.0 - l_discount) AS DOUBLE) / p_retailprice, 4) AS net_ratio
+  floor((l_extendedprice - p_retailprice) / p_retailprice * 100.0 + 0.5) AS sp_olp_pct,
+  floor(l_extendedprice * (1.0 - l_discount) / p_retailprice * 10000.0 + 0.5) / 10000.0 AS net_ratio
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_orderkey % 7 = 0
 """,
-    doc="F23 OLP/SP ratio math on joined real prices (broadcast dim join).",
+    doc="F23 OLP/SP ratio math on joined real prices (broadcast dim join).  "
+    "Rounding is floor(x*10^k + 0.5)/10^k — pure IEEE ops that both engines "
+    "evaluate bit-identically.  Spark's round() on doubles goes through the "
+    "shortest-decimal string (HALF_UP on what the double *prints as*) while "
+    "DuckDB rounds the binary value, so round-tripped ties diverge ~1e-4 at "
+    "larger scale factors; half-up-toward-+inf floor rounding is portable.",
 )
 def q_price_ratio(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
@@ -313,11 +318,18 @@ def q_price_ratio(spark, sf_dir):
     return j.select(
         "l_orderkey",
         "l_linenumber",
-        F.round((F.col("l_extendedprice") - retail) / retail * 100.0, 0).alias(
-            "sp_olp_pct"
-        ),
-        F.round(
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) / retail, 4
+        F.floor((F.col("l_extendedprice") - retail) / retail * 100.0 + 0.5)
+        .cast("double")
+        .alias("sp_olp_pct"),
+        (
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                / retail
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
         ).alias("net_ratio"),
     )
 

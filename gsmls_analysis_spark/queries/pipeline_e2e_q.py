@@ -117,10 +117,13 @@ cleaned AS (
          WHEN regexp_matches(water, '^Assoctn(,\\w+)?') THEN regexp_replace(water, '^Assoctn(,\\w+)?', 'Assoctn')
          WHEN regexp_matches(water, '^Well(,\\w+)?') THEN regexp_replace(water, '^Well(,\\w+)?', 'Well')
          ELSE water END AS water,
-    -- DuckDB RE2 has no backreferences; in this synthesized range
-    -- (1200-3199 plus the literal '9999') the reference junk rule
-    -- the repeated-digit backreference fires exactly on '9999' and '2222'
-    CASE WHEN sqft IN ('9999', '2222') THEN '0.0' ELSE sqft END AS sqft_str,
+    -- DuckDB RE2 has no backreferences, but the reference junk rule
+    -- (\d)\1{{3,}} over digits is exactly the 10-branch alternation below
+    -- ('g' flag: Spark regexp_replace is global), so the oracle models the
+    -- rule faithfully at every scale factor, not just the sf0.01 range.
+    regexp_replace(sqft,
+      '0{{4,}}|1{{4,}}|2{{4,}}|3{{4,}}|4{{4,}}|5{{4,}}|6{{4,}}|7{{4,}}|8{{4,}}|9{{4,}}',
+      '0.0', 'g') AS sqft_str,
     CASE WHEN TRY_CAST(bathstotal AS DOUBLE) = 0.0
          THEN TRY_CAST(bathsfulltotal AS DOUBLE)
          ELSE TRY_CAST(bathstotal AS DOUBLE) END AS baths,

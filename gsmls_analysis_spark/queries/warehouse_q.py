@@ -149,17 +149,25 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """,
-    doc="grouped quantiles via percentile_approx (Greenwald-Khanna).  With "
-    "accuracy >= group size the sketch degenerates to the exact order "
-    "statistic, so the DuckDB quantile_disc oracle hash-matches at the "
-    "checked scales; beyond that the same plan degrades gracefully to the "
-    "approximate answer (bounded-memory at 100 TB, never a global sort).",
+    doc="grouped discrete quantiles, exact (percentile_disc WITHIN GROUP == "
+    "DuckDB quantile_disc: smallest value whose cume_dist >= q, so the "
+    "result is always an actual data value and hash-matches at every scale "
+    "factor).  The Greenwald-Khanna sketch path (percentile_approx, "
+    "bounded memory for 100 TB groups) is NOT the oracle-pinned plan "
+    "because its 32-way partial-merge answer drifts from the exact order "
+    "statistic once groups outgrow a few thousand rows — it stays covered "
+    "by the rank-error-bound unit test instead (tests/test_scd.py).",
 )
 def q_quantiles_by_priority(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
-    acc = F.lit(50000)
     return orders.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, acc).alias("p50"),
-        F.percentile_approx("o_totalprice", 0.9, acc).alias("p90"),
-        F.percentile_approx("o_totalprice", 0.99, acc).alias("p99"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p99"),
     )

@@ -50,3 +50,26 @@ def test_scd2_single_shuffle(spark, sf_dir):
     plan = buf.getvalue()
     # both windows hash-partition by the key → exactly one exchange on it
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """GK sketch (percentile_approx) honors its rank-error guarantee.
+
+    q_quantiles_by_priority pins the EXACT percentile_disc plan to the
+    DuckDB oracle; this test keeps the bounded-memory 100 TB path
+    (percentile_approx) honest instead: for accuracy A over n rows the
+    returned value's rank must be within ~n/A of the target rank (2x
+    slack for the 4-way partial merge).
+    """
+    from pyspark.sql import functions as F
+
+    n, accuracy = 20000, 100
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v")
+    )
+    vals = sorted(r.v for r in df.collect())
+    for q in (0.5, 0.9, 0.99):
+        approx = df.agg(F.percentile_approx("v", q, F.lit(accuracy))).first()[0]
+        # rank of the returned value in the sorted data (values are unique)
+        rank = vals.index(approx) + 1
+        assert abs(rank - q * n) <= 2 * n / accuracy + 1, (q, rank)
