@@ -59,8 +59,17 @@ _DRIVER_WINDOW = [
     "q_stream_dedup_within_watermark",
     "q_stream_json_quarantine_native",
     "q_stream_foreach_batch_ingest",
-    "q_res_pipeline_e2e",  # oracle comment text changed r3
+    "q_res_pipeline_e2e",  # oracle junk rule made scale-exact r3
+    "q_price_ratio",  # engine-portable floor rounding r3
+    "q_quantiles_by_priority",  # exact percentile_disc pinned r3
     # (c) NEW in round 3 — never seen by any driver run
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_by_delay_bucket",
+    "q15_top_supplier",
+    "q16_part_supplier_relation",
+    "q20_excess_shipments",
     "q_repetition_signals",
     "q_train_split",
     "q_contamination_check",
@@ -78,12 +87,11 @@ _DRIVER_WINDOW = [
     "q_nation_year_rollup_gid",
     "q_priority_status_pivot",
     "q_scd2_user_history",
-    "q_quantiles_by_priority",
     "q_stream_status_transitions_native",
     # (d) flagship
     "q01_pricing_summary",
     # (a) last checked in round 1, unchanged since (registration order).
-    # 15 slots left; the other 16 r1-greens carry to the round-4 window
+    # 7 slots left; the remaining r1-greens carry to the round-4 window
     # and stay covered by the local gate meanwhile.
     "q03_shipping_priority",
     "q06_forecast_revenue",
@@ -92,14 +100,6 @@ _DRIVER_WINDOW = [
     "q_rollup_revenue",
     "q_cube_order_priority",
     "q_customers_without_orders",
-    "q07_volume_shipping",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
-    "q_lot_size_parse",
-    "q_town_suffix_strip",
-    "q_apn_normalize",
-    "q_remarks_concat",
-    "q_year_bounds_repair",
 ]
 
 
@@ -122,6 +122,7 @@ def load_all() -> dict[str, QueryDef]:
         "pipeline_e2e_q",
         "curation_q",
         "tpch_extra_q",
+        "tpch_full_q",
         "warehouse_q",
     ):
         # import errors must be LOUD: a silently-skipped module would drop

@@ -1,0 +1,400 @@
+"""The seven remaining canonical TPC-H shapes (Q2/Q9/Q11/Q12/Q15/Q16/Q20),
+adapted to the synthetic schema, completing all 22 shapes in the catalog.
+
+The schema has no ``partsupp`` table, so wherever the classic query reads
+supply cost / available quantity, the part↔supplier relation is DERIVED
+FROM LINEITEM: supply cost ≈ the minimum unit price a supplier ever
+charged for the part (``MIN(l_extendedprice / l_quantity)`` — MIN is
+order-independent, so the double is bit-identical across engines), and
+availability ≈ shipped quantity.  Q12's ship-mode column doesn't exist
+either; the mode is replaced by a shipping-delay bucket.  Every adaptation
+keeps the *shape* the original exercises — correlated scalar subqueries
+(q02), multi-way profit joins (q09), HAVING-vs-scalar-total (q11),
+CASE-sum pivots (q12), agg-vs-MAX views (q15), NOT-IN + count-distinct
+(q16), nested IN with correlated threshold (q20) — and each DuckDB oracle
+runs the ORIGINAL correlated/nested form so the Spark decorrelation is
+independently validated.
+
+Scale notes (100 TB):
+
+- q02: lineitem is scanned once; the European supplier dim and the pruned
+  part list are broadcast; the per-part minimum is a window over the
+  already-grouped (part, supplier) costs — one extra hash exchange on
+  p_partkey, no join-back and no correlated re-scan.
+- q09: the only non-broadcast join is lineitem⨝orders on orderkey (both
+  sides huge → shuffle join is the right plan; AQE handles skew).  Profit
+  arithmetic is exact decimal until the final cast.
+- q11/q15: the scalar (total / max) is a one-row broadcast cross join,
+  never a driver collect.
+- q16: count-distinct shuffles once on the (brand, type, size) group key
+  with the distinct supplier set carried as partial aggregation state;
+  the complaint-supplier exclusion is a broadcast anti join.
+- q20: the per-(supplier, part) conditional sums share one shuffle; the
+  supplier name join is broadcast.
+
+Reference parity: generalizes the reference's min-cost comp lookups and
+share-of-total reports (GSMLS.py:1662-1690) the same way tpch_extra_q.py
+does for Q13/Q17/Q18/Q21/Q22/Q8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dec, dsum, one_minus_dec
+from ..sources import load_table
+from . import query
+
+MONEY = "decimal(12,2)"
+
+
+def _europe_suppliers(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+WITH costs AS (
+  SELECT l_partkey AS pk, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY ALL
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM part, costs
+WHERE p_partkey = pk AND p_size = 15
+  AND supply_cost = (SELECT MIN(c2.supply_cost) FROM costs c2
+                     WHERE c2.pk = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H q02 shape: min-supply-cost supplier per part within a "
+    "region; the oracle runs the original correlated scalar subquery, the "
+    "Spark plan decorrelates it into a per-part window minimum.  Supply "
+    "cost adapted to MIN(unit price) from lineitem (no partsupp table); "
+    "MIN over identical IEEE divisions is bit-identical across engines.",
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = _europe_suppliers(spark, sf_dir)
+    costs = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_brand")
+    )
+    pc = costs.join(F.broadcast(parts), costs["l_partkey"] == parts["p_partkey"])
+    w = Window.partitionBy("p_partkey")
+    return (
+        pc.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        # (s_name, p_partkey) is unique per row -> the sort is total and the
+        # LIMIT picks a deterministic set in both engines
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q09_product_type_profit",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+    - CAST(0.6 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(12,2))
+      * CAST(l_quantity AS DECIMAL(12,2))
+  ) AS DOUBLE) AS sum_profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE 'red %'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H q09 shape: product-type profit by nation and year.  Supply "
+    "cost adapted to 60% of retail price per unit (no partsupp); all money "
+    "math in exact decimal until the final cast, so the sum is "
+    "order-independent and hash-exact.",
+)
+def q09_product_type_profit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    cost_rate = F.lit(0.6).cast("decimal(3,2)")
+    amount = dec("l_extendedprice") * one_minus_dec("l_discount") - cost_rate * dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+SELECT l_partkey AS p_partkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+     * (SELECT CAST(COUNT(DISTINCT l_partkey) AS DECIMAL(10,0))
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7')
+     > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2))
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7') * 2
+ORDER BY part_value DESC, p_partkey
+""",
+    doc="TPC-H q11 shape: parts representing a significant share of one "
+    "nation's shipped value; HAVING against a scalar-subquery total.  "
+    "Value adapted to shipped extended price (no partsupp).  The threshold "
+    "is scale-invariant — parts above 2x the MEAN part value — so the "
+    "result stays non-trivial at every scale factor (a fixed share-of-total "
+    "cut like the classic 0.0001/SF empties out as the part count grows).  "
+    "The mean compare is value*count > total*2, multiply not divide, so "
+    "everything stays in exact decimal on both engines; the one-row "
+    "(total, count) scalar is a broadcast cross join, never a collect.",
+)
+def q11_important_parts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = vals.agg(
+        F.sum("value_dec").cast("decimal(24,2)").alias("total_dec"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n_parts"),
+    )
+    return (
+        vals.join(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("decimal(18,2)") * F.col("n_parts")
+            > F.col("total_dec") * F.lit(2)
+        )
+        .select("p_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@query(
+    "q12_priority_by_delay_bucket",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS delay_bucket,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+""",
+    doc="TPC-H q12 shape: line counts by priority class per shipping mode; "
+    "the schema has no ship mode, so the mode is a shipping-delay bucket "
+    "(days from order to ship).  Pure CASE-sum pivot, integer-exact.",
+)
+def q12_priority_by_delay_bucket(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.when(delay <= 30, "FAST")
+            .when(delay <= 90, "MEDIUM")
+            .otherwise("SLOW")
+            .alias("delay_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS total_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_dec = (SELECT MAX(total_dec) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H q15 shape: supplier(s) achieving the maximum quarterly "
+    "revenue — the classic view + scalar MAX.  Revenue is exact decimal, "
+    "so the equality against MAX cannot be lost to float noise.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * one_minus_dec("l_discount")).alias("total_dec"))
+    )
+    top = rev.agg(F.max("total_dec").alias("max_dec"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_dec").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_part_supplier_relation",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    doc="TPC-H q16 shape: distinct-supplier counts per (brand, type, size) "
+    "excluding complaint suppliers.  The part↔supplier relation is derived "
+    "from lineitem (no partsupp); the complaint filter (negative balance "
+    "standing in for the comment scan) is the classic NOT IN, executed as "
+    "a broadcast anti join.",
+)
+def q16_part_supplier_relation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#5") & (F.col("p_type") != "ECONOMY"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_excess_shipments",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey AND p_size < 10
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CASE WHEN year(l_shipdate) = 1995
+                  THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END)
+       > SUM(CAST(l_quantity AS DECIMAL(12,2))) * CAST(0.5 AS DECIMAL(2,1))
+)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H q20 shape: suppliers with excess availability — nested IN "
+    "over a correlated aggregate threshold.  Availability adapted to "
+    "shipped quantity: a supplier qualifies if, for some small part, its "
+    "1995 shipments exceed half its all-time shipments of that part.  Both "
+    "conditional sums share one shuffle; decimal-exact compare.",
+)
+def q20_excess_shipments(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pf = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 10)
+        .select("p_partkey")
+    )
+    zero = F.lit(0).cast(MONEY)
+    qty95 = F.sum(
+        F.when(F.year("l_shipdate") == 1995, dec("l_quantity")).otherwise(zero)
+    )
+    qtyall = F.sum(dec("l_quantity"))
+    qualifying = (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(qty95.alias("qty95"), qtyall.alias("qtyall"))
+        .filter(F.col("qty95") > F.col("qtyall") * F.lit(0.5).cast("decimal(2,1)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
