@@ -137,3 +137,35 @@ def test_q18_aggregates_before_joining(spark, sf_dir):
     # (Catalyst cannot push a HAVING below its own aggregate, so presence
     # plus the single lineitem scan proves the pre-join aggregation)
     assert plan.count("Scan parquet  (") == 3
+
+
+def test_q02_decorrelation_scans_each_table_once(spark, sf_dir):
+    """The correlated scalar-MIN oracle form would re-scan the costs
+    subquery per part; the window decorrelation must touch each base table
+    exactly once (lineitem, supplier, nation, region, part)."""
+    reg = load_all()
+    plan = _plan(reg["q02_min_cost_supplier"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet  (") == 5
+    # the per-part minimum is ONE window over the grouped costs, not a
+    # join-back of a second aggregate
+    assert plan.count("Window") >= 1
+
+
+def test_q09_only_the_fact_fact_join_shuffles(spark, sf_dir):
+    """q09 joins lineitem to part, supplier(+nation) and orders.  The dims
+    must come in as broadcasts; only lineitem-orders (fact-fact) may
+    shuffle.  Each table is scanned once."""
+    reg = load_all()
+    plan = _plan(reg["q09_product_type_profit"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet  (") == 5
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q20_nested_in_shares_one_aggregation(spark, sf_dir):
+    """Both the 1995 and the all-time quantity sums must come out of ONE
+    grouped aggregation over a single lineitem scan — the nested-IN oracle
+    form re-reads lineitem per correlated group."""
+    reg = load_all()
+    plan = _plan(reg["q20_excess_shipments"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet  (") == 3  # lineitem, part, supplier
