@@ -118,7 +118,7 @@ cleaned AS (
          WHEN regexp_matches(water, '^Well(,\\w+)?') THEN regexp_replace(water, '^Well(,\\w+)?', 'Well')
          ELSE water END AS water,
     -- DuckDB RE2 has no backreferences, but the reference junk rule
-    -- (\d)\1{{3,}} over digits is exactly the 10-branch alternation below
+    -- (\\d)\\1{{3,}} over digits is exactly the 10-branch alternation below
     -- ('g' flag: Spark regexp_replace is global), so the oracle models the
     -- rule faithfully at every scale factor, not just the sf0.01 range.
     regexp_replace(sqft,

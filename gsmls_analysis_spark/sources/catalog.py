@@ -66,8 +66,17 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # older readers: nanosAsLong engaged, ns since epoch as long
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # newer readers support TIMESTAMP(NANOS) natively as NTZ
+            # (nanosAsLong no longer engages).  Watermarks/event-time ops
+            # REQUIRE TIMESTAMP; session tz was just forced UTC above, so
+            # the cast is wall-clock- and epoch-exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if spread and name in _SPREAD_TABLES:
         from ..plans.partitioning import ensure_min_partitions
 

@@ -34,8 +34,10 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     # events.parquet carries TIMESTAMP(NANOS), illegal to the vanilla
     # reader — must be set HERE, not inherited from an earlier load_table
-    # call, or this stream only works after some batch query ran first
+    # call, or this stream only works after some batch query ran first.
+    # Newer readers ignore nanosAsLong and read NANOS natively as NTZ.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     # the file source wants a directory; glob down to the one table
     sdf = (
@@ -43,8 +45,13 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermark/event-time ops reject NTZ; UTC session tz (set above)
+        # makes this cast epoch-exact, matching the batch catalog
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 

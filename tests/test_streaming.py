@@ -19,9 +19,18 @@ from gsmls_analysis_spark.streaming.ingest import (
 
 
 def test_events_file_stream_schema(spark, sf_dir):
+    from gsmls_analysis_spark.sources import load_table
+
     sdf = events_file_stream(spark, sf_dir)
     assert sdf.isStreaming
-    assert dict(sdf.dtypes)["ts"] == "timestamp"
+    # Spark version drift: depending on whether the parquet reader supports
+    # TIMESTAMP(NANOS) natively, ts arrives as timestamp_ntz (native read)
+    # or timestamp (nanosAsLong long -> timestamp_micros).  What matters is
+    # that it IS a timestamp type and that the stream agrees with the batch
+    # catalog, so watermarks/windows behave identically on both paths.
+    ts_type = dict(sdf.dtypes)["ts"]
+    assert ts_type in ("timestamp", "timestamp_ntz")
+    assert ts_type == dict(load_table(spark, sf_dir, "events").dtypes)["ts"]
 
 
 def test_tumbling_counts_matches_batch(spark, sf_dir):
