@@ -1,0 +1,57 @@
+"""Skew-safe aggregation: explicit two-phase (salted) grouped aggregates.
+
+Spark's hash aggregate already does map-side partial aggregation for
+algebraic functions, which handles *moderate* key skew.  The explicit salt
+matters in two real cases at the 100 TB target:
+
+1. aggregation buffers that are NOT reduced map-side (collect_list/
+   collect_set, exact percentile buffers): one hot key concentrates the
+   whole buffer on one reducer;
+2. hot keys downstream of a non-aggregating shuffle (e.g. a repartition
+   by key feeding a window function), where no partial-agg stage exists.
+
+``salted_group_agg`` demonstrates the decomposition on algebraic stats so
+an exact oracle can pin it: phase 1 groups on (keys, salt) — the hot key's
+rows spread across ``n_salt`` reducers — phase 2 combines the ``n_salt``
+partial rows per key.  count/sum/min/max recombine losslessly; avg is
+derived sum/count at the end (never averaged across partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salt: int = 16,
+    salt_from: Column | None = None,
+) -> DataFrame:
+    """Grouped count/sum/min/max/avg over ``value_col``, shuffled in two
+    salted phases so no single reducer ever owns a hot key's full row set.
+
+    ``salt_from``: expression the salt is hashed from; defaults to a
+    per-row unique source (``monotonically_increasing_id``) so even fully
+    identical rows — the pathological hot key — spread uniformly.  Salt
+    assignment needs no retry-stability: only the group keys carry
+    semantics, the salt is dropped in phase 2.
+    """
+    salt_src = salt_from if salt_from is not None else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)))
+    v = F.col(value_col)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v.cast("decimal(20,2)")).alias("__sum"),
+        F.min(v).alias("__min"),
+        F.max(v).alias("__max"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias("n_rows"),
+        F.sum("__sum").cast("double").alias("total"),
+        F.min("__min").alias("vmin"),
+        F.max("__max").alias("vmax"),
+        (F.sum("__sum").cast("double") / F.sum("__n")).alias("vavg"),
+    )

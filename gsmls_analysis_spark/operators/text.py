@@ -170,3 +170,123 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: per-document salient terms (feature extraction / keyword
+# labeling for a curation pipeline).
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k salient terms per document, TF-IDF scored.
+
+    tf = raw term count in the document, idf = ln(N / df_t) with N = number
+    of documents and df_t = documents containing the term (no smoothing —
+    corpus-wide terms score exactly 0).  Returns
+    (id, term, tf, doc_freq, score, rank).
+
+    Determinism: the rank ordering uses ONLY integer keys
+    (tf desc, doc_freq asc, term asc) — lexicographically consistent with
+    tf·ln(N/df) when comparing within a document except for genuinely
+    score-crossing pairs, and immune to cross-engine libm last-ulp
+    differences; the float score is reported (rounded) but never ordered
+    on.
+
+    Scale shape: explode → groupBy(id, term) [shuffle 1, partial-agg'd] →
+    groupBy(term) for document frequency [shuffle 2, vocab-sized output] →
+    join counts⨝df_t on term [vocab-sized build side, AQE picks broadcast
+    when it fits] → per-doc top-k window.  The corpus cross product never
+    exists; everything is bounded by tokens + vocab."""
+    ids = F.col(id_col)
+    term_counts = (
+        df.select(ids.alias("__id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.select(F.countDistinct(ids).alias("__n_docs"))
+    scored = (
+        term_counts.join(doc_freq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n_docs").cast("double") / F.col("doc_freq")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            "tf",
+            "doc_freq",
+            "score",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-entropy quality signals: distributional text statistics that
+# length/punct ratios miss (degenerate repetition => low entropy).
+# ---------------------------------------------------------------------------
+
+
+def word_entropy_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram-distribution signals:
+
+    - ``n_tokens``: total tokens,
+    - ``n_types``: distinct tokens,
+    - ``type_token_ratio``: n_types / n_tokens (exact rational -> double),
+    - ``entropy``: Shannon entropy of the unigram distribution in nats,
+      computed in the aggregation-friendly form  ln(n) - sum(c*ln(c))/n
+      (rounded to 4 decimals: the ordering/filtering use-case never needs
+      more, and it absorbs cross-engine libm last-ulp drift),
+    - ``max_token_ratio``: share of the single most frequent token — the
+      direct degenerate-repetition flag.
+
+    Scale shape: explode → groupBy(id, term) [partial-agg'd] →
+    groupBy(id).  Both shuffles carry counts, never text."""
+    ids = F.col(id_col)
+    term_counts = (
+        df.select(ids.alias("__id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return (
+        term_counts.groupBy("__id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            (F.count(F.lit(1)).cast("double") / n).alias("type_token_ratio"),
+            F.round(
+                F.log(n)
+                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                / n,
+                4,
+            ).alias("entropy"),
+            (F.max("c").cast("double") / n).alias("max_token_ratio"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_types",
+            "type_token_ratio",
+            "entropy",
+            "max_token_ratio",
+        )
+    )

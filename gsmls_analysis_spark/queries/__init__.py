@@ -88,18 +88,18 @@ _DRIVER_WINDOW = [
     "q_priority_status_pivot",
     "q_scd2_user_history",
     "q_stream_status_transitions_native",
+    "q_tfidf_top_terms",
+    "q_word_entropy",
+    "q_salted_event_stats",
+    "q_events_sliding_window",
+    "q_stream_sliding_window_native",
+    "q_verified_near_dups",
     # (d) flagship
     "q01_pricing_summary",
     # (a) last checked in round 1, unchanged since (registration order).
-    # 7 slots left; the remaining r1-greens carry to the round-4 window
+    # 1 slot left; the remaining r1-greens carry to the round-4 window
     # and stay covered by the local gate meanwhile.
     "q03_shipping_priority",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q_topk_latest_orders",
-    "q_rollup_revenue",
-    "q_cube_order_priority",
-    "q_customers_without_orders",
 ]
 
 

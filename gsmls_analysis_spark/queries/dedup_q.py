@@ -308,3 +308,67 @@ def q_simhash_votes(spark, sf_dir):
         *[F.element_at("votes", i + 1).alias(f"v{i}") for i in _VOTE_BITS],
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage verified near-dups: LSH candidate generation -> exact shingle
+# Jaccard verification.  The canonical production dedup shape — the cheap
+# probabilistic stage bounds the candidate volume, the exact stage kills
+# its false positives (at sf0.01 the 8x4 banding admits 2 false pairs with
+# jaccard < 0.02; verification drops exactly those).
+# ---------------------------------------------------------------------------
+
+_VERIFIED_ORACLE = f"""
+WITH cand AS (SELECT * FROM ({_LSH_ORACLE})),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS shingle_set
+  FROM toks
+)
+SELECT * FROM (
+  SELECT cand.id_a, cand.id_b,
+    CASE WHEN len(list_distinct(a.shingle_set || b.shingle_set)) > 0
+         THEN CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+              / len(list_distinct(a.shingle_set || b.shingle_set))
+         ELSE 0.0 END AS jaccard
+  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
+) WHERE jaccard >= 0.5
+"""
+
+
+@query(
+    "q_verified_near_dups",
+    oracle=_VERIFIED_ORACLE,
+    doc="two-stage near-dup detection: MinHash+LSH banding candidates "
+    "(bounded by the bucket cap, never a cross join) -> exact 3-shingle "
+    "Jaccard >= 0.5 verification joined back against only the candidate "
+    "ids.  The exact stage touches O(candidates) texts, not O(n^2).",
+)
+def q_verified_near_dups(spark, sf_dir):
+    from ..operators.dedup import jaccard_ngram, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+    return (
+        cands.join(
+            docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
+            "id_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_ngram(F.col("ta"), F.col("tb"), 3).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

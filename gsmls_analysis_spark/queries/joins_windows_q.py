@@ -435,3 +435,33 @@ def q_range_bucket_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase (salted) aggregation — operators/aggs.py.  The oracle
+# is the plain one-phase GROUP BY: the salt is plumbing, not semantics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_salted_event_stats",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
+  MIN(value) AS vmin,
+  MAX(value) AS vmax,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS vavg
+FROM events
+GROUP BY event_type
+""",
+    doc="two-phase salted aggregation over a 5-value hot key "
+    "(event_type): phase 1 spreads each key across 16 salt buckets, "
+    "phase 2 recombines count/sum/min/max and derives avg from the "
+    "combined sums — lossless for algebraic aggregates.",
+)
+def q_salted_event_stats(spark, sf_dir):
+    from ..operators.aggs import salted_group_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return salted_group_agg(ev, ["event_type"], "value", n_salt=16)

@@ -221,3 +221,50 @@ def q_user_gap_stats_pandas(spark, sf_dir):
         gap_stats,
         "user_id long, n_events long, total_gap_us long, mean_gap_s double",
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time SLIDING (hopping) window aggregate: window 2h, slide 30m —
+# every event belongs to exactly 4 overlapping windows.
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+@query(
+    "q_events_sliding_window",
+    oracle=f"""
+WITH hopped AS (
+  SELECT make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+                        - CAST(i AS BIGINT) * {_SLIDE_US}) AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i)
+)
+SELECT window_start,
+  window_start + INTERVAL 2 HOUR AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM hopped
+GROUP BY window_start, event_type
+""",
+    doc="ST: sliding event-time window (2 h window, 30 min slide) — the "
+    "overlap is modeled in the oracle by integer-exact epoch-microsecond "
+    "bucketing, one row per (event, hop).",
+)
+def q_events_sliding_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(14,2)"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -18,6 +18,7 @@ from ..streaming.ingest import (
     foreach_batch_ingest,
     json_quarantine,
     session_counts,
+    sliding_counts,
     stream_dedup_within_watermark,
     tumbling_counts,
 )
@@ -204,4 +205,36 @@ def q_stream_status_transitions_native(spark, sf_dir):
     sdf = events_file_stream(spark, sf_dir)
     return drain_to_memory(
         status_transitions(sdf), "stream_status_transitions"
+    )
+
+
+_SLIDE_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q_stream_sliding_window_native",
+    oracle=f"""
+WITH hopped AS (
+  SELECT make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+                        - CAST(i AS BIGINT) * {_SLIDE_US}) AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i)
+)
+SELECT window_start,
+  window_start + INTERVAL 2 HOUR AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM hopped
+GROUP BY window_start, event_type
+""",
+    doc="ST (native): watermarked SLIDING window (2 h / 30 min hop) over a "
+    "file-source stream, availableNow drain — each event feeds 4 "
+    "overlapping window states; the oracle models the overlap with "
+    "integer-exact epoch-microsecond hops.",
+)
+def q_stream_sliding_window_native(spark, sf_dir):
+    sdf = events_file_stream(spark, sf_dir)
+    return drain_to_memory(
+        sliding_counts(sdf), "stream_sliding_window", output_mode="complete"
     )

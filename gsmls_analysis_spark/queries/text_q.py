@@ -201,3 +201,79 @@ def q_vocab_topk(spark, sf_dir):
     out = tx.vocab_topk(docs, "text", k=50)
     return out.select("token", F.col("n").cast("long").alias("n"),
                       F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF salient terms per document (feature extraction for curation).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tc GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tc.doc_id, tc.term, tc.tf, dfreq.doc_freq,
+    ROUND(tc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 4) AS score,
+    row_number() OVER (PARTITION BY tc.doc_id
+                       ORDER BY tc.tf DESC, dfreq.doc_freq ASC, tc.term ASC)
+      AS rank
+  FROM tc JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+  CAST(doc_freq AS BIGINT) AS doc_freq, score, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 3
+""",
+    doc="TF-IDF top-3 terms per document: integer-keyed rank "
+    "(tf desc, doc_freq asc, term asc) so ordering is immune to libm "
+    "last-ulp drift; the float score is reported rounded.",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id", "term", "tf", "doc_freq", "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-entropy distributional quality signals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_word_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  COUNT(*) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+  ROUND(ln(CAST(SUM(c) AS DOUBLE))
+        - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+        4) AS entropy,
+  MAX(c) / CAST(SUM(c) AS DOUBLE) AS max_token_ratio
+FROM tc GROUP BY doc_id
+""",
+    doc="per-document unigram distribution signals: Shannon entropy "
+    "(nats, ln(n) - sum(c ln c)/n form), type/token ratio, and "
+    "max-token share — the degenerate-repetition flags length ratios "
+    "miss.",
+)
+def q_word_entropy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.word_entropy_signals(docs, "doc_id", "text")

@@ -217,6 +217,34 @@ def json_quarantine(sdf: DataFrame, json_col: str, schema: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def sliding_counts(
+    sdf: DataFrame,
+    window: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) event-time window: each event lands in
+    window/slide overlapping windows.  Same decimal-exact aggregate as the
+    tumbling variant; watermark bounds state.  State size scales with
+    window/slide × key cardinality — the overlap factor is the knob to
+    watch at 100 TB, not the event rate."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(14,2)"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def drain_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -169,3 +169,36 @@ def test_q20_nested_in_shares_one_aggregation(spark, sf_dir):
     reg = load_all()
     plan = _plan(reg["q20_excess_shipments"].fn(spark, sf_dir))
     assert plan.count("Scan parquet  (") == 3  # lineitem, part, supplier
+
+
+def test_tfidf_shuffles_are_bounded_by_vocab(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q_tfidf_top_terms"].fn(spark, sf_dir))
+    # no shuffled cartesian anywhere; the only nested-loop join is the
+    # 1-row broadcast of the corpus-size scalar
+    assert "CartesianProduct" not in plan
+    # term counts and doc frequency both partial-aggregate map-side
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_salted_agg_phase1_keys_include_salt(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q_salted_event_stats"].fn(spark, sf_dir))
+    # phase 1 shuffles on (keys, salt) — the hot key spreads; phase 2
+    # shuffles on the bare keys to recombine
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in p for p in parts), parts
+    assert any("__salt" not in p for p in parts), parts
+
+
+def test_sliding_window_batch_plan_partial_aggregates(spark, sf_dir):
+    reg = load_all()
+    plan = _plan(reg["q_events_sliding_window"].fn(spark, sf_dir))
+    # the 4x hop expansion happens via Expand (no join against a hop
+    # table), and the aggregation still partial-aggregates map-side
+    # between the Expand and the shuffle
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(" in plan

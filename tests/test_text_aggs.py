@@ -1,0 +1,109 @@
+"""Unit tests for the round-3 text-analysis additions (TF-IDF, unigram
+entropy) and the skew-safe two-phase salted aggregation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.aggs import salted_group_agg
+from gsmls_analysis_spark.operators.text import (
+    tfidf_top_terms,
+    word_entropy_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_corpus_wide_term_scores_zero(spark):
+    # 'common' appears in every doc -> idf = ln(3/3) = 0 -> score 0
+    df = _docs(
+        spark,
+        [
+            (1, "common apple apple"),
+            (2, "common banana"),
+            (3, "common cherry"),
+        ],
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple has tf=2, df=1 -> rank 1 with score 2*ln(3)
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)[0]
+    assert top1.term == "apple"
+    assert top1.tf == 2 and top1.doc_freq == 1
+    assert abs(top1.score - round(2 * math.log(3.0), 4)) < 1e-9
+    common = [r for r in out if r.term == "common"]
+    assert common and all(r.score == 0.0 for r in common)
+
+
+def test_tfidf_rank_tiebreak_is_deterministic(spark):
+    # two terms with identical tf and df: term asc breaks the tie
+    df = _docs(spark, [(1, "zed alpha"), (2, "unrelated")])
+    out = {r.rank: r.term for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect() if r.doc_id == 1}
+    assert out == {1: "alpha", 2: "zed"}
+
+
+def test_word_entropy_uniform_and_degenerate(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "x x x x")])
+    rows = {r.doc_id: r for r in word_entropy_signals(df, "doc_id", "text").collect()}
+    uni, deg = rows[1], rows[2]
+    assert uni.n_tokens == 4 and uni.n_types == 4
+    assert uni.type_token_ratio == 1.0
+    assert abs(uni.entropy - round(math.log(4.0), 4)) < 1e-9
+    assert uni.max_token_ratio == 0.25
+    assert deg.n_types == 1
+    assert deg.entropy == 0.0
+    assert deg.max_token_ratio == 1.0
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from gsmls_analysis_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    got = {
+        r.event_type: r
+        for r in salted_group_agg(ev, ["event_type"], "value", n_salt=8).collect()
+    }
+    want = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert g.n_rows == w.n_rows
+        assert g.total == w.total
+        assert g.vmin == w.vmin and g.vmax == w.vmax
+        assert abs(g.vavg - w.total / w.n_rows) < 1e-12
+
+
+def test_salted_agg_spreads_identical_hot_rows(spark):
+    # the pathological hot key: N fully identical rows.  The salt draws
+    # from a per-row unique source, so phase 1 must spread them across
+    # (nearly) all salt buckets instead of reconcentrating them.
+    hot = spark.range(1000).select(
+        F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    )
+    n_buckets = (
+        hot.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(16))
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 12, f"salt collapsed to {n_buckets} buckets"
+    out = salted_group_agg(hot, ["k"], "v", n_salt=16).collect()
+    assert len(out) == 1 and out[0].n_rows == 1000 and out[0].total == 1000.0

@@ -50,6 +50,8 @@ BOUNDED_CROSS_OK = {
     "q_ivf_topk_trained",  # same broadcast-centroid scoring as q_ivf_topk
     "q_scalar_subquery",
     "q22_inactive_customer_balance",  # 1-row scalar-average broadcast
+    "q11_important_parts",  # 1-row global-threshold scalar broadcast
+    "q_tfidf_top_terms",  # 1-row corpus-size (n_docs) scalar broadcast
 }
 
 
