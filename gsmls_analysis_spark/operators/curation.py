@@ -571,3 +571,54 @@ def domain_mix_resample(
         )
         .drop("__n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-group quality floor: each group sets its own cutoff, so one
+# noisy source cannot drag the global threshold (and a clean source is not
+# over-pruned by a global one).
+# ---------------------------------------------------------------------------
+
+
+def adaptive_quality_cutoff(
+    df: DataFrame, group_col: str, score_col: str, q: float = 0.25
+) -> DataFrame:
+    """Keep rows scoring at or above their group's q-th discrete
+    percentile.  percentile_disc (the smallest actual value whose
+    cume_dist >= q) keeps the cutoff a real data value, so the comparison
+    is exact at every scale — no interpolated float boundary.
+
+    Scale shape: one grouped sort-based aggregate over (group, score) to
+    find cutoffs — output is |groups| rows, broadcast back onto the fact.
+    Adds ``cutoff`` so the decision is auditable."""
+    cuts = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY {score_col})"
+        ).alias("cutoff")
+    )
+    return df.join(F.broadcast(cuts), group_col).filter(
+        F.col(score_col) >= F.col("cutoff")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: admit only new-batch rows whose content hash is
+# absent from the existing corpus (the every-ingest-cycle dedup gate).
+# ---------------------------------------------------------------------------
+
+
+def incremental_ingest_dedup(
+    existing: DataFrame, incoming: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Anti-join the incoming batch against the corpus on an exact
+    content hash (md5 of the raw text bytes).  Returns the surviving
+    incoming rows plus their ``content_md5``.
+
+    Scale shape: hash projection on both sides, then LEFT ANTI join on
+    the hash — the corpus side carries only (distinct) 32-char hashes,
+    never text; AQE broadcasts it when the batch side dwarfs it."""
+    h = lambda c: F.md5(F.col(c).cast("binary"))  # noqa: E731
+    seen = existing.select(h(text_col).alias("content_md5")).distinct()
+    return incoming.withColumn("content_md5", h(text_col)).join(
+        seen, "content_md5", "left_anti"
+    )

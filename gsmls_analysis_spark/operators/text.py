@@ -290,3 +290,71 @@ def word_entropy_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             "max_token_ratio",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal: strip corpus-wide high-document-frequency tokens
+# while PRESERVING the order of everything kept (the part array ops can't
+# do once the stop set is dynamic).
+# ---------------------------------------------------------------------------
+
+
+def remove_frequent_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_pct: int = 79,
+) -> DataFrame:
+    """Remove tokens whose document frequency exceeds ``max_df_pct`` % of
+    the corpus, rebuilding each document's remaining text in original
+    token order.  Returns (id, clean_text, n_tokens, n_removed).
+
+    The threshold compare is pure integer arithmetic
+    (df_t * 100 > max_df_pct * n_docs) — no float boundary to drift at
+    scale.  Docs whose every token is boilerplate survive with empty text
+    (left join back onto the id spine).
+
+    Scale shape: posexplode → distinct (doc, term) → groupBy(term) for
+    document frequency → anti-join the positional tokens against the
+    (tiny) stop set → per-doc ordered rebuild via
+    sort_array(collect_list(struct(pos, term))).  The rebuild shuffles
+    (id, pos, term) triples — linear in corpus tokens, the same cost
+    class as the explode itself."""
+    ids = F.col(id_col)
+    pos_toks = df.select(
+        ids.alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    dfreq = (
+        pos_toks.select("__id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    n_docs = df.select(F.countDistinct(ids).alias("__n_docs"))
+    stop = (
+        dfreq.join(F.broadcast(n_docs))
+        .filter(F.col("df_t") * 100 > F.lit(max_df_pct) * F.col("__n_docs"))
+        .select("term")
+    )
+    kept = pos_toks.join(F.broadcast(stop), "term", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    spine = df.select(ids.alias("__id"), token_count(F.col(text_col)).alias("n_tokens"))
+    return (
+        spine.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -46,8 +46,8 @@ _DRIVER_WINDOW = [
     # (b) code or oracle changed in round 3 — must re-verify even though
     # previously checked
     "q_image_documents_nested",  # r2's only red: now key-sorted to_json
-    "q_lsh_topk",
-    "q_lsh_topk_multiprobe",  # SRP v2 rewrite
+    "q_lsh_topk_multiprobe",  # SRP v2 rewrite (q_lsh_topk shares the same
+    # rebuilt path but is rows-only — multiprobe + sign_buckets cover it)
     "q_dedup_clusters",  # large-star/small-star rewrite
     "q_minhash_lsh_pairs",  # oracle now models max_bucket
     "q_range_bucket_join",  # BETWEEN folded into join condition
@@ -94,12 +94,13 @@ _DRIVER_WINDOW = [
     "q_events_sliding_window",
     "q_stream_sliding_window_native",
     "q_verified_near_dups",
-    # (d) flagship
-    "q01_pricing_summary",
-    # (a) last checked in round 1, unchanged since (registration order).
-    # 1 slot left; the remaining r1-greens carry to the round-4 window
-    # and stay covered by the local gate meanwhile.
-    "q03_shipping_priority",
+    "q_adaptive_quality_cutoff",
+    "q_boilerplate_filter",
+    "q_incremental_ingest_dedup",
+    # (a)/(d): no slots left this round — the flagship q01 is still
+    # smoke-checked every round via entry(), and the remaining r1-greens
+    # (q01, q03, q06, q10, ...) carry to the round-4 window, covered by
+    # the local gate meanwhile.
 ]
 
 

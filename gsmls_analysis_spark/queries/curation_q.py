@@ -499,3 +499,76 @@ def q_dedup_keep_best(spark, sf_dir):
         score=F.size(F.split(F.trim("text"), r"\s+")),
     )
     return out.select("doc_id", "cluster_id", "keep")
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-source quality floor (percentile_disc cutoffs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_adaptive_quality_cutoff",
+    oracle="""
+WITH cuts AS (
+  SELECT source, quantile_disc(n_chars, 0.25) AS cutoff
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, c.cutoff
+FROM documents d JOIN cuts c USING (source)
+WHERE d.n_chars >= c.cutoff
+""",
+    doc="adaptive curation: every source sets its own 25th-percentile "
+    "length floor (percentile_disc -> the cutoff is an actual data "
+    "value, exact at any scale); one noisy source cannot drag a global "
+    "threshold.  |sources| cutoff rows broadcast back onto the corpus.",
+)
+def q_adaptive_quality_cutoff(spark, sf_dir):
+    from ..operators.curation import adaptive_quality_cutoff
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return adaptive_quality_cutoff(docs, "source", "n_chars", q=0.25).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        # percentile_disc returns double; the disc cutoff IS an n_chars
+        # value, so the long cast is exact (oracle returns BIGINT)
+        F.col("cutoff").cast("long").alias("cutoff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: new batch anti-joined against the corpus by content
+# hash — the every-cycle dedup gate of a continuously-fed corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_incremental_ingest_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 10 < 8
+), batch AS (
+  SELECT doc_id, source, md5(text) AS content_md5
+  FROM documents WHERE doc_id % 10 >= 8
+)
+SELECT b.doc_id, b.source, b.content_md5
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.content_md5 = b.content_md5)
+""",
+    doc="incremental ingest dedup: the 20%-of-ids 'new batch' is LEFT ANTI "
+    "joined against the 80% 'corpus' on md5(text) — the corpus side "
+    "carries only distinct 32-char hashes, never text.",
+)
+def q_incremental_ingest_dedup(spark, sf_dir):
+    from ..operators.curation import incremental_ingest_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "source", "text"
+    )
+    return incremental_ingest_dedup(existing, incoming, "text").select(
+        "doc_id", "source", "content_md5"
+    )

@@ -277,3 +277,57 @@ FROM tc GROUP BY doc_id
 def q_word_entropy(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.word_entropy_signals(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal: corpus-frequency-driven token stripping with
+# order-preserving document rebuild.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_boilerplate_filter",
+    oracle="""
+WITH n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+), pos_toks AS (
+  SELECT doc_id, i AS pos, words[i] AS term
+  FROM toks, unnest(range(1, len(words) + 1)) AS t(i)
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_t
+  FROM (SELECT DISTINCT doc_id, term FROM pos_toks) GROUP BY term
+), stop AS (
+  SELECT term FROM dfreq, n WHERE df_t * 100 > 79 * n_docs
+), kept AS (
+  SELECT * FROM pos_toks WHERE term NOT IN (SELECT term FROM stop)
+), rebuilt AS (
+  SELECT doc_id,
+    array_to_string(list(term ORDER BY pos), ' ') AS clean_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(r.clean_text, '') AS clean_text,
+  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+       - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""",
+    doc="boilerplate removal: tokens with document frequency above 79% of "
+    "the corpus are stripped, each doc rebuilt in original token order "
+    "(posexplode -> anti-join tiny stop set -> sorted-struct rebuild). "
+    "Threshold compare is integer-exact (df*100 > 79*n), no float "
+    "boundary at any scale.",
+)
+def q_boilerplate_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.remove_frequent_tokens(docs, "doc_id", "text", max_df_pct=79)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

@@ -1,0 +1,57 @@
+"""Unit tests for the adaptive-cutoff / boilerplate-removal /
+incremental-ingest curation operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+from gsmls_analysis_spark.operators.curation import (
+    adaptive_quality_cutoff,
+    incremental_ingest_dedup,
+)
+from gsmls_analysis_spark.operators.text import remove_frequent_tokens
+
+
+def test_adaptive_cutoff_is_per_group_disc_percentile(spark):
+    rows = [("a", i, float(i)) for i in range(1, 9)] + [
+        ("b", 100 + i, 5.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "grp string, rid long, score double")
+    out = adaptive_quality_cutoff(df, "grp", "score", q=0.25).collect()
+    a = sorted(r.rid for r in out if r.grp == "a")
+    b = sorted(r.rid for r in out if r.grp == "b")
+    # group a: p25_disc of 1..8 = 2 (cume_dist 2/8 = 0.25) -> keep 2..8
+    assert a == list(range(2, 9))
+    assert {r.cutoff for r in out if r.grp == "a"} == {2.0}
+    # group b: uniform scores -> cutoff equals the value, everything kept
+    assert len(b) == 3
+
+
+def test_remove_frequent_tokens_order_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x alpha x beta"),
+            (2, "x gamma"),
+            (3, "x x x"),
+            (4, "x delta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'x' df = 4/4 = 100% > 79% -> boilerplate; 'alpha' df = 2/4 -> kept
+    out = {r.doc_id: r for r in remove_frequent_tokens(df, "doc_id", "text", 79).collect()}
+    assert out[1].clean_text == "alpha beta"  # original order preserved
+    assert out[1].n_tokens == 4 and out[1].n_removed == 2
+    assert out[3].clean_text == "" and out[3].n_removed == 3
+    assert out[4].clean_text == "delta alpha"
+
+
+def test_incremental_ingest_admits_only_unseen_content(spark):
+    existing = spark.createDataFrame(
+        [(1, "seen one"), (2, "seen two")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "seen two"), (11, "brand new")], "doc_id long, text string"
+    )
+    out = incremental_ingest_dedup(existing, incoming, "text").collect()
+    assert [r.doc_id for r in out] == [11]
+    assert out[0].content_md5 == hashlib.md5(b"brand new").hexdigest()
