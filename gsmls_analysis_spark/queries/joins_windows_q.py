@@ -465,3 +465,52 @@ def q_salted_event_stats(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return salted_group_agg(ev, ["event_type"], "value", n_salt=16)
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — side-by-side reconciliation of two aggregates where
+# either side may miss months entirely.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_monthly_reconciliation",
+    oracle="""
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS mo,
+         COUNT(*) AS n_shipments
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT COALESCE(o.yr, s.yr) AS yr, COALESCE(o.mo, s.mo) AS mo,
+  COALESCE(o.n_orders, 0) AS n_orders,
+  COALESCE(s.n_shipments, 0) AS n_shipments
+FROM o FULL OUTER JOIN s ON o.yr = s.yr AND o.mo = s.mo
+""",
+    doc="FULL OUTER reconciliation of order months vs shipment months "
+    "(shipments trail orders by up to ~3 months, so each side has "
+    "exclusive months).  Both sides pre-aggregate to |months| rows "
+    "BEFORE the join — the outer join never touches fact-table "
+    "cardinality.",
+)
+def q_monthly_reconciliation(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    s = lineitem.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n_shipments"))
+    return (
+        o.join(s, ["yr", "mo"], "full_outer")
+        .select(
+            "yr",
+            "mo",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+        )
+    )

@@ -171,3 +171,47 @@ def q_quantiles_by_priority(spark, sf_dir):
             "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
         ).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ntile decile profiling — the ranking-family member beyond
+# row_number/rank: equal-size bucketing for distribution reports.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ntile_decile_stats",
+    oracle="""
+SELECT decile,
+  COUNT(*) AS n_orders,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+  FROM orders
+)
+GROUP BY decile
+""",
+    doc="order-value decile profile via ntile(10).  The window order "
+    "includes o_orderkey so the total order is unique — tie rows cannot "
+    "straddle a bucket boundary differently across engines.  NOTE the "
+    "global-sort window: at 100 TB the same report should come from "
+    "percentile_disc cutpoints (q_quantiles_by_priority) or a "
+    "range-partitioned sort, not a single-partition ntile; this query "
+    "pins the SEMANTICS of the ranking family.",
+)
+def q_ntile_decile_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Source/sink format coverage: ORC and JSONL roundtrips, and dynamic
+partition overwrite (replace only the partitions present in the incoming
+batch — the idempotent-backfill write mode a partitioned warehouse needs)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import load_table
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    b = {r.doc_id: r.text for r in back.select("doc_id", "text").collect()}
+    assert a == b
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+    # explicit schema: no inference pass over 100 TB of text
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    assert back.count() == docs.count()
+    a = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    b = sorted(r.doc_id for r in back.select("doc_id").collect())
+    assert a == b
+
+
+def test_dynamic_partition_overwrite_replaces_only_incoming(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .limit(2000)
+        .cache()
+    )
+    base = tempfile.mkdtemp(prefix="dpo_")
+    path = os.path.join(base, "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    types = [r.event_type for r in before.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    target = sorted(types)[0]
+    # rewrite ONE partition with a single sentinel row; dynamic mode must
+    # leave every other partition untouched (static mode would wipe them)
+    one = ev.filter(F.col("event_type") == target).limit(1).withColumn(
+        "value", F.lit(-1.0)
+    )
+    (
+        one.write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    after = spark.read.parquet(path)
+    kept = after.filter(F.col("event_type") != target).count()
+    assert kept == before.filter(F.col("event_type") != target).count()
+    replaced = after.filter(F.col("event_type") == target).collect()
+    assert len(replaced) == 1 and replaced[0].value == -1.0
+    assert after.count() == kept + 1 < n_before
+    ev.unpersist()
