@@ -215,3 +215,131 @@ def q_ntile_decile_stats(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (day-level: the events fixture spans one month)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
+  FROM events
+)
+SELECT f.cohort_day, a.activity_day,
+  CAST(date_diff('day', f.cohort_day, a.activity_day) AS INT) AS day_offset,
+  COUNT(*) AS n_users
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY 1, 2, 3
+""",
+    doc="cohort retention: users grouped by first-seen day, counted on "
+    "every later active day.  activity is deduped to (user, day) BEFORE "
+    "the join, so the cohort join carries |users|x|days| at most — never "
+    "raw event cardinality.",
+)
+def q_user_retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("activity_day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("activity_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn(
+            "day_offset", F.datediff("activity_day", "cohort_day").cast("int")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension x calendar spine with zero-fill (time-series gap repair)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_nation_month_spine",
+    oracle="""
+WITH m AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS mon FROM orders
+), spine AS (
+  SELECT n_nationkey, n_name, mon FROM nation, m
+), actual AS (
+  SELECT c_nationkey AS n_nationkey,
+         date_trunc('month', o_orderdate) AS mon,
+         COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT s.n_nationkey, s.n_name, s.mon,
+  COALESCE(a.n, 0) AS n_orders
+FROM spine s LEFT JOIN actual a USING (n_nationkey, mon)
+""",
+    doc="gap-filled monthly order counts per nation: the dims x months "
+    "spine (bounded: 25 x 80 rows) LEFT-joins the aggregated facts, so "
+    "months with zero orders appear explicitly — required for correct "
+    "windows/charts downstream.  The cross join is dims x calendar, "
+    "never fact-sized.",
+)
+def q_nation_month_spine(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    months = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).distinct()
+    spine = nation.select("n_nationkey", "n_name").crossJoin(F.broadcast(months))
+    actual = (
+        orders.join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("n_nationkey"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("n_nationkey", F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(actual, ["n_nationkey", "mon"], "left").select(
+        "n_nationkey",
+        "n_name",
+        "mon",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot -> unpivot roundtrip (melt): wide report back to tall relational
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_status_priority_unpivot",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+""",
+    doc="pivot to a wide (priority x status) count grid, then unpivot "
+    "(melt) back to tall (priority, status, n) — the oracle is the plain "
+    "GROUP BY both operators must reproduce.  Pivot values are pinned "
+    "explicitly ('F','O','P'): no dry-run distinct scan at scale.",
+)
+def q_status_priority_unpivot(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "n_orders"
+    )

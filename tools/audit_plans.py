@@ -52,6 +52,8 @@ BOUNDED_CROSS_OK = {
     "q22_inactive_customer_balance",  # 1-row scalar-average broadcast
     "q11_important_parts",  # 1-row global-threshold scalar broadcast
     "q_tfidf_top_terms",  # 1-row corpus-size (n_docs) scalar broadcast
+    "q_nation_month_spine",  # dims x calendar spine cross (25 x 80), broadcast
+    "q_boilerplate_filter",  # 1-row corpus-size scalar joined onto vocab df
 }
 
 
