@@ -268,3 +268,84 @@ def q_events_sliding_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON payload extraction (the props column is a JSON blob, as a Kafka
+# value would be): path extraction stays JVM-side via get_json_object.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_props_json_extract",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON path extraction from the props payload column "
+    "(get_json_object — whole-stage-codegen'd, no Python, no schema "
+    "inference pass) aggregated per event type.",
+)
+def q_props_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("total_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (last non-null carried forward) — frame-spec window with
+# IGNORE NULLS, the canonical sparse-sensor repair.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_forward_fill",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN event_id % 7 = 0 THEN value END AS v
+  FROM events
+)
+SELECT user_id, event_id,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS filled_value
+FROM sparse
+""",
+    doc="forward fill: only every 7th event carries a reading; the rest "
+    "take the user's last non-null (last(..., ignorenulls) over an "
+    "unbounded-preceding frame).  Order key includes event_id so ties "
+    "cannot reorder across engines.",
+)
+def q_forward_fill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )

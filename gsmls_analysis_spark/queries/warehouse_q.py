@@ -343,3 +343,44 @@ def q_status_priority_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["o_orderpriority"], ["F", "O", "P"], "status", "n_orders"
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving average over a rowsBetween frame (explicit sum/count, so both
+# engines do the identical arithmetic — no avg() implementation drift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_moving_avg_revenue",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT mon, revenue,
+  SUM(revenue) OVER w / COUNT(*) OVER w AS moving_avg_3m
+FROM monthly
+WINDOW w AS (ORDER BY mon ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    doc="3-month moving average of monthly revenue via a rowsBetween "
+    "frame.  The inner sum is decimal-exact; the moving average is an "
+    "explicit frame-sum / frame-count so the float arithmetic is "
+    "identical in both engines (avg() implementations differ).",
+)
+def q_moving_avg_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(dsum(F.col("o_totalprice").cast("decimal(18,2)"), "revenue"))
+    w = Window.orderBy("mon").rowsBetween(-2, Window.currentRow)
+    return monthly.select(
+        "mon",
+        "revenue",
+        (F.sum("revenue").over(w) / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg_3m"
+        ),
+    )

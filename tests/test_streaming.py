@@ -390,3 +390,30 @@ def test_status_transitions_v2_stateful_processor(spark):
         sdf = spark.readStream.schema(schema).parquet(f"{d}/f*")
         out = drain_to_memory(status_transitions_v2(sdf), "t_transitions_v2")
         assert [r.event_type for r in out.collect()] == ["view"]
+
+
+def test_stateful_op_runs_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB streaming story needs state that outgrows executor
+    memory: run the watermarked dedup on the RocksDB state store provider
+    and check it matches the default (HDFS-backed in-memory) provider's
+    result.  The provider is a per-query conf resolved at stream start."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        deduped = stream_dedup_within_watermark(
+            events_file_stream(spark, sf_dir), ["event_id"]
+        )
+        got = drain_to_memory(
+            deduped.select("event_id"), "rocksdb_dedup"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from gsmls_analysis_spark.sources import load_table
+
+    assert got == load_table(spark, sf_dir, "events").count()
