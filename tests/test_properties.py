@@ -133,3 +133,42 @@ def test_scd2_merge_model(spark, rows):
         (r.id, r.status, r.valid_from, r.valid_to, r.is_current) for r in out
     }
     assert got == expect
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "eee", "f1"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    pct=st.sampled_from([0, 40, 79, 100]),
+)
+def test_remove_frequent_tokens_model(spark, docs, pct):
+    """Boilerplate removal == the pure-Python model: a token is stripped
+    iff df(token)*100 > pct*N; kept tokens preserve their original order;
+    n_tokens/n_removed reconcile."""
+    from gsmls_analysis_spark.operators.text import remove_frequent_tokens
+
+    data = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_frequent_tokens(df, "doc_id", "text", pct).collect()
+    }
+    n_docs = len(docs)
+    dfreq: dict[str, int] = {}
+    for words in docs:
+        for t in set(words):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    stop = {t for t, c in dfreq.items() if c * 100 > pct * n_docs}
+    for i, words in enumerate(docs):
+        kept = [w for w in words if w not in stop]
+        r = got[i]
+        assert r.clean_text == " ".join(kept)
+        assert r.n_tokens == len(words)
+        assert r.n_removed == len(words) - len(kept)
