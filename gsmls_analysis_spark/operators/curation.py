@@ -622,3 +622,89 @@ def incremental_ingest_dedup(
     return incoming.withColumn("content_md5", h(text_col)).join(
         seen, "content_md5", "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: overlapping fixed-size token windows per doc —
+# the *other* half of sequence prep (pack_sequences joins short docs; this
+# splits long ones).
+# ---------------------------------------------------------------------------
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows of ``window``
+    tokens every ``stride`` tokens (trailing partial windows kept).
+    Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Pure built-in expressions: tokens → sequence of 1-based starts →
+    posexplode → slice.  The explode multiplies rows by ceil(n/stride) —
+    bounded, shuffle-free; everything stays in whole-stage codegen."""
+    from .text import tokens as _tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), _tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
+    return (
+        toks.select("__id", "__toks", F.posexplode(starts).alias("chunk_idx", "st"))
+        .select(
+            F.col("__id").alias(id_col),
+            "chunk_idx",
+            F.concat_ws(" ", F.slice("__toks", F.col("st"), window)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("__toks", F.col("st"), window)).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_token_windows_udtf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Python-UDTF twin of ``chunk_token_windows`` (Spark 4 table
+    function API): one eval() per row, yields one row per chunk.
+
+    Exists as the template for chunkers a real tokenizer would back
+    (SentencePiece/BPE can't be expressed in built-ins); for the
+    whitespace case the expression path above is the production plan —
+    this one crosses the Python boundary per row batch.  Semantics are
+    pinned by an equality test against the expression path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=f"{id_col} long, chunk_idx int, chunk_text string, "
+                     "n_chunk_tokens int")
+    class Chunker:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = (text or "").strip().split()
+            if not toks:
+                return
+            idx = 0
+            for st in range(0, len(toks), stride):
+                piece = toks[st : st + window]
+                yield doc_id, idx, " ".join(piece), len(piece)
+                idx += 1
+
+    return _apply_udtf(df, Chunker, id_col, text_col)
+
+
+def _apply_udtf(df: DataFrame, cls, id_col: str, text_col: str) -> DataFrame:
+    """lateral-join a UDTF over the rows of df."""
+    spark = df.sparkSession
+    spark.udtf.register("__chunker", cls)
+    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(
+        "__chunk_src"
+    )
+    return spark.sql(
+        f"SELECT c.* FROM __chunk_src, "
+        f"LATERAL __chunker({id_col}, {text_col}) AS c"
+    )

@@ -572,3 +572,38 @@ def q_incremental_ingest_dedup(spark, sf_dir):
     return incremental_ingest_dedup(existing, incoming, "text").select(
         "doc_id", "source", "content_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (split long docs into overlapping token windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_chunk_token_windows",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE len(trim(text)) > 0
+)
+SELECT doc_id,
+  CAST((st - 1) // 16 AS INT) AS chunk_idx,
+  array_to_string(words[st:st+31], ' ') AS chunk_text,
+  CAST(len(words[st:st+31]) AS INT) AS n_chunk_tokens
+FROM toks, unnest(range(1, len(words) + 1, 16)) AS t(st)
+""",
+    doc="context-window chunking: 32-token windows every 16 tokens "
+    "(50% overlap, trailing partial kept) via sequence+posexplode+slice — "
+    "pure codegen'd expressions, row growth bounded by ceil(n/stride).",
+)
+def q_chunk_token_windows(spark, sf_dir):
+    from ..operators.curation import chunk_token_windows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_token_windows(docs, "doc_id", "text", window=32, stride=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+    )

@@ -55,3 +55,35 @@ def test_incremental_ingest_admits_only_unseen_content(spark):
     out = incremental_ingest_dedup(existing, incoming, "text").collect()
     assert [r.doc_id for r in out] == [11]
     assert out[0].content_md5 == hashlib.md5(b"brand new").hexdigest()
+
+
+def test_chunk_windows_layout_and_udtf_parity(spark, sf_dir):
+    from gsmls_analysis_spark.operators.curation import (
+        chunk_token_windows,
+        chunk_token_windows_udtf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40))), (2, "only three tokens"),
+         (3, "  ")],
+        "doc_id long, text string",
+    )
+    out = chunk_token_windows(df, "doc_id", "text", window=32, stride=16)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1 (40 tokens): chunks at 0 (32 toks), 16 (24 toks), 32 (8 toks)
+    assert rows[(1, 0)].n_chunk_tokens == 32
+    assert rows[(1, 1)].n_chunk_tokens == 24
+    assert rows[(1, 2)].n_chunk_tokens == 8
+    assert rows[(1, 1)].chunk_text.split()[0] == "t16"  # stride offset
+    # doc 2: one short chunk; doc 3 (blank): no chunks at all
+    assert rows[(2, 0)].n_chunk_tokens == 3
+    assert not any(d == 3 for d, _ in rows)
+
+    # the Python-UDTF twin (the template for real-tokenizer chunkers)
+    # must agree exactly with the expression path
+    from gsmls_analysis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(map(tuple, chunk_token_windows(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, chunk_token_windows_udtf(docs, "doc_id", "text").collect()))
+    assert a == b
