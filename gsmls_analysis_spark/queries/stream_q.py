@@ -349,3 +349,49 @@ def q_forward_fill(spark, sf_dir):
         "event_id",
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: strict first-occurrence ordering across event steps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_conversion_funnel",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_viewed,
+  CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+    AS n_clicked_after_view,
+  CAST(COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+       AS BIGINT) AS n_purchased_after_click
+FROM m
+""",
+    doc="conversion funnel (view -> click -> purchase, strict "
+    "first-occurrence ordering): one conditional-min aggregate per user "
+    "then one global count — two partial-agg'd shuffles, no self-joins, "
+    "no per-step scans.",
+)
+def q_conversion_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return m.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after_click"),
+    )

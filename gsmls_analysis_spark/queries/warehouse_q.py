@@ -384,3 +384,44 @@ def q_moving_avg_revenue(spark, sf_dir):
             "moving_avg_3m"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read current snapshot: base + change-delta resolved at read
+# time (the lakehouse CDC pattern without a table format dependency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_merge_on_read_current",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, value, 0 AS src FROM events
+), delta AS (
+  SELECT event_id, user_id, value + 1000.0 AS value, 1 AS src
+  FROM events WHERE event_id % 5 = 0
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT event_id, user_id, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn
+  FROM unioned
+) WHERE rn = 1
+""",
+    doc="merge-on-read: the current snapshot is resolved at read time as "
+    "base UNION ALL delta with latest-wins per key (row_number over a "
+    "source-priority order) — the CDC upsert view without rewriting the "
+    "base files.  One shuffle on the merge key.",
+)
+def q_merge_on_read_current(spark, sf_dir):
+    from ..operators.dedup import keep_last_dedup
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.withColumn("src", F.lit(0))
+    delta = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("src", F.lit(1))
+    )
+    merged = keep_last_dedup(base.unionByName(delta), ["event_id"], "src")
+    return merged.select("event_id", "user_id", "value")

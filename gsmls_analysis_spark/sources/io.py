@@ -255,3 +255,24 @@ def csv_read_quarantine(
         **options,
     )
     return df.withColumn("quarantined", F.col("_corrupt_record").isNotNull())
+
+
+def balanced_write(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet write with bounded file sizes: ``maxRecordsPerFile`` caps
+    each task's output files, preventing both the giant-file problem (one
+    skewed task writing 10 GB) and — combined with an AQE-coalesced
+    upstream — the small-files problem.  At 100 TB the file size bounds
+    downstream scan parallelism and footer/metadata cost, so it is an
+    ingest-time contract, not a cosmetic choice."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -71,3 +71,21 @@ def test_dynamic_partition_overwrite_replaces_only_incoming(spark, sf_dir):
     assert len(replaced) == 1 and replaced[0].value == -1.0
     assert after.count() == kept + 1 < n_before
     ev.unpersist()
+
+
+def test_balanced_write_bounds_records_per_file(spark, sf_dir):
+    import glob
+
+    from gsmls_analysis_spark.sources.io import balanced_write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").coalesce(1)
+    n = ev.count()
+    cap = 1500
+    path = os.path.join(tempfile.mkdtemp(prefix="balanced_"), "out")
+    balanced_write(ev, path, cap)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    # a single input partition must still split into ceil(n/cap) files,
+    # and no file may exceed the cap
+    assert len(files) >= (n + cap - 1) // cap
+    for f in files:
+        assert spark.read.parquet(f).count() <= cap
