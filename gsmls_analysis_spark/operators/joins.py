@@ -265,3 +265,43 @@ def range_bucket_join(
         b[lo_col], b[hi_col]
     )
     return f.join(b, cond, how).drop("__fb", "__bb")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy self-match via complete length-band blocking + exact edit-distance
+# verify — the scalable shape of approximate string joins.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, name_col: str, max_dist: int = 2, band_width: int = 4
+) -> DataFrame:
+    """Distinct value pairs within edit distance ``max_dist``.
+
+    Blocking is COMPLETE, not heuristic: |len(a) - len(b)| <= lev(a, b),
+    so with ``band_width > max_dist`` two matchable strings' length bands
+    differ by at most 1 — emitting each string under its own band and the
+    next (2 keys/row) guarantees every qualifying pair shares >= 1 key.
+    The O(n²) cross product never exists; levenshtein runs only on
+    same-block candidates.  Returns (name_a, name_b, dist), name_a <
+    name_b, deduped across blocks."""
+    if band_width <= max_dist:
+        raise ValueError("band_width must exceed max_dist for completeness")
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    band = F.floor(F.length("name") / band_width).cast("long")
+    keyed = names.select(
+        "name", F.explode(F.array(band, band + 1)).alias("block")
+    )
+    a = keyed.select(F.col("name").alias("name_a"), "block")
+    b = keyed.select(F.col("name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

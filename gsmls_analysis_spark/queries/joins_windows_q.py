@@ -514,3 +514,33 @@ def q_monthly_reconciliation(spark, sf_dir):
             F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-match with complete length-band blocking.
+# The oracle verifies against the naive distinct cross join — affordable
+# for an oracle, never built by the engine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_name_match",
+    oracle="""
+WITH d AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM d a JOIN d b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+""",
+    doc="fuzzy self-match on part names (levenshtein <= 2) via COMPLETE "
+    "length-band blocking: |len diff| bounds edit distance, so two block "
+    "keys per string guarantee no missed pair while the cross product "
+    "never materializes.  The oracle is the naive distinct cross — "
+    "affordable for DuckDB at oracle scale, never built by the engine.",
+)
+def q_fuzzy_name_match(spark, sf_dir):
+    from ..operators.joins import fuzzy_self_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    out = fuzzy_self_pairs(part, "p_name", max_dist=2, band_width=4)
+    return out.select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))

@@ -172,3 +172,42 @@ def test_remove_frequent_tokens_model(spark, docs, pct):
         assert r.clean_text == " ".join(kept)
         assert r.n_tokens == len(words)
         assert r.n_removed == len(words) - len(kept)
+
+
+@SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=10),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+def test_fuzzy_blocking_is_complete(spark, names):
+    """Length-band blocking must find EXACTLY the brute-force pair set —
+    completeness is a theorem (|len diff| <= edit distance), this checks
+    the implementation honors it including band-boundary strings."""
+    from gsmls_analysis_spark.operators.joins import fuzzy_self_pairs
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_pairs(df, "name", max_dist=2, band_width=4).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for i, x in enumerate(names):
+        for y in names[i + 1 :]:
+            d = lev(x, y)
+            if d <= 2:
+                want.add((min(x, y), max(x, y), d))
+    assert got == want
