@@ -425,3 +425,37 @@ def q_merge_on_read_current(spark, sf_dir):
     )
     merged = keep_last_dedup(base.unionByName(delta), ["event_id"], "src")
     return merged.select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist — relative-standing analytics (exact rationals:
+# (rank-1)/(n-1) and rank/n divide integers, so doubles match bit-exact
+# across engines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_supplier_balance_standing",
+    oracle="""
+SELECT s_nationkey, s_suppkey, s_acctbal,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""",
+    doc="relative standing of each supplier's balance within its nation: "
+    "percent_rank + cume_dist over a unique total order (tie-broken by "
+    "key).  Exact integer-ratio doubles — bit-identical across engines.",
+)
+def q_supplier_balance_standing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -30,6 +30,9 @@ SKIP = {
     "q_stream_dedup_within_watermark",
     "q_stream_json_quarantine_native",
     "q_stream_foreach_batch_ingest",
+    "q_stream_stream_join_native",
+    "q_stream_status_transitions_native",
+    "q_stream_sliding_window_native",
 }
 
 
