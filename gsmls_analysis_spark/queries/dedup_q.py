@@ -372,3 +372,37 @@ def q_verified_near_dups(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration over the near-dup candidate graph — the classic
+# distributed-graph pattern (oriented edges keep the join bounded).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_graph_triangles",
+    oracle=f"""
+WITH e AS (SELECT id_a AS a, id_b AS b FROM ({_LSH_ORACLE}))
+SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+    doc="triangle enumeration over the MinHash-LSH candidate graph.  "
+    "Edges are ORIENTED (id_a < id_b by construction), so each triangle "
+    "is produced exactly once and the wedge join e1.b = e2.a only "
+    "extends forward — the standard bound that keeps distributed "
+    "triangle joins from exploding on high-degree vertices.",
+)
+def q_dup_graph_triangles(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e1 = e.select(F.col("a").alias("v1"), F.col("b").alias("v2"))
+    e2 = e.select(F.col("a").alias("v2"), F.col("b").alias("v3"))
+    e3 = e.select(F.col("a").alias("v1"), F.col("b").alias("v3"))
+    return e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")

@@ -459,3 +459,42 @@ def q_supplier_balance_standing(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uniform-width histogram via width_bucket
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+SELECT CAST(floor(value / 10.0) + 1 AS INT) AS bucket,
+  COUNT(*) AS n,
+  MIN(value) AS lo,
+  MAX(value) AS hi
+FROM events
+GROUP BY bucket
+""",
+    doc="50-bucket uniform histogram of event values over [0, 500) via "
+    "width_bucket; the oracle replicates the bucketing with the "
+    "equivalent floor division (DuckDB has no width_bucket).  All values "
+    "sit strictly inside the bounds, so no under/overflow buckets arise "
+    "and the two formulas agree exactly.",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket(
+                "value", F.lit(0.0), F.lit(500.0), F.lit(50)
+            ).cast("int").alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

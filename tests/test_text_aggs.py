@@ -107,3 +107,26 @@ def test_salted_agg_spreads_identical_hot_rows(spark):
     assert n_buckets >= 12, f"salt collapsed to {n_buckets} buckets"
     out = salted_group_agg(hot, ["k"], "v", n_salt=16).collect()
     assert len(out) == 1 and out[0].n_rows == 1000 and out[0].total == 1000.0
+
+
+def test_hll_sketches_merge_to_global_estimate(spark, sf_dir):
+    """The mergeable-sketch pattern: per-group HLL sketches unioned equal
+    the global sketch's estimate (HLL registers combine by max, so the
+    estimate is order- and partitioning-independent), and the estimate
+    sits within the configured relative error of the exact count."""
+    from gsmls_analysis_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    global_est = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first().e
+    merged_est = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()
+        .e
+    )
+    assert merged_est == global_est, "sketch union must be lossless"
+    assert abs(global_est - exact) / exact < 0.05
