@@ -55,3 +55,67 @@ def salted_group_agg(
         F.max("__max").alias("vmax"),
         (F.sum("__sum").cast("double") / F.sum("__n")).alias("vavg"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass-per-metric-family column profiling: null count, exact
+    distinct count, and numeric min/max per column, emitted LONG
+    (column, null_count, n_distinct, min_num, max_num) so downstream DQ
+    rules can join on column name.
+
+    Exact multi-column DISTINCT is the oracle-pinned variant; at 100 TB
+    swap ``countDistinct`` for ``approx_count_distinct`` (or the
+    mergeable HLL sketches tested in test_text_aggs) — the shape of the
+    output contract does not change."""
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "double", "float", "short", "decimal")
+    }
+    per_col = []
+    for c in cols:
+        per_col.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("null_count"),
+                F.countDistinct(c).alias("n_distinct"),
+                (
+                    F.min(F.col(c)).cast("double")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.max(F.col(c)).cast("double")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+        )
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dq_expectations(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Declarative data-quality expectations: each rule is
+    (name, boolean Column that is True when the row PASSES).  All rules
+    evaluate in ONE scan (a sum(when) per rule), emitted long:
+    (rule, n_checked, n_violations)."""
+    aggs = []
+    for name, cond in rules:
+        aggs.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.when(~cond, 1).otherwise(0)).alias("n_violations"),
+            ).alias(f"__r_{name}")
+        )
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(F.array(*[F.col(f"__r_{n}") for n, _ in rules])).alias("r")
+    )
+    return stacked.select("r.rule", "r.n_checked", "r.n_violations")

@@ -544,3 +544,42 @@ def q_fuzzy_name_match(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     out = fuzzy_self_pairs(part, "p_name", max_dist=2, band_width=4)
     return out.select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# dense_rank with ties kept — the rank-family member where ALL rows at a
+# qualifying value survive (row_number would arbitrarily prune ties).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_top_quantities_with_ties",
+    oracle="""
+SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS quantity,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(qrank AS INT) AS qrank
+FROM (
+  SELECT l_returnflag, l_quantity,
+    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+      AS qrank
+  FROM lineitem
+)
+WHERE qrank <= 2
+GROUP BY l_returnflag, l_quantity, qrank
+""",
+    doc="dense_rank <= 2 keeps EVERY line item at the two highest "
+    "quantity values per return flag (ties survive; row_number would "
+    "arbitrarily drop them) — then aggregates the tied rows per value.",
+)
+def q_top_quantities_with_ties(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    return (
+        li.withColumn("qrank", F.dense_rank().over(w))
+        .filter(F.col("qrank") <= 2)
+        .groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("quantity"), "qrank")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select("l_returnflag", "quantity", "n_items", F.col("qrank").cast("int").alias("qrank"))
+    )

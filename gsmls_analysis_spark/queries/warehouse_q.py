@@ -498,3 +498,120 @@ def q_value_histogram(spark, sf_dir):
             F.max("value").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling + declarative DQ expectations + snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_profile_orders",
+    oracle="""
+SELECT 'o_custkey' AS column, CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS null_count,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+  CAST(MIN(o_custkey) AS DOUBLE) AS min_num, CAST(MAX(o_custkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT),
+  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+  MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT),
+  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+""",
+    doc="column profiling (null rate, exact distinct, numeric min/max) "
+    "emitted long per column — the DQ-dashboard input.  Oracle-pinned "
+    "exact variant; production swaps countDistinct for the mergeable "
+    "HLL sketch path.",
+)
+def q_profile_orders(spark, sf_dir):
+    from ..operators.aggs import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, ["o_custkey", "o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "q_dq_expectations",
+    oracle="""
+SELECT 'quantity_range' AS rule, CAST(COUNT(*) AS BIGINT) AS n_checked,
+  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'discount_range', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'shipdate_present', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'price_positive', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+""",
+    doc="declarative DQ expectations (deequ/dbt-test shape): every rule "
+    "evaluated in ONE scan via sum(when), emitted long per rule.",
+)
+def q_dq_expectations(spark, sf_dir):
+    from ..operators.aggs import dq_expectations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("quantity_range", F.col("l_quantity").between(1, 50)),
+        ("discount_range", F.col("l_discount").between(0.0, 0.1)),
+        ("shipdate_present", F.col("l_shipdate").isNotNull()),
+        ("price_positive", F.col("l_extendedprice") > 0),
+    ]
+    return dq_expectations(li, rules)
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT event_id, value FROM events
+), new AS (
+  SELECT event_id,
+    CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END AS value
+  FROM events WHERE event_id % 7 <> 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE
+    WHEN o.event_id IS NULL THEN 'added'
+    WHEN n.event_id IS NULL THEN 'removed'
+    WHEN n.value <> o.value THEN 'changed'
+    ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+) GROUP BY status
+""",
+    doc="snapshot diff: FULL OUTER join of two table versions on the key, "
+    "classifying added/removed/changed/unchanged — the audit step before "
+    "promoting a rebuilt table.  One shuffle on the key; values compared "
+    "in the join output, never recomputed.",
+)
+def q_snapshot_diff(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    old = ev
+    new = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1000.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    o = old.select(F.col("event_id").alias("k"), F.col("value").alias("v_old"))
+    n = new.select(F.col("event_id").alias("k"), F.col("value").alias("v_new"))
+    joined = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("v_old").isNull(), "added")
+        .when(F.col("v_new").isNull(), "removed")
+        .when(F.col("v_new") != F.col("v_old"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
