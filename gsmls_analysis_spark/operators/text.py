@@ -358,3 +358,76 @@ def remove_frequent_tokens(
             (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring: the standard full-text relevance function, computed for a
+# fixed query-term set with engine-portable arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for ``terms``.
+
+    idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5));
+    score  = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Determinism: the Σ over query terms is a FIXED-ORDER expression sum
+    (t1 + t2 + …), never a float aggregation over rows, and the result
+    is rounded to 4 decimals — bit-identical across engines.
+
+    Scale shape: one filtered explode (only query terms survive the
+    explode) → groupBy(doc) pivot to per-term tf columns; doc length from
+    the corpus table; N/avgdl/df as a 1-row broadcast.  Everything the
+    shuffle carries is O(docs containing a query term)."""
+    ids = F.col(id_col)
+    toks = df.select(ids.alias("__id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    hits = toks.filter(F.col("t").isin(*terms))
+    tf = hits.groupBy("__id").agg(
+        *[
+            F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dl = df.select(ids.alias("__id"), token_count(F.col(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ]
+    )
+    joined = (
+        dl.join(tf, "__id")  # inner: only docs containing >= 1 query term
+        .join(F.broadcast(stats))
+        .join(F.broadcast(dfreq))
+    )
+
+    def term_score(i: int):
+        tf_c = F.col(f"tf_{i}").cast("double")
+        df_c = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("N").cast("double") - df_c + 0.5) / (df_c + 0.5)
+        )
+        denom = tf_c + k1 * (
+            1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tf_c * (k1 + 1.0)) / denom
+
+    total = term_score(0)
+    for i in range(1, len(terms)):
+        total = total + term_score(i)
+    return joined.select(
+        F.col("__id").alias(id_col), F.round(total, 4).alias("score")
+    )

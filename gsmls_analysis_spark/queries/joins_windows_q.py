@@ -583,3 +583,51 @@ def q_top_quantities_with_ties(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_items"))
         .select("l_returnflag", "quantity", "n_items", F.col("qrank").cast("int").alias("qrank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of silently dropping — the semantics gap that loses
+# rows in naive reconciliation joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT event_id,
+    CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS k
+  FROM events
+), b AS (
+  SELECT DISTINCT CASE WHEN user_id % 13 = 0 THEN NULL ELSE user_id END AS k
+  FROM events
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_matched,
+  CAST(COUNT(CASE WHEN a.k IS NULL THEN 1 END) AS BIGINT) AS n_null_matches
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    doc="NULL-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): rows "
+    "with unknown keys on both sides still pair up — a plain equi-join "
+    "would silently drop every NULL-keyed row.  Catalyst plans this as "
+    "a hash join on the null-safe key, not a nested loop.",
+)
+def q_null_safe_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    b = ev.select(
+        F.when(F.col("user_id") % 13 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    ).distinct()
+    joined = a.join(b, a["k"].eqNullSafe(b["k"]))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.count(F.when(a["k"].isNull(), 1)).alias("n_null_matches"),
+    )

@@ -331,3 +331,91 @@ def q_boilerplate_filter(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring — full-text search on top of the tf/df machinery
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "spark", "dup")
+
+
+def _bm25_oracle() -> str:
+    t0, t1, t2 = _BM25_TERMS
+
+    def score(i: int) -> str:
+        return (
+            f"ln(1.0 + (CAST(N AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf_{i} AS DOUBLE)"
+            f" + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+        )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id,
+    SUM(CASE WHEN t = '{t0}' THEN 1 ELSE 0 END) AS tf_0,
+    SUM(CASE WHEN t = '{t1}' THEN 1 ELSE 0 END) AS tf_1,
+    SUM(CASE WHEN t = '{t2}' THEN 1 ELSE 0 END) AS tf_2
+  FROM toks WHERE t IN ('{t0}', '{t1}', '{t2}') GROUP BY doc_id
+), dl AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS N, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), dfreq AS (
+  SELECT
+    SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+    SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+    SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+  FROM tf
+)
+SELECT doc_id,
+  ROUND({score(0)} + {score(1)} + {score(2)}, 4) AS score
+FROM dl JOIN tf USING (doc_id) CROSS JOIN stats CROSS JOIN dfreq
+"""
+
+
+@query(
+    "q_bm25_search",
+    oracle=_bm25_oracle(),
+    doc="BM25 relevance scoring for a 3-term query (k1=1.2, b=0.75): the "
+    "per-term sum is a FIXED-ORDER expression (never a float row "
+    "aggregation), idf/length-normalization literals are identical "
+    "doubles in both engines, and the score is rounded to 4 — "
+    "bit-identical cross-engine.  Only docs containing a query term "
+    "leave the explode.",
+)
+def q_bm25_search(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg) — deterministic via explicit sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sources_per_lang_agg",
+    oracle="""
+SELECT lang,
+  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+    doc="ordered listagg: distinct sources per language joined "
+    "comma-separated in sorted order — collect_set is unordered by "
+    "contract, so array_sort pins the output before concat_ws.",
+)
+def q_sources_per_lang_agg(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
