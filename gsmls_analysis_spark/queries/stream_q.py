@@ -433,3 +433,41 @@ def q_variant_props_extract(spark, sf_dir):
         F.count(F.when(F.col("k") % 2 == 0, 1)).alias("n_even_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral transition matrix: consecutive event-type pairs per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM ordered
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    doc="behavioral transition matrix: counts of consecutive "
+    "(prev, next) event-type pairs per user — one lag window over "
+    "(user, time) then a grouped count; the Markov-chain input for "
+    "journey analysis.  Order key includes event_id so timestamp ties "
+    "cannot flip transitions across engines.",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

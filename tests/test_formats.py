@@ -89,3 +89,36 @@ def test_balanced_write_bounds_records_per_file(spark, sf_dir):
     assert len(files) >= (n + cap - 1) // cap
     for f in files:
         assert spark.read.parquet(f).count() <= cap
+
+
+def test_dynamic_partition_pruning_on_partitioned_scan(spark, sf_dir):
+    """DPP: a selective filter on the dim side prunes the fact's
+    PARTITIONS at runtime via a reused subquery broadcast — the scan
+    must carry a dynamicpruning expression instead of reading every
+    partition.  This is the mechanism that makes dim-filtered fact scans
+    cheap on a partitioned 100 TB lake."""
+    import contextlib
+    import io
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="dpp_")
+    fact_path = os.path.join(base, "events_part")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "interactive"),
+         ("purchase", "transactional"), ("signup", "transactional"),
+         ("error", "noise")],
+        "event_type string, category string",
+    )
+    joined = fact.join(dim, "event_type").filter(F.col("category") == "noise")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), "no DPP expression in scan"
+    # and the result is correct: only 'error' rows survive
+    want = ev.filter(F.col("event_type") == "error").count()
+    assert joined.count() == want
