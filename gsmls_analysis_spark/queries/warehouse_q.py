@@ -469,7 +469,9 @@ def q_supplier_balance_standing(spark, sf_dir):
 @query(
     "q_value_histogram",
     oracle="""
-SELECT CAST(floor(value / 10.0) + 1 AS INT) AS bucket,
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 500.0 THEN 51
+            ELSE floor(value / 10.0) + 1 END AS INT) AS bucket,
   COUNT(*) AS n,
   MIN(value) AS lo,
   MAX(value) AS hi
@@ -478,9 +480,9 @@ GROUP BY bucket
 """,
     doc="50-bucket uniform histogram of event values over [0, 500) via "
     "width_bucket; the oracle replicates the bucketing with the "
-    "equivalent floor division (DuckDB has no width_bucket).  All values "
-    "sit strictly inside the bounds, so no under/overflow buckets arise "
-    "and the two formulas agree exactly.",
+    "equivalent floor division INCLUDING width_bucket's under/overflow "
+    "buckets (0 and n+1), so the formulas agree at every scale factor — "
+    "sf0.1 values exceed the upper bound and land in bucket 51.",
 )
 def q_value_histogram(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")

@@ -122,3 +122,20 @@ def test_dynamic_partition_pruning_on_partitioned_scan(spark, sf_dir):
     # and the result is correct: only 'error' rows survive
     want = ev.filter(F.col("event_type") == "error").count()
     assert joined.count() == want
+
+
+def test_schema_evolution_merge_on_read(spark):
+    """Schema drift across ingest batches: later files add a column.
+    mergeSchema=true unifies the scan schema and back-fills NULL for the
+    old files — no rewrite of existing data."""
+    base = tempfile.mkdtemp(prefix="evo_")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    v1.write.parquet(os.path.join(base, "batch=1"))
+    v2.write.parquet(os.path.join(base, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
