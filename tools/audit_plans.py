@@ -57,6 +57,7 @@ BOUNDED_CROSS_OK = {
     "q_tfidf_top_terms",  # 1-row corpus-size (n_docs) scalar broadcast
     "q_nation_month_spine",  # dims x calendar spine cross (25 x 80), broadcast
     "q_boilerplate_filter",  # 1-row corpus-size scalar joined onto vocab df
+    "q_bm25_search",  # two 1-row scalar broadcasts (corpus stats, term dfs)
 }
 
 
