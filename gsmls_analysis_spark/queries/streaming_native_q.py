@@ -238,3 +238,40 @@ def q_stream_sliding_window_native(spark, sf_dir):
     return drain_to_memory(
         sliding_counts(sdf), "stream_sliding_window", output_mode="complete"
     )
+
+
+@query(
+    "q_stream_static_enrich_native",
+    oracle="""
+SELECT CASE WHEN event_type IN ('click', 'view') THEN 'interactive'
+            WHEN event_type IN ('purchase', 'signup') THEN 'transactional'
+            ELSE 'noise' END AS category,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY category
+""",
+    doc="ST (native) stream-STATIC broadcast join: the file-source stream "
+    "enriches against a static category dim per micro-batch (no join "
+    "state, unlike stream-stream), then aggregates per category.",
+)
+def q_stream_static_enrich_native(spark, sf_dir):
+    from ..streaming.ingest import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "interactive"),
+         ("purchase", "transactional"), ("signup", "transactional"),
+         ("error", "noise")],
+        "event_type string, category string",
+    )
+    sdf = events_file_stream(spark, sf_dir)
+    enriched = stream_static_enrich(
+        sdf.select("event_type", "value"), dim, "event_type"
+    )
+    agg = enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    return drain_to_memory(agg, "stream_static_enrich", output_mode="complete")

@@ -617,3 +617,94 @@ def q_snapshot_diff(spark, sf_dir):
     return joined.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# rangeBetween cumulative frame: same-month rows share the cumulative
+# value (rows-frame would order-dependently split ties)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cumulative_revenue_range",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT mon, o_orderpriority, revenue,
+  CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_orderpriority ORDER BY mon
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS cumulative
+FROM monthly
+""",
+    doc="cumulative revenue per priority via a RANGE frame: every row "
+    "with the same month shares one cumulative value by definition "
+    "(a ROWS frame would split ties in arbitrary order).  Decimal-cast "
+    "inner and outer sums keep the running total exact.",
+)
+def q_cumulative_revenue_range(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon"), "o_orderpriority"
+    ).agg(dsum(F.col("o_totalprice").cast("decimal(18,2)"), "revenue"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("mon")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "mon",
+        "o_orderpriority",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cumulative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe try_ arithmetic: errors become NULL, not job failures
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_try_arithmetic",
+    oracle="""
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ratio,
+  CAST(SUM(CAST(COALESCE(ratio, 0.0) AS DECIMAL(20,6))) AS DOUBLE) AS ratio_sum
+FROM (
+  SELECT l_linestatus,
+    ROUND(l_extendedprice / NULLIF(l_quantity - 25.0, 0.0), 6) AS ratio
+  FROM lineitem
+)
+GROUP BY l_linestatus
+""",
+    doc="ANSI-safe arithmetic: try_divide turns division-by-zero into "
+    "NULL instead of failing the job under ANSI mode (the oracle models "
+    "it with NULLIF).  Ratios are rounded to 6 before the decimal-exact "
+    "sum, so the aggregate is order-independent.",
+)
+def q_try_arithmetic(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.round(
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25.0), 6
+    )
+    return (
+        li.select("l_linestatus", ratio.alias("ratio"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0)).alias(
+                "n_null_ratio"
+            ),
+            F.sum(F.coalesce(F.col("ratio"), F.lit(0.0)).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("ratio_sum"),
+        )
+    )

@@ -316,3 +316,12 @@ def with_ingest_metrics(sdf: DataFrame, name: str = "ingest_metrics") -> DataFra
             "n_null_first_col"
         ),
     )
+
+
+def stream_static_enrich(sdf: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-STATIC join: each micro-batch joins against the (small)
+    static dimension — planned as a broadcast hash join per batch, no
+    stream-side state at all (unlike stream-stream joins).  The dim is
+    re-resolvable per batch, so slowly-refreshed dims pick up updates on
+    the next trigger."""
+    return sdf.join(F.broadcast(dim), key)
