@@ -708,3 +708,40 @@ def _apply_udtf(df: DataFrame, cls, id_col: str, text_col: str) -> DataFrame:
         f"SELECT c.* FROM __chunk_src, "
         f"LATERAL __chunker({id_col}, {text_col}) AS c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis exponential
+# keys), md5-deterministic — heavier rows proportionally likelier, rerun-
+# and partitioning-stable, one windowed top-k per group.
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Top-k weighted sample per group: rank by ln(u)/w descending where
+    u is an md5-derived uniform in (0, 1] — the Efraimidis–Spirakis key
+    (u^(1/w)) in log form.  Deterministic: u replays from the row id in
+    any engine; the rank key is rounded to 12 decimals (cross-engine ln
+    last-ulp immunity) and tie-broken by id.  Weight must be > 0."""
+    ids = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(ids.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h % F.lit(1_000_000) + 1).cast("double") / F.lit(1_000_001.0)
+    key = F.round(F.log(u) / weight.cast("double"), 12)
+    w = Window.partitionBy(group_col).orderBy(F.desc("__wkey"), ids)
+    return (
+        df.withColumn("__wkey", key)
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__wkey", "__rank")
+    )

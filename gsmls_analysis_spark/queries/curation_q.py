@@ -607,3 +607,38 @@ def q_chunk_token_windows(spark, sf_dir):
         "chunk_text",
         F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (exponential keys, deterministic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY round(
+        ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsamp'), 1, 15))
+              AS UBIGINT) % 1000000 + 1) / 1000001.0)
+        / CAST(n_chars AS DOUBLE), 12) DESC, doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
+    doc="weighted sampling without replacement (Efraimidis-Spirakis "
+    "exponential keys in log form, ln(u)/w): longer docs are "
+    "proportionally likelier, the md5-derived u replays in any engine, "
+    "and the rank key is rounded to 12 with an id tie-break — "
+    "deterministic top-5 per source in one window.",
+)
+def q_weighted_sample(spark, sf_dir):
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(docs, "source", "doc_id", F.col("n_chars"), k=5)

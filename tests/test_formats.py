@@ -139,3 +139,31 @@ def test_schema_evolution_merge_on_read(spark):
     assert set(merged.columns) == {"id", "name", "score", "batch"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_input_file_name_lineage_matches_duckdb(spark, sf_dir):
+    """Ingest lineage: input_file_name() stamps each row's physical
+    source file; per-file counts must match DuckDB's filename=true scan
+    of the same parquet.  (Unit-only: the driver oracle contract exposes
+    views, not file paths.)"""
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    got = {
+        r.source_file: r.n
+        for r in docs.withColumn(
+            "source_file", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+        )
+        .groupBy("source_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT regexp_extract(filename, '([^/]+)$', 1), count(*) "
+            f"FROM read_parquet('{sf_dir}/documents.parquet', filename=true) "
+            "GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want and got  # same files, same counts, non-empty

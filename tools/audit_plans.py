@@ -33,6 +33,7 @@ SKIP = {
     "q_stream_stream_join_native",
     "q_stream_status_transitions_native",
     "q_stream_sliding_window_native",
+    "q_stream_static_enrich_native",
 }
 
 
