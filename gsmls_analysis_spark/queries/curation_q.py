@@ -642,3 +642,73 @@ def q_weighted_sample(spark, sf_dir):
         "doc_id", "source", "n_chars"
     )
     return weighted_sample(docs, "source", "doc_id", F.col("n_chars"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: exact-dedup -> quality filter -> stratified
+# sample, all md5-deterministic — proves the operator layer CHAINS with
+# one end-to-end oracle, not just piecewise.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_curation_pipeline_chain",
+    oracle="""
+WITH deduped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), sig AS (
+  SELECT doc_id, source,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    len(text) AS n_chars,
+    len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_clean
+  FROM deduped
+), kept AS (
+  SELECT doc_id, source FROM sig
+  WHERE len(words) >= 10 AND len(words) <= 100000
+    AND (CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+         / len(words)) BETWEEN 2.0 AND 12.0
+    AND (CASE WHEN n_chars > 0
+              THEN CAST(n_chars - n_clean AS DOUBLE) / n_chars
+              ELSE 0.0 END) <= 0.1
+    AND len(list_intersect(words, ['the', 'a', 'of', 'and', 'to'])) > 0
+), sampled AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+      row_number() OVER (
+        PARTITION BY source
+        ORDER BY CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 15))
+                 AS UBIGINT) % 1000000 AS DOUBLE) / 1000000.0, doc_id
+      ) AS rn
+    FROM kept
+  ) WHERE rn <= 8
+)
+SELECT doc_id, source FROM sampled
+""",
+    doc="composed curation chain: exact content dedup (min doc_id per "
+    "md5(text)) -> Gopher-style quality filter -> deterministic "
+    "stratified sample of 8 per source.  Every stage is md5-determined, "
+    "so ONE oracle replays the whole pipeline end-to-end — the "
+    "composition proof, not just piecewise operator checks.",
+)
+def q_curation_pipeline_chain(spark, sf_dir):
+    from ..operators.curation import quality_filter, stratified_sample_exact
+    from ..operators.dedup import keep_last_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # keep the MIN doc_id per content hash: keep_last over negated order
+    deduped = keep_last_dedup(
+        docs.withColumn("__h", F.md5(F.col("text").cast("binary"))).withColumn(
+            "__neg", -F.col("doc_id")
+        ),
+        ["__h"],
+        "__neg",
+    ).drop("__h", "__neg")
+    kept = quality_filter(deduped, "text").filter(F.col("keep"))
+    sampled = stratified_sample_exact(
+        kept.select("doc_id", "source"), "source", "doc_id", 8
+    )
+    return sampled.select("doc_id", "source")
