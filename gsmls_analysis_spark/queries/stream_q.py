@@ -471,3 +471,103 @@ def q_event_transition_matrix(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over an irregular series (each reading holds
+# until the next one) — decimal-exact numerator/denominator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH spans AS (
+  SELECT user_id, value,
+    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2)) * gap_us) AS DOUBLE)
+    / CAST(SUM(gap_us) AS DOUBLE), 6) AS twa_value,
+  CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM spans
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+    doc="time-weighted average of an irregular series: each reading "
+    "holds until the user's next event (lead window), weighted by the "
+    "integer-microsecond span.  decimal(value) x bigint(gap) products "
+    "sum exactly — order-independent; the 17-digit decimal -> double "
+    "cast rounds differently per engine, so the final quotient is "
+    "rounded to 6.",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return spans.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)") * F.col("gap_us")).cast(
+                "double"
+            )
+            / F.sum("gap_us").cast("double"),
+            6,
+        ).alias("twa_value"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest run of consecutive active days per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_longest_daily_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d
+  FROM events
+), grouped AS (
+  SELECT user_id, d,
+    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+)
+SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak
+FROM (
+  SELECT user_id, grp, COUNT(*) AS streak
+  FROM grouped GROUP BY user_id, grp
+)
+GROUP BY user_id
+""",
+    doc="gaps-and-islands: longest run of consecutive active days per "
+    "user via the day-number minus row_number constant-group trick — "
+    "pure integer arithmetic, two windowless aggregations after one "
+    "window.",
+)
+def q_longest_daily_streak(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return streaks.groupBy("user_id").agg(F.max("streak").alias("longest_streak"))

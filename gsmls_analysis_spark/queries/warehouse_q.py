@@ -708,3 +708,53 @@ def q_try_arithmetic(spark, sf_dir):
             .alias("ratio_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each group's share of the grand total via an
+# unpartitioned window over the pre-aggregated groups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_revenue_share_by_nation",
+    oracle="""
+WITH per_nation AS (
+  SELECT c_nationkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey, revenue,
+  ROUND(revenue / SUM(revenue) OVER (), 12) AS share
+FROM per_nation
+""",
+    doc="percent-of-total: per-nation revenue share via an unpartitioned "
+    "window SUM over the 25 pre-aggregated nation rows (never over raw "
+    "facts).  The inner sums are decimal-exact; the window total sums "
+    "25 doubles in deterministic partition-local order; the share is "
+    "rounded to 12 (decimal -> double casts of 17-digit totals round "
+    "differently per engine).",
+)
+def q_revenue_share_by_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        orders.join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey")
+        .agg(dsum(F.col("o_totalprice").cast("decimal(18,2)"), "revenue"))
+    )
+    return per_nation.select(
+        "c_nationkey",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 12
+        ).alias("share"),
+    )
