@@ -48,6 +48,10 @@ HEADLINE = [
     "q_events_tumbling_hour",
     "q_events_sessionize",
     "q_stream_tumbling_hour_native",
+    # r3 verdict item 7: the two new shuffle-bearing stateful operators
+    # get bench entries so round-over-round regressions are visible
+    "q_scd2_user_history",
+    "q_stream_stream_join_native",
     "q_image_extract_classify",
     "q_multi_hot_attrs",
     "q_multimodal_features",

@@ -73,29 +73,32 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         if f.dataType.typeName()
         in ("integer", "long", "double", "float", "short", "decimal")
     }
-    per_col = []
-    for c in cols:
-        per_col.append(
-            df.agg(
-                F.lit(c).alias("column"),
-                F.count(F.when(F.col(c).isNull(), 1)).alias("null_count"),
-                F.countDistinct(c).alias("n_distinct"),
-                (
-                    F.min(F.col(c)).cast("double")
-                    if c in numeric
-                    else F.lit(None).cast("double")
-                ).alias("min_num"),
-                (
-                    F.max(F.col(c)).cast("double")
-                    if c in numeric
-                    else F.lit(None).cast("double")
-                ).alias("max_num"),
-            )
-        )
-    out = per_col[0]
-    for p in per_col[1:]:
-        out = out.unionByName(p)
-    return out
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias("null_count"),
+            F.countDistinct(c).alias("n_distinct"),
+            (
+                F.min(F.col(c)).cast("double")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.max(F.col(c)).cast("double")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias("max_num"),
+        ).alias(f"__p_{c}")
+        for c in cols
+    ]
+    # ONE scan for all profiled columns: every per-column aggregate lives
+    # in the same df.agg projection (the N distinct aggregates plan as one
+    # Expand over a single pass), then the 1-row result explodes to the
+    # long layout — N columns never cost N table scans.
+    row = df.agg(*structs)
+    return row.select(
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+    ).select("p.*")
 
 
 def dq_expectations(

@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import itertools
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -681,7 +682,11 @@ def chunk_token_windows_udtf(
     pinned by an equality test against the expression path."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType=f"{id_col} long, chunk_idx int, chunk_text string, "
+    # the id field's type comes from the actual schema — a string or int
+    # id column must round-trip unchanged, not be coerced to long
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    @udtf(returnType=f"{id_col} {id_type}, chunk_idx int, chunk_text string, "
                      "n_chunk_tokens int")
     class Chunker:
         def eval(self, doc_id, text):  # noqa: ANN001
@@ -697,16 +702,22 @@ def chunk_token_windows_udtf(
     return _apply_udtf(df, Chunker, id_col, text_col)
 
 
+_UDTF_SEQ = itertools.count()
+
+
 def _apply_udtf(df: DataFrame, cls, id_col: str, text_col: str) -> DataFrame:
-    """lateral-join a UDTF over the rows of df."""
+    """lateral-join a UDTF over the rows of df.  The registered function
+    and source view get per-call unique names so concurrent callers (or
+    repeated calls with different window/stride closures) never clobber
+    each other's registration."""
     spark = df.sparkSession
-    spark.udtf.register("__chunker", cls)
-    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(
-        "__chunk_src"
-    )
+    n = next(_UDTF_SEQ)
+    fn_name, view_name = f"__chunker_{n}", f"__chunk_src_{n}"
+    spark.udtf.register(fn_name, cls)
+    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view_name)
     return spark.sql(
-        f"SELECT c.* FROM __chunk_src, "
-        f"LATERAL __chunker({id_col}, {text_col}) AS c"
+        f"SELECT c.* FROM {view_name}, "
+        f"LATERAL {fn_name}({id_col}, {text_col}) AS c"
     )
 
 

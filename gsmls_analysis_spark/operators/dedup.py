@@ -377,14 +377,16 @@ def simhash_near_dups(
     boilerplate-heavy corpora — 112 members already at sf0.01) switch from
     all-pairs expansion to star pairs against the bucket's min-doc
     representative: O(m) output, no unbounded collect_list array.  Star
-    pairs carry the true Hamming distance and the ≤ max_hamming filter
-    applies uniformly — which means a member whose distance to the
-    REPRESENTATIVE exceeds max_hamming loses its star edge, so (unlike
-    the MinHash cap, whose star pairs are unfiltered) connectivity of an
-    oversized bucket is NOT guaranteed: a capped bucket approximates
-    recall, trading it for bounded output.  Members usually re-pair
-    through their other ``segments-1`` chunks; pass ``max_bucket=None``
-    for exact all-pairs semantics when the corpus allows it."""
+    pairs are emitted UNFILTERED (mirroring the MinHash cap) so an
+    oversized bucket stays connected even when a member is far from the
+    representative; they carry the true Hamming distance plus
+    ``star=true`` so downstream cluster resolution can route them through
+    an exact-verify stage (the q_verified_near_dups pattern) instead of
+    trusting them as near-dups.  Non-star pairs are filtered to
+    ``hamming <= max_hamming`` as before and carry ``star=false``; a pair
+    reachable through both paths keeps ``star=false``.  Pass
+    ``max_bucket=None`` for exact all-pairs semantics when the corpus
+    allows it."""
     if max_bucket is None:
         max_bucket = 1 << 62  # uncapped: exact all-pairs semantics
     width = 64 // segments
@@ -463,9 +465,11 @@ def simhash_near_dups(
         )
     )
     return (
-        pairs_small.unionByName(pairs_large)
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        pairs_small.filter(F.col("hamming") <= max_hamming)
+        .withColumn("star", F.lit(False))
+        .unionByName(pairs_large.withColumn("star", F.lit(True)))
+        .groupBy("id_a", "id_b", "hamming")
+        .agg(F.bool_and("star").alias("star"))
     )
 
 

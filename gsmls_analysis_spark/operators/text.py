@@ -188,12 +188,14 @@ def tfidf_top_terms(
     corpus-wide terms score exactly 0).  Returns
     (id, term, tf, doc_freq, score, rank).
 
-    Determinism: the rank ordering uses ONLY integer keys
-    (tf desc, doc_freq asc, term asc) — lexicographically consistent with
-    tf·ln(N/df) when comparing within a document except for genuinely
-    score-crossing pairs, and immune to cross-engine libm last-ulp
-    differences; the float score is reported (rounded) but never ordered
-    on.
+    Determinism: the rank ordering uses a SCALED-INTEGER score key —
+    round(tf·ln(N/df)·10⁶) as a long — so it matches true TF-IDF order
+    down to 10⁻⁶ quantization (a rarer term with a genuinely higher score
+    outranks a higher-tf common term, unlike a raw (tf, doc_freq) sort)
+    while staying immune to cross-engine libm last-ulp drift, which the
+    integer rounding absorbs; ties at the key fall to (doc_freq asc,
+    term asc).  The float score is reported (rounded) but never ordered
+    on directly.
 
     Scale shape: explode → groupBy(id, term) [shuffle 1, partial-agg'd] →
     groupBy(term) for document frequency [shuffle 2, vocab-sized output] →
@@ -214,16 +216,17 @@ def tfidf_top_terms(
         term_counts.join(doc_freq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
-            "score",
-            F.round(
-                F.col("tf").cast("double")
-                * F.log(F.col("__n_docs").cast("double") / F.col("doc_freq")),
-                4,
-            ),
+            "__raw",
+            F.col("tf").cast("double")
+            * F.log(F.col("__n_docs").cast("double") / F.col("doc_freq")),
+        )
+        .withColumn("score", F.round(F.col("__raw"), 4))
+        .withColumn(
+            "__score_key", F.round(F.col("__raw") * F.lit(1e6)).cast("long")
         )
     )
     w = Window.partitionBy("__id").orderBy(
-        F.desc("tf"), F.asc("doc_freq"), F.asc("term")
+        F.desc("__score_key"), F.asc("doc_freq"), F.asc("term")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

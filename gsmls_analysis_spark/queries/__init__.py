@@ -43,64 +43,65 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # (b) code or oracle changed in round 3 — must re-verify even though
-    # previously checked
-    "q_image_documents_nested",  # r2's only red: now key-sorted to_json
-    "q_lsh_topk_multiprobe",  # SRP v2 rewrite (q_lsh_topk shares the same
-    # rebuilt path but is rows-only — multiprobe + sign_buckets cover it)
-    "q_dedup_clusters",  # large-star/small-star rewrite
-    "q_minhash_lsh_pairs",  # oracle now models max_bucket
-    "q_range_bucket_join",  # BETWEEN folded into join condition
-    "q_salted_join_revenue",  # salt derivation changed r3
-    "q_cosine_topk_bruteforce",  # similarity.py rebuilt r3
-    "q_lsh_sign_buckets",  # similarity.py rebuilt r3
-    "q_stream_tumbling_hour_native",  # events_file_stream self-confs r3
-    "q_stream_sessionize_native",
-    "q_stream_dedup_within_watermark",
-    "q_stream_json_quarantine_native",
-    "q_stream_foreach_batch_ingest",
-    "q_res_pipeline_e2e",  # oracle junk rule made scale-exact r3
-    "q_price_ratio",  # engine-portable floor rounding r3
-    "q_quantiles_by_priority",  # exact percentile_disc pinned r3
-    # (c) NEW in round 3 — never seen by any driver run
-    "q02_min_cost_supplier",
-    "q09_product_type_profit",
-    "q11_important_parts",
-    "q12_priority_by_delay_bucket",
-    "q15_top_supplier",
-    "q16_part_supplier_relation",
-    "q20_excess_shipments",
-    "q_repetition_signals",
-    "q_train_split",
-    "q_contamination_check",
-    "q_pack_sequences",
-    "q_vocab_topk",
-    "q_dedup_keep_best",
-    "q_ivf_topk_trained",
-    "q_stream_stream_join_native",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_supplier",
-    "q22_inactive_customer_balance",
-    "q08_market_share",
-    "q_nation_year_rollup_gid",
-    "q_priority_status_pivot",
-    "q_scd2_user_history",
-    "q_stream_status_transitions_native",
-    "q_tfidf_top_terms",
-    "q_word_entropy",
-    "q_salted_event_stats",
-    "q_events_sliding_window",
-    "q_stream_sliding_window_native",
-    "q_verified_near_dups",
-    "q_adaptive_quality_cutoff",
-    "q_boilerplate_filter",
-    "q_incremental_ingest_dedup",
-    # (a)/(d): no slots left this round — the flagship q01 is still
-    # smoke-checked every round via entry(), and the remaining r1-greens
-    # (q01, q03, q06, q10, ...) carry to the round-4 window, covered by
-    # the local gate meanwhile.
+    # (a) the 32 queries that had NEVER appeared in a driver window
+    # (r3 verdict item 1: round 4's window = all post-window r3 additions
+    # so every one of the registry's queries has a cumulative driver row).
+    # Flagship first: the composed curation chain is the single best
+    # end-to-end proof of the LLM-pipeline mandate (verdict item 4).
+    "q_curation_pipeline_chain",
+    "q_bm25_search",
+    "q_fuzzy_name_match",
+    "q_time_weighted_avg",
+    "q_longest_daily_streak",
+    "q_revenue_share_by_nation",
+    "q_weighted_sample",
+    "q_conversion_funnel",
+    "q_merge_on_read_current",
+    "q_stream_static_enrich_native",
+    "q_variant_props_extract",
+    "q_user_retention_cohorts",
+    "q_nation_month_spine",
+    "q_ntile_decile_stats",
+    "q_forward_fill",
+    "q_moving_avg_revenue",
+    "q_snapshot_diff",
+    "q_dq_expectations",
+    "q_profile_orders",
+    "q_value_histogram",
+    "q_dup_graph_triangles",
+    "q_null_safe_join",
+    "q_sources_per_lang_agg",
+    "q_event_transition_matrix",
+    "q_top_quantities_with_ties",
+    "q_supplier_balance_standing",
+    "q_status_priority_unpivot",
+    "q_props_json_extract",
+    "q_monthly_reconciliation",
+    "q_try_arithmetic",
+    "q_cumulative_revenue_range",
+    "q_chunk_token_windows",
+    # (b) code or oracle changed in round 4 — must (re-)verify
+    "q_simhash_near_dups",  # star edges now unfiltered + star-tagged
+    "q_tfidf_top_terms",  # rank key now scaled-integer TF-IDF score
+    "q_lsh_topk",  # promoted rows-only -> sign-block oracle
+    "q_lsh_topk_multiprobe",  # promoted rows-only -> generated SRP oracle
+    # (d) remaining slots: representative greens in registration order —
+    # the r1 flagships (incl. the three bench-flagged shapes q04/q07/q10)
+    # re-enter external verification after two rounds on the local gate.
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_late_shipment_priority",
+    "q05_nation_revenue",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q_keep_last_dedup",
+    "q_asof_latest_order",
+    "q_events_dedup_latest_per_user",
+    "q_iqr_outliers",
+    "q_multi_hot_attrs",
 ]
 
 

@@ -88,13 +88,43 @@ def q_lsh_sign_buckets(spark, sf_dir):
 
 @query(
     "q_lsh_topk",
-    oracle=None,
-    doc="LSH-bucketed approximate top-k (rows-only: approximation is "
-    "recall-dependent by design; exactness checked via q_cosine_topk_bruteforce).",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id,
+    concat_ws('',
+      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS block,
+    list_transform(embedding,
+      x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_COSINE_DUCK} AS cosine
+  FROM base a JOIN base b ON a.block = b.block AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="LSH-bucketed approximate top-k — the candidate set is exactly "
+    "determined by the deterministic sign blocks, so the oracle replays "
+    "block assignment + exact re-rank (promoted from rows-only, r3 "
+    "verdict item 5).",
 )
 def q_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5)
+    out = lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
 
 
 @query(
@@ -248,17 +278,126 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def _multiprobe_oracle(
+    n_tables: int = 4,
+    n_bits: int = 16,
+    dim: int = 64,
+    m_weak: int = 6,
+    n_probe: int = 8,
+    k: int = 5,
+    q_limit: int = 50,
+) -> str:
+    """Generated DuckDB oracle replaying the ENTIRE SRP multiprobe
+    pipeline: md5-Rademacher planes inlined as a literal matrix, packed
+    bigint codes, weakest-``m_weak`` margin sort, all 2^m_weak flip
+    subsets ranked by (summed margin, flipped code), top-``n_probe``
+    probes per table, bucket join, exact cosine re-rank.  Every float op
+    is a strictly sequential double fold on both engines (±1 plane
+    entries make each product term EXACT — a float's double product with
+    ±1.0 is itself), so the candidate set is bit-deterministic, not
+    recall-approximate: the approximation is pinned, not waived."""
+    from ..operators.similarity import srp_planes
+
+    planes = srp_planes(n_tables, n_bits, dim)
+    planes_lit = "[" + ",".join(
+        "[" + ",".join("1.0" if x > 0 else "-1.0" for x in row) + "]"
+        for row in planes
+    ) + "]"
+
+    def code_expr(t: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN projs[{t * n_bits + j + 1}] >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_bits)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    def weak_expr(t: int) -> str:
+        structs = ",".join(
+            f"{{'m': abs(projs[{t * n_bits + j + 1}]), "
+            f"'w': CAST({1 << j} AS BIGINT)}}"
+            for j in range(n_bits)
+        )
+        return f"list_slice(list_sort([{structs}]), 1, {m_weak})"
+
+    qweak_selects = "\nUNION ALL\n".join(
+        f"""SELECT vec_id AS query_id, nv AS qv, {t} AS t,
+  {code_expr(t)} AS code, {weak_expr(t)} AS weak
+FROM coded WHERE vec_id < {q_limit}"""
+        for t in range(n_tables)
+    )
+    corp_keys = ",".join(
+        f"codes[{t + 1}] + {t << n_bits}" for t in range(n_tables)
+    )
+    score = " + ".join(f"b{i} * weak[{i + 1}]['m']" for i in range(m_weak))
+    xmask = " + ".join(f"b{i} * weak[{i + 1}]['w']" for i in range(m_weak))
+    mask_bits = ",".join(f"(r>>{i})&1 AS b{i}" for i in range(m_weak))
+    return f"""
+WITH coded AS (
+  SELECT vec_id,
+    list_transform({planes_lit}, pl ->
+      list_sum(list_transform(list_zip(embedding, pl),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) AS projs,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+  FROM embeddings
+), with_codes AS (
+  SELECT vec_id, nv, projs,
+         [{",".join(code_expr(t) for t in range(n_tables))}] AS codes
+  FROM coded
+), corp AS (
+  SELECT vec_id AS neighbor_id, nv AS cv, unnest([{corp_keys}]) AS key
+  FROM with_codes
+), qweak AS (
+{qweak_selects}
+), masks AS (
+  SELECT r AS mask, {mask_bits} FROM range(0, {1 << m_weak}) mr(r)
+), probes AS (
+  SELECT query_id, qv, t, ({score}) AS score,
+         xor(code, CAST({xmask} AS BIGINT)) AS flipped
+  FROM qweak, masks
+), ranked_probes AS (
+  SELECT query_id, qv, t, flipped,
+         row_number() OVER (PARTITION BY query_id, t
+                            ORDER BY score, flipped) AS rn
+  FROM probes
+), qkeys AS (
+  SELECT query_id, qv, flipped + t * {1 << n_bits} AS key
+  FROM ranked_probes WHERE rn <= {n_probe}
+), scored AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id,
+    list_sum(list_transform(list_zip(q.qv, c.cv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cosine
+  FROM qkeys q JOIN corp c USING (key)
+  WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 @query(
     "q_lsh_topk_multiprobe",
-    oracle=None,
-    doc="margin-aware multi-probe sign-LSH approximate top-k (rows-only: "
-    "recall-dependent by design; recall >= 0.7 pinned in unit tests).",
+    oracle=_multiprobe_oracle(),
+    doc="margin-aware multi-probe sign-LSH approximate top-k — promoted "
+    "from rows-only (r3 verdict item 5): the md5 planes are "
+    "deterministic, so the generated oracle replays codes, weakest-"
+    "margin probe ranking, and the exact re-rank end-to-end.",
 )
 def q_lsh_topk_multiprobe(spark, sf_dir):
     from ..operators.similarity import lsh_topk_multiprobe
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk_multiprobe(emb.filter(F.col("vec_id") < 50), emb, k=5)
+    out = lsh_topk_multiprobe(emb.filter(F.col("vec_id") < 50), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
 
 
 @query(

@@ -267,7 +267,7 @@ def q_stream_static_enrich_native(spark, sf_dir):
     sdf = events_file_stream(spark, sf_dir)
     enriched = stream_static_enrich(
         sdf.select("event_type", "value"), dim, "event_type"
-    )
+    ).withColumn("category", F.coalesce(F.col("category"), F.lit("noise")))
     agg = enriched.groupBy("category").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(

@@ -224,7 +224,9 @@ WITH toks AS (
   SELECT tc.doc_id, tc.term, tc.tf, dfreq.doc_freq,
     ROUND(tc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 4) AS score,
     row_number() OVER (PARTITION BY tc.doc_id
-                       ORDER BY tc.tf DESC, dfreq.doc_freq ASC, tc.term ASC)
+                       ORDER BY CAST(ROUND(tc.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                / dfreq.doc_freq) * 1000000) AS BIGINT) DESC,
+                                dfreq.doc_freq ASC, tc.term ASC)
       AS rank
   FROM tc JOIN dfreq USING (term) CROSS JOIN n
 )
@@ -232,9 +234,10 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
   CAST(doc_freq AS BIGINT) AS doc_freq, score, CAST(rank AS INT) AS rank
 FROM scored WHERE rank <= 3
 """,
-    doc="TF-IDF top-3 terms per document: integer-keyed rank "
-    "(tf desc, doc_freq asc, term asc) so ordering is immune to libm "
-    "last-ulp drift; the float score is reported rounded.",
+    doc="TF-IDF top-3 terms per document: scaled-integer score key "
+    "(round(tf·ln(N/df)·1e6) as BIGINT) so the rank matches true TF-IDF "
+    "order yet stays immune to libm last-ulp drift; the float score is "
+    "reported rounded.",
 )
 def q_tfidf_top_terms(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

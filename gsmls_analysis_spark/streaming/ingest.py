@@ -323,5 +323,10 @@ def stream_static_enrich(sdf: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     static dimension — planned as a broadcast hash join per batch, no
     stream-side state at all (unlike stream-stream joins).  The dim is
     re-resolvable per batch, so slowly-refreshed dims pick up updates on
-    the next trigger."""
-    return sdf.join(F.broadcast(dim), key)
+    the next trigger.
+
+    LEFT join by design: a stream key absent from the dim keeps its event
+    with null dim columns (callers classify or default them) — an inner
+    join would silently DROP events the moment a new key appears upstream
+    of a dim refresh, which is exactly when you need to see them."""
+    return sdf.join(F.broadcast(dim), key, "left")

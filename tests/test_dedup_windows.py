@@ -91,7 +91,75 @@ def test_simhash_bucket_cap_star_expansion(spark):
     ).collect()
     # identical docs → identical signature → hamming 0, star pairs only
     assert len(pairs) == 499
-    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 and r["star"] for r in pairs)
+
+
+def _simhash_py(text: str) -> int:
+    """Pure-Python replica of operators.dedup.simhash64 (md5 token hashes,
+    bits 0-59 from hex[0:15], 60-63 from hex[15:30]) — used to construct
+    deterministic adversarial fixtures."""
+    import hashlib
+    import re
+
+    votes = [0] * 64
+    seen = set()
+    for t in re.split(r"\s+", text.strip()):
+        if t in seen:
+            continue
+        seen.add(t)
+        h = hashlib.md5(t.encode()).hexdigest()
+        lo = int(h[0:15], 16)
+        hi = int(h[15:30], 16)
+        for i in range(64):
+            bit = (lo >> i) & 1 if i < 60 else (hi >> (i - 60)) & 1
+            votes[i] += 1 if bit else -1
+    return sum(1 << i for i in range(64) if votes[i] > 0)
+
+
+def test_simhash_star_edges_preserve_connectivity(spark):
+    """An oversized bucket's member that is FAR (hamming > max_hamming)
+    from the bucket representative must still get its star edge — emitted
+    unfiltered with star=true — otherwise downstream connected_components
+    under-merges exactly on the hot buckets the cap exists for (r3 verdict
+    'What's wrong' #1)."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    sig_base = _simhash_py(base)
+    segs_base = [(sig_base >> (16 * s)) & 0xFFFF for s in range(4)]
+    max_hamming = 3
+    variant = None
+    # deterministic search (md5 is fixed): mutate an increasing number of
+    # tokens until the variant shares >=1 whole 16-bit segment with base
+    # (so they land in the same bucket) yet has hamming > max_hamming
+    for k in range(1, 20):
+        for j in range(60):
+            cand = " ".join(
+                (f"alt{j}_{i}" if i < k else f"tok{i}") for i in range(40)
+            )
+            sig = _simhash_py(cand)
+            ham = bin(sig ^ sig_base).count("1")
+            segs = [(sig >> (16 * s)) & 0xFFFF for s in range(4)]
+            if ham > max_hamming and any(a == b for a, b in zip(segs, segs_base)):
+                variant = cand
+                break
+        if variant:
+            break
+    assert variant is not None, "fixture search failed — hashing changed?"
+    rows = [Row(doc_id=i, text=base) for i in range(12)] + [
+        Row(doc_id=50, text=variant)
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = dedup.simhash_near_dups(
+        df, "doc_id", "text", max_hamming=max_hamming, max_bucket=10
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in pairs}
+    # the far member keeps its connectivity edge, flagged as must-verify
+    far = by_pair.get((0, 50))
+    assert far is not None, "far-from-rep member lost its star edge"
+    assert far["star"] and far["hamming"] > max_hamming
+    # identical fillers keep exact-distance star edges
+    assert all(
+        by_pair[(0, i)]["hamming"] == 0 for i in range(1, 12)
+    )
 
 
 def test_bucket_cap_does_not_change_small_bucket_output(spark):
