@@ -101,6 +101,80 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select("p.*")
 
 
+def _mg_merge(counters: dict, k: int) -> dict:
+    """Misra-Gries summary merge (Agarwal et al., "Mergeability of
+    Summaries", PODS'12): if more than ``k`` counters survive, subtract the
+    (k+1)-th largest counter value from all and drop the non-positive —
+    the result is again a valid MG(k) summary and errors add."""
+    if len(counters) <= k:
+        return counters
+    dec = sorted(counters.values(), reverse=True)[k]
+    return {key: v - dec for key, v in counters.items() if v > dec}
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACT frequent items (count * k > N) found with BOUNDED state: a
+    per-partition Misra-Gries(k) sketch proposes candidates, then one
+    restricted recount makes the answer exact.
+
+    Why this survives 100 TB where ``groupBy(key).count()`` alone may not:
+    the first pass ships at most ``k`` candidate rows per map partition
+    through the shuffle (never one row per distinct key — a token or URL
+    column can have billions of distinct values), and the second pass
+    aggregates only rows matching the <= k*P broadcast candidates, with
+    map-side partial counts.  The MG union guarantee makes the recount
+    safe: a key with global count > N/k must survive the sketch in at
+    least one partition (if it were evicted everywhere, its count would be
+    <= sum of per-partition eviction bounds <= N/(k+1) < N/k).
+
+    Each Arrow batch is reduced with vectorized ``value_counts`` (an exact
+    summary) and folded into the bounded MG dict, so Python-side work is
+    O(distinct-per-batch), not O(rows).  NULL keys are ignored (and not
+    counted in N).  Output: (key_col, cnt) with EXACT counts — fully
+    deterministic, so the oracle is a plain GROUP BY / HAVING."""
+    key_field = df.schema[key_col]
+    out_schema = f"`{key_col}` {key_field.dataType.simpleString()}, wt long"
+
+    def sketch(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            s = pdf[key_col].dropna()
+            total += len(s)
+            for key, cnt in s.value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            counters = _mg_merge(counters, k)
+        if counters:
+            yield pd.DataFrame(
+                {key_col: list(counters.keys()), "wt": list(counters.values())}
+            )
+        # one null-key row per partition carries the partition's row count,
+        # so N needs no separate scan of the input
+        yield pd.DataFrame({key_col: pd.Series([None], dtype=object), "wt": [total]})
+
+    sketched = df.select(key_col).mapInPandas(sketch, schema=out_schema)
+    sketched = sketched.localCheckpoint(eager=True)  # one sketch pass, reused twice
+    candidates = (
+        sketched.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
+    )
+    total_row = sketched.filter(F.col(key_col).isNull()).agg(
+        F.sum("wt").alias("__N")
+    )
+    exact = (
+        df.filter(F.col(key_col).isNotNull())
+        .join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total_row))
+        .filter(F.col("cnt") * k > F.col("__N"))
+        .select(key_col, "cnt")
+    )
+
+
 def dq_expectations(
     df: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:

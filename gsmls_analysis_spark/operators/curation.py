@@ -470,6 +470,27 @@ def stratified_sample_exact(
     )
 
 
+def cap_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Per-group row cap: keep the first ``k`` rows of each group in
+    ``order_cols`` order — the "at most N documents per domain" rule every
+    web-corpus recipe applies (order by quality desc to keep the best,
+    or by ``md5_uniform`` to keep a random ``k``; see
+    ``stratified_sample_exact`` for the latter specialization).
+
+    One shuffle on the group key; the per-group sort is a bounded
+    row_number window (top-k per partition, never a global sort).  Ties
+    must be broken by a unique column in ``order_cols`` for deterministic
+    output."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratified_sample_fraction(
     df: DataFrame, key_col: str, fractions: Column
 ) -> DataFrame:

@@ -712,3 +712,30 @@ def q_curation_pipeline_chain(spark, sf_dir):
         kept.select("doc_id", "source"), "source", "doc_id", 8
     )
     return sampled.select("doc_id", "source")
+
+
+@query(
+    "q_source_cap_best",
+    oracle="""
+SELECT source, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+""",
+    doc="per-domain document cap (keep the 50 LONGEST docs per source, "
+    "ties by doc_id) — the 'at most N pages per domain' rule of web-corpus "
+    "curation, via operators/curation.py::cap_per_group (bounded top-k "
+    "window, one shuffle on the group key).",
+)
+def q_source_cap_best(spark, sf_dir):
+    from ..operators.curation import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return cap_per_group(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], k=50
+    )

@@ -423,3 +423,82 @@ def q_ivf_topk_trained(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
     )
+
+
+_SIGN8_PAIRS_DUCK = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM nv8 a JOIN nv8 b ON a.block = b.block AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.nv, b.nv),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) >= 0.3
+"""
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+WITH RECURSIVE nv8 AS (
+SELECT vec_id,
+  concat_ws('',
+    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS block,
+  list_transform(embedding,
+    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+FROM embeddings
+),
+pairs AS ({_SIGN8_PAIRS_DUCK}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+all_l AS (
+  SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       (vec_id = cluster_id) AS keep
+FROM all_l
+""",
+    doc="SEMANTIC dedup end-to-end: sign-LSH-blocked embedding near-dup "
+    "pairs (cosine >= 0.3) -> connected components -> min-id "
+    "representative per cluster; singletons keep themselves.  The "
+    "embedding-space twin of q_curation_pipeline_chain's exact-hash leg.  "
+    "Oracle: recursive-CTE closure over the replayed pair graph.",
+)
+def q_semantic_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.curation import connected_components
+    from ..operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.3, round_dp=6
+    )
+    labels = connected_components(pairs.select("id_a", "id_b")).labels
+    lab = labels.select(F.col("doc_id").alias("__id"), "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    return (
+        emb.select("vec_id")
+        .join(lab, F.col("vec_id") == F.col("__id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )

@@ -422,3 +422,47 @@ def q_sources_per_lang_agg(spark, sf_dir):
         F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "q_heavy_hitter_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text || ' uniq' || doc_id)),
+                                   '\\s+')) AS tok
+  FROM documents
+  WHERE len(trim(text)) > 0
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, count(*) AS cnt
+FROM toks, tot
+GROUP BY tok, n
+HAVING count(*) * 100 > n
+""",
+    doc="exact frequent tokens (count*100 > N) via a bounded-state "
+    "Misra-Gries candidate sketch + restricted recount "
+    "(operators/aggs.py::heavy_hitters).  Each doc also injects one "
+    "unique token so the sketch must genuinely evict cold keys.  The "
+    "oracle is the plain GROUP BY / HAVING the sketch provably agrees "
+    "with.",
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    from ..operators.aggs import heavy_hitters
+    from ..plans.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = docs.select(
+        F.explode(
+            tx.tokens(
+                F.lower(
+                    F.concat(
+                        F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")
+                    )
+                )
+            )
+        ).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=100)

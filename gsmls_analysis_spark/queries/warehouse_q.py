@@ -758,3 +758,58 @@ def q_revenue_share_by_nation(spark, sf_dir):
             F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 12
         ).alias("share"),
     )
+
+
+def _spread_duck(e: str) -> str:
+    """DuckDB replay of layout._spread_bits16: identical mask-and-shift
+    ladder on BIGINT, so the Morton codes match Spark bit-for-bit."""
+    s = f"(({e}) & 65535)"
+    for shift, mask in (
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ):
+        s = f"((({s}) | (({s}) << {shift})) & {mask})"
+    return s
+
+
+_DAY_IDX_DUCK = "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)"
+_ZVAL_DUCK = (
+    f"({_spread_duck('o_custkey')} | ({_spread_duck(_DAY_IDX_DUCK)} << 1))"
+)
+
+
+@query(
+    "q_zorder_orders",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       CAST({_DAY_IDX_DUCK} AS INT) AS day_idx,
+       {_ZVAL_DUCK} AS zval
+FROM orders
+ORDER BY zval, o_orderkey
+LIMIT 200
+""",
+    doc="Z-order (Morton) clustering key over (customer, order-day): the "
+    "multi-column data-layout sort that lets parquet min/max stats prune "
+    "on EITHER predicate column at 100 TB "
+    "(operators/layout.py::zorder_value — pure shiftleft/AND/OR "
+    "expressions, whole-stage codegen; file-level bounding boxes measured "
+    "from real parquet footers in tests/test_layout.py).  Oracle replays "
+    "the identical bit ladder.",
+)
+def q_zorder_orders(spark, sf_dir):
+    from ..operators.layout import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    day_idx = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day_idx.alias("day_idx"),
+            zorder_value(F.col("o_custkey"), day_idx).alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(200)
+    )

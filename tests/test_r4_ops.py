@@ -1,0 +1,165 @@
+"""Round-4 operator units: Z-order layout, Misra-Gries heavy hitters,
+per-group caps."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.aggs import _mg_merge, heavy_hitters
+from gsmls_analysis_spark.operators.curation import cap_per_group
+from gsmls_analysis_spark.operators.layout import write_zordered, zorder_value
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+
+def _morton_ref(x: int, y: int) -> int:
+    """Bit-at-a-time Morton reference (independent of the mask ladder)."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_reference(spark):
+    df = spark.range(500).select(
+        (F.col("id") * 131 % 65536).cast("int").alias("x"),
+        (F.col("id") * 37 % 65536).cast("int").alias("y"),
+    )
+    rows = df.withColumn("z", zorder_value(F.col("x"), F.col("y"))).collect()
+    for r in rows:
+        assert r["z"] == _morton_ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def _file_spans(path: str, cols: tuple[str, str]) -> list[dict[str, tuple]]:
+    """Per-file (min, max) of each column from the real parquet footers —
+    exactly the statistics a scan's file/row-group pruning consults."""
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        agg = {c: [None, None] for c in cols}
+        for rg in range(md.num_row_groups):
+            for c in cols:
+                st = md.row_group(rg).column(names[c]).statistics
+                lo, hi = agg[c]
+                agg[c] = [
+                    st.min if lo is None else min(lo, st.min),
+                    st.max if hi is None else max(hi, st.max),
+                ]
+        spans.append({c: tuple(agg[c]) for c in cols})
+    return spans
+
+
+def _avg_hit_fraction(spans, col: str, n: int) -> float:
+    """Fraction of files a point predicate on ``col`` CANNOT prune,
+    averaged over probes across the domain — the scan-cost metric the
+    layout exists to minimize."""
+    probes = range(n // 32, n, n // 16)
+    hits = sum(
+        1 for p in probes for s in spans if s[col][0] <= p <= s[col][1]
+    )
+    return hits / (len(list(probes)) * len(spans))
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """The layout claim, measured from real footers: with 16 files over a
+    256x256 uniform grid, a point predicate on EITHER column prunes most
+    z-ordered files (measured ~0.40 / 0.29 avg hit fraction; unaligned
+    range-partition split points keep it above the aligned-quadtree 0.25),
+    where an x-sorted layout cannot prune on y at all (fraction 1.0)."""
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, F.col("x"), F.col("y"), n_files=16)
+    zspans = _file_spans(zpath, ("x", "y"))
+    assert len(zspans) >= 8
+    assert _avg_hit_fraction(zspans, "x", n) <= 0.55
+    assert _avg_hit_fraction(zspans, "y", n) <= 0.55
+
+    xpath = str(tmp_path / "xsort")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+    xspans = _file_spans(xpath, ("x", "y"))
+    # the single-column layout cannot prune on y: every file spans ~all of
+    # it, so every y probe hits every file
+    assert _avg_hit_fraction(xspans, "y", n) >= 0.9
+    assert _avg_hit_fraction(xspans, "x", n) <= 0.25
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_merge_bounds_and_keeps_heavy():
+    c = {f"cold{i}": 1 for i in range(50)}
+    c["hot"] = 100
+    out = _mg_merge(c, k=10)
+    assert len(out) <= 10
+    assert out["hot"] == 99  # decremented by the (k+1)-th value (1)
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """5000 distinct singleton keys force MG(k=10) evictions in every
+    partition; the 3 planted heavy keys must still come back with EXACT
+    counts equal to the plain groupBy answer."""
+    singles = spark.range(5000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("key")
+    )
+    hot_ids = spark.range(3).select(F.col("id").alias("hid"))
+    heavy = hot_ids.crossJoin(spark.range(800)).select(
+        F.concat(F.lit("H"), F.col("hid")).alias("key")
+    )
+    df = singles.unionByName(heavy).repartition(8, "key")
+    got = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(df, "key", k=10).collect()
+    }
+    n = 5000 + 3 * 800
+    exact = {
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 10 > n)
+        .collect()
+    }
+    assert exact == {("H0", 800), ("H1", 800), ("H2", 800)}
+    assert got == exact
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [(None,)] * 90 + [("b",)] * 2, "key string"
+    )
+    # N counts only non-null rows (10): a=8 qualifies at k=2 (8*2>10),
+    # b=2 does not (2*2<10)
+    got = heavy_hitters(df, "key", k=2).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == [("a", 8)]
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", i % 3, i) for i in range(30)], "grp string, score int, id int"
+    )
+    out = cap_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id")], k=5
+    ).collect()
+    assert sorted(r["id"] for r in out) == [2, 5, 8, 11, 14]
