@@ -85,6 +85,7 @@ _DRIVER_WINDOW = [
     "q_tfidf_top_terms",  # rank key now scaled-integer TF-IDF score
     "q_lsh_topk",  # promoted rows-only -> sign-block oracle
     "q_lsh_topk_multiprobe",  # promoted rows-only -> generated SRP oracle
+    "q_stream_stream_join_native",  # state_partitions right-sized (r4)
     # (c) added in round 4 — never driver-checked
     "q_semantic_dedup",  # embedding near-dups -> components -> keep-best
     "q_heavy_hitter_tokens",  # Misra-Gries candidates + exact recount
@@ -100,12 +101,12 @@ _DRIVER_WINDOW = [
     "q06_forecast_revenue",
     "q07_volume_shipping",
     "q10_returned_items",
-    "q14_promo_revenue",
     "q_keep_last_dedup",
     "q_asof_latest_order",
-    # (q19_discounted_revenue / q_events_dedup_latest_per_user /
-    # q_iqr_outliers / q_multi_hot_attrs yielded their slots to the four
-    # round-4 additions; all four are cumulatively driver-green from
+    # (q14_promo_revenue / q19_discounted_revenue /
+    # q_events_dedup_latest_per_user / q_iqr_outliers / q_multi_hot_attrs
+    # yielded their slots to the four round-4 additions and the re-tuned
+    # stream-stream join; all five are cumulatively driver-green from
     # earlier rounds and stay on the local gate)
 ]
 

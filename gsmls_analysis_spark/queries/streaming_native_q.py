@@ -178,7 +178,11 @@ def q_stream_stream_join_native(spark, sf_dir):
         F.col("event_type") == "purchase"
     )
     return drain_to_memory(
-        attribution_join(clicks, purchases), "stream_stream_join"
+        attribution_join(clicks, purchases),
+        "stream_stream_join",
+        # 2 two-sided state stores per partition: right-size to this SF's
+        # state (see drain_to_memory docstring; 6.8 s -> 2.5 s at sf0.1)
+        state_partitions=8,
     )
 
 

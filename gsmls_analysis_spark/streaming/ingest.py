@@ -246,23 +246,44 @@ def sliding_counts(
 
 
 def drain_to_memory(
-    sdf: DataFrame, name: str, output_mode: str = "append"
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a bounded stream to completion (availableNow) into a memory sink
     and return the result table.  Real micro-batch execution — the batch
-    result is comparable against a SQL oracle."""
+    result is comparable against a SQL oracle.
+
+    ``state_partitions``: stateful operators (stream-stream joins,
+    watermarked aggs) create one state store per shuffle partition and pay
+    a commit per store per micro-batch, so the partition count should be
+    sized to STATE VOLUME, not to the session default: measured here, the
+    sf0.1 attribution join drops 6.8 s -> 2.5 s going 32 -> 8 state
+    partitions (docs/BENCH_NOTES.md).  At the 100 TB target the same knob
+    turns the other way — hundreds of partitions so no store outgrows an
+    executor.  The count is pinned into the query's checkpoint at first
+    start; results are identical either way, only commit overhead moves.
+    The session default is restored after the drain."""
     spark = sdf.sparkSession
     spark.catalog.dropTempView(name)  # no-op when absent; frees a rerun
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
