@@ -101,6 +101,38 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select("p.*")
 
 
+def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate STATE (n, sum, min, max) — the
+    materialized-rollup building block: states from disjoint slices of the
+    fact table combine losslessly with ``rollup_merge``, so a 100 TB
+    rollup is maintained by aggregating ONLY each day's delta and merging
+    it into yesterday's state, never rescanning history.  Sum is decimal
+    so merge order can't drift float totals."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(20,2)")).alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def rollup_merge(*states: DataFrame) -> DataFrame:
+    """Combine rollup states (same schema: keys + n/sum/min/max): union +
+    one re-aggregate.  count/sum add, min/max re-min/max — all algebraic,
+    so merge(state(A), state(B)) == state(A ∪ B) exactly."""
+    keys = [c for c in states[0].columns if c not in ("n", "sum", "min", "max")]
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+
+
 def _mg_merge(counters: dict, k: int) -> dict:
     """Misra-Gries summary merge (Agarwal et al., "Mergeability of
     Summaries", PODS'12): if more than ``k`` counters survive, subtract the

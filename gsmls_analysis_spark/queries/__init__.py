@@ -91,6 +91,7 @@ _DRIVER_WINDOW = [
     "q_heavy_hitter_tokens",  # Misra-Gries candidates + exact recount
     "q_source_cap_best",  # per-domain cap (keep longest 50 per source)
     "q_zorder_orders",  # Morton-code layout key, bit-ladder oracle
+    "q_incremental_rollup",  # mergeable agg states vs full-recompute oracle
     # (d) remaining slots: representative greens in registration order —
     # the r1 flagships (incl. the three bench-flagged shapes q04/q07/q10)
     # re-enter external verification after two rounds on the local gate.
@@ -102,11 +103,10 @@ _DRIVER_WINDOW = [
     "q07_volume_shipping",
     "q10_returned_items",
     "q_keep_last_dedup",
-    "q_asof_latest_order",
-    # (q14_promo_revenue / q19_discounted_revenue /
+    # (q14_promo_revenue / q19_discounted_revenue / q_asof_latest_order /
     # q_events_dedup_latest_per_user / q_iqr_outliers / q_multi_hot_attrs
-    # yielded their slots to the four round-4 additions and the re-tuned
-    # stream-stream join; all five are cumulatively driver-green from
+    # yielded their slots to the five round-4 additions and the re-tuned
+    # stream-stream join; all six are cumulatively driver-green from
     # earlier rounds and stay on the local gate)
 ]
 

@@ -813,3 +813,50 @@ def q_zorder_orders(spark, sf_dir):
         .orderBy("zval", "o_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "q_incremental_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total,
+       min(o_totalprice) AS vmin,
+       max(o_totalprice) AS vmax,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+         / count(*) AS vavg
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="incremental rollup maintenance: mergeable per-key aggregate "
+    "states built separately from the historical base (< 1998) and the "
+    "new delta (>= 1998), combined with rollup_merge "
+    "(operators/aggs.py) — the oracle is the FULL recompute, proving "
+    "merge(state(base), state(delta)) == state(all) exactly, which is "
+    "what lets a 100 TB rollup ingest a day's delta without rescanning "
+    "history.  Decimal state sums keep the merge order-insensitive.",
+)
+def q_incremental_rollup(spark, sf_dir):
+    from ..operators.aggs import rollup_merge, rollup_state
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    base = rollup_state(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    delta = rollup_state(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    merged = rollup_merge(base, delta)
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum").cast("double").alias("total"),
+        F.col("min").alias("vmin"),
+        F.col("max").alias("vmax"),
+        (F.col("sum").cast("double") / F.col("n")).alias("vavg"),
+    )

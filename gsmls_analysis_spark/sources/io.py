@@ -24,6 +24,7 @@ reader config and are exercised against constraints logic in unit tests.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -276,3 +277,33 @@ def balanced_write(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and return that file count.
+
+    The small-files problem is the dual of the giant-file one
+    (``balanced_write``): a streaming or per-batch ingest leaves thousands
+    of KB-sized files whose per-file open/footer/schedule overhead
+    dominates the scan at 100 TB.  Compaction sizes output from the REAL
+    on-disk bytes (not row counts, which mis-size wide/narrow tables) and
+    uses a round-robin repartition — a full shuffle, but one that runs at
+    most once per ingest window and removes a per-scan tax forever after.
+    On a real lakehouse this is Delta OPTIMIZE / Iceberg rewrite_data_files;
+    here it is the same plan expressed directly."""
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(src_dir, "*.parquet"))
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files

@@ -4,6 +4,7 @@ per-group caps."""
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -163,3 +164,104 @@ def test_cap_per_group_deterministic_ties(spark):
         df, ["grp"], [F.col("score").desc(), F.col("id")], k=5
     ).collect()
     assert sorted(r["id"] for r in out) == [2, 5, 8, 11, 14]
+
+
+# ---------------------------------------------------------------------------
+# runtime Bloom-filter join pruning / compaction / rollup merge
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's InjectRuntimeFilter: with a selective dim filter and a
+    non-broadcast join, the fact side gets a might_contain(bloom) filter
+    built from the dim keys — at 100 TB this drops most fact rows BEFORE
+    the join shuffle.  Local thresholds are lowered because the
+    application-side default (10 GB scanned) is exactly the regime where
+    it self-enables at the real scale; the fact side must also be the raw
+    scan (the guarded round-robin spread sits between scan and join and
+    blocks injection — which is fine, because at 100 TB the spread
+    no-ops)."""
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem", spread=False)
+        part = load_table(spark, sf_dir, "part", spread=False).filter(
+            F.col("p_type").startswith("PROMO")
+        )
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        with_bloom = {(r["p_type"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    part = load_table(spark, sf_dir, "part", spread=False).filter(
+        F.col("p_type").startswith("PROMO")
+    )
+    plain = {
+        (r["p_type"], r["n"])
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert with_bloom == plain and len(plain) > 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    from gsmls_analysis_spark.sources.io import compact_small_files
+
+    src = str(tmp_path / "small")
+    spark.range(100_000).selectExpr(
+        "id", "repeat('x', 40) AS pad"
+    ).repartition(40).write.parquet(src)
+    n_small = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_small >= 30
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{src}/*.parquet")
+    )
+    dst = str(tmp_path / "compacted")
+    n = compact_small_files(spark, src, dst, target_file_bytes=total // 2)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n <= 3
+    assert spark.read.parquet(dst).count() == 100_000
+
+
+def test_rollup_merge_equals_full_state(spark):
+    from gsmls_analysis_spark.operators.aggs import rollup_merge, rollup_state
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 113).cast("double").alias("v")
+    )
+    a = df.filter(F.col("id") < 4000)
+    b = df.filter((F.col("id") >= 4000) & (F.col("id") < 9000))
+    c = df.filter(F.col("id") >= 9000)
+    merged = {
+        tuple(r)
+        for r in rollup_merge(
+            rollup_state(a, ["k"], "v"),
+            rollup_state(b, ["k"], "v"),
+            rollup_state(c, ["k"], "v"),
+        ).collect()
+    }
+    full = {tuple(r) for r in rollup_state(df, ["k"], "v").collect()}
+    assert merged == full
