@@ -1,0 +1,85 @@
+"""Graph algorithms over candidate-pair graphs (the dedup layer's edge
+lists): PageRank centrality.
+
+``connected_components`` (curation.py) answers "which docs are the same";
+PageRank answers "which doc is the HUB of its near-dup neighborhood" — a
+useful keep-best signal when clusters are large (the most-connected member
+is usually the canonical version, not the one with the smallest id).
+
+Scale notes: each iteration is one join edges->ranks (shuffle on src, the
+same partitioning every round) + one aggregate on dst + one left join back
+to the node spine; lineage is truncated per iteration with
+``localCheckpoint`` so n_iter rounds never build an n_iter-deep plan.
+Cross-engine determinism: per-edge contributions are rounded then summed
+as DECIMAL (exact, order-free), so the same arithmetic replays in any
+engine — the oracle unrolls the identical iterations as nested CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list (symmetrize first for undirected
+    graphs).  Returns (node, rank) after ``n_iter`` rounds from a uniform
+    start; dangling nodes (no out-edges) simply leak their mass, the
+    standard simplification for hub-scoring on near-dup graphs.
+
+    rank_0        = round(1/N, 12)
+    contrib(u->v) = round(rank_i(u) / outdeg(u), 12)      summed as decimal
+    rank_{i+1}(v) = round((1-d)/N + d * sum(contrib), 12)
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = nodes.join(F.broadcast(n_row)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), ROUND_DP).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("deg"), ROUND_DP)
+                .cast("decimal(32,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("acc"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(n_row))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce(F.col("acc"), F.lit(0.0)),
+                    ROUND_DP,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -61,3 +61,45 @@ def scd2_merge(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    update_cols: list[str],
+) -> DataFrame:
+    """Generic MERGE (type-1 upsert) on plain parquet: WHEN MATCHED update
+    ``update_cols`` from the update side, WHEN NOT MATCHED insert the
+    update row, base rows without a match pass through — the Delta/Iceberg
+    ``MERGE INTO`` shape expressed as ONE full-outer join on the business
+    key (both sides shuffle once on the key; writing the result bucketed
+    by the key keeps the next merge co-located, exactly like scd2_merge).
+
+    ``updates`` must be key-unique (one action per key per merge batch,
+    the same contract MERGE INTO enforces by raising on multiple matches).
+    Matched rows take ``update_cols`` from the update side and everything
+    else from base; inserted rows carry the update side's keys and
+    ``update_cols`` and NULL elsewhere (the update relation holds only
+    keys + updated values).
+    """
+    u = updates.select(
+        *[F.col(k).alias(f"__uk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__uv_{c}") for c in update_cols],
+    )
+    cond = [base[k] == u[f"__uk_{k}"] for k in key_cols]
+    joined = base.join(u, cond, "full_outer")
+    matched = F.col(f"__uk_{key_cols[0]}").isNotNull()
+    out_cols = []
+    for c in base.columns:
+        if c in key_cols:
+            out_cols.append(
+                F.coalesce(base[c], F.col(f"__uk_{c}")).alias(c)
+            )
+        elif c in update_cols:
+            out_cols.append(
+                F.when(matched, F.col(f"__uv_{c}")).otherwise(base[c]).alias(c)
+            )
+        else:
+            out_cols.append(base[c].alias(c))
+    return joined.select(*out_cols)

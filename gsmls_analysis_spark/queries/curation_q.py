@@ -739,3 +739,64 @@ def q_source_cap_best(spark, sf_dir):
     return cap_per_group(
         docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], k=50
     )
+
+
+def _pagerank_oracle(n_iter: int = 3, d: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB replay of operators/graph.py::pagerank
+    over the symmetrized MinHash-LSH pair graph: identical per-edge
+    round-then-decimal-sum arithmetic each round, so the final ranks are
+    bit-stable across engines.  (Recursive CTEs cannot aggregate over the
+    recursive term, hence the unroll.)"""
+    teleport, damp = repr(1.0 - d), repr(d)
+    ctes = [
+        f"pairs AS ({_LSH_ORACLE})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "it0 AS (SELECT node, round(1.0/nn.n, 12) AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"acc{i} AS (SELECT e.dst AS node, "
+            "CAST(SUM(CAST(round(p.rank / dg.deg, 12) AS DECIMAL(32,12))) "
+            "AS DOUBLE) AS acc "
+            f"FROM edges e JOIN it{i-1} p ON p.node = e.src "
+            "JOIN deg dg ON dg.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"it{i} AS (SELECT n.node, round({teleport}/nn.n + "
+            f"{damp} * COALESCE(a.acc, 0.0), 12) AS rank "
+            f"FROM nodes n CROSS JOIN nn LEFT JOIN acc{i} a "
+            "ON a.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM it{n_iter}"
+    )
+
+
+@query(
+    "q_pagerank_dup_graph",
+    oracle=_pagerank_oracle(),
+    doc="PageRank hub scores over the symmetrized MinHash-LSH near-dup "
+    "graph (operators/graph.py::pagerank, 3 rounds, d=0.85): the "
+    "most-connected member of a dup neighborhood is the canonical-doc "
+    "signal connected_components cannot express.  Iterative DataFrame "
+    "algorithm with per-round lineage truncation; contributions rounded "
+    "then decimal-summed so the oracle (unrolled CTE iterations) replays "
+    "bit-identically.",
+)
+def q_pagerank_dup_graph(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(edges, n_iter=3, damping=0.85)

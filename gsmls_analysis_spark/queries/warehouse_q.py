@@ -860,3 +860,48 @@ def q_incremental_rollup(spark, sf_dir):
         F.col("max").alias("vmax"),
         (F.col("sum").cast("double") / F.col("n")).alias("vavg"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+WITH upd AS (
+  SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 1000000 + r.r_regionkey, CAST(50.0 AS DOUBLE)
+  FROM region r
+)
+SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.new_bal
+            ELSE b.c_acctbal END AS c_acctbal,
+       b.c_name, b.c_nationkey
+FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+""",
+    doc="generic MERGE INTO (type-1 upsert) on plain parquet "
+    "(operators/scd.py::merge_upsert): WHEN MATCHED update the balance, "
+    "WHEN NOT MATCHED insert — one full-outer join on the business key; "
+    "update batch = every third customer re-balanced + 5 brand-new keys.  "
+    "Oracle is the equivalent FULL OUTER JOIN + CASE.",
+)
+def q_merge_upsert(spark, sf_dir):
+    from ..operators.scd import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_name", "c_nationkey"
+    )
+    region = load_table(spark, sf_dir, "region", spread=False)
+    upd = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        )
+        .unionByName(
+            region.select(
+                (F.lit(1000000) + F.col("r_regionkey")).alias("c_custkey"),
+                F.lit(50.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return merge_upsert(cust, upd, ["c_custkey"], ["c_acctbal"])

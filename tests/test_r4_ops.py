@@ -265,3 +265,47 @@ def test_rollup_merge_equals_full_state(spark):
     }
     full = {tuple(r) for r in rollup_state(df, ["k"], "v").collect()}
     assert merged == full
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert / pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_actions(spark):
+    from gsmls_analysis_spark.operators.scd import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k int, bal double, name string",
+    )
+    upd = spark.createDataFrame(
+        [(2, 99.0), (9, 5.0)], "k int, bal double"
+    )
+    rows = {
+        r["k"]: (r["bal"], r["name"])
+        for r in merge_upsert(base, upd, ["k"], ["bal"]).collect()
+    }
+    assert rows == {
+        1: (10.0, "a"),  # untouched passthrough
+        2: (99.0, "b"),  # matched: bal updated, name kept
+        3: (30.0, "c"),
+        9: (5.0, None),  # inserted: update values, NULL elsewhere
+    }
+
+
+def test_pagerank_star_graph(spark):
+    """4-node undirected star: the hub must outrank the leaves, leaves are
+    symmetric, and total mass stays ~1 (no dangling nodes here)."""
+    from gsmls_analysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("h", x) for x in ("a", "b", "c")]
+        + [(x, "h") for x in ("a", "b", "c")],
+        "src string, dst string",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert set(ranks) == {"h", "a", "b", "c"}
+    assert ranks["a"] == ranks["b"] == ranks["c"]
+    assert ranks["h"] > 2 * ranks["a"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
