@@ -305,3 +305,28 @@ def fuzzy_self_pairs(
         .filter(F.col("dist") <= max_dist)
         .distinct()
     )
+
+
+def null_bypass_left_join(
+    facts: DataFrame, dim: DataFrame, key: str
+) -> DataFrame:
+    """LEFT join where fact rows with a NULL key NEVER enter the join
+    shuffle: a null key cannot match, so those rows short-circuit straight
+    to the output with NULL dim columns.
+
+    Why it matters at 100 TB: every null hashes to the SAME reducer, so a
+    fact table where (say) 40% of rows lack the foreign key turns into a
+    single monster partition — the one skew shape salting cannot fix
+    (salting spreads a hot VALUE; nulls are semantically excluded from
+    matching, so shipping them anywhere is pure waste).  Splitting is the
+    standard cure: only keyed rows shuffle, the null slice is a
+    shuffle-free pass-through union.  Result is exactly the plain LEFT
+    join (oracle-checked by q_null_bypass_join)."""
+    dim_cols = [c for c in dim.columns if c != key]
+    keyed = facts.filter(F.col(key).isNotNull()).join(dim, key, "left")
+    bypass = facts.filter(F.col(key).isNull()).select(
+        *facts.columns,
+        *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in dim_cols],
+    )
+    # join output puts the key first; align by name for the union
+    return keyed.select(*bypass.columns).unionByName(bypass)

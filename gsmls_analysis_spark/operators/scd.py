@@ -103,3 +103,46 @@ def merge_upsert(
         else:
             out_cols.append(base[c].alias(c))
     return joined.select(*out_cols)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed (op in I/U/D, multiple changes per key) to
+    a base snapshot: per key the LATEST change by ``seq_col`` wins —
+    upserts (I/U) replace the row, deletes (D) remove it, untouched base
+    rows pass through.  The Debezium/DMS-consumer shape that
+    ``merge_upsert`` (single-action batches) does not cover.
+
+    Two shuffles total, both on the merge key: one max_by aggregate
+    collapses the feed to its final action per key (map-side partial, so
+    a hot key's 10^6 updates reach the reducer as one row per map task),
+    then one full-outer join applies it.  ``changes`` must carry the base
+    columns (for I/U rows) plus ``op_col`` and ``seq_col``."""
+    data_cols = [c for c in base.columns if c not in key_cols]
+    latest = changes.groupBy(*key_cols).agg(
+        F.max_by(F.struct(F.col(op_col).alias("__op"), *data_cols), F.col(seq_col)).alias(
+            "__ch"
+        )
+    )
+    sel = [
+        *[F.col(k).alias(f"__ck_{k}") for k in key_cols],
+        F.col("__ch.__op").alias("__op"),
+        *[F.col(f"__ch.{c}").alias(f"__cv_{c}") for c in data_cols],
+    ]
+    ch = latest.select(*sel)
+    cond = [base[k] == ch[f"__ck_{k}"] for k in key_cols]
+    joined = base.join(ch, cond, "full_outer")
+    changed = F.col("__op").isNotNull()
+    out = joined.filter(~changed | (F.col("__op") != F.lit("D"))).select(
+        *[F.coalesce(base[k], F.col(f"__ck_{k}")).alias(k) for k in key_cols],
+        *[
+            F.when(changed, F.col(f"__cv_{c}")).otherwise(base[c]).alias(c)
+            for c in data_cols
+        ],
+    )
+    return out

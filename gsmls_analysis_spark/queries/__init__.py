@@ -94,21 +94,22 @@ _DRIVER_WINDOW = [
     "q_incremental_rollup",  # mergeable agg states vs full-recompute oracle
     "q_merge_upsert",  # MERGE INTO shape, full-outer oracle
     "q_pagerank_dup_graph",  # iterative PageRank, unrolled-CTE oracle
+    "q_cdc_apply",  # CDC feed latest-wins apply (I/U/D), full-outer oracle
+    "q_ewma_revenue",  # exact-integer EWMA, power-of-two weights
+    "q_null_bypass_join",  # null-skew bypass split, plain-LEFT-JOIN oracle
     # (d) remaining slots: representative greens in registration order —
     # the r1 flagships (incl. the three bench-flagged shapes q04/q07/q10)
     # re-enter external verification after two rounds on the local gate.
-    "q01_pricing_summary",
     "q04_late_shipment_priority",
-    "q05_nation_revenue",
     "q07_volume_shipping",
     "q10_returned_items",
-    "q_keep_last_dedup",
-    # (q03/q06/q14/q19, q_asof_latest_order, q_events_dedup_latest_per_user,
-    # q_iqr_outliers and q_multi_hot_attrs yielded their slots to the seven
-    # round-4 additions and the re-tuned stream-stream join; all are
-    # cumulatively driver-green from earlier rounds and stay on the local
-    # gate.  The kept representatives are the r3-bench-flagged trio
-    # q04/q07/q10 plus the q01 flagship and the dedup anchor.)
+    # (q01/q03/q05/q06/q14/q19, q_asof_latest_order, q_keep_last_dedup,
+    # q_events_dedup_latest_per_user, q_iqr_outliers and q_multi_hot_attrs
+    # yielded their slots to the ten round-4 additions and the re-tuned
+    # stream-stream join; all are cumulatively driver-green from earlier
+    # rounds and stay on the local gate, and q01 is additionally re-run
+    # every round as the driver's entry() smoke.  The kept representatives
+    # are the r3-bench-flagged trio q04/q07/q10.)
 ]
 
 

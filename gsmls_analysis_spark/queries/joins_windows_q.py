@@ -631,3 +631,53 @@ def q_null_safe_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_matched"),
         F.count(F.when(a["k"].isNull(), 1)).alias("n_null_matches"),
     )
+
+
+@query(
+    "q_null_bypass_join",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, value,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE user_id % 100 END AS seg_id
+  FROM events
+), dim AS (
+  SELECT i AS seg_id, 'segment_' || i AS seg_name FROM range(0, 100) t(i)
+), joined AS (
+  SELECT ev.*, dim.seg_name FROM ev LEFT JOIN dim USING (seg_id)
+)
+SELECT COALESCE(seg_name, 'NO_SEGMENT') AS seg_label,
+       count(*) AS n,
+       CAST(SUM(CAST(round(value, 2) AS DECIMAL(20,2))) AS DOUBLE) AS total
+FROM joined GROUP BY 1
+""",
+    doc="null-skew bypass LEFT join (operators/joins.py::"
+    "null_bypass_left_join): a third of the fact rows carry a NULL join "
+    "key — all of which would hash to ONE reducer in a plain shuffle "
+    "join (the skew shape salting cannot fix) — and instead short-"
+    "circuit around the join as a shuffle-free union.  Oracle is the "
+    "plain LEFT JOIN, proving the split is semantics-preserving.",
+)
+def q_null_bypass_join(spark, sf_dir):
+    from ..operators.joins import null_bypass_left_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(100)))
+        .alias("seg_id"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("seg_id"),
+        F.concat(F.lit("segment_"), F.col("id")).alias("seg_name"),
+    )
+    joined = null_bypass_left_join(ev, dim, "seg_id")
+    return joined.groupBy(
+        F.coalesce(F.col("seg_name"), F.lit("NO_SEGMENT")).alias("seg_label")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value"), 2).cast("decimal(20,2)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -905,3 +905,141 @@ def q_merge_upsert(spark, sf_dir):
         )
     )
     return merge_upsert(cust, upd, ["c_custkey"], ["c_acctbal"])
+
+
+_CDC_CHANGES_DUCK = """
+SELECT c_custkey, 'U' AS op, 1 AS seq,
+       round(c_acctbal + 10.0, 2) AS c_acctbal, c_name, c_nationkey
+FROM customer WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey, 'D', 2, NULL, NULL, NULL
+FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 2 = 0
+UNION ALL
+SELECT 2000000 + r_regionkey, 'I', 1, CAST(11.0 AS DOUBLE), 'new-supplier', 0
+FROM region
+"""
+
+
+@query(
+    "q_cdc_apply",
+    oracle=f"""
+WITH ch AS ({_CDC_CHANGES_DUCK}),
+latest AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                    ORDER BY seq DESC) AS rn
+    FROM ch) WHERE rn = 1
+)
+SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+       CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+            ELSE b.c_acctbal END AS c_acctbal,
+       CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name
+            ELSE b.c_name END AS c_name,
+       CASE WHEN l.c_custkey IS NOT NULL THEN l.c_nationkey
+            ELSE b.c_nationkey END AS c_nationkey
+FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+WHERE l.op IS NULL OR l.op <> 'D'
+""",
+    doc="CDC change-feed apply (operators/scd.py::cdc_apply): a Debezium-"
+    "style feed with MULTIPLE changes per key (update at seq 1, delete at "
+    "seq 2 for even keys — delete must win) + brand-new inserts, applied "
+    "latest-wins to the customer snapshot.  One max_by collapse + one "
+    "full-outer join; oracle replays via row_number DESC.",
+)
+def q_cdc_apply(spark, sf_dir):
+    from ..operators.scd import cdc_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_name", "c_nationkey"
+    )
+    region = load_table(spark, sf_dir, "region", spread=False)
+    fifth = cust.filter(F.col("c_custkey") % 5 == 0)
+    changes = (
+        fifth.select(
+            "c_custkey",
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+            F.round(F.col("c_acctbal") + 10.0, 2).alias("c_acctbal"),
+            "c_name",
+            "c_nationkey",
+        )
+        .unionByName(
+            fifth.filter(F.col("c_custkey") % 2 == 0).select(
+                "c_custkey",
+                F.lit("D").alias("op"),
+                F.lit(2).alias("seq"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("long").alias("c_nationkey"),
+            )
+        )
+        .unionByName(
+            region.select(
+                (F.lit(2000000) + F.col("r_regionkey")).alias("c_custkey"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+                F.lit(11.0).alias("c_acctbal"),
+                F.lit("new-supplier").alias("c_name"),
+                F.lit(0).cast("long").alias("c_nationkey"),
+            )
+        )
+    )
+    return cdc_apply(cust, changes, ["c_custkey"], "seq")
+
+
+@query(
+    "q_ewma_revenue",
+    oracle="""
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DECIMAL(20,0))
+      AS cents
+  FROM orders GROUP BY 1
+)
+SELECT t.midx,
+  CAST(SUM(CAST(j.cents AS DECIMAL(29,0))
+           * CAST(power(2.0, 26 - (t.midx - j.midx)) AS DECIMAL(9,0))
+          ) AS DOUBLE) / 13421772800.0 AS ewma_half
+FROM monthly t JOIN monthly j
+  ON j.midx BETWEEN t.midx - 26 AND t.midx
+GROUP BY t.midx
+""",
+    doc="exponentially-weighted moving average (alpha = 1/2) of monthly "
+    "revenue, computed EXACTLY: revenue in integer cents scaled by "
+    "2^(26-lag) — every term is an exact decimal integer (weights are "
+    "powers of two, the tail truncates at lag 26 where 2^-(k+1) drops "
+    "below visibility), summed as DECIMAL (order-free) with ONE identical "
+    "double division (by 100 * 2^27) at the end — no float rounding "
+    "boundary for engines to disagree on.  Spark side turns the range "
+    "join into an equi-join on an exploded 0..26 lag spine (bounded "
+    "fan-out, no theta join).",
+)
+def q_ewma_revenue(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(20,0)")
+        .alias("cents")
+    )
+    targets = monthly.select(F.col("midx").alias("t")).withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(26)))
+    ).select("t", (F.col("t") - F.col("k")).alias("j"))
+    sources = monthly.select(
+        F.col("midx").alias("j"), F.col("cents").alias("cents_j")
+    )
+    terms = targets.join(sources, "j").select(
+        "t",
+        (
+            F.col("cents_j").cast("decimal(29,0)")
+            * F.pow(F.lit(2.0), F.lit(26) - (F.col("t") - F.col("j"))).cast(
+                "decimal(9,0)"
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy(F.col("t").alias("midx")).agg(
+        (F.sum("term").cast("double") / F.lit(13421772800.0)).alias(
+            "ewma_half"
+        )
+    )

@@ -167,3 +167,44 @@ def test_input_file_name_lineage_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and got  # same files, same counts, non-empty
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Additive schema evolution on plain parquet: files written before a
+    column existed coexist with files written after; mergeSchema=true
+    reconciles the union schema and backfills NULL — the contract an
+    append-only 100 TB table relies on when a field is added mid-stream."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select("id", F.lit("a").alias("v")).write.parquet(path)
+    spark.range(5, 8).select(
+        "id", F.lit("b").alias("v"), (F.col("id") * 2).alias("extra")
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: (r["v"], r["extra"]) for r in df.collect()}
+    assert rows[0] == ("a", None)  # pre-evolution file backfills NULL
+    assert rows[6] == ("b", 12)
+    assert len(rows) == 8
+
+
+def test_ignore_corrupt_files_scan_survives(spark, tmp_path):
+    """Resilience contract for huge scans: with
+    spark.sql.files.ignoreCorruptFiles=true a truncated/garbage file in
+    the directory is skipped instead of failing the whole job — at 100 TB
+    a single bad object must not kill a multi-hour read.  (Default is
+    fail-fast, which the engine keeps for correctness-critical paths.)"""
+    path = tmp_path / "mixed"
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(
+        str(path)
+    )
+    (path / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        got = spark.read.parquet(str(path))
+        assert got.count() == 10
+        assert {r["v"] for r in got.collect()} == {i * 2 for i in range(10)}
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)

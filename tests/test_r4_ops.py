@@ -309,3 +309,105 @@ def test_pagerank_star_graph(spark):
     assert ranks["a"] == ranks["b"] == ranks["c"]
     assert ranks["h"] > 2 * ranks["a"]
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_cdc_apply_delete_then_update_keeps_row(spark):
+    """Ordering matters per key: D at seq 1 then U at seq 2 must keep the
+    row with the updated value (the oracle query covers the U-then-D
+    direction)."""
+    from gsmls_analysis_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    changes = spark.createDataFrame(
+        [(1, "D", 1, None), (1, "U", 2, 99.0), (2, "D", 2, None)],
+        "k int, op string, seq int, v double",
+    )
+    rows = {r["k"]: r["v"] for r in cdc_apply(base, changes, ["k"], "seq").collect()}
+    assert rows == {1: 99.0}
+
+
+def test_mg_merge_error_bound_property():
+    """Hypothesis: folding exact batch counts through _mg_merge(k) keeps
+    the Misra-Gries invariants for EVERY key — estimates never exceed
+    truth and undercount by at most n/(k+1) (mergeability, PODS'12)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gsmls_analysis_spark.operators.aggs import _mg_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=30), max_size=80),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=12),
+    )
+    def check(batches, k):
+        counters: dict = {}
+        truth: dict = {}
+        n = 0
+        for batch in batches:
+            for x in batch:
+                truth[x] = truth.get(x, 0) + 1
+                counters[x] = counters.get(x, 0) + 1
+                n += 1
+            counters = _mg_merge(counters, k)
+        assert len(counters) <= k
+        for key, true_cnt in truth.items():
+            est = counters.get(key, 0)
+            assert est <= true_cnt
+            assert true_cnt - est <= n / (k + 1)
+
+    check()
+
+
+def test_null_bypass_join_no_shuffle_on_null_branch(spark):
+    """The null slice must reach the union WITHOUT an exchange (that is
+    the whole point), and the split must equal the plain left join."""
+    from gsmls_analysis_spark.operators.joins import null_bypass_left_join
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20), (4, None)], "id int, k int"
+    )
+    dim = spark.createDataFrame([(10, "x"), (20, "y")], "k int, name string")
+    out = null_bypass_left_join(facts, dim, "k")
+    got = {(r["id"], r["k"], r["name"]) for r in out.collect()}
+    want = {
+        (r["id"], r["k"], r["name"])
+        for r in facts.join(dim, "k", "left")
+        .select("id", "k", "name")
+        .collect()
+    }
+    assert got == want
+    assert (1, 10, "x") in got and (2, None, None) in got
+    # the bypass branch is filter+project only — no Exchange in its plan
+    bypass = facts.filter(facts["k"].isNull())
+    plan = bypass._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_shuffle_hash_join_hint_switches_strategy(spark):
+    """Join-strategy control: SMJ is the sort-heavy default for two big
+    inputs; the shuffle_hash hint swaps in ShuffledHashJoin (no sort —
+    the right call when one side is modest but above broadcast size and
+    the key is not pre-sorted)."""
+    a = spark.range(10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(10_000).selectExpr("id AS k", "id * 3 AS vb")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        default_plan = (
+            a.join(b, "k")._jdf.queryExecution().executedPlan().toString()
+        )
+        hinted_plan = (
+            a.join(b.hint("shuffle_hash"), "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in default_plan
+    assert "ShuffledHashJoin" in hinted_plan
