@@ -1,0 +1,89 @@
+"""Versioned parquet tables: snapshot isolation + time travel on a plain
+filesystem — the core lakehouse primitive (Delta/Iceberg snapshot model)
+without a table-format dependency.
+
+Model: every commit writes its data to an immutable directory
+``data/v{n}/`` and then publishes ``manifest-v{n}.json`` listing the FULL
+set of data directories visible at version n (overwrite = just the new
+one, append = parent's list + the new one).  Readers resolve the highest
+published manifest (or an explicit ``version=``) and scan exactly its
+directories — a half-written commit is invisible because its manifest is
+the LAST thing written, atomically (tmp + ``os.replace`` on the same
+filesystem).  Old versions stay fully readable until vacuumed.
+
+Why this shape survives 100 TB: commits never rewrite or move data files
+(an overwrite of a 100 TB table publishes one manifest naming one new
+directory), readers plan from a manifest instead of listing the whole
+tree (O(1) metadata instead of a million-object listing), and time travel
+is free because immutability is the write protocol, not a copy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
+
+
+def table_versions(path: str) -> list[int]:
+    """Published (i.e. committed) versions, ascending; [] for no table."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for f in os.listdir(path):
+        m = _MANIFEST_RE.match(f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(path, f"manifest-v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def versioned_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """Commit ``df`` as a new table version and return its number.
+
+    ``overwrite``: the new version sees only this commit's data.
+    ``append``: the new version sees the parent version's directories plus
+    this commit's.  Either way no existing file is touched."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    versions = table_versions(path)
+    parent = versions[-1] if versions else 0
+    version = parent + 1
+    data_dir = f"data/v{version}"
+    df.write.parquet(os.path.join(path, data_dir))
+    dirs = [data_dir]
+    if mode == "append" and parent:
+        dirs = _read_manifest(path, parent)["data_dirs"] + dirs
+    manifest = {"version": version, "parent": parent, "data_dirs": dirs}
+    # publish atomically: a crash before os.replace leaves data/v{n}
+    # orphaned but the version unpublished — readers never see it
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, f"manifest-v{version}.json"))
+    return version
+
+
+def versioned_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Scan a table version (default: latest committed).  Time travel =
+    pass any previously published version number."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    dirs = _read_manifest(path, version)["data_dirs"]
+    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])

@@ -208,3 +208,70 @@ def test_ignore_corrupt_files_scan_survives(spark, tmp_path):
         assert {r["v"] for r in got.collect()} == {i * 2 for i in range(10)}
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Snapshot isolation on plain parquet: overwrite publishes a new
+    version without touching old files, append composes with the parent,
+    and every published version stays readable (time travel)."""
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources.versioned import (
+        table_versions,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    v1 = versioned_write(
+        spark.range(3).select("id", F.lit("one").alias("tag")), path
+    )
+    v2 = versioned_write(
+        spark.range(10, 12).select("id", F.lit("two").alias("tag")),
+        path,
+        mode="overwrite",
+    )
+    v3 = versioned_write(
+        spark.range(20, 21).select("id", F.lit("three").alias("tag")),
+        path,
+        mode="append",
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert table_versions(path) == [1, 2, 3]
+    # latest = v2's overwrite + v3's append
+    assert {r["id"] for r in versioned_read(spark, path).collect()} == {
+        10,
+        11,
+        20,
+    }
+    # time travel: v1 is intact after being overwritten
+    assert {r["id"] for r in versioned_read(spark, path, 1).collect()} == {
+        0,
+        1,
+        2,
+    }
+    assert {r["id"] for r in versioned_read(spark, path, 2).collect()} == {
+        10,
+        11,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        versioned_read(spark, path, 99)
+
+
+def test_versioned_table_unpublished_commit_invisible(spark, tmp_path):
+    """A data directory without its manifest (simulated crash between the
+    data write and the publish) must be invisible to readers."""
+    from gsmls_analysis_spark.sources.versioned import (
+        table_versions,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt2")
+    versioned_write(spark.range(5), path)
+    # orphaned data dir with no manifest-v2.json
+    spark.range(100, 105).write.parquet(f"{path}/data/v2")
+    assert table_versions(path) == [1]
+    assert versioned_read(spark, path).count() == 5
