@@ -87,3 +87,26 @@ def versioned_read(
         raise ValueError(f"version {version} not in {versions}")
     dirs = _read_manifest(path, version)["data_dirs"]
     return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+
+def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
+    """Retention: drop manifests older than the newest ``keep_last``
+    versions and delete data directories no kept version references.
+    Returns the deleted directory names.  Time travel keeps working for
+    every retained version; this is the explicit moment old snapshots
+    stop being reachable (Delta VACUUM semantics)."""
+    import shutil
+
+    versions = table_versions(path)
+    if len(versions) <= keep_last:
+        return []
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    live = {d for v in kept for d in _read_manifest(path, v)["data_dirs"]}
+    deleted = []
+    for v in dropped:
+        for d in _read_manifest(path, v)["data_dirs"]:
+            if d not in live and os.path.isdir(os.path.join(path, d)):
+                shutil.rmtree(os.path.join(path, d))
+                deleted.append(d)
+        os.remove(os.path.join(path, f"manifest-v{v}.json"))
+    return deleted

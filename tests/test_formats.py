@@ -275,3 +275,26 @@ def test_versioned_table_unpublished_commit_invisible(spark, tmp_path):
     spark.range(100, 105).write.parquet(f"{path}/data/v2")
     assert table_versions(path) == [1]
     assert versioned_read(spark, path).count() == 5
+
+
+def test_versioned_vacuum_retention(spark, tmp_path):
+    """Vacuum drops old versions but keeps every data dir a retained
+    version still references (an appended dir can be shared across
+    versions and must survive)."""
+    from gsmls_analysis_spark.sources.versioned import (
+        table_versions,
+        versioned_read,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt3")
+    versioned_write(spark.range(3), path)                    # v1
+    versioned_write(spark.range(10, 13), path)               # v2 overwrite
+    versioned_write(spark.range(20, 22), path, mode="append")  # v3 = v2+new
+    deleted = versioned_vacuum(path, keep_last=2)
+    # v1's dir goes; v2's dir survives because kept v3 references it
+    assert deleted == ["data/v1"]
+    assert table_versions(path) == [2, 3]
+    assert versioned_read(spark, path, 2).count() == 3
+    assert versioned_read(spark, path, 3).count() == 5
