@@ -5,9 +5,13 @@ The MinHash oracle trick: one md5 per shingle → 60-bit integer base, then
 k affine rehashes (a_i*base + b_i) mod P — md5 and integer arithmetic are
 bit-identical in every engine, so the MinHash signature and LSH band
 buckets are oracle-checkable in DuckDB (both sides generated from the same
-coefficient table).  SimHash token hashes are md5-derived too: the vote
-counters are oracle-checked (q_simhash_votes); the near-dup pairing stays
-rows-only (64-bit signed signature reconstruction isn't SQL-portable).
+coefficient table).  SimHash token hashes are md5-derived too, and since
+round 4 the ENTIRE near-dup chain is oracle-checked: q_simhash_votes pins
+the vote counters, and q_simhash_near_dups' generated oracle replays
+signature packing (two's-complement bit 63), segment blocking (arithmetic
+shift + mask == unsigned shift), the star-pair bucket cap, and the final
+pair dedup — exact at all three scale factors, including sf0.1 where the
+oversized-bucket star path emits ~6k pairs.
 """
 
 from __future__ import annotations
@@ -234,28 +238,6 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# SimHash near-dups — rows-only driver check (signature reconstruction
-# isn't SQL-portable); the underlying votes are oracle-checked below
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q_simhash_near_dups",
-    oracle=None,
-    doc="SimHash(64) near-dups with pigeonhole segment blocking (rows-only; "
-    "the md5-based vote computation is oracle-checked via q_simhash_votes).",
-)
-def q_simhash_near_dups(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
-
-
-# ---------------------------------------------------------------------------
-# SimHash vote counters — oracle-checkable since the token hash is
-# md5-derived.  Samples bits from both md5 halves (lo covers 0-59, hi 60-63).
-# ---------------------------------------------------------------------------
-
 _VOTE_BITS = [0, 1, 2, 7, 31, 59, 60, 63]
 
 
@@ -268,6 +250,99 @@ def _vote_expr_duck(i: int) -> str:
         f" AS BIGINT) AS v{i}"
     )
 
+
+# ---------------------------------------------------------------------------
+# SimHash near-dups — full generated oracle (promoted from rows-only in
+# round 4): the md5-based token hash replays bit-exactly, so the whole
+# chain — 64 bit-vote sums -> signature packing -> pigeonhole segment
+# blocking -> bounded all-pairs + star-pair cap -> hamming filter -> pair
+# dedup with bool_and(star) — is reconstructed in SQL below.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_pairs_oracle(
+    max_hamming: int = 3, segments: int = 4, max_bucket: int = 128
+) -> str:
+    """DuckDB replay of operators/dedup.py::simhash_near_dups.  Notes on
+    the two non-obvious equivalences: (1) DuckDB's ``>>`` on BIGINT is an
+    arithmetic shift where Spark uses shiftrightunsigned, but the
+    ``& 65535`` mask keeps only the low 16 bits, where the two shifts
+    agree; (2) the signature's bit 63 is added as the BIGINT minimum
+    (two's complement), exactly like votes_to_simhash."""
+    width = 64 // segments
+    mask = (1 << width) - 1
+    vote_cols = ", ".join(_vote_expr_duck(i) for i in range(64))
+    sig_terms = " + ".join(
+        [f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(63)]
+        + ["CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END"]
+    )
+    segs = ", ".join(str(s) for s in range(segments))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS lo,
+    CAST(('0x' || substr(md5(tok), 16, 15)) AS UBIGINT) AS hi
+  FROM toks
+), votes AS (
+  SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, ({sig_terms}) AS sig FROM votes
+), chunked AS (
+  SELECT s.doc_id, s.sig, g.seg,
+         ((s.sig >> (g.seg * {width})) & {mask}) AS val
+  FROM sig s CROSS JOIN (SELECT unnest([{segs}]) AS seg) g
+), bsz AS (
+  SELECT seg, val, count(*) AS bsize, min(doc_id) AS rep_doc
+  FROM chunked GROUP BY seg, val
+), big AS (
+  SELECT b.seg, b.val, b.rep_doc, r.sig AS rep_sig
+  FROM bsz b JOIN sig r ON r.doc_id = b.rep_doc
+  WHERE b.bsize > {max_bucket}
+), small AS (
+  SELECT c.* FROM chunked c JOIN bsz b USING (seg, val)
+  WHERE b.bsize BETWEEN 2 AND {max_bucket}
+), pairs_small AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+         FALSE AS star
+  FROM small a JOIN small b
+    ON a.seg = b.seg AND a.val = b.val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+), pairs_large AS (
+  SELECT g.rep_doc AS id_a, c.doc_id AS id_b,
+         CAST(bit_count(xor(g.rep_sig, c.sig)) AS INT) AS hamming,
+         TRUE AS star
+  FROM chunked c JOIN big g ON c.seg = g.seg AND c.val = g.val
+  WHERE c.doc_id <> g.rep_doc
+)
+SELECT id_a, id_b, hamming, bool_and(star) AS star
+FROM (SELECT * FROM pairs_small UNION ALL SELECT * FROM pairs_large)
+GROUP BY id_a, id_b, hamming
+"""
+
+
+@query(
+    "q_simhash_near_dups",
+    oracle=_simhash_pairs_oracle(),
+    doc="SimHash(64) near-dup candidate pairs with pigeonhole segment "
+    "blocking and the star-pair bucket cap — full generated oracle "
+    "replays votes -> signature -> blocking -> pairing -> dedup "
+    "bit-for-bit (promoted from rows-only; the votes stage alone is also "
+    "pinned by q_simhash_votes).",
+)
+def q_simhash_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# SimHash vote counters — oracle-checkable since the token hash is
+# md5-derived.  Samples bits from both md5 halves (lo covers 0-59, hi 60-63).
+# ---------------------------------------------------------------------------
 
 @query(
     "q_simhash_votes",
