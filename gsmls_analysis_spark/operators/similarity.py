@@ -219,7 +219,17 @@ def ivf_train(
         means = (
             assigned.select("cell", F.posexplode("nv").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            # decimal-exact mean: the double sum of a shuffled group is
+            # order-dependent (not reproducible, not oracle-able); summing
+            # as decimal(38,18) is exact and order-free, and the single
+            # double division afterwards is identical in any engine — this
+            # is what lets q_ivf_topk_trained carry a full replay oracle
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("cell")
             .agg(
                 F.transform(

@@ -86,6 +86,7 @@ _DRIVER_WINDOW = [
     "q_lsh_topk",  # promoted rows-only -> sign-block oracle
     "q_lsh_topk_multiprobe",  # promoted rows-only -> generated SRP oracle
     "q_stream_stream_join_native",  # state_partitions right-sized (r4)
+    "q_ivf_topk_trained",  # promoted rows-only -> unrolled-Lloyd oracle (r4)
     # (c) added in round 4 — never driver-checked
     "q_semantic_dedup",  # embedding near-dups -> components -> keep-best
     "q_heavy_hitter_tokens",  # Misra-Gries candidates + exact recount
@@ -102,14 +103,14 @@ _DRIVER_WINDOW = [
     # re-enter external verification after two rounds on the local gate.
     "q04_late_shipment_priority",
     "q07_volume_shipping",
-    "q10_returned_items",
-    # (q01/q03/q05/q06/q14/q19, q_asof_latest_order, q_keep_last_dedup,
+    # (q01/q03/q05/q06/q10/q14/q19, q_asof_latest_order, q_keep_last_dedup,
     # q_events_dedup_latest_per_user, q_iqr_outliers and q_multi_hot_attrs
-    # yielded their slots to the ten round-4 additions and the re-tuned
-    # stream-stream join; all are cumulatively driver-green from earlier
-    # rounds and stay on the local gate, and q01 is additionally re-run
-    # every round as the driver's entry() smoke.  The kept representatives
-    # are the r3-bench-flagged trio q04/q07/q10.)
+    # yielded their slots to the ten round-4 additions, the re-tuned
+    # stream-stream join, and the two rows-only->oracle promotions; all
+    # are cumulatively driver-green from earlier rounds and stay on the
+    # local gate, and q01 is additionally re-run every round as the
+    # driver's entry() smoke.  The kept representatives are q04/q07 — the
+    # two r3-bench-flagged shapes with the largest historical deltas.)
 ]
 
 

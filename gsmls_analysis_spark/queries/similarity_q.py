@@ -400,13 +400,98 @@ def q_lsh_topk_multiprobe(spark, sf_dir):
     )
 
 
+_DOT64 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_RENORM = (
+    "list_transform({v}, x -> x / "
+    "sqrt(list_sum(list_transform({v}, y -> y * y))))"
+)
+
+
+def _lloyd_iter(i: int, dim: int) -> str:
+    """One unrolled Lloyd iteration: assign to nearest centroid (cosine
+    desc, cell tie-break), decimal-exact per-dimension means, renormalize,
+    keep the previous centroid for empty cells."""
+    d = _DOT64.format(a="v.nv", b="c.nv")
+    return f"""s{i} AS (
+  SELECT v.vec_id, c.cell, v.nv,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {d} DESC, c.cell) AS rn
+  FROM nv v CROSS JOIN c{i-1} c
+), a{i} AS (SELECT cell, nv FROM s{i} WHERE rn = 1
+), x{i} AS (
+  SELECT cell, i AS pos, nv[i] AS x
+  FROM a{i} CROSS JOIN range(1, {dim + 1}) t(i)
+), m{i} AS (
+  SELECT cell, pos,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+  FROM x{i} GROUP BY cell, pos
+), mm{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS mean FROM m{i} GROUP BY cell
+), c{i} AS (
+  SELECT p.cell,
+         CASE WHEN n.cell IS NULL THEN p.nv
+              ELSE {_RENORM.format(v="n.mean")} END AS nv
+  FROM c{i-1} p LEFT JOIN mm{i} n ON n.cell = p.cell
+)"""
+
+
+def _ivf_trained_oracle(
+    n_cells: int = 16, n_iter: int = 2, k: int = 5, n_probe: int = 2, dim: int = 64
+) -> str:
+    iters = ",\n".join(_lloyd_iter(i, dim) for i in range(1, n_iter + 1))
+    d = _DOT64.format(a="v.nv", b="c.nv")
+    dqc = _DOT64.format(a="q.qv", b="co.cv")
+    return f"""
+WITH nv AS ({_NORMALIZE_DUCK.replace("AS nv", "AS nv", 1)}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv
+  FROM (SELECT * FROM nv ORDER BY vec_id LIMIT {n_cells})
+),
+{iters},
+cents AS (SELECT cell, {_RENORM.format(v="nv")} AS nv FROM c{n_iter}),
+corp AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT v.vec_id AS neighbor_id, v.nv AS cv, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d} DESC, c.cell) AS rn
+    FROM nv v CROSS JOIN cents c) WHERE rn = 1
+),
+qry AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT v.vec_id AS query_id, v.nv AS qv, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d} DESC, c.cell) AS rn
+    FROM nv v CROSS JOIN cents c WHERE v.vec_id < 20) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, co.neighbor_id, {dqc} AS cosine
+  FROM qry q JOIN corp co USING (cell)
+  WHERE q.query_id <> co.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 @query(
     "q_ivf_topk_trained",
-    oracle=None,
+    oracle=_ivf_trained_oracle(),
     doc="IVF top-k over Lloyd-trained centroids (ivf_train, 16 cells, 2 "
-    "iterations) — rows-only: distributed float means are not bit-stable "
-    "across engines; quantization improvement is unit-asserted "
-    "(test_ivf_train_improves_quantization).",
+    "iterations) — FULL replay oracle since round 4: ivf_train's means "
+    "are decimal-summed (order-free) with one identical double division, "
+    "so the generated oracle unrolls both Lloyd iterations (assign by "
+    "cosine with cell tie-break, exact means, renormalize, empty-cell "
+    "carry-over) and the final probe/re-rank bit-for-bit.  Quantization "
+    "improvement remains unit-asserted.",
 )
 def q_ivf_topk_trained(spark, sf_dir):
     from ..operators.similarity import ivf_topk, ivf_train
