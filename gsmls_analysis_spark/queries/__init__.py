@@ -87,6 +87,7 @@ _DRIVER_WINDOW = [
     "q_lsh_topk_multiprobe",  # promoted rows-only -> generated SRP oracle
     "q_stream_stream_join_native",  # state_partitions right-sized (r4)
     "q_ivf_topk_trained",  # promoted rows-only -> unrolled-Lloyd oracle (r4)
+    "q_image_documents_nested",  # promoted rows-only -> constructed-JSON oracle
     # (c) added in round 4 — never driver-checked
     "q_semantic_dedup",  # embedding near-dups -> components -> keep-best
     "q_heavy_hitter_tokens",  # Misra-Gries candidates + exact recount
@@ -102,15 +103,16 @@ _DRIVER_WINDOW = [
     # the r1 flagships (incl. the three bench-flagged shapes q04/q07/q10)
     # re-enter external verification after two rounds on the local gate.
     "q04_late_shipment_priority",
-    "q07_volume_shipping",
-    # (q01/q03/q05/q06/q10/q14/q19, q_asof_latest_order, q_keep_last_dedup,
-    # q_events_dedup_latest_per_user, q_iqr_outliers and q_multi_hot_attrs
-    # yielded their slots to the ten round-4 additions, the re-tuned
-    # stream-stream join, and the two rows-only->oracle promotions; all
-    # are cumulatively driver-green from earlier rounds and stay on the
-    # local gate, and q01 is additionally re-run every round as the
-    # driver's entry() smoke.  The kept representatives are q04/q07 — the
-    # two r3-bench-flagged shapes with the largest historical deltas.)
+    # (q01/q03/q05/q06/q07/q10/q14/q19, q_asof_latest_order,
+    # q_keep_last_dedup, q_events_dedup_latest_per_user, q_iqr_outliers and
+    # q_multi_hot_attrs yielded their slots to the ten round-4 additions,
+    # the re-tuned stream-stream join, and the three rows-only->oracle
+    # promotions; all are cumulatively driver-green from earlier rounds and
+    # stay on the local gate, and q01 is additionally re-run every round as
+    # the driver's entry() smoke.  The kept representative is q04 — the
+    # r3-bench-flagged shape with the largest historical delta; the A/B in
+    # docs/BENCH_NOTES.md settled all three flagged shapes as
+    # environmental.)
 ]
 
 

@@ -202,14 +202,48 @@ def q_style_resolve(spark, sf_dir):
     return s.withColumn("style_type", resolve_style_type(F.col("style_list")))
 
 
+_NESTED_ORACLE = f"""
+WITH exploded AS (
+  SELECT p_partkey AS listing_id, i AS image_num,
+         list_extract({_DUCK_CAPS}, CAST((p_partkey * 7 + i * 3) % 25 + 1 AS INT)) AS section,
+         CAST(p_partkey AS VARCHAR) || ' Main St, Newark' AS address,
+         CASE WHEN p_partkey % 3 = 0 THEN 'Fixer Upper'
+              ELSE 'Move-in Ready' END AS condition
+  FROM part, unnest([0, 1, 2]) AS t(i)
+), cls AS (
+  SELECT exploded.*, {_DUCK_CLASSIFY} AS category,
+         'https://img.gsmls.com/imagedb/highres/a/1/'
+           || CAST(listing_id AS VARCHAR) || '_'
+           || CAST(image_num AS VARCHAR) || '.jpg' AS url
+  FROM exploded
+), ent AS (
+  SELECT listing_id, address, category, image_num,
+    '{{"Condition":"' || condition || '","URL":"' || url
+      || '","Directory":"images/' || address || '/' || category || '/'
+      || CAST(image_num AS VARCHAR) || '"}}' AS ej
+  FROM cls
+), percat AS (
+  SELECT listing_id, address, category,
+         '"' || category || '":['
+           || string_agg(ej, ',' ORDER BY image_num) || ']' AS block
+  FROM ent GROUP BY listing_id, address, category
+)
+SELECT listing_id, address,
+       '{{' || string_agg(block, ',' ORDER BY category) || '}}' AS images_json
+FROM percat GROUP BY listing_id, address
+"""
+
+
 @query(
     "q_image_documents_nested",
-    oracle=None,
+    oracle=_NESTED_ORACLE,
     doc="A3 + nested assembly: per-listing document with Images "
-    "map<category, array<struct{Condition,URL,Directory}>> (rows-only; the "
-    "map is emitted as key-sorted to_json so the driver's pandas "
-    "canonicalizer can sort/hash the rows — the true nested struct is "
-    "exercised in tests/test_images_multimodal.py).",
+    "map<category, array<struct{Condition,URL,Directory}>>, emitted as "
+    "key-sorted to_json.  FULL oracle since round 4: every field is a "
+    "deterministic ASCII string, so the oracle CONSTRUCTS the identical "
+    "JSON text (struct field order, image_num array order, binary "
+    "category key order) by string aggregation — the true nested struct "
+    "is additionally exercised in tests/test_images_multimodal.py.",
 )
 def q_image_documents_nested(spark, sf_dir):
     listings = load_table(spark, sf_dir, "part").select(
