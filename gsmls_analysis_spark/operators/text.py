@@ -172,6 +172,66 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     )
 
 
+def pmi_bigrams(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 100
+) -> DataFrame:
+    """Top-k collocations (adjacent token bigrams) by pointwise mutual
+    information — the corpus statistic behind merge-rule selection in
+    BPE/WordPiece vocabulary building and phrase detection (word2vec's
+    phrase pass): bigrams whose observed rate most exceeds what their
+    unigram rates predict.
+
+    Returns (w1, w2, c_ab, c_a, c_b, lift, rank) where
+    lift = P(w1,w2) / (P(w1)·P(w2)); PMI = ln(lift) is monotonic in it,
+    so ranking by lift IS ranking by PMI while staying libm-free: lift is
+    a fixed tree of IEEE divides/multiplies over exact integer counts,
+    bit-identical across engines (no ln whose last-ulp could differ
+    between JVM Math and C libm).
+
+    Scale shape: bigram construction is a per-row array transform (no
+    positional self-join — the corpus never joins itself); then two
+    counts-only shuffles bounded by vocab and bigram-vocab cardinality,
+    both map-side partially aggregated; totals are 1-row broadcasts; the
+    final top-k is TakeOrderedAndProject.  Document text never shuffles.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    unigrams = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # adjacent pairs via one array transform; try_element_at past the end
+    # yields NULL and the filter drops the dangling last element
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(__toks, (x, i) -> "
+                "struct(x AS w1, try_element_at(__toks, i + 2) AS w2)), "
+                "p -> p.w2 IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcounts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    totals = unigrams.agg(F.sum("c").alias("n")).join(
+        bcounts.agg(F.sum("c_ab").alias("m"))
+    )
+    ua = unigrams.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = unigrams.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lift = (d("c_ab") / d("m")) / ((d("c_a") / d("n")) * (d("c_b") / d("n")))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("lift"), "w1", "w2")
+    return (
+        bcounts.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .join(F.broadcast(totals))
+        .select("w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF: per-document salient terms (feature extraction / keyword
 # labeling for a curation pipeline).

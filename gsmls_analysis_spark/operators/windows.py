@@ -28,6 +28,62 @@ def possession_time(
     return df.withColumn(out_col, F.coalesce(years, F.lit(default_years)))
 
 
+def interpolate_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str = "v_interp",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Linear-interpolation gap fill: null readings in ``value_col`` are
+    replaced with the straight line between the nearest non-null readings
+    before and after (weighted by event-time distance); a gap with only
+    one side falls back to that side's value (forward/backward fill at
+    the series edges).  The hypertable `interpolate()` / Pandas
+    ``interpolate(method="time")`` semantics, expressed as two window
+    frames — generalizing the reference's sparse-reading repairs
+    (GSMLS.py:1463-1490 fixes gaps by neighbor lookup in Python dicts).
+
+    Scale notes (100 TB): ONE shuffle on the series key serves both the
+    unbounded-preceding and unbounded-following frames (Spark computes
+    the second frame from the same sort, no extra exchange), and the
+    arithmetic is whole-stage-codegen'd expressions.  Timestamps are
+    compared as exact integer microseconds; the interpolation itself is
+    one IEEE double divide + multiply + add per row, with no float
+    aggregation anywhere — so results are bit-identical across engines
+    and partitionings.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col)
+    t_of_v = F.when(v.isNotNull(), t)
+    v_prev = F.last(v, ignorenulls=True).over(w_prev)
+    t_prev = F.last(t_of_v, ignorenulls=True).over(w_prev)
+    v_next = F.first(v, ignorenulls=True).over(w_next)
+    t_next = F.first(t_of_v, ignorenulls=True).over(w_next)
+    ratio = (t - t_prev).cast("double") / (t_next - t_prev).cast("double")
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            v_prev.isNotNull() & v_next.isNotNull() & (t_next != t_prev),
+            v_prev + (v_next - v_prev) * ratio,
+        )
+        .otherwise(F.coalesce(v_prev, v_next))
+    )
+    return df.withColumn(out_col, interp)
+
+
 def interval_days(later: Column, earlier: Column) -> Column:
     """W3: CLOSEDDATE−PENDINGDATE etc. as whole days."""
     return F.datediff(later, earlier)

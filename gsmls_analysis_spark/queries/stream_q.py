@@ -351,6 +351,57 @@ def q_forward_fill(spark, sf_dir):
     )
 
 
+@query(
+    "q_interpolate_gaps",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+    CASE WHEN event_id % 5 = 0 THEN value END AS v
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, t, v,
+    last_value(v IGNORE NULLS) OVER w_prev AS v_prev,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER w_prev AS t_prev,
+    first_value(v IGNORE NULLS) OVER w_next AS v_next,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER w_next AS t_next
+  FROM sparse
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN v_prev IS NOT NULL AND v_next IS NOT NULL AND t_next <> t_prev
+         THEN v_prev + (v_next - v_prev)
+              * (CAST(t - t_prev AS DOUBLE) / CAST(t_next - t_prev AS DOUBLE))
+       ELSE coalesce(v_prev, v_next) END AS v_interp
+FROM marked
+""",
+    doc="time-series gap fill by linear interpolation: only every 5th "
+    "event carries a reading; the rest get the event-time-weighted line "
+    "between the nearest readings either side, edges fall back to "
+    "forward/backward fill (operators/windows.py::interpolate_gaps — "
+    "two frames over ONE shuffle, exact integer-microsecond weights, "
+    "per-row IEEE arithmetic so both engines agree bit-exactly).",
+)
+def q_interpolate_gaps(spark, sf_dir):
+    from ..operators.windows import interpolate_gaps
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("v"),
+    )
+    return interpolate_gaps(
+        ev, "user_id", "ts", "v", out_col="v_interp", order_tiebreak="event_id"
+    ).select("user_id", "event_id", "v_interp")
+
+
 # ---------------------------------------------------------------------------
 # Conversion funnel: strict first-occurrence ordering across event steps
 # ---------------------------------------------------------------------------

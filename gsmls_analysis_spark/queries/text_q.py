@@ -466,3 +466,55 @@ def q_heavy_hitter_tokens(spark, sf_dir):
         ).alias("tok")
     )
     return heavy_hitters(toks, "tok", k=100)
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle="""
+WITH docs AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE len(trim(text)) > 0
+), toks AS (
+  SELECT words[i] AS w
+  FROM docs, unnest(range(1, len(words) + 1)) AS t(i)
+), unigrams AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), bigr AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM docs, unnest(range(1, len(words))) AS t(i)
+), bcounts AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bigr GROUP BY w1, w2
+), tot AS (
+  SELECT (SELECT sum(c) FROM unigrams) AS n,
+         (SELECT sum(c_ab) FROM bcounts) AS m
+), scored AS (
+  SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+    (CAST(c_ab AS DOUBLE) / CAST(m AS DOUBLE))
+    / ((CAST(ua.c AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(ub.c AS DOUBLE) / CAST(n AS DOUBLE))) AS lift
+  FROM bcounts
+  JOIN unigrams ua ON w1 = ua.w
+  JOIN unigrams ub ON w2 = ub.w, tot
+  WHERE c_ab >= 5
+)
+SELECT w1, w2, c_ab, c_a, c_b, lift,
+  row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+FROM scored
+ORDER BY lift DESC, w1, w2
+LIMIT 100
+""",
+    doc="top-100 collocations by pointwise mutual information "
+    "(operators/text.py::pmi_bigrams) — the corpus statistic behind "
+    "BPE/WordPiece merge selection and word2vec phrase detection.  "
+    "Bigrams come from a per-row array transform (NO positional "
+    "self-join), shuffles carry counts only, and the score is the "
+    "libm-free lift P(ab)/(P(a)P(b)) so ranking equals PMI ranking "
+    "with bit-identical doubles in both engines.",
+)
+def q_pmi_bigrams(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("text")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+    return tx.pmi_bigrams(docs, "text", min_count=5, k=100)

@@ -1043,3 +1043,39 @@ def q_ewma_revenue(spark, sf_dir):
             "ewma_half"
         )
     )
+
+
+@query(
+    "q_versioned_delete",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE source IS DISTINCT FROM 'src3'
+""",
+    doc="copy-on-write DELETE on a versioned table (GDPR / "
+    "right-to-be-forgotten, sources/versioned.py::versioned_delete): the "
+    "documents corpus is committed as an 8-file snapshot, rows of one "
+    "source are deleted, and the query returns the post-delete snapshot "
+    "read.  Only files containing a match are rewritten — untouched "
+    "files carry into the new manifest by reference — and the parent "
+    "version still reads the deleted rows (snapshot isolation, asserted "
+    "in tests/test_formats.py).  Oracle: the table minus the predicate "
+    "(IS DISTINCT FROM keeps NULL-source rows, matching SQL DELETE "
+    "semantics).",
+)
+def q_versioned_delete(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_docs_")
+    versioned_write(docs.repartitionByRange(8, "doc_id"), path)
+    versioned_delete(spark, path, F.col("source") == "src3")
+    return versioned_read(spark, path)

@@ -25,7 +25,8 @@ import os
 import re
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
 
@@ -63,13 +64,101 @@ def versioned_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     dirs = [data_dir]
     if mode == "append" and parent:
         dirs = _read_manifest(path, parent)["data_dirs"] + dirs
-    manifest = {"version": version, "parent": parent, "data_dirs": dirs}
-    # publish atomically: a crash before os.replace leaves data/v{n}
-    # orphaned but the version unpublished — readers never see it
+    _publish(path, {"version": version, "parent": parent, "data_dirs": dirs})
+    return version
+
+
+def _publish(path: str, manifest: dict) -> None:
+    """Atomically publish a manifest: a crash before os.replace leaves the
+    commit's data orphaned but the version unpublished — readers never see
+    a partial commit."""
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(path, f"manifest-v{version}.json"))
+    os.replace(tmp, os.path.join(path, f"manifest-v{manifest['version']}.json"))
+
+
+def _entries(manifest: dict) -> list[str]:
+    """All data entries of a manifest: directories (whole-dir commits) and
+    individual files (kept-by-reference after a copy-on-write delete)."""
+    return list(manifest.get("data_dirs", [])) + list(manifest.get("data_files", []))
+
+
+def _expand_files(root: str, entries: list[str]) -> list[str]:
+    """Resolve dir entries to their parquet files (relative to root) so a
+    commit can keep untouched files by reference; file entries pass
+    through.  Metadata-scale work: one listing per referenced directory."""
+    out: list[str] = []
+    for e in entries:
+        p = os.path.join(root, e)
+        if os.path.isdir(p):
+            for dirpath, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        out.append(os.path.relpath(os.path.join(dirpath, f), root))
+        else:
+            out.append(e)
+    return out
+
+
+def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
+    """Copy-on-write DELETE (the GDPR / right-to-be-forgotten primitive,
+    Delta-style): commit a new version where rows matching ``predicate``
+    are gone, rewriting ONLY the files that contain a matching row —
+    every untouched file is carried into the new manifest by reference.
+
+    Why this survives 100 TB: deleting one user's rows from a 100 TB
+    table costs (a) one predicate-pushed scan to find the touched files
+    (parquet row-group stats skip most of them), (b) a rewrite of just
+    those files, (c) one manifest publish.  The table is never rewritten,
+    readers keep snapshot isolation (old versions still see the rows
+    until vacuum), and the delete is atomic — the manifest flips visibility
+    in one os.replace.
+
+    NULL-predicate rows are NOT deleted (SQL DELETE semantics: only
+    TRUE matches go).  Returns the new version number.
+    """
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    parent = versions[-1]
+    root = os.path.abspath(path)
+    all_files = _expand_files(root, _entries(_read_manifest(path, parent)))
+    cur = spark.read.parquet(*[os.path.join(root, f) for f in all_files])
+    # which files contain at least one matching row?  predicate pushdown +
+    # row-group stats make this a skip-scan; result is metadata-sized
+    touched: set[str] = set()
+    for r in (
+        cur.withColumn("__file", F.input_file_name())
+        .filter(predicate)
+        .select("__file")
+        .distinct()
+        .collect()
+    ):
+        from urllib.parse import unquote, urlparse
+
+        local = unquote(urlparse(r["__file"]).path)
+        touched.add(os.path.relpath(local, root))
+    version = parent + 1
+    new_dirs: list[str] = []
+    if touched:
+        data_dir = f"data/v{version}"
+        (
+            spark.read.parquet(*[os.path.join(root, f) for f in sorted(touched)])
+            .filter(~F.coalesce(predicate, F.lit(False)))
+            .write.parquet(os.path.join(root, data_dir))
+        )
+        new_dirs = [data_dir]
+    untouched = [f for f in all_files if f not in touched]
+    _publish(
+        path,
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": new_dirs,
+            "data_files": untouched,
+        },
+    )
     return version
 
 
@@ -85,8 +174,8 @@ def versioned_read(
         version = versions[-1]
     elif version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    dirs = _read_manifest(path, version)["data_dirs"]
-    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    entries = _entries(_read_manifest(path, version))
+    return spark.read.parquet(*[os.path.join(path, e) for e in entries])
 
 
 def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
@@ -101,10 +190,17 @@ def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
     if len(versions) <= keep_last:
         return []
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
-    live = {d for v in kept for d in _read_manifest(path, v)["data_dirs"]}
+    # a data dir is live if any kept version references the dir itself OR
+    # any individual file under it (copy-on-write deletes keep files by
+    # reference, so partially-referenced dirs must survive whole)
+    live: set[str] = set()
+    for v in kept:
+        for e in _entries(_read_manifest(path, v)):
+            live.add(e if not e.endswith(".parquet") else os.path.dirname(e))
     deleted = []
     for v in dropped:
-        for d in _read_manifest(path, v)["data_dirs"]:
+        for e in _entries(_read_manifest(path, v)):
+            d = e if not e.endswith(".parquet") else os.path.dirname(e)
             if d not in live and os.path.isdir(os.path.join(path, d)):
                 shutil.rmtree(os.path.join(path, d))
                 deleted.append(d)

@@ -298,3 +298,47 @@ def test_versioned_vacuum_retention(spark, tmp_path):
     assert table_versions(path) == [2, 3]
     assert versioned_read(spark, path, 2).count() == 3
     assert versioned_read(spark, path, 3).count() == 5
+
+
+def test_versioned_delete_is_copy_on_write(spark, tmp_path):
+    """Right-to-be-forgotten DELETE rewrites ONLY the files containing a
+    match: untouched files are carried by reference, old versions keep
+    snapshot isolation, and NULL-predicate rows are NOT deleted."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(30).select(
+        "id",
+        F.when(F.col("id") == 5, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("grp"),
+    )
+    # 3 range-partitioned files: ids 0-9 / 10-19 / 20-29
+    versioned_write(df.repartitionByRange(3, "id"), path)
+    v2 = versioned_delete(spark, path, F.col("id").between(22, 24))
+    assert v2 == 2
+    man = json.load(open(f"{path}/manifest-v2.json"))
+    # only the file holding 22-24 was rewritten; the other two files are
+    # referenced, not copied
+    assert len(man["data_files"]) == 2
+    assert len(man["data_dirs"]) == 1
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert got == set(range(30)) - {22, 23, 24}
+    # snapshot isolation: v1 still sees the deleted rows
+    assert len(versioned_read(spark, path, 1).collect()) == 30
+    # NULL predicate rows survive a delete on that column
+    v3 = versioned_delete(spark, path, F.col("grp") == "1")
+    kept = versioned_read(spark, path, v3).select("id", "grp").collect()
+    assert {r["id"] for r in kept if r["grp"] is None} == {5}
+    assert all(r["grp"] != "1" for r in kept)
+    # a predicate matching nothing commits a new version with no rewrite
+    v4 = versioned_delete(spark, path, F.col("id") > 1000)
+    assert versioned_read(spark, path, v4).count() == len(kept)

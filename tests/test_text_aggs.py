@@ -130,3 +130,60 @@ def test_hll_sketches_merge_to_global_estimate(spark, sf_dir):
     )
     assert merged_est == global_est, "sketch union must be lossless"
     assert abs(global_est - exact) / exact < 0.05
+
+
+def test_pmi_bigrams_prefers_exclusive_pairs(spark):
+    """A bigram whose words appear ONLY together outranks one whose words
+    are individually frequent: 'neural network' (exclusive collocation)
+    must beat 'the cat' when 'the' saturates the corpus."""
+    from gsmls_analysis_spark.operators.text import pmi_bigrams
+
+    rows = [("neural network is great",)] * 3 + [
+        ("the cat sat on the mat",),
+        ("the dog ate the food",),
+        ("the cat saw the dog",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = pmi_bigrams(df, "text", min_count=2, k=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    assert ("neural", "network") in by_pair
+    nn = by_pair[("neural", "network")]
+    assert nn["c_ab"] == 3 and nn["c_a"] == 3 and nn["c_b"] == 3
+    the_cat = by_pair.get(("the", "cat"))
+    assert the_cat is None or nn["lift"] > the_cat["lift"]
+    # rank is 1-based and follows lift desc
+    assert out[0]["rank"] == 1
+    assert all(a["lift"] >= b["lift"] for a, b in zip(out, out[1:]))
+
+
+def test_interpolate_gaps_linear_and_edges(spark):
+    """Interior gaps get the time-weighted line between neighbors;
+    leading/trailing gaps fall back to the one-sided neighbor."""
+    import datetime as dt
+
+    from gsmls_analysis_spark.operators.windows import interpolate_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # key 1: gap at t=10 between (0 -> 100.0) and (30 -> 400.0):
+        # expected 100 + 300 * 10/30 = 200.0
+        (1, at(0), 100.0),
+        (1, at(10), None),
+        (1, at(30), 400.0),
+        # key 2: leading + trailing gaps around a single reading
+        (2, at(0), None),
+        (2, at(5), 7.0),
+        (2, at(9), None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        (r["k"], r["ts"]): r["v_interp"]
+        for r in interpolate_gaps(df, "k", "ts", "v").collect()
+    }
+    assert out[(1, at(10))] == 200.0
+    assert out[(1, at(0))] == 100.0 and out[(1, at(30))] == 400.0
+    assert out[(2, at(0))] == 7.0 and out[(2, at(9))] == 7.0

@@ -61,6 +61,7 @@ BOUNDED_CROSS_OK = {
     "q_bm25_search",  # two 1-row scalar broadcasts (corpus stats, term dfs)
     "q_heavy_hitter_tokens",  # 1-row total-count (N) broadcast onto candidates
     "q_pagerank_dup_graph",  # 1-row node-count (N) broadcast each round
+    "q_pmi_bigrams",  # 1-row token/bigram totals (N, M) broadcast onto vocab
 }
 
 
