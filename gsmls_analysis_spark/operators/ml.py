@@ -1,0 +1,93 @@
+"""Distributed model training as DataFrame aggregations: a logistic-
+regression quality classifier (the fastText-style "educational value" /
+quality scorer every LLM curation pipeline trains over hand-labeled
+documents — here trained ON Spark rather than imported, like the
+reference's in-pipeline fit steps, GSMLS.py:1556-1572 analytics layer).
+
+Batch gradient descent, one pass per iteration:
+
+    z_i  = w·x_i                       (fixed left-to-right double chain)
+    p_i  = 1 / (1 + exp(-z_i))
+    g_j  = round(Σ_i round((y_i - p_i)·x_ij, 12) / n, 12)   Σ as DECIMAL
+    w_j' = round(w_j + lr · g_j, 12)
+
+Scale notes (100 TB): each iteration is ONE map-side-combined global
+aggregate over the feature frame — the shuffle carries num_features
+decimal partials per partition, nothing else; the driver holds only the
+weight vector (num_features floats), exactly like the IVF Lloyd trainer
+holds k centroids.  No MLlib, no RDDs, no Python in the row path.
+
+Cross-engine determinism (same recipe as operators/graph.py::pagerank):
+per-row gradient contributions are rounded to 12 dp then summed as
+DECIMAL(32,12) — exact and order-free — and every weight update is
+rounded again, so a SQL oracle can unroll the identical iterations as
+CTEs and reproduce the weights bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 12
+
+
+def _z(feature_cols: list[str], weights: list[float]) -> Column:
+    """w·x as a fixed left-to-right chain of double ops (the oracle must
+    replay the same association order)."""
+    acc = F.lit(float(weights[0])) * F.col(feature_cols[0])
+    for c, w in zip(feature_cols[1:], weights[1:]):
+        acc = acc + F.lit(float(w)) * F.col(c)
+    return acc
+
+
+def sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 1.0,
+    n_iter: int = 2,
+) -> list[float]:
+    """Train logistic-regression weights (one per feature column; include
+    an explicit all-ones column for the bias) from a zero start.  Returns
+    the final weight vector.
+
+    Each iteration runs ONE aggregate: the mean gradient per feature,
+    decimal-summed from 12-dp-rounded per-row terms; the weight update
+    arithmetic itself is evaluated IN Spark (a 1-row select over the
+    aggregate) so both engines round with the same function."""
+    weights = [0.0] * len(feature_cols)
+    for _ in range(n_iter):
+        resid = F.col(label_col) - sigmoid(_z(feature_cols, weights))
+        aggs = [
+            F.sum(
+                F.round(resid * F.col(c), ROUND_DP).cast("decimal(32,12)")
+            ).alias(f"s{j}")
+            for j, c in enumerate(feature_cols)
+        ] + [F.count(F.lit(1)).alias("n")]
+        updated = df.agg(*aggs).select(
+            *[
+                F.round(
+                    F.lit(float(weights[j]))
+                    + F.lit(float(lr))
+                    * F.round(
+                        F.col(f"s{j}").cast("double") / F.col("n"), ROUND_DP
+                    ),
+                    ROUND_DP,
+                ).alias(f"w{j}")
+                for j in range(len(feature_cols))
+            ]
+        )
+        row = updated.collect()[0]
+        weights = [float(row[f"w{j}"]) for j in range(len(feature_cols))]
+    return weights
+
+
+def logreg_decision(feature_cols: list[str], weights: list[float]) -> Column:
+    """The decision value w·x of a trained model; ``>= 0`` is the positive
+    class (sigmoid(z) >= 0.5 ⇔ z >= 0 — no exp needed at inference)."""
+    return _z(feature_cols, weights)

@@ -800,3 +800,96 @@ def q_pagerank_dup_graph(spark, sf_dir):
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     return pagerank(edges, n_iter=3, damping=0.85)
+
+
+@query(
+    "q_logreg_quality",
+    oracle="""
+WITH feat AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+           / 32.0 AS x1,
+         CAST(n_chars AS DOUBLE) / 128.0 AS x2
+  FROM documents WHERE len(trim(text)) > 0
+), agg1 AS (
+  SELECT
+    sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0*x0 + 0.0*x1 + 0.0*x2))))*x0, 12)
+        AS DECIMAL(32,12))) AS s0,
+    sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0*x0 + 0.0*x1 + 0.0*x2))))*x1, 12)
+        AS DECIMAL(32,12))) AS s1,
+    sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0*x0 + 0.0*x1 + 0.0*x2))))*x2, 12)
+        AS DECIMAL(32,12))) AS s2,
+    count(*) AS n
+  FROM feat
+), wa AS (
+  SELECT round(0.0 + 1.0*round(CAST(s0 AS DOUBLE)/n, 12), 12) AS w0,
+         round(0.0 + 1.0*round(CAST(s1 AS DOUBLE)/n, 12), 12) AS w1,
+         round(0.0 + 1.0*round(CAST(s2 AS DOUBLE)/n, 12), 12) AS w2
+  FROM agg1
+), agg2 AS (
+  SELECT
+    sum(CAST(round((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2))))*x0, 12)
+        AS DECIMAL(32,12))) AS s0,
+    sum(CAST(round((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2))))*x1, 12)
+        AS DECIMAL(32,12))) AS s1,
+    sum(CAST(round((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2))))*x2, 12)
+        AS DECIMAL(32,12))) AS s2,
+    count(*) AS n
+  FROM feat, wa
+), wb AS (
+  SELECT round(w0 + 1.0*round(CAST(s0 AS DOUBLE)/n, 12), 12) AS w0,
+         round(w1 + 1.0*round(CAST(s1 AS DOUBLE)/n, 12), 12) AS w1,
+         round(w2 + 1.0*round(CAST(s2 AS DOUBLE)/n, 12), 12) AS w2
+  FROM agg2, wa
+), acc AS (
+  SELECT round(CAST(sum(CASE WHEN ((w0*x0 + w1*x1 + w2*x2) >= 0) = (y = 1.0)
+                              THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 12) AS a
+  FROM feat, wb
+)
+SELECT 'bias' AS feature, w0 AS weight FROM wb
+UNION ALL SELECT 'x_tokens', w1 FROM wb
+UNION ALL SELECT 'x_chars', w2 FROM wb
+UNION ALL SELECT '__train_acc', a FROM acc
+""",
+    doc="in-pipeline quality-classifier training (operators/ml.py): "
+    "2-iteration batch-gradient-descent logistic regression over "
+    "(token-count, char-count) document features predicting lang='en', "
+    "trained as ONE map-side-combined aggregate per iteration — the "
+    "shuffle carries 3 decimal partials per partition; the driver holds "
+    "only the weight vector (like the IVF Lloyd trainer).  Per-row "
+    "gradient terms are 12-dp-rounded then DECIMAL-summed (order-free), "
+    "so the oracle unrolls both iterations as CTEs and reproduces the "
+    "weights and training accuracy exactly.  The fastText-style quality "
+    "scorer of LLM curation pipelines, trained on-engine.",
+)
+def q_logreg_quality(spark, sf_dir):
+    from ..operators import text as tx
+    from ..operators.ml import logreg_decision, logreg_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (tx.token_count(F.col("text")).cast("double") / F.lit(32.0)).alias("x1"),
+        (F.col("n_chars").cast("double") / F.lit(128.0)).alias("x2"),
+    )
+    cols = ["x0", "x1", "x2"]
+    w = logreg_train(feats, cols, "y", lr=1.0, n_iter=2)
+    z = logreg_decision(cols, w)
+    acc = feats.agg(
+        F.round(
+            F.sum(
+                F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("weight")
+    ).select(F.lit("__train_acc").alias("feature"), "weight")
+    weights = spark.createDataFrame(
+        [("bias", w[0]), ("x_tokens", w[1]), ("x_chars", w[2])],
+        "feature string, weight double",
+    )
+    return weights.unionByName(acc)

@@ -305,3 +305,31 @@ def test_dedup_keep_best_representative_selection(spark):
         ).collect()
     }
     assert got == {1: (1, False), 2: (1, True), 3: (1, False), 7: (7, True)}
+
+
+def test_logreg_train_learns_and_is_partition_invariant(spark):
+    """The GD trainer separates a linearly separable set (decision rule
+    gets every row right) and — because gradient terms are rounded then
+    decimal-summed — returns bit-identical weights under any
+    repartitioning, the property that makes the SQL-oracle replay valid."""
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.operators.ml import logreg_decision, logreg_train
+
+    # y = 1 iff x > 0.5, bias + one feature
+    rows = [(1.0 if i >= 50 else 0.0, 1.0, i / 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "y double, x0 double, x1 double")
+    w = logreg_train(df, ["x0", "x1"], "y", lr=5.0, n_iter=8)
+    pred = df.withColumn(
+        "ok",
+        ((logreg_decision(["x0", "x1"], w) >= 0) == (F.col("y") == 1.0)).cast(
+            "int"
+        ),
+    )
+    acc = pred.agg(F.avg("ok")).collect()[0][0]
+    assert acc >= 0.9, f"separable set should be ~fully learned, got {acc}"
+    assert w[1] > 0, "the discriminative feature must get a positive weight"
+    # partition-layout invariance: 1 partition vs 7 partitions, same bits
+    w1 = logreg_train(df.coalesce(1), ["x0", "x1"], "y", lr=5.0, n_iter=8)
+    w7 = logreg_train(df.repartition(7), ["x0", "x1"], "y", lr=5.0, n_iter=8)
+    assert w == w1 == w7
