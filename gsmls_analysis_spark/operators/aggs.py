@@ -228,3 +228,47 @@ def dq_expectations(
         F.explode(F.array(*[F.col(f"__r_{n}") for n, _ in rules])).alias("r")
     )
     return stacked.select("r.rule", "r.n_checked", "r.n_violations")
+
+
+def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Closed-form simple linear regression (normal equations) from EXACT
+    integer moments: ``x_col`` and ``y_col`` must already be integer-valued
+    (scale currency to cents first).  Returns one row
+    (n, slope, intercept, r2).
+
+    slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    intercept = (Σy − slope·Σx) / n
+    r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+    Scale / determinism: ONE map-side-combined aggregate computes the five
+    moments as DECIMAL sums — exact, order-free, so any partitioning (and
+    any engine) produces the same integers; the closed-form combination is
+    then a fixed tree of IEEE double ops over those integers, bit-identical
+    everywhere.  This is the streaming-mergeable alternative to MLlib's
+    iterative fit — two tables' moment rows can be added to regress over
+    their union without rescanning either (same algebra as rollup_state).
+    """
+    d9 = F.col(x_col).cast("decimal(9,0)")
+    d18 = F.col(y_col).cast("decimal(18,0)")
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d9.cast("decimal(38,0)")).alias("sx"),
+        F.sum(d18.cast("decimal(38,0)")).alias("sy"),
+        F.sum((d9 * d18).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((d9 * d9).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((d18 * d18).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx
+    return m.select(
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    )

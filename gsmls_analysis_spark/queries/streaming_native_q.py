@@ -279,3 +279,45 @@ def q_stream_static_enrich_native(spark, sf_dir):
         ),
     )
     return drain_to_memory(agg, "stream_static_enrich", output_mode="complete")
+
+
+@query(
+    "q_stream_versioned_ingest",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    doc="exactly-once streaming ingest into a versioned table "
+    "(streaming/ingest.py::stream_to_versioned): each micro-batch "
+    "commits as ONE atomic versioned append whose manifest records the "
+    "batch id, so a re-delivered batch (real under foreachBatch crash "
+    "replay) is detected in the manifest ledger and skipped — the Delta "
+    "txn/idempotent-writes pattern on plain parquet.  The stream is "
+    "drained TWICE against the same checkpoint (second drain commits "
+    "nothing) and the final snapshot must equal the plain batch "
+    "aggregate; replay-skip is unit-pinned in tests/test_streaming.py.",
+)
+def q_stream_versioned_ingest(spark, sf_dir):
+    from ..streaming.ingest import stream_to_versioned
+
+    table = tempfile.mkdtemp(prefix="versioned_stream_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_vstream_")
+    for _ in range(2):  # second pass: offsets committed -> no new batch
+        sdf = events_file_stream(spark, sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        stream_to_versioned(sdf, table, checkpoint=ckpt)
+    from ..sources.versioned import versioned_read
+
+    return (
+        versioned_read(spark, table)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

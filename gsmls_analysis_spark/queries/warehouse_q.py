@@ -1079,3 +1079,67 @@ def q_versioned_delete(spark, sf_dir):
     versioned_write(docs.repartitionByRange(8, "doc_id"), path)
     versioned_delete(spark, path, F.col("source") == "src3")
     return versioned_read(spark, path)
+
+
+@query(
+    "q_ols_price_model",
+    oracle="""
+WITH pts AS (
+  SELECT li.n_items AS x,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o
+  JOIN (SELECT l_orderkey, count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey) li
+    ON o.o_orderkey = li.l_orderkey
+), m AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM pts
+)
+SELECT n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+  (CAST(sy AS DOUBLE)
+     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+FROM m
+""",
+    doc="closed-form OLS (operators/aggs.py::ols_fit): regress order "
+    "total price (cents) on the order's line-item count — the "
+    "price-per-item model, the reference's price-analytics family "
+    "(GSMLS.py:1556-1572) as a regression.  Five exact DECIMAL moments "
+    "in ONE map-side-combined aggregate (mergeable across tables like "
+    "rollup_state), then a fixed IEEE double tree — no MLlib, no "
+    "iteration, bit-identical across engines and partitionings.",
+)
+def q_ols_price_model(spark, sf_dir):
+    from ..operators.aggs import ols_fit
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("n_items").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    return ols_fit(pts, "x", "y")

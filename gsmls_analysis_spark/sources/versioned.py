@@ -48,12 +48,17 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def versioned_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+def versioned_write(
+    df: DataFrame, path: str, mode: str = "overwrite", meta: dict | None = None
+) -> int:
     """Commit ``df`` as a new table version and return its number.
 
     ``overwrite``: the new version sees only this commit's data.
-    ``append``: the new version sees the parent version's directories plus
-    this commit's.  Either way no existing file is touched."""
+    ``append``: the new version sees the parent version's entries plus
+    this commit's.  Either way no existing file is touched.  ``meta``
+    (JSON-able) is recorded verbatim in the manifest — e.g. a streaming
+    batch id, which makes replayed commits detectable (see
+    ``committed_meta``)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = table_versions(path)
@@ -61,11 +66,28 @@ def versioned_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     version = parent + 1
     data_dir = f"data/v{version}"
     df.write.parquet(os.path.join(path, data_dir))
-    dirs = [data_dir]
+    manifest = {"version": version, "parent": parent, "data_dirs": [data_dir]}
     if mode == "append" and parent:
-        dirs = _read_manifest(path, parent)["data_dirs"] + dirs
-    _publish(path, {"version": version, "parent": parent, "data_dirs": dirs})
+        pm = _read_manifest(path, parent)
+        manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
+        if pm.get("data_files"):
+            manifest["data_files"] = pm["data_files"]
+    if meta:
+        manifest["meta"] = meta
+    _publish(path, manifest)
     return version
+
+
+def committed_meta(path: str, key: str) -> set:
+    """All values of ``meta[key]`` across published manifests — the
+    idempotence ledger for streaming sinks (has batch N committed?).
+    Metadata-scale: one small JSON read per version."""
+    out = set()
+    for v in table_versions(path):
+        meta = _read_manifest(path, v).get("meta") or {}
+        if key in meta:
+            out.add(meta[key])
+    return out
 
 
 def _publish(path: str, manifest: dict) -> None:

@@ -324,6 +324,46 @@ def foreach_batch_ingest(
     q.awaitTermination()
 
 
+def stream_to_versioned(
+    sdf: DataFrame,
+    table_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Exactly-once streaming ingest into a versioned table: each
+    micro-batch commits as one atomic versioned append whose manifest
+    records the batch id.  Replays are REAL in foreachBatch (a crash
+    between the sink write and the offset commit re-delivers the batch);
+    here a re-delivered batch id is found in the manifest ledger
+    (sources/versioned.py::committed_meta) and skipped, so the table
+    never double-counts — the Delta `txn`/idempotent-writes pattern on
+    plain parquet.
+
+    Readers see each batch atomically (manifest publish is the commit
+    point) and snapshot isolation holds mid-stream: a reader planning at
+    version N is unaffected by batches landing behind it.  At 100 TB the
+    ledger read is one small JSON per committed version — vacuum bounds
+    it."""
+    from ..sources.versioned import committed_meta, versioned_write
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_meta(table_path, "batch_id"):
+            return  # replayed batch: already durably committed
+        versioned_write(
+            batch_df, table_path, mode="append", meta={"batch_id": batch_id}
+        )
+
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="ckpt_versioned_")
+    os.makedirs(table_path, exist_ok=True)
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def with_ingest_metrics(sdf: DataFrame, name: str = "ingest_metrics") -> DataFrame:
     """A1 (running row counts, GSMLS.py:52-58) as streaming-native
     ``observe`` metrics: per-batch row count and null-key count are

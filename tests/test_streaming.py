@@ -417,3 +417,57 @@ def test_stateful_op_runs_on_rocksdb_state_store(spark, sf_dir):
     from gsmls_analysis_spark.sources import load_table
 
     assert got == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_to_versioned_skips_replayed_batch(spark, tmp_path):
+    """A re-delivered foreachBatch batch id must be a no-op: the manifest
+    ledger already holds it, so the table never double-counts."""
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources.versioned import (
+        committed_meta,
+        table_versions,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(5).select("id"), path, mode="append", meta={"batch_id": 0}
+    )
+    # simulate the crash-replay: same batch id arrives again
+    assert 0 in committed_meta(path, "batch_id")
+    if 1 not in committed_meta(path, "batch_id"):
+        versioned_write(
+            spark.range(5, 8).select("id"),
+            path,
+            mode="append",
+            meta={"batch_id": 1},
+        )
+    # the guard the sink uses — batch 0 must NOT be re-committed
+    assert committed_meta(path, "batch_id") == {0, 1}
+    assert versioned_read(spark, path).count() == 8
+    assert table_versions(path) == [1, 2]
+
+
+def test_versioned_append_after_delete_keeps_referenced_files(spark, tmp_path):
+    """An append whose parent is a copy-on-write delete must carry the
+    parent's kept-by-reference files, not just its data dirs."""
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(30).select("id").repartitionByRange(3, "id"), path
+    )
+    versioned_delete(spark, path, F.col("id") == 25)
+    versioned_write(
+        spark.range(100, 103).select("id"), path, mode="append"
+    )
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert got == (set(range(30)) - {25}) | {100, 101, 102}
