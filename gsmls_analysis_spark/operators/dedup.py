@@ -296,6 +296,123 @@ def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 3,
+    t_den: int = 5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """EXACT token-set similarity self-join at Jaccard ≥ t_num/t_den via
+    prefix filtering (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et
+    al. WWW'08) — the guaranteed-complete complement to MinHash LSH:
+    every qualifying pair is found, no probabilistic misses.
+
+    The filter: order every document's distinct tokens by global rarity
+    (document frequency asc, token asc — one canonical order); if
+    J(x, y) ≥ t then x and y must share a token within their first
+    |x| − ceil(t·|x|) + 1 rarest tokens.  So only PREFIX tokens are
+    exploded as join keys, and rare tokens make small join groups —
+    the frequent-token quadratic blowup is exactly what gets pruned.
+    Candidates are then verified with integer-exact arithmetic:
+    t_den·|A∩B| ≥ t_num·|A∪B| — no float threshold boundary.
+
+    Returns (id1, id2, inter, m1, m2, jaccard) for verified pairs,
+    id1 < id2; jaccard reported as one IEEE division (engine-portable).
+    ``block_col`` scopes pairs to equal blocks (e.g. dedup within a crawl
+    source) — the standard composition of blocking with similarity joins;
+    candidate keys become (block, prefix-token), bounding group sizes by
+    the block, while the rarity order stays global.
+
+    Scale shape: df-frequency is a counts-only shuffle; per-doc rarity
+    sort is a per-row sort_array (no window); the candidate join keys
+    are prefix tokens only, and the verify carries each doc's token
+    array once per candidate — bounded by candidate volume, never
+    all-pairs.  collect_list here is per-document (token-set sized),
+    the documented bounded pattern.
+    """
+    from .text import tokens
+
+    ids = F.col(id_col)
+    blk = F.col(block_col) if block_col else F.lit(0)
+    toks = df.select(
+        ids.alias("__id"),
+        blk.alias("__blk"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    # GLOBAL document frequency defines the canonical rarity order (any
+    # consistent order keeps the theorem; global df is one counts shuffle)
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # per-doc token array in canonical rarity order; no global token index
+    # is needed — the (df, token) pair IS the order
+    docs = (
+        toks.join(dfreq, "tok")
+        .groupBy("__id", "__blk")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("c", "tok"))),
+                lambda s: s["tok"],
+            ).alias("arr")
+        )
+        .select(
+            "__id",
+            "__blk",
+            "arr",
+            F.size("arr").alias("m"),
+            # prefix_len = m - ceil(t*m) + 1, integer-exact:
+            # ceil(a*m/b) = (a*m + b - 1) div b
+            F.expr(
+                f"size(arr) - CAST(({t_num} * size(arr) + {t_den - 1})"
+                f" DIV {t_den} AS INT) + 1"
+            ).alias("plen"),
+        )
+    )
+    prefixes = docs.select(
+        "__id",
+        "__blk",
+        "arr",
+        "m",
+        F.explode(F.slice("arr", 1, F.col("plen"))).alias("tok"),
+    )
+    a = prefixes.select(
+        F.col("__id").alias("id1"),
+        F.col("arr").alias("arr1"),
+        F.col("m").alias("m1"),
+        "__blk",
+        "tok",
+    )
+    b = prefixes.select(
+        F.col("__id").alias("id2"),
+        F.col("arr").alias("arr2"),
+        F.col("m").alias("m2"),
+        "__blk",
+        "tok",
+    )
+    cand = (
+        a.join(b, ["tok", "__blk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "arr1", "arr2", "m1", "m2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    inter = F.size(F.array_intersect("arr1", "arr2"))
+    union = F.col("m1") + F.col("m2") - F.col("inter")
+    return (
+        cand.withColumn("inter", inter)
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * union)
+        .select(
+            "id1",
+            "id2",
+            "inter",
+            "m1",
+            "m2",
+            (F.col("inter").cast("double") / union.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit signature from token hashes; near-dups = small Hamming
 # distance.  Token hashes are md5-derived (engine-portable), so the vote

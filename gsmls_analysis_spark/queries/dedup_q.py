@@ -481,3 +481,49 @@ def q_dup_graph_triangles(spark, sf_dir):
     e2 = e.select(F.col("a").alias("v2"), F.col("b").alias("v3"))
     e3 = e.select(F.col("a").alias("v1"), F.col("b").alias("v3"))
     return e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")
+
+
+@query(
+    "q_prefix_jaccard_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, source, tok FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents WHERE len(trim(text)) > 0)
+), sizes AS (
+  SELECT doc_id, count(*) AS m FROM toks GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM toks a JOIN toks b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, inter, sa.m AS m1, sb.m AS m2,
+       CAST(inter AS DOUBLE) / CAST(sa.m + sb.m - inter AS DOUBLE) AS jaccard
+FROM pair_inter
+JOIN sizes sa ON id1 = sa.doc_id
+JOIN sizes sb ON id2 = sb.doc_id
+WHERE 5 * inter >= 4 * (sa.m + sb.m - inter)
+""",
+    doc="EXACT token-set similarity self-join at Jaccard >= 4/5 via "
+    "prefix filtering (AllPairs/PPJoin, operators/dedup.py::"
+    "prefix_filter_jaccard_pairs), blocked per crawl source — the "
+    "guaranteed-complete complement to MinHash LSH: only each "
+    "document's rarest m - ceil(0.8m) + 1 tokens become join keys, so "
+    "frequent tokens never explode the join, and candidates are "
+    "verified with integer-exact 5·inter >= 4·union (no float "
+    "threshold boundary).  The oracle is the naive all-pairs "
+    "computation, proving the pruning loses nothing.",
+)
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "source", "text")
+    )
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", t_num=4, t_den=5, block_col="source"
+    )

@@ -356,3 +356,37 @@ def test_range_bucket_join_left_keeps_unmatched(spark):
     assert got == {1: "b0", 2: None}
     with pytest.raises(ValueError, match="inner.*left|left.*inner"):
         range_bucket_join(facts, bands, "v", "lo", "hi", 2.0, how="outer")
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    """Prefix filtering is EXACT: the candidate pruning may not lose any
+    pair with Jaccard >= 3/5.  Compare against the naive all-pairs
+    computation on a corpus designed with shared frequent tokens (which
+    prefix pruning skips) and near-identical pairs (which it must keep)."""
+    from itertools import combinations
+
+    from gsmls_analysis_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",      # J(1,2)=4/6=0.667 >= 0.6
+        3: "alpha beta omega psi chi",          # J with 1: 2/8
+        4: "alpha beta gamma delta epsilon",    # exact dup of 1 -> J=1
+        5: "unrelated tokens entirely here",
+        6: "alpha beta",                        # small set, frequent toks
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id1"], r["id2"]): (r["inter"], r["m1"], r["m2"])
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text").collect()
+    }
+    sets = {k: set(v.split()) for k, v in texts.items()}
+    want = {}
+    for i, j in combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if 5 * inter >= 3 * union:
+            want[(i, j)] = (inter, len(sets[i]), len(sets[j]))
+    assert got == want and (1, 4) in got and (1, 2) in got
