@@ -413,6 +413,63 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, span: int = 20
+) -> DataFrame:
+    """Exact duplicate-SPAN statistics (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — exact substring dedup):
+    for every document, how many of its rolling ``span``-token windows
+    also occur in ANOTHER document.  Whole-document dedup misses these
+    partial copies (boilerplate paragraphs, quoted chunks, licence
+    blocks); span-level counting finds them.
+
+    Returns (id, n_spans, n_dup_spans, dup_frac) per document with at
+    least one window (token count ≥ span); dup_frac is one IEEE division
+    of exact counts.  Threshold on dup_frac downstream to drop or trim.
+
+    Scale shape: windows are a per-row array transform (sequence + slice
+    + concat_ws — no self-join, no explode-before-hash); the corpus-wide
+    count shuffles (span-hash, doc) pairs once and the per-doc rollup
+    reuses the doc key.  A span is "duplicated" if it appears in >1
+    DISTINCT document (within-doc repeats alone don't count — those are
+    the repetition_signals family's job).
+    """
+    ids = F.col(id_col)
+    from .text import tokens
+
+    spans = (
+        df.select(ids.alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= span)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {span} + 1), "
+                    f"i -> concat_ws(' ', slice(__toks, i, {span})))"
+                )
+            ).alias("span_text"),
+        )
+    )
+    # distinct docs per span; counts-only shuffle keyed by span text
+    span_docs = spans.groupBy("span_text").agg(
+        F.countDistinct("__id").alias("n_docs")
+    )
+    return (
+        spans.join(span_docs, "span_text")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit signature from token hashes; near-dups = small Hamming
 # distance.  Token hashes are md5-derived (engine-portable), so the vote

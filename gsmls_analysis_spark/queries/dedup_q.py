@@ -527,3 +527,44 @@ def q_prefix_jaccard_pairs(spark, sf_dir):
     return prefix_filter_jaccard_pairs(
         docs, "doc_id", "text", t_num=4, t_den=5, block_col="source"
     )
+
+
+@query(
+    "q_dup_span_stats",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE len(trim(text)) > 0
+), spans AS (
+  SELECT doc_id, array_to_string(words[i:i+19], ' ') AS span_text
+  FROM docs, unnest(range(1, len(words) - 20 + 2)) AS t(i)
+  WHERE len(words) >= 20
+), span_docs AS (
+  SELECT span_text, count(DISTINCT doc_id) AS n_docs
+  FROM spans GROUP BY span_text
+)
+SELECT s.doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM spans s JOIN span_docs d ON s.span_text = d.span_text
+GROUP BY s.doc_id
+""",
+    doc="exact duplicate-span statistics (operators/dedup.py::"
+    "dup_span_stats; Lee et al. 2022 exact-substring dedup): per "
+    "document, the fraction of its rolling 20-token windows that also "
+    "occur in another document — the partial-copy signal whole-document "
+    "dedup misses.  Windows are a per-row array transform (no "
+    "self-join); the corpus-wide count is one counts-only shuffle on "
+    "the span key.",
+)
+def q_dup_span_stats(spark, sf_dir):
+    from ..operators.dedup import dup_span_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "text")
+    )
+    return dup_span_stats(docs, "doc_id", "text", span=20)

@@ -390,3 +390,27 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark):
         if 5 * inter >= 3 * union:
             want[(i, j)] = (inter, len(sets[i]), len(sets[j]))
     assert got == want and (1, 4) in got and (1, 2) in got
+
+
+def test_dup_span_stats_flags_partial_copies(spark):
+    """A document that shares one 20-token paragraph with another is
+    flagged with the right window counts; a fully unique doc gets
+    dup_frac 0; short docs (< span tokens) are excluded."""
+    from gsmls_analysis_spark.operators.dedup import dup_span_stats
+
+    para = " ".join(f"w{i}" for i in range(20))  # the shared paragraph
+    rows = [
+        (1, para + " tail1 tail2"),          # 3 windows, 1 shared
+        (2, "head1 head2 " + para),          # 3 windows, 1 shared
+        (3, " ".join(f"u{i}" for i in range(25))),  # unique: 6 windows
+        (4, "too short"),                    # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+        for r in dup_span_stats(df, "doc_id", "text", span=20).collect()
+    }
+    assert got[1] == (3, 1, 1 / 3)
+    assert got[2] == (3, 1, 1 / 3)
+    assert got[3] == (6, 0, 0.0)
+    assert 4 not in got
