@@ -37,8 +37,10 @@ HEADLINE = [
     "q_prefix_lookup_join",
     "q_possession_time_lag",
     "q_minhash_lsh_pairs",
+    "q_prefix_jaccard_pairs",  # exact similarity join (r4): big verify shuffle
     "q_token_stats",
     "q_lang_id",
+    "q_logreg_quality",  # iterative GD trainer (r4): agg-per-iteration path
     # brute-force cosine stays registered as the correctness oracle but is
     # NOT benched: a cross join is the canonical 100 TB scale-killer; the
     # ANN paths below are the headline search operators

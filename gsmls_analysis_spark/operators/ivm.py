@@ -1,0 +1,43 @@
+"""Incremental view maintenance (IVM) for join views: maintain
+V = A ⋈ B under insert-only deltas without recomputing the join.
+
+The delta algebra (classic IVM, e.g. Gupta & Mumick's survey; what
+Materialize/Delta Live Tables do for you):
+
+    ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+Why this survives 100 TB: a day's delta is tiny next to the base, so
+every term joins a small side against one base (broadcast-able / DPP-
+prunable) or delta-against-delta — the base never joins the base.  A
+100 TB join view ingests a delta for the cost of |Δ|-sized joins plus
+appending ΔV; composing with ``rollup_state/rollup_merge`` (aggs.py)
+then maintains aggregates OVER the join view with no history rescan.
+
+Correctness requires insert-only feeds (no retractions); for updates/
+deletes, route through ``scd.cdc_apply`` first and treat the collapsed
+latest-wins images as inserts into a fresh partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Rows ADDED to the equi-join view A ⋈ B (on common columns ``on``)
+    when ``a_delta``/``b_delta`` arrive on top of ``a_old``/``b_old``:
+    exactly vnew − vold for insert-only feeds, with no recompute of
+    A_old ⋈ B_old.  The three terms partition ΔV (an added pair has a
+    new left row, a new right row, or both), so plain unions need no
+    dedup."""
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

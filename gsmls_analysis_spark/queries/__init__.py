@@ -99,20 +99,25 @@ _DRIVER_WINDOW = [
     "q_cdc_apply",  # CDC feed latest-wins apply (I/U/D), full-outer oracle
     "q_ewma_revenue",  # exact-integer EWMA, power-of-two weights
     "q_null_bypass_join",  # null-skew bypass split, plain-LEFT-JOIN oracle
-    # (d) remaining slots: representative greens in registration order —
-    # the r1 flagships (incl. the three bench-flagged shapes q04/q07/q10)
-    # re-enter external verification after two rounds on the local gate.
-    "q04_late_shipment_priority",
-    # (q01/q03/q05/q06/q07/q10/q14/q19, q_asof_latest_order,
+    # (d) last slot: of the EIGHT late-round-4 additions (never
+    # driver-checked: q_interpolate_gaps, q_pmi_bigrams,
+    # q_versioned_delete, q_logreg_quality, q_ols_price_model,
+    # q_stream_versioned_ingest, q_prefix_jaccard_pairs,
+    # q_dup_span_stats) the one with the most float-determinism surface —
+    # the iterative GD trainer — takes the remaining slot; the other
+    # seven are verified by the committed local-gate runs at ALL THREE
+    # scale factors (docs/GATE_r04_*.txt) and lead the round-5 rotation
+    # under policy clause (a).
+    "q_logreg_quality",
+    # (q01/q03/q04/q05/q06/q07/q10/q14/q19, q_asof_latest_order,
     # q_keep_last_dedup, q_events_dedup_latest_per_user, q_iqr_outliers and
-    # q_multi_hot_attrs yielded their slots to the ten round-4 additions,
-    # the re-tuned stream-stream join, and the three rows-only->oracle
+    # q_multi_hot_attrs yielded their slots to the round-4 additions,
+    # the re-tuned stream-stream join, and the rows-only->oracle
     # promotions; all are cumulatively driver-green from earlier rounds and
     # stay on the local gate, and q01 is additionally re-run every round as
-    # the driver's entry() smoke.  The kept representative is q04 — the
-    # r3-bench-flagged shape with the largest historical delta; the A/B in
-    # docs/BENCH_NOTES.md settled all three flagged shapes as
-    # environmental.)
+    # the driver's entry() smoke.  The r3-bench-flagged shapes q04/q07/q10
+    # were settled as environmental by the same-session A/B in
+    # docs/BENCH_NOTES.md.)
 ]
 
 

@@ -1143,3 +1143,55 @@ def q_ols_price_model(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
     )
     return ols_fit(pts, "x", "y")
+
+
+@query(
+    "q_ivm_join_delta",
+    oracle="""
+WITH vnew AS (
+  SELECT c.c_mktsegment AS seg, count(*) AS n,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), vold AS (
+  SELECT c.c_mktsegment AS seg, count(*) AS n,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE YEAR(o.o_orderdate) < 1997 AND c.c_custkey % 10 <> 0
+  GROUP BY 1
+)
+SELECT vnew.seg AS c_mktsegment,
+       vnew.n - coalesce(vold.n, 0) AS n_new_rows,
+       CAST(vnew.rev - coalesce(vold.rev, 0) AS DOUBLE) AS new_revenue
+FROM vnew LEFT JOIN vold ON vnew.seg = vold.seg
+""",
+    doc="incremental join-view maintenance (operators/ivm.py): the rows "
+    "added to the orders⋈customer view when an orders delta (1997+) and "
+    "a customer delta (every 10th key) arrive are computed as "
+    "ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — the base NEVER joins the base — and "
+    "aggregated per market segment.  The oracle recomputes the full "
+    "view before and after and subtracts, proving delta-maintenance == "
+    "recompute exactly (decimal sums; insert-only feeds).",
+)
+def q_ivm_join_delta(spark, sf_dir):
+    from ..operators.ivm import incremental_join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    a_old = orders.filter(F.col("o_year") < 1997)
+    a_delta = orders.filter(F.col("o_year") >= 1997)
+    b_old = customer.filter(F.col("custkey") % 10 != 0)
+    b_delta = customer.filter(F.col("custkey") % 10 == 0)
+    delta_v = incremental_join_delta(a_old, a_delta, b_old, b_delta, ["custkey"])
+    return delta_v.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_new_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("new_revenue"),
+    )

@@ -211,3 +211,87 @@ def test_fuzzy_blocking_is_complete(spark, names):
             if d <= 2:
                 want.add((min(x, y), max(x, y), d))
     assert got == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e f g h".split()), min_size=1, max_size=8
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    t=st.sampled_from([(1, 2), (3, 5), (4, 5)]),
+)
+def test_prefix_filter_jaccard_is_complete_model(spark, docs, t):
+    """Prefix filtering must find EXACTLY the pairs the brute-force
+    Jaccard model finds, for random small-vocab corpora (dense overlap —
+    the adversarial case for candidate pruning) at several thresholds."""
+    from itertools import combinations
+
+    from gsmls_analysis_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    t_num, t_den = t
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", t_num=t_num, t_den=t_den
+        ).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {
+        (i, j)
+        for i, j in combinations(sorted(sets), 2)
+        if t_den * len(sets[i] & sets[j]) >= t_num * len(sets[i] | sets[j])
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    readings=st.lists(
+        st.tuples(st.integers(0, 1000), st.booleans(), st.integers(-50, 50)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_interpolate_gaps_model(spark, readings):
+    """interpolate_gaps == the pure-Python piecewise-linear model: knots
+    keep their value, interior gaps take the time-weighted line, edge
+    gaps take the nearest knot, all-null series stay null."""
+    import datetime as dt
+
+    from gsmls_analysis_spark.operators.windows import interpolate_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=s), float(v) if has else None)
+        for s, has, v in sorted(readings)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    got = {
+        r["ts"]: r["v_interp"]
+        for r in interpolate_gaps(df, "k", "ts", "v").collect()
+    }
+    knots = [(ts, v) for _, ts, v in rows if v is not None]
+    for _, ts, v in rows:
+        if v is not None:
+            assert got[ts] == v
+            continue
+        before = [(kt, kv) for kt, kv in knots if kt < ts]
+        after = [(kt, kv) for kt, kv in knots if kt > ts]
+        if before and after:
+            (t1, v1), (t2, v2) = before[-1], after[0]
+            frac = (ts - t1).total_seconds() / (t2 - t1).total_seconds()
+            assert got[ts] is not None
+            assert abs(got[ts] - (v1 + (v2 - v1) * frac)) < 1e-9
+        elif before:
+            assert got[ts] == before[-1][1]
+        elif after:
+            assert got[ts] == after[0][1]
+        else:
+            assert got[ts] is None

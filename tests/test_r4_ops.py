@@ -411,3 +411,39 @@ def test_shuffle_hash_join_hint_switches_strategy(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in default_plan
     assert "ShuffledHashJoin" in hinted_plan
+
+
+def test_incremental_join_delta_equals_recompute_minus_old(spark):
+    """ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB must equal (A∪ΔA)⋈(B∪ΔB) minus A⋈B as a
+    MULTISET (insert-only feeds), including pairs formed between the two
+    deltas themselves."""
+    from collections import Counter
+
+    from gsmls_analysis_spark.operators.ivm import incremental_join_delta
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, av string")
+    a_delta = spark.createDataFrame(
+        [(2, "a3"), (3, "a4")], "k int, av string"
+    )
+    b_old = spark.createDataFrame([(1, "b1"), (2, "b2")], "k int, bv string")
+    b_delta = spark.createDataFrame(
+        [(3, "b3"), (2, "b4")], "k int, bv string"
+    )
+    got = Counter(
+        (r["k"], r["av"], r["bv"])
+        for r in incremental_join_delta(
+            a_old, a_delta, b_old, b_delta, ["k"]
+        ).collect()
+    )
+    full_new = Counter(
+        (r["k"], r["av"], r["bv"])
+        for r in a_old.unionByName(a_delta)
+        .join(b_old.unionByName(b_delta), ["k"])
+        .collect()
+    )
+    full_old = Counter(
+        (r["k"], r["av"], r["bv"]) for r in a_old.join(b_old, ["k"]).collect()
+    )
+    assert got == full_new - full_old
+    # the delta×delta term is present: (3, a4, b3) only exists there
+    assert got[(3, "a4", "b3")] == 1
