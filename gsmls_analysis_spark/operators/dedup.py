@@ -368,32 +368,39 @@ def prefix_filter_jaccard_pairs(
             ).alias("plen"),
         )
     )
+    # candidate generation and dedup stay NARROW — (id, id) pairs only;
+    # token arrays rejoin AFTER the distinct so the dedup shuffle never
+    # carries documents (at 100 TB the pair stream dwarfs the doc table)
     prefixes = docs.select(
         "__id",
         "__blk",
-        "arr",
-        "m",
         F.explode(F.slice("arr", 1, F.col("plen"))).alias("tok"),
     )
-    a = prefixes.select(
-        F.col("__id").alias("id1"),
-        F.col("arr").alias("arr1"),
-        F.col("m").alias("m1"),
-        "__blk",
-        "tok",
-    )
-    b = prefixes.select(
-        F.col("__id").alias("id2"),
-        F.col("arr").alias("arr2"),
-        F.col("m").alias("m2"),
-        "__blk",
-        "tok",
-    )
     cand = (
-        a.join(b, ["tok", "__blk"])
+        prefixes.select(F.col("__id").alias("id1"), "__blk", "tok")
+        .join(
+            prefixes.select(F.col("__id").alias("id2"), "__blk", "tok"),
+            ["tok", "__blk"],
+        )
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "arr1", "arr2", "m1", "m2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+    )
+    sides = docs.select("__id", "arr", "m")
+    cand = cand.join(
+        sides.select(
+            F.col("__id").alias("id1"),
+            F.col("arr").alias("arr1"),
+            F.col("m").alias("m1"),
+        ),
+        "id1",
+    ).join(
+        sides.select(
+            F.col("__id").alias("id2"),
+            F.col("arr").alias("arr2"),
+            F.col("m").alias("m2"),
+        ),
+        "id2",
     )
     inter = F.size(F.array_intersect("arr1", "arr2"))
     union = F.col("m1") + F.col("m2") - F.col("inter")
