@@ -250,13 +250,19 @@ def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """
     d9 = F.col(x_col).cast("decimal(9,0)")
     d18 = F.col(y_col).cast("decimal(18,0)")
+    # a pair enters the fit only if BOTH casts are non-null (SQL regr_*
+    # semantics) — otherwise n would count rows the moment sums skip
+    # (NULL inputs, or values overflowing the decimal casts) and every
+    # output would be silently inconsistent
+    ok = d9.isNotNull() & d18.isNotNull()
+    vx, vy = F.when(ok, d9), F.when(ok, d18)
     m = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(d9.cast("decimal(38,0)")).alias("sx"),
-        F.sum(d18.cast("decimal(38,0)")).alias("sy"),
-        F.sum((d9 * d18).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((d9 * d9).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((d18 * d18).cast("decimal(38,0)")).alias("syy"),
+        F.count(vx).alias("n"),
+        F.sum(vx.cast("decimal(38,0)")).alias("sx"),
+        F.sum(vy.cast("decimal(38,0)")).alias("sy"),
+        F.sum((vx * vy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((vx * vx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((vy * vy).cast("decimal(38,0)")).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

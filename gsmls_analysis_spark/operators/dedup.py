@@ -435,16 +435,21 @@ def dup_span_stats(
     of exact counts.  Threshold on dup_frac downstream to drop or trim.
 
     Scale shape: windows are a per-row array transform (sequence + slice
-    + concat_ws — no self-join, no explode-before-hash); the corpus-wide
-    count shuffles (span-hash, doc) pairs once and the per-doc rollup
-    reuses the doc key.  A span is "duplicated" if it appears in >1
-    DISTINCT document (within-doc repeats alone don't count — those are
-    the repetition_signals family's job).
+    + concat_ws — no self-join), immediately reduced to a 32-char md5
+    span KEY — span text itself never shuffles (at 100 TB each token
+    sits in ~``span`` windows, so shuffling raw windows would move
+    ~20× the corpus; keys move ~8 bytes per token-equivalent).  The
+    (doc, key) pre-aggregation is ONE exchange that both consumers reuse
+    (per-key doc counts and the per-doc rollup — ReusedExchange, not a
+    recompute), and md5 keeps the key engine-portable for the oracle.
+    A span is "duplicated" if it appears in >1 DISTINCT document
+    (within-doc repeats alone don't count — those are the
+    repetition_signals family's job).
     """
     ids = F.col(id_col)
     from .text import tokens
 
-    spans = (
+    keyed = (
         df.select(ids.alias("__id"), tokens(F.col(text_col)).alias("__toks"))
         .filter(F.size("__toks") >= span)
         .select(
@@ -452,21 +457,19 @@ def dup_span_stats(
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(__toks) - {span} + 1), "
-                    f"i -> concat_ws(' ', slice(__toks, i, {span})))"
+                    f"i -> md5(concat_ws(' ', slice(__toks, i, {span}))))"
                 )
-            ).alias("span_text"),
+            ).alias("k"),
         )
     )
-    # distinct docs per span; counts-only shuffle keyed by span text
-    span_docs = spans.groupBy("span_text").agg(
-        F.countDistinct("__id").alias("n_docs")
-    )
+    per_doc_key = keyed.groupBy("__id", "k").agg(F.count(F.lit(1)).alias("c"))
+    span_docs = per_doc_key.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        spans.join(span_docs, "span_text")
+        per_doc_key.join(span_docs, "k")
         .groupBy(F.col("__id").alias(id_col))
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(0)).alias(
                 "n_dup_spans"
             ),
         )

@@ -70,6 +70,7 @@ def logreg_train(
             for j, c in enumerate(feature_cols)
         ] + [F.count(F.lit(1)).alias("n")]
         updated = df.agg(*aggs).select(
+            "n",
             *[
                 F.round(
                     F.lit(float(weights[j]))
@@ -80,9 +81,14 @@ def logreg_train(
                     ROUND_DP,
                 ).alias(f"w{j}")
                 for j in range(len(feature_cols))
-            ]
+            ],
         )
         row = updated.collect()[0]
+        if row["n"] == 0:
+            raise ValueError(
+                "logreg_train: empty input — no rows to fit (did a filter "
+                "drop everything?)"
+            )
         weights = [float(row[f"w{j}"]) for j in range(len(feature_cols))]
     return weights
 

@@ -536,20 +536,21 @@ WITH docs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
   FROM documents WHERE len(trim(text)) > 0
 ), spans AS (
-  SELECT doc_id, array_to_string(words[i:i+19], ' ') AS span_text
+  SELECT doc_id, md5(array_to_string(words[i:i+19], ' ')) AS k
   FROM docs, unnest(range(1, len(words) - 20 + 2)) AS t(i)
   WHERE len(words) >= 20
+), per_doc_key AS (
+  SELECT doc_id, k, count(*) AS c FROM spans GROUP BY doc_id, k
 ), span_docs AS (
-  SELECT span_text, count(DISTINCT doc_id) AS n_docs
-  FROM spans GROUP BY span_text
+  SELECT k, count(*) AS n_docs FROM per_doc_key GROUP BY k
 )
-SELECT s.doc_id, count(*) AS n_spans,
-       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+SELECT w.doc_id, CAST(sum(w.c) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN w.c ELSE 0 END) AS BIGINT)
          AS n_dup_spans,
-       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(count(*) AS DOUBLE) AS dup_frac
-FROM spans s JOIN span_docs d ON s.span_text = d.span_text
-GROUP BY s.doc_id
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN w.c ELSE 0 END) AS DOUBLE)
+         / CAST(sum(w.c) AS DOUBLE) AS dup_frac
+FROM per_doc_key w JOIN span_docs d ON w.k = d.k
+GROUP BY w.doc_id
 """,
     doc="exact duplicate-span statistics (operators/dedup.py::"
     "dup_span_stats; Lee et al. 2022 exact-substring dedup): per "

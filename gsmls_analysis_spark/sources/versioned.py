@@ -24,6 +24,7 @@ import json
 import os
 import re
 import tempfile
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,7 +66,13 @@ def versioned_write(
     parent = versions[-1] if versions else 0
     version = parent + 1
     data_dir = f"data/v{version}"
-    df.write.parquet(os.path.join(path, data_dir))
+    # mode=overwrite: a crash between a previous attempt's data write and
+    # its manifest publish leaves an ORPHANED (invisible) data/v{n}; the
+    # retry must be able to reclaim it instead of wedging on
+    # path-already-exists.  Published dirs can never be hit — version
+    # always advances past the highest published manifest.  (Single
+    # writer assumed, as in any manifest-pointer table format.)
+    df.write.mode("overwrite").parquet(os.path.join(path, data_dir))
     manifest = {"version": version, "parent": parent, "data_dirs": [data_dir]}
     if mode == "append" and parent:
         pm = _read_manifest(path, parent)
@@ -157,8 +164,6 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
         .distinct()
         .collect()
     ):
-        from urllib.parse import unquote, urlparse
-
         local = unquote(urlparse(r["__file"]).path)
         touched.add(os.path.relpath(local, root))
     version = parent + 1
@@ -168,7 +173,9 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
         (
             spark.read.parquet(*[os.path.join(root, f) for f in sorted(touched)])
             .filter(~F.coalesce(predicate, F.lit(False)))
-            .write.parquet(os.path.join(root, data_dir))
+            # overwrite reclaims an orphaned dir from a crashed attempt
+            # (same rationale as versioned_write)
+            .write.mode("overwrite").parquet(os.path.join(root, data_dir))
         )
         new_dirs = [data_dir]
     untouched = [f for f in all_files if f not in touched]

@@ -328,32 +328,43 @@ def stream_to_versioned(
     sdf: DataFrame,
     table_path: str,
     checkpoint: str | None = None,
+    app_id: str | None = None,
 ) -> None:
     """Exactly-once streaming ingest into a versioned table: each
     micro-batch commits as one atomic versioned append whose manifest
-    records the batch id.  Replays are REAL in foreachBatch (a crash
-    between the sink write and the offset commit re-delivers the batch);
-    here a re-delivered batch id is found in the manifest ledger
-    (sources/versioned.py::committed_meta) and skipped, so the table
-    never double-counts — the Delta `txn`/idempotent-writes pattern on
-    plain parquet.
+    records the transaction id ``{app_id}/{batch_id}``.  Replays are
+    REAL in foreachBatch (a crash between the sink write and the offset
+    commit re-delivers the batch); a re-delivered txn is found in the
+    manifest ledger (sources/versioned.py::committed_meta) and skipped,
+    so the table never double-counts — the Delta `txn` idempotent-writes
+    pattern (appId + version, NOT bare batch numbers) on plain parquet.
+
+    ``app_id`` defaults to the checkpoint directory's basename: batch
+    numbering is a property OF the checkpoint, so a restart from the
+    same checkpoint shares the identity (replays dedupe) while a fresh
+    checkpoint — whose batch ids restart at 0 with genuinely new data —
+    gets a fresh identity and is never falsely skipped.  Pass an
+    explicit stable ``app_id`` only together with a stable checkpoint.
 
     Readers see each batch atomically (manifest publish is the commit
     point) and snapshot isolation holds mid-stream: a reader planning at
     version N is unaffected by batches landing behind it.  At 100 TB the
     ledger read is one small JSON per committed version — vacuum bounds
-    it."""
+    it (and can never drop the newest manifest, the only one a live
+    replay can need)."""
     from ..sources.versioned import committed_meta, versioned_write
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_meta(table_path, "batch_id"):
-            return  # replayed batch: already durably committed
-        versioned_write(
-            batch_df, table_path, mode="append", meta={"batch_id": batch_id}
-        )
 
     if checkpoint is None:
         checkpoint = tempfile.mkdtemp(prefix="ckpt_versioned_")
+    if app_id is None:
+        app_id = os.path.basename(checkpoint.rstrip("/"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        txn = f"{app_id}/{batch_id}"
+        if txn in committed_meta(table_path, "txn"):
+            return  # replayed batch: already durably committed
+        versioned_write(batch_df, table_path, mode="append", meta={"txn": txn})
+
     os.makedirs(table_path, exist_ok=True)
     q = (
         sdf.writeStream.foreachBatch(handle)

@@ -342,3 +342,25 @@ def test_versioned_delete_is_copy_on_write(spark, tmp_path):
     # a predicate matching nothing commits a new version with no rewrite
     v4 = versioned_delete(spark, path, F.col("id") > 1000)
     assert versioned_read(spark, path, v4).count() == len(kept)
+
+
+def test_versioned_write_reclaims_orphaned_data_dir(spark, tmp_path):
+    """A crash between the data write and the manifest publish leaves an
+    orphaned (unpublished, invisible) data/v{n} directory; the retry of
+    that commit must reclaim it rather than wedge on path-exists."""
+    from gsmls_analysis_spark.sources.versioned import (
+        table_versions,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(3).select("id"), path)
+    # simulate the crashed attempt: data for v2 written, manifest never
+    # published (garbage content proves the retry truly overwrites)
+    spark.range(900, 950).select("id").write.parquet(f"{path}/data/v2")
+    assert table_versions(path) == [1]
+    v2 = versioned_write(spark.range(10, 14).select("id"), path, mode="append")
+    assert v2 == 2
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert got == {0, 1, 2, 10, 11, 12, 13}

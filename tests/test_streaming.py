@@ -420,8 +420,10 @@ def test_stateful_op_runs_on_rocksdb_state_store(spark, sf_dir):
 
 
 def test_stream_to_versioned_skips_replayed_batch(spark, tmp_path):
-    """A re-delivered foreachBatch batch id must be a no-op: the manifest
-    ledger already holds it, so the table never double-counts."""
+    """A re-delivered foreachBatch txn (app_id/batch_id) must be a no-op —
+    the manifest ledger already holds it — while the SAME batch number
+    from a DIFFERENT stream identity (fresh checkpoint restarting at 0
+    with new data) must still commit."""
     from pyspark.sql import functions as F
 
     from gsmls_analysis_spark.sources.versioned import (
@@ -433,21 +435,30 @@ def test_stream_to_versioned_skips_replayed_batch(spark, tmp_path):
 
     path = str(tmp_path / "vt")
     versioned_write(
-        spark.range(5).select("id"), path, mode="append", meta={"batch_id": 0}
+        spark.range(5).select("id"), path, mode="append", meta={"txn": "ckptA/0"}
     )
-    # simulate the crash-replay: same batch id arrives again
-    assert 0 in committed_meta(path, "batch_id")
-    if 1 not in committed_meta(path, "batch_id"):
+    # crash-replay: the same txn arrives again -> the sink's guard skips
+    assert "ckptA/0" in committed_meta(path, "txn")
+    if "ckptA/1" not in committed_meta(path, "txn"):
         versioned_write(
             spark.range(5, 8).select("id"),
             path,
             mode="append",
-            meta={"batch_id": 1},
+            meta={"txn": "ckptA/1"},
         )
-    # the guard the sink uses — batch 0 must NOT be re-committed
-    assert committed_meta(path, "batch_id") == {0, 1}
+    assert committed_meta(path, "txn") == {"ckptA/0", "ckptA/1"}
     assert versioned_read(spark, path).count() == 8
     assert table_versions(path) == [1, 2]
+    # a NEW stream identity restarting batch numbering at 0 is NOT a
+    # replay: its txn differs, so its data commits
+    assert "ckptB/0" not in committed_meta(path, "txn")
+    versioned_write(
+        spark.range(100, 102).select("id"),
+        path,
+        mode="append",
+        meta={"txn": "ckptB/0"},
+    )
+    assert versioned_read(spark, path).count() == 10
 
 
 def test_versioned_append_after_delete_keeps_referenced_files(spark, tmp_path):
