@@ -1,0 +1,88 @@
+"""Measure per-query SHUFFLE volume (the 100 TB cost driver) via the
+Spark UI REST API: run each named registry query at the given sf dir and
+report bytes shuffled (write side) and records shuffled, attributed by
+diffing the application's cumulative stage totals around each run.
+
+Shuffle bytes — not wall-clock — is what scales with cluster size and
+data volume, so this is the honest scale metric for plan comparisons:
+a query can look fast at sf0.1 while shuffling its whole input.  Usage:
+
+    python tools/measure_shuffle.py [sf_dir] [query ...]
+
+Prints one line per query: name, rows out, shuffle MB, shuffle
+records.  (Input-bytes ratios are deliberately NOT printed: parquet
+input attribution across warmed runs double-counts cached footers and
+pruned columns unevenly, so the ratio misleads; absolute shuffle volume
+per query is the stable, comparable number.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gsmls_analysis_spark.queries import load_all  # noqa: E402
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q07_volume_shipping",
+    "q_keep_last_dedup",
+    "q_minhash_lsh_pairs",
+    "q_prefix_jaccard_pairs",
+    "q_dup_span_stats",
+    "q_pmi_bigrams",
+    "q_logreg_quality",
+    "q_tfidf_top_terms",
+    "q_ols_price_model",
+    "q_ivm_join_delta",
+    "q_salted_event_stats",
+    "q_pagerank_dup_graph",
+]
+
+
+def _stage_totals(ui: str, app: str) -> tuple[int, int]:
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteRecords", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    # the session default disables the UI for tests; metrics need it
+    spark = get_spark(
+        "shuffle-measure", extra_conf={"spark.ui.enabled": "true"}
+    )
+    ui = spark.sparkContext.uiWebUrl or "http://localhost:4040"
+    app = spark.sparkContext.applicationId
+    reg = load_all()
+    print(f"# shuffle volume at {sf_dir}")
+    rows = []
+    for name in names:
+        fn = reg[name].fn
+        fn(spark, sf_dir).count()  # warm: fill broadcast/file caches
+        b0, r0 = _stage_totals(ui, app)
+        n = fn(spark, sf_dir).count()
+        b1, r1 = _stage_totals(ui, app)
+        sh_mb = (b1 - b0) / 1e6
+        rows.append((name, n, sh_mb, r1 - r0))
+        print(f"{name}: rows={n} shuffle={sh_mb:.2f}MB records={r1 - r0}")
+    total = sum(r[2] for r in rows)
+    print(f"# total shuffle: {total:.1f} MB over {len(rows)} queries")
+
+
+if __name__ == "__main__":
+    main()
