@@ -438,13 +438,14 @@ def dup_span_stats(
     + concat_ws — no self-join), immediately reduced to a 32-char md5
     span KEY — span text itself never shuffles (at 100 TB each token
     sits in ~``span`` windows, so shuffling raw windows would move
-    ~20× the corpus; keys move ~8 bytes per token-equivalent).  The
-    (doc, key) pre-aggregation is ONE exchange that both consumers reuse
-    (per-key doc counts and the per-doc rollup — ReusedExchange, not a
-    recompute), and md5 keeps the key engine-portable for the oracle.
-    A span is "duplicated" if it appears in >1 DISTINCT document
-    (within-doc repeats alone don't count — those are the
-    repetition_signals family's job).
+    ~20× the corpus; keys move ~8 bytes per token-equivalent).  One
+    LINEAR lineage: (doc, key) pre-aggregation → per-key doc count as a
+    window over the already-reduced rows (no join back, no duplicated
+    subtree) → per-doc rollup.  Three bounded shuffles total, each
+    carrying keys and counts only; md5 keeps the key engine-portable
+    for the oracle.  A span is "duplicated" if it appears in >1
+    DISTINCT document (within-doc repeats alone don't count — those are
+    the repetition_signals family's job).
     """
     ids = F.col(id_col)
     from .text import tokens
@@ -463,10 +464,11 @@ def dup_span_stats(
         )
     )
     per_doc_key = keyed.groupBy("__id", "k").agg(F.count(F.lit(1)).alias("c"))
-    span_docs = per_doc_key.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = per_doc_key.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
     return (
-        per_doc_key.join(span_docs, "k")
-        .groupBy(F.col("__id").alias(id_col))
+        flagged.groupBy(F.col("__id").alias(id_col))
         .agg(
             F.sum("c").alias("n_spans"),
             F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(0)).alias(
