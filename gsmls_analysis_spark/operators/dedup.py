@@ -367,6 +367,11 @@ def prefix_filter_jaccard_pairs(
                 f" DIV {t_den} AS INT) + 1"
             ).alias("plen"),
         )
+        # the canonical doc→sorted-token-array table feeds the prefix
+        # explode once and the verify twice; materialize it so the corpus
+        # is scanned ONCE (observed 16 scans without this — at 100 TB
+        # this intermediate is what you'd persist to storage)
+        .localCheckpoint(eager=True)
     )
     # candidate generation and dedup stay NARROW — (id, id) pairs only;
     # token arrays rejoin AFTER the distinct so the dedup shuffle never

@@ -195,10 +195,17 @@ def pmi_bigrams(
     final top-k is TakeOrderedAndProject.  Document text never shuffles.
     """
     toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    # vocab-sized counts are MATERIALIZED once (localCheckpoint): unigrams
+    # feed three consumers and bigram counts two — without this the
+    # optimizer re-derives each from its own corpus scan (observed: 10
+    # scans in the plan; with it, the corpus is read exactly twice —
+    # unigram pass + bigram pass — and everything downstream reads the
+    # tiny cached counts)
     unigrams = (
         toks.select(F.explode("__toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     # adjacent pairs via one array transform; try_element_at past the end
     # yields NULL and the filter drops the dangling last element
@@ -211,7 +218,11 @@ def pmi_bigrams(
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bcounts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    bcounts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
     totals = unigrams.agg(F.sum("c").alias("n")).join(
         bcounts.agg(F.sum("c_ab").alias("m"))
     )
