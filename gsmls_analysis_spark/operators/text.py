@@ -274,10 +274,15 @@ def tfidf_top_terms(
     when it fits] → per-doc top-k window.  The corpus cross product never
     exists; everything is bounded by tokens + vocab."""
     ids = F.col(id_col)
+    # (doc, term, tf) feeds BOTH document frequency and the scoring join;
+    # materialize it once (localCheckpoint, memory+disk) instead of
+    # letting each consumer re-tokenize the corpus — at 100 TB this is
+    # the intermediate you'd persist between the two passes
     term_counts = (
         df.select(ids.alias("__id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     doc_freq = term_counts.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq")
@@ -406,10 +411,13 @@ def remove_frequent_tokens(
         .agg(F.count(F.lit(1)).alias("df_t"))
     )
     n_docs = df.select(F.countDistinct(ids).alias("__n_docs"))
+    # the stopword list is vocab-bounded and tiny: materialize it so the
+    # anti-join's build side doesn't re-derive the whole counting pass
     stop = (
         dfreq.join(F.broadcast(n_docs))
         .filter(F.col("df_t") * 100 > F.lit(max_df_pct) * F.col("__n_docs"))
         .select("term")
+        .localCheckpoint(eager=True)
     )
     kept = pos_toks.join(F.broadcast(stop), "term", "left_anti")
     rebuilt = kept.groupBy("__id").agg(
@@ -464,13 +472,18 @@ def bm25_scores(
     ids = F.col(id_col)
     toks = df.select(ids.alias("__id"), F.explode(tokens(F.col(text_col))).alias("t"))
     hits = toks.filter(F.col("t").isin(*terms))
+    # per-term tf (O(matching docs)) and doc lengths (O(docs)) each feed
+    # two consumers (stats/dfreq + the scoring join); materialize both so
+    # the corpus is tokenized once per pass, not once per consumer
     tf = hits.groupBy("__id").agg(
         *[
             F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"tf_{i}")
             for i, t in enumerate(terms)
         ]
-    )
-    dl = df.select(ids.alias("__id"), token_count(F.col(text_col)).alias("dl"))
+    ).localCheckpoint(eager=True)
+    dl = df.select(
+        ids.alias("__id"), token_count(F.col(text_col)).alias("dl")
+    ).localCheckpoint(eager=True)
     stats = dl.agg(
         F.count(F.lit(1)).alias("N"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
