@@ -330,3 +330,84 @@ def null_bypass_left_join(
     )
     # join output puts the key first; align by name for the union
     return keyed.select(*bypass.columns).unionByName(bypass)
+
+
+def grid_knn_join(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    k: int = 3,
+    cell: float = 0.1,
+    lon_scale: float = 0.766044443118978,
+) -> DataFrame:
+    """Bounded-radius k-nearest-neighbor SELF-join via 2-D grid blocking —
+    the "comparable sales" primitive (each listing's k nearest neighbors
+    within one grid ring), and the spatial companion to range_bucket_join
+    (1-D intervals) and the Z-order layout (storage-side 2-D locality).
+
+    Each point lands in a (floor(lat/cell), floor(lon/cell)) cell; the
+    QUERY side explodes to its 3x3 cell neighborhood and equi-joins the
+    data side on the cell id — candidate volume is 9x the average cell
+    occupancy per point, NEVER all-pairs, and the join is a plain hash
+    join on an integer pair.  Distance is the equirectangular squared
+    metric d2 = dlat² + (dlon·cos(lat₀))² with cos(lat₀) a fixed constant
+    — monotonic in true distance at city scale, zero trig in the plan, so
+    both engines compute bit-identical doubles.  Neighbors beyond one
+    ring are by definition out of radius (comps past ~cell° away are not
+    comps); rank ties break on the neighbor id.
+
+    At 100 TB: pick ``cell`` so the expected occupancy is O(10-100) rows
+    (candidates stay bounded); dense-city skew responds to the standard
+    cures — finer cells or salting the hot cells.  Returns
+    (id1, id2, dist_sq, rank), rank 1..k per id1.
+    """
+    from pyspark.sql import Window
+
+    ids = F.col(id_col)
+    pts = points.select(
+        ids.alias("__id"),
+        F.col(lat_col).alias("__lat"),
+        F.col(lon_col).alias("__lon"),
+        F.floor(F.col(lat_col) / cell).alias("__cx"),
+        F.floor(F.col(lon_col) / cell).alias("__cy"),
+    )
+    neighborhood = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("__cx") + dx).alias("ncx"),
+                    (F.col("__cy") + dy).alias("ncy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    q = pts.select(
+        F.col("__id").alias("id1"),
+        F.col("__lat").alias("lat1"),
+        F.col("__lon").alias("lon1"),
+        neighborhood.alias("nc"),
+    ).select("id1", "lat1", "lon1", "nc.ncx", "nc.ncy")
+    d = pts.select(
+        F.col("__id").alias("id2"),
+        F.col("__lat").alias("lat2"),
+        F.col("__lon").alias("lon2"),
+        F.col("__cx").alias("ncx"),
+        F.col("__cy").alias("ncy"),
+    )
+    dlat = F.col("lat1") - F.col("lat2")
+    dlon_s = (F.col("lon1") - F.col("lon2")) * F.lit(lon_scale)
+    cand = (
+        q.join(d, ["ncx", "ncy"])
+        .filter(F.col("id1") != F.col("id2"))
+        .select(
+            "id1", "id2", (dlat * dlat + dlon_s * dlon_s).alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("id1").orderBy("dist_sq", "id2")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

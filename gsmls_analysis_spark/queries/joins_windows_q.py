@@ -681,3 +681,62 @@ def q_null_bypass_join(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "q_nearest_comps",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+    39.0 + CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'lat'),
+                      1, 15)) AS UBIGINT) % 1000000 AS DOUBLE)
+           / 1000000.0 * 2.0 AS lat,
+    -75.0 + CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'lon'),
+                       1, 15)) AS UBIGINT) % 1000000 AS DOUBLE)
+            / 1000000.0 * 2.0 AS lon
+  FROM customer
+), cells AS (
+  SELECT id, lat, lon,
+         CAST(floor(lat / 0.1) AS BIGINT) AS cx,
+         CAST(floor(lon / 0.1) AS BIGINT) AS cy
+  FROM pts
+), cand AS (
+  SELECT a.id AS id1, b.id AS id2,
+    (a.lat - b.lat) * (a.lat - b.lat)
+    + ((a.lon - b.lon) * 0.766044443118978)
+      * ((a.lon - b.lon) * 0.766044443118978) AS dist_sq
+  FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.id <> b.id
+), ranked AS (
+  SELECT id1, id2, dist_sq,
+         row_number() OVER (PARTITION BY id1 ORDER BY dist_sq, id2) AS rank
+  FROM cand
+)
+SELECT id1, id2, dist_sq, rank FROM ranked WHERE rank <= 3
+""",
+    doc="nearest comparable sales ('comps', the MLS analysis the "
+    "reference's geo-enriched data exists for): 3 nearest neighbors per "
+    "listing within one grid ring, via 2-D grid blocking "
+    "(operators/joins.py::grid_knn_join) — query side explodes its 3x3 "
+    "cell neighborhood, plain integer hash join, NEVER all-pairs; "
+    "equirectangular squared distance with a constant cos(lat0), zero "
+    "trig, bit-identical doubles.  Coordinates are md5-derived from the "
+    "customer key (the testdata has no lat/lon), replayed exactly by "
+    "the oracle.",
+)
+def q_nearest_comps(spark, sf_dir):
+    from ..operators.curation import md5_uniform
+    from ..operators.joins import grid_knn_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.lit(39.0) + md5_uniform(F.col("c_custkey"), salt="lat") * F.lit(2.0)
+        ).alias("lat"),
+        (
+            F.lit(-75.0) + md5_uniform(F.col("c_custkey"), salt="lon") * F.lit(2.0)
+        ).alias("lon"),
+    )
+    return grid_knn_join(cust, "id", "lat", "lon", k=3, cell=0.1)

@@ -447,3 +447,55 @@ def test_incremental_join_delta_equals_recompute_minus_old(spark):
     assert got == full_new - full_old
     # the delta×delta term is present: (3, a4, b3) only exists there
     assert got[(3, "a4", "b3")] == 1
+
+
+def test_grid_knn_join_matches_bruteforce_within_ring(spark):
+    """Within one grid ring the blocked k-NN equals brute force; a point
+    whose true nearest neighbor lies beyond the ring reports only
+    in-ring candidates (the bounded-radius contract)."""
+    from itertools import permutations
+
+    from gsmls_analysis_spark.operators.joins import grid_knn_join
+
+    pts = {
+        1: (40.00, -74.00),
+        2: (40.01, -74.01),   # same cell as 1
+        3: (40.09, -74.09),   # adjacent cell to 1/2
+        4: (40.55, -74.55),   # far away: own neighborhood, no neighbors
+        5: (40.11, -74.11),   # one ring from 3, two rings from 1
+    }
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in pts.items()],
+        "id long, lat double, lon double",
+    )
+    got = {
+        (r["id1"], r["rank"]): r["id2"]
+        for r in grid_knn_join(df, "id", "lat", "lon", k=2, cell=0.1).collect()
+    }
+    C = 0.766044443118978
+
+    def d2(a, b):
+        (la1, lo1), (la2, lo2) = pts[a], pts[b]
+        return (la1 - la2) ** 2 + ((lo1 - lo2) * C) ** 2
+
+    def ring(a, b):
+        import math
+
+        (la1, lo1), (la2, lo2) = pts[a], pts[b]
+        return (
+            abs(math.floor(la1 / 0.1) - math.floor(la2 / 0.1)) <= 1
+            and abs(math.floor(lo1 / 0.1) - math.floor(lo2 / 0.1)) <= 1
+        )
+
+    want = {}
+    for a in pts:
+        cands = sorted(
+            ((d2(a, b), b) for b in pts if b != a and ring(a, b))
+        )
+        for rnk, (_, b) in enumerate(cands[:2], start=1):
+            want[(a, rnk)] = b
+    assert got == want
+    # the far point has no in-ring neighbors at all
+    assert (4, 1) not in got
+    # 1's nearest is its cell-mate, then the adjacent-cell point
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 3
