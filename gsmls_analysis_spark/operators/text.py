@@ -243,6 +243,76 @@ def pmi_bigrams(
     )
 
 
+def lm_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style language-model quality signal: score every document by
+    the average negative log-likelihood of its token bigrams under an
+    add-one-smoothed bigram LM trained ON THE CORPUS ITSELF — documents
+    whose word sequences are improbable under the corpus distribution
+    (garbled text, wrong language, boilerplate soup) score high and get
+    filtered.  The Wenzek et al. 2020 (CCNet) perplexity-filter step,
+    with the KenLM stand-in trained on-engine.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V);  score = −mean ln p.
+    Returns (id, n_bigrams, avg_nll) for docs with ≥1 bigram.
+
+    Determinism (the PageRank/logreg recipe): each bigram's ln p is
+    rounded to 12 dp then DECIMAL-summed per document — order-free and
+    engine-portable (the 12-dp rounding absorbs last-ulp libm ln
+    differences), so the oracle replays training AND scoring exactly.
+
+    Scale shape: counts are trained in two counts-only shuffles (the
+    same passes PMI makes); scoring joins the corpus bigram stream
+    against vocab-sized broadcast count tables (no shuffle), and the
+    per-doc mean is one partial-aggregated groupBy.  Text never joins
+    text."""
+    ids = F.col(id_col)
+    toks = df.select(ids.alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+    doc_bigrams = toks.select(
+        "__id",
+        F.explode(
+            F.expr(
+                "filter(transform(__toks, (x, i) -> "
+                "struct(x AS w1, try_element_at(__toks, i + 2) AS w2)), "
+                "p -> p.w2 IS NOT NULL)"
+            )
+        ).alias("p"),
+    ).select("__id", "p.w1", "p.w2")
+    # train: vocab-sized count tables, materialized once (multi-consumer)
+    ucounts = (
+        toks.select(F.explode("__toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+        .localCheckpoint(eager=True)
+    )
+    bcounts = (
+        doc_bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    vsize = ucounts.agg(F.count(F.lit(1)).alias("v"))
+    # score: ln p per bigram occurrence, rounded then decimal-summed
+    lnp = F.log(
+        (F.col("c_ab") + 1).cast("double")
+        / (F.col("c_a").cast("double") + F.col("v").cast("double"))
+    )
+    terms = (
+        doc_bigrams.join(F.broadcast(bcounts), ["w1", "w2"])
+        .join(F.broadcast(ucounts), "w1")
+        .join(F.broadcast(vsize))
+        .select("__id", F.round(lnp, 12).cast("decimal(32,12)").alias("t"))
+    )
+    # NO final rounding: the decimal-sum → double cast → divide chain is
+    # already bit-identical across engines, while a round(·, 12) HERE
+    # would reintroduce divergence exactly at half-boundary quotients
+    # (Spark rounds via exact BigDecimal, DuckDB via scale-multiply —
+    # observed disagreeing on 2/5000 docs at sf0.1 before this was
+    # removed).  Rounding belongs on the per-term ln only.
+    return terms.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-(F.sum("t").cast("double") / F.count(F.lit(1)))).alias("avg_nll"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF: per-document salient terms (feature extraction / keyword
 # labeling for a curation pipeline).

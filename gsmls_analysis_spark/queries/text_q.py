@@ -518,3 +518,52 @@ def q_pmi_bigrams(spark, sf_dir):
         .filter(F.length(F.trim(F.col("text"))) > 0)
     )
     return tx.pmi_bigrams(docs, "text", min_count=5, k=100)
+
+
+@query(
+    "q_lm_perplexity",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE len(trim(text)) > 0
+), toks AS (
+  SELECT words[i] AS w1
+  FROM docs, unnest(range(1, len(words) + 1)) AS t(i)
+), ucounts AS (
+  SELECT w1, count(*) AS c_a FROM toks GROUP BY w1
+), bigr AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM docs, unnest(range(1, len(words))) AS t(i)
+), bcounts AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bigr GROUP BY w1, w2
+), vs AS (
+  SELECT count(*) AS v FROM ucounts
+), terms AS (
+  SELECT b.doc_id,
+    CAST(round(ln(CAST(c.c_ab + 1 AS DOUBLE)
+                  / (CAST(u.c_a AS DOUBLE) + CAST(vs.v AS DOUBLE))), 12)
+         AS DECIMAL(32,12)) AS t
+  FROM bigr b
+  JOIN bcounts c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN ucounts u ON b.w1 = u.w1, vs
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  -(CAST(sum(t) AS DOUBLE) / count(*)) AS avg_nll
+FROM terms GROUP BY doc_id
+""",
+    doc="CCNet-style LM perplexity filter (operators/text.py::"
+    "lm_perplexity): every document scored by mean negative "
+    "log-likelihood under an add-one bigram LM trained on the corpus "
+    "itself — the Wenzek et al. 2020 quality-filter step with the LM "
+    "trained on-engine.  Counts are two counts-only shuffles, scoring "
+    "joins vocab-sized broadcasts (text never joins text), and per-"
+    "bigram ln p is rounded-then-decimal-summed so the oracle replays "
+    "training AND scoring exactly.",
+)
+def q_lm_perplexity(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+    return tx.lm_perplexity(docs, "doc_id", "text")

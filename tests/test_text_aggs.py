@@ -187,3 +187,21 @@ def test_interpolate_gaps_linear_and_edges(spark):
     assert out[(1, at(10))] == 200.0
     assert out[(1, at(0))] == 100.0 and out[(1, at(30))] == 400.0
     assert out[(2, at(0))] == 7.0 and out[(2, at(9))] == 7.0
+
+
+def test_lm_perplexity_ranks_garbled_above_typical(spark):
+    """Docs whose bigrams are corpus-typical score LOW avg_nll; a doc of
+    never-repeated word sequences scores HIGH — the signal the CCNet
+    perplexity filter thresholds on."""
+    from gsmls_analysis_spark.operators.text import lm_perplexity
+
+    typical = "the cat sat on the mat"
+    rows = [(i, typical) for i in range(5)] + [
+        (5, "zq xv bn lk jh gf"),  # garbled: every bigram unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_perplexity(df, "doc_id", "text").collect()}
+    assert out[0]["n_bigrams"] == 5 and out[5]["n_bigrams"] == 5
+    typical_nll = out[0]["avg_nll"]
+    assert all(out[i]["avg_nll"] == typical_nll for i in range(5))
+    assert out[5]["avg_nll"] > typical_nll

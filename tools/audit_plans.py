@@ -62,6 +62,7 @@ BOUNDED_CROSS_OK = {
     "q_heavy_hitter_tokens",  # 1-row total-count (N) broadcast onto candidates
     "q_pagerank_dup_graph",  # 1-row node-count (N) broadcast each round
     "q_pmi_bigrams",  # 1-row token/bigram totals (N, M) broadcast onto vocab
+    "q_lm_perplexity",  # 1-row vocab-size (V) broadcast onto the bigram stream
 }
 
 
