@@ -261,10 +261,12 @@ def lm_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     differences), so the oracle replays training AND scoring exactly.
 
     Scale shape: counts are trained in two counts-only shuffles (the
-    same passes PMI makes); scoring joins the corpus bigram stream
-    against vocab-sized broadcast count tables (no shuffle), and the
-    per-doc mean is one partial-aggregated groupBy.  Text never joins
-    text."""
+    same passes PMI makes); scoring joins the bigram stream against the
+    bigram-count table on the (w1, w2) key — a plain shuffle join,
+    because distinct-bigram count grows ~linearly with the corpus and is
+    NOT broadcastable at scale — while the unigram table and the 1-row
+    vocab size, which ARE vocab-bounded, broadcast.  The per-doc mean is
+    one partial-aggregated groupBy.  Text never joins text."""
     ids = F.col(id_col)
     toks = df.select(ids.alias("__id"), tokens(F.col(text_col)).alias("__toks"))
     doc_bigrams = toks.select(
@@ -296,7 +298,7 @@ def lm_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         / (F.col("c_a").cast("double") + F.col("v").cast("double"))
     )
     terms = (
-        doc_bigrams.join(F.broadcast(bcounts), ["w1", "w2"])
+        doc_bigrams.join(bcounts, ["w1", "w2"])
         .join(F.broadcast(ucounts), "w1")
         .join(F.broadcast(vsize))
         .select("__id", F.round(lnp, 12).cast("decimal(32,12)").alias("t"))

@@ -686,15 +686,17 @@ def q_null_bypass_join(spark, sf_dir):
 @query(
     "q_nearest_comps",
     oracle="""
-WITH pts AS (
+WITH sp AS (
+  SELECT 0.1 * sqrt(CAST(count(*) AS DOUBLE) / 37.5) AS span FROM customer
+), pts AS (
   SELECT c_custkey AS id,
     39.0 + CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'lat'),
                       1, 15)) AS UBIGINT) % 1000000 AS DOUBLE)
-           / 1000000.0 * 2.0 AS lat,
+           / 1000000.0 * span AS lat,
     -75.0 + CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'lon'),
                        1, 15)) AS UBIGINT) % 1000000 AS DOUBLE)
-            / 1000000.0 * 2.0 AS lon
-  FROM customer
+            / 1000000.0 * span AS lon
+  FROM customer, sp
 ), cells AS (
   SELECT id, lat, lon,
          CAST(floor(lat / 0.1) AS BIGINT) AS cx,
@@ -723,20 +725,32 @@ SELECT id1, id2, dist_sq, rank FROM ranked WHERE rank <= 3
     "cell neighborhood, plain integer hash join, NEVER all-pairs; "
     "equirectangular squared distance with a constant cos(lat0), zero "
     "trig, bit-identical doubles.  Coordinates are md5-derived from the "
-    "customer key (the testdata has no lat/lon), replayed exactly by "
-    "the oracle.",
+    "customer key (the testdata has no lat/lon) over an area whose SIDE "
+    "scales with sqrt(n) so per-cell occupancy stays ~37 points at "
+    "every scale factor — candidate volume stays linear in n, honoring "
+    "the operator's never-all-pairs contract (with a fixed area, "
+    "density and the ring join would grow quadratically).  Replayed "
+    "exactly by the oracle.",
 )
 def q_nearest_comps(spark, sf_dir):
     from ..operators.curation import md5_uniform
     from ..operators.joins import grid_knn_join
 
-    cust = load_table(spark, sf_dir, "customer").select(
+    cust_raw = load_table(spark, sf_dir, "customer")
+    span = cust_raw.agg(
+        (F.lit(0.1) * F.sqrt(F.count(F.lit(1)).cast("double") / F.lit(37.5))).alias(
+            "span"
+        )
+    )
+    cust = cust_raw.join(F.broadcast(span)).select(
         F.col("c_custkey").alias("id"),
         (
-            F.lit(39.0) + md5_uniform(F.col("c_custkey"), salt="lat") * F.lit(2.0)
+            F.lit(39.0)
+            + md5_uniform(F.col("c_custkey"), salt="lat") * F.col("span")
         ).alias("lat"),
         (
-            F.lit(-75.0) + md5_uniform(F.col("c_custkey"), salt="lon") * F.lit(2.0)
+            F.lit(-75.0)
+            + md5_uniform(F.col("c_custkey"), salt="lon") * F.col("span")
         ).alias("lon"),
     )
     return grid_knn_join(cust, "id", "lat", "lon", k=3, cell=0.1)

@@ -453,7 +453,6 @@ def test_grid_knn_join_matches_bruteforce_within_ring(spark):
     """Within one grid ring the blocked k-NN equals brute force; a point
     whose true nearest neighbor lies beyond the ring reports only
     in-ring candidates (the bounded-radius contract)."""
-    from itertools import permutations
 
     from gsmls_analysis_spark.operators.joins import grid_knn_join
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -46,7 +47,7 @@ DEFAULT_QUERIES = [
 ]
 
 
-def _stage_totals(ui: str, app: str) -> tuple[int, int]:
+def _read_totals(ui: str, app: str) -> tuple[int, int]:
     with urllib.request.urlopen(
         f"{ui}/api/v1/applications/{app}/stages?status=complete"
     ) as r:
@@ -55,6 +56,20 @@ def _stage_totals(ui: str, app: str) -> tuple[int, int]:
         sum(s.get("shuffleWriteBytes", 0) for s in stages),
         sum(s.get("shuffleWriteRecords", 0) for s in stages),
     )
+
+
+def _stage_totals(ui: str, app: str) -> tuple[int, int]:
+    """Totals AFTER the listener bus settles: the UI store is fed
+    asynchronously, so read until two consecutive polls agree — otherwise
+    a late-flushed final stage leaks into the NEXT query's delta."""
+    prev = _read_totals(ui, app)
+    for _ in range(20):
+        time.sleep(0.25)
+        cur = _read_totals(ui, app)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> None:
@@ -73,9 +88,17 @@ def main() -> None:
     rows = []
     for name in names:
         fn = reg[name].fn
-        fn(spark, sf_dir).count()  # warm: fill broadcast/file caches
+
+        def run() -> None:
+            # noop sink = full computation of every output column; a
+            # count() would let the optimizer prune payload columns out
+            # of the exchanges and under-report shuffle (bench.py's rule)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        n = fn(spark, sf_dir).count()  # rows-out; also warms caches
+        run()  # warm the noop path too
         b0, r0 = _stage_totals(ui, app)
-        n = fn(spark, sf_dir).count()
+        run()  # the measured execution
         b1, r1 = _stage_totals(ui, app)
         sh_mb = (b1 - b0) / 1e6
         rows.append((name, n, sh_mb, r1 - r0))
