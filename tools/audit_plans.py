@@ -63,6 +63,7 @@ BOUNDED_CROSS_OK = {
     "q_pagerank_dup_graph",  # 1-row node-count (N) broadcast each round
     "q_pmi_bigrams",  # 1-row token/bigram totals (N, M) broadcast onto vocab
     "q_lm_perplexity",  # 1-row vocab-size (V) broadcast onto the bigram stream
+    "q_nearest_comps",  # 1-row area-span scalar (0.1*sqrt(n/37.5)) broadcast
 }
 
 
