@@ -893,3 +893,93 @@ def q_logreg_quality(spark, sf_dir):
         "feature string, weight double",
     )
     return weights.unionByName(acc)
+
+
+@query(
+    "q_golden_record",
+    oracle="""
+WITH RECURSIVE d AS (SELECT DISTINCT p_name AS name FROM part),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM d a JOIN d b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION
+  SELECT name_b, name_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT p.p_partkey, p.p_name, p.p_brand, p.p_retailprice,
+         coalesce(l.cluster_id, p.p_name) AS cluster
+  FROM part p LEFT JOIN lab l ON p.p_name = l.node
+),
+aggs AS (
+  SELECT cluster, MIN(p_partkey) AS golden_id, count(*) AS n_rows,
+         count(DISTINCT p_name) AS n_names
+  FROM labeled GROUP BY cluster
+),
+best AS (
+  SELECT cluster, p_brand AS best_brand, p_retailprice AS best_price
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+          ORDER BY p_retailprice DESC, p_partkey DESC) AS rn
+        FROM labeled)
+  WHERE rn = 1
+)
+SELECT a.cluster, a.golden_id, a.n_rows, a.n_names,
+       b.best_brand, b.best_price
+FROM aggs a JOIN best b ON a.cluster = b.cluster
+WHERE a.n_names >= 2
+""",
+    doc="entity-resolution GOLDEN RECORD end-to-end (the reference's "
+    "real dedup-and-repair workflow, MDM-style): fuzzy name self-match "
+    "(complete length-band blocking + levenshtein <= 2) -> connected "
+    "components over the match graph -> per-cluster survivorship rules "
+    "(min key as golden id; brand/price taken from the highest-priced "
+    "member with a deterministic key tiebreak).  One oracle covers the "
+    "whole chain: naive-cross pairs + recursive-CTE closure + windowed "
+    "survivorship.  Only multi-name clusters are emitted — the resolved "
+    "entities.",
+)
+def q_golden_record(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.joins import fuzzy_self_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(part, "p_name", max_dist=2, band_width=4)
+    labels = connected_components(pairs, "name_a", "name_b").labels
+    labeled = part.join(
+        labels, part["p_name"] == labels["doc_id"], "left"
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_retailprice",
+        F.coalesce(F.col("cluster_id"), F.col("p_name")).alias("cluster"),
+    )
+    aggs = labeled.groupBy("cluster").agg(
+        F.min("p_partkey").alias("golden_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("p_name").alias("n_names"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("p_retailprice"), F.desc("p_partkey")
+    )
+    best = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("p_brand").alias("best_brand"),
+            F.col("p_retailprice").alias("best_price"),
+        )
+    )
+    return aggs.join(best, "cluster").filter(F.col("n_names") >= 2)
