@@ -303,6 +303,7 @@ def prefix_filter_jaccard_pairs(
     t_num: int = 3,
     t_den: int = 5,
     block_col: str | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """EXACT token-set similarity self-join at Jaccard ≥ t_num/t_den via
     prefix filtering (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et
@@ -331,7 +332,28 @@ def prefix_filter_jaccard_pairs(
     array once per candidate — bounded by candidate volume, never
     all-pairs.  collect_list here is per-document (token-set sized),
     the documented bounded pattern.
+
+    The PPJoin POSITIONAL filter is applied per prefix-token match: a
+    match at (1-based) positions (p1, p2) can witness at most
+    1 + min(m1−p1, m2−p2) overlapping tokens.  This bound is a valid
+    |A∩B| upper bound at the pair's FIRST common token (nothing common
+    precedes it), and the first common token is always join-visible —
+    it precedes any other common token in BOTH prefixes — and carries
+    the pair's maximal bound, so keeping a pair iff ANY occurrence
+    passes is exact: no qualifying pair is lost, and every pair whose
+    best bound fails is provably below threshold.  (This subsumes the
+    m1/m2 length filter: set p1=p2=1.)  Integer form, no float edge:
+    (t_num+t_den)·(1+min(m1−p1, m2−p2)) ≥ t_num·(m1+m2).
+
+    The doc→sorted-token-array intermediate feeds the prefix explode
+    once and the verify twice; it is persisted to STORAGE (parquet under
+    ``scratch_dir``, a temp dir by default) rather than
+    localCheckpoint'd: storage-backed, any executor can re-read it after
+    a loss — at 100 TB point scratch_dir at durable shared storage
+    (HDFS/S3) and this becomes the checkpoint-to-table pattern.
     """
+    import tempfile
+
     from .text import tokens
 
     ids = F.col(id_col)
@@ -343,11 +365,18 @@ def prefix_filter_jaccard_pairs(
     )
     # GLOBAL document frequency defines the canonical rarity order (any
     # consistent order keeps the theorem; global df is one counts shuffle)
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    # attaching c to every token occurrence is the big shuffle of the
+    # build; vocabularies are usually broadcastable (Heaps' law: sublinear
+    # in corpus size), so decide from the actual vocab count — the
+    # explicit form of AQE's shuffle→broadcast conversion, falling back
+    # to the shuffle join only when the vocab is genuinely huge
+    vocab_n = dfreq.count()
+    dfreq_side = F.broadcast(dfreq) if vocab_n <= 5_000_000 else dfreq
     # per-doc token array in canonical rarity order; no global token index
     # is needed — the (df, token) pair IS the order
     docs = (
-        toks.join(dfreq, "tok")
+        toks.join(dfreq_side, "tok")
         .groupBy("__id", "__blk")
         .agg(
             F.transform(
@@ -367,27 +396,52 @@ def prefix_filter_jaccard_pairs(
                 f" DIV {t_den} AS INT) + 1"
             ).alias("plen"),
         )
-        # the canonical doc→sorted-token-array table feeds the prefix
-        # explode once and the verify twice; materialize it so the corpus
-        # is scanned ONCE (observed 16 scans without this — at 100 TB
-        # this intermediate is what you'd persist to storage)
-        .localCheckpoint(eager=True)
     )
-    # candidate generation and dedup stay NARROW — (id, id) pairs only;
-    # token arrays rejoin AFTER the distinct so the dedup shuffle never
-    # carries documents (at 100 TB the pair stream dwarfs the doc table)
+    # materialize the doc→sorted-token-array table to STORAGE so the
+    # corpus is scanned ONCE (observed 16 scans without this) and the
+    # intermediate survives executor loss — the checkpoint-to-table
+    # pattern, not executor-local localCheckpoint
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="ppjoin_docs_")
+    docs.write.mode("overwrite").parquet(scratch)
+    dfreq.unpersist()
+    docs = df.sparkSession.read.parquet(scratch)
+    # candidate generation and dedup stay NARROW — ids, positions and
+    # set sizes only; token arrays rejoin AFTER the distinct so the
+    # dedup shuffle never carries documents (at 100 TB the pair stream
+    # dwarfs the doc table)
     prefixes = docs.select(
         "__id",
         "__blk",
-        F.explode(F.slice("arr", 1, F.col("plen"))).alias("tok"),
-    )
+        "m",
+        F.posexplode(F.slice("arr", 1, F.col("plen"))).alias("pos0", "tok"),
+    ).select("__id", "__blk", "m", "tok", (F.col("pos0") + 1).alias("p"))
     cand = (
-        prefixes.select(F.col("__id").alias("id1"), "__blk", "tok")
+        prefixes.select(
+            F.col("__id").alias("id1"),
+            "__blk",
+            "tok",
+            F.col("m").alias("m1"),
+            F.col("p").alias("p1"),
+        )
         .join(
-            prefixes.select(F.col("__id").alias("id2"), "__blk", "tok"),
+            prefixes.select(
+                F.col("__id").alias("id2"),
+                "__blk",
+                "tok",
+                F.col("m").alias("m2"),
+                F.col("p").alias("p2"),
+            ),
             ["tok", "__blk"],
         )
         .filter(F.col("id1") < F.col("id2"))
+        # PPJoin positional filter (see docstring for the exactness
+        # argument): drop occurrences whose overlap upper bound is
+        # already below the threshold-implied minimum intersection
+        .filter(
+            F.lit(t_num + t_den)
+            * (F.lit(1) + F.least(F.col("m1") - F.col("p1"), F.col("m2") - F.col("p2")))
+            >= F.lit(t_num) * (F.col("m1") + F.col("m2"))
+        )
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )

@@ -1164,6 +1164,10 @@ SELECT vnew.seg AS c_mktsegment,
        vnew.n - coalesce(vold.n, 0) AS n_new_rows,
        CAST(vnew.rev - coalesce(vold.rev, 0) AS DOUBLE) AS new_revenue
 FROM vnew LEFT JOIN vold ON vnew.seg = vold.seg
+-- only segments whose delta is non-empty: the Spark side aggregates ΔV
+-- rows, so a segment with zero delta rows is absent there; this filter
+-- makes both sides agree by construction instead of by data luck
+WHERE vnew.n > coalesce(vold.n, 0)
 """,
     doc="incremental join-view maintenance (operators/ivm.py): the rows "
     "added to the orders⋈customer view when an orders delta (1997+) and "

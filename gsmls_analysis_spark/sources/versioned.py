@@ -4,18 +4,37 @@ without a table-format dependency.
 
 Model: every commit writes its data to an immutable directory
 ``data/v{n}/`` and then publishes ``manifest-v{n}.json`` listing the FULL
-set of data directories visible at version n (overwrite = just the new
+set of data entries visible at version n (overwrite = just the new
 one, append = parent's list + the new one).  Readers resolve the highest
 published manifest (or an explicit ``version=``) and scan exactly its
-directories — a half-written commit is invisible because its manifest is
+entries — a half-written commit is invisible because its manifest is
 the LAST thing written, atomically (tmp + ``os.replace`` on the same
 filesystem).  Old versions stay fully readable until vacuumed.
+
+Each manifest additionally carries:
+
+- ``schema``: the Spark schema JSON of the committed DataFrame, so an
+  empty version (e.g. a delete that removed every row) stays readable
+  without schema inference over zero files.
+- ``stats``: per-file ``{rows, cols: {col: {min, max, nulls}}}`` taken
+  from the parquet FOOTERS of files written by this commit (carried
+  forward by reference for kept files) — the Iceberg/Delta data-skipping
+  model.  ``versioned_delete`` prunes its skip-scan from these stats
+  without opening non-candidate files.
+- ``txns``: a compacted ledger of every ancestor commit's ``meta``
+  values, carried forward into each child manifest (Delta's
+  ``txn`` appId/version table).  Vacuuming old manifests therefore
+  never erases the idempotence ledger a crashed stream replay needs.
 
 Why this shape survives 100 TB: commits never rewrite or move data files
 (an overwrite of a 100 TB table publishes one manifest naming one new
 directory), readers plan from a manifest instead of listing the whole
-tree (O(1) metadata instead of a million-object listing), and time travel
-is free because immutability is the write protocol, not a copy.
+tree (O(1) metadata instead of a million-object listing), time travel
+is free because immutability is the write protocol, and deletes prune
+candidate files from manifest stats instead of opening a million
+footers.  Stats collection here loops parquet footers on the driver
+(metadata-only reads of just-written files); on a cluster the same
+min/max ride back from the write tasks, as Iceberg does.
 """
 
 from __future__ import annotations
@@ -28,6 +47,7 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
 
@@ -49,6 +69,26 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _merge_txns(parent_manifest: dict | None, meta: dict | None) -> dict:
+    """Child manifest's txn ledger = parent's ledger + parent's own meta +
+    this commit's meta.  One small string per historical commit — the
+    metadata cost Delta pays for idempotent writes."""
+    txns: dict[str, list] = {}
+    if parent_manifest:
+        for k, vals in (parent_manifest.get("txns") or {}).items():
+            txns[k] = list(vals)
+        for k, v in (parent_manifest.get("meta") or {}).items():
+            txns.setdefault(k, [])
+            if v not in txns[k]:
+                txns[k].append(v)
+    if meta:
+        for k, v in meta.items():
+            txns.setdefault(k, [])
+            if v not in txns[k]:
+                txns[k].append(v)
+    return txns
+
+
 def versioned_write(
     df: DataFrame, path: str, mode: str = "overwrite", meta: dict | None = None
 ) -> int:
@@ -64,6 +104,7 @@ def versioned_write(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = table_versions(path)
     parent = versions[-1] if versions else 0
+    pm = _read_manifest(path, parent) if parent else None
     version = parent + 1
     data_dir = f"data/v{version}"
     # mode=overwrite: a crash between a previous attempt's data write and
@@ -72,28 +113,47 @@ def versioned_write(
     # path-already-exists.  Published dirs can never be hit — version
     # always advances past the highest published manifest.  (Single
     # writer assumed, as in any manifest-pointer table format.)
-    df.write.mode("overwrite").parquet(os.path.join(path, data_dir))
-    manifest = {"version": version, "parent": parent, "data_dirs": [data_dir]}
-    if mode == "append" and parent:
-        pm = _read_manifest(path, parent)
+    root = os.path.abspath(path)
+    df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "data_dirs": [data_dir],
+        "schema": df.schema.json(),
+        "stats": _collect_stats(root, [data_dir]),
+    }
+    if mode == "append" and pm:
         manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
         if pm.get("data_files"):
             manifest["data_files"] = pm["data_files"]
+        # kept entries keep their stats by reference
+        manifest["stats"] = {**(pm.get("stats") or {}), **manifest["stats"]}
     if meta:
         manifest["meta"] = meta
+    manifest["txns"] = _merge_txns(pm, meta)
     _publish(path, manifest)
     return version
 
 
 def committed_meta(path: str, key: str) -> set:
-    """All values of ``meta[key]`` across published manifests — the
-    idempotence ledger for streaming sinks (has batch N committed?).
-    Metadata-scale: one small JSON read per version."""
-    out = set()
-    for v in table_versions(path):
-        meta = _read_manifest(path, v).get("meta") or {}
+    """All values of ``meta[key]`` across the table's commit history —
+    the idempotence ledger for streaming sinks (has batch N committed?).
+
+    Reads the NEWEST manifest's carried-forward ``txns`` ledger plus the
+    ``meta`` of every still-published manifest, so the ledger survives
+    vacuuming old manifests (the Delta ``txn`` model).  Metadata-scale:
+    one small JSON read per retained version."""
+    out: set = set()
+    versions = table_versions(path)
+    if not versions:
+        return out
+    for v in versions:
+        m = _read_manifest(path, v)
+        meta = m.get("meta") or {}
         if key in meta:
             out.add(meta[key])
+        if v == versions[-1]:
+            out.update((m.get("txns") or {}).get(key, []))
     return out
 
 
@@ -130,6 +190,240 @@ def _expand_files(root: str, entries: list[str]) -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Data skipping: footer stats in the manifest + predicate → stats pruning
+# ---------------------------------------------------------------------------
+
+_JSONABLE = (int, float, str, bool)
+
+
+def _collect_stats(root: str, entries: list[str]) -> dict:
+    """Per-file ``{rows, cols: {col: {min, max, nulls}}}`` from parquet
+    FOOTERS (no data pages read).  Only JSON-able scalar stats (int /
+    float / string / bool columns) are recorded — other types simply
+    don't prune.  Driver-side loop over the files THIS commit wrote; on
+    a real cluster the write tasks report these back instead."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return {}
+    stats: dict = {}
+    for rel in _expand_files(root, entries):
+        try:
+            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        except Exception:
+            continue
+        cols: dict = {}
+        rows = md.num_rows
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: not prunable here
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    cols[name] = None  # unknown for some row group → no prune
+                    continue
+                mn, mx = st.min, st.max
+                if not (isinstance(mn, _JSONABLE) and isinstance(mx, _JSONABLE)):
+                    cols[name] = None
+                    continue
+                nulls = st.null_count if st.has_null_count else None
+                prev = cols.get(name, {"min": mn, "max": mx, "nulls": 0})
+                if prev is None:
+                    continue
+                cols[name] = {
+                    "min": min(prev["min"], mn),
+                    "max": max(prev["max"], mx),
+                    "nulls": (
+                        None
+                        if nulls is None or prev["nulls"] is None
+                        else prev["nulls"] + nulls
+                    ),
+                }
+        stats[rel] = {
+            "rows": rows,
+            "cols": {k: v for k, v in cols.items() if v is not None},
+        }
+    return stats
+
+
+def _pred_tree(spark: SparkSession, schema: StructType, predicate: Column):
+    """Parse a Column predicate into a small prunable tree: analyze
+    ``filter(predicate)`` over an EMPTY DataFrame with the table schema
+    (pure Catalyst analysis, zero data touched) and walk the resolved
+    condition.  Tree nodes: ('and'|'or', l, r), ('cmp', op, col, value),
+    ('in', col, values), ('isnull'|'isnotnull', col), or None for
+    anything unrecognized (no pruning — always sound)."""
+    try:
+        plan = (
+            spark.createDataFrame([], schema)
+            .filter(predicate)
+            ._jdf.queryExecution()
+            .analyzed()
+        )
+        if plan.getClass().getSimpleName() != "Filter":
+            return None
+        return _walk_expr(plan.condition())
+    except Exception:
+        return None
+
+
+# numeric Catalyst types whose values py4j/Python compare exactly; casts
+# among them are monotone, so unwrapping one around an attribute or a
+# literal (the analyzer's type-widening) never breaks pruning soundness
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _leaf(e):
+    """('attr', name) | ('lit', value) | None, unwrapping only the casts
+    the analyzer inserts for type widening (numeric↔numeric) — any other
+    cast (decimal, truncation, string→date, ...) disables pruning."""
+    kind = e.getClass().getSimpleName()
+    if kind in ("AttributeReference", "UnresolvedAttribute"):
+        return ("attr", e.name())
+    if kind == "Literal":
+        v = e.value()
+        if v is None or isinstance(v, _JSONABLE):
+            return ("lit", v)
+        if e.dataType().simpleString() == "string":
+            return ("lit", str(v))  # UTF8String
+        return None
+    if kind == "Cast":
+        inner = _leaf(e.child())
+        if inner is None:
+            return None
+        src = e.child().dataType().simpleString()
+        dst = e.dataType().simpleString()
+        if src in _NUMERIC and dst in _NUMERIC:
+            return inner
+        if src == "string" and dst == "string":
+            return inner
+        return None
+    return None
+
+
+_CMP = {
+    "EqualTo": "=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+}
+
+
+def _walk_expr(e):
+    kind = e.getClass().getSimpleName()
+    if kind in ("And", "Or"):
+        left, right = _walk_expr(e.left()), _walk_expr(e.right())
+        return ("and" if kind == "And" else "or", left, right)
+    if kind in _CMP:
+        left, right = _leaf(e.left()), _leaf(e.right())
+        if left and right and left[0] == "attr" and right[0] == "lit":
+            return ("cmp", _CMP[kind], left[1], right[1])
+        if left and right and left[0] == "lit" and right[0] == "attr":
+            flip = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}
+            return ("cmp", flip[_CMP[kind]], right[1], left[1])
+        return None
+    if kind == "In":
+        tgt = _leaf(e.value())
+        if tgt is None or tgt[0] != "attr":
+            return None
+        lst = e.list()
+        vals = []
+        for i in range(lst.size()):
+            item = _leaf(lst.apply(i))
+            if item is None or item[0] != "lit":
+                return None
+            vals.append(item[1])
+        return ("in", tgt[1], vals)
+    if kind in ("IsNull", "IsNotNull"):
+        child = _leaf(e.child())
+        if child is not None and child[0] == "attr":
+            return ("isnull" if kind == "IsNull" else "isnotnull", child[1])
+    return None
+
+
+def _cmp_can_match(op: str, lo, hi, v) -> bool:
+    """May a value in [lo, hi] satisfy ``x <op> v``?  (False only when
+    provably impossible.)"""
+    try:
+        if op == "=":
+            return not (v < lo or v > hi)
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+    except TypeError:
+        return True  # cross-type comparison: don't prune
+    return True
+
+
+def _can_match(tree, fstat: dict) -> bool:
+    """Sound three-valued check: False ONLY when no row of a file with
+    these footer stats can satisfy the predicate."""
+    if tree is None:
+        return True
+    kind = tree[0]
+    if kind == "and":
+        return _can_match(tree[1], fstat) and _can_match(tree[2], fstat)
+    if kind == "or":
+        return _can_match(tree[1], fstat) or _can_match(tree[2], fstat)
+    cols = fstat.get("cols", {})
+    rows = fstat.get("rows")
+    if kind == "cmp":
+        _, op, col, v = tree
+        st = cols.get(col)
+        if st is None or v is None:
+            return True
+        if rows is not None and st.get("nulls") == rows:
+            return False  # all-null column: no comparison ever TRUE
+        return _cmp_can_match(op, st["min"], st["max"], v)
+    if kind == "in":
+        _, col, vals = tree
+        st = cols.get(col)
+        if st is None:
+            return True
+        if rows is not None and st.get("nulls") == rows:
+            return False
+        return any(
+            v is not None and _cmp_can_match("=", st["min"], st["max"], v)
+            for v in vals
+        )
+    if kind == "isnull":
+        st = cols.get(tree[1])
+        return st is None or st.get("nulls") is None or st["nulls"] > 0
+    if kind == "isnotnull":
+        st = cols.get(tree[1])
+        if st is None or rows is None or st.get("nulls") is None:
+            return True
+        return st["nulls"] < rows
+    return True
+
+
+def prune_candidate_files(
+    spark: SparkSession, manifest: dict, all_files: list[str], predicate: Column
+) -> list[str]:
+    """Files that MAY contain a predicate match, judged purely from the
+    manifest's footer stats — files pruned here are never opened."""
+    schema_json = manifest.get("schema")
+    if not schema_json:
+        return list(all_files)
+    tree = _pred_tree(
+        spark, StructType.fromJson(json.loads(schema_json)), predicate
+    )
+    if tree is None:
+        return list(all_files)
+    stats = manifest.get("stats") or {}
+    return [f for f in all_files if f not in stats or _can_match(tree, stats[f])]
+
+
 def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
     """Copy-on-write DELETE (the GDPR / right-to-be-forgotten primitive,
     Delta-style): commit a new version where rows matching ``predicate``
@@ -137,37 +431,63 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
     every untouched file is carried into the new manifest by reference.
 
     Why this survives 100 TB: deleting one user's rows from a 100 TB
-    table costs (a) one predicate-pushed scan to find the touched files
-    (parquet row-group stats skip most of them), (b) a rewrite of just
-    those files, (c) one manifest publish.  The table is never rewritten,
-    readers keep snapshot isolation (old versions still see the rows
-    until vacuum), and the delete is atomic — the manifest flips visibility
-    in one os.replace.
+    table costs (a) a MANIFEST-STATS prune that discards most files
+    without opening them (prune_candidate_files), (b) a predicate-pushed
+    skip-scan over just the candidates to find truly touched files,
+    (c) a rewrite of those files, (d) one manifest publish.  The table
+    is never rewritten, readers keep snapshot isolation (old versions
+    still see the rows until vacuum), and the delete is atomic — the
+    manifest flips visibility in one os.replace.
 
-    NULL-predicate rows are NOT deleted (SQL DELETE semantics: only
-    TRUE matches go).  Returns the new version number.
-    """
+    Edge cases: an empty current version commits a no-op child version;
+    a delete that leaves zero surviving rows in the rewritten files
+    publishes a version that simply drops them (never referencing an
+    empty/unreadable data dir).  NULL-predicate rows are NOT deleted
+    (SQL DELETE semantics: only TRUE matches go).  Returns the new
+    version number."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
     parent = versions[-1]
     root = os.path.abspath(path)
-    all_files = _expand_files(root, _entries(_read_manifest(path, parent)))
-    cur = spark.read.parquet(*[os.path.join(root, f) for f in all_files])
-    # which files contain at least one matching row?  predicate pushdown +
-    # row-group stats make this a skip-scan; result is metadata-sized
-    touched: set[str] = set()
-    for r in (
-        cur.withColumn("__file", F.input_file_name())
-        .filter(predicate)
-        .select("__file")
-        .distinct()
-        .collect()
-    ):
-        local = unquote(urlparse(r["__file"]).path)
-        touched.add(os.path.relpath(local, root))
+    pm = _read_manifest(path, parent)
+    all_files = _expand_files(root, _entries(pm))
+    parent_stats = pm.get("stats") or {}
     version = parent + 1
+    if not all_files:
+        # empty table: publish a no-op child version (delete of nothing)
+        _publish(
+            path,
+            {
+                "version": version,
+                "parent": parent,
+                "data_dirs": [],
+                "data_files": [],
+                "schema": pm.get("schema"),
+                "stats": {},
+                "txns": _merge_txns(pm, None),
+            },
+        )
+        return version
+    # (a) metadata-only prune: most files never get opened
+    candidates = prune_candidate_files(spark, pm, all_files, predicate)
+    # (b) which candidates contain at least one matching row?  predicate
+    # pushdown + row-group stats make this a skip-scan; result is
+    # metadata-sized
+    touched: set[str] = set()
+    if candidates:
+        cur = spark.read.parquet(*[os.path.join(root, f) for f in candidates])
+        for r in (
+            cur.withColumn("__file", F.input_file_name())
+            .filter(predicate)
+            .select("__file")
+            .distinct()
+            .collect()
+        ):
+            local = unquote(urlparse(r["__file"]).path)
+            touched.add(os.path.relpath(local, root))
     new_dirs: list[str] = []
+    new_stats: dict = {}
     if touched:
         data_dir = f"data/v{version}"
         (
@@ -177,7 +497,11 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
             # (same rationale as versioned_write)
             .write.mode("overwrite").parquet(os.path.join(root, data_dir))
         )
-        new_dirs = [data_dir]
+        # a delete that removed every row of the touched files can leave a
+        # dir with no parquet parts — never reference an unreadable dir
+        if _expand_files(root, [data_dir]):
+            new_dirs = [data_dir]
+            new_stats = _collect_stats(root, [data_dir])
     untouched = [f for f in all_files if f not in touched]
     _publish(
         path,
@@ -186,6 +510,12 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
             "parent": parent,
             "data_dirs": new_dirs,
             "data_files": untouched,
+            "schema": pm.get("schema"),
+            "stats": {
+                **{f: parent_stats[f] for f in untouched if f in parent_stats},
+                **new_stats,
+            },
+            "txns": _merge_txns(pm, None),
         },
     )
     return version
@@ -195,7 +525,9 @@ def versioned_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Scan a table version (default: latest committed).  Time travel =
-    pass any previously published version number."""
+    pass any previously published version number.  A version with zero
+    data entries (everything deleted) reads as an empty DataFrame with
+    the manifest's recorded schema."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -203,35 +535,62 @@ def versioned_read(
         version = versions[-1]
     elif version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    entries = _entries(_read_manifest(path, version))
+    manifest = _read_manifest(path, version)
+    entries = _entries(manifest)
+    if not entries:
+        schema_json = manifest.get("schema")
+        if not schema_json:
+            raise ValueError(
+                f"version {version} of {path} is empty and records no schema"
+            )
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
     return spark.read.parquet(*[os.path.join(path, e) for e in entries])
 
 
 def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
     """Retention: drop manifests older than the newest ``keep_last``
-    versions and delete data directories no kept version references.
-    Returns the deleted directory names.  Time travel keeps working for
-    every retained version; this is the explicit moment old snapshots
-    stop being reachable (Delta VACUUM semantics)."""
+    versions and delete every data FILE no kept version references —
+    file-granular, as Delta's VACUUM: after a copy-on-write delete the
+    pre-delete file that still physically holds the deleted rows is
+    removed as soon as no retained version references it, even when a
+    sibling file in the same directory stays live.  Directories are
+    removed once they hold no parquet files.  Returns the deleted
+    entries (a bare dir name when the whole dir went, else the
+    individual file paths).  Time travel keeps working for every
+    retained version; the txn ledger survives because every manifest
+    carries the full compacted ledger forward (see ``committed_meta``)."""
     import shutil
 
     versions = table_versions(path)
     if len(versions) <= keep_last:
         return []
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
-    # a data dir is live if any kept version references the dir itself OR
-    # any individual file under it (copy-on-write deletes keep files by
-    # reference, so partially-referenced dirs must survive whole)
-    live: set[str] = set()
+    root = os.path.abspath(path)
+    live_files: set[str] = set()
     for v in kept:
-        for e in _entries(_read_manifest(path, v)):
-            live.add(e if not e.endswith(".parquet") else os.path.dirname(e))
-    deleted = []
+        live_files.update(_expand_files(root, _entries(_read_manifest(path, v))))
+    deleted: list[str] = []
+    drop_dirs: set[str] = set()
     for v in dropped:
         for e in _entries(_read_manifest(path, v)):
-            d = e if not e.endswith(".parquet") else os.path.dirname(e)
-            if d not in live and os.path.isdir(os.path.join(path, d)):
-                shutil.rmtree(os.path.join(path, d))
-                deleted.append(d)
+            for f in _expand_files(root, [e]):
+                drop_dirs.add(os.path.dirname(f))
+                if f not in live_files and os.path.isfile(os.path.join(root, f)):
+                    os.remove(os.path.join(root, f))
+                    deleted.append(f)
         os.remove(os.path.join(path, f"manifest-v{v}.json"))
+    # collapse: a dir with no parquet files left is residue (_SUCCESS etc.)
+    collapsed: list[str] = []
+    for d in sorted(drop_dirs):
+        full = os.path.join(root, d)
+        if os.path.isdir(full) and not _expand_files(root, [d]):
+            shutil.rmtree(full)
+            collapsed.append(d)
+    if collapsed:
+        # report whole-dir removals as the dir, not its files
+        deleted = [
+            f for f in deleted if os.path.dirname(f) not in set(collapsed)
+        ] + collapsed
     return deleted

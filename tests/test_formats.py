@@ -364,3 +364,131 @@ def test_versioned_write_reclaims_orphaned_data_dir(spark, tmp_path):
     assert v2 == 2
     got = {r["id"] for r in versioned_read(spark, path).collect()}
     assert got == {0, 1, 2, 10, 11, 12, 13}
+
+
+def test_versioned_delete_prunes_from_manifest_stats(spark, tmp_path):
+    """versioned_delete must identify non-candidate files from the
+    MANIFEST's footer stats without opening them.  Proof: corrupt a file
+    whose stats exclude the predicate — the delete still succeeds, so the
+    skip-scan never read it (the Delta/Iceberg data-skipping model)."""
+    import json
+
+    from gsmls_analysis_spark.sources.versioned import (
+        prune_candidate_files,
+        versioned_delete,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(30).select("id", (F.col("id") % 3).cast("string").alias("grp"))
+    versioned_write(df.repartitionByRange(3, "id"), path)  # ids 0-9/10-19/20-29
+    man = _read_manifest(path, 1)
+    files = _expand_files(path, man["data_dirs"])
+    assert len(files) == 3 and len(man["stats"]) == 3
+    # stats landed in the manifest with real min/max
+    ids = sorted(
+        (s["cols"]["id"]["min"], s["cols"]["id"]["max"])
+        for s in man["stats"].values()
+    )
+    assert ids == [(0, 9), (10, 19), (20, 29)]
+    cand = prune_candidate_files(
+        spark, man, files, F.col("id").between(22, 24)
+    )
+    assert len(cand) == 1
+    # corrupt the two non-candidate files: if the skip-scan opened them,
+    # the delete would blow up
+    for f in files:
+        if f not in cand:
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"PAR1 garbage")
+    v2 = versioned_delete(spark, path, F.col("id").between(22, 24))
+    man2 = json.load(open(f"{path}/manifest-v{v2}.json"))
+    assert len(man2["data_files"]) == 2  # untouched files carried by ref
+    # rewritten file got fresh stats; untouched kept theirs by reference
+    assert set(man2["stats"]) >= set(man2["data_files"])
+
+
+def test_versioned_vacuum_is_file_granular(spark, tmp_path):
+    """After a copy-on-write delete, the PRE-delete file that still
+    physically holds the deleted rows must be reclaimed by vacuum even
+    though a sibling file in the same data dir stays referenced (the
+    right-to-be-forgotten guarantee; Delta VACUUM semantics)."""
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_vacuum,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(30).select("id")
+    versioned_write(df.repartitionByRange(3, "id"), path)  # v1: 3 files
+    v1_files = set(_expand_files(path, ["data/v1"]))
+    versioned_delete(spark, path, F.col("id").between(22, 24))  # v2
+    kept_files = set(_read_manifest(path, 2)["data_files"])
+    rewritten_src = v1_files - kept_files  # the file that held 22-24
+    assert len(rewritten_src) == 1
+    deleted = versioned_vacuum(path, keep_last=1)
+    # the superseded file is physically gone, its live siblings survive
+    assert deleted == sorted(rewritten_src)
+    for f in rewritten_src:
+        assert not os.path.exists(os.path.join(path, f))
+    for f in kept_files:
+        assert os.path.exists(os.path.join(path, f))
+    assert {r["id"] for r in versioned_read(spark, path).collect()} == set(
+        range(30)
+    ) - {22, 23, 24}
+
+
+def test_versioned_txn_ledger_survives_vacuum(spark, tmp_path):
+    """committed_meta is the exactly-once ledger for streaming ingest;
+    vacuuming old manifests must NOT erase their txn ids (each manifest
+    carries the full compacted ledger forward, Delta's txn model), or a
+    crashed stream's replay would double-commit."""
+    from gsmls_analysis_spark.sources.versioned import (
+        committed_meta,
+        table_versions,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    for b in range(5):
+        versioned_write(
+            spark.range(b * 10, b * 10 + 3),
+            path,
+            mode="append",
+            meta={"txn": f"app/{b}"},
+        )
+    assert committed_meta(path, "txn") == {f"app/{b}" for b in range(5)}
+    versioned_vacuum(path, keep_last=1)
+    assert table_versions(path) == [5]
+    # all five txns still visible from the sole retained manifest
+    assert committed_meta(path, "txn") == {f"app/{b}" for b in range(5)}
+
+
+def test_versioned_delete_empty_edges(spark, tmp_path):
+    """Delete-everything leaves a readable empty version (schema from the
+    manifest, no unreadable zero-part dir); a further delete on the empty
+    table is a clean no-op version, not a crash."""
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(10).select("id", F.lit("x").alias("tag"))
+    versioned_write(df, path)
+    v2 = versioned_delete(spark, path, F.col("id") >= 0)  # deletes ALL rows
+    got = versioned_read(spark, path, v2)
+    assert got.count() == 0
+    assert got.columns == ["id", "tag"]  # schema preserved with zero files
+    v3 = versioned_delete(spark, path, F.col("id") == 1)  # delete on empty
+    assert v3 == 3
+    assert versioned_read(spark, path, v3).count() == 0
+    assert versioned_read(spark, path, 1).count() == 10  # time travel intact
