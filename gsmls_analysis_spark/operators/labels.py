@@ -363,3 +363,22 @@ def resolve_style(df: DataFrame, style_col: str = "STYLE_SHORT") -> DataFrame:
             ).otherwise(F.lit("Unknown")),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# F33 — timeframe classifier (GSMLS.py:120-129 assign_timeframe)
+# ---------------------------------------------------------------------------
+
+
+def timeframe_classifier(year: Column, current_year: int) -> Column:
+    """'current' for the reference year, 'mixed' for the year before,
+    'historic' otherwise (GSMLS.py:120-129: ``assign_timeframe`` leaves
+    the current year untouched, marks year−1 'mixed', everything else
+    'historic').  ``current_year`` is an explicit parameter instead of
+    the reference's ``datetime.now()`` — determinism over wall clock.
+    Pure `when` chain: codegen'd, zero shuffle."""
+    return (
+        F.when(year == current_year, "current")
+        .when(year == current_year - 1, "mixed")
+        .otherwise("historic")
+    )

@@ -647,3 +647,39 @@ def q_upper_and_zero_pad(spark, sf_dir):
             "month_padded"
         ),
     )
+
+
+@query(
+    "q_timeframe_classifier",
+    oracle="""
+SELECT CASE WHEN YEAR(o_orderdate) = 1998 THEN 'current'
+            WHEN YEAR(o_orderdate) = 1997 THEN 'mixed'
+            ELSE 'historic' END AS timeframe,
+       count(*) AS n_orders,
+       min(YEAR(o_orderdate)) AS min_year,
+       max(YEAR(o_orderdate)) AS max_year
+FROM orders
+GROUP BY 1
+""",
+    doc="F33 timeframe classifier (GSMLS.py:120-129 assign_timeframe as "
+    "operators/labels.py::timeframe_classifier): orders bucketed into "
+    "current / mixed / historic relative to reference year 1998 (the "
+    "TPC-H horizon), with per-bucket counts and year bounds.  Pure "
+    "`when` chain over year(o_orderdate) — codegen'd, one counts-only "
+    "shuffle.",
+)
+def q_timeframe_classifier(spark, sf_dir):
+    from ..operators.labels import timeframe_classifier
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr")
+    )
+    return (
+        orders.withColumn("timeframe", timeframe_classifier(F.col("yr"), 1998))
+        .groupBy("timeframe")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("yr").alias("min_year"),
+            F.max("yr").alias("max_year"),
+        )
+    )
