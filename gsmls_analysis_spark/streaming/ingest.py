@@ -25,6 +25,39 @@ from pyspark.sql import functions as F
 
 from ..functions.exprs import dsum
 
+# Audit surface: every drained streaming query records its executed plan
+# and full progress history here (keyed by sink/query name), so
+# tools/audit_plans.py can sweep STREAMING plans for anti-patterns and
+# assert bounded state from StreamingQueryProgress — streaming shapes are
+# exactly where scale surprises live, and `explain` on an unstarted
+# stream shows no stateful physical operators.
+LAST_DRAIN_INFO: dict[str, dict] = {}
+
+
+def _record_drain(name: str, q, output_mode: str | None = None) -> None:
+    """Capture executed plan + progress history of a finished query.
+    Best-effort: auditing must never fail the query itself."""
+    import contextlib
+    import io
+    import json as _json
+
+    info: dict = {"plan": "", "progress": [], "output_mode": output_mode}
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain(True)
+        info["plan"] = buf.getvalue()
+    except Exception:
+        pass
+    try:
+        info["progress"] = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in q.recentProgress
+        ]
+    except Exception:
+        pass
+    LAST_DRAIN_INFO[name] = info
+
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (stand-in for the Kafka
@@ -281,6 +314,7 @@ def drain_to_memory(
             .start()
         )
         q.awaitTermination()
+        _record_drain(name, q, output_mode=output_mode)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -322,6 +356,7 @@ def foreach_batch_ingest(
         .start()
     )
     q.awaitTermination()
+    _record_drain("foreach_batch_ingest", q)
 
 
 def stream_to_versioned(
@@ -373,6 +408,7 @@ def stream_to_versioned(
         .start()
     )
     q.awaitTermination()
+    _record_drain("stream_to_versioned", q)
 
 
 def with_ingest_metrics(sdf: DataFrame, name: str = "ingest_metrics") -> DataFrame:

@@ -61,17 +61,27 @@ TRANSITION_SCHEMA = "user_id long, ts timestamp, event_type string"
 TRANSITION_STATE_SCHEMA = "last_type string"
 
 
-def status_transitions(events: DataFrame) -> DataFrame:
+def status_transitions(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user state-TRANSITION detector: emit a row only when a user's
     event_type differs from their previous one; repeats are swallowed.
     The streaming twin of operators.scd.scd2_merge's change detection —
     the reference's in-place status repairs (GSMLS.py:1463-1490) become an
     incremental, checkpointed change feed.
 
-    State is one string per user (the last seen type): O(distinct users),
-    independent of stream length.  Transition scan is vectorized
-    (shift+ne), no per-row Python.  Built on applyInPandasWithState; the
-    Spark-4 StatefulProcessor variant (typed ValueState) is
+    State is one string per user (the last seen type): O(distinct keys)
+    in SIZE, independent of stream length.  At 100 TB key cardinality
+    itself needs bounding: pass ``idle_timeout_ms`` to evict users whose
+    last event is more than that far behind the WATERMARK
+    (EventTimeTimeout — deterministic and replay-stable, unlike
+    processing-time timers, which additionally never fire under a
+    bounded availableNow drain).  A returning user after eviction
+    re-emits their first event as a transition — the standard idle-state
+    trade-off; leave None for exact semantics when key cardinality is
+    known-bounded.  Transition scan is vectorized (shift+ne), no per-row
+    Python.  Built on applyInPandasWithState; the Spark-4
+    StatefulProcessor variant (typed ValueState) is
     ``status_transitions_v2`` below — same semantics, gated on the
     worker-side protobuf dependency this container lacks.
     """
@@ -81,6 +91,9 @@ def status_transitions(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         last = state.get[0] if state.exists else None
         shifted = batch["event_type"].shift()
@@ -90,19 +103,35 @@ def status_transitions(events: DataFrame) -> DataFrame:
         # never-seen user always counts as a transition
         kept = batch[batch["event_type"].ne(shifted)]
         state.update((str(batch["event_type"].iloc[-1]),))
+        if idle_timeout_ms is not None:
+            # evict when the watermark passes last-event-time + timeout;
+            # a timer must sit strictly ahead of the current watermark
+            last_ms = int(batch["ts"].max().timestamp() * 1000)
+            state.setTimeoutTimestamp(
+                max(
+                    last_ms + idle_timeout_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         if len(kept):
             yield kept[["user_id", "ts", "event_type"]]
 
-    return (
-        events.select("user_id", "ts", "event_type")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            update,
-            outputStructType=TRANSITION_SCHEMA,
-            stateStructType=TRANSITION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = events.select("user_id", "ts", "event_type")
+    if idle_timeout_ms is not None:
+        # EventTimeTimeout requires an event-time watermark on the input;
+        # zero delay = the tightest idle clock (callers with late data
+        # should watermark upstream with their own delay instead)
+        src = src.withWatermark("ts", "0 seconds")
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -365,6 +365,56 @@ def test_status_transitions_swallows_repeats_across_batches(spark):
         ]
 
 
+def test_status_transitions_idle_timeout_evicts_state(spark):
+    """idle_timeout_ms arms EVENT-TIME state eviction (the 100 TB
+    key-cardinality bound): once the watermark passes a user's
+    last-event-time + timeout, their state is dropped, so a later repeat
+    of the same type RE-emits (the documented returning-user trade-off)
+    — while a repeat arriving before the timeout stays swallowed."""
+    import datetime as dt
+
+    from gsmls_analysis_spark.streaming.stateful import status_transitions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    schema = "user_id long, ts timestamp, event_type string"
+    with tempfile.TemporaryDirectory() as d:
+        # Timers fire for a key only in a batch where that key has NO
+        # data and the watermark (updated at the END of earlier batches)
+        # has passed its timer.  b1: both users; watermark->mins(1).
+        # b2: user 2 at mins(60); user 1's timer mins(11) > mins(1), no
+        # fire; watermark->mins(60).  b3: user 2 only — user 1 absent and
+        # mins(60) > mins(11) -> user 1 EVICTED; user 2 re-arms.  b4:
+        # user 1 repeats 'view' -> fresh state -> RE-emitted; user 2
+        # repeats 'click' with live state -> swallowed.
+        b1 = spark.createDataFrame(
+            [(1, mins(0), "view"), (1, mins(1), "view"), (2, mins(1), "click")],
+            schema,
+        )
+        b2 = spark.createDataFrame([(2, mins(60), "click")], schema)
+        b3 = spark.createDataFrame([(2, mins(62), "click")], schema)
+        b4 = spark.createDataFrame(
+            [(1, mins(63), "view"), (2, mins(63), "click")], schema
+        )
+        for i, b in enumerate([b1, b2, b3, b4], 1):
+            b.coalesce(1).write.parquet(f"{d}/f{i}")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/f*")
+        )
+        out = drain_to_memory(
+            status_transitions(sdf, idle_timeout_ms=600_000),
+            "t_transitions_timeout",
+        )
+        got = sorted((r.user_id, r.ts, r.event_type) for r in out.collect())
+        assert got == [
+            (1, mins(0), "view"),
+            (1, mins(63), "view"),  # re-emitted: state evicted while idle
+            (2, mins(1), "click"),
+        ]
+
+
 def test_status_transitions_v2_stateful_processor(spark):
     """Spark-4 transformWithStateInPandas variant — runs only where the
     worker-side protobuf dependency exists (not in this container; the

@@ -2,10 +2,18 @@
 physical-plan anti-patterns.  The correctness gate proves the WHAT; this
 sweeps the HOW — the judge-facing scale properties.
 
-Flags:
+Batch flags:
 - CartesianProduct / BroadcastNestedLoopJoin  (accidental theta join)
 - more than one round-robin exchange           (redundant scan spreading)
 - filter above a parquet scan with NO pushed filters (pushdown broken)
+
+Streaming-native queries (they execute at build time via an availableNow
+drain) are audited from their RECORDED execution instead: the executed
+micro-batch plan (streaming/ingest.py::LAST_DRAIN_INFO) is swept for the
+same join anti-patterns, and StreamingQueryProgress is checked for
+bounded state — peak stateOperators.numRowsTotal must stay within a
+small multiple of the drained input rows (a missing watermark / runaway
+state store shows up here first at scale).
 
 Usage: python tools/audit_plans.py [sf_dir]
 """
@@ -21,10 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gsmls_analysis_spark.queries import load_all  # noqa: E402
 from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.streaming import ingest as _ingest  # noqa: E402
 
-# streaming-native queries execute at build time (availableNow drain) and
-# pandas queries have no interesting plan shape — audit their batch twins
-SKIP = {
+# queries that RUN a streaming drain at build time: audited via the
+# recorded executed plan + progress, not via explain on the returned
+# (batch) result.  q_stream_versioned_ingest appears via warehouse usage.
+STREAMING = {
     "q_stream_tumbling_hour_native",
     "q_stream_sessionize_native",
     "q_stream_dedup_within_watermark",
@@ -34,6 +44,59 @@ SKIP = {
     "q_stream_status_transitions_native",
     "q_stream_sliding_window_native",
     "q_stream_static_enrich_native",
+    "q_stream_versioned_ingest",
+}
+
+# complete-mode drains intentionally retain every window's state for the
+# bounded replay (results re-emitted each batch); their state bound is
+# group-count-shaped, not input-shaped — still checked, wider multiple
+_STATE_ROW_MULTIPLE = 5
+
+
+def audit_streaming(name: str, total_input_rows: int) -> list[str]:
+    flags: list[str] = []
+    if not _ingest.LAST_DRAIN_INFO:
+        return [f"no drain recorded for {name}"]
+    for qname, info in _ingest.LAST_DRAIN_INFO.items():
+        plan = info.get("plan", "")
+        if "CartesianProduct" in plan:
+            flags.append(f"{qname}: cartesian-product in streaming plan")
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.append(f"{qname}: nested-loop-join in streaming plan")
+        peak_state = 0
+        has_state = False
+        for p in info.get("progress", []):
+            for op in p.get("stateOperators", []) or []:
+                has_state = True
+                peak_state = max(peak_state, op.get("numRowsTotal", 0))
+        if has_state and total_input_rows > 0 and peak_state > (
+            _STATE_ROW_MULTIPLE * total_input_rows
+        ):
+            flags.append(
+                f"{qname}: state rows {peak_state} > "
+                f"{_STATE_ROW_MULTIPLE}x input {total_input_rows}"
+            )
+        # a stateful op in APPEND mode with no event-time watermark never
+        # evicts — unbounded state (complete-mode replays are exempt: the
+        # memory-sink replay IS the output contract there; allowlisted
+        # shapes carry an explicit bounded-state justification)
+        if (
+            has_state
+            and "EventTimeWatermark" not in plan
+            and info.get("output_mode") != "complete"
+            and qname not in BOUNDED_STATE_OK
+        ):
+            flags.append(f"{qname}: stateful append-mode plan without watermark")
+    return flags
+
+
+# keyed-value-state operators whose state is O(distinct keys) in size (one
+# small value per key) with an eviction knob exposed for cardinality
+# control — not time-unbounded aggregation/join state
+BOUNDED_STATE_OK = {
+    # one string per user; idle_timeout_ms evicts idle keys
+    # (streaming/stateful.py::status_transitions)
+    "stream_status_transitions",
 }
 
 
@@ -89,20 +152,31 @@ def main() -> None:
     spark = get_spark("plan-audit")
     reg = load_all()
     n_flagged = 0
+    n_events = None
     for name, qd in sorted(reg.items()):
-        if name in SKIP:
-            continue
-        try:
-            plan = plan_of(qd.fn(spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001
-            print(f"ERROR {name}: {exc}")
-            n_flagged += 1
-            continue
-        flags = audit(name, plan)
+        if name in STREAMING:
+            if n_events is None:
+                n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+            _ingest.LAST_DRAIN_INFO.clear()
+            try:
+                qd.fn(spark, sf_dir).count()  # executes the drain(s)
+            except Exception as exc:  # noqa: BLE001
+                print(f"ERROR {name}: {exc}")
+                n_flagged += 1
+                continue
+            flags = audit_streaming(name, n_events)
+        else:
+            try:
+                plan = plan_of(qd.fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                print(f"ERROR {name}: {exc}")
+                n_flagged += 1
+                continue
+            flags = audit(name, plan)
         if flags:
             n_flagged += 1
             print(f"FLAG {name}: {', '.join(flags)}")
-    print(f"audited {len(reg) - len(SKIP)} plans, {n_flagged} flagged")
+    print(f"audited {len(reg)} plans ({len(STREAMING)} streaming), {n_flagged} flagged")
 
 
 if __name__ == "__main__":
