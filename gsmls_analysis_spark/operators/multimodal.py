@@ -2,11 +2,15 @@
 typed metadata, processed by Arrow-batched pandas functions over
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(``decode_media`` raises NotImplementedError unless given the deterministic
-fake codec) — but the Spark-side plumbing is real and tested: schema,
-partitioning, UDF signatures, Arrow batch shapes, and the feature/
-frame-sample transforms run on actual bytes.
+The container has no image/audio codec LIBRARIES, so JPEG/PNG/ffmpeg
+decode stays stubbed (``decode_media(codec='real')`` raises) — but one
+real codec is implemented from scratch: 24-bit uncompressed BMP
+(``encode_bmp``/``decode_bmp``/``decode_bmp_stats``), pure
+Python/numpy over the public format spec, so the decode leg runs on
+genuinely encoded bytes (magic, little-endian headers, 4-byte row
+padding, bottom-up rows).  The rest of the plumbing — schema,
+partitioning, UDF signatures, Arrow batch shapes, feature/frame-sample
+transforms — is real and tested on actual bytes either way.
 
 Scale notes: payloads never pass through the driver; mapInPandas streams
 Arrow record batches executor-side, so memory is bounded by
@@ -82,16 +86,24 @@ def synthesize_assets(
 
 
 def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
-    """STUB — real decode needs image/audio libs absent from this container.
+    """Decode the ``payload`` column into real metadata.
 
-    ``codec='real'`` raises; ``codec='fake'`` applies a deterministic fake
-    decode (dims derived from the first payload bytes) so downstream
-    plumbing is exercisable end-to-end.
+    ``codec='bmp'``: REAL decode of 24-bit uncompressed BMP payloads —
+    pure-Python/numpy header parsing + pixel statistics over Arrow
+    batches (see ``decode_bmp_stats``); no external codec library.
+    ``codec='fake'``: deterministic fake decode (dims derived from the
+    first payload bytes) for plumbing tests.
+    ``codec='real'`` (JPEG/PNG/audio/video): raises — those codecs need
+    libraries absent from this container; the BMP path proves the
+    decode plumbing on genuine encoded bytes.
     """
+    if codec == "bmp":
+        return decode_bmp_stats(df)
     if codec == "real":
         raise NotImplementedError(
-            "media decode requires codec libraries (PIL/ffmpeg) not present "
-            "in this environment; use codec='fake' for the deterministic stub"
+            "JPEG/PNG/audio/video decode requires codec libraries "
+            "(PIL/ffmpeg) not present in this environment; use codec='bmp' "
+            "for the real pure-Python BMP path or codec='fake' for the stub"
         )
     # fake dims from the first two payload bytes (payloads here are ASCII,
     # so a string round-trip reads the raw byte values)
@@ -157,3 +169,151 @@ def sample_frames(assets: DataFrame, every_k: int = 3) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: 24-bit uncompressed BMP (Windows BITMAPINFOHEADER), the one
+# mainstream raster format simple enough to encode/decode correctly in
+# pure Python — so the decode leg of the multimodal pipeline runs on
+# GENUINE encoded bytes (magic, little-endian headers, 4-byte row
+# padding, bottom-up row order), not a stand-in.
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def bmp_row_stride(width: int) -> int:
+    """Bytes per pixel row: 3·width padded up to a multiple of 4."""
+    return (3 * width + 3) & ~3
+
+
+def encode_bmp(width: int, height: int, bgr: bytes) -> bytes:
+    """Encode raw BGR pixel data (row-major, top-down, 3 bytes/pixel,
+    len == 3·width·height) as a 24-bit uncompressed BMP."""
+    import struct
+
+    if len(bgr) != 3 * width * height:
+        raise ValueError(
+            f"need {3 * width * height} BGR bytes for {width}x{height}, "
+            f"got {len(bgr)}"
+        )
+    stride = bmp_row_stride(width)
+    pad = b"\x00" * (stride - 3 * width)
+    # BMP stores rows bottom-up
+    rows = [
+        bgr[y * 3 * width : (y + 1) * 3 * width] + pad
+        for y in range(height - 1, -1, -1)
+    ]
+    pixels = b"".join(rows)
+    file_size = _BMP_HEADER + len(pixels)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, _BMP_HEADER)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a 24-bit uncompressed bottom-up BMP; returns (width, height,
+    pixels) with pixels shaped (height, width, 3) in BGR, top-down.
+    Raises ValueError on anything that isn't that exact profile — a
+    decode error, not a crash, so callers can quarantine bad payloads."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < _BMP_HEADER or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad magic/short header)")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if dib_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP profile (dib={dib_size} planes={planes} "
+            f"bpp={bpp} compression={compression})"
+        )
+    if height <= 0 or width <= 0:
+        raise ValueError("top-down or empty BMP not supported")
+    stride = bmp_row_stride(width)
+    need = offset + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=offset)
+    rows = raw.reshape(height, stride)[:, : 3 * width]  # drop row padding
+    return width, height, rows[::-1].reshape(height, width, 3)
+
+
+def decode_bmp_stats(assets: DataFrame) -> DataFrame:
+    """Real decode over Arrow batches: width/height from the BMP header
+    and exact per-channel pixel means (integer-scaled: mean·10^6 floored,
+    engine-portable) — the feature-extraction shape a real vision
+    pipeline uses (decode → per-image stats), with undecodable payloads
+    quarantined into decode_error instead of failing the batch."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "mean_b_micro": [],
+                "mean_g_micro": [],
+                "mean_r_micro": [],
+                "decode_error": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(asset_id)
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                    sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    n = w * h
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_b_micro"].append(int(sums[0]) * 1_000_000 // n)
+                    out["mean_g_micro"].append(int(sums[1]) * 1_000_000 // n)
+                    out["mean_r_micro"].append(int(sums[2]) * 1_000_000 // n)
+                    out["decode_error"].append(None)
+                except ValueError as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_b_micro"].append(None)
+                    out["mean_g_micro"].append(None)
+                    out["mean_r_micro"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, width long, height long, mean_b_micro long, "
+        "mean_g_micro long, mean_r_micro long, decode_error string",
+    )
+
+
+def synthesize_bmp_assets(
+    df: DataFrame, id_col: str, width_col: str, height_col: str
+) -> DataFrame:
+    """Executor-side synthesis of GENUINELY ENCODED BMP payloads: each
+    row's pixels follow the deterministic rule
+    ``channel(x, y) = (id + x + y + channel_index) mod 256`` so an
+    oracle can compute the expected decoded statistics analytically
+    while the Spark side round-trips real bytes.  Arrow-batched
+    mapInPandas — payloads are built and stay executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, w, h in zip(pdf["_id"], pdf["_w"], pdf["_h"]):
+                w, h = int(w), int(h)
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((int(rid) + x + y + c) % 256).astype(np.uint8)
+                ids.append(rid)
+                payloads.append(encode_bmp(w, h, px.tobytes()))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(width_col).cast("long").alias("_w"),
+        F.col(height_col).cast("long").alias("_h"),
+    ).mapInPandas(gen, "asset_id long, payload binary")

@@ -173,3 +173,64 @@ def test_decode_media_real_codec_is_stubbed(spark, sf_dir):
     fake = decode_media(assets, codec="fake").select("meta.width", "meta.height")
     for row in fake.collect():
         assert 1 <= row["width"] <= 64 and 1 <= row["height"] <= 64
+
+
+def test_bmp_codec_roundtrip_and_padding():
+    """Pure-codec check: encode→decode is the identity on pixel data,
+    including a width whose 3·w row length is NOT a multiple of 4 (the
+    padding case real BMP readers get wrong first)."""
+    import numpy as np
+
+    from gsmls_analysis_spark.operators.multimodal import (
+        bmp_row_stride,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w, h in [(5, 3), (4, 2), (1, 1), (7, 6)]:
+        bgr = bytes((i * 37 + 11) % 256 for i in range(3 * w * h))
+        payload = encode_bmp(w, h, bgr)
+        assert len(payload) == 54 + bmp_row_stride(w) * h
+        w2, h2, px = decode_bmp(payload)
+        assert (w2, h2) == (w, h)
+        assert px.dtype == np.uint8 and px.shape == (h, w, 3)
+        assert px.reshape(-1).tobytes() == bgr
+
+
+def test_bmp_decode_rejects_bad_payloads():
+    """Decode errors are ValueErrors (quarantinable), not crashes: bad
+    magic, truncated pixel data, and unsupported profiles all refuse."""
+    import struct
+
+    import pytest as _pytest
+
+    from gsmls_analysis_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    good = encode_bmp(4, 2, bytes(range(24)))
+    with _pytest.raises(ValueError, match="magic|short"):
+        decode_bmp(b"PNG" + good[3:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-5])
+    # flip bpp to 8: unsupported profile
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_bmp_stats_quarantines_bad_rows(spark):
+    """A corrupt payload lands in decode_error; good rows still decode —
+    the dead-letter pattern at the decode stage (no batch failure)."""
+    from gsmls_analysis_spark.operators.multimodal import (
+        decode_bmp_stats,
+        encode_bmp,
+    )
+
+    good = encode_bmp(2, 2, bytes([10] * 12))  # constant 10 everywhere
+    rows = [(1, good), (2, b"not a bmp at all")]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in decode_bmp_stats(df).collect()}
+    assert got[1]["decode_error"] is None
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert got[1]["mean_b_micro"] == 10_000_000
+    assert got[2]["decode_error"] is not None and got[2]["width"] is None
