@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import materialize
+
 
 def salted_group_agg(
     df: DataFrame,
@@ -187,7 +189,7 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
         yield pd.DataFrame({key_col: pd.Series([None], dtype=object), "wt": [total]})
 
     sketched = df.select(key_col).mapInPandas(sketch, schema=out_schema)
-    sketched = sketched.localCheckpoint(eager=True)  # one sketch pass, reused twice
+    sketched = sketched.transform(materialize)  # one sketch pass, reused twice
     candidates = (
         sketched.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
     )

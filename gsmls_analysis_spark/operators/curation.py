@@ -25,6 +25,8 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import truncate_lineage
+
 # ---------------------------------------------------------------------------
 # connected components: near-dup pairs -> dedup clusters
 # ---------------------------------------------------------------------------
@@ -53,7 +55,7 @@ def connected_components(
     handful of rounds where min-label propagation needs 1000.  Works for
     ANY orderable id type (numeric or string): convergence is detected by
     edge-set stability (count + exceptAll), never by summing labels, so it
-    is ANSI-overflow-safe and type-agnostic.  ``localCheckpoint`` truncates
+    is ANSI-overflow-safe and type-agnostic.  ``truncate_lineage`` (reliable checkpoint) truncates
     lineage each round.  Raises RuntimeError if ``max_iter`` rounds pass
     without a fixpoint (with log^2 convergence this means a pathological
     input, and a loud failure beats silently under-merged clusters).
@@ -67,7 +69,7 @@ def connected_components(
     # InferFiltersFromConstraints when unioned/self-joined below
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -75,9 +77,9 @@ def connected_components(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
-    e = edges.localCheckpoint(eager=True)
+    e = edges.transform(truncate_lineage)
     n_prev = e.count()
     converged = False
     rounds = 0
@@ -120,7 +122,7 @@ def connected_components(
                 mins2.select(F.col("ku").alias("u"), F.col("mn").alias("v"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n_new = ss.count()
         if n_new == n_prev and ss.exceptAll(e).isEmpty():

@@ -9,7 +9,8 @@ is usually the canonical version, not the one with the smallest id).
 Scale notes: each iteration is one join edges->ranks (shuffle on src, the
 same partitioning every round) + one aggregate on dst + one left join back
 to the node spine; lineage is truncated per iteration with
-``localCheckpoint`` so n_iter rounds never build an n_iter-deep plan.
+``truncate_lineage`` (reliable checkpoint) so n_iter rounds never
+build an n_iter-deep plan and a lost executor re-reads from storage.
 Cross-engine determinism: per-edge contributions are rounded then summed
 as DECIMAL (exact, order-free), so the same arithmetic replays in any
 engine — the oracle unrolls the identical iterations as nested CTEs.
@@ -19,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.partitioning import truncate_lineage
 
 ROUND_DP = 12
 
@@ -43,13 +46,13 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
@@ -80,6 +83,6 @@ def pagerank(
                     ROUND_DP,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return ranks

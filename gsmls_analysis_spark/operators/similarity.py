@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import truncate_lineage
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -210,7 +212,7 @@ def ivf_train(
         nv.orderBy("__id")
         .limit(n_cells)
         .select((F.row_number().over(w) - 1).alias("cell"), "nv")
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     for _ in range(n_iter):
         assigned = ivf_assign(nv, cents, id_col="__id", n_probe=1).select(
@@ -247,7 +249,7 @@ def ivf_train(
                 "cell",
                 F.coalesce(F.col("new_nv"), F.col("nv")).alias("nv"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return cents
 

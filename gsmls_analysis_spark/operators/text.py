@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import materialize
+
 # ---------------------------------------------------------------------------
 # Tokenization & counting
 # ---------------------------------------------------------------------------
@@ -195,7 +197,8 @@ def pmi_bigrams(
     final top-k is TakeOrderedAndProject.  Document text never shuffles.
     """
     toks = df.select(tokens(F.col(text_col)).alias("__toks"))
-    # vocab-sized counts are MATERIALIZED once (localCheckpoint): unigrams
+    # vocab-sized counts are MATERIALIZED once (materialize: eager
+    # persist, lineage kept): unigrams
     # feed three consumers and bigram counts two — without this the
     # optimizer re-derives each from its own corpus scan (observed: 10
     # scans in the plan; with it, the corpus is read exactly twice —
@@ -205,7 +208,7 @@ def pmi_bigrams(
         toks.select(F.explode("__toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # adjacent pairs via one array transform; try_element_at past the end
     # yields NULL and the filter drops the dangling last element
@@ -221,7 +224,7 @@ def pmi_bigrams(
     bcounts = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     totals = unigrams.agg(F.sum("c").alias("n")).join(
         bcounts.agg(F.sum("c_ab").alias("m"))
@@ -284,12 +287,12 @@ def lm_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         toks.select(F.explode("__toks").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c_a"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     bcounts = (
         doc_bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     vsize = ucounts.agg(F.count(F.lit(1)).alias("v"))
     # score: ln p per bigram occurrence, rounded then decimal-summed
@@ -347,14 +350,14 @@ def tfidf_top_terms(
     exists; everything is bounded by tokens + vocab."""
     ids = F.col(id_col)
     # (doc, term, tf) feeds BOTH document frequency and the scoring join;
-    # materialize it once (localCheckpoint, memory+disk) instead of
+    # materialize it once (eager persist, memory+disk, lineage kept) instead of
     # letting each consumer re-tokenize the corpus — at 100 TB this is
     # the intermediate you'd persist between the two passes
     term_counts = (
         df.select(ids.alias("__id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     doc_freq = term_counts.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq")
@@ -489,7 +492,7 @@ def remove_frequent_tokens(
         dfreq.join(F.broadcast(n_docs))
         .filter(F.col("df_t") * 100 > F.lit(max_df_pct) * F.col("__n_docs"))
         .select("term")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     kept = pos_toks.join(F.broadcast(stop), "term", "left_anti")
     rebuilt = kept.groupBy("__id").agg(
@@ -552,10 +555,10 @@ def bm25_scores(
             F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"tf_{i}")
             for i, t in enumerate(terms)
         ]
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     dl = df.select(
         ids.alias("__id"), token_count(F.col(text_col)).alias("dl")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     stats = dl.agg(
         F.count(F.lit(1)).alias("N"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -65,3 +65,43 @@ def _bytes_conf(spark, key: str, default: int) -> int:
         if raw.endswith(suffix):
             return int(raw[: -len(suffix)]) * mult
     return int(raw)
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a multi-consumer intermediate WITHOUT severing
+    lineage: persist(MEMORY_AND_DISK) + a count() to force computation.
+
+    This replaces ``localCheckpoint(eager=True)`` everywhere an
+    intermediate feeds several downstream consumers: localCheckpoint
+    stores blocks on executor-local disk AND truncates lineage, so one
+    lost executor kills the whole query; persist keeps the lineage, so a
+    lost block is recomputed from source — the fault-tolerance property
+    that matters at 1000 executors.  Blocks spill to disk when memory is
+    tight.  For intermediates big enough to outlive a query (or feed a
+    separate job), write to durable storage instead — see
+    prefix_filter_jaccard_pairs' scratch_dir for that pattern."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    return out
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Eagerly materialize AND truncate lineage — for ITERATIVE algorithms
+    (PageRank, connected components, Lloyd) whose plans would otherwise
+    deepen every round.  Uses a RELIABLE checkpoint (storage-backed, any
+    executor can re-read after a loss) whenever a checkpoint dir is
+    available: auto-provisions a temp dir in local mode; on a cluster,
+    point ``sc.setCheckpointDir`` at shared storage (HDFS/S3) before
+    calling the iterative operators.  Falls back to localCheckpoint
+    (executor-local blocks, no fault tolerance) only when no directory
+    can be provisioned — the trade-off every round then re-accepts."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None and sc.master.startswith("local"):
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

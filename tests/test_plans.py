@@ -202,3 +202,12 @@ def test_sliding_window_batch_plan_partial_aggregates(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
     assert "hashpartitioning(" in plan
+
+
+def test_profile_table_scans_input_once(spark, sf_dir):
+    """profile_table builds every per-column metric family in ONE
+    projection over ONE scan; a per-column loop of separate aggregates
+    (the r3 regression) would scan the input once per column."""
+    reg = load_all()
+    plan = _plan(reg["q_profile_orders"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet  (") == 1
