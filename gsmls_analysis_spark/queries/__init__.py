@@ -43,81 +43,70 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # (a) the 32 queries that had NEVER appeared in a driver window
-    # (r3 verdict item 1: round 4's window = all post-window r3 additions
-    # so every one of the registry's queries has a cumulative driver row).
-    # Flagship first: the composed curation chain is the single best
-    # end-to-end proof of the LLM-pipeline mandate (verdict item 4).
-    "q_curation_pipeline_chain",
+    # ROUND 5 window (policy + slot accounting in docs/ROUND5_NOTES.md).
+    # (a) the 11 queries that have NEVER had a driver CORRECTNESS row
+    # (r4 verdict item 1) — closing these completes cumulative driver
+    # coverage of the whole registry.
+    "q_dup_span_stats",
+    "q_golden_record",
+    "q_interpolate_gaps",
+    "q_ivm_join_delta",  # oracle also changed r5 (empty-delta filter)
+    "q_lm_perplexity",
+    "q_nearest_comps",
+    "q_ols_price_model",
+    "q_pmi_bigrams",
+    "q_prefix_jaccard_pairs",  # code also changed r5 (positional filter)
+    "q_stream_versioned_ingest",  # code also changed r5 (txn ledger)
+    "q_versioned_delete",  # code also changed r5 (stats pruning)
+    # (c) added in round 5 — never driver-checked
+    "q_timeframe_classifier",  # F33 closed
+    "q_multimodal_bmp_decode",  # real BMP codec end-to-end
+    # (b) code changed in round 5 — must re-verify through the driver:
+    # materialize()/truncate_lineage() swaps (text/curation/graph/
+    # similarity/aggs), versioned-table rewrite, streaming drain
+    # recording, stateful idle-timeout plumbing
+    "q_tfidf_top_terms",
     "q_bm25_search",
-    "q_fuzzy_name_match",
-    "q_time_weighted_avg",
-    "q_longest_daily_streak",
-    "q_revenue_share_by_nation",
-    "q_weighted_sample",
-    "q_conversion_funnel",
-    "q_merge_on_read_current",
-    "q_stream_static_enrich_native",
-    "q_variant_props_extract",
-    "q_user_retention_cohorts",
-    "q_nation_month_spine",
-    "q_ntile_decile_stats",
-    "q_forward_fill",
-    "q_moving_avg_revenue",
-    "q_snapshot_diff",
-    "q_dq_expectations",
-    "q_profile_orders",
-    "q_value_histogram",
+    "q_boilerplate_filter",
+    "q_curation_pipeline_chain",
+    "q_semantic_dedup",
+    "q_source_cap_best",
+    "q_pagerank_dup_graph",
     "q_dup_graph_triangles",
-    "q_null_safe_join",
-    "q_sources_per_lang_agg",
-    "q_event_transition_matrix",
-    "q_top_quantities_with_ties",
-    "q_supplier_balance_standing",
-    "q_status_priority_unpivot",
-    "q_props_json_extract",
-    "q_monthly_reconciliation",
-    "q_try_arithmetic",
-    "q_cumulative_revenue_range",
-    "q_chunk_token_windows",
-    # (b) code or oracle changed in round 4 — must (re-)verify
-    "q_simhash_near_dups",  # star edges now unfiltered + star-tagged
-    "q_tfidf_top_terms",  # rank key now scaled-integer TF-IDF score
-    "q_lsh_topk",  # promoted rows-only -> sign-block oracle
-    "q_lsh_topk_multiprobe",  # promoted rows-only -> generated SRP oracle
-    "q_stream_stream_join_native",  # state_partitions right-sized (r4)
-    "q_ivf_topk_trained",  # promoted rows-only -> unrolled-Lloyd oracle (r4)
-    "q_image_documents_nested",  # promoted rows-only -> constructed-JSON oracle
-    # (c) added in round 4 — never driver-checked
-    "q_semantic_dedup",  # embedding near-dups -> components -> keep-best
-    "q_heavy_hitter_tokens",  # Misra-Gries candidates + exact recount
-    "q_source_cap_best",  # per-domain cap (keep longest 50 per source)
-    "q_zorder_orders",  # Morton-code layout key, bit-ladder oracle
-    "q_incremental_rollup",  # mergeable agg states vs full-recompute oracle
-    "q_merge_upsert",  # MERGE INTO shape, full-outer oracle
-    "q_pagerank_dup_graph",  # iterative PageRank, unrolled-CTE oracle
-    "q_cdc_apply",  # CDC feed latest-wins apply (I/U/D), full-outer oracle
-    "q_ewma_revenue",  # exact-integer EWMA, power-of-two weights
-    "q_null_bypass_join",  # null-skew bypass split, plain-LEFT-JOIN oracle
-    # (d) last slot: of the EIGHT late-round-4 additions (never
-    # driver-checked: q_interpolate_gaps, q_pmi_bigrams,
-    # q_versioned_delete, q_logreg_quality, q_ols_price_model,
-    # q_stream_versioned_ingest, q_prefix_jaccard_pairs,
-    # q_dup_span_stats) the one with the most float-determinism surface —
-    # the iterative GD trainer — takes the remaining slot; the other
-    # seven are verified by the committed local-gate runs at ALL THREE
-    # scale factors (docs/GATE_r04_*.txt) and lead the round-5 rotation
-    # under policy clause (a).
-    "q_logreg_quality",
-    # (q01/q03/q04/q05/q06/q07/q10/q14/q19, q_asof_latest_order,
-    # q_keep_last_dedup, q_events_dedup_latest_per_user, q_iqr_outliers and
-    # q_multi_hot_attrs yielded their slots to the round-4 additions,
-    # the re-tuned stream-stream join, and the rows-only->oracle
-    # promotions; all are cumulatively driver-green from earlier rounds and
-    # stay on the local gate, and q01 is additionally re-run every round as
-    # the driver's entry() smoke.  The r3-bench-flagged shapes q04/q07/q10
-    # were settled as environmental by the same-session A/B in
-    # docs/BENCH_NOTES.md.)
+    "q_ivf_topk",
+    "q_ivf_topk_trained",
+    "q_heavy_hitter_tokens",
+    "q_stream_status_transitions_native",
+    "q_stream_tumbling_hour_native",
+    "q_stream_sessionize_native",
+    "q_stream_dedup_within_watermark",
+    "q_stream_json_quarantine_native",
+    "q_stream_foreach_batch_ingest",
+    "q_stream_stream_join_native",
+    "q_stream_sliding_window_native",
+    "q_stream_static_enrich_native",
+    # (d) remaining slots: the TPC-H core + early-round operator queries
+    # that yielded their seats to r4's additions return as the
+    # representative re-greens (all cumulatively driver-green r1-r2)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_late_shipment_priority",
+    "q05_nation_revenue",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q_asof_latest_order",
+    "q_keep_last_dedup",
+    "q_events_dedup_latest_per_user",
+    "q_iqr_outliers",
+    "q_multi_hot_attrs",
+    "q_minhash_lsh_pairs",
+    "q_simhash_near_dups",
+    "q_exact_dup_groups",
+    # (everything else keeps registration order after the window and
+    # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]
 
 
