@@ -58,6 +58,9 @@ HEADLINE = [
     "q_multi_hot_attrs",
     "q_multimodal_features",
     "q_validate_quarantine",
+    # r4 verdict item 8: bench the remaining heavy additions
+    "q_golden_record",  # entity resolution: CC + keep-best + coalesce
+    "q_multimodal_bmp_decode",  # real codec round-trip (r5): mapInPandas
 ]
 
 

@@ -25,7 +25,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import truncate_lineage
+from ..plans.partitioning import materialize, truncate_lineage
 
 # ---------------------------------------------------------------------------
 # connected components: near-dup pairs -> dedup clusters
@@ -55,8 +55,10 @@ def connected_components(
     handful of rounds where min-label propagation needs 1000.  Works for
     ANY orderable id type (numeric or string): convergence is detected by
     edge-set stability (count + exceptAll), never by summing labels, so it
-    is ANSI-overflow-safe and type-agnostic.  ``truncate_lineage`` (reliable checkpoint) truncates
-    lineage each round.  Raises RuntimeError if ``max_iter`` rounds pass
+    is ANSI-overflow-safe and type-agnostic.  Each round's edge set is
+    reliably checkpointed (``truncate_lineage``): plans stay flat and a
+    lost executor re-reads round state from storage — with O(log^2 n)
+    rounds the per-round write is a bounded, shrinking edge set.  Raises RuntimeError if ``max_iter`` rounds pass
     without a fixpoint (with log^2 convergence this means a pathological
     input, and a loud failure beats silently under-merged clusters).
 
@@ -77,9 +79,9 @@ def connected_components(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .transform(truncate_lineage)
+        .transform(materialize)
     )
-    e = edges.transform(truncate_lineage)
+    e = edges.transform(materialize)
     n_prev = e.count()
     converged = False
     rounds = 0

@@ -9,8 +9,9 @@ is usually the canonical version, not the one with the smallest id).
 Scale notes: each iteration is one join edges->ranks (shuffle on src, the
 same partitioning every round) + one aggregate on dst + one left join back
 to the node spine; lineage is truncated per iteration with
-``truncate_lineage`` (reliable checkpoint) so n_iter rounds never
-build an n_iter-deep plan and a lost executor re-reads from storage.
+``truncate_lineage`` (reliable checkpoint) per round so n_iter rounds
+never build an n_iter-deep plan and a lost executor re-reads round
+state from storage.
 Cross-engine determinism: per-edge contributions are rounded then summed
 as DECIMAL (exact, order-free), so the same arithmetic replays in any
 engine — the oracle unrolls the identical iterations as nested CTEs.
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import truncate_lineage
+from ..plans.partitioning import materialize, truncate_lineage
 
 ROUND_DP = 12
 
@@ -46,13 +47,13 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .transform(truncate_lineage)
+        .transform(materialize)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .transform(truncate_lineage)
+        .transform(materialize)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import truncate_lineage
+from ..plans.partitioning import materialize, truncate_lineage
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -212,7 +212,7 @@ def ivf_train(
         nv.orderBy("__id")
         .limit(n_cells)
         .select((F.row_number().over(w) - 1).alias("cell"), "nv")
-        .transform(truncate_lineage)
+        .transform(materialize)
     )
     for _ in range(n_iter):
         assigned = ivf_assign(nv, cents, id_col="__id", n_probe=1).select(

@@ -103,5 +103,13 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        # checkpoint() recomputes its input while writing the checkpoint
+        # files unless the blocks are already cached (the documented RDD
+        # caveat) — persist first, checkpoint from cache, drop the cache
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()
+        return out
     return df.localCheckpoint(eager=True)

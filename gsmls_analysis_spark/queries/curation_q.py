@@ -949,8 +949,6 @@ WHERE a.n_names >= 2
     "entities.",
 )
 def q_golden_record(spark, sf_dir):
-    from pyspark.sql import Window
-
     from ..operators.joins import fuzzy_self_pairs
 
     part = load_table(spark, sf_dir, "part")
@@ -965,21 +963,27 @@ def q_golden_record(spark, sf_dir):
         "p_retailprice",
         F.coalesce(F.col("cluster_id"), F.col("p_name")).alias("cluster"),
     )
-    aggs = labeled.groupBy("cluster").agg(
-        F.min("p_partkey").alias("golden_id"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("p_name").alias("n_names"),
-    )
-    w = Window.partitionBy("cluster").orderBy(
-        F.desc("p_retailprice"), F.desc("p_partkey")
-    )
-    best = (
-        labeled.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    # survivorship as max(struct(price, key, brand)) — counts and the
+    # best member come out of ONE partial-aggregated groupBy; the
+    # window-sort + self-join formulation of the same rules would shuffle
+    # the labeled table three times instead of once
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.min("p_partkey").alias("golden_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("p_name").alias("n_names"),
+            F.max(
+                F.struct("p_retailprice", "p_partkey", "p_brand")
+            ).alias("__best"),
+        )
+        .filter(F.col("n_names") >= 2)
         .select(
             "cluster",
-            F.col("p_brand").alias("best_brand"),
-            F.col("p_retailprice").alias("best_price"),
+            "golden_id",
+            "n_rows",
+            "n_names",
+            F.col("__best.p_brand").alias("best_brand"),
+            F.col("__best.p_retailprice").alias("best_price"),
         )
     )
-    return aggs.join(best, "cluster").filter(F.col("n_names") >= 2)
