@@ -61,6 +61,9 @@ _DRIVER_WINDOW = [
     # (c) added in round 5 — never driver-checked
     "q_timeframe_classifier",  # F33 closed
     "q_multimodal_bmp_decode",  # real BMP codec end-to-end
+    "q_versioned_delete_bloom",  # GDPR delete with bloom file pruning
+    "q_versioned_compact",  # OPTIMIZE small-file bin-packing
+    "q_versioned_changes",  # manifest-diff CDC between versions
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -102,9 +105,6 @@ _DRIVER_WINDOW = [
     "q_events_dedup_latest_per_user",
     "q_iqr_outliers",
     "q_multi_hot_attrs",
-    "q_minhash_lsh_pairs",
-    "q_simhash_near_dups",
-    "q_exact_dup_groups",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

@@ -1199,3 +1199,116 @@ def q_ivm_join_delta(spark, sf_dir):
         .cast("double")
         .alias("new_revenue"),
     )
+
+
+@query(
+    "q_versioned_delete_bloom",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars,
+       source || '-' || CAST(doc_id AS VARCHAR) AS user_key
+FROM documents
+WHERE source || '-' || CAST(doc_id AS VARCHAR)
+      NOT IN ('src1-101', 'src2-202', 'src0-300')
+""",
+    doc="GDPR delete-by-key with BLOOM file pruning "
+    "(sources/versioned.py): the documents corpus is committed across 8 "
+    "round-robin files with a per-file Bloom filter on a high-cardinality "
+    "user key — a layout where every file's [min,max] key range spans the "
+    "whole space, so range stats prune nothing and blooms do all the "
+    "skipping.  Three users are erased via an IN-list copy-on-write "
+    "delete; the query returns the post-delete snapshot.  At 100 TB this "
+    "is THE right-to-be-forgotten shape: open only the files whose bloom "
+    "admits the key, rewrite those, carry the rest by reference.",
+)
+def q_versioned_delete_bloom(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat_ws("-", "source", F.col("doc_id").cast("string")).alias(
+            "user_key"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_bloom_")
+    versioned_write(docs.repartition(8), path, bloom_cols=["user_key"])
+    versioned_delete(
+        spark,
+        path,
+        F.col("user_key").isin("src1-101", "src2-202", "src0-300"),
+    )
+    return versioned_read(spark, path)
+
+
+@query(
+    "q_versioned_compact",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""",
+    doc="OPTIMIZE / small-file compaction "
+    "(sources/versioned.py::versioned_compact): the documents corpus is "
+    "committed as four append fragments (streaming-ingest decay), "
+    "bin-packed into target-size files as a new version, and read back — "
+    "row-for-row identical to the raw table (the oracle).  Snapshot "
+    "isolation holds for the fragment version until the file-granular "
+    "vacuum; bloom/stats are re-collected on the compacted files.  At "
+    "100 TB compaction is what keeps scan cost proportional to bytes, "
+    "not file count.",
+)
+def q_versioned_compact(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_compact,
+        versioned_read,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_compact_")
+    for i in range(4):
+        versioned_write(
+            docs.filter(F.col("doc_id") % 4 == i), path, mode="append"
+        )
+    versioned_compact(spark, path)
+    return versioned_read(spark, path)
+
+
+@query(
+    "q_versioned_changes",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars, 'delete' AS _change
+FROM documents WHERE source = 'src3'
+""",
+    doc="CDC between table versions via MANIFEST-DIFF "
+    "(sources/versioned.py::versioned_changes): v1 commits the corpus, "
+    "v2 deletes one source; the v1→v2 delta reads ONLY the files the "
+    "delete touched (files shared by both manifests are immutable and "
+    "cancel out of the diff — proven by the corrupt-shared-file unit), "
+    "yielding exactly the deleted rows tagged 'delete'.  At 100 TB this "
+    "is how downstream consumers incrementally follow a table without "
+    "re-scanning it.",
+)
+def q_versioned_changes(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import versioned_changes, versioned_delete, versioned_write
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_cdc_")
+    versioned_write(docs.repartitionByRange(8, "doc_id"), path)
+    versioned_delete(spark, path, F.col("source") == "src3")
+    return versioned_changes(spark, path, 1, 2)

@@ -90,7 +90,11 @@ def _merge_txns(parent_manifest: dict | None, meta: dict | None) -> dict:
 
 
 def versioned_write(
-    df: DataFrame, path: str, mode: str = "overwrite", meta: dict | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return its number.
 
@@ -99,7 +103,10 @@ def versioned_write(
     this commit's.  Either way no existing file is touched.  ``meta``
     (JSON-able) is recorded verbatim in the manifest — e.g. a streaming
     batch id, which makes replayed commits detectable (see
-    ``committed_meta``)."""
+    ``committed_meta``).  ``bloom_cols``: int/string key columns to build
+    per-file Bloom filters for — the equality-delete pruning that min/max
+    stats can't provide on high-cardinality keys; subsequent deletes on
+    the table keep blooming the same columns automatically."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = table_versions(path)
@@ -115,12 +122,14 @@ def versioned_write(
     # writer assumed, as in any manifest-pointer table format.)
     root = os.path.abspath(path)
     df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    if bloom_cols is None and pm:
+        bloom_cols = _bloom_cols_of(pm)
     manifest = {
         "version": version,
         "parent": parent,
         "data_dirs": [data_dir],
         "schema": df.schema.json(),
-        "stats": _collect_stats(root, [data_dir]),
+        "stats": _collect_stats(root, [data_dir], bloom_cols=bloom_cols),
     }
     if mode == "append" and pm:
         manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
@@ -173,6 +182,15 @@ def _entries(manifest: dict) -> list[str]:
     return list(manifest.get("data_dirs", [])) + list(manifest.get("data_files", []))
 
 
+def _bloom_cols_of(manifest: dict) -> list[str]:
+    """Columns any file of this manifest carries a bloom for — so deletes
+    and child commits keep blooming the table's established key columns."""
+    cols: set[str] = set()
+    for entry in (manifest.get("stats") or {}).values():
+        cols.update((entry.get("bloom") or {}).keys())
+    return sorted(cols)
+
+
 def _expand_files(root: str, entries: list[str]) -> list[str]:
     """Resolve dir entries to their parquet files (relative to root) so a
     commit can keep untouched files by reference; file entries pass
@@ -196,13 +214,78 @@ def _expand_files(root: str, entries: list[str]) -> list[str]:
 
 _JSONABLE = (int, float, str, bool)
 
+# Per-file Bloom filters for equality pruning (the GDPR delete-by-key
+# case): min/max stats cannot prune `user_id = X` when every file's key
+# range spans the whole id space, which is exactly how high-cardinality
+# keys land under any non-key-clustered layout.  A 1 KiB bloom per
+# (file, column) answers "definitely absent" for equality/IN predicates.
+# m=8192 bits, k=6: ~1% false-positive rate at ~850 distinct keys/file,
+# and a false positive only costs an unnecessary file open — never a
+# wrong result.
+_BLOOM_M = 8192
+_BLOOM_K = 6
 
-def _collect_stats(root: str, entries: list[str]) -> dict:
-    """Per-file ``{rows, cols: {col: {min, max, nulls}}}`` from parquet
-    FOOTERS (no data pages read).  Only JSON-able scalar stats (int /
+
+def _bloom_key(value) -> bytes | None:
+    """Canonical hash input; int and string keys only (float equality is
+    not a sane delete key; bool/None excluded)."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        return str(value).encode()
+    if isinstance(value, str):
+        return value.encode()
+    return None
+
+
+def _bloom_indexes(key: bytes) -> list[int]:
+    import hashlib
+
+    digest = hashlib.sha256(key).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") % _BLOOM_M
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(values) -> str | None:
+    """base64 bloom over the values; None if any value is un-keyable
+    (a partial bloom would prune incorrectly)."""
+    import base64
+
+    bits = bytearray(_BLOOM_M // 8)
+    for v in values:
+        if v is None:
+            continue
+        key = _bloom_key(v)
+        if key is None:
+            return None
+        for idx in _bloom_indexes(key):
+            bits[idx // 8] |= 1 << (idx % 8)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_may_contain(b64: str, value) -> bool:
+    import base64
+
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    bits = base64.b64decode(b64)
+    return all(bits[i // 8] & (1 << (i % 8)) for i in _bloom_indexes(key))
+
+
+def _collect_stats(
+    root: str, entries: list[str], bloom_cols: list[str] | None = None
+) -> dict:
+    """Per-file ``{rows, cols: {col: {min, max, nulls}}, bloom: {col:
+    b64}}`` — min/max/null from parquet FOOTERS (no data pages read);
+    Bloom filters additionally read just the requested key columns of
+    the files THIS commit wrote.  Only JSON-able scalar stats (int /
     float / string / bool columns) are recorded — other types simply
-    don't prune.  Driver-side loop over the files THIS commit wrote; on
-    a real cluster the write tasks report these back instead."""
+    don't prune.  Driver-side loop over the just-written files; on a
+    real cluster both stats and blooms ride back from the write tasks
+    (the Iceberg model)."""
     try:
         import pyarrow.parquet as pq
     except Exception:  # pragma: no cover - pyarrow is baked in
@@ -243,10 +326,25 @@ def _collect_stats(root: str, entries: list[str]) -> dict:
                         else prev["nulls"] + nulls
                     ),
                 }
-        stats[rel] = {
+        entry = {
             "rows": rows,
             "cols": {k: v for k, v in cols.items() if v is not None},
         }
+        if bloom_cols:
+            blooms = {}
+            want = [c for c in bloom_cols if c in md.schema.names]
+            if want:
+                try:
+                    tbl = pq.read_table(os.path.join(root, rel), columns=want)
+                    for c in want:
+                        b = _bloom_build(tbl[c].to_pylist())
+                        if b is not None:
+                            blooms[c] = b
+                except Exception:
+                    blooms = {}
+            if blooms:
+                entry["bloom"] = blooms
+        stats[rel] = entry
     return stats
 
 
@@ -377,8 +475,12 @@ def _can_match(tree, fstat: dict) -> bool:
         return _can_match(tree[1], fstat) or _can_match(tree[2], fstat)
     cols = fstat.get("cols", {})
     rows = fstat.get("rows")
+    blooms = fstat.get("bloom", {})
     if kind == "cmp":
         _, op, col, v = tree
+        if v is not None and op == "=" and col in blooms:
+            if not _bloom_may_contain(blooms[col], v):
+                return False  # definitely absent from this file
         st = cols.get(col)
         if st is None or v is None:
             return True
@@ -387,6 +489,11 @@ def _can_match(tree, fstat: dict) -> bool:
         return _cmp_can_match(op, st["min"], st["max"], v)
     if kind == "in":
         _, col, vals = tree
+        if col in blooms and all(
+            v is None or not _bloom_may_contain(blooms[col], v) for v in vals
+        ):
+            # IN never matches NULL; every non-null value definitely absent
+            return False
         st = cols.get(col)
         if st is None:
             return True
@@ -501,7 +608,9 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
         # dir with no parquet parts — never reference an unreadable dir
         if _expand_files(root, [data_dir]):
             new_dirs = [data_dir]
-            new_stats = _collect_stats(root, [data_dir])
+            new_stats = _collect_stats(
+                root, [data_dir], bloom_cols=_bloom_cols_of(pm)
+            )
     untouched = [f for f in all_files if f not in touched]
     _publish(
         path,
@@ -594,3 +703,100 @@ def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
             f for f in deleted if os.path.dirname(f) not in set(collapsed)
         ] + collapsed
     return deleted
+
+
+def versioned_compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """OPTIMIZE / small-file compaction: bin-pack the current version's
+    files into ~``target_file_bytes`` files as a NEW version with
+    identical rows — the maintenance op that streaming appends and
+    copy-on-write deletes make necessary (a table that ingests per-batch
+    commits decays into thousands of small files; scan cost then is
+    per-file overhead, not bytes).
+
+    Snapshot isolation holds: the pre-compaction version still reads the
+    fragments until ``versioned_vacuum`` reclaims them (file-granular).
+    Bloom columns are re-collected for the compacted files automatically.
+    At 100 TB, compact per partition/prefix on a schedule; the commit
+    protocol (write dir + one manifest publish) is unchanged."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    parent = versions[-1]
+    pm = _read_manifest(path, parent)
+    root = os.path.abspath(path)
+    files = _expand_files(root, _entries(pm))
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for f in files
+        if os.path.isfile(os.path.join(root, f))
+    )
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    version = parent + 1
+    data_dir = f"data/v{version}"
+    cur = versioned_read(spark, path, parent)
+    cur.repartition(n_out).write.mode("overwrite").parquet(
+        os.path.join(root, data_dir)
+    )
+    _publish(
+        path,
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": [data_dir],
+            "data_files": [],
+            "schema": pm.get("schema"),
+            "stats": _collect_stats(
+                root, [data_dir], bloom_cols=_bloom_cols_of(pm)
+            ),
+            "txns": _merge_txns(pm, None),
+            "meta": {"compacted_from": len(files), "compacted_to": int(n_out)},
+        },
+    )
+    return version
+
+
+def versioned_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """CDC between two published versions: the row-level delta as a
+    DataFrame with a ``_change`` column ('insert' = present in v_to but
+    not v_from, 'delete' = the reverse; an update appears as its
+    delete+insert pair).  Multiset semantics via exceptAll.
+
+    The scale trick is MANIFEST-DIFF: data files are immutable, so any
+    file referenced by BOTH versions contributes identical rows to each
+    side and cancels out of the delta — only files exclusive to one
+    version are ever read.  A v100→v101 diff of a 100 TB table reads the
+    handful of files that commit touched, not the table.  (Compaction
+    rewrites every file, so a diff ACROSS a compaction degrades to a
+    full comparison — diff between, not across, compaction points.)"""
+    versions = table_versions(path)
+    for v in (v_from, v_to):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    root = os.path.abspath(path)
+    mf, mt = _read_manifest(path, v_from), _read_manifest(path, v_to)
+    files_from = set(_expand_files(root, _entries(mf)))
+    files_to = set(_expand_files(root, _entries(mt)))
+    schema_json = mt.get("schema") or mf.get("schema")
+
+    def read_side(files: set[str]) -> DataFrame:
+        if not files:
+            if not schema_json:
+                raise ValueError("empty side and no recorded schema")
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        return spark.read.parquet(
+            *[os.path.join(root, f) for f in sorted(files)]
+        )
+
+    old_only = read_side(files_from - files_to)
+    new_only = read_side(files_to - files_from)
+    return new_only.exceptAll(old_only).withColumn(
+        "_change", F.lit("insert")
+    ).unionByName(
+        old_only.exceptAll(new_only).withColumn("_change", F.lit("delete"))
+    )

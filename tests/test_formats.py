@@ -492,3 +492,179 @@ def test_versioned_delete_empty_edges(spark, tmp_path):
     assert v3 == 3
     assert versioned_read(spark, path, v3).count() == 0
     assert versioned_read(spark, path, 1).count() == 10  # time travel intact
+
+
+def test_versioned_delete_bloom_prunes_equality_on_interleaved_keys(spark, tmp_path):
+    """The GDPR case min/max can't touch: user ids land round-robin
+    across files, so every file's [min,max] spans the whole key space and
+    range stats prune NOTHING on `user_id = X`.  Per-file Bloom filters
+    must prune to the one file actually holding the key — proved by
+    corrupting the other files before the delete."""
+    import json
+
+    from gsmls_analysis_spark.sources.versioned import (
+        prune_candidate_files,
+        versioned_delete,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(300).select(
+        F.concat(F.lit("user-"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("user_id"),
+        (F.col("id") * 7).alias("score"),
+    )
+    # round-robin layout: each of 4 files gets every 4th user
+    versioned_write(
+        df.repartition(4), path, bloom_cols=["user_id"]
+    )
+    man = _read_manifest(path, 1)
+    files = _expand_files(path, man["data_dirs"])
+    assert len(files) == 4
+    assert all("user_id" in man["stats"][f]["bloom"] for f in files)
+    target = "user-0042"
+    cand = prune_candidate_files(
+        spark, man, files, F.col("user_id") == target
+    )
+    assert len(cand) == 1  # bloom pruned 3 of 4; ranges alone prune 0
+    for f in files:
+        if f not in cand:
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"PAR1 corrupted")
+    v2 = versioned_delete(spark, path, F.col("user_id") == target)
+    man2 = json.load(open(f"{path}/manifest-v2.json"))
+    assert len(man2["data_files"]) == 3  # untouched files carried by ref
+    # the rewritten file re-bloomed the same key column
+    new_files = [f for f in man2["stats"] if f not in files]
+    assert all("user_id" in man2["stats"][f].get("bloom", {}) for f in new_files)
+
+
+def test_versioned_bloom_in_predicate_and_append_inherit(spark, tmp_path):
+    """IN-list pruning intersects blooms across values, and an append
+    commit inherits the table's bloom columns without re-specifying."""
+    from gsmls_analysis_spark.sources.versioned import (
+        prune_candidate_files,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+    )
+    versioned_write(base.repartition(3), path, bloom_cols=["k"])
+    versioned_write(
+        spark.range(100, 140).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+        ),
+        path,
+        mode="append",  # no bloom_cols: inherited from the parent manifest
+    )
+    man = _read_manifest(path, 2)
+    files = _expand_files(path, man["data_dirs"])
+    assert all("k" in man["stats"][f].get("bloom", {}) for f in files)
+    # IN over keys none of which exist -> every file pruned
+    cand = prune_candidate_files(
+        spark, man, files, F.col("k").isin("nope1", "nope2")
+    )
+    assert cand == []
+    # IN including one real key -> at least the holder survives
+    cand2 = prune_candidate_files(
+        spark, man, files, F.col("k").isin("nope1", "k105")
+    )
+    assert 1 <= len(cand2) < len(files)
+
+
+def test_versioned_compact_preserves_rows_and_reclaims_fragments(spark, tmp_path):
+    """OPTIMIZE: same rows, fewer files, a new version; the fragment
+    files stay readable via the old version until vacuum reclaims them
+    file-granularly; bloom columns are re-collected on the compacted
+    files."""
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_compact,
+        versioned_read,
+        versioned_vacuum,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    # 6 append commits of small files — streaming-ingest decay
+    for i in range(6):
+        versioned_write(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id"),
+                F.concat(F.lit("u"), F.col("id").cast("string")).alias("k"),
+            ),
+            path,
+            mode="append",
+            bloom_cols=["k"] if i == 0 else None,  # inherited afterwards
+        )
+    frag_files = _expand_files(path, ["data/v%d" % v for v in range(1, 7)])
+    assert len(frag_files) >= 6
+    v7 = versioned_compact(spark, path)
+    man = _read_manifest(path, v7)
+    new_files = _expand_files(path, man["data_dirs"])
+    assert len(new_files) < len(frag_files)
+    assert {r["id"] for r in versioned_read(spark, path).collect()} == set(
+        range(60)
+    )
+    # bloom carried onto the compacted files
+    assert all("k" in man["stats"][f].get("bloom", {}) for f in new_files)
+    # old version intact until vacuum; then fragments are reclaimed
+    assert versioned_read(spark, path, 6).count() == 60
+    versioned_vacuum(path, keep_last=1)
+    for f in frag_files:
+        assert not os.path.exists(os.path.join(path, f))
+    assert versioned_read(spark, path).count() == 60
+
+
+def test_versioned_changes_reads_only_touched_files(spark, tmp_path):
+    """Manifest-diff CDC: an append yields pure inserts, a delete pure
+    deletes — and files shared by both versions are NEVER read, proved
+    by corrupting every shared file before diffing."""
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_changes,
+        versioned_delete,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(30).select("id").repartitionByRange(3, "id"), path)
+    versioned_write(
+        spark.range(100, 105).select("id"), path, mode="append"
+    )  # v2: +5 rows
+    versioned_delete(spark, path, F.col("id").between(0, 4))  # v3: -5 rows
+    # corrupt files common to v1 and v2 (they must never be opened)
+    shared = set(
+        _expand_files(path, _read_manifest(path, 1)["data_dirs"])
+    ) & set(_expand_files(path, ["data/v2"] + _read_manifest(path, 2)["data_dirs"]))
+    assert shared
+    backup = {}
+    for f in shared:
+        p = os.path.join(path, f)
+        backup[f] = open(p, "rb").read()
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1 corrupt")
+    d12 = versioned_changes(spark, path, 1, 2).collect()
+    assert sorted((r["_change"], r["id"]) for r in d12) == [
+        ("insert", i) for i in range(100, 105)
+    ]
+    for f, data in backup.items():  # restore for the delete diff
+        with open(os.path.join(path, f), "wb") as fh:
+            fh.write(data)
+    d23 = versioned_changes(spark, path, 2, 3).collect()
+    assert sorted((r["_change"], r["id"]) for r in d23) == [
+        ("delete", i) for i in range(5)
+    ]
+    # reversed direction flips the tags
+    d32 = versioned_changes(spark, path, 3, 2).collect()
+    assert sorted((r["_change"], r["id"]) for r in d32) == [
+        ("insert", i) for i in range(5)
+    ]
