@@ -593,3 +593,74 @@ def bm25_scores(
     return joined.select(
         F.col("__id").alias(id_col), F.round(total, 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training — the tokenizer-training core, on-engine.
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> "list[tuple]":
+    """Byte-Pair-Encoding merge-rule training (Sennrich et al. 2016) as
+    pure DataFrame aggregations — the algorithm every modern tokenizer
+    vocabulary comes from, run where the corpus lives instead of
+    streaming 100 TB to a single trainer box.
+
+    Per round: (1) count adjacent symbol pairs across the WORD-FREQUENCY
+    table (corpus-sized work collapses to vocab-sized after the first
+    groupBy — Heaps' law), (2) pick the most frequent pair (count desc,
+    pair asc — deterministic), (3) apply the merge to every word as a
+    greedy left-to-right fold (``F.aggregate``, pure codegen'd
+    expression, no Python per row).  Only the 1-row winning pair crosses
+    to the driver per round — the logreg/Lloyd trainer pattern.  Word
+    boundaries are merge barriers (no end-of-word marker — documented
+    simplification; add one symbol to change that).
+
+    Returns the merge table as a list of
+    (rank, left, right, pair_count, merged) — metadata-sized (one row
+    per merge), which is what a tokenizer ships."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(materialize)
+    )
+    syms = words.select("c", F.split("w", "").alias("syms"))
+    rules: list[tuple] = []
+    for r in range(n_merges):
+        pairs = (
+            syms.select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms)-1),"
+                        " slice(syms, 2, size(syms)-1),"
+                        " (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merged = a + b
+        rules.append((r + 1, a, b, cnt, merged))
+        # greedy left-to-right application: fold the tail onto the head;
+        # Column-lambda form (no string interpolation of symbols)
+        syms = syms.select(
+            "c",
+            F.aggregate(
+                F.expr("slice(syms, 2, size(syms)-1)"),
+                F.slice(F.col("syms"), 1, 1),
+                lambda acc, x: F.when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).transform(materialize)
+    return rules

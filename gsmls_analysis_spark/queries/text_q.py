@@ -567,3 +567,71 @@ def q_lm_perplexity(spark, sf_dir):
         .filter(F.length(F.trim(F.col("text"))) > 0)
     )
     return tx.lm_perplexity(docs, "doc_id", "text")
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """Unrolled BPE rounds: each round recomputes pair counts from the
+    previous round's symbol table, picks the argmax, cross-joins the
+    1-row winner in (DuckDB lambdas cannot hold subqueries), and applies the merge with the SAME greedy left-to-right
+    list_reduce fold the Spark side uses (DuckDB slices are inclusive:
+    acc[:-2] is 'all but last')."""
+    parts = [
+        r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+s0 AS (SELECT c, string_split(w, '') AS syms FROM words)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT z.z[1] AS a, z.z[2] AS b, SUM(z.c) AS cnt FROM (
+    SELECT unnest(list_zip(syms[:-2], syms[2:])) AS z, c FROM s{r - 1}
+  ) z GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+s{r} AS (
+  SELECT c, list_reduce(list_transform(syms, x -> [x]),
+    (acc, x) -> CASE WHEN acc[-1] = br.a AND x[1] = br.b
+                THEN acc[:-2] || [br.m]
+                ELSE acc || x END) AS syms
+  FROM s{r - 1}, (SELECT a, b, a || b AS m FROM b{r}) br
+)"""
+        )
+    selects = [
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count, a || b AS merged FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query(
+    "q_bpe_merges",
+    oracle=_bpe_oracle(4),
+    doc="BPE tokenizer-vocabulary training ON-ENGINE "
+    "(operators/text.py::bpe_train, Sennrich et al. 2016): four merge "
+    "rounds over the documents corpus — per round, adjacent-symbol pair "
+    "counts over the word-frequency table (corpus-sized work collapses "
+    "to vocab-sized after one groupBy), deterministic argmax (count "
+    "desc, pair asc), greedy left-to-right merge application as a pure "
+    "F.aggregate fold.  Only the 1-row winning pair crosses to the "
+    "driver per round.  The oracle unrolls the identical four rounds "
+    "(argmax via scalar subqueries, the same fold via list_reduce) — "
+    "any divergence in counting, tie-break, or application order breaks "
+    "the hash.",
+)
+def q_bpe_merges(spark, sf_dir):
+    from ..operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    rules = bpe_train(docs, "text", n_merges=4)
+    return spark.createDataFrame(
+        rules,
+        "rank int, left_sym string, right_sym string, pair_count long, "
+        "merged string",
+    )

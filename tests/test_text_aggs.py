@@ -205,3 +205,37 @@ def test_lm_perplexity_ranks_garbled_above_typical(spark):
     typical_nll = out[0]["avg_nll"]
     assert all(out[i]["avg_nll"] == typical_nll for i in range(5))
     assert out[5]["avg_nll"] > typical_nll
+
+
+def test_bpe_train_textbook_example(spark):
+    """Sennrich et al.'s canonical example family: 'low'x3 lower lowest
+    new newer newest — the first merges must be (l,o) then (lo,w) with
+    count 5 (every low* word), then the e/w + n families; ties broken
+    (count desc, pair asc) deterministically."""
+    from gsmls_analysis_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest",), ("new newer newest",)],
+        "text string",
+    )
+    rules = bpe_train(df, "text", n_merges=4)
+    assert rules[0] == (1, "l", "o", 5, "lo")
+    assert rules[1] == (2, "lo", "w", 5, "low")
+    assert rules[2] == (3, "e", "w", 3, "ew")
+    assert rules[3] == (4, "n", "ew", 3, "new")
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    """'aaaa' under rule (a,a) must become [aa, aa] — greedy non-
+    overlapping, and the merged symbol must not re-trigger within the
+    same round ('aaa' -> [aa, a], never [a, aa] or [aaa])."""
+    from gsmls_analysis_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaaa aaa",)], "text string")
+    rules = bpe_train(df, "text", n_merges=2)
+    # round 1: (a,a) count = 3 (aaaa) ... pairs counted per word occurrence:
+    # 'aaaa' has 3 adjacent (a,a), 'aaa' has 2 -> count 5
+    assert rules[0] == (1, "a", "a", 5, "aa")
+    # round 2 pairs AFTER applying: 'aaaa'->[aa,aa] gives (aa,aa)=1;
+    # 'aaa'->[aa,a] gives (aa,a)=1; tie -> pair asc picks (aa,a)
+    assert rules[1] == (2, "aa", "a", 1, "aaa")
