@@ -97,3 +97,76 @@ def logreg_decision(feature_cols: list[str], weights: list[float]) -> Column:
     """The decision value w·x of a trained model; ``>= 0`` is the positive
     class (sigmoid(z) >= 0.5 ⇔ z >= 0 — no exp needed at inference)."""
     return _z(feature_cols, weights)
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    n_iter: int = 2,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.5,
+) -> dict[str, float]:
+    """Fellegi–Sunter probabilistic record linkage with EM-estimated
+    parameters, ON-ENGINE (Fellegi & Sunter 1969; the Splink/dedupe
+    model): given candidate pairs with boolean AGREEMENT columns, learn
+    per-field m-probabilities (P(agree | match)), u-probabilities
+    (P(agree | non-match)) and the match prior λ by expectation-
+    maximization.
+
+    Per iteration, ONE map-side-combined aggregate over the pair frame:
+
+        w_match_i = λ · Π_f (m_f if agree_if else 1−m_f)     fixed order
+        w_non_i   = (1−λ) · Π_f (u_f if agree_if else 1−u_f)
+        γ_i       = round(w_match_i / (w_match_i + w_non_i), 12)
+        m_f' = round(Σ round(γ_i·agree_if,12) / Σ round(γ_i,12), 12)
+        u_f' = round(Σ round((1−γ_i)·agree_if,12) / Σ round(1−γ_i,12), 12)
+        λ'   = round(Σ round(γ_i,12) / n, 12)
+
+    Sums are DECIMAL (exact, order-free) over 12-dp-rounded per-pair
+    terms; the likelihood products are fixed left-to-right double chains
+    — the logreg/PageRank determinism recipe, so a SQL oracle unrolls
+    identical iterations.  The driver holds only the (2·F+1)-float
+    parameter vector.  The match/non-match likelihood RATIO for scoring
+    a pair is Π m/u — monotone in the classic log-weight sum without a
+    libm log whose last ulp differs across engines.
+
+    Scale: candidate pairs come from blocking (the same composition as
+    the dedup layer); each EM pass shuffles only decimal partials per
+    partition.  Returns {"p": λ, "m_<col>": .., "u_<col>": ..}."""
+    dp = ROUND_DP
+    m = {c: float(init_m) for c in agree_cols}
+    u = {c: float(init_u) for c in agree_cols}
+    p = float(init_p)
+    dec = "decimal(32,12)"
+    for _ in range(n_iter):
+        wm: Column = F.lit(p)
+        wn: Column = F.lit(1.0 - p)
+        for c in agree_cols:
+            wm = wm * F.when(F.col(c), F.lit(m[c])).otherwise(F.lit(1.0 - m[c]))
+            wn = wn * F.when(F.col(c), F.lit(u[c])).otherwise(F.lit(1.0 - u[c]))
+        gamma = F.round(wm / (wm + wn), dp)
+        aggs = [
+            F.sum(F.round(gamma, dp).cast(dec)).alias("sg"),
+            F.sum(F.round(F.lit(1.0) - gamma, dp).cast(dec)).alias("sn"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+        for i, c in enumerate(agree_cols):
+            a = F.col(c).cast("double")
+            aggs.append(F.sum(F.round(gamma * a, dp).cast(dec)).alias(f"sga{i}"))
+            aggs.append(
+                F.sum(F.round((F.lit(1.0) - gamma) * a, dp).cast(dec)).alias(
+                    f"sna{i}"
+                )
+            )
+        row = pairs.agg(*aggs).collect()[0]  # parameter-sized driver pull
+        sg, sn, n = float(row["sg"]), float(row["sn"]), int(row["n"])
+        for i, c in enumerate(agree_cols):
+            m[c] = round(float(row[f"sga{i}"]) / sg, dp)
+            u[c] = round(float(row[f"sna{i}"]) / sn, dp)
+        p = round(sg / n, dp)
+    out = {"p": p}
+    for c in agree_cols:
+        out[f"m_{c}"] = m[c]
+        out[f"u_{c}"] = u[c]
+    return out

@@ -987,3 +987,144 @@ def q_golden_record(spark, sf_dir):
             F.col("__best.p_retailprice").alias("best_price"),
         )
     )
+
+
+def _fs_oracle() -> str:
+    """Two unrolled EM iterations of Fellegi-Sunter over blocked customer
+    pairs — the logreg-oracle idiom: fixed-order double products,
+    12-dp-rounded per-pair terms, DECIMAL sums, rounded re-estimates."""
+    return """
+WITH pairs AS (
+  SELECT (abs(x.c_acctbal - y.c_acctbal) < 500) AS a_bal,
+         (right(x.c_name, 2) = right(y.c_name, 2)) AS a_name,
+         (x.c_custkey % 7 = y.c_custkey % 7) AS a_key
+  FROM customer x JOIN customer y
+    ON x.c_nationkey = y.c_nationkey
+   AND x.c_mktsegment = y.c_mktsegment
+   AND x.c_custkey < y.c_custkey
+), g1 AS (
+  SELECT a_bal, a_name, a_key,
+         round(wm / (wm + wn), 12) AS gamma
+  FROM pairs,
+  LATERAL (SELECT
+      0.5 * (CASE WHEN a_bal THEN 0.9 ELSE 0.1 END)
+          * (CASE WHEN a_name THEN 0.9 ELSE 0.1 END)
+          * (CASE WHEN a_key THEN 0.9 ELSE 0.1 END) AS wm,
+      0.5 * (CASE WHEN a_bal THEN 0.1 ELSE 0.9 END)
+          * (CASE WHEN a_name THEN 0.1 ELSE 0.9 END)
+          * (CASE WHEN a_key THEN 0.1 ELSE 0.9 END) AS wn) w
+), e1 AS (
+  SELECT
+    round(CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / count(*), 12) AS p,
+    round(CAST(sum(CAST(round(gamma * CAST(a_bal AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS m0,
+    round(CAST(sum(CAST(round(gamma * CAST(a_name AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS m1,
+    round(CAST(sum(CAST(round(gamma * CAST(a_key AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS m2,
+    round(CAST(sum(CAST(round((1.0 - gamma) * CAST(a_bal AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(1.0 - gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS u0,
+    round(CAST(sum(CAST(round((1.0 - gamma) * CAST(a_name AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(1.0 - gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS u1,
+    round(CAST(sum(CAST(round((1.0 - gamma) * CAST(a_key AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(1.0 - gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS u2
+  FROM g1
+), g2 AS (
+  SELECT a_bal, a_name, a_key,
+         round(wm / (wm + wn), 12) AS gamma
+  FROM pairs, e1,
+  LATERAL (SELECT
+      e1.p * (CASE WHEN a_bal THEN e1.m0 ELSE 1.0 - e1.m0 END)
+           * (CASE WHEN a_name THEN e1.m1 ELSE 1.0 - e1.m1 END)
+           * (CASE WHEN a_key THEN e1.m2 ELSE 1.0 - e1.m2 END) AS wm,
+      (1.0 - e1.p) * (CASE WHEN a_bal THEN e1.u0 ELSE 1.0 - e1.u0 END)
+           * (CASE WHEN a_name THEN e1.u1 ELSE 1.0 - e1.u1 END)
+           * (CASE WHEN a_key THEN e1.u2 ELSE 1.0 - e1.u2 END) AS wn) w
+), e2 AS (
+  SELECT
+    round(CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / count(*), 12) AS p,
+    round(CAST(sum(CAST(round(gamma * CAST(a_bal AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS m0,
+    round(CAST(sum(CAST(round(gamma * CAST(a_name AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS m1,
+    round(CAST(sum(CAST(round(gamma * CAST(a_key AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS m2,
+    round(CAST(sum(CAST(round((1.0 - gamma) * CAST(a_bal AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(1.0 - gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS u0,
+    round(CAST(sum(CAST(round((1.0 - gamma) * CAST(a_name AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(1.0 - gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS u1,
+    round(CAST(sum(CAST(round((1.0 - gamma) * CAST(a_key AS DOUBLE), 12) AS DECIMAL(32,12))) AS DOUBLE)
+          / CAST(sum(CAST(round(1.0 - gamma, 12) AS DECIMAL(32,12))) AS DOUBLE), 12) AS u2
+  FROM g2
+)
+SELECT 'p' AS param, p AS value FROM e2
+UNION ALL SELECT 'm_a_bal', m0 FROM e2
+UNION ALL SELECT 'u_a_bal', u0 FROM e2
+UNION ALL SELECT 'm_a_name', m1 FROM e2
+UNION ALL SELECT 'u_a_name', u1 FROM e2
+UNION ALL SELECT 'm_a_key', m2 FROM e2
+UNION ALL SELECT 'u_a_key', u2 FROM e2
+"""
+
+
+@query(
+    "q_record_linkage_em",
+    oracle=_fs_oracle(),
+    doc="Fellegi-Sunter probabilistic record linkage with EM-trained "
+    "parameters ON-ENGINE (operators/ml.py::fellegi_sunter_em; the "
+    "Splink/dedupe model): candidate pairs from (nation, segment) "
+    "blocking over customers, three field-agreement comparisons "
+    "(balance band, name suffix, key residue), two EM iterations — each "
+    "ONE map-side-combined aggregate whose shuffle carries 2F+1 decimal "
+    "partials per partition; the driver holds only the parameter "
+    "vector.  12-dp-rounded terms + DECIMAL sums + fixed-order "
+    "likelihood products (no libm log: match scores are likelihood "
+    "RATIO products, monotone in the classic log-weight sum) make the "
+    "run bit-reproducible — the oracle unrolls both EM rounds.",
+)
+def q_record_linkage_em(spark, sf_dir):
+    from ..operators.ml import fellegi_sunter_em
+
+    c = load_table(spark, sf_dir, "customer")
+    x = c.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal1"),
+        F.expr("right(c_name, 2)").alias("sfx1"),
+        (F.col("c_custkey") % 7).alias("ph1"),
+    )
+    y = c.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal2"),
+        F.expr("right(c_name, 2)").alias("sfx2"),
+        (F.col("c_custkey") % 7).alias("ph2"),
+    )
+    pairs = (
+        x.join(y, ["nk", "seg"])
+        .filter(F.col("k1") < F.col("k2"))
+        .select(
+            (F.abs(F.col("bal1") - F.col("bal2")) < 500).alias("a_bal"),
+            (F.col("sfx1") == F.col("sfx2")).alias("a_name"),
+            (F.col("ph1") == F.col("ph2")).alias("a_key"),
+        )
+    )
+    params = fellegi_sunter_em(
+        pairs, ["a_bal", "a_name", "a_key"], n_iter=2
+    )
+    order = [
+        "p",
+        "m_a_bal",
+        "u_a_bal",
+        "m_a_name",
+        "u_a_name",
+        "m_a_key",
+        "u_a_key",
+    ]
+    return spark.createDataFrame(
+        [(k, float(params[k])) for k in order], "param string, value double"
+    )

@@ -1,0 +1,22 @@
+
+
+def test_fellegi_sunter_em_separates_m_and_u(spark):
+    """On pairs with a planted match cluster (agree on both informative
+    fields) amid random non-matches, EM must push m above u for the
+    informative fields, keep probabilities in (0,1), and be partitioning-
+    independent (decimal sums): 1-partition and 7-partition runs give
+    bit-identical parameters."""
+    from gsmls_analysis_spark.operators.ml import fellegi_sunter_em
+
+    rows = []
+    for i in range(40):  # matches: agree on f1 and f2
+        rows.append((True, True))
+    for i in range(160):  # non-matches: mostly disagree
+        rows.append((i % 8 == 0, i % 5 == 0))
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean")
+    params = fellegi_sunter_em(df.repartition(7), ["f1", "f2"], n_iter=2)
+    assert 0.0 < params["p"] < 1.0
+    assert params["m_f1"] > params["u_f1"]
+    assert params["m_f2"] > params["u_f2"]
+    params1 = fellegi_sunter_em(df.coalesce(1), ["f1", "f2"], n_iter=2)
+    assert params == params1
