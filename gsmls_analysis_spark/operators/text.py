@@ -648,19 +648,42 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> "list[tuple]":
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merged = a + b
         rules.append((r + 1, a, b, cnt, merged))
-        # greedy left-to-right application: fold the tail onto the head;
-        # Column-lambda form (no string interpolation of symbols)
-        syms = syms.select(
-            "c",
-            F.aggregate(
-                F.expr("slice(syms, 2, size(syms)-1)"),
-                F.slice(F.col("syms"), 1, 1),
-                lambda acc, x: F.when(
-                    (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("syms"),
-        ).transform(materialize)
+        # greedy left-to-right application — the same fold the encoder
+        # uses (bpe_apply), one rule per round, materialized so the next
+        # round's pair count reads the merged table, not the lineage
+        syms = bpe_apply(syms, rules[-1:]).transform(materialize)
     return rules
+
+
+def bpe_apply(
+    words: DataFrame, rules: "list[tuple]", syms_col: str = "syms"
+) -> DataFrame:
+    """Apply learned BPE merge rules (from ``bpe_train``) to a symbol
+    table: the ENCODE half of the tokenizer.  Each rule is one greedy
+    left-to-right fold (identical to the training-time application), so
+    train-then-apply reproduces training's final segmentation exactly.
+    Rules chain as k nested codegen'd expressions — metadata-sized k,
+    zero extra shuffles; the input is typically the distinct-word table
+    (encode each word once, weight by frequency), not the raw corpus."""
+    def merge_step(a: str, b: str, merged: str):
+        def step(acc, x):
+            return F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    out = words
+    for _rank, a, b, _cnt, merged in rules:
+        out = out.withColumn(
+            syms_col,
+            F.aggregate(
+                F.expr(f"slice({syms_col}, 2, size({syms_col})-1)"),
+                F.slice(F.col(syms_col), 1, 1),
+                merge_step(a, b, merged),
+            ),
+        )
+    return out

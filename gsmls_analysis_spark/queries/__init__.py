@@ -66,6 +66,7 @@ _DRIVER_WINDOW = [
     "q_versioned_changes",  # manifest-diff CDC between versions
     "q_bpe_merges",  # BPE tokenizer training on-engine
     "q_record_linkage_em",  # Fellegi-Sunter EM record linkage
+    "q_bpe_vocab",  # tokenizer round trip: train -> encode -> vocab
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "q19_discounted_revenue",
     "q_asof_latest_order",
     "q_keep_last_dedup",
-    "q_events_dedup_latest_per_user",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

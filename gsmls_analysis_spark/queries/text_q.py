@@ -635,3 +635,40 @@ def q_bpe_merges(spark, sf_dir):
         "rank int, left_sym string, right_sym string, pair_count long, "
         "merged string",
     )
+
+
+@query(
+    "q_bpe_vocab",
+    oracle=_bpe_oracle(4).split("\nSELECT 1 AS rank")[0]
+    + """
+SELECT token, CAST(SUM(c) AS BIGINT) AS n FROM (
+  SELECT unnest(syms) AS token, c FROM s4
+) GROUP BY token
+""",
+    doc="the tokenizer round trip: bpe_train learns 4 merge rules, "
+    "bpe_apply ENCODES the distinct-word table with the identical greedy "
+    "folds, and the query returns the corpus BPE-token frequency table "
+    "(token, n) — what a vocab file ships.  The oracle replays the same "
+    "4 training rounds AND reads the token frequencies off its own "
+    "final symbol table, so any train/apply divergence (a rule applied "
+    "in a different order, a fold difference) breaks the hash.  Scale: "
+    "encoding touches each DISTINCT word once (frequency-weighted), "
+    "not each occurrence.",
+)
+def q_bpe_vocab(spark, sf_dir):
+    from ..operators.text import bpe_apply, bpe_train, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    rules = bpe_train(docs, "text", n_merges=4)
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("c", F.split("w", "").alias("syms"))
+    )
+    encoded = bpe_apply(words, rules)
+    return (
+        encoded.select(F.explode("syms").alias("token"), "c")
+        .groupBy("token")
+        .agg(F.sum("c").alias("n"))
+    )
