@@ -137,6 +137,11 @@ def versioned_write(
             manifest["data_files"] = pm["data_files"]
         # kept entries keep their stats by reference
         manifest["stats"] = {**(pm.get("stats") or {}), **manifest["stats"]}
+        # schema EVOLUTION with ENFORCEMENT (the Delta model): an append
+        # may add columns (old files read them as null via the manifest
+        # schema) but may not change an existing column's type
+        if pm.get("schema"):
+            manifest["schema"] = _evolve_schema(pm["schema"], df.schema)
     if meta:
         manifest["meta"] = meta
     manifest["txns"] = _merge_txns(pm, meta)
@@ -169,7 +174,11 @@ def committed_meta(path: str, key: str) -> set:
 def _publish(path: str, manifest: dict) -> None:
     """Atomically publish a manifest: a crash before os.replace leaves the
     commit's data orphaned but the version unpublished — readers never see
-    a partial commit."""
+    a partial commit.  Stamps ``committed_at`` (epoch seconds) — the
+    timestamp AS OF time travel resolves against."""
+    import time
+
+    manifest.setdefault("committed_at", time.time())
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
@@ -180,6 +189,27 @@ def _entries(manifest: dict) -> list[str]:
     """All data entries of a manifest: directories (whole-dir commits) and
     individual files (kept-by-reference after a copy-on-write delete)."""
     return list(manifest.get("data_dirs", [])) + list(manifest.get("data_files", []))
+
+
+def _evolve_schema(parent_schema_json: str, new_schema: StructType) -> str:
+    """Union of parent schema and an append's schema, by field name:
+    parent fields keep their order, genuinely new fields attach at the
+    end; an existing field with a DIFFERENT type is a schema-enforcement
+    error (Delta semantics — silent type drift corrupts every reader)."""
+    parent = StructType.fromJson(json.loads(parent_schema_json))
+    by_name = {f.name: f for f in parent.fields}
+    out = list(parent.fields)
+    for f in new_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            out.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"schema enforcement: column {f.name!r} is "
+                f"{old.dataType.simpleString()} in the table but "
+                f"{f.dataType.simpleString()} in the append"
+            )
+    return StructType(out).json()
 
 
 def _bloom_cols_of(manifest: dict) -> list[str]:
@@ -631,31 +661,56 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
 
 
 def versioned_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Scan a table version (default: latest committed).  Time travel =
-    pass any previously published version number.  A version with zero
-    data entries (everything deleted) reads as an empty DataFrame with
-    the manifest's recorded schema."""
+    pass a published version number, OR ``as_of`` (epoch seconds): the
+    newest version committed at or before that moment — Delta's
+    ``AS OF TIMESTAMP``, resolved from the manifests' ``committed_at``
+    stamps (metadata only).
+
+    The scan applies the MANIFEST's schema explicitly, so (a) appends
+    that added columns read older files with nulls in the new columns
+    (schema evolution without a million-footer mergeSchema pass), and
+    (b) a version with zero data entries reads as an empty DataFrame."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
-    if version is None:
+    if version is not None and as_of is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    if as_of is not None:
+        eligible = [
+            v
+            for v in versions
+            if (_read_manifest(path, v).get("committed_at") or float("inf"))
+            <= as_of
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no version of {path} committed at or before {as_of}"
+            )
+        version = eligible[-1]
+    elif version is None:
         version = versions[-1]
     elif version not in versions:
         raise ValueError(f"version {version} not in {versions}")
     manifest = _read_manifest(path, version)
     entries = _entries(manifest)
+    schema_json = manifest.get("schema")
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
     if not entries:
-        schema_json = manifest.get("schema")
-        if not schema_json:
+        if schema is None:
             raise ValueError(
                 f"version {version} of {path} is empty and records no schema"
             )
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(schema_json))
-        )
-    return spark.read.parquet(*[os.path.join(path, e) for e in entries])
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*[os.path.join(path, e) for e in entries])
 
 
 def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:

@@ -668,3 +668,68 @@ def test_versioned_changes_reads_only_touched_files(spark, tmp_path):
     assert sorted((r["_change"], r["id"]) for r in d32) == [
         ("insert", i) for i in range(5)
     ]
+
+
+def test_versioned_as_of_timestamp_time_travel(spark, tmp_path):
+    """AS OF TIMESTAMP resolves the newest version committed at or before
+    the given moment from the manifests' committed_at stamps — metadata
+    only, no data reads to decide."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_read,
+        versioned_write,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(3), path)
+    versioned_write(spark.range(10, 15), path)
+    t1 = _read_manifest(path, 1)["committed_at"]
+    t2 = _read_manifest(path, 2)["committed_at"]
+    assert t1 <= t2
+    assert versioned_read(spark, path, as_of=t1).count() == 3
+    assert versioned_read(spark, path, as_of=t2 + 1).count() == 5
+    with _pytest.raises(ValueError, match="at or before"):
+        versioned_read(spark, path, as_of=t1 - 10)
+    with _pytest.raises(ValueError, match="not both"):
+        versioned_read(spark, path, version=1, as_of=t1)
+    # committed_at is in the raw manifest JSON (the audit trail)
+    raw = _json.load(open(f"{path}/manifest-v1.json"))
+    assert isinstance(raw["committed_at"], float)
+
+
+def test_versioned_schema_evolution_and_enforcement(spark, tmp_path):
+    """An append may ADD columns — the manifest schema evolves and old
+    files read the new column as null (no mergeSchema footer pass) — but
+    changing an existing column's type is refused (enforcement)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F2
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(3).select("id"), path)
+    versioned_write(
+        spark.range(10, 12).select("id", F2.lit("x").alias("tag")),
+        path,
+        mode="append",
+    )
+    got = versioned_read(spark, path)
+    assert got.columns == ["id", "tag"]
+    rows = {r["id"]: r["tag"] for r in got.collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: "x", 11: "x"}
+    # v1 still reads with its own (pre-evolution) schema
+    assert versioned_read(spark, path, 1).columns == ["id"]
+    with _pytest.raises(ValueError, match="schema enforcement"):
+        versioned_write(
+            spark.range(2).select(F2.col("id").cast("string").alias("id")),
+            path,
+            mode="append",
+        )
