@@ -67,6 +67,7 @@ _DRIVER_WINDOW = [
     "q_bpe_merges",  # BPE tokenizer training on-engine
     "q_record_linkage_em",  # Fellegi-Sunter EM record linkage
     "q_bpe_vocab",  # tokenizer round trip: train -> encode -> vocab
+    "q_lakehouse_lifecycle",  # append+delete+compact+vacuum integration
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "q14_promo_revenue",
     "q19_discounted_revenue",
     "q_asof_latest_order",
-    "q_keep_last_dedup",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

@@ -1312,3 +1312,65 @@ def q_versioned_changes(spark, sf_dir):
     versioned_write(docs.repartitionByRange(8, "doc_id"), path)
     versioned_delete(spark, path, F.col("source") == "src3")
     return versioned_changes(spark, path, 1, 2)
+
+
+@query(
+    "q_lakehouse_lifecycle",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars,
+       source || '-' || CAST(doc_id AS VARCHAR) AS user_key
+FROM documents
+WHERE source || '-' || CAST(doc_id AS VARCHAR)
+      NOT IN ('src1-11', 'src2-22')
+""",
+    doc="the full versioned-table LIFECYCLE in one query "
+    "(sources/versioned.py): batch commit + two appends (bloom on the "
+    "user key, inherited) -> GDPR delete of two users (bloom-pruned "
+    "copy-on-write) -> OPTIMIZE compaction -> file-granular vacuum of "
+    "every superseded fragment -> snapshot read.  The oracle is the "
+    "final logical state (corpus minus the erased users); every "
+    "intermediate interaction — stats/bloom carry-through across "
+    "append+delete+compact, txn ledger across vacuum, schema-applied "
+    "read after vacuum — has to compose correctly for the hash to "
+    "match.",
+)
+def q_lakehouse_lifecycle(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_compact,
+        versioned_delete,
+        versioned_read,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat_ws("-", "source", F.col("doc_id").cast("string")).alias(
+            "user_key"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="lakehouse_life_")
+    third = docs.filter(F.col("doc_id") % 3 == 0)
+    versioned_write(third.repartition(4), path, bloom_cols=["user_key"])
+    versioned_write(
+        docs.filter(F.col("doc_id") % 3 == 1).repartition(4),
+        path,
+        mode="append",
+    )
+    versioned_write(
+        docs.filter(F.col("doc_id") % 3 == 2).repartition(4),
+        path,
+        mode="append",
+    )
+    versioned_delete(
+        spark, path, F.col("user_key").isin("src1-11", "src2-22")
+    )
+    versioned_compact(spark, path)
+    versioned_vacuum(path, keep_last=1)
+    return versioned_read(spark, path)
