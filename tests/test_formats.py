@@ -733,3 +733,80 @@ def test_versioned_schema_evolution_and_enforcement(spark, tmp_path):
             path,
             mode="append",
         )
+
+
+def test_versioned_model_based_random_walk(spark, tmp_path):
+    """Model-based check of the whole versioned layer: a seeded random
+    walk of append / delete / compact / vacuum ops runs against both the
+    table and a pure-Python model (dict id->grp); after every op the
+    snapshot read must equal the model, and at the end every
+    still-published version must equal the model's history at that
+    point.  Catches interaction bugs no single-op test sees (stats/bloom
+    carry-through, vacuum vs kept references, empty rewrites)."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from gsmls_analysis_spark.sources.versioned import (
+        table_versions,
+        versioned_compact,
+        versioned_delete,
+        versioned_read,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    rng = random.Random(42)
+    path = str(tmp_path / "vt")
+    model: dict[int, int] = {}
+    history: dict[int, dict[int, int]] = {}
+    next_id = 0
+
+    def commit_append():
+        nonlocal next_id
+        n = rng.randint(1, 8)
+        rows = [(next_id + i, (next_id + i) % 5) for i in range(n)]
+        next_id += n
+        df = spark.createDataFrame(rows, "id long, grp long").repartition(2)
+        v = versioned_write(df, path, mode="append", bloom_cols=["id"])
+        model.update({i: g for i, g in rows})
+        return v
+
+    def check(v=None):
+        got = {
+            (r["id"], r["grp"])
+            for r in versioned_read(spark, path, v).collect()
+        }
+        want = set((history[v] if v is not None else model).items())
+        assert got == want, f"version {v}: {got ^ want}"
+
+    v = commit_append()
+    history[v] = dict(model)
+    for _step in range(12):
+        op = rng.choice(["append", "delete", "delete_eq", "compact", "vacuum"])
+        if op == "append":
+            v = commit_append()
+        elif op == "delete":
+            g = rng.randint(0, 4)
+            v = versioned_delete(spark, path, F2.col("grp") == g)
+            for k in [k for k, gv in model.items() if gv == g]:
+                del model[k]
+        elif op == "delete_eq":
+            if model:
+                k = rng.choice(sorted(model))
+                v = versioned_delete(spark, path, F2.col("id") == k)
+                model.pop(k, None)
+            else:
+                v = versioned_delete(spark, path, F2.col("id") == -1)
+        elif op == "compact":
+            v = versioned_compact(spark, path)
+        else:
+            versioned_vacuum(path, keep_last=2)
+            v = table_versions(path)[-1]
+            history.clear()  # older versions may now be unreadable
+        history[v] = dict(model)
+        check()
+    # every retained version with recorded history must read exactly
+    for v in table_versions(path):
+        if v in history:
+            check(v)
