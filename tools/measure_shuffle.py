@@ -44,6 +44,12 @@ DEFAULT_QUERIES = [
     "q_ivm_join_delta",
     "q_salted_event_stats",
     "q_pagerank_dup_graph",
+    # round-5 additions
+    "q_golden_record",
+    "q_bpe_vocab",
+    "q_record_linkage_em",
+    "q_multimodal_bmp_decode",
+    "q_lakehouse_lifecycle",
 ]
 
 
