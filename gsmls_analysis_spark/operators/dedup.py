@@ -175,32 +175,19 @@ def minhash_signature(sh: Column, num_hashes: int = 16) -> list[Column]:
     return [F.element_at(mins, i + 1) for i in range(num_hashes)]
 
 
-def minhash_lsh_candidates(
+def lsh_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    max_bucket: int = 128,
 ) -> DataFrame:
-    """Near-dup candidate pairs via LSH banding: rows sharing any band
-    signature.  Returns (id_a, id_b, band) distinct pairs, id_a < id_b.
-
-    Plan shape: project (id, band, sig) → explode bands → shuffle on
-    (band, sig) via self-join of the tiny bucketed projection.  The full
-    cross product never exists.
-
-    ``max_bucket`` bounds per-bucket memory AND output: buckets up to the
-    cap expand all pairs from a collected array (≤ max_bucket elements);
-    a degenerate bucket (boilerplate near-identical docs — at 100 TB one
-    such signature can hold millions of rows) instead emits *star* pairs
-    against its min-id representative — O(m) rows, no giant array, and
-    downstream union-find connectivity of the dup cluster is preserved
-    exactly (every member still links to the representative).
-    """
-    if max_bucket is None:
-        max_bucket = 1 << 62  # uncapped: exact all-pairs semantics
+    """(doc, band, sig) rows — the PERSISTABLE MinHash-LSH index: write
+    it partitioned/bucketed by (band, sig) and incremental batches probe
+    it without recomputing a single corpus signature
+    (``lsh_incremental_new_docs``).  One row per (doc, band); signatures
+    are md5-deterministic, so index rows are append-only stable."""
     rows_per_band = num_hashes // bands
     # signature computation is the CPU-heavy stage — make sure it runs at
     # full width even when the scan is a single small file
@@ -228,7 +215,7 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ],
     )
-    stacked = banded.select(
+    return banded.select(
         "doc",
         F.explode(
             F.array(
@@ -239,6 +226,38 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("doc", "bs.band", "bs.sig")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: rows sharing any band
+    signature.  Returns (id_a, id_b, band) distinct pairs, id_a < id_b.
+
+    Plan shape: project (id, band, sig) → explode bands → shuffle on
+    (band, sig) via self-join of the tiny bucketed projection.  The full
+    cross product never exists.
+
+    ``max_bucket`` bounds per-bucket memory AND output: buckets up to the
+    cap expand all pairs from a collected array (≤ max_bucket elements);
+    a degenerate bucket (boilerplate near-identical docs — at 100 TB one
+    such signature can hold millions of rows) instead emits *star* pairs
+    against its min-id representative — O(m) rows, no giant array, and
+    downstream union-find connectivity of the dup cluster is preserved
+    exactly (every member still links to the representative).
+    """
+    if max_bucket is None:
+        max_bucket = 1 << 62  # uncapped: exact all-pairs semantics
+    stacked = lsh_band_rows(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
     # One window over (band, sig) computes bucket size + representative in
     # the same shuffle the bucketing needs anyway; signatures are computed
     # ONE time (a self-join would recompute the whole signature projection
@@ -294,6 +313,71 @@ def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = F.size(F.array_union(sa, sb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def lsh_incremental_new_docs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: the batch rows that are NOT near-dups
+    (verified Jaccard ≥ t_num/t_den on ``shingle_n``-gram sets) of any
+    corpus document — the shape a daily-crawl pipeline actually runs:
+    the CORPUS is never re-signed; pass its persisted band index
+    (``lsh_band_rows``, written partitioned by (band, sig)) via
+    ``index`` and only the batch computes signatures.  Candidates come
+    from the (band, sig) bucket join (never batch×corpus), verification
+    is integer-exact (t_den·|A∩B| ≥ t_num·|A∪B|), and survivors leave
+    through an anti-join.  Batch-internal duplicates are a separate
+    concern — compose with ``minhash_lsh_candidates`` on the batch.
+
+    Scale: shuffles carry (doc, band, sig) index rows and verified id
+    pairs; document text moves only for the candidate verify.  Hot
+    signatures (boilerplate) bound the join fan-out by corpus bucket
+    size — cap them upstream by capping the INDEX (e.g. keep
+    max_bucket representatives per (band, sig) when writing it; any
+    member suffices to witness the bucket for dedup purposes)."""
+    idx = (
+        index
+        if index is not None
+        else lsh_band_rows(
+            corpus, id_col, text_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n,
+        )
+    )
+    bidx = lsh_band_rows(
+        batch, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    cand = (
+        bidx.select(F.col("doc").alias("__bid"), "band", "sig")
+        .join(idx.select(F.col("doc").alias("__cid"), "band", "sig"), ["band", "sig"])
+        .select("__bid", "__cid")
+        .dropDuplicates(["__bid", "__cid"])
+    )
+    bt = batch.select(F.col(id_col).alias("__bid"), F.col(text_col).alias("__btxt"))
+    ct = corpus.select(F.col(id_col).alias("__cid"), F.col(text_col).alias("__ctxt"))
+    sa = shingles(F.col("__btxt"), shingle_n)
+    sb = shingles(F.col("__ctxt"), shingle_n)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    dup_ids = (
+        cand.join(bt, "__bid")
+        .join(ct, "__cid")
+        .filter(F.lit(t_den) * inter >= F.lit(t_num) * union)
+        .select("__bid")
+        .distinct()
+    )
+    return batch.join(
+        dup_ids, batch[id_col] == dup_ids["__bid"], "left_anti"
+    )
 
 
 def prefix_filter_jaccard_pairs(

@@ -68,6 +68,7 @@ _DRIVER_WINDOW = [
     "q_record_linkage_em",  # Fellegi-Sunter EM record linkage
     "q_bpe_vocab",  # tokenizer round trip: train -> encode -> vocab
     "q_lakehouse_lifecycle",  # append+delete+compact+vacuum integration
+    "q_lsh_incremental_dedup",  # batch dedup vs persisted LSH index
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q19_discounted_revenue",
-    "q_asof_latest_order",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

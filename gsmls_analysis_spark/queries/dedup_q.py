@@ -569,3 +569,90 @@ def q_dup_span_stats(spark, sf_dir):
         .select("doc_id", "text")
     )
     return dup_span_stats(docs, "doc_id", "text", span=20)
+
+
+def _lsh_incr_oracle(num_hashes: int = 8, bands: int = 4,
+                     t_num: int = 3, t_den: int = 5) -> str:
+    """Incremental-dedup oracle: recompute both sides' band signatures
+    (same CTEs as the LSH oracle), bucket-join batch against corpus,
+    verify with exact integer Jaccard on 3-gram shingle sets, and keep
+    the batch docs with no verified corpus match."""
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+
+    def hmin_expr(i: int) -> str:
+        a, c = coeffs[i]
+        return (
+            f"CAST(min(({a} * base + {c}) % {MINHASH_PRIME}) AS BIGINT)"
+            "::VARCHAR"
+        )
+
+    band_exprs = []
+    for bidx in range(bands):
+        parts = " || '|' || ".join(
+            hmin_expr(bidx * rows_per_band + j) for j in range(rows_per_band)
+        )
+        band_exprs.append(f"md5({parts}) AS band{bidx}")
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bidx} AS band, band{bidx} AS sig FROM sig"
+        for bidx in range(bands)
+    )
+    return f"""
+WITH {_BASES_CTE}, sig AS (
+  SELECT doc_id,
+    {", ".join(band_exprs)}
+  FROM b GROUP BY doc_id
+), stacked AS (
+  {stacked}
+), cand AS (
+  SELECT DISTINCT bb.doc_id AS bid, cc.doc_id AS cid
+  FROM (SELECT * FROM stacked WHERE doc_id % 5 = 0) bb
+  JOIN (SELECT * FROM stacked WHERE doc_id % 5 <> 0) cc
+    ON bb.band = cc.band AND bb.sig = cc.sig
+), shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1),
+           i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+         )) AS s
+  FROM documents
+), dup AS (
+  SELECT DISTINCT cand.bid FROM cand
+  JOIN shs a ON a.doc_id = cand.bid
+  JOIN shs c ON c.doc_id = cand.cid
+  WHERE {t_den} * len(list_intersect(a.s, c.s))
+        >= {t_num} * len(list_distinct(a.s || c.s))
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT bid FROM dup)
+"""
+
+
+@query(
+    "q_lsh_incremental_dedup",
+    oracle=_lsh_incr_oracle(),
+    doc="INCREMENTAL near-dup dedup against a persisted LSH index "
+    "(operators/dedup.py::lsh_incremental_new_docs): the corpus (80% of "
+    "documents) is indexed ONCE via lsh_band_rows; the incoming batch "
+    "(the other 20%) computes only its own signatures, probes the index "
+    "by (band, sig) bucket join, verifies candidates with integer-exact "
+    "3-gram Jaccard >= 3/5, and survivors exit through an anti-join — "
+    "the daily-crawl shape where re-signing a 100 TB corpus per batch "
+    "is the thing you must never do.  The oracle recomputes both "
+    "sides' signatures, replays the bucket join + verification, and "
+    "keeps the same survivors.",
+)
+def q_lsh_incremental_dedup(spark, sf_dir):
+    from ..operators.dedup import lsh_band_rows, lsh_incremental_new_docs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    # persisted-index path: exactly what a pipeline would read back
+    index = lsh_band_rows(corpus, "doc_id", "text", num_hashes=8, bands=4)
+    kept = lsh_incremental_new_docs(
+        batch, corpus, "doc_id", "text", num_hashes=8, bands=4, index=index
+    )
+    return kept.select("doc_id", "source", "n_chars")
