@@ -1374,3 +1374,112 @@ def q_lakehouse_lifecycle(spark, sf_dir):
     versioned_compact(spark, path)
     versioned_vacuum(path, keep_last=1)
     return versioned_read(spark, path)
+
+
+@query(
+    "q_versioned_update",
+    oracle="""
+SELECT p_partkey, p_name, p_size,
+       CASE WHEN p_size >= 40 AND p_size IS NOT NULL
+            THEN p_retailprice * 1.1 ELSE p_retailprice END AS p_retailprice
+FROM part
+""",
+    doc="copy-on-write UPDATE on a versioned table (sources/versioned.py::"
+    "versioned_update, Delta's UPDATE...SET on the snapshot model): the "
+    "part catalog is committed as an 8-file snapshot range-partitioned on "
+    "p_size, oversized parts get a 10% price markup, and the query returns "
+    "the post-update snapshot read.  Only files whose manifest min/max "
+    "stats admit p_size>=40 are even opened (data skipping); matched "
+    "files are rewritten, the rest carry by reference; the parent version "
+    "still reads the original prices (snapshot isolation, asserted in "
+    "tests/test_formats.py).  Oracle: CASE WHEN over the same table.",
+)
+def q_versioned_update(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_read,
+        versioned_update,
+        versioned_write,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_part_")
+    # range-partition on the UPDATE key so manifest min/max stats prune
+    # the under-40 files from the skip-scan entirely
+    versioned_write(part.repartitionByRange(8, "p_size"), path)
+    versioned_update(
+        spark,
+        path,
+        F.col("p_size") >= 40,
+        {"p_retailprice": F.col("p_retailprice") * 1.1},
+    )
+    return versioned_read(spark, path)
+
+
+@query(
+    "q_versioned_merge",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(count(*) AS DOUBLE) * 10.5 AS c_acctbal,
+         count(*) AS c_urgent_orders
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+  UNION ALL
+  SELECT s_suppkey + 10000000, s_acctbal, NULL FROM supplier
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       t.c_name AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       t.c_mktsegment AS c_mktsegment,
+       s.c_urgent_orders AS c_urgent_orders
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+""",
+    doc="MERGE INTO / keyed upsert on a versioned table (sources/"
+    "versioned.py::versioned_merge, the Delta CDC-apply primitive): the "
+    "customer table is committed as an 8-file snapshot, then a CDC batch "
+    "— urgent-order activity per customer (updates c_acctbal, adds a "
+    "c_urgent_orders column via schema evolution) plus supplier-derived "
+    "brand-new customer rows (inserts, key-offset so they match nothing) "
+    "— is merged on c_custkey.  Touched files are discovered by a "
+    "manifest min/max prune on the source key range followed by a "
+    "key-pruned semi-join; only those files rewrite, inserts land in the "
+    "same new data dir, untouched files carry by reference, and "
+    "pre-evolution rows read the new column as NULL.  Oracle: FULL OUTER "
+    "JOIN upsert over the same inputs.",
+)
+def q_versioned_merge(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_cust_")
+    versioned_write(cust.repartitionByRange(8, "c_custkey"), path)
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_urgent_orders"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            (F.col("c_urgent_orders").cast("double") * 10.5).alias("c_acctbal"),
+            "c_urgent_orders",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 10000000).alias("c_custkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.lit(None).cast("long").alias("c_urgent_orders"),
+    )
+    versioned_merge(spark, path, upd.unionByName(sup), on=["c_custkey"])
+    return versioned_read(spark, path)

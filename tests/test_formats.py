@@ -810,3 +810,250 @@ def test_versioned_model_based_random_walk(spark, tmp_path):
     for v in table_versions(path):
         if v in history:
             check(v)
+
+def test_versioned_update_is_copy_on_write(spark, tmp_path):
+    """UPDATE rewrites ONLY files containing a predicate match (proof:
+    corrupt the stats-pruned non-candidate files first), carries the rest
+    by reference, keeps snapshot isolation, and leaves NULL-predicate
+    rows unmodified."""
+    import json
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_read,
+        versioned_update,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(30).select(
+        "id",
+        F.when(F.col("id") == 5, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    versioned_write(df.repartitionByRange(3, "id"), path)  # 0-9/10-19/20-29
+    man = _read_manifest(path, 1)
+    files = _expand_files(path, man["data_dirs"])
+    # corrupt the two files whose id stats exclude [22,24]: if the
+    # skip-scan or rewrite opened them, the update would blow up
+    for f in files:
+        st = man["stats"][f]["cols"]["id"]
+        if st["max"] < 22 or st["min"] > 24:
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"PAR1 garbage")
+    v2 = versioned_update(
+        spark,
+        path,
+        F.col("id").between(22, 24),
+        {"val": F.col("val") + F.lit(1000), "grp": F.lit("hot")},
+    )
+    assert v2 == 2
+    man2 = json.load(open(f"{path}/manifest-v2.json"))
+    assert len(man2["data_files"]) == 2 and len(man2["data_dirs"]) == 1
+    # restore the corrupted files so the full read works
+    for f in files:
+        st = man["stats"][f]["cols"]["id"]
+        if st["max"] < 22 or st["min"] > 24:
+            lo = st["min"]
+            spark.range(lo, lo + 10).select(
+                "id",
+                F.when(F.col("id") == 5, None)
+                .otherwise((F.col("id") % 3).cast("string"))
+                .alias("grp"),
+                (F.col("id") * 10).alias("val"),
+            ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "fix"))
+            part = [
+                p
+                for p in os.listdir(tmp_path / "fix")
+                if p.endswith(".parquet")
+            ][0]
+            os.replace(tmp_path / "fix" / part, os.path.join(path, f))
+    got = {r["id"]: (r["grp"], r["val"]) for r in versioned_read(spark, path).collect()}
+    assert got[22] == ("hot", 1220) and got[24] == ("hot", 1240)
+    assert got[21] == ("0", 210) and got[25] == ("1", 250)
+    # snapshot isolation: v1 still sees the original values
+    v1 = {r["id"]: r["val"] for r in versioned_read(spark, path, 1).collect()}
+    assert v1[22] == 220
+    # NULL-predicate rows are NOT updated
+    v3 = versioned_update(
+        spark, path, F.col("grp") == "1", {"val": F.lit(-1)}
+    )
+    got3 = {r["id"]: r["val"] for r in versioned_read(spark, path, v3).collect()}
+    assert got3[5] == 50  # grp NULL -> untouched
+    assert got3[1] == -1
+    # no-match predicate commits a reference-only child version
+    v4 = versioned_update(spark, path, F.col("id") > 1000, {"val": F.lit(0)})
+    man4 = json.load(open(f"{path}/manifest-v{v4}.json"))
+    assert man4["data_dirs"] == []
+    assert versioned_read(spark, path, v4).count() == 30
+
+
+def test_versioned_update_schema_enforcement(spark, tmp_path):
+    """An assignment that would widen/change a column's type raises, as
+    does one targeting a column the table doesn't have."""
+    import pytest
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_update,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(10).select("id", F.col("id").cast("int").alias("n")), path
+    )
+    with pytest.raises(ValueError, match="schema enforcement"):
+        versioned_update(
+            spark, path, F.col("id") < 5, {"n": F.lit(1.5)}
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        versioned_update(spark, path, F.col("id") < 5, {"nope": F.lit(1)})
+
+
+def test_versioned_merge_upsert_copy_on_write(spark, tmp_path):
+    """MERGE updates matched rows from the source, inserts unmatched
+    source rows, rewrites ONLY key-matching files (proof: corrupt the
+    range-pruned files first), and keeps snapshot isolation."""
+    import json
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(30).select("id", (F.col("id") * 10).alias("val"))
+    versioned_write(df.repartitionByRange(3, "id"), path)  # 0-9/10-19/20-29
+    man = _read_manifest(path, 1)
+    files = _expand_files(path, man["data_dirs"])
+    # source keys are 22,23 (updates) and 100,101 (inserts): key range
+    # [22,101] excludes the first two files -> they must never be opened
+    for f in files:
+        if man["stats"][f]["cols"]["id"]["max"] < 22:
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"PAR1 garbage")
+    src = spark.createDataFrame(
+        [(22, -220), (23, -230), (100, 1000), (101, 1010)], "id long, val long"
+    )
+    v2 = versioned_merge(spark, path, src, on=["id"])
+    assert v2 == 2
+    man2 = json.load(open(f"{path}/manifest-v2.json"))
+    assert len(man2["data_files"]) == 2 and len(man2["data_dirs"]) == 1
+    # the merge never opened the corrupted out-of-range files; restore
+    # them so the full-table read below can scan every referenced file
+    for f in files:
+        st = man["stats"][f]["cols"]["id"]
+        if st["max"] < 22:
+            lo = st["min"]
+            spark.range(lo, lo + 10).select(
+                "id", (F.col("id") * 10).alias("val")
+            ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "fix"))
+            part = [
+                p
+                for p in os.listdir(tmp_path / "fix")
+                if p.endswith(".parquet")
+            ][0]
+            os.replace(tmp_path / "fix" / part, os.path.join(path, f))
+    got = {r["id"]: r["val"] for r in versioned_read(spark, path).collect()}
+    assert got[22] == -220 and got[23] == -230
+    assert got[100] == 1000 and got[101] == 1010
+    assert got[21] == 210 and got[29] == 290  # untouched rows of touched file
+    assert got[10] == 100 and got[0] == 0  # untouched files carried by ref
+    assert len(got) == 32  # ids 0..29 plus 100,101
+
+
+def test_versioned_merge_modes_and_contract(spark, tmp_path):
+    """when_matched='delete' removes matches; when_not_matched='ignore'
+    makes it update-only; duplicate source keys raise; NULL source keys
+    insert; source-only columns evolve the schema (old rows read NULL)."""
+    import pytest
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(10).select("id", (F.col("id") * 10).alias("val")), path
+    )
+    # update-only: the unmatched source row 100 is ignored
+    v2 = versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(3, -30), (100, 0)], "id long, val long"),
+        on=["id"],
+        when_not_matched="ignore",
+    )
+    got = {r["id"]: r["val"] for r in versioned_read(spark, path, v2).collect()}
+    assert got[3] == -30 and 100 not in got and len(got) == 10
+    # matched-delete: an anti-join expressed as a merge
+    v3 = versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(4,), (5,)], "id long"),
+        on=["id"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    ids = {r["id"] for r in versioned_read(spark, path, v3).collect()}
+    assert ids == set(range(10)) - {4, 5}
+    # duplicate source keys are ambiguous -> loud failure
+    with pytest.raises(ValueError, match="duplicate keys"):
+        versioned_merge(
+            spark,
+            path,
+            spark.createDataFrame([(1, 1), (1, 2)], "id long, val long"),
+            on=["id"],
+        )
+    # NULL keys never match -> inserted; new source column evolves schema
+    v4 = versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(None, 7, "x"), (6, -60, "y")], "id long, val long, tag string"
+        ),
+        on=["id"],
+    )
+    rows = {
+        (r["id"], r["val"], r["tag"])
+        for r in versioned_read(spark, path, v4).collect()
+    }
+    assert (None, 7, "x") in rows and (6, -60, "y") in rows
+    assert (0, 0, None) in rows  # pre-evolution row reads NULL tag
+    # shared column with a conflicting type -> enforcement error
+    with pytest.raises(ValueError, match="schema enforcement"):
+        versioned_merge(
+            spark,
+            path,
+            spark.createDataFrame([(1, 1.5)], "id long, val double"),
+            on=["id"],
+        )
+
+
+def test_versioned_merge_idempotence_meta(spark, tmp_path):
+    """meta rides into the manifest/txn ledger so a replayed CDC batch is
+    detectable before re-merging (committed_meta contract)."""
+    from gsmls_analysis_spark.sources.versioned import (
+        committed_meta,
+        versioned_merge,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(5).select("id"), path)
+    versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(9,)], "id long"),
+        on=["id"],
+        meta={"cdc_batch": 7},
+    )
+    assert 7 in committed_meta(path, "cdc_batch")
