@@ -69,6 +69,9 @@ _DRIVER_WINDOW = [
     "q_bpe_vocab",  # tokenizer round trip: train -> encode -> vocab
     "q_lakehouse_lifecycle",  # append+delete+compact+vacuum integration
     "q_lsh_incremental_dedup",  # batch dedup vs persisted LSH index
+    "q_versioned_update",  # copy-on-write UPDATE...SET with stats pruning
+    "q_versioned_merge",  # MERGE INTO keyed upsert + schema evolution
+    "q_stream_versioned_upsert",  # streaming CDC apply (foreachBatch MERGE)
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -102,9 +105,6 @@ _DRIVER_WINDOW = [
     "q05_nation_revenue",
     "q06_forecast_revenue",
     "q07_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

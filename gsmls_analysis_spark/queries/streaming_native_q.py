@@ -321,3 +321,61 @@ def q_stream_versioned_ingest(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "q_stream_versioned_upsert",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+""",
+    doc="streaming CDC APPLY into a versioned table (streaming/ingest.py::"
+    "stream_to_versioned_merge -> sources/versioned.py::versioned_merge): "
+    "a per-user current-state table is seeded with the EARLIEST event of "
+    "every even user_id, then the full event stream upserts it — "
+    "within-batch compaction to last-per-key, matched_condition "
+    "'s.(ts,event_id) > t.(ts,event_id)' makes the apply last-WRITER-wins "
+    "(not last-batch-wins), odd users arrive as inserts, even users as "
+    "conditional updates.  The stream drains TWICE against one checkpoint "
+    "(txn ledger skips the replay).  Oracle: argmax event per user over "
+    "the whole table.",
+)
+def q_stream_versioned_upsert(spark, sf_dir):
+    from ..sources import load_table
+    from ..sources.versioned import versioned_read, versioned_write
+    from ..streaming.ingest import stream_to_versioned_merge
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    seed = (
+        events.filter(F.col("user_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct(*cols), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("__row")
+        )
+        .select("__row.*")
+    )
+    table = tempfile.mkdtemp(prefix="versioned_upsert_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_vupsert_")
+    versioned_write(
+        seed.repartitionByRange(4, "user_id"), table, bloom_cols=["user_id"]
+    )
+    for _ in range(2):  # second drain: offsets committed -> no new batch
+        sdf = events_file_stream(spark, sf_dir).select(*cols)
+        stream_to_versioned_merge(
+            sdf,
+            table,
+            on=["user_id"],
+            order_col=F.struct(F.col("ts"), F.col("event_id")),
+            checkpoint=ckpt,
+            matched_condition=(
+                "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)"
+            ),
+        )
+    return versioned_read(spark, table).select(*cols)

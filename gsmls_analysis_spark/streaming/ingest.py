@@ -411,6 +411,91 @@ def stream_to_versioned(
     _record_drain("stream_to_versioned", q)
 
 
+def stream_to_versioned_merge(
+    sdf: DataFrame,
+    table_path: str,
+    on: list[str],
+    order_col=None,
+    checkpoint: str | None = None,
+    app_id: str | None = None,
+    matched_condition: str | None = None,
+    bloom_cols: list[str] | None = None,
+) -> None:
+    """Exactly-once streaming CDC APPLY: maintain a keyed current-state
+    table by upserting each micro-batch through
+    ``sources/versioned.py::versioned_merge`` — the streaming
+    `foreachBatch` + `MERGE INTO` pattern Delta documents for CDC sinks,
+    on plain parquet.
+
+    Per batch: (1) the replayed-txn ledger check (same Delta txn
+    idempotence as ``stream_to_versioned`` — a crash-redelivered batch
+    is skipped BEFORE any write); (2) within-batch compaction to one row
+    per key — last by ``order_col`` (a Column or name; pass a struct
+    column for compound ordering) — because a CDC batch legally carries
+    several changes to the same key but MERGE requires unique source
+    keys; (3) the first batch bootstraps the table, later batches merge.
+    ``matched_condition`` (e.g. ``"s.ts > t.ts"``) makes the apply
+    LAST-WRITER-WINS on event order rather than last-batch-wins, so
+    out-of-order batch delivery converges to the same table.
+
+    100 TB shape: each batch's merge rewrites only key-matching files
+    (manifest range prune + semi-join discovery); state lives in the
+    table, not in streaming state; readers get atomic per-batch
+    visibility and snapshot isolation mid-stream."""
+    from ..operators.dedup import keep_last_dedup
+    from ..sources.versioned import (
+        committed_meta,
+        table_versions,
+        versioned_merge,
+        versioned_write,
+    )
+
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="ckpt_vmerge_")
+    if app_id is None:
+        app_id = os.path.basename(checkpoint.rstrip("/"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        txn = f"{app_id}/{batch_id}"
+        if txn in committed_meta(table_path, "txn"):
+            return  # replayed batch: already durably committed
+        b = batch_df
+        if order_col is not None:
+            oc = order_col if isinstance(order_col, str) else "__ord"
+            if oc == "__ord":
+                b = b.withColumn("__ord", order_col)
+            b = keep_last_dedup(b, on, oc)
+            if oc == "__ord":
+                b = b.drop("__ord")
+        if not table_versions(table_path):
+            versioned_write(
+                b,
+                table_path,
+                mode="overwrite",
+                meta={"txn": txn},
+                bloom_cols=bloom_cols,
+            )
+        else:
+            versioned_merge(
+                b.sparkSession,
+                table_path,
+                b,
+                on=on,
+                matched_condition=matched_condition,
+                meta={"txn": txn},
+            )
+
+    os.makedirs(table_path, exist_ok=True)
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_drain("stream_to_versioned_merge", q)
+
+
 def with_ingest_metrics(sdf: DataFrame, name: str = "ingest_metrics") -> DataFrame:
     """A1 (running row counts, GSMLS.py:52-58) as streaming-native
     ``observe`` metrics: per-batch row count and null-key count are

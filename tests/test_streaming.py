@@ -532,3 +532,95 @@ def test_versioned_append_after_delete_keeps_referenced_files(spark, tmp_path):
     )
     got = {r["id"] for r in versioned_read(spark, path).collect()}
     assert got == (set(range(30)) - {25}) | {100, 101, 102}
+
+
+def test_stream_to_versioned_merge_out_of_order_batches(spark, tmp_path):
+    """Streaming CDC apply: a real multi-batch file stream
+    (maxFilesPerTrigger=1) whose batches arrive OUT of event order must
+    converge to last-WRITER-wins via matched_condition, compact
+    duplicate keys within a batch, bootstrap the table on batch 0, and
+    skip a replayed drain entirely."""
+    from gsmls_analysis_spark.sources.versioned import (
+        committed_meta,
+        table_versions,
+        versioned_read,
+    )
+    from gsmls_analysis_spark.streaming.ingest import (
+        stream_to_versioned_merge,
+    )
+
+    src_dir = tmp_path / "cdc"
+    src_dir.mkdir()
+    # file names order the batches: batch b (seq 20s) carries NEWER
+    # changes than batch c (seq 10s) -> processing order is NOT seq order
+    spark.createDataFrame(
+        [(1, 1, "a1"), (1, 2, "a2"), (2, 1, "b1")],  # dup key 1 in-batch
+        "k long, seq long, v string",
+    ).coalesce(1).write.parquet(str(src_dir / "f0.parquet"))
+    spark.createDataFrame(
+        [(1, 21, "late-new"), (3, 20, "c-new")], "k long, seq long, v string"
+    ).coalesce(1).write.parquet(str(src_dir / "f1.parquet"))
+    spark.createDataFrame(
+        [(1, 11, "stale"), (2, 12, "b-mid")], "k long, seq long, v string"
+    ).coalesce(1).write.parquet(str(src_dir / "f2.parquet"))
+
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, seq long, v string"
+
+    def drain():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        stream_to_versioned_merge(
+            sdf,
+            table,
+            on=["k"],
+            order_col="seq",
+            checkpoint=ckpt,
+            matched_condition="s.seq > t.seq",
+        )
+
+    drain()
+    got = {r["k"]: (r["seq"], r["v"]) for r in versioned_read(spark, table).collect()}
+    # k=1: in-batch compaction kept seq 2, then 21 won, then 11 LOST
+    # (stale batch processed last); k=2: 12 beat 1; k=3: inserted
+    assert got == {1: (21, "late-new"), 2: (12, "b-mid"), 3: (20, "c-new")}
+    n_versions = len(table_versions(table))
+    assert n_versions >= 2  # bootstrap + >=1 merge commit
+    txns = committed_meta(table, "txn")
+    assert len(txns) == n_versions
+    # replayed drain: offsets are committed -> zero new commits
+    drain()
+    assert len(table_versions(table)) == n_versions
+    got2 = {r["k"]: (r["seq"], r["v"]) for r in versioned_read(spark, table).collect()}
+    assert got2 == got
+
+
+def test_versioned_merge_matched_condition_delete(spark, tmp_path):
+    """when_matched='delete' + matched_condition removes ONLY matched
+    rows satisfying the condition; other matches survive."""
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(6).select("id", (F.col("id") * 10).alias("val")), path
+    )
+    versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(2, 99), (3, 5)], "id long, cutoff long"),
+        on=["id"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        matched_condition="t.val < s.cutoff",
+    )
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert got == {0, 1, 3, 4, 5}  # id=2 (20<99) deleted; id=3 (30>=5) kept
