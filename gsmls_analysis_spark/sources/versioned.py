@@ -1077,7 +1077,11 @@ def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
 
 
 def versioned_compact(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    zorder: tuple[str, str] | None = None,
 ) -> int:
     """OPTIMIZE / small-file compaction: bin-pack the current version's
     files into ~``target_file_bytes`` files as a NEW version with
@@ -1085,6 +1089,17 @@ def versioned_compact(
     copy-on-write deletes make necessary (a table that ingests per-batch
     commits decays into thousands of small files; scan cost then is
     per-file overhead, not bytes).
+
+    ``cluster_by``: range-partition + sort the rewrite on these columns
+    (Delta's ``OPTIMIZE ... ZORDER BY`` for the single/prefix-key case,
+    where a plain range sort is strictly better than Z-order): each
+    output file covers a narrow key range, so the manifest min/max stats
+    this commit collects make subsequent DELETE/UPDATE/MERGE skip-scans
+    prune almost everything — compaction is what KEEPS data skipping
+    effective as a table ages.  ``zorder``: two int-like columns to
+    Morton-interleave instead (operators/layout.py::zorder_value); files
+    become (x, y) rectangles and predicates on EITHER column prune
+    (footer-measured in tests).  Mutually exclusive.
 
     Snapshot isolation holds: the pre-compaction version still reads the
     fragments until ``versioned_vacuum`` reclaims them (file-granular).
@@ -1107,9 +1122,26 @@ def versioned_compact(
     version = parent + 1
     data_dir = f"data/v{version}"
     cur = versioned_read(spark, path, parent)
-    cur.repartition(n_out).write.mode("overwrite").parquet(
-        os.path.join(root, data_dir)
-    )
+    if cluster_by and zorder:
+        raise ValueError("pass cluster_by= or zorder=, not both")
+    if cluster_by:
+        out = cur.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    elif zorder:
+        from ..operators.layout import zorder_value
+
+        out = (
+            cur.withColumn(
+                "__z", zorder_value(F.col(zorder[0]), F.col(zorder[1]))
+            )
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = cur.repartition(n_out)
+    out.write.mode("overwrite").parquet(os.path.join(root, data_dir))
     _publish(
         path,
         {
@@ -1122,7 +1154,15 @@ def versioned_compact(
                 root, [data_dir], bloom_cols=_bloom_cols_of(pm)
             ),
             "txns": _merge_txns(pm, None),
-            "meta": {"compacted_from": len(files), "compacted_to": int(n_out)},
+            "meta": {
+                "compacted_from": len(files),
+                "compacted_to": int(n_out),
+                **(
+                    {"clustered_by": list(cluster_by or zorder)}
+                    if (cluster_by or zorder)
+                    else {}
+                ),
+            },
         },
     )
     return version

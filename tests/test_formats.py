@@ -1057,3 +1057,54 @@ def test_versioned_merge_idempotence_meta(spark, tmp_path):
         meta={"cdc_batch": 7},
     )
     assert 7 in committed_meta(path, "cdc_batch")
+
+
+def test_versioned_compact_clustered_restores_pruning(spark, tmp_path):
+    """OPTIMIZE with clustering is what keeps data skipping alive: after
+    a key-shuffled ingest, every file spans the whole key range and a
+    point delete can prune NOTHING; after cluster_by compaction each file
+    covers a narrow range and the same predicate prunes all but ~1 file.
+    zorder= does the same for predicates on EITHER of two columns."""
+    from gsmls_analysis_spark.sources.versioned import (
+        prune_candidate_files,
+        versioned_compact,
+        versioned_read,
+        versioned_write,
+        _expand_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "vt")
+    n = 4096
+    df = spark.range(n).select(
+        "id",
+        (F.col("id") * 2654435761 % n).alias("x"),  # decorrelated second dim
+    )
+    # round-robin => every file spans ~the full id range
+    versioned_write(df.repartition(8), path)
+    man1 = _read_manifest(path, 1)
+    files1 = _expand_files(path, man1["data_dirs"])
+    pred = F.col("id").between(100, 120)
+    assert len(prune_candidate_files(spark, man1, files1, pred)) == len(files1)
+    # range-clustered compaction: same rows, tight per-file stats
+    v2 = versioned_compact(spark, path, target_file_bytes=8 * 1024, cluster_by=["id"])
+    man2 = _read_manifest(path, v2)
+    files2 = _expand_files(path, man2["data_dirs"])
+    assert len(files2) > 4
+    cand = prune_candidate_files(spark, man2, files2, pred)
+    assert len(cand) <= 2  # a 21-id span lives in at most 2 range files
+    assert versioned_read(spark, path, v2).count() == n
+    # Z-order compaction: BOTH dims prune (neither perfectly, both well)
+    v3 = versioned_compact(
+        spark, path, target_file_bytes=2 * 1024, zorder=("id", "x")
+    )
+    man3 = _read_manifest(path, v3)
+    files3 = _expand_files(path, man3["data_dirs"])
+    assert len(files3) >= 8
+    for col in ("id", "x"):
+        c = prune_candidate_files(
+            spark, man3, files3, F.col(col).between(100, 120)
+        )
+        assert len(c) <= len(files3) // 2, (col, len(c), len(files3))
+    assert versioned_read(spark, path, v3).count() == n
+    assert man3["meta"]["clustered_by"] == ["id", "x"]
