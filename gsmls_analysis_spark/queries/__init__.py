@@ -72,6 +72,7 @@ _DRIVER_WINDOW = [
     "q_versioned_update",  # copy-on-write UPDATE...SET with stats pruning
     "q_versioned_merge",  # MERGE INTO keyed upsert + schema evolution
     "q_stream_versioned_upsert",  # streaming CDC apply (foreachBatch MERGE)
+    "q_stream_versioned_source",  # versioned table AS a streaming source
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "q04_late_shipment_priority",
     "q05_nation_revenue",
     "q06_forecast_revenue",
-    "q07_volume_shipping",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

@@ -379,3 +379,52 @@ def q_stream_versioned_upsert(spark, sf_dir):
             ),
         )
     return versioned_read(spark, table).select(*cols)
+
+
+@query(
+    "q_stream_versioned_source",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_first_commit
+FROM events
+GROUP BY user_id
+""",
+    doc="versioned table as a STREAMING SOURCE (sources/versioned_stream"
+    ".py, Spark 4 Python Data Source API): the events corpus is committed "
+    "in two appends (even event_ids then odd) plus an OPTIMIZE compaction, "
+    "and a real Structured Streaming query tails the commit log — "
+    "per-version manifest-diff planning, one InputPartition per new file "
+    "read executor-side via pyarrow, _commit_version stamped per row, the "
+    "dataChange=false compaction emitted NOT AT ALL.  The per-user "
+    "aggregate counts rows attributed to commit 1, certifying per-commit "
+    "attribution, and must equal the batch aggregate (oracle: event_id "
+    "parity replays the commit split).",
+)
+def q_stream_versioned_source(spark, sf_dir):
+    from ..sources import load_table
+    from ..sources.versioned import versioned_compact, versioned_write
+    from ..sources.versioned_stream import versioned_stream_source
+    from ..streaming.ingest import drain_to_memory
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    table = tempfile.mkdtemp(prefix="versioned_src_")
+    versioned_write(ev.filter(F.col("event_id") % 2 == 0), table)
+    versioned_write(
+        ev.filter(F.col("event_id") % 2 == 1), table, mode="append"
+    )
+    versioned_compact(spark, table, cluster_by=["user_id"])
+    sdf = versioned_stream_source(spark, table)
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.sum(
+            F.when(F.col("_commit_version") == 1, 1).otherwise(0)
+        ).cast("long").alias("n_first_commit"),
+    )
+    return drain_to_memory(agg, "versioned_source_agg", output_mode="complete")

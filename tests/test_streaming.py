@@ -624,3 +624,111 @@ def test_versioned_merge_matched_condition_delete(spark, tmp_path):
     )
     got = {r["id"] for r in versioned_read(spark, path).collect()}
     assert got == {0, 1, 3, 4, 5}  # id=2 (20<99) deleted; id=3 (30>=5) kept
+
+
+def test_versioned_stream_source_tails_commits(spark, tmp_path):
+    """The versioned-table streaming SOURCE: emits each commit's added
+    rows stamped with _commit_version, resumes from the checkpoint (no
+    re-emission), and skips OPTIMIZE commits entirely (dataChange=false,
+    Delta semantics)."""
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_compact,
+        versioned_write,
+    )
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        versioned_stream_source,
+    )
+
+    table = str(tmp_path / "vt")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    versioned_write(spark.range(3).select("id"), table)
+    versioned_write(spark.range(10, 12).select("id"), table, mode="append")
+
+    def drain():
+        q = (
+            versioned_stream_source(spark, table)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted(
+        (r["id"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(0, 1), (1, 1), (2, 1), (10, 2), (11, 2)]
+    # append + OPTIMIZE; the next drain emits ONLY the append
+    versioned_write(spark.range(20, 22).select("id"), table, mode="append")
+    versioned_compact(spark, table, cluster_by=["id"])
+    drain()
+    got2 = sorted(
+        (r["id"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == got + [(20, 3), (21, 3)]
+    # nothing new: an empty drain emits nothing
+    drain()
+    assert spark.read.parquet(out).count() == 7
+
+
+def test_versioned_stream_source_change_semantics(spark, tmp_path):
+    """A non-append commit fails the stream by default (re-emitting
+    rewritten rows double-counts); ignoreChanges=true keeps going and
+    re-delivers the rewritten file's surviving rows; startingVersion
+    skips history; schema evolution reads pre-evolution files as NULL."""
+    import pyspark.errors
+    import pytest
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_delete,
+        versioned_write,
+    )
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        versioned_stream_source,
+    )
+
+    table = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(4).select("id").repartitionByRange(2, "id"), table
+    )  # two files: {0,1} and {2,3}
+    versioned_delete(spark, table, F.col("id") == 1)
+
+    def drain(out, ckpt, **kw):
+        q = (
+            versioned_stream_source(spark, table, **kw)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in spark.read.parquet(str(tmp_path / out)).collect()
+        )
+
+    with pytest.raises(pyspark.errors.PySparkException, match="removed"):
+        drain("out_fail", "ckpt_fail")
+    # ignoreChanges: v1's 4 rows + the delete's rewritten survivor again
+    got = drain("out_ic", "ckpt_ic", ignore_changes=True)
+    assert [t[0] for t in got] == [0, 0, 1, 2, 3]
+    # startingVersion=1: only the delete commit's rewrite, no history
+    got2 = drain("out_sv", "ckpt_sv", starting_version=1, ignore_changes=True)
+    assert got2 == [(0, 2)]
+    # schema evolution mid-history: old files stream the new column NULL
+    versioned_write(
+        spark.range(7, 9).select("id", F.lit("new").alias("tag")),
+        table,
+        mode="append",
+    )
+    got3 = drain("out_ev", "ckpt_ev", ignore_changes=True)
+    by_version = {}
+    for row in got3:
+        by_version.setdefault(row[-1], []).append(row)
+    assert all(t[1] is None for t in by_version[1] + by_version[2])
+    assert sorted(t[:2] for t in by_version[3]) == [(7, "new"), (8, "new")]
