@@ -46,6 +46,7 @@ HEADLINE = [
     # ANN paths below are the headline search operators
     "q_lsh_topk_multiprobe",
     "q_ivf_topk",
+    "q_ivf_pq_topk",  # IVF-PQ ADC path (r5): compressed-candidate cell join
     "q_embedding_near_dups",
     "q_events_tumbling_hour",
     "q_events_sessionize",

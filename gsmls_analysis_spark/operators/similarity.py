@@ -647,3 +647,344 @@ def lsh_topk_multiprobe(
         F.col("hit.cosine").alias("cosine"),
         (F.col("pos") + 1).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m_sub byte-sized codes and
+# score candidates with an asymmetric-distance lookup table (ADC) — the
+# Jégou/Douze/Schmid 2011 design, composed with IVF cells (IVF-PQ, the
+# FAISS workhorse).
+#
+# Why this is THE 100 TB shape: a 64-dim float corpus is 256 B/vector;
+# 8 sub-codes of 16 centroids are 8 small ints — the cell-partitioned
+# candidate layout shrinks ~30x, so probing a cell streams codes (cheap)
+# instead of vectors, and the only full-width arithmetic is the per-QUERY
+# lookup table (m_sub x n_codes sub-dots, built once per query against a
+# broadcast codebook).  All arithmetic is strictly sequential double folds
+# over built-in expressions — bit-reproducible, DuckDB-replayable.
+# ---------------------------------------------------------------------------
+
+
+def _sub_slices(vec: Column, m_sub: int, sub_dim: int) -> Column:
+    """array of m_sub contiguous slices of ``vec`` (1-based F.slice)."""
+    return F.array(
+        *[F.slice(vec, j * sub_dim + 1, sub_dim) for j in range(m_sub)]
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential double fold (engine-exact)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks_init(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic init codebooks: code c of every subspace is the
+    c-th lowest-id corpus vector's normalized sub-slice (rand-free, so
+    retrains and the DuckDB oracle replay are comparable).  Returns
+    (sub, code, cv)."""
+    sub_dim = dim // m_sub
+    seeds = (
+        corpus.select(F.col(id_col).alias("__id"), l2_normalize(F.col(vec)).alias("nv"))
+        .orderBy("__id")
+        .limit(n_codes)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("__id")
+    return (
+        # rank BEFORE the explode: a window in the same select as a
+        # generator would number the post-explode rows
+        seeds.select((F.row_number().over(w) - 1).alias("code"), "nv")
+        .select(
+            "code",
+            F.posexplode(_sub_slices(F.col("nv"), m_sub, sub_dim)).alias(
+                "sub", "cv"
+            ),
+        )
+        .select("sub", "code", "cv")
+        .transform(materialize)
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Lloyd refinement of the PQ codebooks, all subspaces trained in
+    PARALLEL as one DataFrame computation per iteration (group key =
+    (sub, code)): assign every (vector, sub) slice to its nearest code
+    by squared L2 (broadcast codebook join + min_by), recompute each
+    code's mean with DECIMAL-exact per-position sums (order-free ⇒
+    partition-invariant ⇒ oracle-replayable), keep empty codes.  At
+    100 TB train on a sample — PQ codebooks converge on ~1e5 points.
+
+    Returns (sub, code, cv) like ``pq_codebooks_init``."""
+    sub_dim = dim // m_sub
+    pts = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            _sub_slices(l2_normalize(F.col(vec)), m_sub, sub_dim)
+        ).alias("sub", "sv"),
+    ).transform(materialize)
+    books = pq_codebooks_init(corpus, vec, id_col, m_sub, n_codes, dim)
+    for _ in range(n_iter):
+        assigned = (
+            pts.join(F.broadcast(books), "sub")
+            .groupBy("__id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("code"), F.col("sv")),
+                    F.struct(
+                        _l2sq(F.col("sv"), F.col("cv")).alias("d"),
+                        F.col("code"),
+                    ),
+                ).alias("a")
+            )
+            .select("sub", F.col("a.code").alias("code"), F.col("a.sv").alias("sv"))
+        )
+        means = (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("pos", "x")
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("new_cv")
+            )
+        )
+        books = (
+            books.join(means, ["sub", "code"], "left")
+            .select(
+                "sub",
+                "code",
+                F.coalesce(F.col("new_cv"), F.col("cv")).alias("cv"),
+            )
+            .transform(truncate_lineage)
+        )
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    m_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as its array of nearest-code ids per subspace
+    (ties → lowest code; argmin over a broadcast codebook join, exactly
+    the shuffle shape of ``ivf_assign``).  Output (id_col, codes) is the
+    compressed corpus — the thing you PERSIST cell-partitioned at scale.
+    """
+    sub_dim = dim // m_sub
+    pts = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            _sub_slices(l2_normalize(F.col(vec)), m_sub, sub_dim)
+        ).alias("sub", "sv"),
+    )
+    return (
+        pts.join(F.broadcast(codebooks), "sub")
+        .groupBy(id_col, "sub")
+        .agg(
+            F.min_by(
+                F.col("code"),
+                F.struct(
+                    _l2sq(F.col("sv"), F.col("cv")).alias("d"), F.col("code")
+                ),
+            ).alias("code")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
+                ),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    m_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-query ADC lookup table: lut[sub][code] = dot(query sub-slice,
+    codebook centroid) as array<array<double>> — m_sub × n_codes sub-dots
+    per query against the BROADCAST codebook, built once and reused for
+    every candidate.  Returns (id_col, qv, lut)."""
+    sub_dim = dim // m_sub
+    q = queries.select(
+        F.col(id_col), l2_normalize(F.col(vec)).alias("qv")
+    )
+    pts = q.select(
+        F.col(id_col),
+        F.posexplode(_sub_slices(F.col("qv"), m_sub, sub_dim)).alias(
+            "sub", "sv"
+        ),
+    )
+    luts = (
+        pts.join(F.broadcast(codebooks), "sub")
+        .groupBy(id_col, "sub")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("code"), dot(F.col("sv"), F.col("cv")).alias("d"))
+                    )
+                ),
+                lambda s: s["d"],
+            ).alias("row")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("row")))),
+                lambda s: s["row"],
+            ).alias("lut")
+        )
+    )
+    return q.join(luts, id_col)
+
+
+def adc_score(codes: Column, lut: Column) -> Column:
+    """ADC approximate dot product: Σ_sub lut[sub][codes[sub]] — a pure
+    integer-indexed lookup fold, zero per-candidate vector arithmetic."""
+    return F.aggregate(
+        F.zip_with(
+            codes, lut, lambda c, row: F.element_at(row, c.cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "cell",
+    m_sub: int = 8,
+    dim: int = 64,
+    refine: int = 0,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF cells prune candidates (corpus in
+    its single nearest cell, queries probe ``n_probe``), then candidates
+    are scored by ADC over their PQ codes — per candidate the work is
+    m_sub array lookups instead of a dim-wide dot product, and the
+    corpus side of the cell join carries CODES (m_sub small ints), not
+    vectors.  Returns (query_id, neighbor_id, adc, rank).
+
+    ``refine`` > 0 adds the FAISS refine stage: the ADC pass keeps a
+    ``refine * k`` shortlist, the true vectors of ONLY those candidates
+    are fetched (a keyed join of refine·k·|queries| rows against the
+    corpus — at 100 TB this is the point: the dim-wide dot runs on a
+    few dozen rows per query, never the cell), and exact cosine reranks
+    the final k.  Output gains a ``cosine`` column; quantization error
+    then only costs recall when a true neighbor misses the shortlist
+    entirely."""
+    cents = centroids.select(
+        F.col(centroid_id), l2_normalize(F.col(vec)).alias("nv")
+    )
+    corp_cells = ivf_assign(
+        corpus.select(
+            F.col(c_id).alias("neighbor_id"),
+            l2_normalize(F.col(vec)).alias("nv"),
+        ),
+        cents,
+        id_col="neighbor_id",
+        n_probe=1,
+    ).select("neighbor_id", "cell")
+    corp = corp_cells.join(
+        pq_encode(corpus, codebooks, vec, c_id, m_sub, dim).withColumnRenamed(
+            c_id, "neighbor_id"
+        ),
+        "neighbor_id",
+    )
+    qry = ivf_assign(
+        pq_lut(queries, codebooks, vec, q_id, m_sub, dim)
+        .withColumnRenamed(q_id, "query_id")
+        .withColumnRenamed("qv", "nv"),
+        cents,
+        id_col="query_id",
+        n_probe=n_probe,
+    ).select("query_id", "lut", "cell")
+    scored = (
+        qry.join(corp, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_score(F.col("codes"), F.col("lut")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
+    if not refine:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    shortlist = scored.withColumn("__arank", F.row_number().over(w)).filter(
+        F.col("__arank") <= refine * k
+    )
+    qv = queries.select(
+        F.col(q_id).alias("query_id"), l2_normalize(F.col(vec)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(c_id).alias("neighbor_id"), l2_normalize(F.col(vec)).alias("cv")
+    )
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            dot(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

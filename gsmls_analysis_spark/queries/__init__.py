@@ -73,6 +73,7 @@ _DRIVER_WINDOW = [
     "q_versioned_merge",  # MERGE INTO keyed upsert + schema evolution
     "q_stream_versioned_upsert",  # streaming CDC apply (foreachBatch MERGE)
     "q_stream_versioned_source",  # versioned table AS a streaming source
+    "q_ivf_pq_topk",  # IVF-PQ: product-quantized ADC search
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "q03_shipping_priority",
     "q04_late_shipment_priority",
     "q05_nation_revenue",
-    "q06_forecast_revenue",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

@@ -587,3 +587,127 @@ def q_semantic_dedup(spark, sf_dir):
         .withColumn("n_members", F.count(F.lit(1)).over(w))
         .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
     )
+
+
+def _pq_oracle(m_sub: int = 8, n_codes: int = 16, sub_dim: int = 8) -> str:
+    """Generated DuckDB oracle replaying the FULL IVF-PQ pipeline with
+    deterministic init codebooks: normalize → IVF cell assignment (rn=1
+    corpus / rn≤2 query probes, identical to q_ivf_topk's fragments) →
+    codebooks = sub-slices of the 16 lowest-id normalized vectors →
+    argmin L2² encode per (vector, subspace) → per-query LUT of sub-dots
+    → ADC score = Σ_sub lut[sub][code] → top-5 by (adc DESC, neighbor).
+    Every float op is a strictly sequential double fold on both engines
+    (F.aggregate ↔ list_sum over list_transform), so scores are
+    bit-identical; the approximation itself is pinned, not waived."""
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    l2sq = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+WITH nv AS ({_NORMALIZE_DUCK}),
+cents AS (SELECT vec_id AS cell, nv AS cnv FROM nv WHERE vec_id < 32),
+corp AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dot.format(a="v.nv", b="c.cnv")} DESC, c.cell) AS rn
+    FROM nv v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qry AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dot.format(a="v.nv", b="c.cnv")} DESC, c.cell) AS rn
+    FROM nv v CROSS JOIN cents c
+    WHERE v.vec_id < 20
+  ) WHERE rn <= 2
+),
+subs AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS sub),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, nv
+  FROM nv ORDER BY vec_id LIMIT {n_codes}
+),
+books AS (
+  SELECT s.sub, sd.code,
+         list_slice(sd.nv, s.sub * {sub_dim} + 1, s.sub * {sub_dim} + {sub_dim}) AS cv
+  FROM seeds sd CROSS JOIN subs s
+),
+pts AS (
+  SELECT v.vec_id, s.sub,
+         list_slice(v.nv, s.sub * {sub_dim} + 1, s.sub * {sub_dim} + {sub_dim}) AS sv
+  FROM nv v CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT p.vec_id, p.sub, b.code,
+           row_number() OVER (PARTITION BY p.vec_id, p.sub
+                              ORDER BY {l2sq.format(a="p.sv", b="b.cv")}, b.code) AS rn
+    FROM pts p JOIN books b ON p.sub = b.sub
+  ) WHERE rn = 1
+),
+codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM enc GROUP BY vec_id),
+lut AS (
+  SELECT query_id, list(row ORDER BY sub) AS lut FROM (
+    SELECT p.vec_id AS query_id, p.sub,
+           list({dot.format(a="p.sv", b="b.cv")} ORDER BY b.code) AS row
+    FROM pts p JOIN books b ON p.sub = b.sub
+    WHERE p.vec_id < 20
+    GROUP BY p.vec_id, p.sub
+  ) GROUP BY query_id
+),
+scored AS (
+  SELECT q.query_id, co.neighbor_id,
+         list_sum(list_transform(list_zip(cd.codes, l.lut),
+                  p -> (p[2])[p[1] + 1])) AS adc
+  FROM qry q JOIN corp co USING (cell)
+  JOIN codes cd ON cd.vec_id = co.neighbor_id
+  JOIN lut l ON l.query_id = q.query_id
+  WHERE q.query_id <> co.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_r, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "q_ivf_pq_topk",
+    oracle=_pq_oracle(),
+    doc="IVF-PQ approximate top-k (operators/similarity.py::ivf_pq_topk, "
+    "the FAISS IVFPQ shape re-expressed as DataFrame ops): corpus vectors "
+    "live compressed as 8 four-bit codes (pq_encode, argmin-L2 per "
+    "subspace against deterministic init codebooks), queries probe their "
+    "2 nearest IVF cells and score candidates via an asymmetric-distance "
+    "LOOKUP (adc_score: Σ_sub lut[sub][code], zero per-candidate vector "
+    "arithmetic — the corpus side of the cell join ships ~30x fewer "
+    "bytes than raw vectors).  The generated oracle replays normalize, "
+    "cell assignment, codebook slicing, encode, LUT, and the ADC fold — "
+    "all sequential double folds, bit-identical across engines.  The "
+    "trained-codebook (pq_train Lloyd) and exact-refine (refine=) legs "
+    "are unit-verified: recall ≥0.85 with refine=4 at sf0.001.",
+)
+def q_ivf_pq_topk(spark, sf_dir):
+    from ..operators.similarity import ivf_pq_topk, pq_codebooks_init
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks_init(emb)
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    out = ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 20), emb, cents, books, k=5, n_probe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc", 6).alias("adc_r"), "rank"
+    )

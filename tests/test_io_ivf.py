@@ -429,3 +429,111 @@ def test_csv_read_quarantine_routes_bad_rows(spark, tmp_path):
     assert rows[1].price == 100.5 and not rows[1].quarantined
     assert rows[3].price == 300.25 and not rows[3].quarantined
     assert len(bad) == 1 and "not-a-number" in bad[0]._corrupt_record
+
+
+def test_pq_encode_shapes_and_determinism(spark, sf_dir):
+    """PQ codes: one code per subspace, all within [0, n_codes); encoding
+    is partition-invariant (decimal-exact training, argmin tie-broken by
+    code) — the compressed corpus is ~8 small ints vs 64 floats."""
+    from gsmls_analysis_spark.operators.similarity import (
+        pq_codebooks_init,
+        pq_encode,
+    )
+    from gsmls_analysis_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks_init(emb, m_sub=8, n_codes=16)
+    assert books.count() == 8 * 16
+    enc = pq_encode(emb, books)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    enc2 = pq_encode(emb.repartition(7), books)
+    assert {(r["vec_id"], tuple(r["codes"])) for r in rows} == {
+        (r["vec_id"], tuple(r["codes"])) for r in enc2.collect()
+    }
+
+
+def test_pq_train_reduces_quantization_error(spark, sf_dir):
+    """Lloyd-refined codebooks must cut the total L2 quantization error
+    vs the init codebooks (same guarantee test as ivf_train), and stay
+    partition-invariant."""
+    from gsmls_analysis_spark.operators.similarity import (
+        _l2sq,
+        _sub_slices,
+        l2_normalize,
+        pq_codebooks_init,
+        pq_encode,
+        pq_train,
+    )
+    from gsmls_analysis_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+
+    def qerr(books):
+        pts = emb.select(
+            "vec_id",
+            F.posexplode(
+                _sub_slices(l2_normalize(F.col("embedding")), 8, 8)
+            ).alias("sub", "sv"),
+        )
+        best = (
+            pts.join(F.broadcast(books), "sub")
+            .groupBy("vec_id", "sub")
+            .agg(F.min(_l2sq(F.col("sv"), F.col("cv"))).alias("d"))
+        )
+        return best.agg(F.sum("d")).collect()[0][0]
+
+    init = pq_codebooks_init(emb)
+    trained = pq_train(emb, n_iter=2)
+    e0, e1 = qerr(init), qerr(trained)
+    assert e1 < e0 * 0.9, (e0, e1)
+    t2 = pq_train(emb.repartition(5), n_iter=2)
+    a = sorted(
+        (r["sub"], r["code"], tuple(round(x, 9) for x in r["cv"]))
+        for r in trained.collect()
+    )
+    b = sorted(
+        (r["sub"], r["code"], tuple(round(x, 9) for x in r["cv"]))
+        for r in t2.collect()
+    )
+    assert a == b
+
+
+def test_ivf_pq_refine_recall(spark, sf_dir):
+    """The production operating point: trained codebooks + ADC shortlist
+    + exact refine reaches the IVF cell-pruning recall ceiling; ADC alone
+    is lossier (that gap is the compression trade, pinned here)."""
+    from gsmls_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        pq_train,
+    )
+    from gsmls_analysis_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") < 20), emb, k=5
+        ).collect()
+    }
+    books = pq_train(emb, n_iter=2)
+    refined = ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        cents,
+        books,
+        k=5,
+        n_probe=2,
+        refine=8,
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in refined.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, recall
+    assert "cosine" in refined.columns  # exact scores surfaced
