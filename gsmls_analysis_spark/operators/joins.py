@@ -411,3 +411,64 @@ def grid_knn_join(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: point-in-interval matching without a cartesian —
+# the other temporal join Spark has no native operator for.
+# ---------------------------------------------------------------------------
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point_ts < end`` (half-open, the event-window convention),
+    optionally also equi-matched on ``keys``.
+
+    The naive plan is a cross join with a range filter — the canonical
+    100 TB scale-killer (Spark executes an unkeyed range join as
+    BroadcastNestedLoop).  This operator BUCKETS time instead: a point
+    lands in exactly ONE floor(epoch/w) bucket, an interval explodes
+    into the ≤ len/w + 1 buckets it covers, and the join becomes a pure
+    EQUI-join on (bucket[, keys]) followed by the exact containment
+    filter on just the bucket-matched pairs.  No dedup is needed — a
+    point matches an interval in precisely the point's own bucket.
+
+    Tuning = ``bucket_seconds``: candidate volume is Σ_bucket
+    |points_b| · |intervals_b|, minimized when w ≈ typical interval
+    length (wider → more false candidates per bucket; narrower → more
+    interval replication).  Hot buckets (flash-crowd seconds) shuffle-
+    skew exactly like any hot equi-key and salt the same way.  Both
+    input frames must have disjoint column names."""
+    overlap = set(points.columns) & set(intervals.columns) - set(keys or [])
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    w = F.lit(int(bucket_seconds)).cast("long")
+    p = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / w).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / w).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / w).cast("long"),
+            )
+        ),
+    )
+    on = ["__bucket"] + list(keys or [])
+    return (
+        p.join(iv, on)
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -754,3 +754,47 @@ def q_nearest_comps(spark, sf_dir):
         ).alias("lon"),
     )
     return grid_knn_join(cust, "id", "lat", "lon", k=3, cell=0.1)
+
+
+@query(
+    "q_interval_join_error_windows",
+    oracle="""
+SELECT s.event_id AS signup_id,
+       COUNT(*) AS n_errors,
+       CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events s
+JOIN events e
+  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 2 HOUR
+WHERE s.event_type = 'signup' AND e.event_type = 'error'
+GROUP BY s.event_id
+""",
+    doc="UNKEYED interval (range) join without a cartesian (operators/"
+    "joins.py::interval_join): every signup opens a half-open 2-hour "
+    "window; error events landing in a window are counted and summed per "
+    "window.  Spark executes a naive range join as BroadcastNestedLoop "
+    "(the 100 TB scale-killer); this plan buckets time to the hour, "
+    "explodes each window into its ≤3 covered buckets, equi-joins on the "
+    "bucket, and range-filters only the bucket-matched pairs — candidate "
+    "volume is per-bucket products, not |signups|x|errors|.  Oracle: "
+    "DuckDB's native IEJoin on the raw range predicate pins the exact "
+    "same match set.",
+)
+def q_interval_join_error_windows(spark, sf_dir):
+    from ..operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"), F.col("value").alias("e_value")
+    )
+    j = interval_join(errors, windows, "e_ts", "w_start", "w_end", 3600)
+    return j.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum(F.col("e_value").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -414,3 +414,45 @@ def test_dup_span_stats_flags_partial_copies(spark):
     assert got[2] == (3, 1, 1 / 3)
     assert got[3] == (6, 0, 0.0)
     assert 4 not in got
+
+
+def test_interval_join_boundary_and_bucket_semantics(spark):
+    """Half-open [start, end): a point AT start matches, a point AT end
+    does not; intervals longer than the bucket width match points in
+    every covered bucket; disjoint-name enforcement raises."""
+    import pytest
+
+    from gsmls_analysis_spark.operators.joins import interval_join
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 12:00:00")],
+        "iv_id int, s string, e string",
+    ).select(
+        "iv_id",
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:59:59"),
+            (2, "2024-01-01 10:00:00"),  # at start: IN
+            (3, "2024-01-01 11:30:00"),  # second covered bucket: IN
+            (4, "2024-01-01 12:00:00"),  # at end: OUT (half-open)
+        ],
+        "p_id int, t string",
+    ).select("p_id", F.col("t").cast("timestamp").alias("p_ts"))
+    got = sorted(
+        r["p_id"]
+        for r in interval_join(
+            pts, iv, "p_ts", "w_start", "w_end", bucket_seconds=3600
+        ).collect()
+    )
+    assert got == [2, 3]
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(
+            pts.withColumnRenamed("p_ts", "w_start"),
+            iv,
+            "w_start",
+            "w_start",
+            "w_end",
+        )

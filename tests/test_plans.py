@@ -211,3 +211,14 @@ def test_profile_table_scans_input_once(spark, sf_dir):
     reg = load_all()
     plan = _plan(reg["q_profile_orders"].fn(spark, sf_dir))
     assert plan.count("Scan parquet  (") == 1
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join must plan as a hash/sort-merge EQUI
+    join on the bucket key — never BroadcastNestedLoop or a cartesian,
+    which is what Spark does with a raw range predicate."""
+    reg = load_all()
+    plan = _plan(reg["q_interval_join_error_windows"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join, on the equi bucket key
