@@ -781,3 +781,83 @@ def weighted_sample(
         .filter(F.col("__rank") <= k)
         .drop("__wkey", "__rank")
     )
+
+
+def shard_assign(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shards-v1"
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle for training output: every row gets a
+    stable (shard, shard_order) from md5(key||salt) — the loader-facing
+    layout property LLM training needs (a well-mixed, rerun-identical
+    byte stream: re-running the pipeline, changing cluster size, or
+    repartitioning upstream must NOT change what example follows what).
+
+    ``shard`` = 60-bit md5 int mod n_shards; ``shard_order`` = a second
+    independent md5 — ordering within a shard is by hash, i.e. a uniform
+    random permutation, fixed by the salt.  Pure projection: the actual
+    data movement happens once, in the write (one shuffle)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("shard", (h % F.lit(n_shards)).cast("int")).withColumn(
+        "shard_order",
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt + "/order"))),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shards-v1",
+) -> None:
+    """Materialize the sharded layout: ``path/shard=K/`` holds shard K's
+    rows sorted by ``shard_order`` (a loader reading files in order
+    replays the exact global permutation).  One repartition on the shard
+    id + a within-partition sort — at 100 TB this is the single
+    unavoidable full shuffle of a training-data pipeline, and it carries
+    each row exactly once.  Pair with ``shard_manifest`` to certify the
+    layout without re-reading it."""
+    out = shard_assign(df, key_col, n_shards, salt)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_order")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def shard_manifest(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shards-v1"
+) -> DataFrame:
+    """Per-shard certificate of the deterministic layout: row count, an
+    ORDER-FREE content hash (sum of 60-bit md5 key ints — any
+    partitioning produces the same sum), and the first key in replay
+    order (pins the permutation itself, not just the membership).
+    Computable from the pre-write frame or the written table — equal
+    manifests ⇒ identical shard membership and start."""
+    out = shard_assign(df, key_col, n_shards, salt)
+    kh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt + "/h"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # decimal sum (60-bit ints overflow a long under ANSI mode),
+        # surfaced as a string: it's a certificate, not arithmetic
+        F.sum(kh.cast("decimal(38,0)"))
+        .cast("string")
+        .alias("content_hash"),
+        F.min_by(F.col(key_col), F.col("shard_order")).alias("first_key"),
+    )

@@ -75,6 +75,7 @@ _DRIVER_WINDOW = [
     "q_stream_versioned_source",  # versioned table AS a streaming source
     "q_ivf_pq_topk",  # IVF-PQ: product-quantized ADC search
     "q_interval_join_error_windows",  # bucketed range join, no cartesian
+    "q_training_shards",  # deterministic global shuffle for training output
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     # representative re-greens (all cumulatively driver-green r1-r2)
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q04_late_shipment_priority",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

@@ -1128,3 +1128,41 @@ def q_record_linkage_em(spark, sf_dir):
     return spark.createDataFrame(
         [(k, float(params[k])) for k in order], "param string, value double"
     )
+
+
+_SHARD_H = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "q_training_shards",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST({_SHARD_H.format(salt="shards-v1")} % 8 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || 'shards-v1/order') AS shard_order,
+         {_SHARD_H.format(salt="shards-v1/h")} AS kh
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(kh AS HUGEINT)) AS VARCHAR) AS content_hash,
+       min_by(doc_id, shard_order) AS first_key
+FROM a GROUP BY shard
+""",
+    doc="deterministic global shuffle for training output (operators/"
+    "curation.py::shard_assign/shard_manifest/write_training_shards): "
+    "every document gets a stable (shard, in-shard position) from md5 — "
+    "rerun-, engine-, and partitioning-independent, so the training "
+    "byte stream is reproducible.  The query emits the per-shard "
+    "manifest: row count, order-free content hash (sum of md5 key "
+    "ints), and the FIRST key in replay order (pins the permutation, "
+    "not just membership).  The physical write (shard=K dirs, sorted "
+    "files) is unit-verified to replay the same permutation.",
+)
+def q_training_shards(spark, sf_dir):
+    from ..operators.curation import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_manifest(docs, "doc_id", 8)

@@ -333,3 +333,42 @@ def test_logreg_train_learns_and_is_partition_invariant(spark):
     w1 = logreg_train(df.coalesce(1), ["x0", "x1"], "y", lr=5.0, n_iter=8)
     w7 = logreg_train(df.repartition(7), ["x0", "x1"], "y", lr=5.0, n_iter=8)
     assert w == w1 == w7
+
+
+def test_write_training_shards_replays_identical_permutation(spark, tmp_path):
+    """The written shard layout must be rerun- and partitioning-
+    independent: the same rows land in the same shard in the same order
+    no matter how the input was partitioned, and a loader reading
+    shard=K's files in order replays the manifest's first_key."""
+    from gsmls_analysis_spark.operators.curation import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs.repartition(3), p1, "doc_id", 4)
+    write_training_shards(docs.repartition(17, "doc_id"), p2, "doc_id", 4)
+
+    def layout(p):
+        out = {}
+        df = spark.read.parquet(p)
+        for r in df.select("shard", "shard_order", "doc_id").collect():
+            out.setdefault(r["shard"], []).append((r["shard_order"], r["doc_id"]))
+        return {k: [d for _, d in sorted(v)] for k, v in out.items()}
+
+    l1, l2 = layout(p1), layout(p2)
+    assert l1 == l2 and set(l1) == {0, 1, 2, 3}
+    assert sum(len(v) for v in l1.values()) == 500
+    man = {r["shard"]: r for r in shard_manifest(docs, "doc_id", 4).collect()}
+    for k, rows in l1.items():
+        assert man[k]["n_rows"] == len(rows)
+        assert man[k]["first_key"] == rows[0]
+    # manifest itself is partitioning-independent
+    man2 = {
+        r["shard"]: r
+        for r in shard_manifest(docs.repartition(11), "doc_id", 4).collect()
+    }
+    assert {k: (v["n_rows"], v["content_hash"]) for k, v in man.items()} == {
+        k: (v["n_rows"], v["content_hash"]) for k, v in man2.items()
+    }
