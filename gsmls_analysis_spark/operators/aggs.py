@@ -280,3 +280,88 @@ def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         ((sy - slope * sx) / n).alias("intercept"),
         ((num * num) / (denx * deny)).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: fixed-size frequency summary, mergeable, deterministic.
+# ---------------------------------------------------------------------------
+
+
+def cms_hash(key: Column, row: int, width: int) -> Column:
+    """Row ``row``'s bucket for ``key``: 60-bit md5(key||row) mod width —
+    engine-portable (the DuckDB oracle replays the identical arithmetic),
+    and independent across rows via the salt."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f"/cms{row}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % F.lit(width)).cast("int")
+
+
+def count_min_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch table (row, bucket, cnt): each key increments one
+    bucket per row.  depth*width cells TOTAL regardless of cardinality —
+    the fixed-size frequency summary for columns whose distinct count
+    makes an exact groupBy infeasible (token streams, URLs).  The cell
+    table is trivially MERGEABLE across days/tables (union + re-sum) and
+    the build is one map-side-combined aggregate on (row, bucket) —
+    at most depth*width rows per partition enter the shuffle.
+
+    NULL keys are ignored.  Deterministic: md5 bucket assignment, integer
+    counts — the whole sketch (and any estimate read from it) replays
+    exactly in SQL, so the overestimate property is oracle-checkable,
+    not just probabilistic."""
+    keys = df.select(F.col(key_col).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    rows = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_hash(F.col("__k"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        rows.groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates for ``probes``: est = MIN over rows of
+    the key's cell — the classic CMS read, guaranteed >= the true count
+    (every occurrence of the key incremented all its cells; collisions
+    only ADD).  A probe key missing from a cell reads 0.  One broadcast-
+    sized join per probe row (depth cells each)."""
+    cells = probes.select(F.col(key_col)).distinct().select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_hash(F.col(key_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        cells.join(sketch, ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

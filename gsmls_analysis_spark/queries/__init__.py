@@ -76,6 +76,7 @@ _DRIVER_WINDOW = [
     "q_ivf_pq_topk",  # IVF-PQ: product-quantized ADC search
     "q_interval_join_error_windows",  # bucketed range join, no cartesian
     "q_training_shards",  # deterministic global shuffle for training output
+    "q_count_min_tokens",  # Count-Min sketch: fixed-size mergeable freq summary
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     # that yielded their seats to r4's additions return as the
     # representative re-greens (all cumulatively driver-green r1-r2)
     "q01_pricing_summary",
-    "q03_shipping_priority",
     # (everything else keeps registration order after the window and
     # stays covered by the local 3-SF gate, which runs ALL queries.)
 ]

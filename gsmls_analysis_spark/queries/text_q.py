@@ -672,3 +672,74 @@ def q_bpe_vocab(spark, sf_dir):
         .groupBy("token")
         .agg(F.sum("c").alias("n"))
     )
+
+
+@query(
+    "q_count_min_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+  WHERE len(trim(text)) > 0
+),
+cells AS (
+  SELECT r.row,
+         CAST(CAST(('0x' || substr(md5(tok || '/cms' || r.row), 1, 15))
+              AS BIGINT) % 256 AS INT) AS bucket,
+         count(*) AS cnt
+  FROM toks, (SELECT unnest(generate_series(0, 3)) AS row) r
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks
+  GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20
+),
+est AS (
+  SELECT p.tok, p.exact_cnt,
+         MIN(coalesce(c.cnt, 0)) AS est
+  FROM probes p
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS row) r
+  LEFT JOIN cells c
+    ON c.row = r.row
+   AND c.bucket = CAST(CAST(('0x' || substr(md5(p.tok || '/cms' || r.row),
+                       1, 15)) AS BIGINT) % 256 AS INT)
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT tok, exact_cnt, est, est >= exact_cnt AS never_under
+FROM est
+""",
+    doc="Count-Min sketch over the token stream (operators/aggs.py::"
+    "count_min_build/count_min_estimate): a 4x256-cell FIXED-size "
+    "frequency summary — the shuffle carries at most depth*width partial "
+    "cells per partition regardless of distinct-token cardinality, and "
+    "the cell table merges across corpora by union+re-sum.  The query "
+    "estimates the 20 true-top tokens and emits est alongside the exact "
+    "count; md5 bucketing makes the sketch DETERMINISTIC, so the oracle "
+    "replays cells, the min-read, and the est>=exact overestimate "
+    "guarantee cell-for-cell — the approximation is pinned, not waived.",
+)
+def q_count_min_tokens(spark, sf_dir):
+    from ..operators.aggs import count_min_build, count_min_estimate
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("text")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    sketch = count_min_build(toks, "tok", depth=4, width=256)
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("tok"))
+        .limit(20)
+    )
+    est = count_min_estimate(sketch, probes, "tok", depth=4, width=256)
+    return probes.join(est, "tok").select(
+        "tok",
+        "exact_cnt",
+        "est",
+        (F.col("est") >= F.col("exact_cnt")).alias("never_under"),
+    )

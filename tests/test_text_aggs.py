@@ -239,3 +239,47 @@ def test_bpe_merge_application_is_greedy_left_to_right(spark):
     # round 2 pairs AFTER applying: 'aaaa'->[aa,aa] gives (aa,aa)=1;
     # 'aaa'->[aa,a] gives (aa,a)=1; tie -> pair asc picks (aa,a)
     assert rules[1] == (2, "aa", "a", 1, "aaa")
+
+
+def test_count_min_mergeable_and_overestimate(spark):
+    """CMS cell tables merge by union+re-sum: the merged sketch of two
+    halves equals the sketch of the whole; estimates never underestimate
+    and are exact when a key's cells are collision-free."""
+    from gsmls_analysis_spark.operators.aggs import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(70)] + [("rare",)], "k string"
+    )
+    h1 = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(35)], "k string"
+    )
+    h2 = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(35, 70)] + [("rare",)], "k string"
+    )
+    full = count_min_build(df, "k", depth=3, width=32)
+    merged = (
+        count_min_build(h1, "k", depth=3, width=32)
+        .unionByName(count_min_build(h2, "k", depth=3, width=32))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    probes = df.distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(full, probes, "k", depth=3, width=32).collect()
+    }
+    exact = {f"k{i}": 10 for i in range(7)} | {"rare": 1}
+    for k, e in exact.items():
+        assert est[k] >= e
+    # total cell mass per row == total keys (no loss, no double count)
+    per_row = {
+        r["row"]: r["s"]
+        for r in full.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert set(per_row.values()) == {71}
