@@ -41,3 +41,112 @@ def incremental_join_delta(
         .unionByName(a_old.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def continuous_agg_refresh(
+    spark,
+    source_path: str,
+    agg_path: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+) -> int | None:
+    """Continuous aggregate (the Timescale/Materialize pattern) on the
+    versioned-table stack: maintain ``agg_path`` =
+    ``GROUP BY group_cols: count(*) AS n_rows, SUM(expr) AS name`` over
+    the CURRENT state of the versioned table at ``source_path``,
+    refreshing INCREMENTALLY from commit-log CDC instead of rescanning.
+
+    ``sum_cols`` maps output name -> SQL expression over source columns;
+    expressions must be integer/decimal-valued (exact, order-free sums —
+    what makes incremental == full-recompute EXACTLY, not approximately).
+
+    Refresh algebra: versioned_changes(v_last, v_now) yields the row
+    delta of ONLY the files the commits touched (manifest diff); signed
+    per-group partials (+1 insert, −1 delete) aggregate the delta; the
+    new group values are old + Δ via a keyed join against the CURRENT
+    agg table; groups reaching n_rows = 0 are MERGE-deleted, the rest
+    MERGE-upsert.  The agg table records the source version it reflects
+    in its manifest meta, so refresh is idempotent (no new source
+    version ⇒ no commit) and restart-safe.
+
+    100 TB cost per refresh: |touched files| read + one |Δ-groups|-sized
+    shuffle + a merge that rewrites only agg files containing changed
+    groups.  The source table is NEVER rescanned after bootstrap."""
+    from pyspark.sql import functions as F
+
+    from ..sources.versioned import (
+        committed_meta,
+        table_versions,
+        versioned_changes,
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+    )
+
+    src_versions = table_versions(source_path)
+    if not src_versions:
+        raise FileNotFoundError(f"no committed versions under {source_path}")
+    v_now = src_versions[-1]
+
+    def agg_exprs(sign):
+        return [F.sum(sign).cast("long").alias("n_rows")] + [
+            F.sum(F.expr(expr) * sign).alias(name)
+            for name, expr in sum_cols.items()
+        ]
+
+    done = committed_meta(agg_path, "ca_src_version")
+    if not done:  # bootstrap: one full aggregation of the current state
+        cur = versioned_read(spark, source_path)
+        full = cur.groupBy(*group_cols).agg(*agg_exprs(F.lit(1)))
+        versioned_write(
+            full, agg_path, meta={"ca_src_version": v_now}
+        )
+        return v_now
+    v_last = max(done)
+    if v_last >= v_now:
+        return None  # nothing new: no commit (idempotent refresh)
+    delta = (
+        versioned_changes(spark, source_path, v_last, v_now)
+        .withColumn(
+            "__sign", F.when(F.col("_change") == "insert", 1).otherwise(-1)
+        )
+        .groupBy(*group_cols)
+        .agg(*agg_exprs(F.col("__sign")))
+    )
+    cur_agg = versioned_read(spark, agg_path).select(
+        *group_cols,
+        F.col("n_rows").alias("__old_n"),
+        *[F.col(n).alias(f"__old_{n}") for n in sum_cols],
+    )
+    merged = (
+        delta.join(cur_agg, list(group_cols), "left")
+        .select(
+            *group_cols,
+            (F.coalesce(F.col("__old_n"), F.lit(0)) + F.col("n_rows")).alias(
+                "n_rows"
+            ),
+            *[
+                (
+                    F.coalesce(F.col(f"__old_{n}"), F.lit(0)) + F.col(n)
+                ).alias(n)
+                for n in sum_cols
+            ],
+            F.col("__old_n").isNotNull().alias("__existed"),
+        )
+    )
+    # ONE atomic merge commit — update live groups, DELETE emptied ones
+    # (multi-clause merge), never insert a net-zero new group.  Refresh
+    # is therefore all-or-nothing: a crash leaves the agg at v_last and
+    # the next refresh replays the same delta.
+    source = merged.filter(
+        (F.col("n_rows") > 0) | F.col("__existed")
+    ).drop("__existed")
+    versioned_merge(
+        spark,
+        agg_path,
+        source,
+        on=list(group_cols),
+        matched_delete_condition="s.n_rows <= 0",
+        meta={"ca_src_version": v_now},
+    )
+    return v_now

@@ -77,6 +77,7 @@ _DRIVER_WINDOW = [
     "q_interval_join_error_windows",  # bucketed range join, no cartesian
     "q_training_shards",  # deterministic global shuffle for training output
     "q_count_min_tokens",  # Count-Min sketch: fixed-size mergeable freq summary
+    "q_continuous_aggregate",  # CDC-driven incremental rollup (one atomic merge)
     # (b) code changed in round 5 — must re-verify through the driver:
     # materialize()/truncate_lineage() swaps (text/curation/graph/
     # similarity/aggs), versioned-table rewrite, streaming drain

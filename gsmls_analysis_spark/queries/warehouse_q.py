@@ -1483,3 +1483,49 @@ def q_versioned_merge(spark, sf_dir):
     )
     versioned_merge(spark, path, upd.unionByName(sup), on=["c_custkey"])
     return versioned_read(spark, path)
+
+
+@query(
+    "q_continuous_aggregate",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE event_type IS DISTINCT FROM 'error'
+GROUP BY user_id
+""",
+    doc="continuous aggregate on the lakehouse stack (operators/ivm.py::"
+    "continuous_agg_refresh, the Timescale/Materialize pattern): a "
+    "per-user rollup table is maintained INCREMENTALLY from the source "
+    "table's commit-log CDC — bootstrap on even event_ids, incremental "
+    "refresh after an append of the odds (reads ONLY the appended "
+    "files via manifest diff), incremental refresh after a DELETE of "
+    "all error events (signed delta; a group whose count reaches zero "
+    "is dropped by the multi-clause MERGE in the SAME atomic commit).  "
+    "Exact integer sums make incremental == full recompute exactly; "
+    "the oracle is the full aggregate over the final source state.",
+)
+def q_continuous_aggregate(spark, sf_dir):
+    import tempfile
+
+    from ..operators.ivm import continuous_agg_refresh
+    from ..sources.versioned import versioned_delete, versioned_read, versioned_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="ca_src_")
+    agg = tempfile.mkdtemp(prefix="ca_agg_")
+    args = (["user_id"], {"total_cents": "CAST(round(value * 100) AS BIGINT)"})
+    versioned_write(
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(4, "user_id"),
+        src,
+    )
+    continuous_agg_refresh(spark, src, agg, *args)
+    versioned_write(
+        ev.filter(F.col("event_id") % 2 == 1), src, mode="append"
+    )
+    continuous_agg_refresh(spark, src, agg, *args)
+    versioned_delete(spark, src, F.col("event_type") == "error")
+    continuous_agg_refresh(spark, src, agg, *args)
+    return versioned_read(spark, agg)

@@ -775,6 +775,7 @@ def versioned_merge(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     matched_condition: str | None = None,
+    matched_delete_condition: str | None = None,
     meta: dict | None = None,
 ) -> int:
     """MERGE INTO (keyed upsert, the Delta/Iceberg primitive that turns a
@@ -809,10 +810,20 @@ def versioned_merge(
     (source row), e.g. ``"s.ts > t.ts"`` — a matched pair failing it
     keeps the target row (update mode) or survives (delete mode), which
     is what makes out-of-order CDC apply last-writer-wins instead of
-    last-batch-wins.  ``meta`` is recorded in the manifest for idempotent
-    replay (see ``committed_meta``).  Returns the new version number."""
+    last-batch-wins.  ``matched_delete_condition`` adds Delta's second
+    clause — ``WHEN MATCHED AND <cond> THEN DELETE`` ahead of the update
+    clause (same t/s aliases), which is what lets a single ATOMIC commit
+    both upsert changed groups and drop emptied ones (see
+    ``operators/ivm.py::continuous_agg_refresh``).  ``meta`` is recorded
+    in the manifest for idempotent replay (see ``committed_meta``).
+    Returns the new version number."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if matched_delete_condition is not None and when_matched == "delete":
+        raise ValueError(
+            "matched_delete_condition composes with when_matched='update'; "
+            "for delete-all-matches use when_matched='delete'"
+        )
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
@@ -897,10 +908,10 @@ def versioned_merge(
     is_t = F.coalesce(F.col("__t"), F.lit(False))
     is_s = F.coalesce(F.col("__s"), F.lit(False))
     cond = F.lit(True)
-    if matched_condition is not None:
+    if matched_condition is not None or matched_delete_condition is not None:
         if "t" in j.columns or "s" in j.columns:
             raise ValueError(
-                "matched_condition reserves aliases 't'/'s'; the table or "
+                "match conditions reserve aliases 't'/'s'; the table or "
                 "source has a column with that name — rename it"
             )
         # Delta's WHEN MATCHED AND <cond>: expose the two rows of a
@@ -918,7 +929,13 @@ def versioned_merge(
                 ]
             ),
         )
-        cond = F.expr(matched_condition)
+        if matched_condition is not None:
+            cond = F.expr(matched_condition)
+    del_cond = (
+        F.coalesce(F.expr(matched_delete_condition), F.lit(False))
+        if matched_delete_condition is not None
+        else F.lit(False)
+    )
     out_cols = []
     for f in evolved.fields:
         name = f.name
@@ -947,6 +964,10 @@ def versioned_merge(
     keep = F.lit(True)
     if when_matched == "delete":
         keep = keep & ~(is_t & is_s & F.coalesce(cond, F.lit(False)))
+    if matched_delete_condition is not None:
+        # multi-clause merge: WHEN MATCHED AND del_cond THEN DELETE takes
+        # precedence over the update clause for the rows it selects
+        keep = keep & ~(is_t & is_s & del_cond)
     if when_not_matched == "ignore":
         keep = keep & is_t
     merged = j.filter(keep).select(*out_cols)

@@ -1108,3 +1108,96 @@ def test_versioned_compact_clustered_restores_pruning(spark, tmp_path):
         assert len(c) <= len(files3) // 2, (col, len(c), len(files3))
     assert versioned_read(spark, path, v3).count() == n
     assert man3["meta"]["clustered_by"] == ["id", "x"]
+
+
+def test_versioned_merge_multiclause_delete_then_update(spark, tmp_path):
+    """Delta's multi-clause merge: WHEN MATCHED AND <cond> THEN DELETE
+    ahead of WHEN MATCHED THEN UPDATE, one atomic commit; combining the
+    clause with when_matched='delete' raises."""
+    import pytest
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(4).select("id", (F.col("id") * 10).alias("val")), path
+    )
+    src = spark.createDataFrame(
+        [(1, -1), (2, 99), (9, 90)], "id long, val long"
+    )
+    versioned_merge(
+        spark, path, src, on=["id"], matched_delete_condition="s.val < 0"
+    )
+    got = {r["id"]: r["val"] for r in versioned_read(spark, path).collect()}
+    assert got == {0: 0, 2: 99, 3: 30, 9: 90}  # 1 deleted, 2 updated, 9 inserted
+    with pytest.raises(ValueError, match="composes"):
+        versioned_merge(
+            spark,
+            path,
+            src,
+            on=["id"],
+            when_matched="delete",
+            matched_delete_condition="s.val < 0",
+        )
+
+
+def test_continuous_agg_refresh_reads_only_changed_files(spark, tmp_path):
+    """The incremental refresh must plan from the manifest DIFF: corrupt
+    every source file the append did NOT touch — the refresh still
+    succeeds and lands the correct delta, then a delete-driven refresh
+    drops a group that reached zero rows, and a no-op refresh commits
+    nothing (idempotence)."""
+    from gsmls_analysis_spark.operators.ivm import continuous_agg_refresh
+    from gsmls_analysis_spark.sources.versioned import (
+        table_versions,
+        versioned_read,
+        versioned_write,
+        _entries,
+        _expand_files,
+        _read_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    args = (["g"], {"total": "cents"})
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a", 100), (2, "a", 200), (3, "b", 300)],
+            "id long, g string, cents long",
+        ).repartitionByRange(2, "id"),
+        src,
+    )
+    continuous_agg_refresh(spark, src, agg, *args)
+    v1_files = _expand_files(src, _entries(_read_manifest(src, 1)))
+    versioned_write(
+        spark.createDataFrame([(4, "b", 50)], "id long, g string, cents long"),
+        src,
+        mode="append",
+    )
+    # corrupt every v1 file: if the incremental refresh re-scanned the
+    # base instead of diffing manifests, it would blow up here
+    backup = {}
+    for f in v1_files:
+        p = os.path.join(src, f)
+        backup[f] = open(p, "rb").read()
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1 garbage")
+    continuous_agg_refresh(spark, src, agg, *args)
+    got = {r["g"]: (r["n_rows"], r["total"]) for r in versioned_read(spark, agg).collect()}
+    assert got == {"a": (2, 300), "b": (2, 350)}
+    for f, data in backup.items():  # restore for the delete leg
+        with open(os.path.join(src, f), "wb") as fh:
+            fh.write(data)
+    from gsmls_analysis_spark.sources.versioned import versioned_delete
+
+    versioned_delete(spark, src, F.col("g") == "a")
+    continuous_agg_refresh(spark, src, agg, *args)
+    got = {r["g"]: (r["n_rows"], r["total"]) for r in versioned_read(spark, agg).collect()}
+    assert got == {"b": (2, 350)}  # group a VANISHED, not zeroed
+    n_agg_versions = len(table_versions(agg))
+    assert continuous_agg_refresh(spark, src, agg, *args) is None
+    assert len(table_versions(agg)) == n_agg_versions
