@@ -115,6 +115,8 @@ BOUNDED_CROSS_OK = {
     "q_iqr_outliers",
     "q_ivf_topk",
     "q_ivf_topk_trained",  # same broadcast-centroid scoring as q_ivf_topk
+    "q_ivf_pq_topk",  # same 32-row broadcast-centroid cell assignment +
+    # a 128-row broadcast codebook join — bounded, never shuffled
     "q_scalar_subquery",
     "q22_inactive_customer_balance",  # 1-row scalar-average broadcast
     "q11_important_parts",  # 1-row global-threshold scalar broadcast
