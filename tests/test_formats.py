@@ -737,12 +737,14 @@ def test_versioned_schema_evolution_and_enforcement(spark, tmp_path):
 
 def test_versioned_model_based_random_walk(spark, tmp_path):
     """Model-based check of the whole versioned layer: a seeded random
-    walk of append / delete / compact / vacuum ops runs against both the
+    walk of append / delete / UPDATE / MERGE (upsert + matched-delete) /
+    compact (plain + clustered) / vacuum ops runs against both the
     table and a pure-Python model (dict id->grp); after every op the
     snapshot read must equal the model, and at the end every
     still-published version must equal the model's history at that
     point.  Catches interaction bugs no single-op test sees (stats/bloom
-    carry-through, vacuum vs kept references, empty rewrites)."""
+    carry-through, vacuum vs kept references, empty rewrites, merges
+    over files a previous update already rewrote)."""
     import random
 
     from pyspark.sql import functions as F2
@@ -751,7 +753,9 @@ def test_versioned_model_based_random_walk(spark, tmp_path):
         table_versions,
         versioned_compact,
         versioned_delete,
+        versioned_merge,
         versioned_read,
+        versioned_update,
         versioned_vacuum,
         versioned_write,
     )
@@ -782,8 +786,20 @@ def test_versioned_model_based_random_walk(spark, tmp_path):
 
     v = commit_append()
     history[v] = dict(model)
-    for _step in range(12):
-        op = rng.choice(["append", "delete", "delete_eq", "compact", "vacuum"])
+    for _step in range(18):
+        op = rng.choice(
+            [
+                "append",
+                "delete",
+                "delete_eq",
+                "compact",
+                "compact_clustered",
+                "vacuum",
+                "update",
+                "merge",
+                "merge_delete",
+            ]
+        )
         if op == "append":
             v = commit_append()
         elif op == "delete":
@@ -800,6 +816,45 @@ def test_versioned_model_based_random_walk(spark, tmp_path):
                 v = versioned_delete(spark, path, F2.col("id") == -1)
         elif op == "compact":
             v = versioned_compact(spark, path)
+        elif op == "compact_clustered":
+            v = versioned_compact(spark, path, cluster_by=["id"])
+        elif op == "update":
+            g = rng.randint(0, 4)
+            add = rng.randint(1, 3)
+            v = versioned_update(
+                spark,
+                path,
+                F2.col("grp") == g,
+                {"grp": F2.col("grp") + F2.lit(add)},
+            )
+            for k, gv in list(model.items()):
+                if gv == g:
+                    model[k] = gv + add
+        elif op in ("merge", "merge_delete"):
+            nonmatch = [(next_id + i, 99) for i in range(rng.randint(0, 2))]
+            next_id += len(nonmatch)
+            matched = (
+                [(k, model[k] + 10) for k in rng.sample(sorted(model), min(3, len(model)))]
+                if model
+                else []
+            )
+            src = spark.createDataFrame(
+                matched + nonmatch, "id long, grp long"
+            )
+            if op == "merge":
+                v = versioned_merge(spark, path, src, on=["id"])
+                model.update(dict(matched + nonmatch))
+            else:
+                v = versioned_merge(
+                    spark,
+                    path,
+                    src,
+                    on=["id"],
+                    when_matched="delete",
+                )
+                for k, _ in matched:
+                    model.pop(k, None)
+                model.update(dict(nonmatch))
         else:
             versioned_vacuum(path, keep_last=2)
             v = table_versions(path)[-1]
