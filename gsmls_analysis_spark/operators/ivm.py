@@ -49,6 +49,7 @@ def continuous_agg_refresh(
     agg_path: str,
     group_cols: list[str],
     sum_cols: dict[str, str],
+    delta_columns: list[str] | None = None,
 ) -> int | None:
     """Continuous aggregate (the Timescale/Materialize pattern) on the
     versioned-table stack: maintain ``agg_path`` =
@@ -68,6 +69,12 @@ def continuous_agg_refresh(
     MERGE-upsert.  The agg table records the source version it reflects
     in its manifest meta, so refresh is idempotent (no new source
     version ⇒ no commit) and restart-safe.
+
+    ``delta_columns``: the source columns the group keys and sum
+    expressions actually read — passed through to versioned_changes so
+    the CDC multiset diff shuffles ONLY those columns (sound: rows
+    differing solely in pruned columns cancel out of the diff and
+    contribute nothing to the aggregate).  Essential when rows are wide.
 
     100 TB cost per refresh: |touched files| read + one |Δ-groups|-sized
     shuffle + a merge that rewrites only agg files containing changed
@@ -106,7 +113,9 @@ def continuous_agg_refresh(
     if v_last >= v_now:
         return None  # nothing new: no commit (idempotent refresh)
     delta = (
-        versioned_changes(spark, source_path, v_last, v_now)
+        versioned_changes(
+            spark, source_path, v_last, v_now, columns=delta_columns
+        )
         .withColumn(
             "__sign", F.when(F.col("_change") == "insert", 1).otherwise(-1)
         )

@@ -1517,15 +1517,16 @@ def q_continuous_aggregate(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="ca_src_")
     agg = tempfile.mkdtemp(prefix="ca_agg_")
     args = (["user_id"], {"total_cents": "CAST(round(value * 100) AS BIGINT)"})
+    kw = {"delta_columns": ["user_id", "value"]}
     versioned_write(
         ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(4, "user_id"),
         src,
     )
-    continuous_agg_refresh(spark, src, agg, *args)
+    continuous_agg_refresh(spark, src, agg, *args, **kw)
     versioned_write(
         ev.filter(F.col("event_id") % 2 == 1), src, mode="append"
     )
-    continuous_agg_refresh(spark, src, agg, *args)
+    continuous_agg_refresh(spark, src, agg, *args, **kw)
     versioned_delete(spark, src, F.col("event_type") == "error")
-    continuous_agg_refresh(spark, src, agg, *args)
+    continuous_agg_refresh(spark, src, agg, *args, **kw)
     return versioned_read(spark, agg)

@@ -1190,7 +1190,11 @@ def versioned_compact(
 
 
 def versioned_changes(
-    spark: SparkSession, path: str, v_from: int, v_to: int
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """CDC between two published versions: the row-level delta as a
     DataFrame with a ``_change`` column ('insert' = present in v_to but
@@ -1203,7 +1207,16 @@ def versioned_changes(
     version are ever read.  A v100→v101 diff of a 100 TB table reads the
     handful of files that commit touched, not the table.  (Compaction
     rewrites every file, so a diff ACROSS a compaction degrades to a
-    full comparison — diff between, not across, compaction points.)"""
+    full comparison — diff between, not across, compaction points.)
+
+    ``columns``: project both sides to this subset BEFORE the multiset
+    diff.  Sound for any consumer that only reads these columns (a
+    downstream aggregate, a keyed delta): a pair of rows differing only
+    in projected-away columns cancels out of the diff, and its
+    contribution to any function of the kept columns cancels
+    identically.  The exceptAll shuffle then carries just the needed
+    columns — the column-pruning that makes CDC-driven aggregation
+    cheap when rows are wide (documents with megabyte text columns)."""
     versions = table_versions(path)
     for v in (v_from, v_to):
         if v not in versions:
@@ -1218,12 +1231,14 @@ def versioned_changes(
         if not files:
             if not schema_json:
                 raise ValueError("empty side and no recorded schema")
-            return spark.createDataFrame(
+            side = spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-        return spark.read.parquet(
-            *[os.path.join(root, f) for f in sorted(files)]
-        )
+        else:
+            side = spark.read.parquet(
+                *[os.path.join(root, f) for f in sorted(files)]
+            )
+        return side.select(*columns) if columns else side
 
     old_only = read_side(files_from - files_to)
     new_only = read_side(files_to - files_from)
