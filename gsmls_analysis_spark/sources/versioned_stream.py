@@ -103,14 +103,36 @@ class VersionedStreamReader(DataSourceStreamReader):
         out: list[InputPartition] = []
         root = os.path.abspath(self._path)
         prev_files: set[str] | None = None
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        retained = table_versions(self._path)
+        needed = range(int(start["version"]) + 1, int(end["version"]) + 1)
+        missing = [v for v in needed if v not in retained]
+        if missing:
+            # vacuum dropped history this stream still needs — its rows
+            # are gone; silently skipping would lose data.  Delta raises
+            # the same way; restart from a retained version.
+            raise ValueError(
+                f"versioned_table stream needs commits {missing} of "
+                f"{self._path}, but vacuum retained only {retained}.  "
+                "Start a fresh stream with startingVersion="
+                f"{retained[0] - 1 if retained else 0} or later."
+            )
+        for v in needed:
             m = _read_manifest(self._path, v)
             if prev_files is None:
-                if m.get("parent"):
+                parent = m.get("parent")
+                if parent and parent not in retained:
+                    raise ValueError(
+                        f"versioned_table stream resumed at commit v{v} of "
+                        f"{self._path}, but its parent manifest v{parent} "
+                        f"was vacuumed (retained: {retained}) — the diff "
+                        "base is gone.  Start a fresh stream from a "
+                        "retained version."
+                    )
+                if parent:
                     prev_files = set(
                         _expand_files(
                             root,
-                            _entries(_read_manifest(self._path, m["parent"])),
+                            _entries(_read_manifest(self._path, parent)),
                         )
                     )
                 else:

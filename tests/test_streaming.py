@@ -732,3 +732,47 @@ def test_versioned_stream_source_change_semantics(spark, tmp_path):
         by_version.setdefault(row[-1], []).append(row)
     assert all(t[1] is None for t in by_version[1] + by_version[2])
     assert sorted(t[:2] for t in by_version[3]) == [(7, "new"), (8, "new")]
+
+
+def test_versioned_stream_source_vacuumed_history_fails_loudly(spark, tmp_path):
+    """A stream that needs vacuumed commits (cold start from 0, or a
+    resume whose diff base is gone) must fail with guidance, never skip
+    rows silently; a startingVersion inside the retained window works."""
+    import pyspark.errors
+    import pytest
+
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_vacuum,
+        versioned_write,
+    )
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        versioned_stream_source,
+    )
+
+    table = str(tmp_path / "vt")
+    for lo in (0, 10, 20, 30):
+        versioned_write(
+            spark.range(lo, lo + 2).select("id"),
+            table,
+            mode="append" if lo else "overwrite",
+        )
+    versioned_vacuum(table, keep_last=2)  # retains v3, v4 only
+
+    def drain(name, **kw):
+        q = (
+            versioned_stream_source(spark, table, **kw)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{name}"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["id"]
+            for r in spark.read.parquet(str(tmp_path / f"out_{name}")).collect()
+        )
+
+    with pytest.raises(pyspark.errors.PySparkException, match="vacuum"):
+        drain("cold")  # needs v1/v2: vacuumed
+    assert drain("tail", starting_version=3) == [30, 31]  # only v4's rows
