@@ -87,3 +87,53 @@ def pagerank(
             .transform(truncate_lineage)
         )
     return ranks
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an edge
+    list (src, dst — pass both directions for an undirected graph):
+    every node starts labeled with its own id; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — fully deterministic, so communities are
+    rerun-stable and the oracle can unroll the rounds exactly.
+
+    Complements connected_components: CC merges everything reachable
+    (one bridge edge fuses two clusters); LPA communities respect edge
+    DENSITY, splitting chained near-dup clusters at their weak links —
+    the right granularity for keep-best dedup on long chains.
+
+    Scale shape per round: one join labels->edges (shuffle on the node
+    key, same partitioning every round), one (dst, label) count
+    aggregate (map-side combined), one max_by per node — all counts and
+    integer labels, no floats anywhere.  Lineage is truncated per round
+    (reliable checkpoint), so n_rounds never nests plans.  Isolated
+    nodes (no edges) keep their own label."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(materialize)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_rounds):
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = neigh.groupBy("node").agg(
+            F.min_by(
+                F.col("label"), F.struct((-F.col("n")).alias("neg"), F.col("label"))
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .transform(truncate_lineage)
+        )
+    return labels

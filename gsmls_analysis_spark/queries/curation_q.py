@@ -9,6 +9,7 @@ modulo 1e6 → compare against the same threshold.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.curation import (
@@ -1166,3 +1167,70 @@ def q_training_shards(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return shard_manifest(docs, "doc_id", 8)
+
+
+def _lpa_oracle(n_rounds: int = 3) -> str:
+    """Unrolled-round DuckDB replay of operators/graph.py::
+    label_propagation over the symmetrized MinHash-LSH pair graph:
+    per round, every node adopts its neighbors' modal label (ties ->
+    smallest label) — pure integer counts, bit-stable by construction."""
+    ctes = [
+        f"pairs AS ({_LSH_ORACLE})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "it0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, n_rounds + 1):
+        # on the SYMMETRIZED graph every node has an in-edge, so the
+        # per-round argmax covers every node — a single-reference CTE
+        # chain (no left-join back), which DuckDB evaluates once instead
+        # of re-inlining the whole prefix per extra reference
+        ctes.append(
+            f"cnt{i} AS (SELECT e.dst AS node, p.label, count(*) AS n "
+            f"FROM edges e JOIN it{i-1} p ON p.node = e.src "
+            "GROUP BY e.dst, p.label)"
+        )
+        ctes.append(
+            f"it{i} AS (SELECT node, label FROM ("
+            "SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY n DESC, label) AS rn FROM cnt{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, label AS community, count(*) OVER "
+        f"(PARTITION BY label) AS community_size FROM it{n_rounds}"
+    )
+
+
+@query(
+    "q_lpa_communities",
+    oracle=_lpa_oracle(),
+    doc="label-propagation communities over the symmetrized MinHash-LSH "
+    "near-dup graph (operators/graph.py::label_propagation, 3 synchronous "
+    "rounds, modal-neighbor-label with smallest-label tie-break): the "
+    "density-respecting complement to connected_components — a chained "
+    "near-dup cluster splits at its weak links instead of fusing through "
+    "one bridge edge.  Pure integer counts and labels, per-round lineage "
+    "truncation; the oracle unrolls the identical rounds as CTEs.",
+)
+def q_lpa_communities(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = label_propagation(edges, n_rounds=3)
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(w).alias("community_size"),
+    )

@@ -372,3 +372,31 @@ def test_write_training_shards_replays_identical_permutation(spark, tmp_path):
     assert {k: (v["n_rows"], v["content_hash"]) for k, v in man.items()} == {
         k: (v["n_rows"], v["content_hash"]) for k, v in man2.items()
     }
+
+
+def test_label_propagation_splits_bridged_clusters(spark):
+    """The property CC cannot express: two dense triangles joined by one
+    bridge edge form ONE connected component but TWO LPA communities —
+    the bridge is outvoted by each side's internal edges.  Isolated
+    nodes keep their own label; determinism under repartition."""
+    from gsmls_analysis_spark.operators.curation import connected_components
+    from gsmls_analysis_spark.operators.graph import label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (11, 12), (12, 13), (11, 13), (3, 11)]
+    pairs = spark.createDataFrame(tri, "a long, b long")
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    labels = {r["node"]: r["label"] for r in label_propagation(edges, 3).collect()}
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[11] == labels[12] == labels[13]
+    assert labels[1] != labels[11]  # bridge did NOT fuse the communities
+    cc = connected_components(
+        pairs.selectExpr("a AS id_a", "b AS id_b")
+    ).labels
+    assert cc.select("cluster_id").distinct().count() == 1  # CC fuses
+    labels2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges.repartition(7), 3).collect()
+    }
+    assert labels == labels2
