@@ -122,13 +122,21 @@ def continuous_agg_refresh(
         .groupBy(*group_cols)
         .agg(*agg_exprs(F.col("__sign")))
     )
+    # NULL-SAFE keyed join + merge throughout: GROUP BY treats NULLs as
+    # one group, so a nullable group column must match its existing agg
+    # row (plain SQL equality would re-insert a fresh NULL-group row on
+    # every refresh and the aggregate would diverge from full recompute).
     cur_agg = versioned_read(spark, agg_path).select(
-        *group_cols,
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
         F.col("n_rows").alias("__old_n"),
         *[F.col(n).alias(f"__old_{n}") for n in sum_cols],
     )
+    jcond = None
+    for c in group_cols:
+        t = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        jcond = t if jcond is None else (jcond & t)
     merged = (
-        delta.join(cur_agg, list(group_cols), "left")
+        delta.join(cur_agg, jcond, "left")
         .select(
             *group_cols,
             (F.coalesce(F.col("__old_n"), F.lit(0)) + F.col("n_rows")).alias(
@@ -157,5 +165,6 @@ def continuous_agg_refresh(
         on=list(group_cols),
         matched_delete_condition="s.n_rows <= 0",
         meta={"ca_src_version": v_now},
+        null_safe_keys=True,
     )
     return v_now

@@ -2,14 +2,32 @@
 filesystem — the core lakehouse primitive (Delta/Iceberg snapshot model)
 without a table-format dependency.
 
-Model: every commit writes its data to an immutable directory
-``data/v{n}/`` and then publishes ``manifest-v{n}.json`` listing the FULL
-set of data entries visible at version n (overwrite = just the new
-one, append = parent's list + the new one).  Readers resolve the highest
-published manifest (or an explicit ``version=``) and scan exactly its
-entries — a half-written commit is invisible because its manifest is
-the LAST thing written, atomically (tmp + ``os.replace`` on the same
-filesystem).  Old versions stay fully readable until vacuumed.
+Model: every commit writes its data to an immutable, UNIQUELY NAMED
+directory ``data/v{n}-{token}/`` and then publishes
+``manifest-v{n}.json`` listing the FULL set of data entries visible at
+version n (overwrite = just the new one, append = parent's list + the
+new one).  Readers resolve the highest published manifest (or an
+explicit ``version=``) and scan exactly its entries — a half-written
+commit is invisible because its manifest is the LAST thing written,
+atomically AND exclusively (tmp + ``os.link``, which fails if the
+version number was taken).  Old versions stay fully readable until
+vacuumed.
+
+Concurrency (optimistic, the Delta OCC protocol): the manifest publish
+is an exclusive create, so exactly ONE of N concurrent committers wins
+any version number; the commit token in every data directory name means
+in-flight commits can never write into each other's files (the reason
+Delta/Iceberg name data files with UUIDs).  A loser RE-EXECUTES against
+the winner's snapshot — blind writes (overwrite/append) just re-resolve
+their parent and re-publish, while read-modify-write commits
+(delete/update/merge/compact) re-run their whole scan-and-rewrite so the
+result is what a serial execution after the winner would have produced
+(stronger than Delta's default WriteSerializable abort: the full
+operation spec lives inside the function, so re-execution IS the
+correct conflict resolution).  Retries are capped; exhaustion raises
+``CommitConflictError``.  A crashed attempt leaves an orphaned
+(invisible) token directory; ``versioned_vacuum(clean_orphans=True)``
+reclaims those.
 
 Each manifest additionally carries:
 
@@ -50,6 +68,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
+
+# publish-collision retries before giving up (each retry re-executes
+# against the newly-won snapshot, so exhaustion means pathological
+# contention, not a correctness problem)
+_MAX_COMMIT_RETRIES = 10
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a commit loses the optimistic-concurrency race
+    ``_MAX_COMMIT_RETRIES`` times in a row."""
+
+
+def _commit_token() -> str:
+    """Uniquifies a commit attempt's data directory so concurrent
+    committers (and crashed-attempt retries) never share a path."""
+    import uuid
+
+    return uuid.uuid4().hex[:8]
 
 
 def table_versions(path: str) -> list[int]:
@@ -95,6 +131,7 @@ def versioned_write(
     mode: str = "overwrite",
     meta: dict | None = None,
     bloom_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return its number.
 
@@ -106,47 +143,99 @@ def versioned_write(
     ``committed_meta``).  ``bloom_cols``: int/string key columns to build
     per-file Bloom filters for — the equality-delete pruning that min/max
     stats can't provide on high-cardinality keys; subsequent deletes on
-    the table keep blooming the same columns automatically."""
+    the table keep blooming the same columns automatically.
+
+    ``partition_by``: PARTITION the table on these (low-cardinality)
+    columns, Iceberg-style hidden partitioning: the write is
+    hash-clustered on them so each partition value lands in few files,
+    and the manifest records every file's EXACT distinct partition
+    values (``pvals``) — readers, deletes, updates and merges then prune
+    non-matching partitions' files from the manifest WITHOUT OPENING
+    THEM, the dominant skip mechanism at 100 TB (year/county scans).
+    Unlike Hive directory layout, files stay self-contained (partition
+    columns are ordinary columns in the data), so copy-on-write keeps
+    working file-granularly and no directory convention leaks into the
+    read path.  Appends inherit the parent's partitioning; pass
+    ``partition_by=[]`` to explicitly stop clustering."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = table_versions(path)
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
     version = parent + 1
-    data_dir = f"data/v{version}"
-    # mode=overwrite: a crash between a previous attempt's data write and
-    # its manifest publish leaves an ORPHANED (invisible) data/v{n}; the
-    # retry must be able to reclaim it instead of wedging on
-    # path-already-exists.  Published dirs can never be hit — version
-    # always advances past the highest published manifest.  (Single
-    # writer assumed, as in any manifest-pointer table format.)
+    if partition_by is None and mode == "append" and pm:
+        partition_by = pm.get("partition_by")
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns {missing} not in DataFrame")
+        # cluster so each partition value concentrates in few files.  The
+        # EXPLICIT partition count matters: a number-less repartition is
+        # an AQE coalesce target, and coalescing merges different
+        # partition values into one file — which widens every pvals set
+        # and kills pruning.  (Iceberg writes per-partition files for the
+        # same reason.)
+        n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(n_shuffle, *[F.col(c) for c in partition_by])
+    # the commit token makes this attempt's data dir private: a crashed
+    # attempt's dir is orphaned (invisible; vacuum clean_orphans reclaims
+    # it) and two concurrent committers can never write into each other
+    data_dir = f"data/v{version}-{_commit_token()}"
     root = os.path.abspath(path)
     df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    user_bloom = bloom_cols
     if bloom_cols is None and pm:
         bloom_cols = _bloom_cols_of(pm)
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "data_dirs": [data_dir],
-        "schema": df.schema.json(),
-        "stats": _collect_stats(root, [data_dir], bloom_cols=bloom_cols),
-    }
-    if mode == "append" and pm:
-        manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
-        if pm.get("data_files"):
-            manifest["data_files"] = pm["data_files"]
-        # kept entries keep their stats by reference
-        manifest["stats"] = {**(pm.get("stats") or {}), **manifest["stats"]}
-        # schema EVOLUTION with ENFORCEMENT (the Delta model): an append
-        # may add columns (old files read them as null via the manifest
-        # schema) but may not change an existing column's type
-        if pm.get("schema"):
-            manifest["schema"] = _evolve_schema(pm["schema"], df.schema)
-    if meta:
-        manifest["meta"] = meta
-    manifest["txns"] = _merge_txns(pm, meta)
-    _publish(path, manifest)
-    return version
+    my_stats = _collect_stats(
+        root, [data_dir], bloom_cols=bloom_cols, pval_cols=partition_by
+    )
+    for _ in range(_MAX_COMMIT_RETRIES):
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "data_dirs": [data_dir],
+            "schema": df.schema.json(),
+            "stats": dict(my_stats),
+        }
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
+        if mode == "append" and pm:
+            manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
+            if pm.get("data_files"):
+                manifest["data_files"] = pm["data_files"]
+            # kept entries keep their stats by reference
+            manifest["stats"] = {**(pm.get("stats") or {}), **my_stats}
+            # schema EVOLUTION with ENFORCEMENT (the Delta model): an
+            # append may add columns (old files read them as null via the
+            # manifest schema) but may not change an existing column's
+            # type
+            if pm.get("schema"):
+                manifest["schema"] = _evolve_schema(pm["schema"], df.schema)
+        if meta:
+            manifest["meta"] = meta
+        manifest["txns"] = _merge_txns(pm, meta)
+        if _publish(path, manifest):
+            return version
+        # lost the publish race.  A plain write is BLIND (reads nothing),
+        # so re-resolving the parent and re-publishing the same data is
+        # serializable: the result equals running this write after the
+        # winner.  Data files are never rewritten — only the manifest's
+        # kept-entry list changes.
+        versions = table_versions(path)
+        parent = versions[-1]
+        pm = _read_manifest(path, parent)
+        version = parent + 1
+        if user_bloom is None:
+            inherited = _bloom_cols_of(pm)
+            if inherited != (bloom_cols or []):
+                bloom_cols = inherited
+                my_stats = _collect_stats(
+                    root, [data_dir], bloom_cols=bloom_cols
+                )
+    raise CommitConflictError(
+        f"versioned_write lost the publish race {_MAX_COMMIT_RETRIES} "
+        f"times on {path}"
+    )
 
 
 def committed_meta(path: str, key: str) -> set:
@@ -171,10 +260,14 @@ def committed_meta(path: str, key: str) -> set:
     return out
 
 
-def _publish(path: str, manifest: dict) -> None:
-    """Atomically publish a manifest: a crash before os.replace leaves the
-    commit's data orphaned but the version unpublished — readers never see
-    a partial commit.  Stamps ``committed_at`` (epoch seconds) — the
+def _publish(path: str, manifest: dict) -> bool:
+    """Atomically AND exclusively publish a manifest: the fully-written
+    tmp file is hard-linked to its final name, which fails (returns
+    False) if a concurrent committer already took this version number —
+    the whole optimistic-concurrency protocol rests on this one
+    filesystem primitive.  A crash before the link leaves the commit's
+    data orphaned but the version unpublished — readers never see a
+    partial commit.  Stamps ``committed_at`` (epoch seconds) — the
     timestamp AS OF time travel resolves against."""
     import time
 
@@ -182,7 +275,49 @@ def _publish(path: str, manifest: dict) -> None:
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(path, f"manifest-v{manifest['version']}.json"))
+    try:
+        os.link(tmp, os.path.join(path, f"manifest-v{manifest['version']}.json"))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class _PublishRace(Exception):
+    """Internal: the version number was taken mid-commit; the caller's
+    retry loop re-executes the whole operation against the new snapshot."""
+
+
+def _publish_or_race(path: str, manifest: dict) -> None:
+    if not _publish(path, manifest):
+        raise _PublishRace()
+
+
+def _carry_partition_by(manifest: dict, pm: dict | None) -> dict:
+    """Child commits (delete/update/merge/compact) inherit the table's
+    declared partitioning so their rewrites keep collecting pvals and
+    future appends keep clustering."""
+    if pm and pm.get("partition_by"):
+        manifest["partition_by"] = pm["partition_by"]
+    return manifest
+
+
+def _with_occ_retry(op_name: str, attempt):
+    """Run a read-modify-write commit attempt; on a publish race,
+    RE-EXECUTE it from scratch — the attempt re-reads the (new) latest
+    snapshot, so the committed result is exactly a serial execution
+    after the concurrent winner (serializable; see module docstring).
+    A failed attempt's data dir is orphaned and invisible; vacuum
+    ``clean_orphans`` reclaims it."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        try:
+            return attempt()
+        except _PublishRace:
+            continue
+    raise CommitConflictError(
+        f"{op_name} lost the publish race {_MAX_COMMIT_RETRIES} times"
+    )
 
 
 def _entries(manifest: dict) -> list[str]:
@@ -305,17 +440,32 @@ def _bloom_may_contain(b64: str, value) -> bool:
     return all(bits[i // 8] & (1 << (i % 8)) for i in _bloom_indexes(key))
 
 
+# distinct-partition-values cap per (file, column): partition columns
+# are low-cardinality BY DEFINITION (year, county, source); a file
+# exceeding this was partitioned on the wrong column, and recording a
+# huge value list would bloat every manifest — fall back to min/max
+_PVALS_MAX = 64
+
+
 def _collect_stats(
-    root: str, entries: list[str], bloom_cols: list[str] | None = None
+    root: str,
+    entries: list[str],
+    bloom_cols: list[str] | None = None,
+    pval_cols: list[str] | None = None,
 ) -> dict:
     """Per-file ``{rows, cols: {col: {min, max, nulls}}, bloom: {col:
-    b64}}`` — min/max/null from parquet FOOTERS (no data pages read);
-    Bloom filters additionally read just the requested key columns of
-    the files THIS commit wrote.  Only JSON-able scalar stats (int /
-    float / string / bool columns) are recorded — other types simply
-    don't prune.  Driver-side loop over the just-written files; on a
-    real cluster both stats and blooms ride back from the write tasks
-    (the Iceberg model)."""
+    b64}, pvals: {col: [...]}}`` — min/max/null from parquet FOOTERS (no
+    data pages read); Bloom filters and partition-value sets additionally
+    read just the requested key columns of the files THIS commit wrote.
+    ``pvals`` is the Iceberg-style partition-pruning stat: the EXACT
+    distinct values of each partition column in the file (files are
+    partition-clustered at write time, so the sets are tiny), which
+    prunes equality/IN/range predicates exactly where hash-interleaved
+    min/max ranges cannot.  Only JSON-able scalar stats (int / float /
+    string / bool columns) are recorded — other types simply don't
+    prune.  Driver-side loop over the just-written files; on a real
+    cluster both stats and blooms ride back from the write tasks (the
+    Iceberg model)."""
     try:
         import pyarrow.parquet as pq
     except Exception:  # pragma: no cover - pyarrow is baked in
@@ -374,6 +524,26 @@ def _collect_stats(
                     blooms = {}
             if blooms:
                 entry["bloom"] = blooms
+        if pval_cols:
+            pvals = {}
+            want = [c for c in pval_cols if c in md.schema.names]
+            if want:
+                try:
+                    tbl = pq.read_table(os.path.join(root, rel), columns=want)
+                    for c in want:
+                        vals = set(tbl[c].to_pylist())
+                        if len(vals) > _PVALS_MAX or not all(
+                            v is None or isinstance(v, _JSONABLE)
+                            for v in vals
+                        ):
+                            continue  # mis-partitioned / un-JSON-able: no prune
+                        pvals[c] = sorted(
+                            (v for v in vals if v is not None), key=str
+                        ) + ([None] if None in vals else [])
+                except Exception:
+                    pvals = {}
+            if pvals:
+                entry["pvals"] = pvals
         stats[rel] = entry
     return stats
 
@@ -506,8 +676,17 @@ def _can_match(tree, fstat: dict) -> bool:
     cols = fstat.get("cols", {})
     rows = fstat.get("rows")
     blooms = fstat.get("bloom", {})
+    pvals = fstat.get("pvals", {})
     if kind == "cmp":
         _, op, col, v = tree
+        if v is not None and col in pvals:
+            # EXACT distinct-value set (partition column): a value
+            # satisfying the comparison must literally be in the set
+            if not any(
+                pv is not None and _cmp_can_match(op, pv, pv, v)
+                for pv in pvals[col]
+            ):
+                return False
         if v is not None and op == "=" and col in blooms:
             if not _bloom_may_contain(blooms[col], v):
                 return False  # definitely absent from this file
@@ -519,6 +698,10 @@ def _can_match(tree, fstat: dict) -> bool:
         return _cmp_can_match(op, st["min"], st["max"], v)
     if kind == "in":
         _, col, vals = tree
+        if col in pvals:
+            present = {pv for pv in pvals[col] if pv is not None}
+            if not any(v is not None and v in present for v in vals):
+                return False  # IN never matches NULL
         if col in blooms and all(
             v is None or not _bloom_may_contain(blooms[col], v) for v in vals
         ):
@@ -534,9 +717,13 @@ def _can_match(tree, fstat: dict) -> bool:
             for v in vals
         )
     if kind == "isnull":
+        if tree[1] in pvals:
+            return None in pvals[tree[1]]
         st = cols.get(tree[1])
         return st is None or st.get("nulls") is None or st["nulls"] > 0
     if kind == "isnotnull":
+        if tree[1] in pvals:
+            return any(pv is not None for pv in pvals[tree[1]])
         st = cols.get(tree[1])
         if st is None or rows is None or st.get("nulls") is None:
             return True
@@ -562,14 +749,23 @@ def prune_candidate_files(
 
 
 def _matching_files(
-    spark: SparkSession, root: str, files: list[str], predicate: Column
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    predicate: Column,
+    schema: StructType | None = None,
 ) -> set[str]:
     """Relative paths of the files that contain ≥1 predicate-TRUE row.
     Predicate pushdown + row-group stats make this a skip-scan over the
-    given files; the result (a file list) is metadata-sized."""
+    given files; the result (a file list) is metadata-sized.  ``schema``
+    (the MANIFEST schema) must be applied whenever the file set can mix
+    pre- and post-schema-evolution files: inference picks an arbitrary
+    file's footer, so a predicate over an evolved column would otherwise
+    fail (or silently miss) depending on which file Spark sampled."""
     if not files:
         return set()
-    cur = spark.read.parquet(*[os.path.join(root, f) for f in sorted(files)])
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    cur = reader.parquet(*[os.path.join(root, f) for f in sorted(files)])
     out: set[str] = set()
     for r in (
         cur.withColumn("__file", F.input_file_name())
@@ -604,45 +800,58 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
     empty/unreadable data dir).  NULL-predicate rows are NOT deleted
     (SQL DELETE semantics: only TRUE matches go).  Returns the new
     version number."""
+    return _with_occ_retry(
+        "versioned_delete", lambda: _delete_attempt(spark, path, predicate)
+    )
+
+
+def _delete_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
     parent = versions[-1]
     root = os.path.abspath(path)
     pm = _read_manifest(path, parent)
+    schema_json = pm.get("schema")
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
     if not all_files:
         # empty table: publish a no-op child version (delete of nothing)
-        _publish(
+        _publish_or_race(
             path,
-            {
-                "version": version,
-                "parent": parent,
-                "data_dirs": [],
-                "data_files": [],
-                "schema": pm.get("schema"),
-                "stats": {},
-                "txns": _merge_txns(pm, None),
-            },
+            _carry_partition_by(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "data_dirs": [],
+                    "data_files": [],
+                    "schema": pm.get("schema"),
+                    "stats": {},
+                    "txns": _merge_txns(pm, None),
+                },
+                pm,
+            ),
         )
         return version
     # (a) metadata-only prune: most files never get opened
     candidates = prune_candidate_files(spark, pm, all_files, predicate)
     # (b) which candidates contain at least one matching row?  predicate
     # pushdown + row-group stats make this a skip-scan; result is
-    # metadata-sized
-    touched = _matching_files(spark, root, candidates, predicate)
+    # metadata-sized.  Manifest schema applied: candidates can mix pre-
+    # and post-evolution files.
+    touched = _matching_files(spark, root, candidates, predicate, schema)
     new_dirs: list[str] = []
     new_stats: dict = {}
     if touched:
-        data_dir = f"data/v{version}"
+        data_dir = f"data/v{version}-{_commit_token()}"
+        reader = spark.read.schema(schema) if schema is not None else spark.read
         (
-            spark.read.parquet(*[os.path.join(root, f) for f in sorted(touched)])
+            reader.parquet(*[os.path.join(root, f) for f in sorted(touched)])
             .filter(~F.coalesce(predicate, F.lit(False)))
-            # overwrite reclaims an orphaned dir from a crashed attempt
-            # (same rationale as versioned_write)
             .write.mode("overwrite").parquet(os.path.join(root, data_dir))
         )
         # a delete that removed every row of the touched files can leave a
@@ -650,23 +859,33 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
         if _expand_files(root, [data_dir]):
             new_dirs = [data_dir]
             new_stats = _collect_stats(
-                root, [data_dir], bloom_cols=_bloom_cols_of(pm)
+                root,
+                [data_dir],
+                bloom_cols=_bloom_cols_of(pm),
+                pval_cols=pm.get("partition_by"),
             )
     untouched = [f for f in all_files if f not in touched]
-    _publish(
+    _publish_or_race(
         path,
-        {
-            "version": version,
-            "parent": parent,
-            "data_dirs": new_dirs,
-            "data_files": untouched,
-            "schema": pm.get("schema"),
-            "stats": {
-                **{f: parent_stats[f] for f in untouched if f in parent_stats},
-                **new_stats,
+        _carry_partition_by(
+            {
+                "version": version,
+                "parent": parent,
+                "data_dirs": new_dirs,
+                "data_files": untouched,
+                "schema": pm.get("schema"),
+                "stats": {
+                    **{
+                        f: parent_stats[f]
+                        for f in untouched
+                        if f in parent_stats
+                    },
+                    **new_stats,
+                },
+                "txns": _merge_txns(pm, None),
             },
-            "txns": _merge_txns(pm, None),
-        },
+            pm,
+        ),
     )
     return version
 
@@ -693,6 +912,18 @@ def versioned_update(
     existing columns (use an append for new ones).  NULL-predicate rows
     are NOT updated (SQL UPDATE semantics: only TRUE matches).  Returns
     the new version number."""
+    return _with_occ_retry(
+        "versioned_update",
+        lambda: _update_attempt(spark, path, predicate, assignments),
+    )
+
+
+def _update_attempt(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    assignments: dict[str, Column],
+) -> int:
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -716,11 +947,11 @@ def versioned_update(
     touched: set[str] = set()
     if all_files:
         candidates = prune_candidate_files(spark, pm, all_files, predicate)
-        touched = _matching_files(spark, root, candidates, predicate)
+        touched = _matching_files(spark, root, candidates, predicate, schema)
     new_dirs: list[str] = []
     new_stats: dict = {}
     if touched:
-        data_dir = f"data/v{version}"
+        data_dir = f"data/v{version}-{_commit_token()}"
         reader = spark.read.schema(schema) if schema is not None else spark.read
         cur = reader.parquet(*[os.path.join(root, f) for f in sorted(touched)])
         cond = F.coalesce(predicate, F.lit(False))
@@ -746,23 +977,33 @@ def versioned_update(
         if _expand_files(root, [data_dir]):
             new_dirs = [data_dir]
             new_stats = _collect_stats(
-                root, [data_dir], bloom_cols=_bloom_cols_of(pm)
+                root,
+                [data_dir],
+                bloom_cols=_bloom_cols_of(pm),
+                pval_cols=pm.get("partition_by"),
             )
     untouched = [f for f in all_files if f not in touched]
-    _publish(
+    _publish_or_race(
         path,
-        {
-            "version": version,
-            "parent": parent,
-            "data_dirs": new_dirs,
-            "data_files": untouched,
-            "schema": schema_json,
-            "stats": {
-                **{f: parent_stats[f] for f in untouched if f in parent_stats},
-                **new_stats,
+        _carry_partition_by(
+            {
+                "version": version,
+                "parent": parent,
+                "data_dirs": new_dirs,
+                "data_files": untouched,
+                "schema": schema_json,
+                "stats": {
+                    **{
+                        f: parent_stats[f]
+                        for f in untouched
+                        if f in parent_stats
+                    },
+                    **new_stats,
+                },
+                "txns": _merge_txns(pm, None),
             },
-            "txns": _merge_txns(pm, None),
-        },
+            pm,
+        ),
     )
     return version
 
@@ -777,6 +1018,7 @@ def versioned_merge(
     matched_condition: str | None = None,
     matched_delete_condition: str | None = None,
     meta: dict | None = None,
+    null_safe_keys: bool = False,
 ) -> int:
     """MERGE INTO (keyed upsert, the Delta/Iceberg primitive that turns a
     snapshot table into a CDC target): join ``source`` against the
@@ -801,8 +1043,17 @@ def versioned_merge(
     through the driver.
 
     Source contract (Delta semantics): keys must be UNIQUE in the source
-    (a key matching the same target row twice is ambiguous — raises);
-    NULL keys never match (SQL equality) and become inserts.  Schema
+    (a key matching the same target row twice is ambiguous — raises; the
+    check ignores NULL-key rows in the default mode, because NULL keys
+    never match any target row and are documented to become independent
+    inserts); NULL keys never match (SQL equality) and become inserts.
+    ``null_safe_keys=True`` switches key matching to IS NOT DISTINCT
+    FROM (``eqNullSafe``): a NULL source key matches a NULL target key —
+    the semantics GROUP BY feeds expect, where the NULL group is one
+    group (see ``operators/ivm.py::continuous_agg_refresh``).  In that
+    mode duplicate NULL-key source rows DO raise (they'd ambiguously
+    match the same null-key target row), and file pruning soundly keeps
+    any file that may hold a NULL in a key column.  Schema
     evolution: source-only columns append to the table schema (old files
     read them as NULL); a shared column with a different type raises
     (enforcement).  ``matched_condition`` is Delta's ``WHEN MATCHED AND
@@ -817,6 +1068,35 @@ def versioned_merge(
     ``operators/ivm.py::continuous_agg_refresh``).  ``meta`` is recorded
     in the manifest for idempotent replay (see ``committed_meta``).
     Returns the new version number."""
+    return _with_occ_retry(
+        "versioned_merge",
+        lambda: _merge_attempt(
+            spark,
+            path,
+            source,
+            on,
+            when_matched,
+            when_not_matched,
+            matched_condition,
+            matched_delete_condition,
+            meta,
+            null_safe_keys,
+        ),
+    )
+
+
+def _merge_attempt(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str,
+    when_not_matched: str,
+    matched_condition: str | None,
+    matched_delete_condition: str | None,
+    meta: dict | None,
+    null_safe_keys: bool,
+) -> int:
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     if matched_delete_condition is not None and when_matched == "delete":
@@ -845,9 +1125,18 @@ def versioned_merge(
     evolved_json = _evolve_schema(schema_json, source.schema)
     evolved = StructType.fromJson(json.loads(evolved_json))
     # Delta's multiple-source-rows-match check: duplicate source keys make
-    # the merge ambiguous (which update wins?) — fail loudly up front
+    # the merge ambiguous (which update wins?) — fail loudly up front.
+    # Default mode: NULL-key rows are excluded (groupBy would treat NULLs
+    # as equal, but NULL keys never match any target and become
+    # independent inserts — rejecting them would be stricter than the
+    # documented contract).  Null-safe mode: NULL keys DO match, so
+    # duplicate null-key rows are genuinely ambiguous and stay in.
+    dup_src = source
+    if not null_safe_keys:
+        for c in on:
+            dup_src = dup_src.filter(F.col(c).isNotNull())
     if (
-        source.groupBy(*on)
+        dup_src.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .limit(1)
@@ -857,39 +1146,68 @@ def versioned_merge(
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
-    keys = source.select(*on).dropna(how="any", subset=list(on)).distinct()
+    if null_safe_keys:
+        keys = source.select(*on).distinct()
+    else:
+        keys = source.select(*on).dropna(how="any", subset=list(on)).distinct()
     touched: set[str] = set()
     if all_files:
         # (a) manifest prune from the source key RANGE: one metadata-sized
         # agg; sound because a file outside [min,max] on ANY key column
-        # cannot contain a match
+        # cannot contain a match.  Null-safe mode additionally keeps any
+        # file that may contain a NULL in a key column the source has
+        # NULLs in (per-column null flags ride the same one-row agg).
         bounds = keys.agg(
             *[F.min(c).alias(f"__lo_{c}") for c in on],
             *[F.max(c).alias(f"__hi_{c}") for c in on],
+            *[
+                F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"__nl_{c}"
+                )
+                for c in on
+            ],
+            F.count(F.lit(1)).alias("__nk"),
         ).collect()
         candidates = list(all_files)
-        if bounds and bounds[0][f"__lo_{on[0]}"] is not None:
+        b = bounds[0] if bounds else None
+        if b is None or b["__nk"] == 0:
+            candidates = []  # empty source: nothing matches
+        else:
             rng = None
             for c in on:
-                term = F.col(c).between(
-                    F.lit(bounds[0][f"__lo_{c}"]), F.lit(bounds[0][f"__hi_{c}"])
-                )
+                if b[f"__lo_{c}"] is not None:
+                    term = F.col(c).between(
+                        F.lit(b[f"__lo_{c}"]), F.lit(b[f"__hi_{c}"])
+                    )
+                else:
+                    # every source value of this key column is NULL
+                    term = F.lit(False)
+                if null_safe_keys and b[f"__nl_{c}"]:
+                    term = term | F.col(c).isNull()
+                elif b[f"__lo_{c}"] is None:
+                    # default mode + all-null column: no row can match
+                    term = F.lit(False)
                 rng = term if rng is None else (rng & term)
             candidates = prune_candidate_files(spark, pm, all_files, rng)
-        elif bounds and bounds[0][f"__lo_{on[0]}"] is None:
-            candidates = []  # source has no non-null keys: nothing matches
         # (b) key-pruned semi-join over just the candidates
         if candidates:
             tgt = spark.read.schema(table_schema).parquet(
                 *[os.path.join(root, f) for f in sorted(candidates)]
             )
-            for r in (
-                tgt.withColumn("__file", F.input_file_name())
-                .join(keys, on=list(on), how="left_semi")
-                .select("__file")
-                .distinct()
-                .collect()
-            ):
+            if null_safe_keys:
+                k2 = keys.select(*[F.col(c).alias(f"__k_{c}") for c in on])
+                sj = None
+                for c in on:
+                    t = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+                    sj = t if sj is None else (sj & t)
+                probe = tgt.withColumn("__file", F.input_file_name()).join(
+                    k2, on=sj, how="left_semi"
+                )
+            else:
+                probe = tgt.withColumn("__file", F.input_file_name()).join(
+                    keys, on=list(on), how="left_semi"
+                )
+            for r in probe.select("__file").distinct().collect():
                 local = unquote(urlparse(r["__file"]).path)
                 touched.add(os.path.relpath(local, root))
     if touched:
@@ -899,12 +1217,36 @@ def versioned_merge(
     else:
         t_side = spark.createDataFrame([], table_schema)
     src_cols = [c for c in source.columns if c not in on]
-    s_side = source.select(
-        *on, *[F.col(c).alias(f"__s_{c}") for c in src_cols]
-    ).withColumn("__s", F.lit(True))
-    j = t_side.withColumn("__t", F.lit(True)).join(
-        s_side, on=list(on), how="full_outer"
-    )
+    if null_safe_keys:
+        # eqNullSafe condition join (IS NOT DISTINCT FROM): source keys
+        # ride under reserved names, then each key column resolves to
+        # the side that has the row — F.coalesce on the key VALUE would
+        # be wrong here, since NULL is a legitimate key in this mode.
+        s_side = source.select(
+            *[F.col(c).alias(f"__k_{c}") for c in on],
+            *[F.col(c).alias(f"__s_{c}") for c in src_cols],
+        ).withColumn("__s", F.lit(True))
+        jcond = None
+        for c in on:
+            t = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            jcond = t if jcond is None else (jcond & t)
+        j = t_side.withColumn("__t", F.lit(True)).join(
+            s_side, on=jcond, how="full_outer"
+        )
+        for c in on:
+            j = j.withColumn(
+                c,
+                F.when(
+                    F.coalesce(F.col("__t"), F.lit(False)), F.col(c)
+                ).otherwise(F.col(f"__k_{c}")),
+            ).drop(f"__k_{c}")
+    else:
+        s_side = source.select(
+            *on, *[F.col(c).alias(f"__s_{c}") for c in src_cols]
+        ).withColumn("__s", F.lit(True))
+        j = t_side.withColumn("__t", F.lit(True)).join(
+            s_side, on=list(on), how="full_outer"
+        )
     is_t = F.coalesce(F.col("__t"), F.lit(False))
     is_s = F.coalesce(F.col("__s"), F.lit(False))
     cond = F.lit(True)
@@ -973,27 +1315,35 @@ def versioned_merge(
     merged = j.filter(keep).select(*out_cols)
     new_dirs: list[str] = []
     new_stats: dict = {}
-    data_dir = f"data/v{version}"
+    data_dir = f"data/v{version}-{_commit_token()}"
     merged.write.mode("overwrite").parquet(os.path.join(root, data_dir))
     if _expand_files(root, [data_dir]):
         new_dirs = [data_dir]
-        new_stats = _collect_stats(root, [data_dir], bloom_cols=_bloom_cols_of(pm))
+        new_stats = _collect_stats(
+            root,
+            [data_dir],
+            bloom_cols=_bloom_cols_of(pm),
+            pval_cols=pm.get("partition_by"),
+        )
     untouched = [f for f in all_files if f not in touched]
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "data_dirs": new_dirs,
-        "data_files": untouched,
-        "schema": evolved_json,
-        "stats": {
-            **{f: parent_stats[f] for f in untouched if f in parent_stats},
-            **new_stats,
+    manifest = _carry_partition_by(
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": new_dirs,
+            "data_files": untouched,
+            "schema": evolved_json,
+            "stats": {
+                **{f: parent_stats[f] for f in untouched if f in parent_stats},
+                **new_stats,
+            },
+            "txns": _merge_txns(pm, meta),
         },
-        "txns": _merge_txns(pm, meta),
-    }
+        pm,
+    )
     if meta:
         manifest["meta"] = meta
-    _publish(path, manifest)
+    _publish_or_race(path, manifest)
     return version
 
 
@@ -1002,6 +1352,7 @@ def versioned_read(
     path: str,
     version: int | None = None,
     as_of: float | None = None,
+    predicate: Column | None = None,
 ) -> DataFrame:
     """Scan a table version (default: latest committed).  Time travel =
     pass a published version number, OR ``as_of`` (epoch seconds): the
@@ -1012,7 +1363,16 @@ def versioned_read(
     The scan applies the MANIFEST's schema explicitly, so (a) appends
     that added columns read older files with nulls in the new columns
     (schema evolution without a million-footer mergeSchema pass), and
-    (b) a version with zero data entries reads as an empty DataFrame."""
+    (b) a version with zero data entries reads as an empty DataFrame.
+
+    ``predicate``: prune the FILE LIST from manifest stats (partition
+    values, Blooms, min/max) before Spark ever sees it, then apply the
+    same predicate as a normal pushed-down filter.  This is the
+    partition-pruned read path: a ``year = 2024`` scan of a
+    year-partitioned 100 TB table opens only 2024's files — the others
+    are skipped at the MANIFEST, not the footer (no million-file
+    listing/footer pass).  Semantically identical to
+    ``versioned_read(...).filter(predicate)``."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -1040,17 +1400,28 @@ def versioned_read(
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
     )
+    if predicate is not None and entries:
+        root = os.path.abspath(path)
+        all_files = _expand_files(root, entries)
+        entries = prune_candidate_files(spark, manifest, all_files, predicate)
     if not entries:
         if schema is None:
             raise ValueError(
                 f"version {version} of {path} is empty and records no schema"
             )
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        return out.filter(predicate) if predicate is not None else out
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*[os.path.join(path, e) for e in entries])
+    out = reader.parquet(*[os.path.join(path, e) for e in entries])
+    return out.filter(predicate) if predicate is not None else out
 
 
-def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
+def versioned_vacuum(
+    path: str,
+    keep_last: int = 2,
+    clean_orphans: bool = False,
+    orphan_grace_seconds: float = 86400.0,
+) -> list[str]:
     """Retention: drop manifests older than the newest ``keep_last``
     versions and delete every data FILE no kept version references —
     file-granular, as Delta's VACUUM: after a copy-on-write delete the
@@ -1061,13 +1432,23 @@ def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
     entries (a bare dir name when the whole dir went, else the
     individual file paths).  Time travel keeps working for every
     retained version; the txn ledger survives because every manifest
-    carries the full compacted ledger forward (see ``committed_meta``)."""
+    carries the full compacted ledger forward (see ``committed_meta``).
+
+    ``clean_orphans``: additionally remove data directories NO published
+    manifest references — the residue of crashed or publish-race-losing
+    commit attempts (each attempt writes a private token directory; see
+    module docstring).  Guarded by ``orphan_grace_seconds`` (default 24h,
+    by dir mtime) so an IN-FLIGHT concurrent commit's not-yet-published
+    data is never swept — the same retention reasoning as Delta's VACUUM
+    window."""
     import shutil
+    import time
 
     versions = table_versions(path)
-    if len(versions) <= keep_last:
+    if len(versions) <= keep_last and not clean_orphans:
         return []
-    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    kept = versions[-keep_last:] if keep_last else []
+    dropped = versions[: len(versions) - len(kept)]
     root = os.path.abspath(path)
     live_files: set[str] = set()
     for v in kept:
@@ -1094,6 +1475,21 @@ def versioned_vacuum(path: str, keep_last: int = 2) -> list[str]:
         deleted = [
             f for f in deleted if os.path.dirname(f) not in set(collapsed)
         ] + collapsed
+    if clean_orphans:
+        data_root = os.path.join(root, "data")
+        now = time.time()
+        for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+            rel = f"data/{d}"
+            full = os.path.join(data_root, d)
+            if not os.path.isdir(full) or rel in deleted:
+                continue
+            files = set(_expand_files(root, [rel]))
+            if files & live_files:
+                continue  # referenced (wholly or partly) by a kept version
+            if now - os.path.getmtime(full) < orphan_grace_seconds:
+                continue  # possibly an in-flight commit: leave it
+            shutil.rmtree(full)
+            deleted.append(rel)
     return deleted
 
 
@@ -1127,11 +1523,31 @@ def versioned_compact(
     Bloom columns are re-collected for the compacted files automatically.
     At 100 TB, compact per partition/prefix on a schedule; the commit
     protocol (write dir + one manifest publish) is unchanged."""
+    return _with_occ_retry(
+        "versioned_compact",
+        lambda: _compact_attempt(
+            spark, path, target_file_bytes, cluster_by, zorder
+        ),
+    )
+
+
+def _compact_attempt(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+    cluster_by: list[str] | None,
+    zorder: tuple[str, str] | None,
+) -> int:
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
     parent = versions[-1]
     pm = _read_manifest(path, parent)
+    if cluster_by is None and zorder is None and pm.get("partition_by"):
+        # a partitioned table must come OUT of compaction still
+        # partition-clustered, or every pvals set degrades to the full
+        # value list and partition pruning dies with it
+        cluster_by = list(pm["partition_by"])
     root = os.path.abspath(path)
     files = _expand_files(root, _entries(pm))
     total = sum(
@@ -1141,7 +1557,7 @@ def versioned_compact(
     )
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     version = parent + 1
-    data_dir = f"data/v{version}"
+    data_dir = f"data/v{version}-{_commit_token()}"
     cur = versioned_read(spark, path, parent)
     if cluster_by and zorder:
         raise ValueError("pass cluster_by= or zorder=, not both")
@@ -1163,28 +1579,34 @@ def versioned_compact(
     else:
         out = cur.repartition(n_out)
     out.write.mode("overwrite").parquet(os.path.join(root, data_dir))
-    _publish(
+    _publish_or_race(
         path,
-        {
-            "version": version,
-            "parent": parent,
-            "data_dirs": [data_dir],
-            "data_files": [],
-            "schema": pm.get("schema"),
-            "stats": _collect_stats(
-                root, [data_dir], bloom_cols=_bloom_cols_of(pm)
-            ),
-            "txns": _merge_txns(pm, None),
-            "meta": {
-                "compacted_from": len(files),
-                "compacted_to": int(n_out),
-                **(
-                    {"clustered_by": list(cluster_by or zorder)}
-                    if (cluster_by or zorder)
-                    else {}
+        _carry_partition_by(
+            {
+                "version": version,
+                "parent": parent,
+                "data_dirs": [data_dir],
+                "data_files": [],
+                "schema": pm.get("schema"),
+                "stats": _collect_stats(
+                    root,
+                    [data_dir],
+                    bloom_cols=_bloom_cols_of(pm),
+                    pval_cols=pm.get("partition_by"),
                 ),
+                "txns": _merge_txns(pm, None),
+                "meta": {
+                    "compacted_from": len(files),
+                    "compacted_to": int(n_out),
+                    **(
+                        {"clustered_by": list(cluster_by or zorder)}
+                        if (cluster_by or zorder)
+                        else {}
+                    ),
+                },
             },
-        },
+            pm,
+        ),
     )
     return version
 
@@ -1228,6 +1650,12 @@ def versioned_changes(
     schema_json = mt.get("schema") or mf.get("schema")
 
     def read_side(files: set[str]) -> DataFrame:
+        # the newer side's MANIFEST schema is applied to BOTH sides: a
+        # diff spanning a schema-evolving append reads pre-evolution
+        # files with NULLs in the added columns, so exceptAll/unionByName
+        # always align instead of depending on which file inference
+        # sampled (pre-evolution rows are unchanged by the append, so
+        # they cancel out of the diff under the evolved schema too)
         if not files:
             if not schema_json:
                 raise ValueError("empty side and no recorded schema")
@@ -1235,7 +1663,12 @@ def versioned_changes(
                 [], StructType.fromJson(json.loads(schema_json))
             )
         else:
-            side = spark.read.parquet(
+            reader = (
+                spark.read.schema(StructType.fromJson(json.loads(schema_json)))
+                if schema_json
+                else spark.read
+            )
+            side = reader.parquet(
                 *[os.path.join(root, f) for f in sorted(files)]
             )
         return side.select(*columns) if columns else side

@@ -110,11 +110,17 @@ class VersionedStreamReader(DataSourceStreamReader):
             # vacuum dropped history this stream still needs — its rows
             # are gone; silently skipping would lose data.  Delta raises
             # the same way; restart from a retained version.
+            # restart advice must be a version that can actually resume:
+            # startingVersion=V first emits commit V+1, whose diff base
+            # is V's manifest — retained[0] is the OLDEST version whose
+            # manifest still exists, so it is the smallest valid value
+            # (retained[0]-1 would need the vacuumed retained[0]-1
+            # manifest as a diff base and fail the parent check below).
             raise ValueError(
                 f"versioned_table stream needs commits {missing} of "
                 f"{self._path}, but vacuum retained only {retained}.  "
                 "Start a fresh stream with startingVersion="
-                f"{retained[0] - 1 if retained else 0} or later."
+                f"{retained[0] if retained else 0} or later."
             )
         for v in needed:
             m = _read_manifest(self._path, v)

@@ -286,15 +286,17 @@ def test_versioned_vacuum_retention(spark, tmp_path):
         versioned_read,
         versioned_vacuum,
         versioned_write,
+        _read_manifest,
     )
 
     path = str(tmp_path / "vt3")
     versioned_write(spark.range(3), path)                    # v1
     versioned_write(spark.range(10, 13), path)               # v2 overwrite
     versioned_write(spark.range(20, 22), path, mode="append")  # v3 = v2+new
+    v1_dir = _read_manifest(path, 1)["data_dirs"][0]
     deleted = versioned_vacuum(path, keep_last=2)
     # v1's dir goes; v2's dir survives because kept v3 references it
-    assert deleted == ["data/v1"]
+    assert deleted == [v1_dir]
     assert table_versions(path) == [2, 3]
     assert versioned_read(spark, path, 2).count() == 3
     assert versioned_read(spark, path, 3).count() == 5
@@ -344,26 +346,43 @@ def test_versioned_delete_is_copy_on_write(spark, tmp_path):
     assert versioned_read(spark, path, v4).count() == len(kept)
 
 
-def test_versioned_write_reclaims_orphaned_data_dir(spark, tmp_path):
+def test_versioned_write_orphaned_attempt_is_inert_and_vacuumable(
+    spark, tmp_path
+):
     """A crash between the data write and the manifest publish leaves an
-    orphaned (unpublished, invisible) data/v{n} directory; the retry of
-    that commit must reclaim it rather than wedge on path-exists."""
+    orphaned (unpublished) token directory.  Under the OCC protocol it
+    must be INERT — invisible to readers, never blocking or polluting a
+    retried commit (every attempt writes a private token dir) — and
+    reclaimed by vacuum(clean_orphans=True) once past the grace window,
+    while in-grace orphans (possible in-flight commits) survive."""
     from gsmls_analysis_spark.sources.versioned import (
         table_versions,
         versioned_read,
+        versioned_vacuum,
         versioned_write,
     )
 
     path = str(tmp_path / "vt")
     versioned_write(spark.range(3).select("id"), path)
-    # simulate the crashed attempt: data for v2 written, manifest never
-    # published (garbage content proves the retry truly overwrites)
-    spark.range(900, 950).select("id").write.parquet(f"{path}/data/v2")
+    # simulate the crashed attempt: token data dir written, no manifest
+    spark.range(900, 950).select("id").write.parquet(
+        f"{path}/data/v2-deadbeef"
+    )
     assert table_versions(path) == [1]
     v2 = versioned_write(spark.range(10, 14).select("id"), path, mode="append")
     assert v2 == 2
     got = {r["id"] for r in versioned_read(spark, path).collect()}
     assert got == {0, 1, 2, 10, 11, 12, 13}
+    # inside the grace window the orphan is a possible in-flight commit
+    assert versioned_vacuum(path, keep_last=5, clean_orphans=True) == []
+    assert os.path.isdir(f"{path}/data/v2-deadbeef")
+    deleted = versioned_vacuum(
+        path, keep_last=5, clean_orphans=True, orphan_grace_seconds=0.0
+    )
+    assert deleted == ["data/v2-deadbeef"]
+    assert not os.path.exists(f"{path}/data/v2-deadbeef")
+    # table intact
+    assert {r["id"] for r in versioned_read(spark, path).collect()} == got
 
 
 def test_versioned_delete_prunes_from_manifest_stats(spark, tmp_path):
@@ -427,7 +446,7 @@ def test_versioned_vacuum_is_file_granular(spark, tmp_path):
     path = str(tmp_path / "vt")
     df = spark.range(30).select("id")
     versioned_write(df.repartitionByRange(3, "id"), path)  # v1: 3 files
-    v1_files = set(_expand_files(path, ["data/v1"]))
+    v1_files = set(_expand_files(path, _read_manifest(path, 1)["data_dirs"]))
     versioned_delete(spark, path, F.col("id").between(22, 24))  # v2
     kept_files = set(_read_manifest(path, 2)["data_files"])
     rewritten_src = v1_files - kept_files  # the file that held 22-24
@@ -604,7 +623,7 @@ def test_versioned_compact_preserves_rows_and_reclaims_fragments(spark, tmp_path
             mode="append",
             bloom_cols=["k"] if i == 0 else None,  # inherited afterwards
         )
-    frag_files = _expand_files(path, ["data/v%d" % v for v in range(1, 7)])
+    frag_files = _expand_files(path, _read_manifest(path, 6)["data_dirs"])
     assert len(frag_files) >= 6
     v7 = versioned_compact(spark, path)
     man = _read_manifest(path, v7)
@@ -644,7 +663,7 @@ def test_versioned_changes_reads_only_touched_files(spark, tmp_path):
     # corrupt files common to v1 and v2 (they must never be opened)
     shared = set(
         _expand_files(path, _read_manifest(path, 1)["data_dirs"])
-    ) & set(_expand_files(path, ["data/v2"] + _read_manifest(path, 2)["data_dirs"]))
+    ) & set(_expand_files(path, _read_manifest(path, 2)["data_dirs"]))
     assert shared
     backup = {}
     for f in shared:

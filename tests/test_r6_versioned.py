@@ -1,0 +1,500 @@
+"""Round-6 regression tests: schema-evolution correctness of the
+copy-on-write paths and CDC diff, and null-safe key semantics for the
+continuous aggregate (GROUP BY treats NULL as one group; the merge that
+maintains it must match it the same way)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_changes,
+    versioned_delete,
+    versioned_merge,
+    versioned_read,
+    versioned_write,
+)
+
+
+def test_versioned_delete_after_schema_evolution_keeps_evolved_values(
+    spark, tmp_path
+):
+    """A delete whose touched set mixes pre- and post-evolution files
+    must read them with the MANIFEST schema: surviving rows from evolved
+    files keep their evolved-column values (inference from an arbitrary
+    pre-evolution file would silently null them — permanent data loss),
+    and a predicate over the evolved column itself plans correctly."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, "p"), (2, "q")], "id long, a string")
+        .repartition(1),
+        path,
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(3, "r", "x"), (4, "s", "y")], "id long, a string, b string"
+        ).repartition(1),
+        path,
+        mode="append",
+    )
+    # touches BOTH files (one pre-evolution, one post-evolution)
+    versioned_delete(spark, path, F.col("id").isin(2, 4))
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in versioned_read(spark, path).collect()
+    }
+    assert got == {1: ("p", None), 3: ("r", "x")}  # b survives for id=3
+    # predicate on the EVOLVED column: pre-evolution rows read b as NULL
+    # (not deleted — SQL semantics), evolved match goes
+    versioned_delete(spark, path, F.col("b") == "x")
+    got2 = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert got2 == {1}
+
+
+def test_versioned_changes_across_schema_evolution_and_rewrite(
+    spark, tmp_path
+):
+    """A manifest-diff CDC window spanning a schema-evolving append plus
+    a copy-on-write rewrite reads both sides under the newer side's
+    manifest schema, so the diff aligns instead of depending on which
+    file schema inference sampled."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, "p"), (2, "q")], "id long, a string")
+        .repartition(1),
+        path,
+    )
+    versioned_write(
+        spark.createDataFrame([(3, "r", "x")], "id long, a string, b string"),
+        path,
+        mode="append",
+    )
+    versioned_delete(spark, path, F.col("id") == 2)  # rewrites the v1 file
+    # v1→v3: from-side exclusive file is pre-evolution, to-side exclusive
+    # is the post-evolution rewrite + the evolving append
+    delta = versioned_changes(spark, path, 1, 3)
+    got = sorted(
+        (r["id"], r["b"], r["_change"]) for r in delta.collect()
+    )
+    assert got == [(2, None, "delete"), (3, "x", "insert")]
+
+
+def test_versioned_merge_null_keys_default_mode(spark, tmp_path):
+    """Default (SQL equality) mode: NULL source keys never match and
+    become independent inserts — including TWO null-key rows in one
+    batch, which the duplicate-key check must NOT reject (groupBy treats
+    NULLs as equal, but these rows are not ambiguous: neither matches
+    any target row)."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (None, "t-null")], "k long, v string"),
+        path,
+    )
+    versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(None, "s1"), (None, "s2"), (1, "a2")], "k long, v string"
+        ),
+        on=["k"],
+    )
+    got = sorted(
+        [(r["k"], r["v"]) for r in versioned_read(spark, path).collect()],
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    assert got == [
+        (1, "a2"),
+        (None, "s1"),
+        (None, "s2"),
+        (None, "t-null"),
+    ]
+
+
+def test_versioned_merge_null_safe_keys(spark, tmp_path):
+    """null_safe_keys=True: a NULL key matches a NULL key (IS NOT
+    DISTINCT FROM), so the null-key target row UPDATES instead of
+    accumulating inserts; duplicate null-key source rows are ambiguous
+    and raise."""
+    import pytest
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a"), (None, "t-null")], "k long, v string"
+        ).repartition(1),
+        path,
+    )
+    versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(None, "updated"), (2, "new")], "k long, v string"),
+        on=["k"],
+        null_safe_keys=True,
+    )
+    got = {
+        ("∅" if r["k"] is None else r["k"]): r["v"]
+        for r in versioned_read(spark, path).collect()
+    }
+    assert got == {1: "a", "∅": "updated", 2: "new"}
+    with pytest.raises(ValueError, match="duplicate keys"):
+        versioned_merge(
+            spark,
+            path,
+            spark.createDataFrame([(None, "x"), (None, "y")], "k long, v string"),
+            on=["k"],
+            null_safe_keys=True,
+        )
+
+
+def test_continuous_agg_null_group_key(spark, tmp_path):
+    """A nullable group column: the NULL group is ONE group (GROUP BY
+    semantics) and must refresh in place — before the null-safe merge it
+    inserted a fresh null-key row per refresh and diverged from full
+    recompute.  Incremental result is compared against a from-scratch
+    groupBy every step."""
+    from gsmls_analysis_spark.operators.ivm import continuous_agg_refresh
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    args = (["g"], {"total": "cents"})
+
+    def check():
+        got = sorted(
+            [
+                (r["g"], r["n_rows"], r["total"])
+                for r in versioned_read(spark, agg).collect()
+            ],
+            key=lambda t: (t[0] is None, t[0] or ""),
+        )
+        want = sorted(
+            [
+                (r["g"], r["n_rows"], r["total"])
+                for r in versioned_read(spark, src)
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").alias("total"),
+                )
+                .collect()
+            ],
+            key=lambda t: (t[0] is None, t[0] or ""),
+        )
+        assert got == want
+
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a", 100), (2, None, 200), (3, None, 300)],
+            "id long, g string, cents long",
+        ),
+        src,
+    )
+    continuous_agg_refresh(spark, src, agg, *args)
+    check()
+    versioned_write(
+        spark.createDataFrame(
+            [(4, None, 50), (5, "a", 25)], "id long, g string, cents long"
+        ),
+        src,
+        mode="append",
+    )
+    continuous_agg_refresh(spark, src, agg, *args)
+    check()
+    assert versioned_read(spark, agg).filter(F.col("g").isNull()).count() == 1
+    # empty the null group: its agg row must VANISH via the delete clause
+    versioned_delete(spark, src, F.col("g").isNull())
+    continuous_agg_refresh(spark, src, agg, *args)
+    check()
+    assert versioned_read(spark, agg).filter(F.col("g").isNull()).count() == 0
+
+
+def test_versioned_stream_vacuum_error_advises_resumable_version(
+    spark, tmp_path
+):
+    """The vacuumed-history error must recommend a startingVersion that
+    actually resumes: retained[0] (its first emitted commit's diff base
+    manifest exists), not retained[0]-1 (whose base was vacuumed)."""
+    import pyspark.errors
+    import pytest
+
+    from gsmls_analysis_spark.sources.versioned import versioned_vacuum
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        versioned_stream_source,
+    )
+
+    table = str(tmp_path / "vt")
+    for lo in (0, 10, 20, 30):
+        versioned_write(
+            spark.range(lo, lo + 2).select("id"),
+            table,
+            mode="append" if lo else "overwrite",
+        )
+    versioned_vacuum(table, keep_last=2)  # retains v3, v4
+
+    def drain(name, **kw):
+        q = (
+            versioned_stream_source(spark, table, **kw)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{name}"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["id"]
+            for r in spark.read.parquet(str(tmp_path / f"out_{name}")).collect()
+        )
+
+    with pytest.raises(
+        pyspark.errors.PySparkException, match="startingVersion=3"
+    ) as exc:
+        drain("cold")
+    # and the advised value RESUMES (first emitted commit = v4)
+    assert drain("advised", starting_version=3) == [30, 31]
+    # the previously-advised value (retained[0]-1 = 2) does NOT resume:
+    # its first needed manifest v3 exists but v3's diff base v2 is gone
+    with pytest.raises(pyspark.errors.PySparkException, match="diff base"):
+        drain("stale", starting_version=2)
+
+
+def test_occ_publish_is_exclusive(tmp_path):
+    """The protocol primitive: exactly one of two publishes of the same
+    version number wins (atomic exclusive create)."""
+    from gsmls_analysis_spark.sources import versioned as V
+
+    path = str(tmp_path / "vt")
+    os.makedirs(path)
+    assert V._publish(path, {"version": 1, "data_dirs": []}) is True
+    assert V._publish(path, {"version": 1, "data_dirs": []}) is False
+    assert V.table_versions(path) == [1]
+    # no tmp residue from the losing attempt
+    assert [f for f in os.listdir(path) if f.endswith(".tmp")] == []
+
+
+def _race_once(monkeypatch, rival):
+    """Patch _publish so the FIRST publish attempt is preceded by a
+    rival commit (deterministic interleave: the rival wins the version
+    number the victim resolved, forcing the victim down its OCC retry
+    path)."""
+    from gsmls_analysis_spark.sources import versioned as V
+
+    real_publish = V._publish
+    state = {"first": True}
+
+    def rigged(path_, manifest):
+        if state["first"]:
+            state["first"] = False
+            monkeypatch.setattr(V, "_publish", real_publish)
+            rival()
+            return real_publish(path_, manifest)  # now collides
+        return real_publish(path_, manifest)
+
+    monkeypatch.setattr(V, "_publish", rigged)
+
+
+def test_occ_concurrent_appends_both_commit(spark, tmp_path, monkeypatch):
+    """append ∥ append: blind writes never conflict — the loser
+    re-resolves its parent and republishes; BOTH batches land, in some
+    serial order, with no data rewrite."""
+    from gsmls_analysis_spark.sources import versioned as V
+
+    path = str(tmp_path / "vt")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+
+    _race_once(
+        monkeypatch,
+        lambda: V.versioned_write(
+            spark.createDataFrame([(2,)], "id long"), path, mode="append"
+        ),
+    )
+    v = V.versioned_write(
+        spark.createDataFrame([(3,)], "id long"), path, mode="append"
+    )
+    assert v == 3  # rival took v2; the victim retried onto v3
+    assert V.table_versions(path) == [1, 2, 3]
+    assert {r["id"] for r in versioned_read(spark, path).collect()} == {1, 2, 3}
+    # intermediate snapshot isolation: v2 sees the rival only
+    assert {r["id"] for r in versioned_read(spark, path, 2).collect()} == {1, 2}
+
+
+def test_occ_delete_vs_update_serializes(spark, tmp_path, monkeypatch):
+    """delete ∥ update on overlapping rows: the losing delete RE-EXECUTES
+    against the winner's snapshot, so the outcome equals the serial
+    history update→delete (the update moved a row INTO the delete's
+    predicate; a stale-snapshot delete would have missed it)."""
+    from gsmls_analysis_spark.sources import versioned as V
+
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 500), (2, 50), (3, 300)], "id long, price long"
+        ),
+        path,
+    )
+
+    _race_once(
+        monkeypatch,
+        lambda: V.versioned_update(
+            spark, path, F.col("id") == 1, {"price": F.lit(40)}
+        ),
+    )
+    V.versioned_delete(spark, path, F.col("price") < 100)
+    got = {r["id"]: r["price"] for r in versioned_read(spark, path).collect()}
+    # serial update→delete: id=1 became 40 and was then deleted; id=2
+    # (50) deleted; id=3 survives
+    assert got == {3: 300}
+    assert V.table_versions(path) == [1, 2, 3]
+
+
+def test_occ_overwrite_vs_append_orders(spark, tmp_path, monkeypatch):
+    """overwrite losing to a concurrent append serializes as
+    append→overwrite: the overwrite's content is the final state (blind
+    write), the append's rows live only in the intermediate version."""
+    from gsmls_analysis_spark.sources import versioned as V
+
+    path = str(tmp_path / "vt")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+
+    _race_once(
+        monkeypatch,
+        lambda: V.versioned_write(
+            spark.createDataFrame([(9,)], "id long"), path, mode="append"
+        ),
+    )
+    V.versioned_write(spark.createDataFrame([(7,)], "id long"), path)
+    assert {r["id"] for r in versioned_read(spark, path).collect()} == {7}
+    assert {r["id"] for r in versioned_read(spark, path, 2).collect()} == {1, 9}
+
+
+def _corrupt(path, files):
+    backup = {}
+    for f in files:
+        p = os.path.join(path, f)
+        backup[f] = open(p, "rb").read()
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1 garbage")
+    return backup
+
+
+def _restore(path, backup):
+    for f, data in backup.items():
+        with open(os.path.join(path, f), "wb") as fh:
+            fh.write(data)
+
+
+def test_versioned_partitioned_prunes_files_without_opening(spark, tmp_path):
+    """Iceberg-style hidden partitioning: the manifest records each
+    file's exact partition-value set; a partition-filtered read or
+    delete must never OPEN other partitions' files — proved by
+    corrupting them first."""
+    from gsmls_analysis_spark.sources.versioned import (
+        _read_manifest,
+        versioned_vacuum,
+    )
+
+    path = str(tmp_path / "vt")
+    rows = [(i, 2020 + i % 3, i * 10) for i in range(90)]
+    versioned_write(
+        spark.createDataFrame(rows, "id long, year long, v long"),
+        path,
+        partition_by=["year"],
+    )
+    man = _read_manifest(path, 1)
+    assert man["partition_by"] == ["year"]
+    by_file = {
+        f: set(st.get("pvals", {}).get("year", []))
+        for f, st in man["stats"].items()
+    }
+    # every file's pvals recorded, and no file mixes all three years
+    assert all(vals for vals in by_file.values())
+    files_2021 = {f for f, vals in by_file.items() if 2021 in vals}
+    other_files = [f for f in by_file if f not in files_2021]
+    assert files_2021 and other_files
+    backup = _corrupt(path, other_files)
+    got = versioned_read(
+        spark, path, predicate=F.col("year") == 2021
+    ).collect()
+    assert {r["id"] for r in got} == {i for i in range(90) if i % 3 == 1}
+    assert all(r["year"] == 2021 for r in got)
+    _restore(path, backup)
+
+    # append INHERITS the partitioning
+    versioned_write(
+        spark.createDataFrame([(900, 2021, 1)], "id long, year long, v long"),
+        path,
+        mode="append",
+    )
+    man2 = _read_manifest(path, 2)
+    assert man2["partition_by"] == ["year"]
+
+    # partition-scoped DELETE never opens other partitions' files either
+    man2_other = [
+        f
+        for f, st in man2["stats"].items()
+        if 2021 not in set(st.get("pvals", {}).get("year", []))
+    ]
+    assert man2_other
+    backup = _corrupt(path, man2_other)
+    versioned_delete(spark, path, F.col("year") == 2021)
+    _restore(path, backup)
+    left = versioned_read(spark, path)
+    assert left.filter(F.col("year") == 2021).count() == 0
+    assert left.count() == 60
+
+    # compaction preserves partition clustering (pvals stay narrow) and
+    # the partition_by declaration
+    from gsmls_analysis_spark.sources.versioned import versioned_compact
+
+    # small target forces >1 output file, so range-clustering is visible
+    v = versioned_compact(spark, path, target_file_bytes=1024)
+    man3 = _read_manifest(path, v)
+    assert man3["partition_by"] == ["year"]
+    assert len(man3["stats"]) > 1
+    for f, st in man3["stats"].items():
+        years = set(st.get("pvals", {}).get("year", []))
+        assert len(years) <= 1  # range-clustered: one year per file
+    versioned_vacuum(path, keep_last=1, clean_orphans=True,
+                     orphan_grace_seconds=0.0)
+    assert versioned_read(spark, path).count() == 60
+
+
+def test_versioned_partitioned_range_and_in_pruning(spark, tmp_path):
+    """pvals prune range and IN predicates exactly (min/max on
+    hash-interleaved files cannot): only files whose value SET overlaps
+    the predicate survive the manifest prune."""
+    from gsmls_analysis_spark.sources.versioned import (
+        _expand_files,
+        _entries,
+        _read_manifest,
+        prune_candidate_files,
+    )
+
+    path = str(tmp_path / "vt")
+    rows = [(i, f"county_{i % 5}") for i in range(100)]
+    versioned_write(
+        spark.createDataFrame(rows, "id long, county string"),
+        path,
+        partition_by=["county"],
+    )
+    man = _read_manifest(path, 1)
+    all_files = _expand_files(path, _entries(man))
+
+    def surviving(pred):
+        return {
+            f
+            for f in prune_candidate_files(spark, man, all_files, pred)
+        }
+
+    in_files = surviving(F.col("county").isin("county_1", "county_3"))
+    for f in all_files:
+        vals = set(man["stats"][f].get("pvals", {}).get("county", []))
+        if vals & {"county_1", "county_3"}:
+            assert f in in_files
+        else:
+            assert f not in in_files
+    rng_files = surviving(F.col("county") > "county_3")
+    for f in all_files:
+        vals = set(man["stats"][f].get("pvals", {}).get("county", []))
+        assert (f in rng_files) == any(v > "county_3" for v in vals)
