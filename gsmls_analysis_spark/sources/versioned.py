@@ -163,6 +163,7 @@ def versioned_write(
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
     version = parent + 1
+    user_partition_by = partition_by  # None = inherit (re-checked on retry)
     if partition_by is None and mode == "append" and pm:
         partition_by = pm.get("partition_by")
     if partition_by:
@@ -225,13 +226,30 @@ def versioned_write(
         parent = versions[-1]
         pm = _read_manifest(path, parent)
         version = parent + 1
+        recollect = False
+        if user_partition_by is None and mode == "append":
+            # the winner may have created/changed the table's declared
+            # partitioning (e.g. a first append losing to a rival that
+            # made a partitioned v1): inherit it for the manifest record
+            # so future appends keep clustering — the data clustering of
+            # THIS commit's already-written files cannot be redone, but
+            # exact pvals collected below keep pruning sound
+            inherited_pb = pm.get("partition_by")
+            if inherited_pb != partition_by:
+                partition_by = inherited_pb
+                recollect = True
         if user_bloom is None:
             inherited = _bloom_cols_of(pm)
             if inherited != (bloom_cols or []):
                 bloom_cols = inherited
-                my_stats = _collect_stats(
-                    root, [data_dir], bloom_cols=bloom_cols
-                )
+                recollect = True
+        if recollect:
+            # pval_cols must ride every re-collection: stats published
+            # without pvals would silently disable partition pruning for
+            # this commit's files
+            my_stats = _collect_stats(
+                root, [data_dir], bloom_cols=bloom_cols, pval_cols=partition_by
+            )
     raise CommitConflictError(
         f"versioned_write lost the publish race {_MAX_COMMIT_RETRIES} "
         f"times on {path}"
@@ -268,18 +286,46 @@ def _publish(path: str, manifest: dict) -> bool:
     filesystem primitive.  A crash before the link leaves the commit's
     data orphaned but the version unpublished — readers never see a
     partial commit.  Stamps ``committed_at`` (epoch seconds) — the
-    timestamp AS OF time travel resolves against."""
+    timestamp AS OF time travel resolves against.
+
+    Portability: where hard links are unsupported (some NFS/FUSE/
+    object-store mounts raise OSError on link), fall back to
+    ``O_CREAT|O_EXCL`` — the same exclusive-create guarantee; the only
+    cost is that a reader racing the fallback's write could glimpse a
+    partial manifest (the link path never exposes one), the caveat
+    Delta documents for non-atomic object stores.
+
+    Also refreshes the mtime of every data dir the manifest references:
+    the orphan sweep (``versioned_vacuum(clean_orphans=True)``) ages
+    candidates by dir mtime, which otherwise stops moving when the
+    parquet write finishes — a commit whose post-write driver phase
+    (stats/bloom collection, OCC retries) outlived ``orphan_grace_
+    seconds`` could have its dir swept out from under its own publish."""
     import time
 
     manifest.setdefault("committed_at", time.time())
+    root = os.path.abspath(path)
+    for d in manifest.get("data_dirs", []):
+        full = os.path.join(root, d)
+        if os.path.isdir(full):
+            os.utime(full)
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
+    target = os.path.join(path, f"manifest-v{manifest['version']}.json")
     try:
-        os.link(tmp, os.path.join(path, f"manifest-v{manifest['version']}.json"))
+        os.link(tmp, target)
         return True
     except FileExistsError:
         return False
+    except OSError:
+        try:
+            xfd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(xfd, "w") as out, open(tmp) as src:
+            out.write(src.read())
+        return True
     finally:
         os.unlink(tmp)
 
@@ -309,7 +355,15 @@ def _with_occ_retry(op_name: str, attempt):
     snapshot, so the committed result is exactly a serial execution
     after the concurrent winner (serializable; see module docstring).
     A failed attempt's data dir is orphaned and invisible; vacuum
-    ``clean_orphans`` reclaims it."""
+    ``clean_orphans`` reclaims it.
+
+    Contention cost: each retry re-runs the attempt's FULL
+    scan-and-rewrite, so worst case is O(_MAX_COMMIT_RETRIES ×
+    attempt-cost) — the price of serializable re-execution under a
+    single-writer-mostly model.  Sustained multi-writer contention on
+    one table wants external write coordination (partition the write
+    keyspace, or funnel commits through one applier), not a bigger
+    retry cap."""
     for _ in range(_MAX_COMMIT_RETRIES):
         try:
             return attempt()
@@ -1440,14 +1494,28 @@ def versioned_vacuum(
     module docstring).  Guarded by ``orphan_grace_seconds`` (default 24h,
     by dir mtime) so an IN-FLIGHT concurrent commit's not-yet-published
     data is never swept — the same retention reasoning as Delta's VACUUM
-    window."""
+    window.  The grace MUST exceed the longest commit's write-to-publish
+    gap; ``_publish`` re-touches the dirs it references right before
+    linking, so only a commit whose post-write phase (stats collection,
+    OCC retries) stalls longer than the grace is at risk — size it like
+    Delta's retention window, not like a timeout.
+
+    ``keep_last`` must be >= 1: the current version is never vacuumable
+    (Delta semantics — there is no such thing as a table with zero
+    versions), and a typo'd ``keep_last=0`` silently destroying every
+    data file is exactly the footgun the guard exists for."""
     import shutil
     import time
 
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (the current version is never "
+            f"vacuumable), got {keep_last}"
+        )
     versions = table_versions(path)
     if len(versions) <= keep_last and not clean_orphans:
         return []
-    kept = versions[-keep_last:] if keep_last else []
+    kept = versions[-keep_last:]
     dropped = versions[: len(versions) - len(kept)]
     root = os.path.abspath(path)
     live_files: set[str] = set()

@@ -1,0 +1,219 @@
+"""Round-7 regression tests, part 1: the five advisor defects from the
+round-6 review — vacuum's keep_last=0 destruction footgun, two OCC-retry
+metadata gaps (pvals on re-collection, partitioning inheritance after a
+lost first-append race), the orphan-sweep mtime hazard, and the
+hard-link portability fallback in _publish — plus the lost-race orphan
+reclamation proof (round-6 verdict task 9)."""
+
+from __future__ import annotations
+
+import errno
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_delete,
+    versioned_read,
+    versioned_vacuum,
+    versioned_write,
+)
+
+
+def _read_manifest(path, v):
+    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def test_vacuum_keep_last_below_one_raises(spark, tmp_path):
+    """keep_last=0 used to be a no-op (versions[-0:] == all); after the
+    r6 rewrite it would have deleted EVERY manifest and data file.
+    Whole-table destruction must never hide behind a typo: reject, and
+    leave the table untouched."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    versioned_write(spark.createDataFrame([(2,)], "id long"), path, mode="append")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="keep_last"):
+            versioned_vacuum(path, keep_last=bad)
+    assert V.table_versions(path) == [1, 2]
+    assert versioned_read(spark, path).count() == 2
+
+
+def _race_once(monkeypatch, rival):
+    """First publish attempt is preceded by a rival commit winning the
+    version number (same deterministic interleave rig as r6 tests)."""
+    real_publish = V._publish
+    state = {"first": True}
+
+    def rigged(path_, manifest):
+        if state["first"]:
+            state["first"] = False
+            monkeypatch.setattr(V, "_publish", real_publish)
+            rival()
+            return real_publish(path_, manifest)
+        return real_publish(path_, manifest)
+
+    monkeypatch.setattr(V, "_publish", rigged)
+
+
+def test_first_append_race_inherits_partitioning(spark, tmp_path, monkeypatch):
+    """A first append (caller passed partition_by=None to an empty/
+    unpartitioned-looking table) that loses the race to a rival creating
+    a PARTITIONED v1 must re-inherit the winner's declared partitioning:
+    the child manifest records partition_by (so future appends keep
+    clustering) and the retried commit's stats carry exact pvals (so
+    pruning stays sound even though this commit's files were written
+    unclustered)."""
+    path = str(tmp_path / "vt")
+    os.makedirs(path)
+
+    _race_once(
+        monkeypatch,
+        lambda: versioned_write(
+            spark.createDataFrame([(1, 2020), (2, 2021)], "id long, year long"),
+            path,
+            partition_by=["year"],
+        ),
+    )
+    versioned_write(
+        spark.createDataFrame([(3, 2022)], "id long, year long"),
+        path,
+        mode="append",
+    )
+    man = _read_manifest(path, 2)
+    assert man["partition_by"] == ["year"]
+    # the retried commit's own files publish exact pvals
+    v1_files = set(_read_manifest(path, 1)["stats"])
+    mine = {f: st for f, st in man["stats"].items() if f not in v1_files}
+    assert mine
+    for st in mine.values():
+        if st.get("rows"):
+            assert st.get("pvals", {}).get("year") == [2022]
+    assert {2022} == {
+        y for st in mine.values() for y in st.get("pvals", {}).get("year", [])
+    }
+    # and a partition-pruned read over the table still sees everything
+    got = {
+        r["id"]
+        for r in versioned_read(
+            spark, path, predicate=F.col("year") >= 2020
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+
+
+def test_append_retry_recollection_keeps_pvals(spark, tmp_path, monkeypatch):
+    """The OCC retry path re-collects stats when the winner changed the
+    table's bloom columns; that re-collection must pass pval_cols too —
+    otherwise a retried commit on a partitioned table publishes files
+    with no pvals and partition pruning silently dies for them."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, 2020)], "id long, year long"),
+        path,
+        partition_by=["year"],
+    )
+
+    # rival append establishes a bloom column the victim must inherit
+    _race_once(
+        monkeypatch,
+        lambda: versioned_write(
+            spark.createDataFrame([(2, 2021)], "id long, year long"),
+            path,
+            mode="append",
+            bloom_cols=["id"],
+        ),
+    )
+    versioned_write(
+        spark.createDataFrame([(3, 2022)], "id long, year long"),
+        path,
+        mode="append",
+    )
+    man = _read_manifest(path, 3)
+    prev = set(_read_manifest(path, 2)["stats"])
+    mine = {f: st for f, st in man["stats"].items() if f not in prev}
+    assert mine
+    rowful = [st for st in mine.values() if st.get("rows")]
+    assert rowful
+    for st in rowful:
+        assert "id" in st.get("bloom", {})  # inherited bloom collected
+        assert st.get("pvals", {}).get("year") == [2022]  # pvals kept
+
+
+def test_publish_fallback_when_hardlinks_unsupported(spark, tmp_path, monkeypatch):
+    """On filesystems without hard links (some NFS/FUSE/object-store
+    mounts) _publish falls back to O_CREAT|O_EXCL — commits succeed and
+    the exclusive-create guarantee (one winner per version) holds."""
+    path = str(tmp_path / "vt")
+    os.makedirs(path)
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    assert V._publish(path, {"version": 1, "data_dirs": []}) is True
+    assert V._publish(path, {"version": 1, "data_dirs": []}) is False
+    assert V.table_versions(path) == [1]
+    assert [f for f in os.listdir(path) if f.endswith(".tmp")] == []
+    # and a real end-to-end commit works under the fallback
+    versioned_write(spark.createDataFrame([(7,)], "id long"), path, mode="append")
+    assert {r["id"] for r in versioned_read(spark, path).collect()} == {7}
+
+
+def test_publish_refreshes_data_dir_mtime(tmp_path):
+    """The orphan sweep ages candidates by dir mtime, which stops
+    moving when the parquet write finishes; _publish re-touches the
+    dirs it references so a slow post-write driver phase can't let a
+    concurrent vacuum(clean_orphans) sweep a dir the about-to-publish
+    manifest references."""
+    path = str(tmp_path / "vt")
+    d = os.path.join(path, "data", "v1-deadbeef")
+    os.makedirs(d)
+    old = 1_000_000_000.0
+    os.utime(d, (old, old))
+    assert V._publish(path, {"version": 1, "data_dirs": ["data/v1-deadbeef"]})
+    assert os.path.getmtime(d) > old
+
+
+def test_lost_race_orphan_reclaimed_by_vacuum(spark, tmp_path, monkeypatch):
+    """End-to-end crashed/raced-attempt reclamation: a delete that loses
+    the publish race leaves its first attempt's data dir orphaned
+    (invisible); vacuum(clean_orphans=True) removes exactly that dir and
+    every published version still reads correctly."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(i, i % 3) for i in range(12)], "id long, k long"),
+        path,
+    )
+
+    _race_once(
+        monkeypatch,
+        lambda: versioned_write(
+            spark.createDataFrame([(100, 9)], "id long, k long"),
+            path,
+            mode="append",
+        ),
+    )
+    versioned_delete(spark, path, F.col("k") == 1)
+
+    data_root = os.path.join(path, "data")
+    referenced = set()
+    for v in V.table_versions(path):
+        for e in V._entries(_read_manifest(path, v)):
+            referenced.add(os.path.relpath(e, "data").split(os.sep)[0])
+    all_dirs = set(os.listdir(data_root))
+    orphans = all_dirs - referenced
+    assert orphans  # the raced-out first delete attempt left its dir
+
+    deleted = versioned_vacuum(
+        path, keep_last=len(V.table_versions(path)),
+        clean_orphans=True, orphan_grace_seconds=0.0,
+    )
+    assert {d.split("/")[-1] for d in deleted} == orphans
+    assert set(os.listdir(data_root)) == referenced
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert got == {0, 2, 3, 5, 6, 8, 9, 11, 100}
