@@ -1530,3 +1530,92 @@ def q_continuous_aggregate(spark, sf_dir):
     versioned_delete(spark, src, F.col("event_type") == "error")
     continuous_agg_refresh(spark, src, agg, *args, **kw)
     return versioned_read(spark, agg)
+
+
+@query(
+    "q_versioned_delete_dv",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE source IS DISTINCT FROM 'src3'
+  AND NOT (lang = 'en' AND n_chars < 200)
+""",
+    doc="merge-on-read DELETE via deletion vectors (sources/versioned.py"
+    "::versioned_delete_dv): the documents corpus is committed as an "
+    "8-file snapshot, one source is dropped with a DV commit (zero data "
+    "files written — the manifest marks (file, row-index) positions "
+    "deleted and reads subtract them via a broadcast anti-join on the "
+    "scan's _metadata position), then a SECOND DV commit drops short "
+    "English docs, proving vectors merge monotonically.  Equivalence "
+    "with the copy-on-write path is the oracle: the same predicate as a "
+    "plain SQL filter.  The 100 TB point: a GDPR point delete costs one "
+    "sidecar + one manifest instead of rewriting every matched 128 MB "
+    "file (tests/test_r7_dv.py proves the file set is byte-identical).",
+)
+def q_versioned_delete_dv(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete_dv,
+        versioned_read,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_dv_")
+    versioned_write(docs.repartitionByRange(8, "doc_id"), path)
+    versioned_delete_dv(spark, path, F.col("source") == "src3")
+    versioned_delete_dv(
+        spark, path, (F.col("lang") == "en") & (F.col("n_chars") < 200)
+    )
+    return versioned_read(spark, path)
+
+
+@query(
+    "q_versioned_partitioned",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+WHERE year(o_orderdate) IN (1995, 1996)
+  AND NOT (year(o_orderdate) = 1995 AND o_orderstatus = 'F')
+""",
+    doc="partitioned versioned table end-to-end (sources/versioned.py: "
+    "partition_by= hash-clusters the write and records each file's "
+    "EXACT partition-value set in the manifest): orders are committed "
+    "partitioned by order year, a DELETE with a partition predicate "
+    "rewrites only 1995's files, and the final read carries a partition "
+    "IN-predicate — both the delete and the read prune non-matching "
+    "years' files from the manifest pvals WITHOUT OPENING THEM (the "
+    "corrupt-file tests in tests/test_r6_versioned.py prove pruned "
+    "files are never read).  Oracle: the equivalent plain filters.  "
+    "This is the year/county scan shape that dominates at 100 TB.",
+)
+def q_versioned_partitioned(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_part_")
+    versioned_write(orders, path, partition_by=["order_year"])
+    versioned_delete(
+        spark,
+        path,
+        (F.col("order_year") == 1995) & (F.col("o_orderstatus") == "F"),
+    )
+    return versioned_read(
+        spark, path, predicate=F.col("order_year").isin(1995, 1996)
+    )

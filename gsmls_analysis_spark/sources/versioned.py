@@ -204,6 +204,9 @@ def versioned_write(
             manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
             if pm.get("data_files"):
                 manifest["data_files"] = pm["data_files"]
+            if pm.get("dvs"):
+                # kept files keep their deletion vectors by reference
+                manifest["dvs"] = pm["dvs"]
             # kept entries keep their stats by reference
             manifest["stats"] = {**(pm.get("stats") or {}), **my_stats}
             # schema EVOLUTION with ENFORCEMENT (the Delta model): an
@@ -808,6 +811,7 @@ def _matching_files(
     files: list[str],
     predicate: Column,
     schema: StructType | None = None,
+    dvs: dict[str, list[int]] | None = None,
 ) -> set[str]:
     """Relative paths of the files that contain ≥1 predicate-TRUE row.
     Predicate pushdown + row-group stats make this a skip-scan over the
@@ -815,22 +819,235 @@ def _matching_files(
     (the MANIFEST schema) must be applied whenever the file set can mix
     pre- and post-schema-evolution files: inference picks an arbitrary
     file's footer, so a predicate over an evolved column would otherwise
-    fail (or silently miss) depending on which file Spark sampled."""
+    fail (or silently miss) depending on which file Spark sampled.
+    ``dvs``: deletion vectors to subtract first — a file whose only
+    matching rows are already DV-deleted is NOT touched (rewriting it
+    would be pure write amplification)."""
     if not files:
         return set()
     reader = spark.read.schema(schema) if schema is not None else spark.read
     cur = reader.parquet(*[os.path.join(root, f) for f in sorted(files)])
+    # _metadata-based file identity (not input_file_name, which is a
+    # task-context function that goes blank after a join)
+    aug = _with_scan_position(cur)
+    if dvs:
+        del_df = _dv_rows_df(spark, dvs)
+        aug = aug.join(
+            F.broadcast(del_df),
+            (aug["__sfx"] == del_df["__dv_file"])
+            & (aug["__ri"] == del_df["__dv_idx"]),
+            "left_anti",
+        )
     out: set[str] = set()
-    for r in (
-        cur.withColumn("__file", F.input_file_name())
-        .filter(predicate)
-        .select("__file")
-        .distinct()
-        .collect()
-    ):
-        local = unquote(urlparse(r["__file"]).path)
+    for r in aug.filter(predicate).select("__fp").distinct().collect():
+        local = unquote(urlparse(r["__fp"]).path)
         out.add(os.path.relpath(local, root))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: merge-on-read DELETE (Delta DV / Iceberg positional
+# deletes).  A DV commit writes NO data files — it publishes a manifest
+# whose ``dvs`` map marks (file, row-index) positions as deleted; readers
+# subtract those positions at scan time.  At 100 TB this is the GDPR
+# point-delete primitive: deleting 10 rows from a table of 128 MB files
+# costs one sidecar write + one manifest publish instead of rewriting
+# every matched file (the copy-on-write path's write amplification).
+# Compaction/copy-on-write rewrites MATERIALIZE the DV (rewritten files
+# drop their vector); vacuum reclaims unreferenced sidecars.
+# ---------------------------------------------------------------------------
+
+
+def _dv_suffix(rel: str) -> str:
+    """Last two path components of a data-file path — the join key DV
+    application matches against ``_metadata.file_path``.  Unique per
+    table by construction: the directory component carries the commit's
+    uuid token and the basename carries the write job's uuid."""
+    parts = rel.replace(os.sep, "/").split("/")
+    return "/".join(parts[-2:])
+
+
+def _write_dv_sidecar(root: str, rel: str, dv_map: dict[str, list[int]]) -> None:
+    """One sidecar per DV commit holding every file's FULL merged vector
+    (zlib'd JSON of {file_rel: sorted row indexes}); production would
+    use roaring bitmaps (the Delta DV encoding) — same protocol, denser
+    bytes.  Deleted-row-count-sized, not data-sized."""
+    import zlib
+
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    payload = zlib.compress(
+        json.dumps({f: sorted(int(i) for i in v) for f, v in dv_map.items()}).encode()
+    )
+    tmp = full + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, full)
+
+
+def _read_dv_sidecar(root: str, rel: str) -> dict[str, list[int]]:
+    import zlib
+
+    with open(os.path.join(root, rel), "rb") as fh:
+        raw = json.loads(zlib.decompress(fh.read()))
+    return {f: [int(i) for i in v] for f, v in raw.items()}
+
+
+def _load_dvs(
+    root: str, manifest: dict, files: list[str] | set[str] | None = None
+) -> dict[str, list[int]]:
+    """Resolve a manifest's ``dvs`` entries to {file_rel: deleted row
+    indexes}, optionally restricted to ``files``.  Sidecars are read
+    once each (a commit packs all its vectors into one sidecar)."""
+    dvs = manifest.get("dvs") or {}
+    if files is not None:
+        want = set(files)
+        dvs = {f: e for f, e in dvs.items() if f in want}
+    out: dict[str, list[int]] = {}
+    cache: dict[str, dict[str, list[int]]] = {}
+    for f, e in dvs.items():
+        side = e["path"]
+        if side not in cache:
+            cache[side] = _read_dv_sidecar(root, side)
+        out[f] = cache[side][f]
+    return out
+
+
+def _dv_rows_df(spark: SparkSession, dv_idx: dict[str, list[int]]) -> DataFrame:
+    rows = [
+        (_dv_suffix(f), int(i)) for f, idxs in dv_idx.items() for i in idxs
+    ]
+    return spark.createDataFrame(rows, "__dv_file string, __dv_idx long")
+
+
+def _with_scan_position(df: DataFrame) -> DataFrame:
+    """Augment a fresh parquet scan with its per-row physical position:
+    the DV join key (file suffix) and the row's index within its file.
+    Must be applied directly on the scan — ``_metadata`` is a scan-time
+    hidden column."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    ).withColumn(
+        "__sfx",
+        F.concat_ws(
+            "/",
+            F.element_at(F.split(F.col("__fp"), "/"), -2),
+            F.element_at(F.split(F.col("__fp"), "/"), -1),
+        ),
+    )
+
+
+def _apply_dvs(
+    df: DataFrame,
+    spark: SparkSession,
+    dv_idx: dict[str, list[int]],
+    keep_deleted: bool = False,
+) -> DataFrame:
+    """Subtract (default) or select (``keep_deleted=True``, the CDC diff
+    case) DV'd positions from a fresh parquet scan.  The DV side is
+    deleted-rows-sized and BROADCAST; the scan side never shuffles —
+    the merge-on-read read cost is one hash probe per scanned row."""
+    if not dv_idx:
+        return df
+    out_cols = df.columns
+    aug = _with_scan_position(df)
+    del_df = _dv_rows_df(spark, dv_idx)
+    how = "left_semi" if keep_deleted else "left_anti"
+    joined = aug.join(
+        F.broadcast(del_df),
+        (aug["__sfx"] == del_df["__dv_file"]) & (aug["__ri"] == del_df["__dv_idx"]),
+        how,
+    )
+    return joined.select(*out_cols)
+
+
+def versioned_delete_dv(spark: SparkSession, path: str, predicate: Column) -> int:
+    """Merge-on-read DELETE: mark rows matching ``predicate`` deleted via
+    a deletion-vector commit — NO data file is written or rewritten.
+
+    Protocol: (a) manifest-stats prune discards non-candidate files
+    without opening them (same pruning as the copy-on-write delete);
+    (b) a pushed-down scan of just the candidates — with existing DVs
+    already subtracted, so re-deleting is a no-op — yields the matching
+    (file, row-index) positions, which is a DELETED-ROWS-sized driver
+    pull (the selective-delete contract: wide deletes belong on
+    ``versioned_delete``, whose rewrite never routes rows through the
+    driver); (c) one sidecar write + one manifest publish.  Existing
+    vectors merge monotonically (a file's DV only grows until a rewrite
+    materializes it).  NULL-predicate rows are NOT deleted (SQL DELETE
+    semantics).  OCC: races re-execute against the winner's snapshot.
+    Returns the new version number."""
+    return _with_occ_retry(
+        "versioned_delete_dv", lambda: _delete_dv_attempt(spark, path, predicate)
+    )
+
+
+def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    parent = versions[-1]
+    root = os.path.abspath(path)
+    pm = _read_manifest(path, parent)
+    schema_json = pm.get("schema")
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    all_files = _expand_files(root, _entries(pm))
+    version = parent + 1
+    existing = _load_dvs(root, pm)
+    new_hits: dict[str, set[int]] = {}
+    if all_files:
+        candidates = prune_candidate_files(spark, pm, all_files, predicate)
+        if candidates:
+            reader = (
+                spark.read.schema(schema) if schema is not None else spark.read
+            )
+            aug = _with_scan_position(
+                reader.parquet(*[os.path.join(root, f) for f in sorted(candidates)])
+            )
+            cand_dvs = {f: v for f, v in existing.items() if f in set(candidates)}
+            if cand_dvs:
+                del_df = _dv_rows_df(spark, cand_dvs)
+                aug = aug.join(
+                    F.broadcast(del_df),
+                    (aug["__sfx"] == del_df["__dv_file"])
+                    & (aug["__ri"] == del_df["__dv_idx"]),
+                    "left_anti",
+                )
+            hits = aug.filter(predicate).select("__fp", "__ri").collect()
+            for r in hits:
+                local = unquote(urlparse(r["__fp"]).path)
+                rel = os.path.relpath(local, root)
+                new_hits.setdefault(rel, set()).add(int(r["__ri"]))
+    manifest = _carry_partition_by(
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": pm.get("data_dirs", []),
+            "data_files": pm.get("data_files", []),
+            "schema": schema_json,
+            "stats": pm.get("stats") or {},
+            "txns": _merge_txns(pm, None),
+        },
+        pm,
+    )
+    if new_hits:
+        merged = {
+            f: sorted(set(existing.get(f, [])) | new_hits.get(f, set()))
+            for f in set(existing) | set(new_hits)
+        }
+        sidecar = f"dv/v{version}-{_commit_token()}.json.z"
+        _write_dv_sidecar(root, sidecar, merged)
+        manifest["dvs"] = {
+            f: {"path": sidecar, "count": len(ix)} for f, ix in merged.items()
+        }
+    elif pm.get("dvs"):
+        manifest["dvs"] = pm["dvs"]  # no new matches: carry as-is
+    _publish_or_race(path, manifest)
+    return version
 
 
 def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
@@ -896,16 +1113,22 @@ def _delete_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
     # (b) which candidates contain at least one matching row?  predicate
     # pushdown + row-group stats make this a skip-scan; result is
     # metadata-sized.  Manifest schema applied: candidates can mix pre-
-    # and post-evolution files.
-    touched = _matching_files(spark, root, candidates, predicate, schema)
+    # and post-evolution files.  Existing deletion vectors subtract
+    # first: DV'd rows are logically gone, so they neither match nor
+    # survive into a rewrite (the rewrite MATERIALIZES the file's DV).
+    dvs = _load_dvs(root, pm)
+    touched = _matching_files(spark, root, candidates, predicate, schema, dvs=dvs)
     new_dirs: list[str] = []
     new_stats: dict = {}
     if touched:
         data_dir = f"data/v{version}-{_commit_token()}"
         reader = spark.read.schema(schema) if schema is not None else spark.read
+        cur = reader.parquet(*[os.path.join(root, f) for f in sorted(touched)])
+        touched_dvs = {f: v for f, v in dvs.items() if f in touched}
+        if touched_dvs:
+            cur = _apply_dvs(cur, spark, touched_dvs)
         (
-            reader.parquet(*[os.path.join(root, f) for f in sorted(touched)])
-            .filter(~F.coalesce(predicate, F.lit(False)))
+            cur.filter(~F.coalesce(predicate, F.lit(False)))
             .write.mode("overwrite").parquet(os.path.join(root, data_dir))
         )
         # a delete that removed every row of the touched files can leave a
@@ -919,28 +1142,31 @@ def _delete_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
                 pval_cols=pm.get("partition_by"),
             )
     untouched = [f for f in all_files if f not in touched]
-    _publish_or_race(
-        path,
-        _carry_partition_by(
-            {
-                "version": version,
-                "parent": parent,
-                "data_dirs": new_dirs,
-                "data_files": untouched,
-                "schema": pm.get("schema"),
-                "stats": {
-                    **{
-                        f: parent_stats[f]
-                        for f in untouched
-                        if f in parent_stats
-                    },
-                    **new_stats,
+    manifest = _carry_partition_by(
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": new_dirs,
+            "data_files": untouched,
+            "schema": pm.get("schema"),
+            "stats": {
+                **{
+                    f: parent_stats[f]
+                    for f in untouched
+                    if f in parent_stats
                 },
-                "txns": _merge_txns(pm, None),
+                **new_stats,
             },
-            pm,
-        ),
+            "txns": _merge_txns(pm, None),
+        },
+        pm,
     )
+    kept_dvs = {
+        f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
+    }
+    if kept_dvs:
+        manifest["dvs"] = kept_dvs
+    _publish_or_race(path, manifest)
     return version
 
 
@@ -998,16 +1224,23 @@ def _update_attempt(
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
+    dvs = _load_dvs(root, pm)
     touched: set[str] = set()
     if all_files:
         candidates = prune_candidate_files(spark, pm, all_files, predicate)
-        touched = _matching_files(spark, root, candidates, predicate, schema)
+        touched = _matching_files(
+            spark, root, candidates, predicate, schema, dvs=dvs
+        )
     new_dirs: list[str] = []
     new_stats: dict = {}
     if touched:
         data_dir = f"data/v{version}-{_commit_token()}"
         reader = spark.read.schema(schema) if schema is not None else spark.read
         cur = reader.parquet(*[os.path.join(root, f) for f in sorted(touched)])
+        touched_dvs = {f: v for f, v in dvs.items() if f in touched}
+        if touched_dvs:
+            # rewriting a DV'd file materializes its vector
+            cur = _apply_dvs(cur, spark, touched_dvs)
         cond = F.coalesce(predicate, F.lit(False))
         updated = cur.select(
             *[
@@ -1037,28 +1270,31 @@ def _update_attempt(
                 pval_cols=pm.get("partition_by"),
             )
     untouched = [f for f in all_files if f not in touched]
-    _publish_or_race(
-        path,
-        _carry_partition_by(
-            {
-                "version": version,
-                "parent": parent,
-                "data_dirs": new_dirs,
-                "data_files": untouched,
-                "schema": schema_json,
-                "stats": {
-                    **{
-                        f: parent_stats[f]
-                        for f in untouched
-                        if f in parent_stats
-                    },
-                    **new_stats,
+    manifest = _carry_partition_by(
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": new_dirs,
+            "data_files": untouched,
+            "schema": schema_json,
+            "stats": {
+                **{
+                    f: parent_stats[f]
+                    for f in untouched
+                    if f in parent_stats
                 },
-                "txns": _merge_txns(pm, None),
+                **new_stats,
             },
-            pm,
-        ),
+            "txns": _merge_txns(pm, None),
+        },
+        pm,
     )
+    kept_dvs = {
+        f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
+    }
+    if kept_dvs:
+        manifest["dvs"] = kept_dvs
+    _publish_or_race(path, manifest)
     return version
 
 
@@ -1200,6 +1436,7 @@ def _merge_attempt(
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
+    dvs = _load_dvs(root, pm)
     if null_safe_keys:
         keys = source.select(*on).distinct()
     else:
@@ -1243,31 +1480,45 @@ def _merge_attempt(
                     term = F.lit(False)
                 rng = term if rng is None else (rng & term)
             candidates = prune_candidate_files(spark, pm, all_files, rng)
-        # (b) key-pruned semi-join over just the candidates
+        # (b) key-pruned semi-join over just the candidates.  Existing
+        # deletion vectors subtract first: a file whose only key matches
+        # are DV-deleted rows is not touched (the source rows become
+        # plain inserts, which is exactly the logical state).
         if candidates:
-            tgt = spark.read.schema(table_schema).parquet(
-                *[os.path.join(root, f) for f in sorted(candidates)]
+            tgt = _with_scan_position(
+                spark.read.schema(table_schema).parquet(
+                    *[os.path.join(root, f) for f in sorted(candidates)]
+                )
             )
+            cand_dvs = {f: v for f, v in dvs.items() if f in set(candidates)}
+            if cand_dvs:
+                del_df = _dv_rows_df(spark, cand_dvs)
+                tgt = tgt.join(
+                    F.broadcast(del_df),
+                    (tgt["__sfx"] == del_df["__dv_file"])
+                    & (tgt["__ri"] == del_df["__dv_idx"]),
+                    "left_anti",
+                )
             if null_safe_keys:
                 k2 = keys.select(*[F.col(c).alias(f"__k_{c}") for c in on])
                 sj = None
                 for c in on:
                     t = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
                     sj = t if sj is None else (sj & t)
-                probe = tgt.withColumn("__file", F.input_file_name()).join(
-                    k2, on=sj, how="left_semi"
-                )
+                probe = tgt.join(k2, on=sj, how="left_semi")
             else:
-                probe = tgt.withColumn("__file", F.input_file_name()).join(
-                    keys, on=list(on), how="left_semi"
-                )
-            for r in probe.select("__file").distinct().collect():
-                local = unquote(urlparse(r["__file"]).path)
+                probe = tgt.join(keys, on=list(on), how="left_semi")
+            for r in probe.select("__fp").distinct().collect():
+                local = unquote(urlparse(r["__fp"]).path)
                 touched.add(os.path.relpath(local, root))
     if touched:
         t_side = spark.read.schema(table_schema).parquet(
             *[os.path.join(root, f) for f in sorted(touched)]
         )
+        touched_dvs = {f: v for f, v in dvs.items() if f in touched}
+        if touched_dvs:
+            # rewriting a DV'd file materializes its vector
+            t_side = _apply_dvs(t_side, spark, touched_dvs)
     else:
         t_side = spark.createDataFrame([], table_schema)
     src_cols = [c for c in source.columns if c not in on]
@@ -1395,6 +1646,11 @@ def _merge_attempt(
         },
         pm,
     )
+    kept_dvs = {
+        f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
+    }
+    if kept_dvs:
+        manifest["dvs"] = kept_dvs
     if meta:
         manifest["meta"] = meta
     _publish_or_race(path, manifest)
@@ -1467,6 +1723,11 @@ def versioned_read(
         return out.filter(predicate) if predicate is not None else out
     reader = spark.read.schema(schema) if schema is not None else spark.read
     out = reader.parquet(*[os.path.join(path, e) for e in entries])
+    if manifest.get("dvs"):
+        # merge-on-read: subtract deletion-vector positions at scan time
+        # (pruned-away files' vectors simply never match — harmless in a
+        # broadcast-side map that is deleted-rows-sized)
+        out = _apply_dvs(out, spark, _load_dvs(os.path.abspath(path), manifest))
     return out.filter(predicate) if predicate is not None else out
 
 
@@ -1519,18 +1780,30 @@ def versioned_vacuum(
     dropped = versions[: len(versions) - len(kept)]
     root = os.path.abspath(path)
     live_files: set[str] = set()
+    live_sidecars: set[str] = set()
     for v in kept:
-        live_files.update(_expand_files(root, _entries(_read_manifest(path, v))))
+        m = _read_manifest(path, v)
+        live_files.update(_expand_files(root, _entries(m)))
+        live_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
     deleted: list[str] = []
     drop_dirs: set[str] = set()
+    drop_sidecars: set[str] = set()
     for v in dropped:
-        for e in _entries(_read_manifest(path, v)):
+        m = _read_manifest(path, v)
+        drop_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
+        for e in _entries(m):
             for f in _expand_files(root, [e]):
                 drop_dirs.add(os.path.dirname(f))
                 if f not in live_files and os.path.isfile(os.path.join(root, f)):
                     os.remove(os.path.join(root, f))
                     deleted.append(f)
         os.remove(os.path.join(path, f"manifest-v{v}.json"))
+    # deletion-vector sidecars referenced only by dropped versions go too
+    for s in sorted(drop_sidecars - live_sidecars):
+        full = os.path.join(root, s)
+        if os.path.isfile(full):
+            os.remove(full)
+            deleted.append(s)
     # collapse: a dir with no parquet files left is residue (_SUCCESS etc.)
     collapsed: list[str] = []
     for d in sorted(drop_dirs):
@@ -1558,6 +1831,20 @@ def versioned_vacuum(
                 continue  # possibly an in-flight commit: leave it
             shutil.rmtree(full)
             deleted.append(rel)
+        # orphaned DV sidecars: residue of crashed/raced delete_dv
+        # attempts (same grace reasoning — a sidecar is written before
+        # its manifest publishes)
+        dv_root = os.path.join(root, "dv")
+        if os.path.isdir(dv_root):
+            for f in sorted(os.listdir(dv_root)):
+                rel = f"dv/{f}"
+                full = os.path.join(dv_root, f)
+                if not os.path.isfile(full) or rel in live_sidecars:
+                    continue
+                if now - os.path.getmtime(full) < orphan_grace_seconds:
+                    continue
+                os.remove(full)
+                deleted.append(rel)
     return deleted
 
 
@@ -1716,8 +2003,10 @@ def versioned_changes(
     files_from = set(_expand_files(root, _entries(mf)))
     files_to = set(_expand_files(root, _entries(mt)))
     schema_json = mt.get("schema") or mf.get("schema")
+    dvs_from = _load_dvs(root, mf)
+    dvs_to = _load_dvs(root, mt)
 
-    def read_side(files: set[str]) -> DataFrame:
+    def read_side(files: set[str], dvs: dict[str, list[int]]) -> DataFrame:
         # the newer side's MANIFEST schema is applied to BOTH sides: a
         # diff spanning a schema-evolving append reads pre-evolution
         # files with NULLs in the added columns, so exceptAll/unionByName
@@ -1739,12 +2028,55 @@ def versioned_changes(
             side = reader.parquet(
                 *[os.path.join(root, f) for f in sorted(files)]
             )
+            rel = {f: v for f, v in dvs.items() if f in files}
+            if rel:
+                side = _apply_dvs(side, spark, rel)
         return side.select(*columns) if columns else side
 
-    old_only = read_side(files_from - files_to)
-    new_only = read_side(files_to - files_from)
-    return new_only.exceptAll(old_only).withColumn(
+    old_only = read_side(files_from - files_to, dvs_from)
+    new_only = read_side(files_to - files_from, dvs_to)
+    out = new_only.exceptAll(old_only).withColumn(
         "_change", F.lit("insert")
     ).unionByName(
         old_only.exceptAll(new_only).withColumn("_change", F.lit("delete"))
     )
+    # Deletion-vector delta on SHARED files: a file referenced by both
+    # versions contributes identical bytes to each side, but a vector
+    # that GREW between them deleted rows in place — emit exactly those
+    # positions as deletes (position-identified, so they bypass the
+    # multiset diff; still only the DV'd files are read, the manifest-
+    # diff scale trick is preserved).  Shrinkage (resurrection) cannot
+    # happen under this protocol — vectors grow until a rewrite drops
+    # the file — but is handled symmetrically for robustness.
+    shared = files_from & files_to
+    grown: dict[str, list[int]] = {}
+    shrunk: dict[str, list[int]] = {}
+    for f in shared:
+        a = set(dvs_from.get(f, []))
+        b = set(dvs_to.get(f, []))
+        if b - a:
+            grown[f] = sorted(b - a)
+        if a - b:
+            shrunk[f] = sorted(a - b)
+
+    def read_positions(dv_idx: dict[str, list[int]]) -> DataFrame:
+        reader = (
+            spark.read.schema(StructType.fromJson(json.loads(schema_json)))
+            if schema_json
+            else spark.read
+        )
+        side = reader.parquet(
+            *[os.path.join(root, f) for f in sorted(dv_idx)]
+        )
+        side = _apply_dvs(side, spark, dv_idx, keep_deleted=True)
+        return side.select(*columns) if columns else side
+
+    if grown:
+        out = out.unionByName(
+            read_positions(grown).withColumn("_change", F.lit("delete"))
+        )
+    if shrunk:
+        out = out.unionByName(
+            read_positions(shrunk).withColumn("_change", F.lit("insert"))
+        )
+    return out

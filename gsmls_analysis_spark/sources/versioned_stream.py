@@ -23,7 +23,11 @@ Change semantics mirror Delta's streaming source:
   data) FAILS the stream by default — silently re-emitting rewritten
   rows double-counts — unless ``ignoreChanges=true``, which emits the
   commit's new files (re-delivering the untouched rows that happened to
-  live in rewritten files, Delta's documented ignoreChanges caveat).
+  live in rewritten files, Delta's documented ignoreChanges caveat);
+- a deletion-vector commit (``versioned_delete_dv``) removes rows IN
+  PLACE with no file change: it FAILS the stream the same way (the
+  deleted rows were already emitted and an append-only stream cannot
+  retract them) unless ``ignoreChanges=true``.
 
 Why this survives 100 TB: offset resolution and batch planning read one
 small manifest JSON per commit (no storage listing); rows stream
@@ -103,6 +107,7 @@ class VersionedStreamReader(DataSourceStreamReader):
         out: list[InputPartition] = []
         root = os.path.abspath(self._path)
         prev_files: set[str] | None = None
+        prev_dv: dict[str, int] = {}
         retained = table_versions(self._path)
         needed = range(int(start["version"]) + 1, int(end["version"]) + 1)
         missing = [v for v in needed if v not in retained]
@@ -135,18 +140,24 @@ class VersionedStreamReader(DataSourceStreamReader):
                         "retained version."
                     )
                 if parent:
+                    parent_m = _read_manifest(self._path, parent)
                     prev_files = set(
-                        _expand_files(
-                            root,
-                            _entries(_read_manifest(self._path, parent)),
-                        )
+                        _expand_files(root, _entries(parent_m))
                     )
+                    prev_dv = {
+                        f: e.get("count", 0)
+                        for f, e in (parent_m.get("dvs") or {}).items()
+                    }
                 else:
                     prev_files = set()
             cur_files = set(_expand_files(root, _entries(m)))
+            cur_dv = {
+                f: e.get("count", 0) for f, e in (m.get("dvs") or {}).items()
+            }
             if (m.get("meta") or {}).get("compacted_from") is not None:
                 # OPTIMIZE: dataChange=false — same rows, new layout
                 prev_files = cur_files
+                prev_dv = cur_dv
                 continue
             removed = prev_files - cur_files
             if removed and not self._ignore_changes:
@@ -157,9 +168,26 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "set ignoreChanges=true to accept that, or start a "
                     "fresh stream from the current version."
                 )
+            # a deletion-vector commit removes rows IN PLACE (no file
+            # change): an append-only stream cannot emit those deletes —
+            # same contract as file removal
+            dv_grew = [
+                f
+                for f, n in cur_dv.items()
+                if f in prev_files and n > prev_dv.get(f, 0)
+            ]
+            if dv_grew and not self._ignore_changes:
+                raise ValueError(
+                    f"versioned_table stream: commit v{v} of {self._path} "
+                    f"grew deletion vectors on {len(dv_grew)} streamed "
+                    "file(s) (merge-on-read delete).  The deleted rows "
+                    "were already emitted; set ignoreChanges=true to "
+                    "keep streaming anyway, or start a fresh stream."
+                )
             for f in sorted(cur_files - prev_files):
                 out.append(InputPartition((os.path.join(root, f), v)))
             prev_files = cur_files
+            prev_dv = cur_dv
         return out
 
     def read(self, partition: InputPartition):

@@ -1,0 +1,322 @@
+"""Round-7 deletion-vector (merge-on-read DELETE) tests.
+
+The DV protocol (versioned.py::versioned_delete_dv): a selective delete
+publishes a manifest whose ``dvs`` map marks (file, row-index) positions
+deleted — zero data files written or rewritten — and every read path
+subtracts those positions.  Copy-on-write rewrites and OPTIMIZE
+materialize vectors; vacuum reclaims unreferenced sidecars; the
+streaming source treats DV growth like file removal (an append-only
+stream cannot retract already-emitted rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_changes,
+    versioned_compact,
+    versioned_delete,
+    versioned_delete_dv,
+    versioned_merge,
+    versioned_read,
+    versioned_update,
+    versioned_vacuum,
+    versioned_write,
+)
+
+
+def _files_of(path, v):
+    root = os.path.abspath(path)
+    return set(V._expand_files(root, V._entries(V._read_manifest(path, v))))
+
+
+def _man(path, v):
+    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _mk(spark, path, n=50, parts=4):
+    versioned_write(
+        spark.createDataFrame(
+            [(i, i % 5, f"row{i}") for i in range(n)], "id long, k long, s string"
+        ).repartition(parts),
+        path,
+    )
+
+
+def test_dv_delete_writes_zero_data_files(spark, tmp_path):
+    """The write-amplification claim itself: a selective merge-on-read
+    delete publishes a new version whose data file set is IDENTICAL to
+    the parent's — only a sidecar and a manifest are written — while
+    reads subtract the deleted rows and time travel still sees them."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    before = _files_of(path, 1)
+    v = versioned_delete_dv(spark, path, F.col("k") == 2)
+    assert _files_of(path, v) == before  # zero rewrites
+    man = _man(path, v)
+    assert man["dvs"]
+    side = {e["path"] for e in man["dvs"].values()}
+    assert len(side) == 1 and all(s.startswith("dv/") for s in side)
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    assert got == [i for i in range(50) if i % 5 != 2]
+    # snapshot isolation: the pre-delete version still sees everything
+    assert versioned_read(spark, path, 1).count() == 50
+
+
+def test_dv_vectors_merge_monotonically(spark, tmp_path):
+    """A second DV delete on the same files merges with (never replaces)
+    the existing vectors, and re-deleting already-DV'd rows records no
+    new positions (the scan subtracts existing vectors first)."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete_dv(spark, path, F.col("k") == 2)
+    v2 = versioned_delete_dv(spark, path, F.col("k").isin(2, 4))
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    assert got == [i for i in range(50) if i % 5 not in (2, 4)]
+    total = sum(e["count"] for e in _man(path, v2)["dvs"].values())
+    assert total == 20  # 10 k==2 + 10 k==4, no double counting
+    # idempotent re-delete: a no-new-positions commit carries vectors
+    v3 = versioned_delete_dv(spark, path, F.col("k") == 2)
+    assert sum(e["count"] for e in _man(path, v3)["dvs"].values()) == 20
+    assert versioned_read(spark, path).count() == 30
+
+
+def test_dv_predicate_pruned_read_applies_vectors(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete_dv(spark, path, F.col("k") == 2)
+    got = sorted(
+        r["id"]
+        for r in versioned_read(
+            spark, path, predicate=F.col("id") < 20
+        ).collect()
+    )
+    assert got == [i for i in range(20) if i % 5 != 2]
+
+
+def test_dv_cow_delete_does_not_resurrect(spark, tmp_path):
+    """A copy-on-write delete whose rewrite hits DV'd files must apply
+    the vectors during the rewrite (materializing them) — otherwise the
+    rewrite would resurrect merge-on-read-deleted rows."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path, parts=2)  # wide files: COW rewrite overlaps DV'd files
+    versioned_delete_dv(spark, path, F.col("k") == 2)
+    v = versioned_delete(spark, path, F.col("k") == 4)
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    assert got == [i for i in range(50) if i % 5 not in (2, 4)]
+    # rewritten files dropped their vectors (materialized)
+    man = _man(path, v)
+    for f in man.get("dvs", {}):
+        assert f in set(man.get("data_files", []))
+
+
+def test_dv_update_does_not_resurrect_or_update_deleted(spark, tmp_path):
+    """UPDATE over files carrying a DV: the deleted rows neither
+    reappear nor take the assignment."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path, parts=2)
+    versioned_delete_dv(spark, path, F.col("id") == 7)
+    versioned_update(
+        spark, path, F.col("k") == 2, {"s": F.lit("UPDATED")}
+    )
+    rows = {r["id"]: r["s"] for r in versioned_read(spark, path).collect()}
+    assert 7 not in rows
+    for i in range(50):
+        if i == 7:
+            continue
+        assert rows[i] == ("UPDATED" if i % 5 == 2 else f"row{i}")
+
+
+def test_dv_merge_treats_deleted_rows_as_absent(spark, tmp_path):
+    """MERGE against a DV'd table: a source row whose key exists only as
+    a DV-deleted position is an INSERT (the row is logically gone), and
+    matched updates on surviving rows work over the subtracted scan."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path, n=10, parts=2)
+    versioned_delete_dv(spark, path, F.col("id") == 3)
+    src = spark.createDataFrame(
+        [(3, 99, "resurrected"), (4, 99, "updated")], "id long, k long, s string"
+    )
+    versioned_merge(spark, path, src, on=["id"])
+    rows = {r["id"]: (r["k"], r["s"]) for r in versioned_read(spark, path).collect()}
+    assert rows[3] == (99, "resurrected")  # insert, exactly once
+    assert rows[4] == (99, "updated")
+    assert len(rows) == 10  # 9 survivors + 1 insert
+
+
+def test_dv_compact_materializes_vectors(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete_dv(spark, path, F.col("k") == 1)
+    v = versioned_compact(spark, path)
+    man = _man(path, v)
+    assert "dvs" not in man
+    assert versioned_read(spark, path).count() == 40
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    assert got == [i for i in range(50) if i % 5 != 1]
+
+
+def test_dv_changes_emits_positional_deletes(spark, tmp_path):
+    """CDC across a DV commit: the file sets are identical, so the delta
+    comes entirely from the vector diff — exactly the deleted positions,
+    as 'delete' rows, with zero 'insert' noise."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    v = versioned_delete_dv(spark, path, F.col("k") == 3)
+    ch = versioned_changes(spark, path, 1, v)
+    dels = sorted(
+        r["id"] for r in ch.filter(F.col("_change") == "delete").collect()
+    )
+    assert dels == [i for i in range(50) if i % 5 == 3]
+    assert ch.filter(F.col("_change") == "insert").count() == 0
+    # column projection composes with the positional read
+    ch2 = versioned_changes(spark, path, 1, v, columns=["id"])
+    assert sorted(r["id"] for r in ch2.collect()) == dels
+
+
+def test_dv_append_carries_vectors(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path, n=10)
+    versioned_delete_dv(spark, path, F.col("id") < 3)
+    versioned_write(
+        spark.createDataFrame([(100, 0, "new")], "id long, k long, s string"),
+        path,
+        mode="append",
+    )
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    assert got == [3, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_dv_vacuum_reclaims_unreferenced_sidecars(spark, tmp_path):
+    """Each DV commit writes one sidecar holding its full merged
+    vectors; once no retained manifest references an older sidecar,
+    vacuum removes it — and keeps the one the current version needs."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete_dv(spark, path, F.col("k") == 2)  # sidecar A
+    versioned_delete_dv(spark, path, F.col("k") == 4)  # sidecar B (superset)
+    root = os.path.abspath(path)
+    assert len(os.listdir(os.path.join(root, "dv"))) == 2
+    deleted = versioned_vacuum(path, keep_last=1)
+    live = {e["path"] for e in _man(path, 3)["dvs"].values()}
+    remaining = {f"dv/{f}" for f in os.listdir(os.path.join(root, "dv"))}
+    assert remaining == live
+    assert any(d.startswith("dv/") for d in deleted)
+    assert versioned_read(spark, path).count() == 30
+
+
+def test_dv_orphan_sidecar_swept(spark, tmp_path):
+    """A sidecar no manifest references (crashed delete_dv attempt) is
+    reclaimed by clean_orphans under the same mtime grace as data dirs."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path, n=10)
+    versioned_delete_dv(spark, path, F.col("id") == 0)
+    root = os.path.abspath(path)
+    orphan = os.path.join(root, "dv", "v9-dead.json.z")
+    V._write_dv_sidecar(root, "dv/v9-dead.json.z", {"x": [1]})
+    # fresh mtime: grace protects it
+    kept = versioned_vacuum(
+        path, keep_last=5, clean_orphans=True, orphan_grace_seconds=3600
+    )
+    assert os.path.exists(orphan) and "dv/v9-dead.json.z" not in kept
+    # grace elapsed: swept
+    deleted = versioned_vacuum(
+        path, keep_last=5, clean_orphans=True, orphan_grace_seconds=0.0
+    )
+    assert "dv/v9-dead.json.z" in deleted and not os.path.exists(orphan)
+    # the live sidecar survives both sweeps
+    assert versioned_read(spark, path).count() == 9
+
+
+def test_dv_stream_raises_unless_ignore_changes(spark, tmp_path):
+    """The versioned stream source treats DV growth on an already-
+    streamed file exactly like file removal: fail by default (the rows
+    were emitted and cannot be retracted), continue under
+    ignoreChanges=true."""
+    import pyspark
+
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        versioned_stream_source,
+    )
+
+    path = str(tmp_path / "vt")
+    _mk(spark, path, n=10)
+    versioned_delete_dv(spark, path, F.col("id") == 5)
+
+    def drain(name, ignore_changes=False):
+        q = (
+            versioned_stream_source(
+                spark, path, ignore_changes=ignore_changes
+            )
+            .writeStream.format("memory")
+            .queryName(f"dvstream_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r["id"] for r in spark.sql(f"select id from dvstream_{name}").collect()
+        )
+
+    with pytest.raises(pyspark.errors.PySparkException, match="deletion vector"):
+        drain("strict")
+    # ignoreChanges: streams the append files; the DV'd row was already
+    # emitted by v1's files and stays (documented Delta caveat)
+    assert drain("loose", ignore_changes=True) == list(range(10))
+
+
+def test_occ_dv_delete_vs_append_serializes(spark, tmp_path, monkeypatch):
+    """DV-commit ∥ append race: the losing DV delete re-executes against
+    the winner's snapshot, so rows the append added that match the
+    predicate are deleted too (serial append→delete order)."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path, n=10)
+
+    real_publish = V._publish
+    state = {"first": True}
+
+    def rigged(path_, manifest):
+        if state["first"]:
+            state["first"] = False
+            monkeypatch.setattr(V, "_publish", real_publish)
+            versioned_write(
+                spark.createDataFrame(
+                    [(100, 2, "late")], "id long, k long, s string"
+                ),
+                path,
+                mode="append",
+            )
+            return real_publish(path_, manifest)
+        return real_publish(path_, manifest)
+
+    monkeypatch.setattr(V, "_publish", rigged)
+    versioned_delete_dv(spark, path, F.col("k") == 2)
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    # serial order append→delete: id=100 (k=2) is deleted as well
+    assert got == [i for i in range(10) if i % 5 != 2]
+    assert V.table_versions(path) == [1, 2, 3]
+
+
+def test_dv_delete_across_schema_evolution(spark, tmp_path):
+    """DV delete with a predicate over an evolved column: the candidate
+    scan applies the MANIFEST schema, so pre-evolution files participate
+    (reading the evolved column as NULL → not deleted, SQL semantics)."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1,), (2,)], "id long").repartition(1), path
+    )
+    versioned_write(
+        spark.createDataFrame([(3, "x"), (4, "y")], "id long, b string")
+        .repartition(1),
+        path,
+        mode="append",
+    )
+    versioned_delete_dv(spark, path, F.col("b") == "x")
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    assert got == [1, 2, 4]

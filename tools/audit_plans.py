@@ -132,6 +132,18 @@ BOUNDED_CROSS_OK = {
 }
 
 
+# global-sort windows that PIN SEMANTICS: exact global decile boundaries
+# require a total order, so q_ntile_decile_stats plans WindowExec with NO
+# partition spec BY DESIGN — the recurring "WindowExec: No Partition
+# Defined, moving all data to a single partition" runtime warnings during
+# an audit/gate run trace HERE, not to an accidental unpartitioned window.
+# (At 100 TB the same statistic would switch to approx_percentile; the
+# exact-ntile variant is the oracle-checkable semantics baseline.)
+GLOBAL_SORT_OK = {
+    "q_ntile_decile_stats",
+}
+
+
 def audit(name: str, plan: str) -> list[str]:
     flags = []
     if "CartesianProduct" in plan:
@@ -175,6 +187,12 @@ def main() -> None:
                 n_flagged += 1
                 continue
             flags = audit(name, plan)
+        if name in GLOBAL_SORT_OK:
+            print(
+                f"NOTE {name}: intentional global-sort window "
+                "(semantics-pinning exact ntile; the 'WindowExec: No "
+                "Partition Defined' warnings are accounted for here)"
+            )
         if flags:
             n_flagged += 1
             print(f"FLAG {name}: {', '.join(flags)}")
