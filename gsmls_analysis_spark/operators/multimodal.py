@@ -91,19 +91,25 @@ def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
     ``codec='bmp'``: REAL decode of 24-bit uncompressed BMP payloads —
     pure-Python/numpy header parsing + pixel statistics over Arrow
     batches (see ``decode_bmp_stats``); no external codec library.
+    ``codec='png'``: REAL decode of 8-bit RGB non-interlaced PNG —
+    stdlib zlib inflate + full five-filter scanline unfiltering with
+    chunk CRC verification (see ``decode_png_stats``).
     ``codec='fake'``: deterministic fake decode (dims derived from the
     first payload bytes) for plumbing tests.
-    ``codec='real'`` (JPEG/PNG/audio/video): raises — those codecs need
-    libraries absent from this container; the BMP path proves the
-    decode plumbing on genuine encoded bytes.
+    ``codec='real'`` (JPEG/audio/video): raises — those codecs need
+    libraries absent from this container; the BMP and PNG paths prove
+    the decode plumbing on genuine encoded bytes.
     """
     if codec == "bmp":
         return decode_bmp_stats(df)
+    if codec == "png":
+        return decode_png_stats(df)
     if codec == "real":
         raise NotImplementedError(
-            "JPEG/PNG/audio/video decode requires codec libraries "
+            "JPEG/audio/video decode requires codec libraries "
             "(PIL/ffmpeg) not present in this environment; use codec='bmp' "
-            "for the real pure-Python BMP path or codec='fake' for the stub"
+            "or codec='png' for the real pure-Python paths or "
+            "codec='fake' for the stub"
         )
     # fake dims from the first two payload bytes (payloads here are ASCII,
     # so a string round-trip reads the raw byte values)
@@ -310,6 +316,252 @@ def synthesize_bmp_assets(
                 px = ((int(rid) + x + y + c) % 256).astype(np.uint8)
                 ids.append(rid)
                 payloads.append(encode_bmp(w, h, px.tobytes()))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(width_col).cast("long").alias("_w"),
+        F.col(height_col).cast("long").alias("_h"),
+    ).mapInPandas(gen, "asset_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #2: PNG — 8-bit RGB (color type 2), non-interlaced — decoded
+# with the STDLIB ONLY: chunk walk + CRC verification, zlib inflate of the
+# IDAT stream, and scanline unfiltering across all five PNG filter types
+# (None/Sub/Up/Average/Paeth).  The encoder cycles the filter type per
+# row precisely so the decoder's unfilter path is exercised on every
+# image.  JPEG stays honestly stubbed (it needs a DCT codec library).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB pixels (row-major, top-down, 3 bytes/pixel) as a
+    real 8-bit truecolor PNG.  Rows cycle through the five PNG filter
+    types (row y uses filter y % 5), so decoding genuinely requires a
+    correct unfilter implementation — not just a zlib inflate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(
+            f"need {3 * width * height} RGB bytes for {width}x{height}, "
+            f"got {len(rgb)}"
+        )
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width * 3)
+    raw = px.astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(width * 3, dtype=np.int16)
+    for y in range(height):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(3, dtype=np.int16), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int16), prev[:-3]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - ((left + prev) // 2)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        out.append(ftype)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse an 8-bit RGB non-interlaced PNG; returns (width, height,
+    pixels) shaped (height, width, 3) in RGB, top-down.  Verifies chunk
+    CRCs, inflates the concatenated IDAT stream, and unfilters all five
+    scanline filter types.  Raises ValueError on any other PNG profile
+    (palette, alpha, 16-bit, interlaced) or corrupt payload — a decode
+    ERROR, not a crash, so callers can quarantine bad payloads.  The
+    sequential filters (Sub/Average/Paeth depend on the left neighbor)
+    unfilter in a per-byte loop — correct-first; a production decoder
+    (libpng/Wuffs) does the same walk in native code."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth} color={ctype} "
+            f"interlace={interlace}); only 8-bit RGB non-interlaced"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("empty PNG")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    rowlen = 3 * width
+    if len(raw) != height * (rowlen + 1):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, "
+            f"expected {height * (rowlen + 1)}"
+        )
+    out = np.zeros((height, rowlen), dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (rowlen + 1)]
+        line = bytearray(
+            raw[y * (rowlen + 1) + 1 : (y + 1) * (rowlen + 1)]
+        )
+        prev = out[y - 1] if y else np.zeros(rowlen, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(3, rowlen):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            line = bytearray(
+                (
+                    (np.frombuffer(bytes(line), dtype=np.uint8) + prev)
+                    & 0xFF
+                ).astype(np.uint8).tobytes()
+            )
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                a = line[i - 3] if i >= 3 else 0
+                b = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return width, height, out.reshape(height, width, 3)
+
+
+def decode_png_stats(assets: DataFrame) -> DataFrame:
+    """Real PNG decode over Arrow batches: width/height from IHDR and
+    exact per-channel pixel means (integer-scaled mean·10^6, floored —
+    engine-portable), undecodable payloads quarantined into
+    decode_error.  Mirrors decode_bmp_stats; channel order is RGB."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "mean_r_micro": [],
+                "mean_g_micro": [],
+                "mean_b_micro": [],
+                "decode_error": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(asset_id)
+                try:
+                    w, h, px = decode_png(bytes(payload))
+                    sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    n = w * h
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r_micro"].append(int(sums[0]) * 1_000_000 // n)
+                    out["mean_g_micro"].append(int(sums[1]) * 1_000_000 // n)
+                    out["mean_b_micro"].append(int(sums[2]) * 1_000_000 // n)
+                    out["decode_error"].append(None)
+                except ValueError as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r_micro"].append(None)
+                    out["mean_g_micro"].append(None)
+                    out["mean_b_micro"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, width long, height long, mean_r_micro long, "
+        "mean_g_micro long, mean_b_micro long, decode_error string",
+    )
+
+
+def synthesize_png_assets(
+    df: DataFrame, id_col: str, width_col: str, height_col: str
+) -> DataFrame:
+    """Executor-side synthesis of genuinely ENCODED PNG payloads with the
+    same deterministic pixel rule as the BMP twin —
+    ``channel(x, y) = (id + x + y + channel_index) mod 256`` in RGB
+    order — so an oracle can compute expected decoded statistics
+    analytically.  Row filters cycle 0..4, so every image exercises the
+    full unfilter path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, w, h in zip(pdf["_id"], pdf["_w"], pdf["_h"]):
+                w, h = int(w), int(h)
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((int(rid) + x + y + c) % 256).astype(np.uint8)
+                ids.append(rid)
+                payloads.append(encode_png(w, h, px.tobytes()))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
     return df.select(

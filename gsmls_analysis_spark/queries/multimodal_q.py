@@ -135,3 +135,54 @@ def q_multimodal_bmp_decode(spark, sf_dir):
         )
     )
     return decode_media(synthesize_bmp_assets(dims, "doc_id", "w", "h"), codec="bmp")
+
+
+@query(
+    "q_multimodal_png_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 13 + 4 AS w, doc_id % 7 + 2 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, tc.c,
+         SUM((d.doc_id + tx.x + ty.y + tc.c) % 256) AS s
+  FROM dims d, range(0, 17) tx(x), range(0, 9) ty(y), range(0, 3) tc(c)
+  WHERE tx.x < d.w AND ty.y < d.h
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id AS asset_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(MAX(CASE WHEN c = 0 THEN s END) * 1000000 // (w * h) AS BIGINT)
+         AS mean_r_micro,
+       CAST(MAX(CASE WHEN c = 1 THEN s END) * 1000000 // (w * h) AS BIGINT)
+         AS mean_g_micro,
+       CAST(MAX(CASE WHEN c = 2 THEN s END) * 1000000 // (w * h) AS BIGINT)
+         AS mean_b_micro,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM px
+GROUP BY doc_id, w, h
+""",
+    doc="REAL PNG decode end-to-end, stdlib only: per-document 8-bit RGB "
+    "PNGs are genuinely ENCODED executor-side (synthesize_png_assets: "
+    "IHDR/IDAT/IEND chunks with real CRCs, zlib-compressed scanlines "
+    "whose filter type CYCLES through all five PNG filters) and then "
+    "genuinely DECODED (decode_png_stats: chunk walk + CRC check + "
+    "inflate + Sub/Up/Average/Paeth unfiltering + channel means over "
+    "Arrow batches).  Same analytic oracle as the BMP twin — it "
+    "recomputes expected statistics from the pixel rule "
+    "(id+x+y+channel) mod 256 without ever seeing bytes, so any "
+    "filter/CRC/row-order bug in either codec leg breaks the hash.  "
+    "Scale: payloads are built and decoded inside mapInPandas, never "
+    "on the driver.",
+)
+def q_multimodal_png_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_media, synthesize_png_assets
+
+    dims = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("n_chars") % 13 + 4).alias("w"),
+            (F.col("doc_id") % 7 + 2).alias("h"),
+        )
+    )
+    return decode_media(synthesize_png_assets(dims, "doc_id", "w", "h"), codec="png")

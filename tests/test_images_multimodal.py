@@ -234,3 +234,84 @@ def test_decode_bmp_stats_quarantines_bad_rows(spark):
     assert (got[1]["width"], got[1]["height"]) == (2, 2)
     assert got[1]["mean_b_micro"] == 10_000_000
     assert got[2]["decode_error"] is not None and got[2]["width"] is None
+
+
+def test_png_roundtrip_all_filters():
+    """Every encoded row cycles a different PNG filter type, so one
+    round-trip exercises None/Sub/Up/Average/Paeth unfiltering; exact
+    pixel equality proves the whole path (CRC, inflate, unfilter)."""
+    import numpy as np
+
+    from gsmls_analysis_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (16, 9), (13, 11)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, out = decode_png(encode_png(w, h, px.tobytes()))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, px)
+
+
+def test_png_multi_idat_and_quarantine():
+    """The IDAT stream may span multiple chunks (decoder concatenates);
+    corrupt payloads raise ValueError (quarantine), never crash."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from gsmls_analysis_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    enc = encode_png(4, 3, px.tobytes())
+    # rebuild with the IDAT split in two
+    sig, rest = enc[:8], enc[8:]
+    (ihdr_len,) = struct.unpack_from(">I", rest, 0)
+    ihdr = rest[: 12 + ihdr_len]
+    (idat_len,) = struct.unpack_from(">I", rest, 12 + ihdr_len)
+    idat_body = rest[12 + ihdr_len + 8 : 12 + ihdr_len + 8 + idat_len]
+    two = (
+        sig
+        + ihdr
+        + _png_chunk(b"IDAT", idat_body[: len(idat_body) // 2])
+        + _png_chunk(b"IDAT", idat_body[len(idat_body) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, out = decode_png(two)
+    assert (w, h) == (4, 3) and np.array_equal(out, px)
+
+    for mut in (
+        lambda b: b"XX" + b[2:],  # bad signature
+        lambda b: b[:20] + bytes([b[20] ^ 1]) + b[21:],  # CRC break
+        lambda b: b[: len(b) // 2],  # truncation
+    ):
+        with pytest.raises(ValueError):
+            decode_png(mut(enc))
+    # wrong profile: grayscale IHDR
+    bad_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="profile"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + bad_ihdr + _png_chunk(b"IDAT", zlib.compress(b"\0" * 9)) + _png_chunk(b"IEND", b""))
+
+
+def test_png_decode_stats_quarantines_bad_payloads(spark):
+    from gsmls_analysis_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    good = encode_png(2, 2, bytes(range(12)))
+    rows = [(1, "image", bytearray(good)), (2, "image", bytearray(b"not a png"))]
+    df = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    got = {r["asset_id"]: r for r in decode_media(df, codec="png").collect()}
+    assert got[1]["decode_error"] is None
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    # exact integer-scaled means of bytes 0..11 per channel
+    assert got[1]["mean_r_micro"] == (0 + 3 + 6 + 9) * 1_000_000 // 4
+    assert got[1]["mean_g_micro"] == (1 + 4 + 7 + 10) * 1_000_000 // 4
+    assert got[1]["mean_b_micro"] == (2 + 5 + 8 + 11) * 1_000_000 // 4
+    assert got[2]["decode_error"] is not None and got[2]["width"] is None
