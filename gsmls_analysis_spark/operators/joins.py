@@ -297,12 +297,22 @@ def fuzzy_self_pairs(
     return (
         a.join(b, "block")
         .filter(F.col("name_a") < F.col("name_b"))
+        # |len(a) - len(b)| <= lev(a, b): an exact necessary condition,
+        # evaluated on already-computed lengths — prunes the band-edge
+        # candidates BEFORE any DP runs
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
         .select(
             "name_a",
             "name_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
+            # thresholded levenshtein (3-arg): banded DP that abandons a
+            # candidate as soon as its distance provably exceeds
+            # max_dist — O(len·d) per pair instead of O(len²), the
+            # difference between feasible and not on wide blocks
+            F.levenshtein("name_a", "name_b", max_dist).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .distinct()
     )
 
