@@ -1,0 +1,111 @@
+"""Scale-curve data generator: replicate the driver's sf0.1 tables K
+times (default 10 → "sf1", ~6M lineitem rows) with key-space offsets so
+join fan-in, group cardinalities, and per-key row counts keep their
+sf0.1 shape — the scaling a real corpus exhibits (more customers/users/
+docs, same activity per entity), not K identical copies piled onto the
+same keys.
+
+Types are preserved EXACTLY (pyarrow read → transform → write, no
+engine round-trip), so the events table's TIMESTAMP(NANOS) column and
+every decimal/list type reads back through the same catalog path as the
+driver-generated originals.  Dimension tables that queries treat as
+fixed-size broadcast sides (region, nation) are copied verbatim.
+
+Key scheme: copy i offsets every entity key by i * (max_key + 1).
+Foreign keys use the REFERENCED table's stride, so copy i of lineitem
+joins copy i of orders/part/supplier — the parallel-universe layout
+that multiplies data volume without changing any join's selectivity.
+Document texts get a per-copy token appended so replicas are not exact
+dup clusters.
+
+Usage: python tools/make_scale_data.py [out_dir] [K]
+       (default /tmp/spark_graft_sf1 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+# (table, {column: stride_owner_table}) — every listed column is offset
+# by copy_index * stride(owner); stride(owner) = max(owner primary key)+1
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+PK = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+VERBATIM = ["region", "nation"]
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out_dir, exist_ok=True)
+
+    strides: dict[str, int] = {}
+    for t, col in PK.items():
+        tbl = pq.read_table(f"{SRC}/{t}.parquet", columns=[col])
+        strides[t] = int(pc.max(tbl[col]).as_py()) + 1
+    ev = pq.read_table(f"{SRC}/events.parquet", columns=["user_id"])
+    strides["events_user"] = int(pc.max(ev["user_id"]).as_py()) + 1
+
+    for t in VERBATIM:
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{out_dir}/{t}.parquet")
+        print(f"{t}: verbatim")
+
+    for t, keymap in KEYED.items():
+        src = pq.read_table(f"{SRC}/{t}.parquet")
+        copies = []
+        for i in range(k):
+            cols = []
+            for name in src.column_names:
+                col = src[name]
+                if name in keymap:
+                    off = i * strides[keymap[name]]
+                    col = pc.add(col, pa.scalar(off, type=col.type))
+                    col = col.cast(src.schema.field(name).type)
+                elif t == "documents" and name == "text" and i > 0:
+                    # replicas must not be exact dup clusters: a per-copy
+                    # token shifts shingles without changing length stats
+                    # much (n_chars is left as-is — it describes the
+                    # ORIGINAL text family, which quality heuristics use)
+                    col = pc.binary_join_element_wise(
+                        col.cast(pa.string()), pa.scalar(f"u{i}"), " copy "
+                    )
+                cols.append(col)
+            copies.append(pa.table(cols, schema=pa.schema(
+                [src.schema.field(n) for n in src.column_names]
+            )))
+        big = pa.concat_tables(copies)
+        pq.write_table(big, f"{out_dir}/{t}.parquet", row_group_size=256 * 1024)
+        print(f"{t}: {src.num_rows} x {k} = {big.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
