@@ -274,17 +274,40 @@ def range_bucket_join(
 
 
 def fuzzy_self_pairs(
-    df: DataFrame, name_col: str, max_dist: int = 2, band_width: int = 4
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    band_width: int = 4,
+    blocking: str = "segment",
 ) -> DataFrame:
     """Distinct value pairs within edit distance ``max_dist``.
 
-    Blocking is COMPLETE, not heuristic: |len(a) - len(b)| <= lev(a, b),
-    so with ``band_width > max_dist`` two matchable strings' length bands
-    differ by at most 1 — emitting each string under its own band and the
-    next (2 keys/row) guarantees every qualifying pair shares >= 1 key.
-    The O(n²) cross product never exists; levenshtein runs only on
-    same-block candidates.  Returns (name_a, name_b, dist), name_a <
-    name_b, deduped across blocks."""
+    Two COMPLETE (never-miss) blocking schemes, both ending in the same
+    thresholded-levenshtein verify; returns (name_a, name_b, dist),
+    name_a < name_b, deduped across blocks.
+
+    ``blocking='segment'`` (default — PassJoin, Li/Deng/Feng 2011):
+    every string is split into ``max_dist+1`` contiguous segments; by
+    pigeonhole, two strings within distance τ share at least one
+    UNTOUCHED segment, whose occurrence in the other string shifts by
+    at most τ positions.  Each string indexes its τ+1 segments under
+    (segment#, length, text) keys and probes with the bounded set of
+    same-length substrings of every compatible shorter length — a
+    constant ≈(τ+1)²·(2τ+1) keys per string.  Candidates must share an
+    EXACT substring, so selectivity tracks content, not length: this is
+    the scheme that survives real corpora where lengths concentrate
+    (titles, names, addresses) and length bands degenerate to O(n²)
+    within a band.
+
+    ``blocking='band'``: the simpler length-band scheme (|len(a) −
+    len(b)| ≤ lev(a,b); with ``band_width > max_dist`` matchable pairs'
+    bands differ by ≤ 1, so two keys per string guarantee a shared
+    block).  Complete but content-blind — kept for comparison and for
+    corpora whose lengths genuinely spread."""
+    if blocking == "segment":
+        return _segment_blocked_pairs(df, name_col, max_dist)
+    if blocking != "band":
+        raise ValueError(f"blocking must be segment|band, got {blocking!r}")
     if band_width <= max_dist:
         raise ValueError("band_width must exceed max_dist for completeness")
     names = df.select(F.col(name_col).alias("name")).distinct()
@@ -314,6 +337,108 @@ def fuzzy_self_pairs(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .distinct()
+    )
+
+
+def _segment_blocked_pairs(
+    df: DataFrame, name_col: str, max_dist: int
+) -> DataFrame:
+    """PassJoin candidate generation + verify (see fuzzy_self_pairs).
+
+    Index side: string s of length l emits (j, l, seg_j(s)) for its
+    τ+1 segments (even split; the first l mod (τ+1) segments get the
+    extra character — both sides derive the SAME split from (l, j)).
+    Probe side: string r of length m emits, for every index length
+    l ∈ [m−τ, m] and segment j, the substrings of r with seg_j's length
+    at start positions within ±τ of seg_j's start (clipped) — the
+    pigeonhole window.  Probing only l ≤ m orients each pair once
+    (longer probes shorter); equal-length pairs generate both ways and
+    dedupe.  Zero-length segments (strings shorter than τ+1) key on ''
+    — correct, since any two strings of length ≤ τ are within τ edits.
+
+    Everything is expression-only (sequence/explode/substring): no UDF,
+    and the candidate join is a plain equi-join on (j, l, substring)
+    whose selectivity tracks shared CONTENT."""
+    tau = max_dist
+    nseg = tau + 1
+    names = df.select(F.col(name_col).alias("name")).distinct()
+
+    def seg_len(l_col, j_col):  # noqa: E741
+        base = F.floor(l_col / nseg).cast("int")
+        rem = (l_col % nseg).cast("int")
+        return base + F.when(j_col < rem, 1).otherwise(0)
+
+    def seg_start(l_col, j_col):  # 1-based
+        base = F.floor(l_col / nseg).cast("int")
+        rem = (l_col % nseg).cast("int")
+        return (j_col * base + F.least(j_col, rem) + 1).cast("int")
+
+    m = F.length("name").cast("int")
+    idx = (
+        names.select("name", F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("j"))
+        .select(
+            F.col("name").alias("name_b"),
+            "j",
+            m.alias("l"),
+            F.substring(
+                F.col("name"), seg_start(m, F.col("j")), seg_len(m, F.col("j"))
+            ).alias("sub"),
+        )
+    )
+    lo_l = F.greatest(F.lit(0), m - tau)
+    probe = (
+        names.select(
+            "name", F.explode(F.sequence(lo_l, m)).alias("l")
+        )
+        .select(
+            "name",
+            "l",
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("j"),
+        )
+        .withColumn("seg_n", seg_len(F.col("l"), F.col("j")))
+        .withColumn("seg_p", seg_start(F.col("l"), F.col("j")))
+        .withColumn(
+            "p",
+            F.explode(
+                F.when(
+                    F.least(
+                        F.length("name").cast("int") - F.col("seg_n") + 1,
+                        F.col("seg_p") + tau,
+                    )
+                    >= F.greatest(F.lit(1), F.col("seg_p") - tau),
+                    F.sequence(
+                        F.greatest(F.lit(1), F.col("seg_p") - tau),
+                        F.least(
+                            F.length("name").cast("int") - F.col("seg_n") + 1,
+                            F.col("seg_p") + tau,
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select(
+            F.col("name").alias("name_a"),
+            "j",
+            "l",
+            F.substring(F.col("name"), F.col("p"), F.col("seg_n")).alias("sub"),
+        )
+    )
+    cand = (
+        probe.join(idx, ["j", "l", "sub"])
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b", tau).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= tau))
     )
 
 

@@ -953,7 +953,13 @@ def q_golden_record(spark, sf_dir):
     from ..operators.joins import fuzzy_self_pairs
 
     part = load_table(spark, sf_dir, "part")
-    pairs = fuzzy_self_pairs(part, "p_name", max_dist=2, band_width=4)
+    # band blocking pinned: p_name draws from a ~100-value dictionary, so
+    # candidate-generation constant factors dominate and the simpler
+    # band scheme wins; the segment (PassJoin) default is for open
+    # corpora where lengths concentrate and bands degenerate to O(n²)
+    pairs = fuzzy_self_pairs(
+        part, "p_name", max_dist=2, band_width=4, blocking="band"
+    )
     labels = connected_components(pairs, "name_a", "name_b").labels
     labeled = part.join(
         labels, part["p_name"] == labels["doc_id"], "left"

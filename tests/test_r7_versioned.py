@@ -217,3 +217,56 @@ def test_lost_race_orphan_reclaimed_by_vacuum(spark, tmp_path, monkeypatch):
     assert set(os.listdir(data_root)) == referenced
     got = {r["id"] for r in versioned_read(spark, path).collect()}
     assert got == {0, 2, 3, 5, 6, 8, 9, 11, 100}
+
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return d[n]
+
+
+def test_segment_blocking_complete_vs_bruteforce(spark):
+    """PassJoin segment blocking is COMPLETE: against a brute-force
+    levenshtein over adversarial mutations (front inserts/deletes that
+    shift every position — the case naive positional blocking misses),
+    both blocking schemes return exactly the true pair set at τ=1..3."""
+    import itertools
+    import random
+
+    from gsmls_analysis_spark.operators.joins import fuzzy_self_pairs
+
+    rng = random.Random(7)
+    base = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+        for _ in range(40)
+    ]
+    names = set(base)
+    for s in base[:15]:
+        names.add("x" + s)  # front insert: shifts all segments
+        names.add(s + "zz")
+        if len(s) > 2:
+            names.add(s[1:])  # front delete
+        if len(s) > 3:
+            names.add(s[:2] + "q" + s[3:])
+    names = sorted(names)
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    for tau in (1, 2, 3):
+        exp = {
+            (min(a, b), max(a, b), _lev(a, b))
+            for a, b in itertools.combinations(names, 2)
+            if _lev(a, b) <= tau
+        }
+        for blocking in ("segment", "band"):
+            got = {
+                (r["name_a"], r["name_b"], r["dist"])
+                for r in fuzzy_self_pairs(
+                    df, "name", max_dist=tau, blocking=blocking
+                ).collect()
+            }
+            assert got == exp, f"{blocking} tau={tau}"
