@@ -43,71 +43,70 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # ROUND 5 window (policy + slot accounting in docs/ROUND5_NOTES.md).
-    # (a) the 11 queries that have NEVER had a driver CORRECTNESS row
-    # (r4 verdict item 1) — closing these completes cumulative driver
-    # coverage of the whole registry.
-    "q_dup_span_stats",
+    # ROUND 7 window (policy + slot accounting in docs/ROUND7_NOTES.md).
+    # (a) the ONE oracle-expressible query with zero driver rows across
+    # six rounds (r6 verdict task 1) — front-loaded so the driver
+    # finally records it
+    "q_lpa_communities",
+    # (c) added in round 7 — never driver-checked
+    "q_versioned_delete_dv",  # merge-on-read DELETE via deletion vectors
+    "q_versioned_partitioned",  # partition-pruned write/delete/read
+    "q_multimodal_png_decode",  # stdlib PNG codec end-to-end
+    "q_stream_versioned_cdf",  # change-data-feed streaming source
+    # (b) code changed in round 7 — must re-verify through the driver:
+    # the whole versioned layer (deletion vectors touched every
+    # read/rewrite path + the five r6-ADVICE protocol fixes) ...
+    "q_versioned_delete",
+    "q_versioned_delete_bloom",
+    "q_versioned_update",
+    "q_versioned_merge",
+    "q_versioned_compact",
+    "q_versioned_changes",
+    "q_lakehouse_lifecycle",
+    "q_stream_versioned_ingest",
+    "q_stream_versioned_upsert",
+    "q_stream_versioned_source",
+    "q_continuous_aggregate",
+    "q_ivm_join_delta",
+    # ... the connected-components/fuzzy-match rework (star-forest
+    # convergence, star-forest-derived labels, thresholded levenshtein)
     "q_golden_record",
-    "q_interpolate_gaps",
-    "q_ivm_join_delta",  # oracle also changed r5 (empty-delta filter)
-    "q_lm_perplexity",
-    "q_nearest_comps",
-    "q_ols_price_model",
-    "q_pmi_bigrams",
-    "q_prefix_jaccard_pairs",  # code also changed r5 (positional filter)
-    "q_stream_versioned_ingest",  # code also changed r5 (txn ledger)
-    "q_versioned_delete",  # code also changed r5 (stats pruning)
-    # (c) added in round 5 — never driver-checked
-    "q_timeframe_classifier",  # F33 closed
-    "q_multimodal_bmp_decode",  # real BMP codec end-to-end
-    "q_versioned_delete_bloom",  # GDPR delete with bloom file pruning
-    "q_versioned_compact",  # OPTIMIZE small-file bin-packing
-    "q_versioned_changes",  # manifest-diff CDC between versions
-    "q_bpe_merges",  # BPE tokenizer training on-engine
-    "q_record_linkage_em",  # Fellegi-Sunter EM record linkage
-    "q_bpe_vocab",  # tokenizer round trip: train -> encode -> vocab
-    "q_lakehouse_lifecycle",  # append+delete+compact+vacuum integration
-    "q_lsh_incremental_dedup",  # batch dedup vs persisted LSH index
-    "q_versioned_update",  # copy-on-write UPDATE...SET with stats pruning
-    "q_versioned_merge",  # MERGE INTO keyed upsert + schema evolution
-    "q_stream_versioned_upsert",  # streaming CDC apply (foreachBatch MERGE)
-    "q_stream_versioned_source",  # versioned table AS a streaming source
-    "q_ivf_pq_topk",  # IVF-PQ: product-quantized ADC search
-    "q_interval_join_error_windows",  # bucketed range join, no cartesian
-    "q_training_shards",  # deterministic global shuffle for training output
-    "q_count_min_tokens",  # Count-Min sketch: fixed-size mergeable freq summary
-    "q_continuous_aggregate",  # CDC-driven incremental rollup (one atomic merge)
-    # (b) code changed in round 5 — must re-verify through the driver:
-    # materialize()/truncate_lineage() swaps (text/curation/graph/
-    # similarity/aggs), versioned-table rewrite, streaming drain
-    # recording, stateful idle-timeout plumbing
-    "q_tfidf_top_terms",
-    "q_bm25_search",
-    "q_boilerplate_filter",
-    "q_curation_pipeline_chain",
+    "q_fuzzy_name_match",
     "q_semantic_dedup",
-    "q_source_cap_best",
-    "q_pagerank_dup_graph",
-    "q_dup_graph_triangles",
-    "q_ivf_topk",
-    "q_ivf_topk_trained",
-    "q_heavy_hitter_tokens",
-    "q_stream_status_transitions_native",
-    "q_stream_tumbling_hour_native",
-    "q_stream_sessionize_native",
-    "q_stream_dedup_within_watermark",
-    "q_stream_json_quarantine_native",
-    "q_stream_foreach_batch_ingest",
-    "q_stream_stream_join_native",
-    "q_stream_sliding_window_native",
-    "q_stream_static_enrich_native",
-    # (d) remaining slots: the TPC-H core + early-round operator queries
-    # that yielded their seats to r4's additions return as the
-    # representative re-greens (all cumulatively driver-green r1-r2)
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_curation_pipeline_chain",
+    # ... and the multimodal module (PNG codec added beside BMP)
+    "q_multimodal_bmp_decode",
+    # (d) remaining slots: representative re-greens in registration
+    # order (TPC-H core + the cleaning/label operator families, all
+    # cumulatively driver-green r1-r6)
     "q01_pricing_summary",
-    # (everything else keeps registration order after the window and
-    # stays covered by the local 3-SF gate, which runs ALL queries.)
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_topk_latest_orders",
+    "q_rollup_revenue",
+    "q_cube_order_priority",
+    "q_approx_distinct",  # rows-only by design (HLL)
+    "q04_late_shipment_priority",
+    "q_customers_without_orders",
+    "q07_volume_shipping",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q_currency_clean",
+    "q_lot_size_parse",
+    "q_town_suffix_strip",
+    "q_apn_normalize",
+    "q_remarks_concat",
+    "q_year_bounds_repair",
+    "q_date_derivations",
+    "q_price_ratio",
+    "q_multi_hot_attrs",
+    "q_validate_quarantine",
+    "q_condition_labels",
+    "q_address_normalize",
 ]
 
 

@@ -428,3 +428,82 @@ def q_stream_versioned_source(spark, sf_dir):
         ).cast("long").alias("n_first_commit"),
     )
     return drain_to_memory(agg, "versioned_source_agg", output_mode="complete")
+
+
+@query(
+    "q_stream_versioned_cdf",
+    oracle="""
+WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+v1 AS (
+  SELECT doc_id, source, n_chars, 'insert' AS _change,
+         CAST(1 AS BIGINT) AS _commit_version
+  FROM base WHERE doc_id % 2 = 0),
+v2 AS (
+  SELECT doc_id, source, n_chars, 'insert', CAST(2 AS BIGINT)
+  FROM base WHERE doc_id % 2 = 1),
+v3 AS (
+  SELECT doc_id, source, n_chars, 'delete', CAST(3 AS BIGINT)
+  FROM base WHERE source = 'src3'),
+live3 AS (SELECT * FROM base WHERE source IS DISTINCT FROM 'src3'),
+v4pre AS (
+  SELECT doc_id, source, n_chars, 'update_preimage', CAST(4 AS BIGINT)
+  FROM live3 WHERE n_chars < 200),
+v4post AS (
+  SELECT doc_id, 'short', n_chars, 'update_postimage', CAST(4 AS BIGINT)
+  FROM live3 WHERE n_chars < 200),
+live4 AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN 'short' ELSE source END AS source,
+         n_chars
+  FROM live3),
+v5 AS (
+  SELECT doc_id, source, n_chars, 'delete', CAST(5 AS BIGINT)
+  FROM live4 WHERE doc_id % 97 = 0)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+UNION ALL SELECT * FROM v4pre UNION ALL SELECT * FROM v4post
+UNION ALL SELECT * FROM v5
+""",
+    doc="CHANGE DATA FEED streaming source (Delta CDF's readChangeFeed; "
+    "sources/versioned_stream.py::versioned_cdf_stream_source + "
+    "versioned.py change_feed=True): the documents corpus is committed "
+    "as two appends, a copy-on-write DELETE and UPDATE that RECORD their "
+    "row-level changes as change files (the writer computes the exact "
+    "delta for free — a reader diffing rewritten files would need a "
+    "data-sized multiset subtract), and a deletion-vector delete whose "
+    "sidecar positions ARE the deletes.  A real Structured Streaming "
+    "query tails the feed and emits every change row: insert / delete / "
+    "update_preimage / update_postimage stamped with _commit_version.  "
+    "The oracle reconstructs all five commits' expected change sets "
+    "from the base table.  Planning is manifest/sidecar metadata only; "
+    "change rows stream executor-side via pyarrow.",
+)
+def q_stream_versioned_cdf(spark, sf_dir):
+    from ..sources import load_table
+    from ..sources.versioned import (
+        versioned_delete,
+        versioned_delete_dv,
+        versioned_update,
+        versioned_write,
+    )
+    from ..sources.versioned_stream import versioned_cdf_stream_source
+    from ..streaming.ingest import drain_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="versioned_cdf_")
+    versioned_write(docs.filter(F.col("doc_id") % 2 == 0), table)
+    versioned_write(
+        docs.filter(F.col("doc_id") % 2 == 1), table, mode="append"
+    )
+    versioned_delete(spark, table, F.col("source") == "src3", change_feed=True)
+    versioned_update(
+        spark,
+        table,
+        F.col("n_chars") < 200,
+        {"source": F.lit("short")},
+        change_feed=True,
+    )
+    versioned_delete_dv(spark, table, F.col("doc_id") % 97 == 0)
+    feed = versioned_cdf_stream_source(spark, table)
+    return drain_to_memory(feed, "versioned_cdf_rows")

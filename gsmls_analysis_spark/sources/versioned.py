@@ -308,7 +308,7 @@ def _publish(path: str, manifest: dict) -> bool:
 
     manifest.setdefault("committed_at", time.time())
     root = os.path.abspath(path)
-    for d in manifest.get("data_dirs", []):
+    for d in list(manifest.get("data_dirs", [])) + list(manifest.get("cdf", [])):
         full = os.path.join(root, d)
         if os.path.isdir(full):
             os.utime(full)
@@ -1050,7 +1050,35 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
     return version
 
 
-def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
+# ---------------------------------------------------------------------------
+# Change data feed (Delta CDF): delete/update/merge commits can RECORD
+# their row-level changes as change files written by the same Spark job
+# that computes the rewrite — the only scalable way to expose exact CDC
+# for copy-on-write commits (a reader diffing rewritten files would have
+# to multiset-subtract data-sized sets; the writer knows the delta for
+# free).  Appends need no change file (their new files ARE the inserts)
+# and DV commits need none (their sidecar positions ARE the deletes).
+# ``versioned_cdf_stream_source`` (versioned_stream.py) tails these.
+# ---------------------------------------------------------------------------
+
+CDF_CHANGE_COL = "_change"
+
+
+def _write_cdf(root: str, version: int, changes: DataFrame) -> str | None:
+    """Write a commit's recorded change rows (must carry CDF_CHANGE_COL)
+    to a private cdf/ dir; returns the rel path, or None when the
+    change set is empty (no dir is referenced for a no-op)."""
+    cdf_dir = f"cdf/v{version}-{_commit_token()}"
+    changes.write.mode("overwrite").parquet(os.path.join(root, cdf_dir))
+    return cdf_dir if _expand_files(root, [cdf_dir]) else None
+
+
+def versioned_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    change_feed: bool = False,
+) -> int:
     """Copy-on-write DELETE (the GDPR / right-to-be-forgotten primitive,
     Delta-style): commit a new version where rows matching ``predicate``
     are gone, rewriting ONLY the files that contain a matching row —
@@ -1069,14 +1097,22 @@ def versioned_delete(spark: SparkSession, path: str, predicate: Column) -> int:
     a delete that leaves zero surviving rows in the rewritten files
     publishes a version that simply drops them (never referencing an
     empty/unreadable data dir).  NULL-predicate rows are NOT deleted
-    (SQL DELETE semantics: only TRUE matches go).  Returns the new
-    version number."""
+    (SQL DELETE semantics: only TRUE matches go).  ``change_feed=True``
+    additionally records the deleted rows as a change file (see the CDF
+    section above) so the commit is tailable by the CDF stream source.
+    Returns the new version number."""
     return _with_occ_retry(
-        "versioned_delete", lambda: _delete_attempt(spark, path, predicate)
+        "versioned_delete",
+        lambda: _delete_attempt(spark, path, predicate, change_feed),
     )
 
 
-def _delete_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
+def _delete_attempt(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    change_feed: bool = False,
+) -> int:
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -1120,6 +1156,7 @@ def _delete_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
     touched = _matching_files(spark, root, candidates, predicate, schema, dvs=dvs)
     new_dirs: list[str] = []
     new_stats: dict = {}
+    cdf_dir = None
     if touched:
         data_dir = f"data/v{version}-{_commit_token()}"
         reader = spark.read.schema(schema) if schema is not None else spark.read
@@ -1127,6 +1164,14 @@ def _delete_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
         touched_dvs = {f: v for f, v in dvs.items() if f in touched}
         if touched_dvs:
             cur = _apply_dvs(cur, spark, touched_dvs)
+        if change_feed:
+            cdf_dir = _write_cdf(
+                root,
+                version,
+                cur.filter(F.coalesce(predicate, F.lit(False))).withColumn(
+                    CDF_CHANGE_COL, F.lit("delete")
+                ),
+            )
         (
             cur.filter(~F.coalesce(predicate, F.lit(False)))
             .write.mode("overwrite").parquet(os.path.join(root, data_dir))
@@ -1166,6 +1211,8 @@ def _delete_attempt(spark: SparkSession, path: str, predicate: Column) -> int:
     }
     if kept_dvs:
         manifest["dvs"] = kept_dvs
+    if cdf_dir:
+        manifest["cdf"] = [cdf_dir]
     _publish_or_race(path, manifest)
     return version
 
@@ -1175,6 +1222,7 @@ def versioned_update(
     path: str,
     predicate: Column,
     assignments: dict[str, Column],
+    change_feed: bool = False,
 ) -> int:
     """Copy-on-write UPDATE (Delta's ``UPDATE ... SET`` on the snapshot
     model): commit a new version where every row matching ``predicate``
@@ -1190,11 +1238,13 @@ def versioned_update(
     ENFORCED: an assignment may not change a column's type (silent type
     drift corrupts every reader — Delta semantics), and may only target
     existing columns (use an append for new ones).  NULL-predicate rows
-    are NOT updated (SQL UPDATE semantics: only TRUE matches).  Returns
-    the new version number."""
+    are NOT updated (SQL UPDATE semantics: only TRUE matches).
+    ``change_feed=True`` records pre/post images of every updated row
+    ('update_preimage'/'update_postimage', Delta CDF labels) as a
+    change file.  Returns the new version number."""
     return _with_occ_retry(
         "versioned_update",
-        lambda: _update_attempt(spark, path, predicate, assignments),
+        lambda: _update_attempt(spark, path, predicate, assignments, change_feed),
     )
 
 
@@ -1203,6 +1253,7 @@ def _update_attempt(
     path: str,
     predicate: Column,
     assignments: dict[str, Column],
+    change_feed: bool = False,
 ) -> int:
     versions = table_versions(path)
     if not versions:
@@ -1233,6 +1284,7 @@ def _update_attempt(
         )
     new_dirs: list[str] = []
     new_stats: dict = {}
+    cdf_dir = None
     if touched:
         data_dir = f"data/v{version}-{_commit_token()}"
         reader = spark.read.schema(schema) if schema is not None else spark.read
@@ -1260,6 +1312,14 @@ def _update_attempt(
                     f"schema enforcement: UPDATE would change column "
                     f"{name!r} from {old_t} to {new_t}"
                 )
+        if change_feed:
+            pre = cur.filter(cond).withColumn(
+                CDF_CHANGE_COL, F.lit("update_preimage")
+            )
+            post = updated.filter(cond).withColumn(
+                CDF_CHANGE_COL, F.lit("update_postimage")
+            )
+            cdf_dir = _write_cdf(root, version, pre.unionByName(post))
         updated.write.mode("overwrite").parquet(os.path.join(root, data_dir))
         if _expand_files(root, [data_dir]):
             new_dirs = [data_dir]
@@ -1294,6 +1354,8 @@ def _update_attempt(
     }
     if kept_dvs:
         manifest["dvs"] = kept_dvs
+    if cdf_dir:
+        manifest["cdf"] = [cdf_dir]
     _publish_or_race(path, manifest)
     return version
 
@@ -1309,6 +1371,7 @@ def versioned_merge(
     matched_delete_condition: str | None = None,
     meta: dict | None = None,
     null_safe_keys: bool = False,
+    change_feed: bool = False,
 ) -> int:
     """MERGE INTO (keyed upsert, the Delta/Iceberg primitive that turns a
     snapshot table into a CDC target): join ``source`` against the
@@ -1357,6 +1420,9 @@ def versioned_merge(
     both upsert changed groups and drop emptied ones (see
     ``operators/ivm.py::continuous_agg_refresh``).  ``meta`` is recorded
     in the manifest for idempotent replay (see ``committed_meta``).
+    ``change_feed=True`` records the commit's row-level changes
+    (insert / delete / update_preimage / update_postimage, Delta CDF
+    labels) as a change file for the CDF stream source.
     Returns the new version number."""
     return _with_occ_retry(
         "versioned_merge",
@@ -1371,6 +1437,7 @@ def versioned_merge(
             matched_delete_condition,
             meta,
             null_safe_keys,
+            change_feed,
         ),
     )
 
@@ -1386,6 +1453,7 @@ def _merge_attempt(
     matched_delete_condition: str | None,
     meta: dict | None,
     null_safe_keys: bool,
+    change_feed: bool = False,
 ) -> int:
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
@@ -1584,10 +1652,14 @@ def _merge_attempt(
         else F.lit(False)
     )
     out_cols = []
+    t_cols = []  # the matched pair's TARGET-side image (CDF pre-image)
+    s_cols = []  # the SOURCE-side image (CDF insert rows)
     for f in evolved.fields:
         name = f.name
         if name in on:
             out_cols.append(F.col(name).alias(name))
+            t_cols.append(F.col(name).alias(name))
+            s_cols.append(F.col(name).alias(name))
             continue
         t_val = (
             F.col(name)
@@ -1599,6 +1671,8 @@ def _merge_attempt(
             if name in src_cols
             else F.lit(None).cast(f.dataType)
         )
+        t_cols.append(t_val.alias(name))
+        s_cols.append(s_val.alias(name))
         matched_val = s_val if (when_matched == "update" and name in src_cols) else t_val
         out_cols.append(
             # a matched pair failing the condition falls through to the
@@ -1618,6 +1692,42 @@ def _merge_attempt(
     if when_not_matched == "ignore":
         keep = keep & is_t
     merged = j.filter(keep).select(*out_cols)
+    cdf_dir = None
+    if change_feed:
+        # the join knows the exact per-clause row sets — record them
+        # (Delta CDF's design: the writer emits change files for free)
+        cond_t = F.coalesce(cond, F.lit(False))
+        parts = []
+        if when_matched == "update":
+            upd = is_t & is_s & cond_t & ~del_cond
+            parts.append(
+                j.filter(upd)
+                .select(*t_cols)
+                .withColumn(CDF_CHANGE_COL, F.lit("update_preimage"))
+            )
+            parts.append(
+                j.filter(upd)
+                .select(*out_cols)
+                .withColumn(CDF_CHANGE_COL, F.lit("update_postimage"))
+            )
+            dels = is_t & is_s & del_cond
+        else:
+            dels = is_t & is_s & (cond_t | del_cond)
+        parts.append(
+            j.filter(dels)
+            .select(*t_cols)
+            .withColumn(CDF_CHANGE_COL, F.lit("delete"))
+        )
+        if when_not_matched == "insert":
+            parts.append(
+                j.filter(~is_t & is_s)
+                .select(*s_cols)
+                .withColumn(CDF_CHANGE_COL, F.lit("insert"))
+            )
+        changes = parts[0]
+        for p in parts[1:]:
+            changes = changes.unionByName(p)
+        cdf_dir = _write_cdf(root, version, changes)
     new_dirs: list[str] = []
     new_stats: dict = {}
     data_dir = f"data/v{version}-{_commit_token()}"
@@ -1651,6 +1761,8 @@ def _merge_attempt(
     }
     if kept_dvs:
         manifest["dvs"] = kept_dvs
+    if cdf_dir:
+        manifest["cdf"] = [cdf_dir]
     if meta:
         manifest["meta"] = meta
     _publish_or_race(path, manifest)
@@ -1781,16 +1893,20 @@ def versioned_vacuum(
     root = os.path.abspath(path)
     live_files: set[str] = set()
     live_sidecars: set[str] = set()
+    live_cdf: set[str] = set()
     for v in kept:
         m = _read_manifest(path, v)
         live_files.update(_expand_files(root, _entries(m)))
         live_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
+        live_cdf.update(m.get("cdf") or [])
     deleted: list[str] = []
     drop_dirs: set[str] = set()
     drop_sidecars: set[str] = set()
+    drop_cdf: set[str] = set()
     for v in dropped:
         m = _read_manifest(path, v)
         drop_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
+        drop_cdf.update(m.get("cdf") or [])
         for e in _entries(m):
             for f in _expand_files(root, [e]):
                 drop_dirs.add(os.path.dirname(f))
@@ -1804,6 +1920,12 @@ def versioned_vacuum(
         if os.path.isfile(full):
             os.remove(full)
             deleted.append(s)
+    # ... and change-feed dirs (each belongs to exactly its own commit)
+    for c in sorted(drop_cdf - live_cdf):
+        full = os.path.join(root, c)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+            deleted.append(c)
     # collapse: a dir with no parquet files left is residue (_SUCCESS etc.)
     collapsed: list[str] = []
     for d in sorted(drop_dirs):
@@ -1844,6 +1966,18 @@ def versioned_vacuum(
                 if now - os.path.getmtime(full) < orphan_grace_seconds:
                     continue
                 os.remove(full)
+                deleted.append(rel)
+        # orphaned change-feed dirs, same residue class
+        cdf_root = os.path.join(root, "cdf")
+        if os.path.isdir(cdf_root):
+            for d in sorted(os.listdir(cdf_root)):
+                rel = f"cdf/{d}"
+                full = os.path.join(cdf_root, d)
+                if not os.path.isdir(full) or rel in live_cdf:
+                    continue
+                if now - os.path.getmtime(full) < orphan_grace_seconds:
+                    continue
+                shutil.rmtree(full)
                 deleted.append(rel)
     return deleted
 

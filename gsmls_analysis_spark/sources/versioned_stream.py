@@ -228,3 +228,184 @@ def versioned_stream_source(
         .option("ignoreChanges", str(ignore_changes).lower())
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED stream source (Delta CDF's readChangeFeed): tail a
+# table's commit log and emit ROW-LEVEL CHANGES — insert / delete /
+# update_preimage / update_postimage — stamped with _commit_version.
+#
+# Planning per commit (all metadata-only, driver-side):
+# - append commits: the added files ARE the inserts (no change file);
+# - copy-on-write delete/update/merge commits written with
+#   change_feed=True: the commit's RECORDED change files are read
+#   verbatim (the writer computed the exact delta for free — a reader
+#   diffing rewritten files would need a data-sized multiset subtract);
+#   without a recorded change file such a commit FAILS the stream, the
+#   Delta "change data was not recorded" contract;
+# - deletion-vector commits: the sidecar's grown positions ARE the
+#   deletes — each affected file becomes one partition whose read
+#   `take`s exactly those row indexes;
+# - OPTIMIZE commits: dataChange=false, skipped.
+# ---------------------------------------------------------------------------
+
+CDF_CHANGE_COL = "_change"
+
+
+def _cdf_schema(path: str) -> StructType:
+    base = _table_schema(path)  # table cols (nullable) + _commit_version
+    from pyspark.sql.types import StringType
+
+    fields = [f for f in base.fields if f.name != COMMIT_VERSION_COL]
+    return StructType(
+        fields
+        + [
+            StructField(CDF_CHANGE_COL, StringType()),
+            StructField(COMMIT_VERSION_COL, LongType()),
+        ]
+    )
+
+
+class VersionedCdfDataSource(DataSource):
+    """``spark.readStream.format("versioned_cdf").option("path", p)``.
+
+    Options: ``path`` (required), ``startingVersion`` (emit commits
+    AFTER this version; default 0 = whole history)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_cdf"
+
+    def schema(self) -> StructType:
+        return _cdf_schema(self.options["path"])
+
+    def streamReader(self, schema: StructType) -> "VersionedCdfStreamReader":
+        return VersionedCdfStreamReader(schema, dict(self.options))
+
+
+class VersionedCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options["path"]
+        self._start = int(options.get("startingversion", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        versions = table_versions(self._path)
+        return {"version": versions[-1] if versions else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        from .versioned import _load_dvs
+
+        out: list[InputPartition] = []
+        root = os.path.abspath(self._path)
+        retained = table_versions(self._path)
+        needed = range(int(start["version"]) + 1, int(end["version"]) + 1)
+        missing = [v for v in needed if v not in retained]
+        if missing:
+            raise ValueError(
+                f"versioned_cdf stream needs commits {missing} of "
+                f"{self._path}, but vacuum retained only {retained}.  "
+                "Start a fresh stream with startingVersion="
+                f"{retained[0] if retained else 0} or later."
+            )
+        prev_files: set[str] | None = None
+        prev_dv: dict[str, list[int]] | None = None
+        for v in needed:
+            m = _read_manifest(self._path, v)
+            if prev_files is None:
+                parent = m.get("parent")
+                if parent and parent not in retained:
+                    raise ValueError(
+                        f"versioned_cdf stream resumed at commit v{v} of "
+                        f"{self._path}, but its parent manifest v{parent} "
+                        "was vacuumed — the diff base is gone.  Start a "
+                        "fresh stream from a retained version."
+                    )
+                if parent:
+                    pm = _read_manifest(self._path, parent)
+                    prev_files = set(_expand_files(root, _entries(pm)))
+                    prev_dv = _load_dvs(root, pm)
+                else:
+                    prev_files, prev_dv = set(), {}
+            cur_files = set(_expand_files(root, _entries(m)))
+            cur_dv = _load_dvs(root, m)
+            if (m.get("meta") or {}).get("compacted_from") is not None:
+                prev_files, prev_dv = cur_files, cur_dv
+                continue
+            removed = prev_files - cur_files
+            cdf_dirs = m.get("cdf") or []
+            if cdf_dirs:
+                # recorded change files carry the commit's ENTIRE delta
+                for d in cdf_dirs:
+                    for f in _expand_files(root, [d]):
+                        out.append(
+                            InputPartition(("cdf", os.path.join(root, f), v, None))
+                        )
+            elif removed:
+                raise ValueError(
+                    f"versioned_cdf stream: commit v{v} of {self._path} "
+                    f"rewrote {len(removed)} data file(s) but recorded no "
+                    "change data.  Re-run the delete/update/merge with "
+                    "change_feed=True, or start the feed after this commit."
+                )
+            else:
+                # pure append (or no-op): added files are the inserts
+                for f in sorted(cur_files - prev_files):
+                    out.append(
+                        InputPartition(("insert", os.path.join(root, f), v, None))
+                    )
+                # deletion-vector growth: positions are the deletes
+                for f, idxs in cur_dv.items():
+                    old = set(prev_dv.get(f, [])) if prev_dv else set()
+                    grown = sorted(set(idxs) - old)
+                    if grown and f in prev_files:
+                        out.append(
+                            InputPartition(
+                                ("dv", os.path.join(root, f), v, grown)
+                            )
+                        )
+            prev_files, prev_dv = cur_files, cur_dv
+        return out
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        kind, file_path, version, positions = partition.value
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(file_path)
+        if kind == "dv":
+            tbl = tbl.take(pa.array(positions, type=pa.int64()))
+        n = tbl.num_rows
+        cols = []
+        for field in target:
+            if field.name == COMMIT_VERSION_COL:
+                cols.append(pa.array([version] * n, type=field.type))
+            elif field.name == CDF_CHANGE_COL and kind != "cdf":
+                label = "insert" if kind == "insert" else "delete"
+                cols.append(pa.array([label] * n, type=field.type))
+            elif field.name in tbl.column_names:
+                cols.append(tbl[field.name].combine_chunks().cast(field.type))
+            else:
+                cols.append(pa.nulls(n, type=field.type))
+        yield from pa.table(cols, schema=target).to_batches()
+
+
+def versioned_cdf_stream_source(
+    spark: SparkSession, path: str, starting_version: int = 0
+) -> DataFrame:
+    """Register the CDF data source (idempotent) and open a change-feed
+    stream tailing ``path`` — rows are the table's row-level changes
+    with ``_change`` ∈ {insert, delete, update_preimage,
+    update_postimage} and ``_commit_version``."""
+    spark.dataSource.register(VersionedCdfDataSource)
+    return (
+        spark.readStream.format("versioned_cdf")
+        .option("path", path)
+        .option("startingVersion", str(starting_version))
+        .load()
+    )

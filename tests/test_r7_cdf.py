@@ -1,0 +1,188 @@
+"""Round-7 change-data-feed tests: recorded change files on
+delete/update/merge commits (versioned.py change_feed=True) + the CDF
+streaming source (versioned_stream.py::versioned_cdf_stream_source)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_compact,
+    versioned_delete,
+    versioned_delete_dv,
+    versioned_merge,
+    versioned_read,
+    versioned_update,
+    versioned_vacuum,
+    versioned_write,
+)
+from gsmls_analysis_spark.sources.versioned_stream import (
+    versioned_cdf_stream_source,
+)
+
+
+def _drain(spark, path, name, starting_version=0):
+    q = (
+        versioned_cdf_stream_source(spark, path, starting_version)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def _mk(spark, path):
+    rows = [(i, f"s{i % 3}", 100 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, src string, n long")
+    versioned_write(df.filter(F.col("id") % 2 == 0).repartition(2), path)
+    versioned_write(
+        df.filter(F.col("id") % 2 == 1).repartition(2), path, mode="append"
+    )
+
+
+def test_cdf_stream_all_commit_kinds(spark, tmp_path):
+    """One feed across append / COW delete / UPDATE / DV delete / MERGE:
+    every change row carries the right label, values, and commit stamp."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete(spark, path, F.col("src") == "s2", change_feed=True)
+    versioned_update(spark, path, F.col("n") < 105, {"n": F.lit(0)}, change_feed=True)
+    versioned_delete_dv(spark, path, F.col("id") == 7)
+    src = spark.createDataFrame(
+        [(4, "sX", 999), (100, "sNew", 1)], "id long, src string, n long"
+    )
+    versioned_merge(spark, path, src, on=["id"], change_feed=True)
+
+    got = {
+        (r["id"], r["src"], r["n"], r["_change"], r["_commit_version"])
+        for r in _drain(spark, path, "cdf_all")
+    }
+    ins12 = {
+        (i, f"s{i % 3}", 100 + i, "insert", 1 + i % 2) for i in range(20)
+    }
+    dels3 = {(i, "s2", 100 + i, "delete", 3) for i in range(20) if i % 3 == 2}
+    upd_ids = [i for i in range(20) if i % 3 != 2 and 100 + i < 105]
+    pre4 = {(i, f"s{i % 3}", 100 + i, "update_preimage", 4) for i in upd_ids}
+    post4 = {(i, f"s{i % 3}", 0, "update_postimage", 4) for i in upd_ids}
+    dv5 = {(7, "s1", 107, "delete", 5)}
+    m6 = {
+        (100, "sNew", 1, "insert", 6),
+        (4, "s1", 0, "update_preimage", 6),  # post-v4 state is the pre-image
+        (4, "sX", 999, "update_postimage", 6),
+    }
+    assert got == ins12 | dels3 | pre4 | post4 | dv5 | m6
+    # and the final table state is consistent with the feed
+    assert versioned_read(spark, path).count() == 20 - 6 - 1 + 1
+
+
+def test_cdf_requires_recorded_changes(spark, tmp_path):
+    """A COW rewrite without change_feed=True fails the feed loudly —
+    the Delta 'change data was not recorded' contract (a reader cannot
+    reconstruct the delta without a data-sized multiset subtract)."""
+    import pyspark
+
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete(spark, path, F.col("src") == "s2")  # no change file
+    with pytest.raises(pyspark.errors.PySparkException, match="no.*change data|change data"):
+        _drain(spark, path, "cdf_strict")
+    # starting the feed AFTER the unrecorded commit works
+    versioned_write(
+        spark.createDataFrame([(50, "s9", 1)], "id long, src string, n long"),
+        path,
+        mode="append",
+    )
+    got = _drain(spark, path, "cdf_after", starting_version=3)
+    assert {(r["id"], r["_change"], r["_commit_version"]) for r in got} == {
+        (50, "insert", 4)
+    }
+
+
+def test_cdf_skips_compaction(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_compact(spark, path)
+    got = _drain(spark, path, "cdf_compact")
+    # only the two appends stream; OPTIMIZE is dataChange=false
+    assert {r["_commit_version"] for r in got} == {1, 2}
+    assert len(got) == 20
+
+
+def test_cdf_update_then_noop_predicate(spark, tmp_path):
+    """An update matching zero rows records no change file and streams
+    nothing for that commit."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_update(
+        spark, path, F.col("n") > 10_000, {"n": F.lit(0)}, change_feed=True
+    )
+    got = _drain(spark, path, "cdf_noop")
+    assert {r["_commit_version"] for r in got} == {1, 2}
+
+
+def test_cdf_vacuum_reclaims_change_dirs(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete(spark, path, F.col("src") == "s2", change_feed=True)
+    versioned_write(
+        spark.createDataFrame([(60, "s9", 2)], "id long, src string, n long"),
+        path,
+        mode="append",
+    )
+    root = os.path.abspath(path)
+    assert len(os.listdir(os.path.join(root, "cdf"))) == 1
+    # keep only the newest version: v3's manifest (owner of the cdf dir)
+    # is dropped, so its change dir goes with it
+    deleted = versioned_vacuum(path, keep_last=1)
+    assert any(d.startswith("cdf/") for d in deleted)
+    assert os.listdir(os.path.join(root, "cdf")) == []
+    # an ORPHANED cdf dir (crashed attempt) needs clean_orphans + grace
+    os.makedirs(os.path.join(root, "cdf", "v9-dead"))
+    kept = versioned_vacuum(
+        path, keep_last=1, clean_orphans=True, orphan_grace_seconds=3600
+    )
+    assert "cdf/v9-dead" not in kept
+    swept = versioned_vacuum(
+        path, keep_last=1, clean_orphans=True, orphan_grace_seconds=0.0
+    )
+    assert "cdf/v9-dead" in swept
+
+
+def test_cdf_vacuumed_history_fails_loudly(spark, tmp_path):
+    import pyspark
+
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_write(
+        spark.createDataFrame([(70, "s9", 3)], "id long, src string, n long"),
+        path,
+        mode="append",
+    )
+    versioned_vacuum(path, keep_last=1)
+    with pytest.raises(pyspark.errors.PySparkException, match="retained"):
+        _drain(spark, path, "cdf_vac")
+    got = _drain(spark, path, "cdf_vac_ok", starting_version=3)
+    assert got == []
+
+
+def test_cdf_merge_delete_clause(spark, tmp_path):
+    """when_matched='delete' and the multi-clause matched_delete_condition
+    both record 'delete' change rows with the target image."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    src = spark.createDataFrame([(0, "x", 0), (1, "x", 0)], "id long, src string, n long")
+    versioned_merge(
+        spark, path, src, on=["id"], when_matched="delete",
+        when_not_matched="ignore", change_feed=True,
+    )
+    got = [
+        (r["id"], r["src"], r["n"], r["_change"])
+        for r in _drain(spark, path, "cdf_mdel", starting_version=2)
+    ]
+    assert sorted(got) == [(0, "s0", 100, "delete"), (1, "s1", 101, "delete")]

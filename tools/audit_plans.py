@@ -45,6 +45,7 @@ STREAMING = {
     "q_stream_sliding_window_native",
     "q_stream_static_enrich_native",
     "q_stream_versioned_ingest",
+    "q_stream_versioned_cdf",
 }
 
 # complete-mode drains intentionally retain every window's state for the
