@@ -53,6 +53,9 @@ _DRIVER_WINDOW = [
     "q_versioned_partitioned",  # partition-pruned write/delete/read
     "q_multimodal_png_decode",  # stdlib PNG codec end-to-end
     "q_stream_versioned_cdf",  # change-data-feed streaming source
+    "q_table_changes_feed",  # batch CDF reader (table_changes)
+    "q_versioned_restore",  # RESTORE TO VERSION AS OF, metadata-only
+    "q_versioned_clone",  # shallow clone, zero-copy
     # (b) code changed in round 7 — must re-verify through the driver:
     # the whole versioned layer (deletion vectors touched every
     # read/rewrite path + the five r6-ADVICE protocol fixes) ...
@@ -105,8 +108,6 @@ _DRIVER_WINDOW = [
     "q_price_ratio",
     "q_multi_hot_attrs",
     "q_validate_quarantine",
-    "q_condition_labels",
-    "q_address_normalize",
 ]
 
 

@@ -1619,3 +1619,146 @@ def q_versioned_partitioned(spark, sf_dir):
     return versioned_read(
         spark, path, predicate=F.col("order_year").isin(1995, 1996)
     )
+
+
+@query(
+    "q_versioned_restore",
+    oracle="""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (n_chars > 800) IS NOT TRUE
+""",
+    doc="RESTORE TABLE ... TO VERSION AS OF (sources/versioned.py::"
+    "versioned_restore, the Delta op): the documents corpus is "
+    "committed, a 'mistaken' DELETE drops one source, RESTORE publishes "
+    "a new version referencing the ORIGINAL version's exact files — "
+    "metadata-only, zero data copied, history keeps both the mistake "
+    "and the restore (tests/test_r7_lakeops.py proves file identity "
+    "and audit trail) — and a post-restore deletion-vector delete "
+    "proves the restored table is fully operational.  Oracle: the base "
+    "table minus only the post-restore delete (the mistaken delete "
+    "must have no effect).",
+)
+def q_versioned_restore(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete,
+        versioned_delete_dv,
+        versioned_read,
+        versioned_restore,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_restore_")
+    versioned_write(docs.repartitionByRange(4, "doc_id"), path)
+    versioned_delete(spark, path, F.col("source") == "src3")  # the mistake
+    versioned_restore(spark, path, 1)  # undo, metadata-only
+    versioned_delete_dv(spark, path, F.col("n_chars") > 800)
+    return versioned_read(spark, path)
+
+
+@query(
+    "q_versioned_clone",
+    oracle="""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (source = 'src1') IS NOT TRUE
+""",
+    doc="SHALLOW CLONE (sources/versioned.py::versioned_clone, the "
+    "Delta op): the documents corpus is committed once, cloned with "
+    "ZERO bytes copied (the clone's manifest references the source's "
+    "files; stats/Blooms/DVs re-keyed to clone-relative paths), and a "
+    "copy-on-write DELETE runs ON THE CLONE — materializing only the "
+    "touched files under the clone root while the source table stays "
+    "byte-identical (independence proven in tests/test_r7_lakeops.py).  "
+    "Oracle: the base minus the clone-side delete.",
+)
+def q_versioned_clone(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_clone,
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="versioned_clone_src_")
+    dst = tempfile.mkdtemp(prefix="versioned_clone_dst_") + "/t"
+    versioned_write(docs.repartitionByRange(4, "doc_id"), src)
+    versioned_clone(spark, src, dst)
+    versioned_delete(spark, dst, F.col("source") == "src1")
+    return versioned_read(spark, dst)
+
+
+@query(
+    "q_table_changes_feed",
+    oracle="""
+WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+v3 AS (
+  SELECT doc_id, source, n_chars, 'delete' AS _change,
+         CAST(3 AS BIGINT) AS _commit_version
+  FROM base WHERE source = 'src3'),
+live3 AS (SELECT * FROM base WHERE source IS DISTINCT FROM 'src3'),
+v4pre AS (
+  SELECT doc_id, source, n_chars, 'update_preimage', CAST(4 AS BIGINT)
+  FROM live3 WHERE n_chars < 200),
+v4post AS (
+  SELECT doc_id, 'short', n_chars, 'update_postimage', CAST(4 AS BIGINT)
+  FROM live3 WHERE n_chars < 200),
+live4 AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN 'short' ELSE source END AS source,
+         n_chars
+  FROM live3),
+v5 AS (
+  SELECT doc_id, source, n_chars, 'delete', CAST(5 AS BIGINT)
+  FROM live4 WHERE doc_id % 97 = 0)
+SELECT * FROM v3 UNION ALL SELECT * FROM v4pre
+UNION ALL SELECT * FROM v4post UNION ALL SELECT * FROM v5
+""",
+    doc="batch CHANGE DATA FEED reader (sources/versioned.py::"
+    "table_changes, Delta's table_changes()): same five-commit recipe "
+    "as the streaming CDF twin, but read as a BATCH from a mid-history "
+    "point — changes AFTER v2 only, proving per-commit replay with "
+    "full update_preimage/update_postimage labels, recorded-change-"
+    "file reads for the copy-on-write commits, and sidecar-position "
+    "deletes for the DV commit, all from manifest metadata planning.  "
+    "Oracle: the reconstructed v3..v5 change sets.",
+)
+def q_table_changes_feed(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        table_changes,
+        versioned_delete,
+        versioned_delete_dv,
+        versioned_update,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="table_changes_")
+    versioned_write(docs.filter(F.col("doc_id") % 2 == 0), path)
+    versioned_write(
+        docs.filter(F.col("doc_id") % 2 == 1), path, mode="append"
+    )
+    versioned_delete(spark, path, F.col("source") == "src3", change_feed=True)
+    versioned_update(
+        spark,
+        path,
+        F.col("n_chars") < 200,
+        {"source": F.lit("short")},
+        change_feed=True,
+    )
+    versioned_delete_dv(spark, path, F.col("doc_id") % 97 == 0)
+    return table_changes(spark, path, 2, 5)

@@ -909,7 +909,9 @@ def _load_dvs(
         side = e["path"]
         if side not in cache:
             cache[side] = _read_dv_sidecar(root, side)
-        out[f] = cache[side][f]
+        # shallow clones re-key entries to clone-relative paths but the
+        # sidecar's internal keys stay source-relative; "key" records it
+        out[f] = cache[side][e.get("key", f)]
     return out
 
 
@@ -1843,11 +1845,117 @@ def versioned_read(
     return out.filter(predicate) if predicate is not None else out
 
 
+def versioned_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF (the Delta op): publish a NEW
+    version whose visible content equals the earlier ``version`` —
+    METADATA-ONLY (the new manifest references the old version's
+    entries, stats, deletion vectors, and schema; no data is copied or
+    rewritten), auditable (history keeps both the mistake and the
+    restore), and vacuum-safe (the restored entries become referenced
+    by a kept manifest again).  The restore commit removes/re-adds
+    files relative to its parent arbitrarily, so the append-only and
+    CDF stream sources treat it like any rewrite: they fail unless
+    restarted after it (ignoreChanges for the append stream) — Delta's
+    contract.  Returns the new version number."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        if version not in versions:
+            raise ValueError(
+                f"cannot restore {path} to v{version}: retained versions "
+                f"are {versions} (vacuumed history cannot be restored)"
+            )
+        parent = versions[-1]
+        pm = _read_manifest(path, parent)
+        tm = _read_manifest(path, version)
+        new_version = parent + 1
+        manifest = {
+            "version": new_version,
+            "parent": parent,
+            "data_dirs": tm.get("data_dirs", []),
+            "data_files": tm.get("data_files", []),
+            "schema": tm.get("schema"),
+            "stats": tm.get("stats") or {},
+            "txns": _merge_txns(pm, None),
+            "meta": {"restored_from": version},
+        }
+        if tm.get("partition_by"):
+            manifest["partition_by"] = tm["partition_by"]
+        if tm.get("dvs"):
+            manifest["dvs"] = tm["dvs"]
+        _publish_or_race(path, manifest)
+        return new_version
+
+    return _with_occ_retry("versioned_restore", attempt)
+
+
+def versioned_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE (the Delta op): create a NEW table at ``dst_path``
+    whose v1 references the source's current data files — zero bytes
+    copied; the clone materializes lazily as its own commits rewrite
+    files copy-on-write.  Entries are recorded relative to the CLONE's
+    root (``../``-style), and stats/Bloom/pvals/deletion vectors are
+    re-keyed to those paths so data skipping and merge-on-read keep
+    working on the clone.  Caveat (exactly Delta's): ``versioned_vacuum``
+    on the SOURCE does not know about clones — vacuuming source history
+    a clone still references breaks the clone.  Returns the clone's
+    version number (1)."""
+    versions = table_versions(src_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {src_path}")
+    if table_versions(dst_path):
+        raise ValueError(f"clone target {dst_path} already has versions")
+    src_root = os.path.abspath(src_path)
+    dst_root = os.path.abspath(dst_path)
+    os.makedirs(dst_root, exist_ok=True)
+    sm = _read_manifest(src_path, versions[-1])
+    src_files = _expand_files(src_root, _entries(sm))
+    rekey = {
+        f: os.path.relpath(os.path.join(src_root, f), dst_root)
+        for f in src_files
+    }
+    src_stats = sm.get("stats") or {}
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "data_dirs": [],
+        "data_files": [rekey[f] for f in src_files],
+        "schema": sm.get("schema"),
+        "stats": {rekey[f]: st for f, st in src_stats.items() if f in rekey},
+        "txns": {},
+        "meta": {"cloned_from": src_root, "source_version": versions[-1]},
+    }
+    if sm.get("partition_by"):
+        manifest["partition_by"] = sm["partition_by"]
+    if sm.get("dvs"):
+        # sidecars stay in the source; entries re-point both the file
+        # key and the sidecar path relative to the clone root
+        manifest["dvs"] = {
+            rekey[f]: {
+                "path": os.path.relpath(
+                    os.path.join(src_root, e["path"]), dst_root
+                ),
+                "count": e["count"],
+                # the sidecar's internal keys are SOURCE-relative; record
+                # the original key so the clone's loader can look it up
+                "key": f,
+            }
+            for f, e in sm["dvs"].items()
+            if f in rekey
+        }
+    if not _publish(dst_path, manifest):
+        raise ValueError(f"clone target {dst_path} already has a v1 manifest")
+    return 1
+
+
 def versioned_vacuum(
     path: str,
     keep_last: int = 2,
     clean_orphans: bool = False,
     orphan_grace_seconds: float = 86400.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Retention: drop manifests older than the newest ``keep_last``
     versions and delete every data FILE no kept version references —
@@ -1876,7 +1984,12 @@ def versioned_vacuum(
     ``keep_last`` must be >= 1: the current version is never vacuumable
     (Delta semantics — there is no such thing as a table with zero
     versions), and a typo'd ``keep_last=0`` silently destroying every
-    data file is exactly the footgun the guard exists for."""
+    data file is exactly the footgun the guard exists for.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): report the
+    files/sidecars/change-dirs/orphans that WOULD be deleted, touching
+    nothing (manifests included).  Dir-collapse residue (_SUCCESS
+    files) is not predicted — the real run reports collapsed dirs."""
     import shutil
     import time
 
@@ -1911,26 +2024,34 @@ def versioned_vacuum(
             for f in _expand_files(root, [e]):
                 drop_dirs.add(os.path.dirname(f))
                 if f not in live_files and os.path.isfile(os.path.join(root, f)):
-                    os.remove(os.path.join(root, f))
+                    if not dry_run:
+                        os.remove(os.path.join(root, f))
                     deleted.append(f)
-        os.remove(os.path.join(path, f"manifest-v{v}.json"))
+        if not dry_run:
+            os.remove(os.path.join(path, f"manifest-v{v}.json"))
     # deletion-vector sidecars referenced only by dropped versions go too
     for s in sorted(drop_sidecars - live_sidecars):
         full = os.path.join(root, s)
         if os.path.isfile(full):
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             deleted.append(s)
     # ... and change-feed dirs (each belongs to exactly its own commit)
     for c in sorted(drop_cdf - live_cdf):
         full = os.path.join(root, c)
         if os.path.isdir(full):
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             deleted.append(c)
     # collapse: a dir with no parquet files left is residue (_SUCCESS etc.)
     collapsed: list[str] = []
     for d in sorted(drop_dirs):
         full = os.path.join(root, d)
-        if os.path.isdir(full) and not _expand_files(root, [d]):
+        if (
+            not dry_run
+            and os.path.isdir(full)
+            and not _expand_files(root, [d])
+        ):
             shutil.rmtree(full)
             collapsed.append(d)
     if collapsed:
@@ -1951,7 +2072,8 @@ def versioned_vacuum(
                 continue  # referenced (wholly or partly) by a kept version
             if now - os.path.getmtime(full) < orphan_grace_seconds:
                 continue  # possibly an in-flight commit: leave it
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             deleted.append(rel)
         # orphaned DV sidecars: residue of crashed/raced delete_dv
         # attempts (same grace reasoning — a sidecar is written before
@@ -1965,7 +2087,8 @@ def versioned_vacuum(
                     continue
                 if now - os.path.getmtime(full) < orphan_grace_seconds:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(rel)
         # orphaned change-feed dirs, same residue class
         cdf_root = os.path.join(root, "cdf")
@@ -1977,7 +2100,8 @@ def versioned_vacuum(
                     continue
                 if now - os.path.getmtime(full) < orphan_grace_seconds:
                     continue
-                shutil.rmtree(full)
+                if not dry_run:
+                    shutil.rmtree(full)
                 deleted.append(rel)
     return deleted
 
@@ -2213,4 +2337,119 @@ def versioned_changes(
         out = out.unionByName(
             read_positions(shrunk).withColumn("_change", F.lit("insert"))
         )
+    return out
+
+
+def table_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Batch CHANGE DATA FEED reader (Delta's ``table_changes()``): the
+    exact row-level changes of every commit AFTER ``v_from`` up to and
+    including ``v_to`` — ``_change`` ∈ {insert, delete,
+    update_preimage, update_postimage} + ``_commit_version``.
+
+    Unlike ``versioned_changes`` (which diffs two snapshots and labels
+    an update as its delete+insert pair), this replays each commit's
+    own delta with full update labels: appends read their added files
+    as inserts, copy-on-write commits written with ``change_feed=True``
+    read their RECORDED change files verbatim, deletion-vector commits
+    read exactly their grown sidecar positions, OPTIMIZE commits emit
+    nothing, and a rewrite that recorded no change data raises (the
+    Delta "change data was not recorded" contract).  All planning is
+    manifest/sidecar metadata; every part is a pushed-down parquet scan."""
+    versions = table_versions(path)
+    needed = list(range(v_from + 1, v_to + 1))
+    missing = [v for v in needed if v not in versions]
+    if missing:
+        raise ValueError(
+            f"table_changes needs commits {missing} of {path}; retained: "
+            f"{versions}"
+        )
+    if v_from and v_from not in versions:
+        raise ValueError(
+            f"table_changes diff base v{v_from} of {path} was vacuumed; "
+            f"retained: {versions}"
+        )
+    root = os.path.abspath(path)
+    schema_json = _read_manifest(path, v_to).get("schema")
+    if not schema_json:
+        raise ValueError(f"version {v_to} of {path} records no schema")
+    schema = StructType.fromJson(json.loads(schema_json))
+    from pyspark.sql.types import StringType, StructField
+
+    cdf_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+        + [StructField("_change", StringType(), True)]
+    )
+    if v_from:
+        pm = _read_manifest(path, v_from)
+        prev_files = set(_expand_files(root, _entries(pm)))
+        prev_dv = _load_dvs(root, pm)
+    else:
+        prev_files, prev_dv = set(), {}
+    parts: list[DataFrame] = []
+    for v in needed:
+        m = _read_manifest(path, v)
+        cur_files = set(_expand_files(root, _entries(m)))
+        cur_dv = _load_dvs(root, m)
+        if (m.get("meta") or {}).get("compacted_from") is not None:
+            prev_files, prev_dv = cur_files, cur_dv
+            continue
+        removed = prev_files - cur_files
+        cdf_dirs = m.get("cdf") or []
+        if cdf_dirs:
+            part = spark.read.schema(cdf_schema).parquet(
+                *[os.path.join(root, d) for d in cdf_dirs]
+            )
+            parts.append(part.withColumn("_commit_version", F.lit(v).cast("long")))
+        elif removed:
+            raise ValueError(
+                f"table_changes: commit v{v} of {path} rewrote "
+                f"{len(removed)} data file(s) but recorded no change "
+                "data.  Re-run the delete/update/merge with "
+                "change_feed=True, or read from a later version."
+            )
+        else:
+            added = sorted(cur_files - prev_files)
+            if added:
+                ins = spark.read.schema(schema).parquet(
+                    *[os.path.join(root, f) for f in added]
+                )
+                parts.append(
+                    ins.withColumn("_change", F.lit("insert")).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+            grown = {
+                f: sorted(set(idxs) - set(prev_dv.get(f, [])))
+                for f, idxs in cur_dv.items()
+                if f in prev_files and set(idxs) - set(prev_dv.get(f, []))
+            }
+            if grown:
+                dels = _apply_dvs(
+                    spark.read.schema(schema).parquet(
+                        *[os.path.join(root, f) for f in sorted(grown)]
+                    ),
+                    spark,
+                    grown,
+                    keep_deleted=True,
+                )
+                parts.append(
+                    dels.withColumn("_change", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+        prev_files, prev_dv = cur_files, cur_dv
+    if not parts:
+        from pyspark.sql.types import LongType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                cdf_schema.fields + [StructField("_commit_version", LongType())]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

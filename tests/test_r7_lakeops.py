@@ -1,0 +1,136 @@
+"""Round-7 lakehouse maintenance ops: RESTORE, shallow CLONE, VACUUM
+dry-run, and the batch table_changes change-feed reader."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    table_changes,
+    versioned_clone,
+    versioned_compact,
+    versioned_delete,
+    versioned_delete_dv,
+    versioned_read,
+    versioned_restore,
+    versioned_update,
+    versioned_vacuum,
+    versioned_write,
+)
+
+
+def _mk(spark, path, n=20):
+    rows = [(i, f"s{i % 3}", 100 + i) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, src string, n long")
+    versioned_write(df.repartition(2), path)
+    return df
+
+
+def test_restore_is_metadata_only_and_auditable(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    files_v1 = set(V._expand_files(os.path.abspath(path), V._entries(V._read_manifest(path, 1))))
+    versioned_delete(spark, path, F.col("src") == "s2")
+    v = versioned_restore(spark, path, 1)
+    assert v == 3
+    # zero data copied: the restore references v1's exact files
+    files_v3 = set(V._expand_files(os.path.abspath(path), V._entries(V._read_manifest(path, 3))))
+    assert files_v3 == files_v1
+    assert versioned_read(spark, path).count() == 20
+    # history keeps the mistake AND the restore (auditable)
+    assert V.table_versions(path) == [1, 2, 3]
+    assert versioned_read(spark, path, 2).count() == 14
+    assert V._read_manifest(path, 3)["meta"] == {"restored_from": 1}
+
+
+def test_restore_carries_dvs_and_rejects_vacuumed(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete_dv(spark, path, F.col("id") < 3)  # v2
+    versioned_delete_dv(spark, path, F.col("id") < 6)  # v3
+    versioned_restore(spark, path, 2)  # back to only ids<3 deleted
+    got = sorted(r["id"] for r in versioned_read(spark, path).collect())
+    assert got == list(range(3, 20))
+    versioned_vacuum(path, keep_last=2)
+    with pytest.raises(ValueError, match="vacuumed history"):
+        versioned_restore(spark, path, 1)
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_delete(spark, path, F.col("src") == "s2", change_feed=True)
+    versioned_write(
+        spark.createDataFrame([(99, "s9", 0)], "id long, src string, n long"),
+        path,
+        mode="append",
+    )
+    would = versioned_vacuum(path, keep_last=1, dry_run=True)
+    assert would and any(w.startswith("cdf/") for w in would)
+    # nothing actually removed: all versions still read
+    assert V.table_versions(path) == [1, 2, 3]
+    assert versioned_read(spark, path, 1).count() == 20
+    # the real run removes exactly the predicted files (reported either
+    # directly or as their collapsed parent dir)
+    real = versioned_vacuum(path, keep_last=1)
+    assert all(w in real or os.path.dirname(w) in real for w in would)
+    assert versioned_read(spark, path).count() == 15
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    path = str(tmp_path / "src")
+    clone = str(tmp_path / "dst")
+    _mk(spark, path)
+    versioned_delete_dv(spark, path, F.col("id") == 0)  # clone must see DV
+    v = versioned_clone(spark, path, clone)
+    assert v == 1
+    # zero data under the clone root
+    assert not os.path.isdir(os.path.join(clone, "data"))
+    got = sorted(r["id"] for r in versioned_read(spark, clone).collect())
+    assert got == list(range(1, 20))  # DV re-keyed and applied
+    # clone evolves independently, copy-on-write
+    versioned_delete(spark, clone, F.col("id") < 5)
+    assert versioned_read(spark, clone).count() == 15
+    assert versioned_read(spark, path).count() == 19  # source untouched
+    # stats re-keyed: a pruned read on the clone still works
+    got2 = sorted(
+        r["id"]
+        for r in versioned_read(
+            spark, clone, predicate=F.col("id") >= 10
+        ).collect()
+    )
+    assert got2 == list(range(10, 20))
+    with pytest.raises(ValueError, match="already has"):
+        versioned_clone(spark, path, clone)
+
+
+def test_table_changes_labels_and_contract(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_update(spark, path, F.col("n") < 103, {"n": F.lit(0)}, change_feed=True)
+    versioned_delete_dv(spark, path, F.col("id") == 7)
+    versioned_compact(spark, path)
+    got = {
+        (r["id"], r["n"], r["_change"], r["_commit_version"])
+        for r in table_changes(spark, path, 1, 4).collect()
+    }
+    exp = (
+        {(i, 100 + i, "update_preimage", 2) for i in range(3)}
+        | {(i, 0, "update_postimage", 2) for i in range(3)}
+        | {(7, 107, "delete", 3)}
+    )  # compaction (v4) emits nothing
+    assert got == exp
+    # full-history read labels the initial write as inserts
+    all_rows = table_changes(spark, path, 0, 1)
+    assert all_rows.count() == 20
+    assert {r["_change"] for r in all_rows.collect()} == {"insert"}
+    # a rewrite without recorded change data fails loudly
+    versioned_delete(spark, path, F.col("id") == 10)  # v5, no change file
+    with pytest.raises(ValueError, match="no change data"):
+        table_changes(spark, path, 4, 5).collect()
+    with pytest.raises(ValueError, match="needs commits"):
+        table_changes(spark, path, 4, 9)
