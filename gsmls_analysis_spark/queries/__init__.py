@@ -56,6 +56,9 @@ _DRIVER_WINDOW = [
     "q_table_changes_feed",  # batch CDF reader (table_changes)
     "q_versioned_restore",  # RESTORE TO VERSION AS OF, metadata-only
     "q_versioned_clone",  # shallow clone, zero-copy
+    "q_versioned_constraints",  # CHECK constraints, rejected commits
+    "q_versioned_rename",  # column mapping: rename/drop, no rewrite
+    "q_versioned_batch_source",  # Python DataSource batch + pushFilters
     # (b) code changed in round 7 — must re-verify through the driver:
     # the whole versioned layer (deletion vectors touched every
     # read/rewrite path + the five r6-ADVICE protocol fixes) ...
@@ -102,12 +105,8 @@ _DRIVER_WINDOW = [
     "q_lot_size_parse",
     "q_town_suffix_strip",
     "q_apn_normalize",
-    "q_remarks_concat",
     "q_year_bounds_repair",
     "q_date_derivations",
-    "q_price_ratio",
-    "q_multi_hot_attrs",
-    "q_validate_quarantine",
 ]
 
 

@@ -1762,3 +1762,177 @@ def q_table_changes_feed(spark, sf_dir):
     )
     versioned_delete_dv(spark, path, F.col("doc_id") % 97 == 0)
     return table_changes(spark, path, 2, 5)
+
+
+@query(
+    "q_versioned_constraints",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+   OR (o_orderstatus = 'O' AND o_orderkey % 7 <> 0)
+GROUP BY o_orderstatus
+""",
+    doc="CHECK constraints on a versioned table (sources/versioned.py::"
+    "versioned_add_constraint, Delta ALTER TABLE ADD CONSTRAINT "
+    "semantics): finished orders are committed, a 'o_totalprice >= 0' "
+    "constraint is added (metadata-only commit after one validation "
+    "scan), and an append of a corrupted batch (every 7th order's "
+    "price negated) is REJECTED atomically — the table keeps its "
+    "version list and content (tests/test_r7_constraints.py).  The "
+    "pipeline then quarantine-splits the batch and appends only the "
+    "clean rows — the ingest pattern constraints exist for.  Oracle: "
+    "finished orders plus exactly the clean open orders.  At 100 TB "
+    "enforcement is one pushdown-pruned readback of just-written "
+    "files, never a table scan.",
+)
+def q_versioned_constraints(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        ConstraintViolationError,
+        versioned_add_constraint,
+        versioned_read,
+        versioned_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = orders.filter(F.col("o_orderstatus") == "F")
+    corrupt = F.col("o_orderkey") % 7 == 0
+    batch = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice",
+        F.when(corrupt, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_cons_")
+    versioned_write(base.repartition(4), path)
+    versioned_add_constraint(spark, path, "price_pos", "o_totalprice >= 0")
+    try:
+        versioned_write(batch, path, mode="append")
+        raise AssertionError("constraint must reject the corrupted batch")
+    except ConstraintViolationError:
+        pass  # nothing committed; quarantine-split and retry below
+    versioned_write(
+        batch.filter(F.col("o_totalprice") >= 0), path, mode="append"
+    )
+    return (
+        versioned_read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_versioned_rename",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source, n_chars AS doc_len, CAST(NULL AS VARCHAR) AS lang
+  FROM documents
+  WHERE (n_chars < 200) IS NOT TRUE
+), added AS (
+  SELECT -doc_id - 1 AS doc_id, source, n_chars AS doc_len, lang
+  FROM documents
+  WHERE source = 'src3'
+)
+SELECT * FROM base UNION ALL SELECT * FROM added
+""",
+    doc="column mapping end-to-end (sources/versioned.py::"
+    "versioned_rename_column / versioned_drop_column, Delta name-mode): "
+    "the documents corpus is committed, n_chars is RENAMED to doc_len "
+    "and lang is DROPPED — both METADATA-ONLY commits (zero files "
+    "rewritten; files keep stable physical names, tests/test_r7_colmap"
+    ".py proves file-set identity), a copy-on-write DELETE filters on "
+    "the RENAMED name, and an append RE-ADDS a logical 'lang' column — "
+    "which must NOT resurrect the dropped physical values (tombstoned "
+    "name: old rows read NULL, new rows carry values).  Oracle: the "
+    "surviving base rows with NULL lang plus the appended batch.  At "
+    "100 TB a physical rename/drop would rewrite the whole table; here "
+    "it is one manifest write, and dropped bytes are reclaimed by the "
+    "next OPTIMIZE.",
+)
+def q_versioned_rename(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete,
+        versioned_drop_column,
+        versioned_read,
+        versioned_rename_column,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_rename_")
+    versioned_write(docs.repartitionByRange(4, "doc_id"), path)
+    versioned_rename_column(spark, path, "n_chars", "doc_len")
+    versioned_drop_column(spark, path, "lang")
+    versioned_delete(spark, path, F.col("doc_len") < 200)
+    added = docs.filter(F.col("source") == "src3").select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        "source",
+        F.col("n_chars").alias("doc_len"),
+        "lang",  # re-added logical column: fresh physical name
+    )
+    versioned_write(added, path, mode="append")
+    return versioned_read(spark, path)
+
+
+@query(
+    "q_versioned_batch_source",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(CASE WHEN o_orderstatus = 'O' THEN 3 ELSE 1 END AS BIGINT)
+         AS _commit_version
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+  AND o_totalprice >= 50000
+""",
+    doc="engine-native batch read of a versioned table through the "
+    "Spark 4 Python Data Source API (versioned_stream.py::"
+    "VersionedBatchReader): finished orders are committed (v1), every "
+    "5th is deletion-vector-deleted (v2, zero files written), open "
+    "orders append (v3), and the query reads "
+    "spark.read.format('versioned_table') with a price filter that "
+    "Catalyst PUSHES into the source (pushFilters, Spark 4.1) — the "
+    "source prunes non-matching files from manifest stats BEFORE any "
+    "partition is planned (tests/test_r7_batchds.py proves pruned "
+    "files are never opened via on-disk corruption), DV positions are "
+    "subtracted per file executor-side, and every row carries "
+    "_commit_version provenance parsed from the immutable data-dir "
+    "names.  Oracle: the equivalent filters with the commit stamp "
+    "reconstructed from which write each row came from.",
+)
+def q_versioned_batch_source(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import versioned_delete_dv, versioned_write
+    from ..sources.versioned_stream import versioned_batch_source
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_batchds_")
+    versioned_write(
+        orders.filter(F.col("o_orderstatus") == "F").repartitionByRange(
+            4, "o_orderkey"
+        ),
+        path,
+    )
+    versioned_delete_dv(spark, path, F.col("o_orderkey") % 5 == 0)
+    versioned_write(
+        orders.filter(F.col("o_orderstatus") == "O"), path, mode="append"
+    )
+    return versioned_batch_source(spark, path).filter(
+        F.col("o_totalprice") >= 50000
+    )

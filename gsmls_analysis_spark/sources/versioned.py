@@ -156,16 +156,35 @@ def versioned_write(
     columns are ordinary columns in the data), so copy-on-write keeps
     working file-granularly and no directory convention leaks into the
     read path.  Appends inherit the parent's partitioning; pass
-    ``partition_by=[]`` to explicitly stop clustering."""
+    ``partition_by=[]`` to explicitly stop clustering.
+
+    Column mapping: callers always speak LOGICAL names (column names as
+    renamed); appends translate to the table's stable physical names
+    before writing.  ``overwrite`` RESETS the mapping and the dropped-
+    column tombstones — the new schema is the whole table and none of
+    the old physical files are referenced by the new version."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = table_versions(path)
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
     version = parent + 1
+    token = _commit_token()
+    # column mapping: the caller speaks LOGICAL names; appends translate
+    # to the table's physical names before anything touches disk.
+    # Overwrite RESETS mapping and tombstones (the new schema is the
+    # whole table; old files with dead physical names are gone).
+    df0 = df  # as passed, logical
+    renames: dict[str, str] = {}
+    added_mapping: dict[str, str] = {}
+    if mode == "append" and pm:
+        df, renames, added_mapping = _append_physical(df0, pm, token)
     user_partition_by = partition_by  # None = inherit (re-checked on retry)
     if partition_by is None and mode == "append" and pm:
-        partition_by = pm.get("partition_by")
+        partition_by = pm.get("partition_by")  # already physical
+    elif partition_by and mode == "append" and pm:
+        l2p = _l2p_of(pm)
+        partition_by = [l2p.get(c, c) for c in partition_by]
     if partition_by:
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
@@ -181,12 +200,30 @@ def versioned_write(
     # the commit token makes this attempt's data dir private: a crashed
     # attempt's dir is orphaned (invisible; vacuum clean_orphans reclaims
     # it) and two concurrent committers can never write into each other
-    data_dir = f"data/v{version}-{_commit_token()}"
+    data_dir = f"data/v{version}-{token}"
     root = os.path.abspath(path)
     df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    # CHECK constraints: validate the just-written files (columnar
+    # readback pruned to the constrained columns — cheaper than
+    # re-computing df) BEFORE publishing; a violation orphans the dir
+    cons = _constraints_of(pm)
+    if cons:
+        _enforce_constraints(
+            _logical_view(
+                df.sparkSession.read.schema(df.schema).parquet(
+                    os.path.join(root, data_dir)
+                ),
+                {"column_mapping": {**_mapping_of(pm), **added_mapping}},
+            ),
+            cons,
+            f"versioned_write(mode={mode!r})",
+        )
     user_bloom = bloom_cols
     if bloom_cols is None and pm:
-        bloom_cols = _bloom_cols_of(pm)
+        bloom_cols = _bloom_cols_of(pm)  # physical (from stats keys)
+    elif bloom_cols and renames:
+        # user-supplied bloom columns speak logical names
+        bloom_cols = [renames.get(c, c) for c in bloom_cols]
     my_stats = _collect_stats(
         root, [data_dir], bloom_cols=bloom_cols, pval_cols=partition_by
     )
@@ -200,10 +237,17 @@ def versioned_write(
         }
         if partition_by:
             manifest["partition_by"] = list(partition_by)
+        if cons:
+            manifest["constraints"] = cons
         if mode == "append" and pm:
             manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
             if pm.get("data_files"):
                 manifest["data_files"] = pm["data_files"]
+            full_map = {**_mapping_of(pm), **added_mapping}
+            if full_map:
+                manifest["column_mapping"] = full_map
+            if _tombstones_of(pm):
+                manifest["dropped_columns"] = _tombstones_of(pm)
             if pm.get("dvs"):
                 # kept files keep their deletion vectors by reference
                 manifest["dvs"] = pm["dvs"]
@@ -230,6 +274,26 @@ def versioned_write(
         pm = _read_manifest(path, parent)
         version = parent + 1
         recollect = False
+        if mode == "append":
+            # the winner may have renamed/dropped columns: re-derive the
+            # logical→physical translation; if any decision changed, the
+            # already-written files carry wrong physical names and must
+            # be rewritten (rare — only when a rename races an append)
+            new_df, new_renames, new_added = _append_physical(df0, pm, token)
+            if new_renames != renames:
+                df, renames, added_mapping = new_df, new_renames, new_added
+                pb_now = pm.get("partition_by") or (
+                    partition_by if user_partition_by else None
+                )
+                if pb_now:
+                    n_shuffle = int(
+                        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                    )
+                    df = df.repartition(n_shuffle, *[F.col(c) for c in pb_now])
+                df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+                recollect = True
+            else:
+                added_mapping = new_added
         if user_partition_by is None and mode == "append":
             # the winner may have created/changed the table's declared
             # partitioning (e.g. a first append losing to a rival that
@@ -246,6 +310,28 @@ def versioned_write(
             if inherited != (bloom_cols or []):
                 bloom_cols = inherited
                 recollect = True
+        new_cons = _constraints_of(pm)
+        if new_cons != cons:
+            # the winner added/changed constraints: serial execution
+            # after the winner would have enforced them — re-validate
+            # the already-written files against the new set
+            cons = new_cons
+            if cons:
+                _enforce_constraints(
+                    _logical_view(
+                        df.sparkSession.read.schema(df.schema).parquet(
+                            os.path.join(root, data_dir)
+                        ),
+                        {
+                            "column_mapping": {
+                                **_mapping_of(pm),
+                                **added_mapping,
+                            }
+                        },
+                    ),
+                    cons,
+                    f"versioned_write(mode={mode!r}) [post-race]",
+                )
         if recollect:
             # pval_cols must ride every re-collection: stats published
             # without pvals would silently disable partition pruning for
@@ -343,13 +429,376 @@ def _publish_or_race(path: str, manifest: dict) -> None:
         raise _PublishRace()
 
 
-def _carry_partition_by(manifest: dict, pm: dict | None) -> dict:
-    """Child commits (delete/update/merge/compact) inherit the table's
-    declared partitioning so their rewrites keep collecting pvals and
-    future appends keep clustering."""
+def _carry_table_props(manifest: dict, pm: dict | None) -> dict:
+    """Child commits (delete/update/merge/compact/DV) inherit the table's
+    declared properties: ``partition_by`` so rewrites keep collecting
+    pvals and future appends keep clustering, and ``constraints`` so
+    CHECK enforcement survives every commit kind (a table property, not
+    a per-commit flag — Delta semantics)."""
     if pm and pm.get("partition_by"):
         manifest["partition_by"] = pm["partition_by"]
+    if pm and pm.get("constraints"):
+        manifest["constraints"] = pm["constraints"]
+    if pm and pm.get("column_mapping"):
+        manifest["column_mapping"] = pm["column_mapping"]
+    if pm and pm.get("dropped_columns"):
+        manifest["dropped_columns"] = pm["dropped_columns"]
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (Delta ``ALTER TABLE ... ADD CONSTRAINT`` semantics):
+# a table-level property, stored in the manifest and carried into every
+# child commit, enforced on every commit that introduces rows (write,
+# update, merge).  SQL three-valued CHECK semantics: a constraint whose
+# expression evaluates to NULL for a row PASSES — only a definite FALSE
+# is a violation.  Deletes/compaction/DV commits only remove or move
+# rows, so they carry constraints but never re-validate (an invariant
+# over a shrinking row set cannot break).  Enforcement reads back the
+# just-written (columnar, pushdown-friendly) files rather than
+# re-computing the input DataFrame; a failed check abandons the attempt
+# — the orphaned data dir is invisible and reclaimed by
+# ``versioned_vacuum(clean_orphans=True)``.
+# ---------------------------------------------------------------------------
+
+
+class ConstraintViolationError(ValueError):
+    """A commit would introduce rows violating a table CHECK constraint.
+    Nothing was committed (the attempt's data dir is orphaned)."""
+
+
+def _constraints_of(manifest: dict | None) -> dict[str, str]:
+    return dict((manifest or {}).get("constraints") or {})
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str], op: str):
+    """Raise ``ConstraintViolationError`` if any row of ``df`` definitely
+    violates any constraint.  One Spark action over ``df``; the per-
+    constraint flags are plain JVM expressions, and on a parquet readback
+    column pruning limits the scan to the constrained columns."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    flags = {n: ~F.coalesce(F.expr(constraints[n]), F.lit(True)) for n in names}
+    any_viol = flags[names[0]]
+    for n in names[1:]:
+        any_viol = any_viol | flags[n]
+    ex = (
+        df.select(*[flags[n].alias(n) for n in names])
+        .filter(any_viol)
+        .limit(3)
+        .collect()
+    )
+    if ex:
+        violated = sorted({n for r in ex for n in names if r[n]})
+        raise ConstraintViolationError(
+            f"{op} violates CHECK constraint(s) "
+            + ", ".join(f"{n} ({constraints[n]!r})" for n in violated)
+            + "; nothing was committed"
+        )
+
+
+def versioned_add_constraint(
+    spark: SparkSession, path: str, name: str, expr_sql: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT (Delta semantics): validate that
+    EVERY existing row satisfies the SQL boolean ``expr_sql`` (one full
+    validation scan, pruned to the referenced columns — the price Delta
+    pays too), then publish a METADATA-ONLY commit recording it.  Every
+    subsequent write/update/merge on the table enforces it; violating
+    commits raise ``ConstraintViolationError`` and commit nothing.
+    NOT NULL is the special case ``"col IS NOT NULL"``.  Returns the new
+    version number."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        parent = versions[-1]
+        pm = _read_manifest(path, parent)
+        cons = _constraints_of(pm)
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {path}: "
+                f"{cons[name]!r} (drop it first)"
+            )
+        _enforce_constraints(
+            versioned_read(spark, path, version=parent),
+            {name: expr_sql},
+            f"ADD CONSTRAINT {name!r}: existing data",
+        )
+        manifest = _metadata_only_child(pm, meta={"add_constraint": name})
+        manifest["constraints"] = {**cons, name: expr_sql}
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_add_constraint", attempt)
+
+
+def versioned_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing the
+    named CHECK constraint.  Raises if it does not exist (Delta's
+    non-IF-EXISTS form).  Returns the new version number."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        parent = versions[-1]
+        pm = _read_manifest(path, parent)
+        cons = _constraints_of(pm)
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {path}; has {sorted(cons)}"
+            )
+        manifest = _metadata_only_child(pm, meta={"drop_constraint": name})
+        cons.pop(name)
+        if cons:
+            manifest["constraints"] = cons
+        else:
+            manifest.pop("constraints", None)
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_drop_constraint", attempt)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (Delta name-mode column mapping): RENAME COLUMN and DROP
+# COLUMN as METADATA-ONLY commits — zero data files rewritten, the 100 TB
+# schema-change primitive (a physical rename/drop would rewrite the whole
+# table).  One convention: FILES ARE ALWAYS PHYSICAL.  The manifest
+# ``schema`` stays the physical schema of the files; ``column_mapping``
+# maps physical → logical for renamed columns; DROP removes the field
+# from the manifest schema (scans stop reading it immediately — explicit-
+# schema parquet reads prune it) and records the physical name in
+# ``dropped_columns`` as a PERMANENT tombstone so a later append can
+# never reuse it (old files still hold the old values; reuse would
+# resurrect them — the reason Delta never recycles physical names).
+# Readers rename physical → logical after the scan; rewrites
+# (delete/update/merge) compute in logical space and rename back before
+# writing, so stats/Blooms/pvals stay physical-keyed and pruning sound.
+# OPTIMIZE rewrites from the manifest schema, so compaction physically
+# reclaims dropped columns for free — compaction is the column vacuum.
+# ---------------------------------------------------------------------------
+
+
+def _mapping_of(manifest: dict | None) -> dict[str, str]:
+    """physical name -> logical name, for renamed columns only."""
+    return dict((manifest or {}).get("column_mapping") or {})
+
+
+def _tombstones_of(manifest: dict | None) -> list[str]:
+    return list((manifest or {}).get("dropped_columns") or [])
+
+
+def _l2p_of(manifest: dict | None) -> dict[str, str]:
+    return {l: p for p, l in _mapping_of(manifest).items()}
+
+
+def _logical_view(df: DataFrame, manifest: dict | None) -> DataFrame:
+    """Rename physical columns to their logical names.  Pure projection —
+    helper columns (``__fp``/``__ri``/...) pass through untouched."""
+    p2l = _mapping_of(manifest)
+    renames = {p: l for p, l in p2l.items() if p in df.columns}
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _physical_view(df: DataFrame, manifest: dict | None) -> DataFrame:
+    """Inverse of ``_logical_view``: logical names back to physical, for
+    rewrite outputs about to be written to data/CDF files."""
+    l2p = _l2p_of(manifest)
+    renames = {l: p for l, p in l2p.items() if l in df.columns}
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _logical_struct(manifest: dict) -> StructType | None:
+    """The LOGICAL schema readers see: manifest (physical) schema with
+    mapped fields renamed.  Dropped columns are already absent from the
+    manifest schema."""
+    schema_json = manifest.get("schema")
+    if not schema_json:
+        return None
+    phys = StructType.fromJson(json.loads(schema_json))
+    p2l = _mapping_of(manifest)
+    if not p2l:
+        return phys
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(p2l.get(f.name, f.name), f.dataType, f.nullable)
+            for f in phys.fields
+        ]
+    )
+
+
+def _expr_references(expr_sql: str, names: list[str]) -> list[str]:
+    """Conservative word-boundary check: which of ``names`` appear as
+    identifiers in a SQL expression (case-insensitive, Spark default)."""
+    hits = []
+    for n in names:
+        if re.search(rf"(?<![A-Za-z0-9_`]){re.escape(n)}(?![A-Za-z0-9_])", expr_sql, re.IGNORECASE):
+            hits.append(n)
+    return hits
+
+
+def versioned_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — METADATA-ONLY (Delta column
+    mapping): publishes one manifest updating the physical→logical map;
+    zero data files touched, old versions keep their own mapping (time
+    travel shows historical names).  Blocked while a CHECK constraint
+    references the column (Delta's rule — the stored SQL text would
+    silently break).  Partition columns may be renamed: clustering,
+    pvals and stats live on the stable physical name.  Returns the new
+    version number."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        pm = _read_manifest(path, versions[-1])
+        logical = _logical_struct(pm)
+        if logical is None:
+            raise ValueError(f"table {path} records no schema")
+        if old not in logical.names:
+            raise ValueError(
+                f"no column {old!r} in {path}; has {logical.names}"
+            )
+        if new in logical.names:
+            raise ValueError(f"column {new!r} already exists in {path}")
+        refs = {
+            cname: csql
+            for cname, csql in _constraints_of(pm).items()
+            if _expr_references(csql, [old])
+        }
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by CHECK constraint(s) "
+                f"{sorted(refs)} — drop them first (Delta semantics)"
+            )
+        mapping = _mapping_of(pm)
+        phys = _l2p_of(pm).get(old, old)
+        if new == phys:
+            mapping.pop(phys, None)  # renamed back to its physical name
+        else:
+            mapping[phys] = new
+        manifest = _metadata_only_child(
+            pm, meta={"rename_column": f"{old}->{new}"}
+        )
+        if mapping:
+            manifest["column_mapping"] = mapping
+        else:
+            manifest.pop("column_mapping", None)
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_rename_column", attempt)
+
+
+def versioned_drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — METADATA-ONLY (Delta column
+    mapping): removes the field from the manifest schema (explicit-
+    schema scans stop reading it immediately — column pruning, no file
+    touched) and tombstones the physical name forever so no append can
+    resurrect the old values.  Physical bytes are reclaimed by the next
+    OPTIMIZE/rewrite of each file.  Blocked for partition columns and
+    columns referenced by CHECK constraints.  Returns the new version
+    number."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        pm = _read_manifest(path, versions[-1])
+        logical = _logical_struct(pm)
+        if logical is None:
+            raise ValueError(f"table {path} records no schema")
+        if name not in logical.names:
+            raise ValueError(
+                f"no column {name!r} in {path}; has {logical.names}"
+            )
+        if len(logical.names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        phys = _l2p_of(pm).get(name, name)
+        if phys in (pm.get("partition_by") or []):
+            raise ValueError(
+                f"cannot drop partition column {name!r} (repartition the "
+                "table with partition_by=[] first)"
+            )
+        refs = [
+            cname
+            for cname, csql in _constraints_of(pm).items()
+            if _expr_references(csql, [name])
+        ]
+        if refs:
+            raise ValueError(
+                f"cannot drop {name!r}: referenced by CHECK constraint(s) "
+                f"{sorted(refs)} — drop them first"
+            )
+        old_phys = StructType.fromJson(json.loads(pm["schema"]))
+        new_phys = StructType([f for f in old_phys.fields if f.name != phys])
+        mapping = _mapping_of(pm)
+        mapping.pop(phys, None)
+        manifest = _metadata_only_child(pm, meta={"drop_column": name})
+        manifest["schema"] = new_phys.json()
+        if mapping:
+            manifest["column_mapping"] = mapping
+        else:
+            manifest.pop("column_mapping", None)
+        manifest["dropped_columns"] = _tombstones_of(pm) + [phys]
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_drop_column", attempt)
+
+
+def _append_physical(
+    df: DataFrame, pm: dict | None, token: str
+) -> tuple[DataFrame, dict[str, str], dict[str, str]]:
+    """Translate an append's LOGICAL DataFrame to physical column names.
+    Renamed columns map back through the table's l2p; a new column whose
+    name collides with a tombstone or with another column's physical
+    name gets a fresh token-suffixed physical name (returned as added
+    physical→logical mapping entries — the no-reuse rule that keeps old
+    files' values dead).  Returns (physical df, renames applied, added
+    mapping)."""
+    if pm is None:
+        return df, {}, {}
+    l2p = _l2p_of(pm)
+    taken = set(_tombstones_of(pm)) | set(_mapping_of(pm))
+    renames: dict[str, str] = {}
+    added: dict[str, str] = {}
+    for c in df.columns:
+        if c in l2p:
+            renames[c] = l2p[c]
+        elif c in taken:
+            pc = f"{c}__{token}"
+            renames[c] = pc
+            added[pc] = c
+    return (df.withColumnsRenamed(renames) if renames else df), renames, added
+
+
+def _metadata_only_child(pm: dict, meta: dict | None = None) -> dict:
+    """A child manifest with the parent's exact visible content (entries,
+    schema, stats, DVs, table props) — the shape every metadata-only op
+    (constraint add/drop, rename) publishes.  Zero data touched."""
+    manifest = {
+        "version": pm["version"] + 1,
+        "parent": pm["version"],
+        "data_dirs": pm.get("data_dirs", []),
+        "data_files": pm.get("data_files", []),
+        "schema": pm.get("schema"),
+        "stats": pm.get("stats") or {},
+        "txns": _merge_txns(pm, meta),
+    }
+    if meta:
+        manifest["meta"] = meta
+    if pm.get("dvs"):
+        manifest["dvs"] = pm["dvs"]
+    return _carry_table_props(manifest, pm)
 
 
 def _with_occ_retry(op_name: str, attempt):
@@ -788,16 +1237,36 @@ def _can_match(tree, fstat: dict) -> bool:
     return True
 
 
+def _rename_tree(tree, l2p: dict[str, str]):
+    """Translate a predicate tree's attribute names logical→physical so
+    it can probe the manifest's physical-keyed stats (column mapping)."""
+    if tree is None or not l2p:
+        return tree
+    k = tree[0]
+    if k in ("and", "or"):
+        return (k, _rename_tree(tree[1], l2p), _rename_tree(tree[2], l2p))
+    if k == "cmp":
+        return (k, tree[1], l2p.get(tree[2], tree[2]), tree[3])
+    if k == "in":
+        return (k, l2p.get(tree[1], tree[1]), tree[2])
+    if k in ("isnull", "isnotnull"):
+        return (k, l2p.get(tree[1], tree[1]))
+    return tree
+
+
 def prune_candidate_files(
     spark: SparkSession, manifest: dict, all_files: list[str], predicate: Column
 ) -> list[str]:
     """Files that MAY contain a predicate match, judged purely from the
-    manifest's footer stats — files pruned here are never opened."""
-    schema_json = manifest.get("schema")
-    if not schema_json:
+    manifest's footer stats — files pruned here are never opened.  The
+    predicate speaks LOGICAL names: the tree is analyzed against the
+    logical schema and its attributes translated to physical before
+    probing the (physical-keyed) stats."""
+    logical = _logical_struct(manifest)
+    if logical is None:
         return list(all_files)
-    tree = _pred_tree(
-        spark, StructType.fromJson(json.loads(schema_json)), predicate
+    tree = _rename_tree(
+        _pred_tree(spark, logical, predicate), _l2p_of(manifest)
     )
     if tree is None:
         return list(all_files)
@@ -812,6 +1281,7 @@ def _matching_files(
     predicate: Column,
     schema: StructType | None = None,
     dvs: dict[str, list[int]] | None = None,
+    manifest: dict | None = None,
 ) -> set[str]:
     """Relative paths of the files that contain ≥1 predicate-TRUE row.
     Predicate pushdown + row-group stats make this a skip-scan over the
@@ -838,6 +1308,8 @@ def _matching_files(
             & (aug["__ri"] == del_df["__dv_idx"]),
             "left_anti",
         )
+    # column mapping: the predicate speaks logical names
+    aug = _logical_view(aug, manifest)
     out: set[str] = set()
     for r in aug.filter(predicate).select("__fp").distinct().collect():
         local = unquote(urlparse(r["__fp"]).path)
@@ -1019,12 +1491,13 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
                     & (aug["__ri"] == del_df["__dv_idx"]),
                     "left_anti",
                 )
+            aug = _logical_view(aug, pm)  # predicate speaks logical names
             hits = aug.filter(predicate).select("__fp", "__ri").collect()
             for r in hits:
                 local = unquote(urlparse(r["__fp"]).path)
                 rel = os.path.relpath(local, root)
                 new_hits.setdefault(rel, set()).add(int(r["__ri"]))
-    manifest = _carry_partition_by(
+    manifest = _carry_table_props(
         {
             "version": version,
             "parent": parent,
@@ -1132,7 +1605,7 @@ def _delete_attempt(
         # empty table: publish a no-op child version (delete of nothing)
         _publish_or_race(
             path,
-            _carry_partition_by(
+            _carry_table_props(
                 {
                     "version": version,
                     "parent": parent,
@@ -1155,7 +1628,9 @@ def _delete_attempt(
     # first: DV'd rows are logically gone, so they neither match nor
     # survive into a rewrite (the rewrite MATERIALIZES the file's DV).
     dvs = _load_dvs(root, pm)
-    touched = _matching_files(spark, root, candidates, predicate, schema, dvs=dvs)
+    touched = _matching_files(
+        spark, root, candidates, predicate, schema, dvs=dvs, manifest=pm
+    )
     new_dirs: list[str] = []
     new_stats: dict = {}
     cdf_dir = None
@@ -1166,16 +1641,24 @@ def _delete_attempt(
         touched_dvs = {f: v for f, v in dvs.items() if f in touched}
         if touched_dvs:
             cur = _apply_dvs(cur, spark, touched_dvs)
+        # column mapping: filter in LOGICAL space, write back PHYSICAL
+        # (files and CDF files keep one convention: physical names)
+        cur = _logical_view(cur, pm)
         if change_feed:
             cdf_dir = _write_cdf(
                 root,
                 version,
-                cur.filter(F.coalesce(predicate, F.lit(False))).withColumn(
-                    CDF_CHANGE_COL, F.lit("delete")
+                _physical_view(
+                    cur.filter(F.coalesce(predicate, F.lit(False))).withColumn(
+                        CDF_CHANGE_COL, F.lit("delete")
+                    ),
+                    pm,
                 ),
             )
         (
-            cur.filter(~F.coalesce(predicate, F.lit(False)))
+            _physical_view(
+                cur.filter(~F.coalesce(predicate, F.lit(False))), pm
+            )
             .write.mode("overwrite").parquet(os.path.join(root, data_dir))
         )
         # a delete that removed every row of the touched files can leave a
@@ -1189,7 +1672,7 @@ def _delete_attempt(
                 pval_cols=pm.get("partition_by"),
             )
     untouched = [f for f in all_files if f not in touched]
-    manifest = _carry_partition_by(
+    manifest = _carry_table_props(
         {
             "version": version,
             "parent": parent,
@@ -1268,11 +1751,12 @@ def _update_attempt(
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
     )
     if schema is not None:
-        unknown = [c for c in assignments if c not in schema.names]
+        logical_names = _logical_struct(pm).names
+        unknown = [c for c in assignments if c not in logical_names]
         if unknown:
             raise ValueError(
                 f"UPDATE targets unknown columns {unknown}; "
-                f"table has {schema.names}"
+                f"table has {logical_names}"
             )
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
@@ -1282,7 +1766,7 @@ def _update_attempt(
     if all_files:
         candidates = prune_candidate_files(spark, pm, all_files, predicate)
         touched = _matching_files(
-            spark, root, candidates, predicate, schema, dvs=dvs
+            spark, root, candidates, predicate, schema, dvs=dvs, manifest=pm
         )
     new_dirs: list[str] = []
     new_stats: dict = {}
@@ -1295,6 +1779,8 @@ def _update_attempt(
         if touched_dvs:
             # rewriting a DV'd file materializes its vector
             cur = _apply_dvs(cur, spark, touched_dvs)
+        # column mapping: assignments/predicate speak LOGICAL names
+        cur = _logical_view(cur, pm)
         cond = F.coalesce(predicate, F.lit(False))
         updated = cur.select(
             *[
@@ -1321,8 +1807,25 @@ def _update_attempt(
             post = updated.filter(cond).withColumn(
                 CDF_CHANGE_COL, F.lit("update_postimage")
             )
-            cdf_dir = _write_cdf(root, version, pre.unionByName(post))
-        updated.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+            cdf_dir = _write_cdf(
+                root, version, _physical_view(pre.unionByName(post), pm)
+            )
+        out_df = _physical_view(updated, pm)
+        out_df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+        cons = _constraints_of(pm)
+        if cons:
+            # surviving rows satisfied the constraints already (table
+            # invariant); this readback can only trip on UPDATED rows
+            _enforce_constraints(
+                _logical_view(
+                    spark.read.schema(out_df.schema).parquet(
+                        os.path.join(root, data_dir)
+                    ),
+                    pm,
+                ),
+                cons,
+                "versioned_update",
+            )
         if _expand_files(root, [data_dir]):
             new_dirs = [data_dir]
             new_stats = _collect_stats(
@@ -1332,7 +1835,7 @@ def _update_attempt(
                 pval_cols=pm.get("partition_by"),
             )
     untouched = [f for f in all_files if f not in touched]
-    manifest = _carry_partition_by(
+    manifest = _carry_table_props(
         {
             "version": version,
             "parent": parent,
@@ -1477,13 +1980,37 @@ def _merge_attempt(
     schema_json = pm.get("schema")
     if not schema_json:
         raise ValueError(f"table {path} records no schema; cannot merge")
-    table_schema = StructType.fromJson(json.loads(schema_json))
+    phys_schema = StructType.fromJson(json.loads(schema_json))
+    # column mapping: the whole merge computes in LOGICAL space (source,
+    # keys, conditions, output columns); files are read/written under
+    # the stable PHYSICAL names at the boundary
+    table_schema = _logical_struct(pm)
     missing = [c for c in on if c not in table_schema.names]
     missing += [c for c in on if c not in source.columns]
     if missing:
         raise ValueError(f"merge keys {sorted(set(missing))} missing from a side")
-    evolved_json = _evolve_schema(schema_json, source.schema)
+    evolved_json = _evolve_schema(table_schema.json(), source.schema)
     evolved = StructType.fromJson(json.loads(evolved_json))
+    # physical schema for the manifest: parent physical fields + evolved
+    # NEW fields, each allocated a physical name that never collides with
+    # a tombstone or another column's physical name (no-reuse rule)
+    token = _commit_token()
+    added_mapping: dict[str, str] = {}
+    taken = set(_tombstones_of(pm)) | set(_mapping_of(pm))
+    new_phys_fields = []
+    for f in evolved.fields:
+        if f.name in table_schema.names:
+            continue
+        pname = f.name if f.name not in taken else f"{f.name}__{token}"
+        if pname != f.name:
+            added_mapping[pname] = f.name
+        from pyspark.sql.types import StructField
+
+        new_phys_fields.append(StructField(pname, f.dataType, f.nullable))
+    evolved_phys_json = StructType(
+        list(phys_schema.fields) + new_phys_fields
+    ).json()
+    full_map = {**_mapping_of(pm), **added_mapping}
     # Delta's multiple-source-rows-match check: duplicate source keys make
     # the merge ambiguous (which update wins?) — fail loudly up front.
     # Default mode: NULL-key rows are excluded (groupBy would treat NULLs
@@ -1556,7 +2083,7 @@ def _merge_attempt(
         # plain inserts, which is exactly the logical state).
         if candidates:
             tgt = _with_scan_position(
-                spark.read.schema(table_schema).parquet(
+                spark.read.schema(phys_schema).parquet(
                     *[os.path.join(root, f) for f in sorted(candidates)]
                 )
             )
@@ -1569,6 +2096,7 @@ def _merge_attempt(
                     & (tgt["__ri"] == del_df["__dv_idx"]),
                     "left_anti",
                 )
+            tgt = _logical_view(tgt, pm)  # keys speak logical names
             if null_safe_keys:
                 k2 = keys.select(*[F.col(c).alias(f"__k_{c}") for c in on])
                 sj = None
@@ -1582,13 +2110,14 @@ def _merge_attempt(
                 local = unquote(urlparse(r["__fp"]).path)
                 touched.add(os.path.relpath(local, root))
     if touched:
-        t_side = spark.read.schema(table_schema).parquet(
+        t_side = spark.read.schema(phys_schema).parquet(
             *[os.path.join(root, f) for f in sorted(touched)]
         )
         touched_dvs = {f: v for f, v in dvs.items() if f in touched}
         if touched_dvs:
             # rewriting a DV'd file materializes its vector
             t_side = _apply_dvs(t_side, spark, touched_dvs)
+        t_side = _logical_view(t_side, pm)
     else:
         t_side = spark.createDataFrame([], table_schema)
     src_cols = [c for c in source.columns if c not in on]
@@ -1729,11 +2258,28 @@ def _merge_attempt(
         changes = parts[0]
         for p in parts[1:]:
             changes = changes.unionByName(p)
-        cdf_dir = _write_cdf(root, version, changes)
+        cdf_dir = _write_cdf(
+            root, version, _physical_view(changes, {"column_mapping": full_map})
+        )
     new_dirs: list[str] = []
     new_stats: dict = {}
-    data_dir = f"data/v{version}-{_commit_token()}"
-    merged.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    data_dir = f"data/v{version}-{token}"
+    out_df = _physical_view(merged, {"column_mapping": full_map})
+    out_df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    cons = _constraints_of(pm)
+    if cons:
+        # matched-and-kept rows already satisfied the constraints; the
+        # readback can only trip on updated or newly-inserted rows
+        _enforce_constraints(
+            _logical_view(
+                spark.read.schema(out_df.schema).parquet(
+                    os.path.join(root, data_dir)
+                ),
+                {"column_mapping": full_map},
+            ),
+            cons,
+            "versioned_merge",
+        )
     if _expand_files(root, [data_dir]):
         new_dirs = [data_dir]
         new_stats = _collect_stats(
@@ -1743,13 +2289,13 @@ def _merge_attempt(
             pval_cols=pm.get("partition_by"),
         )
     untouched = [f for f in all_files if f not in touched]
-    manifest = _carry_partition_by(
+    manifest = _carry_table_props(
         {
             "version": version,
             "parent": parent,
             "data_dirs": new_dirs,
             "data_files": untouched,
-            "schema": evolved_json,
+            "schema": evolved_phys_json,
             "stats": {
                 **{f: parent_stats[f] for f in untouched if f in parent_stats},
                 **new_stats,
@@ -1758,6 +2304,8 @@ def _merge_attempt(
         },
         pm,
     )
+    if full_map:
+        manifest["column_mapping"] = full_map
     kept_dvs = {
         f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
     }
@@ -1833,7 +2381,7 @@ def versioned_read(
             raise ValueError(
                 f"version {version} of {path} is empty and records no schema"
             )
-        out = spark.createDataFrame([], schema)
+        out = _logical_view(spark.createDataFrame([], schema), manifest)
         return out.filter(predicate) if predicate is not None else out
     reader = spark.read.schema(schema) if schema is not None else spark.read
     out = reader.parquet(*[os.path.join(path, e) for e in entries])
@@ -1842,6 +2390,9 @@ def versioned_read(
         # (pruned-away files' vectors simply never match — harmless in a
         # broadcast-side map that is deleted-rows-sized)
         out = _apply_dvs(out, spark, _load_dvs(os.path.abspath(path), manifest))
+    # column mapping: the caller sees logical names (renames push down —
+    # the scan still prunes/filters on the physical columns)
+    out = _logical_view(out, manifest)
     return out.filter(predicate) if predicate is not None else out
 
 
@@ -1883,6 +2434,12 @@ def versioned_restore(spark: SparkSession, path: str, version: int) -> int:
         }
         if tm.get("partition_by"):
             manifest["partition_by"] = tm["partition_by"]
+        if tm.get("constraints"):
+            manifest["constraints"] = tm["constraints"]
+        if tm.get("column_mapping"):
+            manifest["column_mapping"] = tm["column_mapping"]
+        if tm.get("dropped_columns"):
+            manifest["dropped_columns"] = tm["dropped_columns"]
         if tm.get("dvs"):
             manifest["dvs"] = tm["dvs"]
         _publish_or_race(path, manifest)
@@ -1929,6 +2486,12 @@ def versioned_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
     }
     if sm.get("partition_by"):
         manifest["partition_by"] = sm["partition_by"]
+    if sm.get("constraints"):
+        manifest["constraints"] = sm["constraints"]
+    if sm.get("column_mapping"):
+        manifest["column_mapping"] = sm["column_mapping"]
+    if sm.get("dropped_columns"):
+        manifest["dropped_columns"] = sm["dropped_columns"]
     if sm.get("dvs"):
         # sidecars stay in the source; entries re-point both the file
         # key and the sidecar path relative to the clone root
@@ -2191,10 +2754,13 @@ def _compact_attempt(
         )
     else:
         out = cur.repartition(n_out)
+    # column mapping: versioned_read returned the LOGICAL view (which is
+    # what cluster_by/zorder names refer to); files are written PHYSICAL
+    out = _physical_view(out, pm)
     out.write.mode("overwrite").parquet(os.path.join(root, data_dir))
     _publish_or_race(
         path,
-        _carry_partition_by(
+        _carry_table_props(
             {
                 "version": version,
                 "parent": parent,
@@ -2289,6 +2855,10 @@ def versioned_changes(
             rel = {f: v for f, v in dvs.items() if f in files}
             if rel:
                 side = _apply_dvs(side, spark, rel)
+        # column mapping: both sides surface the NEWER version's logical
+        # names (physical rows are name-independent, so the multiset
+        # diff itself is unaffected by any rename between the versions)
+        side = _logical_view(side, mt)
         return side.select(*columns) if columns else side
 
     old_only = read_side(files_from - files_to, dvs_from)
@@ -2327,6 +2897,7 @@ def versioned_changes(
             *[os.path.join(root, f) for f in sorted(dv_idx)]
         )
         side = _apply_dvs(side, spark, dv_idx, keep_deleted=True)
+        side = _logical_view(side, mt)
         return side.select(*columns) if columns else side
 
     if grown:
@@ -2440,16 +3011,23 @@ def table_changes(
                     )
                 )
         prev_files, prev_dv = cur_files, cur_dv
+    tm = _read_manifest(path, v_to)
     if not parts:
         from pyspark.sql.types import LongType
 
-        return spark.createDataFrame(
-            [],
-            StructType(
-                cdf_schema.fields + [StructField("_commit_version", LongType())]
+        return _logical_view(
+            spark.createDataFrame(
+                [],
+                StructType(
+                    cdf_schema.fields
+                    + [StructField("_commit_version", LongType())]
+                ),
             ),
+            tm,
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # column mapping: surface v_to's logical names (files + CDF files
+    # are written under the stable physical names)
+    return _logical_view(out, tm)

@@ -43,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -54,18 +55,51 @@ COMMIT_VERSION_COL = "_commit_version"
 
 
 def _table_schema(path: str) -> StructType:
+    from .versioned import _logical_struct
+
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
-    schema_json = _read_manifest(path, versions[-1]).get("schema")
-    if not schema_json:
+    m = _read_manifest(path, versions[-1])
+    base = _logical_struct(m)  # column mapping: streams speak LOGICAL names
+    if base is None:
         raise ValueError(f"table {path} records no schema")
-    base = StructType.fromJson(json.loads(schema_json))
     # every field must read as nullable: schema evolution means files
     # predating a column stream it as NULL even if the evolving append
     # declared it non-nullable
     fields = [StructField(f.name, f.dataType, True) for f in base.fields]
     return StructType(fields + [StructField(COMMIT_VERSION_COL, LongType())])
+
+
+def _mapping_state(path: str) -> tuple[dict, list, int]:
+    """The table's (column_mapping, dropped_columns, version) at stream
+    start — pinned so a LATER rename/drop is detected as a schema
+    change.  Commits at or before the pin replay fine under the pinned
+    mapping (physical names are stable), so history spanning an old
+    rename streams without complaint — only post-pin changes fail."""
+    from .versioned import _mapping_of, _tombstones_of
+
+    versions = table_versions(path)
+    m = _read_manifest(path, versions[-1]) if versions else {}
+    return _mapping_of(m), _tombstones_of(m), (versions[-1] if versions else 0)
+
+
+def _check_mapping_unchanged(kind: str, path: str, v: int, m: dict, state):
+    """Structured Streaming pins the source schema at stream start;
+    Delta fails a stream whose table schema changed mid-stream (rename /
+    drop) and requires a restart — same contract here."""
+    from .versioned import _mapping_of, _tombstones_of
+
+    mapping, dropped, pin_version = state
+    if v <= pin_version:
+        return
+    if (_mapping_of(m), _tombstones_of(m)) != (mapping, dropped):
+        raise ValueError(
+            f"{kind} stream: commit v{v} of {path} renamed or dropped "
+            "columns (column mapping changed).  The stream's schema was "
+            "pinned at start — restart the stream to pick up the new "
+            "schema (Delta's schema-change contract)."
+        )
 
 
 class VersionedTableDataSource(DataSource):
@@ -81,10 +115,27 @@ class VersionedTableDataSource(DataSource):
         return "versioned_table"
 
     def schema(self) -> StructType:
+        opts = dict(self.options)
+        if "version" in opts or "timestampasof" in opts:
+            # batch time travel: the RESOLVED version's logical schema
+            # (rename history surfaces the names of that point in time)
+            from .versioned import _logical_struct
+
+            m = _resolve_batch_manifest(opts["path"], opts)
+            base = _logical_struct(m)
+            fields = [
+                StructField(f.name, f.dataType, True) for f in base.fields
+            ]
+            return StructType(
+                fields + [StructField(COMMIT_VERSION_COL, LongType())]
+            )
         return _table_schema(self.options["path"])
 
     def streamReader(self, schema: StructType) -> "VersionedStreamReader":
         return VersionedStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: StructType) -> "VersionedBatchReader":
+        return VersionedBatchReader(schema, dict(self.options))
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -95,6 +146,10 @@ class VersionedStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignorechanges", "false")
         ).lower() in ("true", "1")
+        # column mapping pinned at stream start: logical field -> the
+        # stable physical name inside every data file
+        self._map_state = _mapping_state(self._path)
+        self._l2p = {l: p for p, l in self._map_state[0].items()}
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -129,6 +184,9 @@ class VersionedStreamReader(DataSourceStreamReader):
             )
         for v in needed:
             m = _read_manifest(self._path, v)
+            _check_mapping_unchanged(
+                "versioned_table", self._path, v, m, self._map_state
+            )
             if prev_files is None:
                 parent = m.get("parent")
                 if parent and parent not in retained:
@@ -201,10 +259,13 @@ class VersionedStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         cols = []
         for field in target:
+            # column mapping: the logical field reads its stable
+            # PHYSICAL column inside the file
+            phys = self._l2p.get(field.name, field.name)
             if field.name == COMMIT_VERSION_COL:
                 cols.append(pa.array([version] * n, type=field.type))
-            elif field.name in tbl.column_names:
-                cols.append(tbl[field.name].combine_chunks().cast(field.type))
+            elif phys in tbl.column_names:
+                cols.append(tbl[phys].combine_chunks().cast(field.type))
             else:
                 # schema evolution: pre-evolution files lack the column
                 cols.append(pa.nulls(n, type=field.type))
@@ -288,6 +349,8 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._path = options["path"]
         self._start = int(options.get("startingversion", 0))
+        self._map_state = _mapping_state(self._path)
+        self._l2p = {l: p for p, l in self._map_state[0].items()}
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -315,6 +378,9 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         prev_dv: dict[str, list[int]] | None = None
         for v in needed:
             m = _read_manifest(self._path, v)
+            _check_mapping_unchanged(
+                "versioned_cdf", self._path, v, m, self._map_state
+            )
             if prev_files is None:
                 parent = m.get("parent")
                 if parent and parent not in retained:
@@ -383,13 +449,14 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         cols = []
         for field in target:
+            phys = self._l2p.get(field.name, field.name)
             if field.name == COMMIT_VERSION_COL:
                 cols.append(pa.array([version] * n, type=field.type))
             elif field.name == CDF_CHANGE_COL and kind != "cdf":
                 label = "insert" if kind == "insert" else "delete"
                 cols.append(pa.array([label] * n, type=field.type))
-            elif field.name in tbl.column_names:
-                cols.append(tbl[field.name].combine_chunks().cast(field.type))
+            elif phys in tbl.column_names:
+                cols.append(tbl[phys].combine_chunks().cast(field.type))
             else:
                 cols.append(pa.nulls(n, type=field.type))
         yield from pa.table(cols, schema=target).to_batches()
@@ -409,3 +476,188 @@ def versioned_cdf_stream_source(
         .option("startingVersion", str(starting_version))
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# BATCH read through the same data source (Spark 4 Python Data Source
+# API, batch leg): ``spark.read.format("versioned_table")`` — the
+# engine-native way to scan a versioned table, with FILTER PUSHDOWN
+# (pushFilters, Spark 4.1) wired straight into the manifest's
+# stats/Bloom/pvals pruning: Catalyst pushes the query's filters into
+# the source at planning time, the source drops every file that cannot
+# match BEFORE any partition is created, and each surviving file becomes
+# one InputPartition read executor-side with pyarrow (deletion-vector
+# positions subtracted per file).  Rows carry ``_commit_version``
+# provenance parsed from the immutable data-dir names.  Options:
+# ``path`` (required), ``version`` (time travel), ``timestampAsOf``
+# (epoch seconds).  Pushed filters are ALSO returned to Spark (file
+# pruning is not row-exact), so Spark re-applies them post-scan — the
+# standard double-filtering contract for coarse pushdown.
+# ---------------------------------------------------------------------------
+
+_DATA_DIR_VERSION_RE = None
+
+
+def _file_commit_version(rel: str) -> int | None:
+    """Provenance: the commit that wrote a file, from its immutable
+    ``data/v{n}-{token}`` dir name (clone-rekeyed ../ paths included —
+    there it is the SOURCE table's commit)."""
+    global _DATA_DIR_VERSION_RE
+    if _DATA_DIR_VERSION_RE is None:
+        import re
+
+        _DATA_DIR_VERSION_RE = re.compile(r"data/v(\d+)-")
+    m = _DATA_DIR_VERSION_RE.search(rel.replace(os.sep, "/"))
+    return int(m.group(1)) if m else None
+
+
+def _resolve_batch_manifest(path: str, options: dict) -> dict:
+    from .versioned import versioned_read  # noqa: F401  (doc parity)
+
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if "version" in options and "timestampasof" in options:
+        raise ValueError("pass version or timestampAsOf, not both")
+    if "version" in options:
+        v = int(options["version"])
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+        return _read_manifest(path, v)
+    if "timestampasof" in options:
+        ts = float(options["timestampasof"])
+        eligible = [
+            v
+            for v in versions
+            if (_read_manifest(path, v).get("committed_at") or float("inf"))
+            <= ts
+        ]
+        if not eligible:
+            raise ValueError(f"no version of {path} committed at or before {ts}")
+        return _read_manifest(path, eligible[-1])
+    return _read_manifest(path, versions[-1])
+
+
+def _ds_filter_to_tree(f, logical_names: set):
+    """Translate a pushed Filter into the manifest-pruning tree
+    (versioned._can_match).  None = not translatable (no pruning from
+    it — always sound, Spark re-applies the filter anyway)."""
+    import pyspark.sql.datasource as D
+
+    attr = getattr(f, "attribute", None)
+    if attr is not None and (len(attr) != 1 or attr[0] not in logical_names):
+        return None
+    name = attr[0] if attr else None
+    if isinstance(f, D.EqualTo):
+        return ("cmp", "=", name, f.value)
+    if isinstance(f, D.GreaterThan):
+        return ("cmp", ">", name, f.value)
+    if isinstance(f, D.GreaterThanOrEqual):
+        return ("cmp", ">=", name, f.value)
+    if isinstance(f, D.LessThan):
+        return ("cmp", "<", name, f.value)
+    if isinstance(f, D.LessThanOrEqual):
+        return ("cmp", "<=", name, f.value)
+    if isinstance(f, D.In):
+        return ("in", name, list(f.value))
+    if isinstance(f, D.IsNull):
+        return ("isnull", name)
+    if isinstance(f, D.IsNotNull):
+        return ("isnotnull", name)
+    return None
+
+
+class VersionedBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        from .versioned import _l2p_of, _load_dvs
+
+        self._schema = schema
+        self._path = options["path"]
+        m = _resolve_batch_manifest(self._path, options)
+        self._root = os.path.abspath(self._path)
+        self._manifest = m
+        self._files = _expand_files(self._root, _entries(m))
+        self._dvs = _load_dvs(self._root, m)
+        self._l2p = _l2p_of(m)
+
+    def pushFilters(self, filters):
+        from .versioned import _can_match, _rename_tree
+
+        logical = {
+            f.name for f in self._schema.fields if f.name != COMMIT_VERSION_COL
+        }
+        tree = None
+        for f in filters:
+            t = _ds_filter_to_tree(f, logical)
+            if t is not None:
+                tree = t if tree is None else ("and", tree, t)
+        if tree is not None:
+            tree = _rename_tree(tree, self._l2p)
+            stats = self._manifest.get("stats") or {}
+            self._files = [
+                f
+                for f in self._files
+                if f not in stats or _can_match(tree, stats[f])
+            ]
+        # file pruning is coarse: hand every filter back for Spark's
+        # exact row-level re-application
+        return filters
+
+    def partitions(self):
+        return [
+            InputPartition(
+                (
+                    os.path.join(self._root, f),
+                    sorted(self._dvs.get(f, [])) or None,
+                    _file_commit_version(f),
+                )
+            )
+            for f in self._files
+        ]
+
+    def read(self, partition: InputPartition):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        file_path, dv_positions, commit_v = partition.value
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(file_path)
+        if dv_positions:
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[np.asarray(dv_positions, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
+        n = tbl.num_rows
+        cols = []
+        for field in target:
+            phys = self._l2p.get(field.name, field.name)
+            if field.name == COMMIT_VERSION_COL:
+                cols.append(pa.array([commit_v] * n, type=field.type))
+            elif phys in tbl.column_names:
+                cols.append(tbl[phys].combine_chunks().cast(field.type))
+            else:
+                cols.append(pa.nulls(n, type=field.type))
+        yield from pa.table(cols, schema=target).to_batches()
+
+
+def versioned_batch_source(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_as_of: float | None = None,
+) -> DataFrame:
+    """Register the data source (idempotent) and open a BATCH read of a
+    versioned table through the engine-native Data Source API —
+    semantically ``versioned_read`` plus a ``_commit_version``
+    provenance column, with Catalyst-pushed filters pruning files from
+    the manifest before any partition is planned."""
+    # pushFilters requires the runtime flag (off by default in 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VersionedTableDataSource)
+    r = spark.read.format("versioned_table").option("path", path)
+    if version is not None:
+        r = r.option("version", str(version))
+    if timestamp_as_of is not None:
+        r = r.option("timestampAsOf", repr(float(timestamp_as_of)))
+    return r.load()

@@ -1,0 +1,108 @@
+"""Round-7 batch Python Data Source for versioned tables
+(versioned_stream.py::VersionedBatchReader): engine-native
+``spark.read.format("versioned_table")`` with Catalyst filter pushdown
+(pushFilters) wired into manifest stats/Bloom/pvals file pruning."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_delete_dv,
+    versioned_read,
+    versioned_rename_column,
+    versioned_write,
+)
+from gsmls_analysis_spark.sources.versioned_stream import (
+    VersionedBatchReader,
+    _table_schema,
+    versioned_batch_source,
+)
+
+
+def test_batch_read_matches_versioned_read(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, i % 4, 100 + i) for i in range(40)], "id long, bucket long, n long"
+    )
+    versioned_write(df.repartitionByRange(4, "id"), path)
+    versioned_delete_dv(spark, path, F.col("id") % 7 == 0)
+    got = versioned_batch_source(spark, path).drop("_commit_version")
+    want = versioned_read(spark, path)
+    assert sorted(got.collect()) == sorted(want.collect())
+    # provenance column stamps the writing commit
+    gb = dict(
+        (r["_commit_version"], r["count"])
+        for r in versioned_batch_source(spark, path)
+        .groupBy("_commit_version")
+        .count()
+        .collect()
+    )
+    assert gb == {1: 40 - 6}
+
+
+def test_pushdown_prunes_files_before_read(spark, tmp_path):
+    """Catalyst pushes the filter into pushFilters; pruned files are
+    never opened — proven by corrupting them on disk."""
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id long, n long")
+    versioned_write(df.repartitionByRange(4, "id"), path)
+    m = V._read_manifest(path, 1)
+    root = os.path.abspath(path)
+    all_files = V._expand_files(root, V._entries(m))
+    # sanity: the reader's own pruning drops files for this predicate
+    import pyspark.sql.datasource as D
+
+    rdr = VersionedBatchReader(_table_schema(path), {"path": path})
+    rdr.pushFilters([D.GreaterThanOrEqual(("n",), 90)])
+    kept = list(rdr._files)
+    assert 0 < len(kept) < len(all_files)
+    for f in set(all_files) - set(kept):
+        with open(os.path.join(root, f), "wb") as fh:
+            fh.write(b"garbage")
+    got = versioned_batch_source(spark, path).filter(F.col("n") >= 90)
+    assert sorted(r["n"] for r in got.collect()) == list(range(90, 100))
+
+
+def test_time_travel_options_and_rename(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "id long, amount long"), path
+    )
+    t_mid = time.time()
+    time.sleep(0.05)
+    versioned_rename_column(spark, path, "amount", "price")
+    versioned_write(
+        spark.createDataFrame([(2, 20)], "id long, price long"),
+        path,
+        mode="append",
+    )
+    cur = versioned_batch_source(spark, path)
+    assert "price" in cur.columns and cur.count() == 2
+    v1 = versioned_batch_source(spark, path, version=1)
+    assert "amount" in v1.columns and v1.count() == 1
+    asof = versioned_batch_source(spark, path, timestamp_as_of=t_mid)
+    assert "amount" in asof.columns and asof.count() == 1
+    with pytest.raises(Exception, match="not in"):
+        versioned_batch_source(spark, path, version=99).count()
+
+
+def test_unsupported_filters_are_sound(spark, tmp_path):
+    """Filters the source cannot translate (LIKE, OR-of-columns) must
+    not break correctness — Spark re-applies everything post-scan."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"name{i}") for i in range(20)], "id long, s string"
+        ).repartition(2),
+        path,
+    )
+    got = versioned_batch_source(spark, path).filter(
+        (F.col("s").like("name1%")) | (F.col("id") == 5)
+    )
+    assert got.count() == 12  # name1, name10..19, id=5

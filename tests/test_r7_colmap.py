@@ -1,0 +1,381 @@
+"""Round-7 column mapping (Delta name-mode): RENAME COLUMN and DROP
+COLUMN as metadata-only commits.  Files always carry stable PHYSICAL
+names; the manifest maps physical→logical; dropped physical names are
+tombstoned forever (no resurrection of old values)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_add_constraint,
+    versioned_clone,
+    versioned_compact,
+    versioned_delete,
+    versioned_delete_dv,
+    versioned_drop_column,
+    versioned_merge,
+    versioned_read,
+    versioned_rename_column,
+    versioned_restore,
+    versioned_update,
+    versioned_write,
+    table_changes,
+    versioned_changes,
+)
+
+
+def _mk(spark, path, n=12):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", 100 + i) for i in range(n)],
+        "id long, user string, amount long",
+    )
+    versioned_write(df.repartition(2), path)
+    return df
+
+
+def _files(path, v):
+    root = os.path.abspath(path)
+    return set(V._expand_files(root, V._entries(V._read_manifest(path, v))))
+
+
+def test_rename_is_metadata_only_and_read_maps(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    v = versioned_rename_column(spark, path, "amount", "price")
+    assert v == 2
+    assert _files(path, 2) == _files(path, 1)  # zero files touched
+    got = versioned_read(spark, path)
+    assert got.columns == ["id", "user", "price"]
+    assert got.filter("price = 111").count() == 1
+    # time travel: the old version keeps its historical names
+    assert versioned_read(spark, path, version=1).columns == [
+        "id",
+        "user",
+        "amount",
+    ]
+
+
+def test_rename_predicate_prunes_from_manifest_stats(spark, tmp_path):
+    """A predicate on the RENAMED (logical) name must still prune files
+    from the physical-keyed manifest stats — proven by corrupting the
+    pruned file on disk: the read succeeds only if it never opens it."""
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "id long, amount long"
+    )
+    versioned_write(df.repartitionByRange(4, "id"), path)
+    versioned_rename_column(spark, path, "amount", "price")
+    m = V._read_manifest(path, 2)
+    root = os.path.abspath(path)
+    all_files = V._expand_files(root, V._entries(m))
+    pred = F.col("price") >= 90  # only the top range file can match
+    kept = V.prune_candidate_files(spark, m, all_files, pred)
+    assert len(kept) < len(all_files)
+    for f in set(all_files) - set(kept):
+        with open(os.path.join(root, f), "wb") as fh:
+            fh.write(b"garbage")  # pruned files must never be opened
+    got = versioned_read(spark, path, predicate=pred)
+    assert sorted(r["price"] for r in got.collect()) == list(range(90, 100))
+
+
+def test_cow_ops_on_renamed_table(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_rename_column(spark, path, "amount", "price")
+    versioned_delete(spark, path, F.col("price") > 109)
+    assert versioned_read(spark, path).count() == 10
+    versioned_update(spark, path, F.col("id") == 0, {"price": F.lit(7).cast("long")})
+    assert versioned_read(spark, path).filter("id=0").collect()[0]["price"] == 7
+    src = spark.createDataFrame(
+        [(5, "u9", 555), (50, "u9", 50)], "id long, user string, price long"
+    )
+    versioned_merge(spark, path, src, on=["id"])
+    cur = versioned_read(spark, path)
+    assert cur.count() == 11
+    assert cur.filter("id=5").collect()[0]["price"] == 555
+    versioned_delete_dv(spark, path, F.col("price") == 7)
+    assert versioned_read(spark, path).count() == 10
+    # files on disk kept the PHYSICAL name throughout
+    root = os.path.abspath(path)
+    m = V._read_manifest(path, V.table_versions(path)[-1])
+    for f in V._expand_files(root, V._entries(m)):
+        names = pq.ParquetFile(os.path.join(root, f)).schema_arrow.names
+        assert "amount" in names and "price" not in names
+
+
+def test_drop_column_immediate_and_reclaimed_by_compact(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_drop_column(spark, path, "user")
+    assert _files(path, 2) == _files(path, 1)  # metadata-only
+    assert versioned_read(spark, path).columns == ["id", "amount"]
+    versioned_compact(spark, path)
+    root = os.path.abspath(path)
+    m = V._read_manifest(path, 3)
+    for f in V._expand_files(root, V._entries(m)):
+        names = pq.ParquetFile(os.path.join(root, f)).schema_arrow.names
+        assert names == ["id", "amount"]  # bytes physically reclaimed
+
+
+def test_dropped_name_never_resurrects(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_drop_column(spark, path, "user")
+    # re-adding a logical 'user' allocates a FRESH physical name: old
+    # files' values stay dead (NULL), only new rows carry values
+    add = spark.createDataFrame([(77, 300, "fresh")], "id long, amount long, user string")
+    versioned_write(add, path, mode="append")
+    cur = versioned_read(spark, path)
+    assert set(cur.columns) == {"id", "amount", "user"}
+    assert cur.filter("id = 1").collect()[0]["user"] is None
+    assert cur.filter("id = 77").collect()[0]["user"] == "fresh"
+    m = V._read_manifest(path, 3)
+    assert "user" in V._tombstones_of(m)
+    assert "user" in V._mapping_of(m).values()  # fresh physical mapped
+
+
+def test_rename_drop_guards(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    with pytest.raises(ValueError, match="no column"):
+        versioned_rename_column(spark, path, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_rename_column(spark, path, "amount", "user")
+    versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        versioned_rename_column(spark, path, "amount", "price")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        versioned_drop_column(spark, path, "amount")
+    part = str(tmp_path / "part")
+    versioned_write(
+        spark.createDataFrame([(1, 2)], "a long, b long"), part, partition_by=["a"]
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        versioned_drop_column(spark, part, "a")
+    single = str(tmp_path / "single")
+    versioned_write(spark.createDataFrame([(1,)], "a long"), single)
+    with pytest.raises(ValueError, match="only column"):
+        versioned_drop_column(spark, single, "a")
+
+
+def test_rename_back_clears_mapping(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_rename_column(spark, path, "amount", "price")
+    versioned_rename_column(spark, path, "price", "amount")
+    m = V._read_manifest(path, 3)
+    assert V._mapping_of(m) == {}
+    assert versioned_read(spark, path).columns == ["id", "user", "amount"]
+
+
+def test_partition_pruning_survives_partition_column_rename(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(80)], "id long, bucket long"
+    )
+    versioned_write(df, path, partition_by=["bucket"])
+    versioned_rename_column(spark, path, "bucket", "shard")
+    m = V._read_manifest(path, 2)
+    root = os.path.abspath(path)
+    all_files = V._expand_files(root, V._entries(m))
+    kept = V.prune_candidate_files(spark, m, all_files, F.col("shard") == 2)
+    assert 0 < len(kept) < len(all_files)  # pvals prune on logical name
+    got = versioned_read(spark, path, predicate=F.col("shard") == 2)
+    assert got.count() == 20
+    # appends keep clustering and keep pruning under the logical name
+    versioned_write(
+        spark.createDataFrame([(999, 2)], "id long, shard long"),
+        path,
+        mode="append",
+    )
+    got2 = versioned_read(spark, path, predicate=F.col("shard") == 2)
+    assert got2.count() == 21
+
+
+def test_cdf_and_diff_surface_new_logical_names(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)  # v1
+    versioned_rename_column(spark, path, "amount", "price")  # v2
+    versioned_update(
+        spark,
+        path,
+        F.col("id") == 3,
+        {"price": F.lit(1).cast("long")},
+        change_feed=True,
+    )  # v3
+    tc = table_changes(spark, path, 1, 3)
+    assert "price" in tc.columns and "amount" not in tc.columns
+    # the rename commit itself emits nothing; the update emits pre/post
+    kinds = sorted(r["_change"] for r in tc.collect())
+    assert kinds == ["update_postimage", "update_preimage"]
+    diff = versioned_changes(spark, path, 1, 3)
+    assert "price" in diff.columns
+    assert diff.count() == 2  # the updated row's delete+insert pair
+
+
+def test_restore_and_clone_carry_mapping(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_rename_column(spark, path, "amount", "price")  # v2
+    versioned_delete(spark, path, F.col("price") > 105)  # v3
+    versioned_restore(spark, path, 2)  # v4
+    assert versioned_read(spark, path).columns == ["id", "user", "price"]
+    assert versioned_read(spark, path).count() == 12
+    dst = str(tmp_path / "clone")
+    versioned_clone(spark, path, dst)
+    got = versioned_read(spark, dst)
+    assert got.columns == ["id", "user", "price"]
+    assert got.count() == 12
+
+
+def test_append_racing_a_rename_rewrites_with_new_physical(spark, tmp_path):
+    """An append that loses the OCC race to a DROP+re-add (mapping
+    change) must re-derive its logical→physical translation and rewrite
+    its files — otherwise it would resurrect a tombstoned name."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    real_publish = V._publish
+    fired = {"done": False}
+
+    def racing_publish(p, manifest):
+        if not fired["done"] and manifest.get("meta") is None:
+            fired["done"] = True
+            versioned_drop_column(spark, path, "user")
+        return real_publish(p, manifest)
+
+    add = spark.createDataFrame(
+        [(77, "fresh", 300)], "id long, user string, amount long"
+    )
+    V._publish = racing_publish
+    try:
+        versioned_write(add, path, mode="append")
+    finally:
+        V._publish = real_publish
+    cur = versioned_read(spark, path)
+    # the winner dropped 'user'; serial execution after it would append
+    # a NEW logical 'user' column under a fresh physical name
+    assert cur.filter("id = 77").collect()[0]["user"] == "fresh"
+    assert cur.filter("id = 1").collect()[0]["user"] is None
+    m = V._read_manifest(path, V.table_versions(path)[-1])
+    assert "user" in V._tombstones_of(m)
+    assert "user" in V._mapping_of(m).values()
+
+
+def test_constraint_on_renamed_column_enforces(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_rename_column(spark, path, "amount", "price")
+    versioned_add_constraint(spark, path, "price_pos", "price > 0")
+    bad = spark.createDataFrame(
+        [(9, "x", -1)], "id long, user string, price long"
+    )
+    with pytest.raises(V.ConstraintViolationError, match="price_pos"):
+        versioned_write(bad, path, mode="append")
+    with pytest.raises(V.ConstraintViolationError):
+        versioned_update(
+            spark, path, F.col("id") == 1, {"price": F.lit(-5).cast("long")}
+        )
+    ok = spark.createDataFrame([(9, "x", 1)], "id long, user string, price long")
+    versioned_write(ok, path, mode="append")
+    assert versioned_read(spark, path).count() == 13
+
+
+def _drain_table(spark, path, name, starting_version=0):
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        versioned_stream_source,
+    )
+
+    q = (
+        versioned_stream_source(spark, path, starting_version=starting_version)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_replays_history_across_old_rename(spark, tmp_path):
+    """A stream started AFTER a rename replays pre-rename commits under
+    the pinned (current) logical names — physical names are stable, so
+    old files stream correctly."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)  # v1
+    versioned_rename_column(spark, path, "amount", "price")  # v2
+    versioned_write(
+        spark.createDataFrame([(50, "x", 1)], "id long, user string, price long"),
+        path,
+        mode="append",
+    )  # v3
+    got = _drain_table(spark, path, "colmap_replay")
+    assert "price" in got.columns and "amount" not in got.columns
+    assert got.count() == 13
+    assert got.filter("id = 1").collect()[0]["price"] == 101  # old file, mapped
+
+
+def test_live_stream_fails_on_midstream_rename(spark, tmp_path):
+    """A rename landing while a stream is LIVE (reader already pinned)
+    is a schema change: the next batch plan fails with restart advice
+    (Delta's contract).  A RESTARTED stream re-pins the new schema and
+    continues — tested via the reader object to control pin timing."""
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+        _table_schema,
+    )
+
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    reader = VersionedStreamReader(_table_schema(path), {"path": path})
+    assert len(reader.partitions({"version": 0}, {"version": 1})) > 0
+    versioned_rename_column(spark, path, "amount", "price")  # v2
+    versioned_write(
+        spark.createDataFrame([(50, "x", 1)], "id long, user string, price long"),
+        path,
+        mode="append",
+    )  # v3
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        reader.partitions({"version": 1}, {"version": 3})
+    # a fresh (restarted) stream picks up the new schema and replays
+    got = _drain_table(spark, path, "colmap_restarted")
+    assert "price" in got.columns
+    assert got.count() == 13
+
+
+def test_cdf_stream_fails_on_midstream_drop(spark, tmp_path):
+    import pyspark.errors
+
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        versioned_cdf_stream_source,
+    )
+
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_drop_column(spark, path, "user")
+    versioned_write(
+        spark.createDataFrame([(50, 1)], "id long, amount long"),
+        path,
+        mode="append",
+    )
+
+    def drain(name, sv):
+        q = (
+            versioned_cdf_stream_source(spark, path, sv)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}")
+
+    # started after the drop: replays everything under current schema
+    got = drain("colmap_cdf_ok", 0)
+    assert "user" not in got.columns
+    assert got.count() == 13

@@ -1,0 +1,185 @@
+"""Round-7 CHECK constraints on versioned tables (Delta ``ALTER TABLE
+... ADD CONSTRAINT`` semantics): table-level property, carried into
+every child commit, enforced on write/update/merge with SQL
+three-valued CHECK semantics (NULL passes), violations commit nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    ConstraintViolationError,
+    versioned_add_constraint,
+    versioned_delete,
+    versioned_drop_constraint,
+    versioned_merge,
+    versioned_read,
+    versioned_restore,
+    versioned_update,
+    versioned_vacuum,
+    versioned_write,
+)
+
+
+def _mk(spark, path, rows=None):
+    rows = rows or [(i, 100 + i, "ok") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, amount long, status string")
+    versioned_write(df.repartition(2), path)
+    return df
+
+
+def test_add_constraint_is_metadata_only_then_enforced(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    v = versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    assert v == 2
+    m = V._read_manifest(path, 2)
+    # metadata-only: same visible file set as the parent
+    assert V._entries(m) == V._entries(V._read_manifest(path, 1))
+    assert m["constraints"] == {"amount_pos": "amount > 0"}
+    bad = spark.createDataFrame([(99, -5, "x")], "id long, amount long, status string")
+    with pytest.raises(ConstraintViolationError, match="amount_pos"):
+        versioned_write(bad, path, mode="append")
+    # nothing committed: version list unchanged, table content unchanged
+    assert V.table_versions(path) == [1, 2]
+    assert versioned_read(spark, path).count() == 10
+
+
+def test_add_constraint_rejected_when_existing_data_violates(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path, rows=[(1, 5, "a"), (2, -7, "b")])
+    with pytest.raises(ConstraintViolationError, match="existing data"):
+        versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    assert V.table_versions(path) == [1]
+
+
+def test_null_check_result_passes_sql_semantics(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    with_null = spark.createDataFrame(
+        [(50, None, "n")], "id long, amount long, status string"
+    )
+    versioned_write(with_null, path, mode="append")  # NULL check passes
+    assert versioned_read(spark, path).count() == 11
+
+
+def test_constraints_survive_overwrite_delete_and_restore(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    # overwrite keeps the table property (Delta semantics) and enforces it
+    fresh = spark.createDataFrame([(1, 1, "y")], "id long, amount long, status string")
+    versioned_write(fresh, path, mode="overwrite")
+    assert V._constraints_of(V._read_manifest(path, 3)) == {
+        "amount_pos": "amount > 0"
+    }
+    versioned_delete(spark, path, F.col("id") == 1)  # carry through delete
+    assert V._constraints_of(V._read_manifest(path, 4)) == {
+        "amount_pos": "amount > 0"
+    }
+    versioned_restore(spark, path, 3)
+    assert V._constraints_of(V._read_manifest(path, 5)) == {
+        "amount_pos": "amount > 0"
+    }
+    bad = spark.createDataFrame([(9, 0, "z")], "id long, amount long, status string")
+    with pytest.raises(ConstraintViolationError):
+        versioned_write(bad, path, mode="append")
+
+
+def test_update_violating_constraint_raises_and_orphans(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    with pytest.raises(ConstraintViolationError, match="versioned_update"):
+        versioned_update(
+            spark, path, F.col("id") < 3, {"amount": F.lit(-1).cast("long")}
+        )
+    assert V.table_versions(path) == [1, 2]
+    # the failed attempt's data dir is an orphan; vacuum reclaims it
+    removed = versioned_vacuum(path, clean_orphans=True, orphan_grace_seconds=0)
+    assert len(removed) >= 1
+    # a compliant update still works
+    versioned_update(spark, path, F.col("id") < 3, {"amount": F.lit(7).cast("long")})
+    got = versioned_read(spark, path).filter("id < 3").select("amount").collect()
+    assert [r["amount"] for r in got] == [7, 7, 7]
+
+
+def test_merge_violating_insert_raises(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    src = spark.createDataFrame(
+        [(3, 999, "upd"), (77, -1, "ins")], "id long, amount long, status string"
+    )
+    with pytest.raises(ConstraintViolationError, match="versioned_merge"):
+        versioned_merge(spark, path, src, on=["id"])
+    assert V.table_versions(path) == [1, 2]
+    ok = spark.createDataFrame(
+        [(3, 999, "upd"), (77, 1, "ins")], "id long, amount long, status string"
+    )
+    versioned_merge(spark, path, ok, on=["id"])
+    assert versioned_read(spark, path).count() == 11
+
+
+def test_drop_constraint_then_violating_write_succeeds(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_add_constraint(spark, path, "amount_pos", "amount >= 0")
+    versioned_drop_constraint(spark, path, "amount_pos")
+    with pytest.raises(ValueError, match="no constraint"):
+        versioned_drop_constraint(spark, path, "nope")
+    bad = spark.createDataFrame([(9, -1, "z")], "id long, amount long, status string")
+    versioned_write(bad, path, mode="append")
+    assert versioned_read(spark, path).count() == 11
+
+
+def test_multiple_constraints_report_violated_names(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+    versioned_add_constraint(spark, path, "status_nn", "status IS NOT NULL")
+    bad = spark.createDataFrame(
+        [(1, -1, None)], "id long, amount long, status string"
+    )
+    with pytest.raises(ConstraintViolationError) as ei:
+        versioned_write(bad, path, mode="append")
+    assert "amount_pos" in str(ei.value) and "status_nn" in str(ei.value)
+
+
+def test_unknown_column_in_constraint_fails_analysis(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    with pytest.raises(Exception, match="nope|UNRESOLVED|cannot be resolved"):
+        versioned_add_constraint(spark, path, "bad", "nope > 0")
+    assert V.table_versions(path) == [1]
+
+
+def test_occ_race_loser_enforces_winners_new_constraint(spark, tmp_path):
+    """A committer that loses the publish race to an ADD CONSTRAINT must
+    re-validate its already-written files against the winner's set —
+    serial execution after the winner would have enforced it."""
+    path = str(tmp_path / "vt")
+    _mk(spark, path)
+    real_publish = V._publish
+    fired = {"done": False}
+
+    def racing_publish(p, manifest):
+        if not fired["done"] and manifest.get("meta") is None:
+            fired["done"] = True
+            versioned_add_constraint(spark, path, "amount_pos", "amount > 0")
+        return real_publish(p, manifest)
+
+    bad = spark.createDataFrame([(9, -1, "z")], "id long, amount long, status string")
+    V._publish = racing_publish
+    try:
+        with pytest.raises(ConstraintViolationError, match="post-race"):
+            versioned_write(bad, path, mode="append")
+    finally:
+        V._publish = real_publish
+    assert versioned_read(spark, path).count() == 10
