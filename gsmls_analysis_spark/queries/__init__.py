@@ -59,6 +59,7 @@ _DRIVER_WINDOW = [
     "q_versioned_constraints",  # CHECK constraints, rejected commits
     "q_versioned_rename",  # column mapping: rename/drop, no rewrite
     "q_versioned_batch_source",  # Python DataSource batch + pushFilters
+    "q_versioned_sink_roundtrip",  # native write path (ArrowWriter 2PC)
     # (b) code changed in round 7 — must re-verify through the driver:
     # the whole versioned layer (deletion vectors touched every
     # read/rewrite path + the five r6-ADVICE protocol fixes) ...
@@ -105,7 +106,6 @@ _DRIVER_WINDOW = [
     "q_lot_size_parse",
     "q_town_suffix_strip",
     "q_apn_normalize",
-    "q_year_bounds_repair",
     "q_date_derivations",
 ]
 

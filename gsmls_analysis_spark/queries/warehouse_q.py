@@ -1936,3 +1936,63 @@ def q_versioned_batch_source(spark, sf_dir):
     return versioned_batch_source(spark, path).filter(
         F.col("o_totalprice") >= 50000
     )
+
+
+@query(
+    "q_versioned_sink_roundtrip",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, source, n_chars, CAST(1 AS BIGINT) AS _commit_version
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, n_chars * 2, CAST(2 AS BIGINT)
+  FROM documents WHERE lang = 'en'
+)
+SELECT * FROM u WHERE n_chars >= 300
+""",
+    doc="engine-native WRITE path round-trip (versioned_stream.py::"
+    "VersionedBatchWriter, Spark 4 DataSourceArrowWriter): the corpus "
+    "is written with df.write.format('versioned_table') — executor "
+    "tasks stream Arrow batches into token-staged parquet files and "
+    "the driver-side commit() publishes the manifest with the same "
+    "stats collection, schema enforcement and OCC retry as "
+    "versioned_write (two-phase commit; abort leaves nothing visible) "
+    "— then a second sink append lands a derived batch, and the query "
+    "reads it back through the batch source with a pushed-down filter "
+    "and per-commit provenance.  Oracle: the union of both writes "
+    "under the same filter.  tests/test_r7_sinkds.py proves sink "
+    "writes carry footer stats (corrupt-file pruning), constraint "
+    "rejection is atomic even in the sessionless commit worker, and "
+    "column mapping translates on the way in.",
+)
+def q_versioned_sink_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned_stream import (
+        VersionedTableDataSource,
+        versioned_batch_source,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="versioned_sink_") + "/t"
+    (
+        base.repartitionByRange(4, "doc_id")
+        .write.format("versioned_table")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    derived = docs.filter(F.col("lang") == "en").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        (F.col("n_chars") * 2).alias("n_chars"),
+    )
+    (
+        derived.write.format("versioned_table")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    return versioned_batch_source(spark, path).filter(F.col("n_chars") >= 300)

@@ -498,6 +498,54 @@ def _enforce_constraints(df: DataFrame, constraints: dict[str, str], op: str):
         )
 
 
+def _enforce_constraints_files(
+    root: str, data_dir: str, p2l: dict[str, str], constraints: dict[str, str]
+) -> None:
+    """Sessionless CHECK validation of just-written parquet files (the
+    native sink's commit() runs in a driver-side Python worker with no
+    SparkSession): DuckDB evaluates each constraint over the files with
+    physical columns aliased to logical names.  Enforce-or-refuse: an
+    expression DuckDB cannot evaluate REJECTS the commit (never silently
+    skips) — use ``versioned_write`` for dialect-specific constraints.
+    CHECK expressions are deterministic scalar SQL (Delta restricts them
+    the same way), so the common comparisons evaluate identically."""
+    if not constraints:
+        return
+    import glob as _glob
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        _glob.glob(os.path.join(root, data_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        return
+    names = pq.ParquetFile(files[0]).schema_arrow.names
+    sel = ", ".join(f'"{n}" AS "{p2l.get(n, n)}"' for n in names)
+    flist = ", ".join(f"'{f}'" for f in files)
+    inner = f"SELECT {sel} FROM read_parquet([{flist}])"
+    con = duckdb.connect()
+    for name in sorted(constraints):
+        sql = constraints[name]
+        try:
+            bad = con.execute(
+                f"SELECT count(*) FROM ({inner}) "  # noqa: S608 - local files
+                f"WHERE NOT coalesce(({sql}), TRUE)"
+            ).fetchone()[0]
+        except Exception as e:
+            raise ConstraintViolationError(
+                f"native sink cannot validate CHECK constraint {name!r} "
+                f"({sql!r}): {e}.  Nothing was committed — use "
+                "versioned_write for this expression."
+            ) from e
+        if bad:
+            raise ConstraintViolationError(
+                f"versioned_table sink violates CHECK constraint {name!r} "
+                f"({sql!r}) on {bad} row(s); nothing was committed"
+            )
+
+
 def versioned_add_constraint(
     spark: SparkSession, path: str, name: str, expr_sql: str
 ) -> int:

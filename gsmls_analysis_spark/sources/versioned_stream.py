@@ -43,9 +43,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -103,12 +105,21 @@ def _check_mapping_unchanged(kind: str, path: str, v: int, m: dict, state):
 
 
 class VersionedTableDataSource(DataSource):
-    """``spark.readStream.format("versioned_table").option("path", p)``.
+    """One registered format, three engine-native legs:
 
-    Options: ``path`` (required), ``startingVersion`` (emit commits
-    AFTER this version; default 0 = the whole history),
-    ``ignoreChanges`` ('true' to keep streaming across non-append
-    commits, re-emitting their rewritten files)."""
+    - STREAM source: ``spark.readStream.format("versioned_table")`` —
+      options ``path`` (required), ``startingVersion`` (emit commits
+      AFTER this version; default 0 = the whole history),
+      ``ignoreChanges`` ('true' to keep streaming across non-append
+      commits, re-emitting their rewritten files),
+      ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (Delta-style
+      commit-granular admission control for bounded backfills).
+    - BATCH source: ``spark.read.format("versioned_table")`` — options
+      ``path``, ``version`` / ``timestampAsOf`` (time travel); filters
+      push down into manifest pruning (see VersionedBatchReader).
+    - BATCH sink: ``df.write.format("versioned_table")`` with
+      mode overwrite/append — two-phase commit onto the versioned
+      protocol (see VersionedBatchWriter)."""
 
     @classmethod
     def name(cls) -> str:
@@ -137,6 +148,66 @@ class VersionedTableDataSource(DataSource):
     def reader(self, schema: StructType) -> "VersionedBatchReader":
         return VersionedBatchReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> "VersionedBatchWriter":
+        return VersionedBatchWriter(schema, overwrite, dict(self.options))
+
+
+def _admit_commits(
+    path: str,
+    base: int,
+    max_files: int | None,
+    max_bytes: int | None,
+) -> int:
+    """Admission control (Delta's maxFilesPerTrigger/maxBytesPerTrigger):
+    the end offset for the next micro-batch, advancing commit-by-commit
+    past ``base`` while the cumulative NEW-file budget holds.  At least
+    one commit is always admitted (progress guarantee); commits that add
+    nothing (metadata-only, OPTIMIZE, DV) are free.  This is what keeps
+    a backfill of a year-old table from planning one million-file batch:
+    the stream drains history in bounded, checkpointed steps."""
+    versions = table_versions(path)
+    if not versions:
+        return base
+    newest = versions[-1]
+    if (max_files is None and max_bytes is None) or base >= newest:
+        return newest
+    root = os.path.abspath(path)
+    prev: set[str] | None = None
+    used_files = 0
+    used_bytes = 0
+    end = base
+    for v in versions:
+        if v <= base:
+            if v == base:
+                prev = set(_expand_files(root, _entries(_read_manifest(path, v))))
+            continue
+        m = _read_manifest(path, v)
+        cur = set(_expand_files(root, _entries(m)))
+        if prev is None:  # base==0 or base's manifest vacuumed: diff from empty
+            prev = set()
+        added = cur - prev
+        n_bytes = 0
+        if max_bytes is not None:
+            for f in added:
+                try:
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        over = (
+            max_files is not None and used_files + len(added) > max_files
+        ) or (max_bytes is not None and used_bytes + n_bytes > max_bytes)
+        if over and end > base:
+            break  # budget exhausted AND we already admitted something
+        used_files += len(added)
+        used_bytes += n_bytes
+        end = v
+        prev = cur
+        if (max_files is not None and used_files >= max_files) or (
+            max_bytes is not None and used_bytes >= max_bytes
+        ):
+            break
+    return end
+
 
 class VersionedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
@@ -146,19 +217,42 @@ class VersionedStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignorechanges", "false")
         ).lower() in ("true", "1")
+        mf = options.get("maxfilespertrigger")
+        mb = options.get("maxbytespertrigger")
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        # admission high-watermark: set by initialOffset (fresh stream)
+        # or by the first partitions() call (restart — whose FIRST batch
+        # is therefore unbounded; admission resumes from the second.
+        # Delta's restart semantics differ only in that its checkpoint
+        # carries the rate-limit watermark).
+        self._high: int | None = None
         # column mapping pinned at stream start: logical field -> the
         # stable physical name inside every data file
         self._map_state = _mapping_state(self._path)
         self._l2p = {l: p for p, l in self._map_state[0].items()}
 
     def initialOffset(self) -> dict:
+        self._high = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         versions = table_versions(self._path)
-        return {"version": versions[-1] if versions else self._start}
+        newest = versions[-1] if versions else self._start
+        if self._max_files is None and self._max_bytes is None:
+            return {"version": newest}
+        if self._high is None:
+            # restarted stream: the checkpointed start offset is not
+            # visible here — admit everything once, then rate-limit
+            return {"version": newest}
+        return {
+            "version": _admit_commits(
+                self._path, self._high, self._max_files, self._max_bytes
+            )
+        }
 
     def partitions(self, start: dict, end: dict):
+        self._high = int(end["version"])  # admission watermark
         out: list[InputPartition] = []
         root = os.path.abspath(self._path)
         prev_files: set[str] | None = None
@@ -277,18 +371,28 @@ def versioned_stream_source(
     path: str,
     starting_version: int = 0,
     ignore_changes: bool = False,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Register the data source (idempotent) and open a stream tailing
     ``path``.  Compose with any streaming transformation/sink — e.g.
-    tail a CDC-maintained table into a downstream aggregate."""
+    tail a CDC-maintained table into a downstream aggregate.
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger``: Delta-style
+    admission control — each micro-batch admits whole commits up to the
+    budget, so backfilling deep history runs in bounded, checkpointed
+    steps instead of one table-sized batch."""
     spark.dataSource.register(VersionedTableDataSource)
-    return (
+    r = (
         spark.readStream.format("versioned_table")
         .option("path", path)
         .option("startingVersion", str(starting_version))
         .option("ignoreChanges", str(ignore_changes).lower())
-        .load()
     )
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    return r.load()
 
 
 # ---------------------------------------------------------------------------
@@ -349,19 +453,35 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._path = options["path"]
         self._start = int(options.get("startingversion", 0))
+        mf = options.get("maxfilespertrigger")
+        mb = options.get("maxbytespertrigger")
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        self._high: int | None = None
         self._map_state = _mapping_state(self._path)
         self._l2p = {l: p for p, l in self._map_state[0].items()}
 
     def initialOffset(self) -> dict:
+        self._high = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         versions = table_versions(self._path)
-        return {"version": versions[-1] if versions else self._start}
+        newest = versions[-1] if versions else self._start
+        if self._max_files is None and self._max_bytes is None:
+            return {"version": newest}
+        if self._high is None:
+            return {"version": newest}  # restart: see VersionedStreamReader
+        return {
+            "version": _admit_commits(
+                self._path, self._high, self._max_files, self._max_bytes
+            )
+        }
 
     def partitions(self, start: dict, end: dict):
         from .versioned import _load_dvs
 
+        self._high = int(end["version"])  # admission watermark
         out: list[InputPartition] = []
         root = os.path.abspath(self._path)
         retained = table_versions(self._path)
@@ -463,19 +583,29 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
 
 
 def versioned_cdf_stream_source(
-    spark: SparkSession, path: str, starting_version: int = 0
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Register the CDF data source (idempotent) and open a change-feed
     stream tailing ``path`` — rows are the table's row-level changes
     with ``_change`` ∈ {insert, delete, update_preimage,
-    update_postimage} and ``_commit_version``."""
+    update_postimage} and ``_commit_version``.  The max-per-trigger
+    options apply the same commit-granular admission control as the
+    table stream source."""
     spark.dataSource.register(VersionedCdfDataSource)
-    return (
+    r = (
         spark.readStream.format("versioned_cdf")
         .option("path", path)
         .option("startingVersion", str(starting_version))
-        .load()
     )
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    return r.load()
 
 
 # ---------------------------------------------------------------------------
@@ -661,3 +791,243 @@ def versioned_batch_source(
     if timestamp_as_of is not None:
         r = r.option("timestampAsOf", repr(float(timestamp_as_of)))
     return r.load()
+
+
+# ---------------------------------------------------------------------------
+# BATCH write through the same data source (DataSourceArrowWriter):
+# ``df.write.format("versioned_table").option("path", p).mode(...)`` —
+# the engine-native two-phase commit onto the versioned protocol.
+# Executor tasks stream Arrow batches into per-task parquet files inside
+# a private token-staged directory (physical column names); the driver's
+# commit() renames the staging dir to its versioned name and publishes
+# the manifest with the same stats/Bloom/pvals collection, schema
+# evolution/enforcement, CHECK-constraint validation, and OCC retry as
+# ``versioned_write``.  abort() removes the staging dir — a failed job
+# leaves nothing visible (the manifest is the only commit point).
+# Concurrency: blind-append races re-resolve and re-publish (same as
+# versioned_write); a concurrent METADATA change (rename/drop/partition
+# change) aborts with CommitConflictError — Delta's
+# MetadataChangedException contract — because the executor files were
+# already written under the old physical mapping.
+# Caveat vs versioned_write: partition_by clustering cannot be imposed
+# from inside the sink (tasks see only their own rows) — pre-repartition
+# the DataFrame; pvals stay exact either way, so pruning stays sound.
+# ---------------------------------------------------------------------------
+
+
+class _VersionedWriteMessage(WriterCommitMessage):
+    def __init__(self, rel_file: str):
+        self.rel_file = rel_file
+
+
+class VersionedBatchWriter(DataSourceArrowWriter):
+    def __init__(self, schema: StructType, overwrite: bool, options: dict):
+        from .versioned import _commit_token
+
+        self._path = options["path"]
+        self._root = os.path.abspath(self._path)
+        self._overwrite = overwrite
+        self._schema = schema
+        self._token = _commit_token()
+        versions = table_versions(self._path)
+        pm = _read_manifest(self._path, versions[-1]) if versions else None
+        self._pm_version = versions[-1] if versions else 0
+        # pin the logical->physical rename decisions NOW (tasks write
+        # the stable physical names; commit() re-checks for races)
+        if not overwrite and pm is not None:
+            from .versioned import _l2p_of, _mapping_of, _tombstones_of
+
+            l2p = _l2p_of(pm)
+            taken = set(_tombstones_of(pm)) | set(_mapping_of(pm))
+            self._renames = {}
+            self._added_mapping = {}
+            for f in schema.fields:
+                c = f.name
+                if c in l2p:
+                    self._renames[c] = l2p[c]
+                elif c in taken:
+                    pc = f"{c}__{self._token}"
+                    self._renames[c] = pc
+                    self._added_mapping[pc] = c
+        else:
+            self._renames, self._added_mapping = {}, {}
+        self._staging = f"data/stage-{self._token}"
+        os.makedirs(os.path.join(self._root, self._staging), exist_ok=True)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"{self._staging}/part-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self._root, rel)
+        writer = None
+        try:
+            for batch in iterator:
+                if self._renames:
+                    batch = pa.RecordBatch.from_arrays(
+                        batch.columns,
+                        names=[
+                            self._renames.get(n, n) for n in batch.schema.names
+                        ],
+                    )
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _VersionedWriteMessage(None)  # empty task: no file
+        return _VersionedWriteMessage(rel)
+
+    def commit(self, messages):
+        from pyspark.sql.types import StructField
+
+        from .versioned import (
+            CommitConflictError,
+            _MAX_COMMIT_RETRIES,
+            _bloom_cols_of,
+            _collect_stats,
+            _constraints_of,
+            _enforce_constraints,
+            _evolve_schema,
+            _logical_view,
+            _l2p_of,
+            _mapping_of,
+            _merge_txns,
+            _publish,
+            _read_manifest,
+            _tombstones_of,
+        )
+        from pyspark.sql import SparkSession
+
+        files = [
+            m.rel_file
+            for m in messages
+            if m is not None and m.rel_file is not None
+        ]
+        staged = os.path.join(self._root, self._staging)
+        if not files:
+            # zero-row write: still a commit (empty version / no-op append)
+            pass
+        versions = table_versions(self._path)
+        parent = versions[-1] if versions else 0
+        pm = _read_manifest(self._path, parent) if parent else None
+        version = parent + 1
+        # physical schema of the written files
+        phys_fields = [
+            StructField(self._renames.get(f.name, f.name), f.dataType, True)
+            for f in self._schema.fields
+        ]
+        phys_schema = StructType(phys_fields)
+        data_dir = f"data/v{version}-{self._token}"
+        os.rename(staged, os.path.join(self._root, data_dir))
+        self._final_dir = data_dir  # for abort() cleanup after a rename
+        from .versioned import _enforce_constraints_files
+
+        spark = SparkSession.getActiveSession()
+        cons = _constraints_of(pm)
+        mapping0 = (_mapping_of(pm), _tombstones_of(pm)) if pm else ({}, [])
+
+        def enforce():
+            if not (cons and files):
+                return
+            p2l = {**mapping0[0], **self._added_mapping}
+            if spark is not None:
+                _enforce_constraints(
+                    _logical_view(
+                        spark.read.schema(phys_schema).parquet(
+                            os.path.join(self._root, data_dir)
+                        ),
+                        {"column_mapping": p2l},
+                    ),
+                    cons,
+                    "versioned_table sink",
+                )
+            else:
+                # commit() runs in a driver-side Python worker with no
+                # SparkSession: validate sessionless (enforce-or-refuse)
+                _enforce_constraints_files(self._root, data_dir, p2l, cons)
+
+        enforce()
+        bloom_cols = _bloom_cols_of(pm) if pm else None
+        pval_cols = pm.get("partition_by") if pm else None
+        my_stats = _collect_stats(
+            self._root, [data_dir], bloom_cols=bloom_cols, pval_cols=pval_cols
+        )
+        for _ in range(_MAX_COMMIT_RETRIES):
+            manifest = {
+                "version": version,
+                "parent": parent,
+                "data_dirs": [data_dir],
+                "schema": phys_schema.json(),
+                "stats": dict(my_stats),
+            }
+            if not self._overwrite and pm:
+                if (_mapping_of(pm), _tombstones_of(pm)) != mapping0:
+                    raise CommitConflictError(
+                        "versioned_table sink: the table's column mapping "
+                        "changed during the write (concurrent rename/drop)."
+                        "  The staged files carry the old physical names — "
+                        "re-run the write (Delta's MetadataChanged abort)."
+                    )
+                manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
+                if pm.get("data_files"):
+                    manifest["data_files"] = pm["data_files"]
+                full_map = {**_mapping_of(pm), **self._added_mapping}
+                if full_map:
+                    manifest["column_mapping"] = full_map
+                if _tombstones_of(pm):
+                    manifest["dropped_columns"] = _tombstones_of(pm)
+                if pm.get("dvs"):
+                    manifest["dvs"] = pm["dvs"]
+                manifest["stats"] = {**(pm.get("stats") or {}), **my_stats}
+                if pm.get("schema"):
+                    manifest["schema"] = _evolve_schema(
+                        pm["schema"], phys_schema
+                    )
+                if pm.get("partition_by"):
+                    manifest["partition_by"] = pm["partition_by"]
+            if cons:
+                manifest["constraints"] = cons
+            manifest["txns"] = _merge_txns(pm, None)
+            if _publish(self._path, manifest):
+                return
+            versions = table_versions(self._path)
+            parent = versions[-1]
+            pm = _read_manifest(self._path, parent)
+            version = parent + 1
+            new_dir = f"data/v{version}-{self._token}"
+            os.rename(
+                os.path.join(self._root, data_dir),
+                os.path.join(self._root, new_dir),
+            )
+            data_dir = new_dir
+            self._final_dir = data_dir
+            my_stats = _collect_stats(
+                self._root,
+                [data_dir],
+                bloom_cols=_bloom_cols_of(pm),
+                pval_cols=pm.get("partition_by"),
+            )
+            new_cons = _constraints_of(pm)
+            if new_cons != cons:
+                cons = new_cons
+                enforce()
+
+        raise CommitConflictError(
+            f"versioned_table sink lost the publish race "
+            f"{_MAX_COMMIT_RETRIES} times on {self._path}"
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        for d in (self._staging, getattr(self, "_final_dir", None)):
+            if not d:
+                continue
+            full = os.path.join(self._root, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)

@@ -1,0 +1,205 @@
+"""Round-7 native write path + stream admission control:
+``df.write.format("versioned_table")`` (DataSourceArrowWriter two-phase
+commit onto the versioned protocol) and Delta-style
+maxFilesPerTrigger/maxBytesPerTrigger for the stream sources."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_add_constraint,
+    versioned_read,
+    versioned_rename_column,
+    versioned_vacuum,
+    versioned_write,
+)
+from gsmls_analysis_spark.sources.versioned_stream import (
+    VersionedStreamReader,
+    VersionedTableDataSource,
+    _table_schema,
+)
+
+
+def _sink(df, path, mode="append"):
+    (
+        df.write.format("versioned_table")
+        .option("path", path)
+        .mode(mode)
+        .save()
+    )
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(VersionedTableDataSource)
+    return spark
+
+
+# ---------------------------------------------------------------- admission
+
+
+def test_max_files_per_trigger_batches_commits(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        versioned_write(
+            spark.createDataFrame([(i,)], "id long").coalesce(1),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    reader = VersionedStreamReader(
+        _table_schema(path), {"path": path, "maxfilespertrigger": "2"}
+    )
+    assert reader.initialOffset() == {"version": 0}
+    end1 = reader.latestOffset()
+    assert end1 == {"version": 2}  # two 1-file commits fit the budget
+    assert len(reader.partitions({"version": 0}, end1)) == 2
+    end2 = reader.latestOffset()
+    assert end2 == {"version": 4}
+    assert len(reader.partitions(end1, end2)) == 2
+    assert reader.latestOffset() == {"version": 4}  # caught up
+
+
+def test_admission_always_admits_one_commit(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(12).select(F.col("id")).repartition(3), path
+    )  # one commit, 3 files
+    reader = VersionedStreamReader(
+        _table_schema(path), {"path": path, "maxfilespertrigger": "1"}
+    )
+    reader.initialOffset()
+    # the 3-file commit exceeds the budget but must still be admitted
+    assert reader.latestOffset() == {"version": 1}
+
+
+def test_max_bytes_per_trigger(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    for i in range(3):
+        versioned_write(
+            spark.range(i * 10, i * 10 + 10).coalesce(1),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    reader = VersionedStreamReader(
+        _table_schema(path), {"path": path, "maxbytespertrigger": "1"}
+    )
+    reader.initialOffset()
+    # 1-byte budget: every batch admits exactly one commit
+    assert reader.latestOffset() == {"version": 1}
+    reader.partitions({"version": 0}, {"version": 1})
+    assert reader.latestOffset() == {"version": 2}
+
+
+def test_unlimited_without_options(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    for i in range(3):
+        versioned_write(
+            spark.createDataFrame([(i,)], "id long"),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    reader = VersionedStreamReader(_table_schema(path), {"path": path})
+    reader.initialOffset()
+    assert reader.latestOffset() == {"version": 3}
+
+
+# ------------------------------------------------------------------- writer
+
+
+def test_sink_overwrite_creates_and_append_matches(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, 100 + i) for i in range(20)], "id long, amount long"
+    )
+    _sink(df.repartition(3), path, mode="overwrite")
+    assert V.table_versions(path) == [1]
+    assert sorted(versioned_read(spark, path).collect()) == sorted(df.collect())
+    _sink(spark.createDataFrame([(100, 1)], "id long, amount long"), path)
+    assert versioned_read(spark, path).count() == 21
+    # the sink collected footer stats: a predicate read prunes files,
+    # proven by corrupting every pruned file on disk
+    m = V._read_manifest(path, 2)
+    root = os.path.abspath(path)
+    all_files = V._expand_files(root, V._entries(m))
+    pred = F.col("amount") <= 1
+    kept = V.prune_candidate_files(spark, m, all_files, pred)
+    assert 0 < len(kept) < len(all_files)
+    for f in set(all_files) - set(kept):
+        with open(os.path.join(root, f), "wb") as fh:
+            fh.write(b"garbage")
+    assert versioned_read(spark, path, predicate=pred).count() == 1
+
+
+def test_sink_append_after_rename_translates(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    _sink(
+        spark.createDataFrame([(1, 10)], "id long, amount long"),
+        path,
+        mode="overwrite",
+    )
+    versioned_rename_column(spark, path, "amount", "price")
+    _sink(spark.createDataFrame([(2, 20)], "id long, price long"), path)
+    got = versioned_read(spark, path)
+    assert got.columns == ["id", "price"]
+    assert sorted((r["id"], r["price"]) for r in got.collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+    # files kept the stable physical name
+    import pyarrow.parquet as pq
+
+    root = os.path.abspath(path)
+    m = V._read_manifest(path, 3)
+    for f in V._expand_files(root, V._entries(m)):
+        assert "amount" in pq.ParquetFile(os.path.join(root, f)).schema_arrow.names
+
+
+def test_sink_constraint_rejects_atomically(registered, tmp_path):
+    """commit() runs in a sessionless Python worker: enforcement goes
+    through the DuckDB file validator and must still reject atomically."""
+    spark = registered
+    path = str(tmp_path / "t")
+    _sink(
+        spark.createDataFrame([(1, 10)], "id long, amount long"),
+        path,
+        mode="overwrite",
+    )
+    versioned_add_constraint(spark, path, "amount_pos", "amount >= 0")
+    with pytest.raises(Exception, match="amount_pos"):
+        _sink(spark.createDataFrame([(2, -5)], "id long, amount long"), path)
+    assert V.table_versions(path) == [1, 2]
+    assert versioned_read(spark, path).count() == 1
+    # the rejected attempt's renamed dir is an orphan; vacuum reclaims it
+    assert len(versioned_vacuum(path, clean_orphans=True, orphan_grace_seconds=0)) >= 1
+    _sink(spark.createDataFrame([(3, 5)], "id long, amount long"), path)
+    assert versioned_read(spark, path).count() == 2
+
+
+def test_sink_schema_evolution_and_type_enforcement(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    _sink(
+        spark.createDataFrame([(1, 10)], "id long, amount long"),
+        path,
+        mode="overwrite",
+    )
+    _sink(
+        spark.createDataFrame([(2, 20, "x")], "id long, amount long, tag string"),
+        path,
+    )
+    got = versioned_read(spark, path)
+    assert got.columns == ["id", "amount", "tag"]
+    assert got.filter("id = 1").collect()[0]["tag"] is None
+    with pytest.raises(Exception, match="schema enforcement"):
+        _sink(
+            spark.createDataFrame([(3, "oops")], "id long, amount string"),
+            path,
+        )
+    assert versioned_read(spark, path).count() == 2
