@@ -62,6 +62,11 @@ HEADLINE = [
     # r4 verdict item 8: bench the remaining heavy additions
     "q_golden_record",  # entity resolution: CC + keep-best + coalesce
     "q_multimodal_bmp_decode",  # real codec round-trip (r5): mapInPandas
+    # r7: the lakehouse write/read paths get bench entries — each run
+    # includes the versioned-table writes, so regressions in commit
+    # costs (stats collection, DV planning, sink 2PC) are visible
+    "q_versioned_delete_dv",  # merge-on-read delete: sidecar planning
+    "q_versioned_batch_source",  # native DS read incl. pushdown pruning
 ]
 
 

@@ -60,6 +60,8 @@ _DRIVER_WINDOW = [
     "q_versioned_rename",  # column mapping: rename/drop, no rewrite
     "q_versioned_batch_source",  # Python DataSource batch + pushFilters
     "q_versioned_sink_roundtrip",  # native write path (ArrowWriter 2PC)
+    "q_versioned_generated",  # GENERATED ALWAYS AS, stored model
+    "q_versioned_history",  # DESCRIBE HISTORY, metadata-only
     # (b) code changed in round 7 — must re-verify through the driver:
     # the whole versioned layer (deletion vectors touched every
     # read/rewrite path + the five r6-ADVICE protocol fixes) ...
@@ -104,8 +106,6 @@ _DRIVER_WINDOW = [
     "q19_discounted_revenue",
     "q_currency_clean",
     "q_lot_size_parse",
-    "q_town_suffix_strip",
-    "q_apn_normalize",
     "q_date_derivations",
 ]
 

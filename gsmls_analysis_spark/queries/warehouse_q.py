@@ -1996,3 +1996,114 @@ def q_versioned_sink_roundtrip(spark, sf_dir):
         .save()
     )
     return versioned_batch_source(spark, path).filter(F.col("n_chars") >= 300)
+
+
+@query(
+    "q_versioned_generated",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY 1
+""",
+    doc="generated columns (sources/versioned.py::"
+    "versioned_add_generated_column, Delta GENERATED ALWAYS AS, stored "
+    "model): finished orders are committed WITH a precomputed "
+    "order_year, the generation rule 'CAST(year(o_orderdate) AS "
+    "BIGINT)' is declared (metadata-only commit; one validation scan "
+    "proves existing data already satisfies it), and open orders "
+    "append WITHOUT the column — the write computes it.  Any commit "
+    "that PROVIDES a divergent value is rejected by the auto-created "
+    "CHECK (IS NOT DISTINCT FROM — validated identically by Spark and "
+    "by the native sink's sessionless DuckDB path; "
+    "tests/test_r7_gencols.py).  Oracle: the year histogram computed "
+    "directly.  This is the Delta mechanism that makes hidden "
+    "partition columns (year(ts)) trustworthy at 100 TB: the rule, "
+    "not the writer, owns the value.",
+)
+def q_versioned_generated(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_add_generated_column,
+        versioned_read,
+        versioned_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_gen_")
+    base = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    versioned_write(base.repartition(4), path)
+    versioned_add_generated_column(
+        spark, path, "order_year", "CAST(year(o_orderdate) AS BIGINT)"
+    )
+    versioned_write(
+        orders.filter(F.col("o_orderstatus") == "O"), path, mode="append"
+    )
+    return (
+        versioned_read(spark, path)
+        .groupBy("order_year")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q_versioned_history",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS version, 'WRITE' AS operation,
+       CAST(0 AS BIGINT) AS dv_deleted_rows
+UNION ALL
+SELECT 2, 'APPEND', 0
+UNION ALL
+SELECT 3, 'DELETE (deletion vectors)',
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+UNION ALL
+SELECT 4, 'RENAME COLUMN',
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+UNION ALL
+SELECT 5, 'ADD CONSTRAINT',
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+""",
+    doc="DESCRIBE HISTORY (sources/versioned.py::table_history, the "
+    "Delta op): after a scripted write → append → deletion-vector "
+    "delete → metadata-only rename → ADD CONSTRAINT, the history view "
+    "labels every retained commit and carries the cumulative DV-deleted "
+    "row count — all from one manifest JSON read per version, zero "
+    "data files opened (the audit surface of a 100 TB table costs "
+    "kilobytes).  Oracle: the expected operation ledger with the DV "
+    "count computed from the same predicate.",
+)
+def q_versioned_history(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        table_history,
+        versioned_add_constraint,
+        versioned_delete_dv,
+        versioned_rename_column,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_hist_")
+    versioned_write(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(2), path
+    )
+    versioned_write(
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1), path, mode="append"
+    )
+    versioned_delete_dv(
+        spark, path, (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0)
+    )
+    versioned_rename_column(spark, path, "n_chars", "doc_len")
+    versioned_add_constraint(spark, path, "len_nonneg", "doc_len >= 0")
+    return table_history(spark, path).select(
+        "version", "operation", "dv_deleted_rows"
+    )

@@ -170,11 +170,16 @@ def versioned_write(
     pm = _read_manifest(path, parent) if parent else None
     version = parent + 1
     token = _commit_token()
+    # generated columns (a table property, both modes): compute any the
+    # caller omitted; provided values are validated by the paired CHECK
+    gens = _generated_of(pm)
+    if gens:
+        df = _apply_generated(df, pm)
     # column mapping: the caller speaks LOGICAL names; appends translate
     # to the table's physical names before anything touches disk.
     # Overwrite RESETS mapping and tombstones (the new schema is the
     # whole table; old files with dead physical names are gone).
-    df0 = df  # as passed, logical
+    df0 = df  # logical, generation applied
     renames: dict[str, str] = {}
     added_mapping: dict[str, str] = {}
     if mode == "append" and pm:
@@ -239,6 +244,8 @@ def versioned_write(
             manifest["partition_by"] = list(partition_by)
         if cons:
             manifest["constraints"] = cons
+        if gens:
+            manifest["generated"] = gens
         if mode == "append" and pm:
             manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
             if pm.get("data_files"):
@@ -275,6 +282,14 @@ def versioned_write(
         version = parent + 1
         recollect = False
         if mode == "append":
+            # the winner may have added a generated column: serial
+            # execution after it would have computed the column — redo
+            # generation over the ORIGINAL frame, then re-translate
+            new_gens = _generated_of(pm)
+            if new_gens != gens:
+                gens = new_gens
+                df0 = _apply_generated(df0, pm)
+                renames = {"__force_rewrite__": ""}  # decisions invalid
             # the winner may have renamed/dropped columns: re-derive the
             # logical→physical translation; if any decision changed, the
             # already-written files carry wrong physical names and must
@@ -443,6 +458,8 @@ def _carry_table_props(manifest: dict, pm: dict | None) -> dict:
         manifest["column_mapping"] = pm["column_mapping"]
     if pm and pm.get("dropped_columns"):
         manifest["dropped_columns"] = pm["dropped_columns"]
+    if pm and pm.get("generated"):
+        manifest["generated"] = pm["generated"]
     return manifest
 
 
@@ -583,6 +600,79 @@ def versioned_add_constraint(
     return _with_occ_retry("versioned_add_constraint", attempt)
 
 
+def versioned_add_generated_column(
+    spark: SparkSession, path: str, name: str, expr_sql: str
+) -> int:
+    """GENERATED ALWAYS AS (expr) — the Delta model, stored not virtual:
+    after this metadata-only commit, every ``versioned_write`` computes
+    the column from ``expr_sql`` when the incoming DataFrame lacks it,
+    and any commit that PROVIDES the column is validated against the
+    expression via an auto-created CHECK constraint (``name IS NOT
+    DISTINCT FROM (expr)``) — so a stale or hand-written value can never
+    diverge from the generation rule (update/merge outputs included,
+    and the native sink's sessionless DuckDB validator understands the
+    same predicate).  The expression must be evaluable over the
+    CURRENT rows (one validation scan backfills nothing — existing rows
+    must already carry the column or the table must be empty of it:
+    add generated columns before the first write that should compute
+    them, or provide values that satisfy the rule).  Renaming/dropping
+    referenced columns is blocked through the constraint.  Returns the
+    new version number."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        parent = versions[-1]
+        pm = _read_manifest(path, parent)
+        logical = _logical_struct(pm)
+        gens = dict(pm.get("generated") or {})
+        if name in gens:
+            raise ValueError(f"generated column {name!r} already defined")
+        check_sql = f"{name} IS NOT DISTINCT FROM ({expr_sql})"
+        cons = _constraints_of(pm)
+        gen_cons_name = f"__gen_{name}"
+        if gen_cons_name in cons:
+            raise ValueError(f"constraint {gen_cons_name!r} already exists")
+        cur = versioned_read(spark, path, version=parent)
+        if logical is not None and name not in logical.names:
+            # declare-before-data: existing rows must not silently lack
+            # the column — only an empty table may add it untyped
+            if cur.limit(1).count():
+                raise ValueError(
+                    f"generated column {name!r} does not exist and the "
+                    "table has rows; backfill via versioned_update first "
+                    "or add the generation rule while the table is empty"
+                )
+        else:
+            _enforce_constraints(
+                cur,
+                {gen_cons_name: check_sql},
+                f"ADD GENERATED COLUMN {name!r}: existing data",
+            )
+        manifest = _metadata_only_child(pm, meta={"add_generated": name})
+        manifest["generated"] = {**gens, name: expr_sql}
+        manifest["constraints"] = {**cons, gen_cons_name: check_sql}
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_add_generated_column", attempt)
+
+
+def _generated_of(manifest: dict | None) -> dict[str, str]:
+    return dict((manifest or {}).get("generated") or {})
+
+
+def _apply_generated(df: DataFrame, pm: dict | None) -> DataFrame:
+    """Compute any generated column the incoming (logical-space) append
+    lacks.  Columns the caller provided pass through — the paired CHECK
+    constraint then proves they match the rule."""
+    for name, sql in sorted(_generated_of(pm).items()):
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(sql))
+    return df
+
+
 def versioned_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing the
     named CHECK constraint.  Raises if it does not exist (Delta's
@@ -598,6 +688,12 @@ def versioned_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
         if name not in cons:
             raise ValueError(
                 f"no constraint {name!r} on {path}; has {sorted(cons)}"
+            )
+        if name.startswith("__gen_"):
+            raise ValueError(
+                f"{name!r} backs generated column "
+                f"{name[len('__gen_'):]!r}; generated columns cannot be "
+                "silently un-generated (drop the column instead)"
             )
         manifest = _metadata_only_child(pm, meta={"drop_constraint": name})
         cons.pop(name)
@@ -776,10 +872,12 @@ def versioned_drop_column(spark: SparkSession, path: str, name: str) -> int:
                 f"cannot drop partition column {name!r} (repartition the "
                 "table with partition_by=[] first)"
             )
+        gens = _generated_of(pm)
+        own_gen_constraint = f"__gen_{name}" if name in gens else None
         refs = [
             cname
             for cname, csql in _constraints_of(pm).items()
-            if _expr_references(csql, [name])
+            if cname != own_gen_constraint and _expr_references(csql, [name])
         ]
         if refs:
             raise ValueError(
@@ -791,6 +889,17 @@ def versioned_drop_column(spark: SparkSession, path: str, name: str) -> int:
         mapping = _mapping_of(pm)
         mapping.pop(phys, None)
         manifest = _metadata_only_child(pm, meta={"drop_column": name})
+        if own_gen_constraint:
+            # dropping a generated column retires its rule and its
+            # backing CHECK together (the only sanctioned way out)
+            gens.pop(name)
+            cons = _constraints_of(pm)
+            cons.pop(own_gen_constraint, None)
+            for key, val in (("generated", gens), ("constraints", cons)):
+                if val:
+                    manifest[key] = val
+                else:
+                    manifest.pop(key, None)
         manifest["schema"] = new_phys.json()
         if mapping:
             manifest["column_mapping"] = mapping
@@ -2444,6 +2553,106 @@ def versioned_read(
     return out.filter(predicate) if predicate is not None else out
 
 
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY (the Delta op): one row per RETAINED commit,
+    newest first — version, parent, committed_at, an operation label,
+    file/row deltas, and the commit's meta as JSON.  Purely
+    metadata-only: one manifest JSON read per retained version, no data
+    file opened (the audit surface for a 100 TB table costs kilobytes).
+    Operation labels come from commit meta where recorded (RESTORE,
+    CLONE, OPTIMIZE, ADD CONSTRAINT, RENAME COLUMN, ...) and are
+    inferred from the manifest diff otherwise (WRITE / APPEND /
+    OVERWRITE / DELETE (deletion vectors) / REWRITE); a vacuumed parent
+    makes the diff-based labels best-effort (marked '?')."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    root = os.path.abspath(path)
+    retained = set(versions)
+    rows = []
+    for v in versions:
+        m = _read_manifest(path, v)
+        meta = m.get("meta") or {}
+        entries = set(_expand_files(root, _entries(m)))
+        dv_rows = sum(e.get("count", 0) for e in (m.get("dvs") or {}).values())
+        parent = m.get("parent") or 0
+        if parent and parent in retained:
+            pmm = _read_manifest(path, parent)
+            p_entries = set(_expand_files(root, _entries(pmm)))
+            p_dv = sum(
+                e.get("count", 0) for e in (pmm.get("dvs") or {}).values()
+            )
+            added = len(entries - p_entries)
+            removed = len(p_entries - entries)
+            suffix = ""
+        else:
+            p_entries, p_dv = set(), 0
+            added, removed = len(entries), 0
+            suffix = "?" if parent else ""
+        if "restored_from" in meta:
+            op = f"RESTORE (to v{meta['restored_from']})"
+        elif "cloned_from" in meta:
+            op = "CLONE"
+        elif "compacted_from" in meta:
+            op = "OPTIMIZE"
+        elif "add_constraint" in meta:
+            op = "ADD CONSTRAINT"
+        elif "drop_constraint" in meta:
+            op = "DROP CONSTRAINT"
+        elif "add_generated" in meta:
+            op = "ADD GENERATED COLUMN"
+        elif "rename_column" in meta:
+            op = "RENAME COLUMN"
+        elif "drop_column" in meta:
+            op = "DROP COLUMN"
+        elif parent == 0:
+            op = "WRITE"
+        elif removed == 0 and added == 0 and dv_rows > p_dv:
+            op = "DELETE (deletion vectors)"
+        elif removed == 0 and added >= 0 and p_entries <= entries:
+            op = ("APPEND" if added else "NO-OP") + suffix
+        elif not (entries & p_entries):
+            op = "OVERWRITE" + suffix
+        else:
+            op = "REWRITE (delete/update/merge)" + suffix
+        rows.append(
+            (
+                v,
+                parent or None,
+                float(m.get("committed_at") or 0.0),
+                op,
+                len(entries),
+                added,
+                removed,
+                dv_rows,
+                json.dumps(meta, sort_keys=True) if meta else None,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", LongType(), False),
+            StructField("parent", LongType(), True),
+            StructField("committed_at", DoubleType(), True),
+            StructField("operation", StringType(), False),
+            StructField("n_files", LongType(), False),
+            StructField("n_added_files", LongType(), False),
+            StructField("n_removed_files", LongType(), False),
+            StructField("dv_deleted_rows", LongType(), False),
+            StructField("meta", StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: -r[0]), schema
+    )
+
+
 def versioned_restore(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF (the Delta op): publish a NEW
     version whose visible content equals the earlier ``version`` —
@@ -2488,6 +2697,8 @@ def versioned_restore(spark: SparkSession, path: str, version: int) -> int:
             manifest["column_mapping"] = tm["column_mapping"]
         if tm.get("dropped_columns"):
             manifest["dropped_columns"] = tm["dropped_columns"]
+        if tm.get("generated"):
+            manifest["generated"] = tm["generated"]
         if tm.get("dvs"):
             manifest["dvs"] = tm["dvs"]
         _publish_or_race(path, manifest)
@@ -2540,6 +2751,8 @@ def versioned_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
         manifest["column_mapping"] = sm["column_mapping"]
     if sm.get("dropped_columns"):
         manifest["dropped_columns"] = sm["dropped_columns"]
+    if sm.get("generated"):
+        manifest["generated"] = sm["generated"]
     if sm.get("dvs"):
         # sidecars stay in the source; entries re-point both the file
         # key and the sidecar path relative to the clone root

@@ -1,0 +1,170 @@
+"""Round-7 generated columns (Delta GENERATED ALWAYS AS, stored model):
+writes compute the column when omitted; provided values are validated
+against the rule via an auto-created CHECK (IS NOT DISTINCT FROM), so
+the pair can never diverge — update/merge included."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    ConstraintViolationError,
+    versioned_add_generated_column,
+    versioned_drop_column,
+    versioned_drop_constraint,
+    versioned_read,
+    versioned_rename_column,
+    versioned_update,
+    versioned_write,
+)
+
+
+def test_declare_on_populated_table_without_column_rejected(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "id long, amount long"), path
+    )
+    with pytest.raises(ValueError, match="backfill"):
+        versioned_add_generated_column(
+            spark, path, "amount_x2", "amount * CAST(2 AS BIGINT)"
+        )
+
+
+def test_generated_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    # declare while the column already exists and is consistent
+    base = spark.createDataFrame([(1, 10, 20)], "id long, amount long, amount_x2 long")
+    versioned_write(base, path)
+    versioned_add_generated_column(
+        spark, path, "amount_x2", "amount * CAST(2 AS BIGINT)"
+    )
+    # append WITHOUT the column: computed automatically
+    versioned_write(
+        spark.createDataFrame([(2, 7)], "id long, amount long"),
+        path,
+        mode="append",
+    )
+    got = versioned_read(spark, path).filter("id = 2").collect()[0]
+    assert got["amount_x2"] == 14
+    # append WITH a correct value: passes
+    versioned_write(
+        spark.createDataFrame([(3, 5, 10)], "id long, amount long, amount_x2 long"),
+        path,
+        mode="append",
+    )
+    # append WITH a wrong value: rejected atomically
+    with pytest.raises(ConstraintViolationError, match="__gen_amount_x2"):
+        versioned_write(
+            spark.createDataFrame(
+                [(4, 5, 11)], "id long, amount long, amount_x2 long"
+            ),
+            path,
+            mode="append",
+        )
+    assert versioned_read(spark, path).count() == 3
+    # an UPDATE that diverges the pair is rejected; consistent one passes
+    with pytest.raises(ConstraintViolationError):
+        versioned_update(
+            spark, path, F.col("id") == 2, {"amount": F.lit(100).cast("long")}
+        )
+    versioned_update(
+        spark,
+        path,
+        F.col("id") == 2,
+        {
+            "amount": F.lit(100).cast("long"),
+            "amount_x2": F.lit(200).cast("long"),
+        },
+    )
+    assert versioned_read(spark, path).filter("id=2").collect()[0]["amount_x2"] == 200
+
+
+def test_declare_rejects_existing_divergent_data(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, 10, 99)], "id long, amount long, amount_x2 long"),
+        path,
+    )
+    with pytest.raises(ConstraintViolationError, match="existing data"):
+        versioned_add_generated_column(
+            spark, path, "amount_x2", "amount * CAST(2 AS BIGINT)"
+        )
+
+
+def test_generated_guards_rename_dropconstraint_dropcolumn(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, 10, 20)], "id long, amount long, amount_x2 long"),
+        path,
+    )
+    versioned_add_generated_column(
+        spark, path, "amount_x2", "amount * CAST(2 AS BIGINT)"
+    )
+    # the backing CHECK blocks renaming the base column
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        versioned_rename_column(spark, path, "amount", "amt")
+    # the backing CHECK cannot be dropped directly
+    with pytest.raises(ValueError, match="cannot be silently un-generated"):
+        versioned_drop_constraint(spark, path, "__gen_amount_x2")
+    # dropping the generated COLUMN retires rule + CHECK together
+    versioned_drop_column(spark, path, "amount_x2")
+    m = V._read_manifest(path, V.table_versions(path)[-1])
+    assert V._generated_of(m) == {}
+    assert V._constraints_of(m) == {}
+    # base column is renameable again, and appends no longer compute
+    versioned_rename_column(spark, path, "amount", "amt")
+    versioned_write(
+        spark.createDataFrame([(2, 7)], "id long, amt long"), path, mode="append"
+    )
+    assert versioned_read(spark, path).columns == ["id", "amt"]
+
+
+def test_generated_survives_overwrite(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, 10, 20)], "id long, amount long, amount_x2 long"),
+        path,
+    )
+    versioned_add_generated_column(
+        spark, path, "amount_x2", "amount * CAST(2 AS BIGINT)"
+    )
+    versioned_write(
+        spark.createDataFrame([(9, 3)], "id long, amount long"),
+        path,
+        mode="overwrite",
+    )
+    got = versioned_read(spark, path).collect()
+    assert [(r["id"], r["amount"], r["amount_x2"]) for r in got] == [(9, 3, 6)]
+
+
+def test_generated_partition_column_prunes(spark, tmp_path):
+    """The Delta pattern generated columns exist for: partition on a
+    generated year column — appends compute it, the write clusters on
+    it, and predicate reads prune files from its pvals."""
+    import os
+
+    path = str(tmp_path / "vt")
+    rows = [(i, 2020 + (i % 3), i * 10) for i in range(60)]
+    base = spark.createDataFrame(rows, "id long, yr long, amount long")
+    versioned_write(
+        base.withColumn("part_yr", F.col("yr")), path, partition_by=["part_yr"]
+    )
+    versioned_add_generated_column(spark, path, "part_yr", "yr")
+    # append WITHOUT the partition column: generated, then clustered
+    versioned_write(
+        spark.createDataFrame([(100, 2021, 5)], "id long, yr long, amount long"),
+        path,
+        mode="append",
+    )
+    m = V._read_manifest(path, V.table_versions(path)[-1])
+    root = os.path.abspath(path)
+    all_files = V._expand_files(root, V._entries(m))
+    pred = F.col("part_yr") == 2022
+    kept = V.prune_candidate_files(spark, m, all_files, pred)
+    assert 0 < len(kept) < len(all_files)
+    for f in set(all_files) - set(kept):
+        with open(os.path.join(root, f), "wb") as fh:
+            fh.write(b"garbage")
+    assert versioned_read(spark, path, predicate=pred).count() == 20

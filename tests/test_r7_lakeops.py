@@ -134,3 +134,38 @@ def test_table_changes_labels_and_contract(spark, tmp_path):
         table_changes(spark, path, 4, 5).collect()
     with pytest.raises(ValueError, match="needs commits"):
         table_changes(spark, path, 4, 9)
+
+
+def test_table_history_labels_and_deltas(spark, tmp_path):
+    from gsmls_analysis_spark.sources.versioned import (
+        table_history,
+        versioned_rename_column,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 100 + i) for i in range(20)],
+        "id long, src string, n long",
+    )
+    versioned_write(df.repartition(2), path)  # v1 WRITE
+    versioned_write(df.limit(3).coalesce(1), path, mode="append")  # v2 APPEND
+    versioned_delete_dv(spark, path, F.col("id") == 5)  # v3 DV delete
+    versioned_rename_column(spark, path, "n", "amount")  # v4
+    versioned_update(
+        spark, path, F.col("id") == 1, {"amount": F.lit(0).cast("long")}
+    )  # v5 rewrite
+    versioned_compact(spark, path)  # v6 OPTIMIZE
+    versioned_write(df.limit(1), path, mode="overwrite")  # v7 OVERWRITE
+    h = {r["version"]: r for r in table_history(spark, path).collect()}
+    assert h[1]["operation"] == "WRITE"
+    assert h[2]["operation"] == "APPEND" and h[2]["n_added_files"] == 1
+    assert h[3]["operation"] == "DELETE (deletion vectors)"
+    assert h[3]["dv_deleted_rows"] == 1 and h[3]["n_added_files"] == 0
+    assert h[4]["operation"] == "RENAME COLUMN"
+    assert h[5]["operation"].startswith("REWRITE")
+    assert h[6]["operation"] == "OPTIMIZE"
+    assert h[7]["operation"] == "OVERWRITE"
+    # newest first, metadata-only (no files opened is implicit: corrupt
+    # nothing here — the audit surface is manifests)
+    versions = [r["version"] for r in table_history(spark, path).collect()]
+    assert versions == sorted(versions, reverse=True)
