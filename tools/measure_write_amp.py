@@ -1,0 +1,132 @@
+"""Write-amplification measurement: copy-on-write DELETE vs
+deletion-vector (merge-on-read) DELETE on the same table and predicate.
+
+The 100 TB claim behind ``versioned_delete_dv`` is that a GDPR-style
+point delete should cost one sidecar + one manifest, not a rewrite of
+every file containing a matched row.  This measures it instead of
+arguing it: the same lineitem snapshot is committed twice, the same
+highly-selective predicate (a handful of order keys spread across the
+key range, so several files are touched) is deleted once copy-on-write
+and once via deletion vectors, and the script reports wall time, bytes
+written, and data files created by each commit — plus read-back parity.
+
+Usage: python tools/measure_write_amp.py [sf_dir]   (default sf0.1)
+Prints one JSON line; a human-readable table goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+from gsmls_analysis_spark.sources.catalog import load_table  # noqa: E402
+
+
+def _dir_bytes_and_files(root: str, rels: set[str]) -> tuple[int, int]:
+    total = 0
+    n = 0
+    for rel in rels:
+        p = os.path.join(root, rel)
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+            n += 1
+    return total, n
+
+
+def _new_artifacts(root: str, before: set[str]) -> set[str]:
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            if rel not in before:
+                out.add(rel)
+    return out
+
+
+def _snapshot(root: str) -> set[str]:
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.add(os.path.relpath(os.path.join(dirpath, f), root))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("write-amp")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    n_rows = li.count()
+    # a handful of order keys spread evenly across the key range: a
+    # point delete that still TOUCHES several range-clustered files —
+    # the worst case for copy-on-write, the intended case for DVs
+    keys = sorted(
+        r["l_orderkey"]
+        for r in li.select("l_orderkey")
+        .distinct()
+        .filter(F.abs(F.hash("l_orderkey")) % 100003 < 3)
+        .limit(12)
+        .collect()
+    )  # hash-spread across the key range; driver pull stays 12 rows
+    pred = F.col("l_orderkey").isin(keys)
+    results = {}
+    for mode in ("cow", "dv"):
+        path = tempfile.mkdtemp(prefix=f"writeamp_{mode}_")
+        root = os.path.abspath(path)
+        V.versioned_write(li.repartitionByRange(16, "l_orderkey"), path)
+        base_bytes, base_files = _dir_bytes_and_files(root, _snapshot(root))
+        before = _snapshot(root)
+        t0 = time.time()
+        if mode == "cow":
+            V.versioned_delete(spark, path, pred)
+        else:
+            V.versioned_delete_dv(spark, path, pred)
+        wall = time.time() - t0
+        new = _new_artifacts(root, before)
+        new_parquet = {f for f in new if f.endswith(".parquet")}
+        nbytes, _ = _dir_bytes_and_files(root, new)
+        survivors = V.versioned_read(spark, path).count()
+        results[mode] = {
+            "wall_sec": round(wall, 2),
+            "bytes_written": nbytes,
+            "data_files_written": len(new_parquet),
+            "artifacts_written": len(new),
+            "survivors": survivors,
+            "table_bytes": base_bytes,
+            "table_files": base_files,
+        }
+    assert results["cow"]["survivors"] == results["dv"]["survivors"]
+    amp = results["cow"]["bytes_written"] / max(1, results["dv"]["bytes_written"])
+    out = {
+        "sf_dir": sf_dir,
+        "rows": n_rows,
+        "deleted_keys": len(keys),
+        "cow": results["cow"],
+        "dv": results["dv"],
+        "bytes_amplification_cow_over_dv": round(amp, 1),
+    }
+    print(json.dumps(out))
+    print(
+        f"COW: {results['cow']['bytes_written']:,} B in "
+        f"{results['cow']['data_files_written']} data files, "
+        f"{results['cow']['wall_sec']}s | DV: "
+        f"{results['dv']['bytes_written']:,} B in "
+        f"{results['dv']['data_files_written']} data files, "
+        f"{results['dv']['wall_sec']}s | amp {out['bytes_amplification_cow_over_dv']}x",
+        file=sys.stderr,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
