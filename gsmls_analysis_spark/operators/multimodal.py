@@ -94,22 +94,27 @@ def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
     ``codec='png'``: REAL decode of 8-bit RGB non-interlaced PNG —
     stdlib zlib inflate + full five-filter scanline unfiltering with
     chunk CRC verification (see ``decode_png_stats``).
+    ``codec='wav'``: REAL decode of RIFF/WAVE 16-bit PCM mono — chunk
+    walk with word alignment + integer signal statistics (see
+    ``decode_wav_stats``); stdlib + numpy only.
     ``codec='fake'``: deterministic fake decode (dims derived from the
     first payload bytes) for plumbing tests.
-    ``codec='real'`` (JPEG/audio/video): raises — those codecs need
-    libraries absent from this container; the BMP and PNG paths prove
-    the decode plumbing on genuine encoded bytes.
+    ``codec='real'`` (JPEG/compressed audio/video): raises — those
+    codecs need libraries absent from this container; the BMP, PNG and
+    WAV paths prove the decode plumbing on genuine encoded bytes.
     """
     if codec == "bmp":
         return decode_bmp_stats(df)
     if codec == "png":
         return decode_png_stats(df)
+    if codec == "wav":
+        return decode_wav_stats(df)
     if codec == "real":
         raise NotImplementedError(
-            "JPEG/audio/video decode requires codec libraries "
-            "(PIL/ffmpeg) not present in this environment; use codec='bmp' "
-            "or codec='png' for the real pure-Python paths or "
-            "codec='fake' for the stub"
+            "JPEG/compressed-audio/video decode requires codec libraries "
+            "(PIL/ffmpeg) not present in this environment; use "
+            "codec='bmp', codec='png' or codec='wav' for the real "
+            "pure-Python paths or codec='fake' for the stub"
         )
     # fake dims from the first two payload bytes (payloads here are ASCII,
     # so a string round-trip reads the raw byte values)
@@ -568,4 +573,164 @@ def synthesize_png_assets(
         F.col(id_col).cast("long").alias("_id"),
         F.col(width_col).cast("long").alias("_w"),
         F.col(height_col).cast("long").alias("_h"),
+    ).mapInPandas(gen, "asset_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #3: WAV (RIFF/WAVE, 16-bit PCM mono) — the canonical
+# uncompressed AUDIO container, decoded with the stdlib + numpy only.
+# The encoder deliberately inserts a LIST/INFO chunk BETWEEN fmt and
+# data, so any decoder that assumes the canonical 44-byte layout (data
+# at offset 44) reads garbage — the decode leg must genuinely walk RIFF
+# chunks with word alignment.  Compressed audio (MP3/AAC/...) stays
+# honestly stubbed behind decode_media(codec='real'); this path proves
+# the audio plumbing on genuine encoded bytes.
+# Reference parity: the source system treats media as opaque downloaded
+# files (RealEstateImages.py:402-439); this is the engine-side typed
+# decode the 100 TB pipeline needs.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono PCM samples as RIFF/WAVE.  A LIST/INFO chunk is
+    placed between fmt and data (spec-legal, common in the wild) so
+    decoders cannot shortcut the chunk walk."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    info = b"ISFT" + struct.pack("<I", 5) + b"gsml\x00" + b"\x00"  # odd size -> pad
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4 + len(info)) + b"INFO" + info
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a RIFF/WAVE payload; returns (sample_rate, int16 samples).
+    Walks chunks with RIFF word alignment (odd-sized chunks are padded),
+    tolerates unknown chunks (LIST, fact, cue...), and raises ValueError
+    on anything that isn't 16-bit PCM mono — a decode error callers can
+    quarantine, not a crash."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (bad RIFF/WAVE magic)")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated WAV chunk {cid!r}: {len(body)} < {csize}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"fmt chunk too short ({csize} bytes)")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16 or block_align != 2:
+        raise ValueError(
+            f"unsupported WAV profile (format={audio_format} "
+            f"channels={channels} bits={bits}); only 16-bit PCM mono"
+        )
+    if len(data) % 2:
+        raise ValueError("odd-length PCM16 data chunk")
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav_stats(assets: DataFrame) -> DataFrame:
+    """Real audio decode over Arrow batches: sample rate / duration from
+    the fmt chunk plus exact integer signal statistics (peak, sum of
+    squares for energy, sum of absolute values) — the decode → per-asset
+    features shape a real audio pipeline uses, with undecodable payloads
+    quarantined into decode_error instead of failing the batch.  All
+    outputs are integers so an analytic oracle hashes identically."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_ms": [],
+                "peak_abs": [],
+                "sum_sq": [],
+                "sum_abs": [],
+                "decode_error": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(asset_id)
+                try:
+                    rate, pcm = decode_wav(bytes(payload))
+                    if len(pcm) == 0 or rate <= 0:
+                        raise ValueError("empty WAV data chunk")
+                    wide = pcm.astype("int64")
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(pcm))
+                    out["duration_ms"].append(len(pcm) * 1000 // rate)
+                    out["peak_abs"].append(int(abs(wide).max()))
+                    out["sum_sq"].append(int((wide * wide).sum()))
+                    out["sum_abs"].append(int(abs(wide).sum()))
+                    out["decode_error"].append(None)
+                except ValueError as e:
+                    for k in (
+                        "sample_rate",
+                        "n_samples",
+                        "duration_ms",
+                        "peak_abs",
+                        "sum_sq",
+                        "sum_abs",
+                    ):
+                        out[k].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, sample_rate long, n_samples long, duration_ms long, "
+        "peak_abs long, sum_sq long, sum_abs long, decode_error string",
+    )
+
+
+def synthesize_wav_assets(
+    df: DataFrame, id_col: str, n_samples_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """Executor-side synthesis of genuinely ENCODED WAV payloads: each
+    row's samples follow the deterministic rule
+    ``sample(i) = (id·31 + i·7) mod 2048 − 1024`` (int16-range, sign
+    exercised) so an oracle can compute the expected decoded statistics
+    analytically while the Spark side round-trips real RIFF bytes.
+    Arrow-batched mapInPandas — payloads are built and stay
+    executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, n in zip(pdf["_id"], pdf["_n"]):
+                i = np.arange(int(n), dtype="int64")
+                pcm = ((int(rid) * 31 + i * 7) % 2048 - 1024).astype("<i2")
+                ids.append(rid)
+                payloads.append(encode_wav(pcm, sample_rate))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(n_samples_col).cast("long").alias("_n"),
     ).mapInPandas(gen, "asset_id long, payload binary")

@@ -186,3 +186,52 @@ def q_multimodal_png_decode(spark, sf_dir):
         )
     )
     return decode_media(synthesize_png_assets(dims, "doc_id", "w", "h"), codec="png")
+
+
+@query(
+    "q_multimodal_wav_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 379 + 64 AS n FROM documents
+), s AS (
+  SELECT d.doc_id, d.n,
+         (d.doc_id * 31 + t.i * 7) % 2048 - 1024 AS v
+  FROM dims d, range(0, 443) t(i)
+  WHERE t.i < d.n
+)
+SELECT doc_id AS asset_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM s
+GROUP BY doc_id, n
+""",
+    doc="REAL audio decode end-to-end, stdlib+numpy only: per-document "
+    "RIFF/WAVE 16-bit PCM mono payloads are genuinely ENCODED "
+    "executor-side (synthesize_wav_assets: fmt/LIST/data chunks, a "
+    "LIST/INFO chunk deliberately between fmt and data so the decoder "
+    "cannot assume the canonical 44-byte layout; sample rule "
+    "(id*31 + i*7) mod 2048 - 1024) and then genuinely DECODED "
+    "(decode_wav_stats: RIFF chunk walk with word alignment, PCM16 "
+    "profile check, integer signal stats over Arrow batches).  The "
+    "oracle never sees the bytes — it recomputes expected statistics "
+    "analytically from the sample rule, so any chunk-offset/endianness/"
+    "sign bug in either codec leg breaks the hash.  The encoder is "
+    "additionally cross-validated against the stdlib wave module in "
+    "unit tests.  Scale: payloads are built and decoded inside "
+    "mapInPandas, never on the driver.",
+)
+def q_multimodal_wav_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_media, synthesize_wav_assets
+
+    dims = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 379 + 64).alias("n"),
+        )
+    )
+    return decode_media(synthesize_wav_assets(dims, "doc_id", "n"), codec="wav")

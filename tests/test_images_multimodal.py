@@ -315,3 +315,82 @@ def test_png_decode_stats_quarantines_bad_payloads(spark):
     assert got[1]["mean_g_micro"] == (1 + 4 + 7 + 10) * 1_000_000 // 4
     assert got[1]["mean_b_micro"] == (2 + 5 + 8 + 11) * 1_000_000 // 4
     assert got[2]["decode_error"] is not None and got[2]["width"] is None
+
+
+def test_wav_codec_roundtrip_and_stdlib_cross_validation():
+    """Our encoder's bytes must parse with the stdlib wave module AND our
+    decoder must parse stdlib-encoded canonical WAVs (no LIST chunk) —
+    cross-validation in both directions, so the two legs can't share a
+    compensating layout bug."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from gsmls_analysis_spark.operators.multimodal import decode_wav, encode_wav
+
+    for rid, n in [(1, 64), (7, 443), (100, 101)]:
+        i = np.arange(n, dtype="int64")
+        pcm = ((rid * 31 + i * 7) % 2048 - 1024).astype("<i2")
+        payload = encode_wav(pcm, 8000)
+        got_rate, got = decode_wav(payload)
+        assert got_rate == 8000 and np.array_equal(got, pcm)
+        w = wave.open(io.BytesIO(payload))
+        assert (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        ) == (1, 2, 8000, n)
+        assert w.readframes(n) == pcm.tobytes()
+        buf = io.BytesIO()
+        ww = wave.open(buf, "wb")
+        ww.setnchannels(1)
+        ww.setsampwidth(2)
+        ww.setframerate(8000)
+        ww.writeframes(pcm.tobytes())
+        ww.close()
+        got_rate2, got2 = decode_wav(buf.getvalue())
+        assert got_rate2 == 8000 and np.array_equal(got2, pcm)
+
+
+def test_wav_decode_rejects_bad_payloads():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from gsmls_analysis_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(np.array([1, -2, 3, -4], dtype="<i2"), 8000)
+    for bad, why in [
+        (b"", "empty"),
+        (b"RIFF\x00\x00\x00\x00WAVX" + good[12:], "bad WAVE magic"),
+        (good[:40], "truncated data chunk"),
+        # stereo profile: patch channels=2 in the fmt chunk (offset 22)
+        (good[:22] + struct.pack("<H", 2) + good[24:], "stereo unsupported"),
+        (good[:12], "no fmt/data chunks"),
+    ]:
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+        # and the batch path quarantines instead of raising
+
+
+def test_decode_wav_stats_quarantines_bad_rows(spark):
+    import numpy as np
+
+    from gsmls_analysis_spark.operators.multimodal import (
+        decode_wav_stats,
+        encode_wav,
+    )
+
+    good = encode_wav(np.array([3, -3, 3, -3], dtype="<i2"), 8000)
+    rows = [(1, good), (2, b"RIFF but not really")]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in decode_wav_stats(df).collect()}
+    assert got[1]["decode_error"] is None
+    assert got[1]["n_samples"] == 4
+    assert got[1]["peak_abs"] == 3
+    assert got[1]["sum_sq"] == 36
+    assert got[1]["sum_abs"] == 12
+    assert got[2]["decode_error"] is not None and got[2]["n_samples"] is None
