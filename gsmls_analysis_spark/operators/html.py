@@ -1,0 +1,192 @@
+"""HTML scan: real markup parsing over string columns — the engine-side
+analog of SURVEY.md §2 S10 (the reference's BeautifulSoup page scans,
+GSMLS.py:618-653, 869-913, 1707-1963: parse fetched HTML into typed
+records).  Acquisition (fetching) stays outside the engine; this is the
+parse leg every web-corpus training pipeline needs at scale
+(CommonCrawl WARC → visible text + link graph).
+
+Design: parsing is genuinely non-relational, so it runs as an
+Arrow-batched ``mapInPandas`` over the stdlib ``html.parser`` — a real
+tolerant HTML tokenizer (entity decoding, CDATA handling for
+script/style, attribute parsing), not regex tag-stripping.  Per-row
+work is O(bytes); no shuffle is introduced — the operator is a
+projection, so it pipelines inside whatever partitioning the scan
+already has.  Extraction semantics (the jusText/trafilatura shape):
+
+- ``title``: entity-decoded text inside ``<title>``.
+- ``main_text``: text inside ``<p>`` blocks, paragraphs joined by a
+  single space — with ``<script>``/``<style>`` content excluded even
+  when nested inside a paragraph, and ``<nav>`` subtrees dropped
+  entirely (boilerplate).
+- ``hrefs``/``n_links``: every ``<a href>`` in document order (the
+  outlink record a crawl frontier consumes).
+
+``synthesize_html`` builds deterministic pages from the documents table
+entirely JVM-side (concat/transform/sequence — no UDF on the encode
+leg), planting the hazards that break naive extractors: an entity in
+the title, a ``<style>`` block, a ``<script>`` INSIDE a paragraph whose
+body would corrupt ``main_text`` if CDATA handling is wrong, a void
+``<br/>`` splitting a text run, and a boilerplate ``<nav>`` full of
+links.  An oracle can recompute every expected output analytically
+from the construction rule without parsing anything.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXTRACT_SCHEMA = (
+    "doc_id long, title string, main_text string, n_links long, hrefs string"
+)
+
+
+class _PageExtract(HTMLParser):
+    """One-pass extractor: title text, per-<p> text (script/style CDATA
+    and nav subtrees excluded), every <a href> in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] = []
+        self.paras: list[str] = []
+        self.hrefs: list[str] = []
+        self._cur: list[str] = []
+        self._in_title = False
+        self._in_p = False
+        self._nav_depth = 0
+        self._raw_tag: str | None = None  # inside <script>/<style>
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "nav":
+            self._nav_depth += 1
+            return
+        if tag in ("script", "style"):
+            self._raw_tag = tag
+            return
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+            return
+        if tag == "title":
+            self._in_title = True
+        elif tag == "p" and not self._nav_depth:
+            self._in_p = True
+            self._cur = []
+
+    def handle_endtag(self, tag):
+        if tag == "nav" and self._nav_depth:
+            self._nav_depth -= 1
+        elif tag in ("script", "style"):
+            if self._raw_tag == tag:
+                self._raw_tag = None
+        elif tag == "title":
+            self._in_title = False
+        elif tag == "p" and self._in_p:
+            self.paras.append("".join(self._cur))
+            self._in_p = False
+
+    def handle_data(self, data):
+        if self._raw_tag is not None or self._nav_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+        elif self._in_p:
+            self._cur.append(data)
+
+
+def extract_page(html: str) -> tuple[str, str, int, str]:
+    """Parse one HTML string → (title, main_text, n_links, hrefs_csv)."""
+    p = _PageExtract()
+    p.feed(html)
+    p.close()
+    return (
+        "".join(p.title_parts),
+        " ".join(p.paras),
+        len(p.hrefs),
+        ",".join(p.hrefs),
+    )
+
+
+def html_extract(df: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+    """Arrow-batched HTML extraction: each input row yields one record of
+    (title, main_text, n_links, hrefs).  Python is unavoidable (a real
+    HTML tokenizer is not expressible in relational algebra); mapInPandas
+    keeps it vectorized per batch and executor-side, and the operator
+    stays a projection — no shuffle, pipelines inside the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            titles, texts, counts, links = [], [], [], []
+            for html in pdf["_html"]:
+                t, m, n, h = extract_page(html)
+                titles.append(t)
+                texts.append(m)
+                counts.append(n)
+                links.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["_id"],
+                    "title": titles,
+                    "main_text": texts,
+                    "n_links": counts,
+                    "hrefs": links,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(html_col).alias("_html"),
+    ).mapInPandas(run, EXTRACT_SCHEMA)
+
+
+def synthesize_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic page construction, entirely JVM-side (no UDF):
+    title carries an entity (``&amp;``), a ``<nav>`` holds
+    ``id mod 5 + 1`` boilerplate links, the document text is split into
+    two ``<p>`` blocks (first ends with a void ``<br/>``; second embeds
+    a ``<script>`` whose body would pollute main_text if the parser's
+    CDATA handling is wrong), and a footer ``<a>`` adds one content
+    link.  Every extractable value is an analytic function of
+    (doc_id, text), so oracles never need to parse."""
+    i = F.col(id_col).cast("long")
+    ids = i.cast("string")
+    txt = F.col(text_col)
+    half = (F.length(txt) / 2).cast("int")
+    first = F.substring(txt, F.lit(1), half)
+    second = F.substring(txt, half + 1, F.length(txt))
+    nav = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), i % 5 + 1),
+            lambda j: F.concat(
+                F.lit('<a href="/cat/'),
+                j.cast("string"),
+                F.lit('">c'),
+                j.cast("string"),
+                F.lit("</a>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc &amp; page "),
+        ids,
+        F.lit("</title><style>p { color: red }</style></head><body><nav>"),
+        nav,
+        F.lit("</nav><h1>Doc "),
+        ids,
+        F.lit("</h1><p>"),
+        first,
+        F.lit('<br/></p><p class="main">'),
+        second,
+        F.lit('<script>var t = "page-'),
+        ids,
+        F.lit('";</script></p><div class="footer"><a href="/x/'),
+        ids,
+        F.lit('">next</a></div></body></html>'),
+    )
+    return df.select(i.alias(id_col), html.alias("html"))

@@ -743,3 +743,49 @@ def q_count_min_tokens(spark, sf_dir):
         "est",
         (F.col("est") >= F.col("exact_cnt")).alias("never_under"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML scan (SURVEY §2 S10 engine analog): real markup parsing over a
+# string column — the CommonCrawl-style HTML → text + outlinks step
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_html_extract",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id, text,
+         length(text) // 2 AS half,
+         doc_id % 5 + 1 AS nl
+  FROM documents
+)
+SELECT doc_id,
+       'Doc & page ' || CAST(doc_id AS VARCHAR) AS title,
+       substring(text, 1, half) || ' ' || substring(text, half + 1) AS main_text,
+       CAST(nl + 1 AS BIGINT) AS n_links,
+       array_to_string(
+         list_transform(range(1, nl + 1), i -> '/cat/' || CAST(i AS VARCHAR)),
+         ',') || ',/x/' || CAST(doc_id AS VARCHAR) AS hrefs
+FROM parts
+""",
+    doc="REAL HTML parsing end-to-end (S10 analog): deterministic pages "
+    "are built JVM-side (synthesize_html: entity in the title, nav "
+    "boilerplate links, the document text split across two <p> blocks "
+    "with a void <br/> and an inline <script> whose body would corrupt "
+    "main_text if CDATA handling were wrong) and then genuinely PARSED "
+    "with the stdlib html.parser tokenizer (html_extract over Arrow "
+    "batches: title, <p> text with script/style/nav excluded, every "
+    "<a href> in document order).  The oracle recomputes every field "
+    "analytically from the construction rule without parsing — any "
+    "entity/CDATA/void-tag/ordering bug in either leg breaks the hash.  "
+    "Scale: both legs are projections (no shuffle); parse cost is "
+    "O(bytes) per row inside mapInPandas.",
+)
+def q_html_extract(spark, sf_dir):
+    from ..operators.html import html_extract, synthesize_html
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..plans.partitioning import ensure_min_partitions
+
+    return html_extract(synthesize_html(ensure_min_partitions(docs), "doc_id", "text"))

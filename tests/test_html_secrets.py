@@ -1,0 +1,58 @@
+"""HTML scan (S10 analog) and secrets-scan operators."""
+
+from __future__ import annotations
+
+from gsmls_analysis_spark.operators.html import extract_page, html_extract, synthesize_html
+
+
+def test_extract_page_hazards():
+    """Entity in title, script-inside-p CDATA, void br, nav boilerplate,
+    link ordering — each would corrupt a naive regex stripper."""
+    html = (
+        '<html><head><title>Doc &amp; page 7</title>'
+        "<style>p { color: red }</style></head>"
+        '<body><nav><a href="/cat/1">c1</a><a href="/cat/2">c2</a>BOILER</nav>'
+        "<h1>Doc 7</h1><p>hello wor<br/></p>"
+        '<p class="main">ld today<script>var t = "page-7";</script></p>'
+        '<div class="footer"><a href="/x/7">next</a></div></body></html>'
+    )
+    title, main_text, n_links, hrefs = extract_page(html)
+    assert title == "Doc & page 7"
+    assert main_text == "hello wor ld today"  # no BOILER, no script body
+    assert (n_links, hrefs) == (3, "/cat/1,/cat/2,/x/7")
+
+
+def test_extract_page_malformed_tolerance():
+    """Real-web HTML: unclosed tags, case-insensitive tags/attrs, stray
+    end tags — the parser extracts anyway instead of raising."""
+    title, main_text, n_links, hrefs = extract_page(
+        '<P>one</p><p>two<b>bold</B></p><A HREF="/z">z</b></nav>'
+    )
+    assert title == ""
+    assert main_text == "one twobold"
+    assert (n_links, hrefs) == (1, "/z")
+
+
+def test_html_extract_roundtrip_spark(spark):
+    """synthesize (JVM concat) -> parse (mapInPandas) round-trips the
+    analytic construction rule for every row."""
+    rows = [(3, "alpha beta"), (10, "x"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in html_extract(synthesize_html(df, "doc_id", "text")).collect()}
+    assert got[3]["title"] == "Doc & page 3"
+    # 'alpha beta' splits at half=5: p1='alpha', p2=' beta', joined by ' '
+    assert got[3]["main_text"] == "alpha  beta"
+    assert got[3]["n_links"] == (3 % 5 + 1) + 1  # nav links + footer
+    assert got[3]["hrefs"] == "/cat/1,/cat/2,/cat/3,/cat/4,/x/3"
+    # 1-char text: half=0, p1 is empty -> leading joiner space survives
+    assert got[10]["main_text"] == " x"
+    assert got[4]["main_text"] == " "
+
+
+def test_html_extract_link_counts(spark):
+    df = spark.createDataFrame([(i, "some words here") for i in range(6)], "doc_id long, text string")
+    out = html_extract(synthesize_html(df, "doc_id", "text")).collect()
+    for r in out:
+        assert r["n_links"] == r["doc_id"] % 5 + 1 + 1  # nav links + footer
+        assert r["hrefs"].split(",")[-1] == f"/x/{r['doc_id']}"
+        assert r["title"] == f"Doc & page {r['doc_id']}"
