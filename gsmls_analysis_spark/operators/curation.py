@@ -256,6 +256,72 @@ def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# secrets scan (SURVEY §2 S12 engine analog: the reference keeps
+# credentials in a config lookup, GSMLS.py:957-975; the engine-side
+# counterpart a training pipeline needs is DETECTING leaked credentials
+# in corpus text before they reach a model — the gitleaks/trufflehog
+# rule shape, expressed as JVM regexes)
+# ---------------------------------------------------------------------------
+
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key IDs: fixed AKIA prefix + 16 uppercase base-36 chars
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    # PEM private-key headers (RSA/EC/OPENSSH/blank variants)
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    # password assignments: password[:=] value (case-insensitive)
+    "password": r"(?i)\bpassword\s*[:=]\s*\S+",
+    # bare 40-char hex blobs (SHA1-sized API tokens)
+    "token_hex": r"\b[0-9a-f]{40}\b",
+}
+# replacement order: structured prefixes first so the generic hex rule
+# can't eat part of a longer credential it overlaps
+SECRET_SCAN_ORDER = ("aws_key", "private_key", "password", "token_hex")
+
+
+def secrets_scan(df: DataFrame, text_col: str) -> DataFrame:
+    """Detect and redact leaked credentials in a text column.
+
+    Adds ``n_secrets`` (total matches across all rule families, counted
+    on the ORIGINAL text so counts are order-independent),
+    ``secret_kinds`` (sorted csv of the families that hit), and
+    ``redacted`` (sequential replacement with typed ``[REDACTED:kind]``
+    placeholders in SECRET_SCAN_ORDER).  Pure projection — JVM regexes
+    inside whole-stage codegen, no UDF, no shuffle; scales linearly and
+    pipelines inside the scan."""
+    counts = {
+        kind: F.regexp_count(F.col(text_col), F.lit(pat))
+        for kind, pat in SECRET_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    kinds = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(counts[k] > 0, F.lit(k))
+                        for k in SECRET_SCAN_ORDER
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    redacted = F.col(text_col)
+    for kind in SECRET_SCAN_ORDER:
+        redacted = F.regexp_replace(
+            redacted, SECRET_PATTERNS[kind], f"[REDACTED:{kind}]"
+        )
+    return (
+        df.withColumn("n_secrets", total.cast("long"))
+        .withColumn("secret_kinds", kinds)
+        .withColumn("redacted", redacted)
+    )
+
+
+# ---------------------------------------------------------------------------
 # quality filtering (Gopher-style rule cascade)
 # ---------------------------------------------------------------------------
 
