@@ -55,6 +55,7 @@ _DRIVER_WINDOW = [
     "q_multimodal_wav_decode",  # stdlib WAV/PCM16 audio codec end-to-end
     "q_html_extract",  # real html.parser extraction (S10 analog)
     "q_secrets_scan",  # credential detection/redaction (S12 analog)
+    "q_stream_versioned_sink_native",  # engine-native exactly-once stream sink
     "q_stream_versioned_cdf",  # change-data-feed streaming source
     "q_table_changes_feed",  # batch CDF reader (table_changes)
     "q_versioned_restore",  # RESTORE TO VERSION AS OF, metadata-only

@@ -507,3 +507,49 @@ def q_stream_versioned_cdf(spark, sf_dir):
     versioned_delete_dv(spark, table, F.col("doc_id") % 97 == 0)
     feed = versioned_cdf_stream_source(spark, table)
     return drain_to_memory(feed, "versioned_cdf_rows")
+
+
+@query(
+    "q_stream_versioned_sink_native",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    doc="ENGINE-NATIVE exactly-once streaming sink (sources/"
+    "versioned_stream.py::VersionedStreamWriter): the event file-stream "
+    "drains through writeStream.format('versioned_table') — executor "
+    "tasks stream Arrow batches into staged parquet; the driver's "
+    "commit(messages, batchId) moves exactly its batch's files into a "
+    "per-attempt token dir and publishes ONE versioned commit recording "
+    "txnAppId/batchId in the manifest ledger, so a replayed batch "
+    "(crash between table commit and checkpoint write) is skipped — "
+    "the same ledger convention as the foreachBatch sinks.  The stream "
+    "drains TWICE against one checkpoint (second drain commits "
+    "nothing); the final snapshot must equal the plain batch aggregate."
+    "  Replay-skip, complete-mode overwrite, in-sink CHECK constraints, "
+    "and the MetadataChanged abort are unit-pinned in "
+    "tests/test_r7_streamsink.py.",
+)
+def q_stream_versioned_sink_native(spark, sf_dir):
+    from ..sources.versioned import versioned_read
+    from ..sources.versioned_stream import versioned_stream_sink
+
+    table = tempfile.mkdtemp(prefix="vsink_native_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_vsink_native_")
+    for _ in range(2):  # second pass: offsets committed -> no new batch
+        sdf = events_file_stream(spark, sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        versioned_stream_sink(sdf, table, checkpoint=ckpt)
+    return (
+        versioned_read(spark, table)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

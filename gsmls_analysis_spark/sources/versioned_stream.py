@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -119,7 +120,12 @@ class VersionedTableDataSource(DataSource):
       push down into manifest pruning (see VersionedBatchReader).
     - BATCH sink: ``df.write.format("versioned_table")`` with
       mode overwrite/append — two-phase commit onto the versioned
-      protocol (see VersionedBatchWriter)."""
+      protocol (see VersionedBatchWriter).
+    - STREAM sink: ``df.writeStream.format("versioned_table")`` —
+      options ``path`` and ``txnAppId`` (exactly-once replay key;
+      falls back to the checkpointLocation option): one versioned
+      commit per micro-batch, replayed batches skipped via the
+      manifest txn ledger (see VersionedStreamWriter)."""
 
     @classmethod
     def name(cls) -> str:
@@ -150,6 +156,9 @@ class VersionedTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "VersionedBatchWriter":
         return VersionedBatchWriter(schema, overwrite, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "VersionedStreamWriter":
+        return VersionedStreamWriter(schema, overwrite, dict(self.options))
 
 
 def _admit_commits(
@@ -820,6 +829,154 @@ class _VersionedWriteMessage(WriterCommitMessage):
         self.rel_file = rel_file
 
 
+def _publish_staged(
+    root: str,
+    path: str,
+    staged_dir: str,
+    phys_schema: StructType,
+    overwrite: bool,
+    added_mapping: dict,
+    mapping0: tuple,
+    has_files: bool,
+    token: str,
+    meta: dict | None = None,
+    on_rename=None,
+) -> None:
+    """Shared commit leg of the engine-native batch AND stream sinks:
+    rename the staged directory (containing exactly this commit's files,
+    already under physical column names) to its versioned name, validate
+    CHECK constraints, collect stats/Blooms/pvals, and publish the
+    manifest under the OCC retry protocol of ``versioned_write``.
+
+    ``mapping0`` is the (column_mapping, dropped_columns) state PINNED
+    when the writer was created: files carry physical names decided
+    under that mapping, so a concurrent rename/drop aborts with
+    CommitConflictError (Delta's MetadataChanged contract) instead of
+    publishing files whose physical names no longer mean what the
+    mapping says.  ``meta`` is merged into the manifest's ``txns``
+    ledger (the stream sink's exactly-once replay key).  ``on_rename``
+    is called with each relative data-dir name so the caller's abort()
+    can clean up after a failure at any point."""
+    from pyspark.sql import SparkSession
+
+    from .versioned import (
+        _MAX_COMMIT_RETRIES,
+        CommitConflictError,
+        _bloom_cols_of,
+        _collect_stats,
+        _constraints_of,
+        _enforce_constraints,
+        _enforce_constraints_files,
+        _evolve_schema,
+        _logical_view,
+        _mapping_of,
+        _merge_txns,
+        _publish,
+        _tombstones_of,
+    )
+
+    versions = table_versions(path)
+    parent = versions[-1] if versions else 0
+    pm = _read_manifest(path, parent) if parent else None
+    version = parent + 1
+    data_dir = f"data/v{version}-{token}"
+    os.rename(os.path.join(root, staged_dir), os.path.join(root, data_dir))
+    if on_rename is not None:
+        on_rename(data_dir)
+    spark = SparkSession.getActiveSession()
+    cons = _constraints_of(pm)
+
+    def enforce(cons, data_dir):
+        if not (cons and has_files):
+            return
+        p2l = {**mapping0[0], **added_mapping}
+        if spark is not None:
+            _enforce_constraints(
+                _logical_view(
+                    spark.read.schema(phys_schema).parquet(
+                        os.path.join(root, data_dir)
+                    ),
+                    {"column_mapping": p2l},
+                ),
+                cons,
+                "versioned_table sink",
+            )
+        else:
+            # commit() runs in a driver-side Python worker with no
+            # SparkSession: validate sessionless (enforce-or-refuse)
+            _enforce_constraints_files(root, data_dir, p2l, cons)
+
+    enforce(cons, data_dir)
+    my_stats = _collect_stats(
+        root,
+        [data_dir],
+        bloom_cols=_bloom_cols_of(pm) if pm else None,
+        pval_cols=pm.get("partition_by") if pm else None,
+    )
+    for _ in range(_MAX_COMMIT_RETRIES):
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "data_dirs": [data_dir],
+            "schema": phys_schema.json(),
+            "stats": dict(my_stats),
+        }
+        if not overwrite and pm:
+            if (_mapping_of(pm), _tombstones_of(pm)) != mapping0:
+                raise CommitConflictError(
+                    "versioned_table sink: the table's column mapping "
+                    "changed during the write (concurrent rename/drop)."
+                    "  The staged files carry the old physical names — "
+                    "re-run the write (Delta's MetadataChanged abort)."
+                )
+            manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
+            if pm.get("data_files"):
+                manifest["data_files"] = pm["data_files"]
+            full_map = {**_mapping_of(pm), **added_mapping}
+            if full_map:
+                manifest["column_mapping"] = full_map
+            if _tombstones_of(pm):
+                manifest["dropped_columns"] = _tombstones_of(pm)
+            if pm.get("dvs"):
+                manifest["dvs"] = pm["dvs"]
+            manifest["stats"] = {**(pm.get("stats") or {}), **my_stats}
+            if pm.get("schema"):
+                manifest["schema"] = _evolve_schema(pm["schema"], phys_schema)
+            if pm.get("partition_by"):
+                manifest["partition_by"] = pm["partition_by"]
+        if cons:
+            manifest["constraints"] = cons
+        manifest["txns"] = _merge_txns(pm, meta)
+        if _publish(path, manifest):
+            return
+        versions = table_versions(path)
+        parent = versions[-1]
+        pm = _read_manifest(path, parent)
+        version = parent + 1
+        new_dir = f"data/v{version}-{token}"
+        os.rename(
+            os.path.join(root, data_dir), os.path.join(root, new_dir)
+        )
+        data_dir = new_dir
+        if on_rename is not None:
+            on_rename(data_dir)
+        my_stats = _collect_stats(
+            root,
+            [data_dir],
+            bloom_cols=_bloom_cols_of(pm),
+            pval_cols=pm.get("partition_by"),
+        )
+        new_cons = _constraints_of(pm)
+        if new_cons != cons:
+            cons = new_cons
+            enforce(cons, data_dir)
+
+    raise CommitConflictError(
+        f"versioned_table sink lost the publish race "
+        f"{_MAX_COMMIT_RETRIES} times on {path}"
+    )
+
+
 class VersionedBatchWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, overwrite: bool, options: dict):
         from .versioned import _commit_token
@@ -849,8 +1006,10 @@ class VersionedBatchWriter(DataSourceArrowWriter):
                     pc = f"{c}__{self._token}"
                     self._renames[c] = pc
                     self._added_mapping[pc] = c
+            self._mapping0 = (_mapping_of(pm), _tombstones_of(pm))
         else:
             self._renames, self._added_mapping = {}, {}
+            self._mapping0 = ({}, [])
         self._staging = f"data/stage-{self._token}"
         os.makedirs(os.path.join(self._root, self._staging), exist_ok=True)
 
@@ -883,143 +1042,36 @@ class VersionedBatchWriter(DataSourceArrowWriter):
         return _VersionedWriteMessage(rel)
 
     def commit(self, messages):
-        from pyspark.sql.types import StructField
-
-        from .versioned import (
-            CommitConflictError,
-            _MAX_COMMIT_RETRIES,
-            _bloom_cols_of,
-            _collect_stats,
-            _constraints_of,
-            _enforce_constraints,
-            _evolve_schema,
-            _logical_view,
-            _l2p_of,
-            _mapping_of,
-            _merge_txns,
-            _publish,
-            _read_manifest,
-            _tombstones_of,
-        )
-        from pyspark.sql import SparkSession
-
         files = [
             m.rel_file
             for m in messages
             if m is not None and m.rel_file is not None
         ]
-        staged = os.path.join(self._root, self._staging)
-        if not files:
-            # zero-row write: still a commit (empty version / no-op append)
-            pass
-        versions = table_versions(self._path)
-        parent = versions[-1] if versions else 0
-        pm = _read_manifest(self._path, parent) if parent else None
-        version = parent + 1
-        # physical schema of the written files
-        phys_fields = [
-            StructField(self._renames.get(f.name, f.name), f.dataType, True)
-            for f in self._schema.fields
-        ]
-        phys_schema = StructType(phys_fields)
-        data_dir = f"data/v{version}-{self._token}"
-        os.rename(staged, os.path.join(self._root, data_dir))
-        self._final_dir = data_dir  # for abort() cleanup after a rename
-        from .versioned import _enforce_constraints_files
-
-        spark = SparkSession.getActiveSession()
-        cons = _constraints_of(pm)
-        mapping0 = (_mapping_of(pm), _tombstones_of(pm)) if pm else ({}, [])
-
-        def enforce():
-            if not (cons and files):
-                return
-            p2l = {**mapping0[0], **self._added_mapping}
-            if spark is not None:
-                _enforce_constraints(
-                    _logical_view(
-                        spark.read.schema(phys_schema).parquet(
-                            os.path.join(self._root, data_dir)
-                        ),
-                        {"column_mapping": p2l},
-                    ),
-                    cons,
-                    "versioned_table sink",
+        # zero-row write: still a commit (empty version / no-op append)
+        phys_schema = StructType(
+            [
+                StructField(
+                    self._renames.get(f.name, f.name), f.dataType, True
                 )
-            else:
-                # commit() runs in a driver-side Python worker with no
-                # SparkSession: validate sessionless (enforce-or-refuse)
-                _enforce_constraints_files(self._root, data_dir, p2l, cons)
-
-        enforce()
-        bloom_cols = _bloom_cols_of(pm) if pm else None
-        pval_cols = pm.get("partition_by") if pm else None
-        my_stats = _collect_stats(
-            self._root, [data_dir], bloom_cols=bloom_cols, pval_cols=pval_cols
+                for f in self._schema.fields
+            ]
         )
-        for _ in range(_MAX_COMMIT_RETRIES):
-            manifest = {
-                "version": version,
-                "parent": parent,
-                "data_dirs": [data_dir],
-                "schema": phys_schema.json(),
-                "stats": dict(my_stats),
-            }
-            if not self._overwrite and pm:
-                if (_mapping_of(pm), _tombstones_of(pm)) != mapping0:
-                    raise CommitConflictError(
-                        "versioned_table sink: the table's column mapping "
-                        "changed during the write (concurrent rename/drop)."
-                        "  The staged files carry the old physical names — "
-                        "re-run the write (Delta's MetadataChanged abort)."
-                    )
-                manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
-                if pm.get("data_files"):
-                    manifest["data_files"] = pm["data_files"]
-                full_map = {**_mapping_of(pm), **self._added_mapping}
-                if full_map:
-                    manifest["column_mapping"] = full_map
-                if _tombstones_of(pm):
-                    manifest["dropped_columns"] = _tombstones_of(pm)
-                if pm.get("dvs"):
-                    manifest["dvs"] = pm["dvs"]
-                manifest["stats"] = {**(pm.get("stats") or {}), **my_stats}
-                if pm.get("schema"):
-                    manifest["schema"] = _evolve_schema(
-                        pm["schema"], phys_schema
-                    )
-                if pm.get("partition_by"):
-                    manifest["partition_by"] = pm["partition_by"]
-            if cons:
-                manifest["constraints"] = cons
-            manifest["txns"] = _merge_txns(pm, None)
-            if _publish(self._path, manifest):
-                return
-            versions = table_versions(self._path)
-            parent = versions[-1]
-            pm = _read_manifest(self._path, parent)
-            version = parent + 1
-            new_dir = f"data/v{version}-{self._token}"
-            os.rename(
-                os.path.join(self._root, data_dir),
-                os.path.join(self._root, new_dir),
-            )
-            data_dir = new_dir
-            self._final_dir = data_dir
-            my_stats = _collect_stats(
-                self._root,
-                [data_dir],
-                bloom_cols=_bloom_cols_of(pm),
-                pval_cols=pm.get("partition_by"),
-            )
-            new_cons = _constraints_of(pm)
-            if new_cons != cons:
-                cons = new_cons
-                enforce()
 
-        raise CommitConflictError(
-            f"versioned_table sink lost the publish race "
-            f"{_MAX_COMMIT_RETRIES} times on {self._path}"
+        def on_rename(d):
+            self._final_dir = d  # for abort() cleanup after a rename
+
+        _publish_staged(
+            self._root,
+            self._path,
+            self._staging,
+            phys_schema,
+            self._overwrite,
+            self._added_mapping,
+            self._mapping0,
+            bool(files),
+            self._token,
+            meta=None,
+            on_rename=on_rename,
         )
 
     def abort(self, messages):
@@ -1031,3 +1083,231 @@ class VersionedBatchWriter(DataSourceArrowWriter):
             full = os.path.join(self._root, d)
             if os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# STREAM sink through the same data source (DataSourceStreamArrowWriter):
+# ``df.writeStream.format("versioned_table").option("path", p)
+#   .option("txnAppId", qid)`` — each micro-batch becomes ONE versioned
+# commit, exactly once.
+#
+# Exactly-once: Structured Streaming may re-run a micro-batch whose
+# commit succeeded but whose checkpoint write did not (failure between
+# the two).  Every commit therefore records ``{app_id}/{batch_id}`` in
+# the manifest's carried-forward ``txns`` ledger — the SAME convention
+# as the foreachBatch sinks (streaming/ingest.py), so the two sink
+# styles share one replay-protection key.  A replayed batch finds its
+# txn in the ledger, discards its re-staged files, and returns without
+# publishing — the table never double-counts (Delta's idempotent
+# ``txnAppId``/``txnVersion`` writes).
+#
+# Output modes: append → each batch appends a commit; complete →
+# each batch OVERWRITES the table (Spark passes overwrite=True).
+#
+# Schema-change contract: the logical→physical column mapping is pinned
+# when the stream STARTS (same as the stream reader); a concurrent
+# rename/drop fails the batch with CommitConflictError and the stream
+# must restart to re-pin — Delta's MetadataChanged behavior.  The pin
+# is updated after our own first commit if this stream itself added
+# physical columns (re-added names of tombstoned columns).
+#
+# Crash safety: tasks stage into a shared ``data/stage-stream-*`` dir;
+# commit moves EXACTLY the files its messages name into a per-attempt
+# token dir before publishing, so stragglers from a failed attempt can
+# never ride along with a later batch.  Failed-attempt leftovers are
+# invisible and reclaimed by ``versioned_vacuum(clean_orphans=True)``.
+# ---------------------------------------------------------------------------
+
+
+class VersionedStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, schema: StructType, overwrite: bool, options: dict):
+        from .versioned import _commit_token
+
+        self._path = options["path"]
+        self._root = os.path.abspath(self._path)
+        self._overwrite = overwrite
+        self._schema = schema
+        app = options.get("txnappid") or options.get("checkpointlocation")
+        if not app:
+            raise ValueError(
+                "versioned_table stream sink needs option 'txnAppId' (a "
+                "stable id for this query; its checkpointLocation works) "
+                "— the exactly-once replay key.  Without it a batch "
+                "replayed after a failure between table commit and "
+                "checkpoint write would double-count."
+            )
+        self._app = str(app).rstrip("/")
+        self._token = _commit_token()
+        versions = table_versions(self._path)
+        pm = _read_manifest(self._path, versions[-1]) if versions else None
+        if not overwrite and pm is not None:
+            from .versioned import _l2p_of, _mapping_of, _tombstones_of
+
+            l2p = _l2p_of(pm)
+            taken = set(_tombstones_of(pm)) | set(_mapping_of(pm))
+            self._renames = {}
+            self._added_mapping = {}
+            for f in schema.fields:
+                c = f.name
+                if c in l2p:
+                    self._renames[c] = l2p[c]
+                elif c in taken:
+                    pc = f"{c}__{self._token}"
+                    self._renames[c] = pc
+                    self._added_mapping[pc] = c
+            self._mapping0 = (_mapping_of(pm), _tombstones_of(pm))
+        else:
+            self._renames, self._added_mapping = {}, {}
+            self._mapping0 = ({}, [])
+        self._staging = f"data/stage-stream-{self._token}"
+        os.makedirs(os.path.join(self._root, self._staging), exist_ok=True)
+        self._attempt_dir: str | None = None
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"{self._staging}/part-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self._root, rel)
+        writer = None
+        try:
+            for batch in iterator:
+                if self._renames:
+                    batch = pa.RecordBatch.from_arrays(
+                        batch.columns,
+                        names=[
+                            self._renames.get(n, n)
+                            for n in batch.schema.names
+                        ],
+                    )
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _VersionedWriteMessage(None)  # empty task: no file
+        return _VersionedWriteMessage(rel)
+
+    def _discard(self, files: list) -> None:
+        for rel in files:
+            try:
+                os.remove(os.path.join(self._root, rel))
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId):
+        from .versioned import _commit_token, committed_meta
+
+        files = [
+            m.rel_file
+            for m in messages
+            if m is not None and m.rel_file is not None
+        ]
+        txn = f"{self._app}/{batchId}"
+        if txn in committed_meta(self._path, "txn"):
+            # replayed micro-batch (commit landed, checkpoint didn't):
+            # the data is already in the table — drop the re-staged copy
+            self._discard(files)
+            return
+        # move EXACTLY this batch's files into a fresh per-attempt dir —
+        # a fresh token per attempt so a crashed attempt's orphaned dir
+        # can never collide with the retry's
+        tok = _commit_token()
+        staged = f"data/stage-{tok}"
+        os.makedirs(os.path.join(self._root, staged), exist_ok=True)
+        for rel in files:
+            os.rename(
+                os.path.join(self._root, rel),
+                os.path.join(self._root, staged, os.path.basename(rel)),
+            )
+        phys_schema = StructType(
+            [
+                StructField(
+                    self._renames.get(f.name, f.name), f.dataType, True
+                )
+                for f in self._schema.fields
+            ]
+        )
+
+        def on_rename(d):
+            self._attempt_dir = d
+
+        self._attempt_dir = staged
+        _publish_staged(
+            self._root,
+            self._path,
+            staged,
+            phys_schema,
+            self._overwrite,
+            self._added_mapping,
+            self._mapping0,
+            bool(files),
+            tok,
+            meta={"txn": txn},
+            on_rename=on_rename,
+        )
+        self._attempt_dir = None
+        if self._added_mapping and not self._overwrite:
+            # our first commit published these physical->logical entries;
+            # later batches must treat them as the pinned state
+            self._mapping0 = (
+                {**self._mapping0[0], **self._added_mapping},
+                self._mapping0[1],
+            )
+
+    def abort(self, messages, batchId):
+        import shutil
+
+        self._discard(
+            [
+                m.rel_file
+                for m in messages
+                if m is not None and m.rel_file is not None
+            ]
+        )
+        if self._attempt_dir:
+            full = os.path.join(self._root, self._attempt_dir)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            self._attempt_dir = None
+
+
+def versioned_stream_sink(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    txn_app_id: str | None = None,
+    output_mode: str = "append",
+) -> None:
+    """Register the data source (idempotent) and drain ``sdf`` into
+    ``path`` through the ENGINE-NATIVE stream sink
+    (``writeStream.format("versioned_table")``), availableNow.
+
+    ``txn_app_id`` defaults to the checkpoint directory's basename —
+    batch numbering is a property OF the checkpoint (same rationale as
+    ``stream_to_versioned``): a restart from the same checkpoint shares
+    the identity so replays dedupe, while a fresh checkpoint gets a
+    fresh identity and is never falsely skipped."""
+    import tempfile
+
+    spark = sdf.sparkSession
+    spark.dataSource.register(VersionedTableDataSource)
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="ckpt_vsink_")
+    if txn_app_id is None:
+        txn_app_id = os.path.basename(checkpoint.rstrip("/"))
+    os.makedirs(path, exist_ok=True)
+    q = (
+        sdf.writeStream.format("versioned_table")
+        .option("path", path)
+        .option("txnAppId", txn_app_id)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

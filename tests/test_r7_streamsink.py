@@ -1,0 +1,205 @@
+"""Engine-native STREAM sink: ``df.writeStream.format("versioned_table")``
+(sources/versioned_stream.py::VersionedStreamWriter).
+
+Covers the exactly-once contract (txn-ledger replay skip), append vs
+complete output modes, CHECK-constraint enforcement inside the sink,
+the MetadataChanged abort on a concurrent rename, and staging cleanup
+on abort."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned_stream import (
+    VersionedStreamWriter,
+    VersionedTableDataSource,
+    versioned_stream_sink,
+)
+
+
+def _json_source(spark, src, schema="k long, v string"):
+    return spark.readStream.schema(schema).json(src)
+
+
+def _write_json(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_sink_appends_per_batch_and_resumes(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(str(src), "a.json", [{"k": i, "v": f"a{i}"} for i in range(5)])
+    versioned_stream_sink(_json_source(spark, str(src)), tbl, checkpoint=ckpt)
+    assert sorted(
+        r["k"] for r in V.versioned_read(spark, tbl).collect()
+    ) == list(range(5))
+    assert V.table_versions(tbl) == [1]
+
+    # restart from the same checkpoint with new data: appends, resumes
+    _write_json(str(src), "b.json", [{"k": i, "v": f"b{i}"} for i in range(5, 8)])
+    versioned_stream_sink(_json_source(spark, str(src)), tbl, checkpoint=ckpt)
+    assert sorted(
+        r["k"] for r in V.versioned_read(spark, tbl).collect()
+    ) == list(range(8))
+    assert V.table_versions(tbl) == [1, 2]
+    # ledger carries one txn per batch, keyed by the checkpoint identity
+    app = os.path.basename(ckpt)
+    assert V.committed_meta(tbl, "txn") == {f"{app}/0", f"{app}/1"}
+
+    # restart with NO new data: no commit at all
+    versioned_stream_sink(_json_source(spark, str(src)), tbl, checkpoint=ckpt)
+    assert V.table_versions(tbl) == [1, 2]
+
+
+def test_stream_sink_replayed_batch_is_skipped(spark, tmp_path):
+    """Rigged replay: commit the same batchId twice through the writer
+    API (what a crash between table commit and checkpoint write causes).
+    The second commit must find the txn in the ledger, publish NOTHING,
+    and discard its re-staged files."""
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    schema = "k long, v string"
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+
+    def staged_message(w, rows):
+        batch = pa.record_batch(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "v": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        return w.write(iter([batch]))
+
+    w = VersionedStreamWriter(st, False, {"path": tbl, "txnappid": "app"})
+    m = staged_message(w, [(1, "x"), (2, "y")])
+    w.commit([m], 0)
+    assert V.table_versions(tbl) == [1]
+
+    # replay of batch 0: freshly staged files, same batch id
+    m2 = staged_message(w, [(1, "x"), (2, "y")])
+    staged_file = os.path.join(tbl, m2.rel_file)
+    assert os.path.isfile(staged_file)
+    w.commit([m2], 0)
+    assert V.table_versions(tbl) == [1]  # nothing published
+    assert not os.path.exists(staged_file)  # re-staged copy discarded
+    assert sorted(r["k"] for r in V.versioned_read(spark, tbl).collect()) == [1, 2]
+
+    # next batch id commits normally
+    m3 = staged_message(w, [(3, "z")])
+    w.commit([m3], 1)
+    assert V.table_versions(tbl) == [1, 2]
+    assert V.committed_meta(tbl, "txn") == {"app/0", "app/1"}
+
+
+def test_stream_sink_complete_mode_overwrites(spark, tmp_path):
+    """outputMode('complete') on an aggregate: every batch OVERWRITES the
+    table with the full current aggregate — the table is never a union
+    of stale and fresh aggregates."""
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(str(src), "a.json", [{"k": 1, "v": "a"}, {"k": 1, "v": "b"}])
+    agg = _json_source(spark, str(src)).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    versioned_stream_sink(agg, tbl, checkpoint=ckpt, output_mode="complete")
+    assert {(r["k"], r["n"]) for r in V.versioned_read(spark, tbl).collect()} == {
+        (1, 2)
+    }
+
+    _write_json(str(src), "b.json", [{"k": 1, "v": "c"}, {"k": 2, "v": "d"}])
+    agg = _json_source(spark, str(src)).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    versioned_stream_sink(agg, tbl, checkpoint=ckpt, output_mode="complete")
+    assert {(r["k"], r["n"]) for r in V.versioned_read(spark, tbl).collect()} == {
+        (1, 3),
+        (2, 1),
+    }
+
+
+def test_stream_sink_requires_txn_app_id():
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(ValueError, match="txnAppId"):
+        VersionedStreamWriter(
+            StructType.fromDDL("k long"), False, {"path": "/tmp/x"}
+        )
+
+
+def test_stream_sink_enforces_check_constraints(spark, tmp_path):
+    """A constraint added to the table is validated inside the sink's
+    commit: a violating micro-batch fails the query and publishes
+    nothing."""
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    _write_json(str(src), "a.json", [{"k": 5, "v": "ok"}])
+    versioned_stream_sink(
+        _json_source(spark, str(src)), tbl, checkpoint=str(tmp_path / "c1")
+    )
+    V.versioned_add_constraint(spark, tbl, "k_positive", "k > 0")
+
+    _write_json(str(src), "b.json", [{"k": -1, "v": "bad"}])
+    with pytest.raises(Exception, match="k_positive|CHECK|constraint"):
+        versioned_stream_sink(
+            _json_source(spark, str(src)), tbl, checkpoint=str(tmp_path / "c2")
+        )
+    # the violating batch published nothing (constraint commit is v2)
+    assert sorted(r["k"] for r in V.versioned_read(spark, tbl).collect()) == [5]
+
+
+def test_stream_sink_concurrent_rename_aborts(spark, tmp_path):
+    """Delta's MetadataChanged contract: the mapping is pinned at stream
+    start; a rename landing mid-stream fails the next commit instead of
+    publishing files whose physical names no longer match the mapping."""
+    tbl = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        str(tmp_path / "seed")
+    )
+    V.versioned_write(spark.read.parquet(str(tmp_path / "seed")), tbl)
+
+    from pyspark.sql.types import StructType
+
+    w = VersionedStreamWriter(
+        StructType.fromDDL("k long, v string"),
+        False,
+        {"path": tbl, "txnappid": "app"},
+    )
+    V.versioned_rename_column(spark, tbl, "v", "val")  # lands mid-stream
+    batch = pa.record_batch(
+        {"k": pa.array([2], pa.int64()), "v": pa.array(["b"], pa.string())}
+    )
+    m = w.write(iter([batch]))
+    with pytest.raises(V.CommitConflictError, match="rename"):
+        w.commit([m], 0)
+
+
+def test_stream_sink_abort_cleans_staging(tmp_path):
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    from pyspark.sql.types import StructType
+
+    w = VersionedStreamWriter(
+        StructType.fromDDL("k long"), False, {"path": tbl, "txnappid": "app"}
+    )
+    m = w.write(iter([pa.record_batch({"k": pa.array([1], pa.int64())})]))
+    staged = os.path.join(tbl, m.rel_file)
+    assert os.path.isfile(staged)
+    w.abort([m], 0)
+    assert not os.path.exists(staged)
+    assert V.table_versions(tbl) == []
