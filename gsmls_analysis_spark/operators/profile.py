@@ -1,0 +1,62 @@
+"""Table profiling: per-column data-quality statistics in ONE pass —
+the Deequ/dbt-docs shape (row count, null count, distinct count,
+min/max) that gates every ingestion pipeline.
+
+Scale design: all columns' aggregates are computed in a SINGLE
+``agg`` over the table (one scan; partial aggregation map-side), then
+the 1-row result is unpivoted to long format WITHOUT leaving Spark
+(explode over an array of structs on a 1-row DataFrame — no collect).
+Exact ``countDistinct`` over many columns plans one Expand (rows ×
+columns) behind a single shuffle of (column, value) pairs; for 100 TB
+profile runs pass ``approx=True`` to swap in ``approx_count_distinct``
+(HLL: mergeable, single-pass, no Expand) — the same switch Deequ
+exposes.  min/max are cast to string so one long schema carries every
+column type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROFILE_SCHEMA = (
+    "column string, n_rows long, n_null long, n_distinct long, "
+    "min_value string, max_value string"
+)
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row of statistics per profiled column, computed in one scan.
+
+    ``n_distinct`` counts non-null distinct values (SQL COUNT(DISTINCT)
+    semantics).  ``approx=True`` replaces it with HLL±~2% for tables
+    where exact multi-column distinct is too expensive."""
+    cols = columns or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__{c}__null"),
+            distinct(c).alias(f"__{c}__distinct"),
+            F.min(c).cast("string").alias(f"__{c}__min"),
+            F.max(c).cast("string").alias(f"__{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__{c}__null").alias("n_null"),
+            F.col(f"__{c}__distinct").alias("n_distinct"),
+            F.col(f"__{c}__min").alias("min_value"),
+            F.col(f"__{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

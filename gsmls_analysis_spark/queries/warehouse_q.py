@@ -2107,3 +2107,61 @@ def q_versioned_history(spark, sf_dir):
     return table_history(spark, path).select(
         "version", "operation", "dv_deleted_rows"
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling (Deequ/dbt-docs shape): one-pass per-column stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+SELECT 'l_orderkey' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT l_orderkey) AS n_distinct,
+       CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', COUNT(*),
+       CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_linenumber),
+       CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', COUNT(*),
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_quantity),
+       CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', COUNT(*),
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_returnflag),
+       CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', COUNT(*),
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_shipdate),
+       CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+FROM lineitem
+""",
+    doc="Table profiling (operators/profile.py::profile_table, the "
+    "Deequ/dbt-docs shape): row/null/exact-distinct counts + min/max "
+    "for five lineitem columns spanning bigint/int/double/varchar/"
+    "timestamp — ALL computed in ONE aggregate pass over one scan "
+    "(multi-distinct plans a single Expand), then unpivoted to long "
+    "format via explode on the 1-row aggregate, never collecting.  "
+    "approx=True swaps exact distinct for mergeable HLL at 100 TB "
+    "(unit-tested vs exact).  Oracle: one UNION ALL arm per column.",
+)
+def q_profile_table(spark, sf_dir):
+    from ..operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li,
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"],
+    )

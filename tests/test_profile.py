@@ -1,0 +1,44 @@
+"""profile_table: one-pass per-column statistics."""
+
+from __future__ import annotations
+
+from gsmls_analysis_spark.operators.profile import profile_table
+
+
+def test_profile_exact_counts_nulls_and_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5), (None, "b", 7.5)],
+        "k long, s string, x double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s", "x"}
+    for c in got.values():
+        assert c["n_rows"] == 4
+    assert got["k"]["n_null"] == 1 and got["k"]["n_distinct"] == 2
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "2")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["x"]["n_null"] == 1 and got["x"]["n_distinct"] == 2
+    assert (got["x"]["min_value"], got["x"]["max_value"]) == ("5.0", "7.5")
+
+
+def test_profile_approx_matches_exact_on_small_cardinality(spark):
+    """HLL is exact at tiny cardinalities — the approx path must agree
+    with exact here, proving the switch changes the estimator, not the
+    semantics."""
+    df = spark.createDataFrame(
+        [(i % 7, f"v{i % 3}") for i in range(100)], "k long, s string"
+    )
+    exact = {r["column"]: r for r in profile_table(df).collect()}
+    approx = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    for c in ("k", "s"):
+        assert exact[c]["n_distinct"] == approx[c]["n_distinct"]
+        assert exact[c]["n_rows"] == approx[c]["n_rows"] == 100
+
+
+def test_profile_single_scan_plan(spark):
+    """All columns' stats come from ONE aggregate over one scan — the
+    physical plan must contain exactly one parquet/LocalTableScan leaf
+    chain, not one job per column."""
+    df = spark.range(1000).selectExpr("id AS a", "id % 10 AS b", "id % 3 AS c")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 1000") == 1
