@@ -1110,6 +1110,99 @@ def _bloom_may_contain(b64: str, value) -> bool:
 _PVALS_MAX = 64
 
 
+# above this many files, stats collection fans out as a Spark job
+# instead of a driver loop (tests lower it to force the path)
+_STATS_DISTRIBUTE_MIN = 64
+
+
+def _file_stats_entry(
+    full: str,
+    bloom_cols: list[str] | None,
+    pval_cols: list[str] | None,
+) -> dict | None:
+    """Stats for ONE just-written parquet file: min/max/null per column
+    from the FOOTER (no data pages), plus Bloom filters / exact
+    partition-value sets from just the requested key columns.  Pure
+    function of the file — runs on the driver for small commits and
+    inside executor tasks for large ones."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return None
+    try:
+        md = pq.ParquetFile(full).metadata
+    except Exception:
+        return None
+    cols: dict = {}
+    rows = md.num_rows
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: not prunable here
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                cols[name] = None  # unknown for some row group → no prune
+                continue
+            mn, mx = st.min, st.max
+            if not (isinstance(mn, _JSONABLE) and isinstance(mx, _JSONABLE)):
+                cols[name] = None
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            prev = cols.get(name, {"min": mn, "max": mx, "nulls": 0})
+            if prev is None:
+                continue
+            cols[name] = {
+                "min": min(prev["min"], mn),
+                "max": max(prev["max"], mx),
+                "nulls": (
+                    None
+                    if nulls is None or prev["nulls"] is None
+                    else prev["nulls"] + nulls
+                ),
+            }
+    entry = {
+        "rows": rows,
+        "cols": {k: v for k, v in cols.items() if v is not None},
+    }
+    if bloom_cols:
+        blooms = {}
+        want = [c for c in bloom_cols if c in md.schema.names]
+        if want:
+            try:
+                tbl = pq.read_table(full, columns=want)
+                for c in want:
+                    b = _bloom_build(tbl[c].to_pylist())
+                    if b is not None:
+                        blooms[c] = b
+            except Exception:
+                blooms = {}
+        if blooms:
+            entry["bloom"] = blooms
+    if pval_cols:
+        pvals = {}
+        want = [c for c in pval_cols if c in md.schema.names]
+        if want:
+            try:
+                tbl = pq.read_table(full, columns=want)
+                for c in want:
+                    vals = set(tbl[c].to_pylist())
+                    if len(vals) > _PVALS_MAX or not all(
+                        v is None or isinstance(v, _JSONABLE) for v in vals
+                    ):
+                        continue  # mis-partitioned / un-JSON-able: no prune
+                    pvals[c] = sorted(
+                        (v for v in vals if v is not None), key=str
+                    ) + ([None] if None in vals else [])
+            except Exception:
+                pvals = {}
+        if pvals:
+            entry["pvals"] = pvals
+    return entry
+
+
 def _collect_stats(
     root: str,
     entries: list[str],
@@ -1126,88 +1219,39 @@ def _collect_stats(
     prunes equality/IN/range predicates exactly where hash-interleaved
     min/max ranges cannot.  Only JSON-able scalar stats (int / float /
     string / bool columns) are recorded — other types simply don't
-    prune.  Driver-side loop over the just-written files; on a real
-    cluster both stats and blooms ride back from the write tasks (the
-    Iceberg model)."""
-    try:
-        import pyarrow.parquet as pq
-    except Exception:  # pragma: no cover - pyarrow is baked in
-        return {}
-    stats: dict = {}
-    for rel in _expand_files(root, entries):
-        try:
-            md = pq.ParquetFile(os.path.join(root, rel)).metadata
-        except Exception:
-            continue
-        cols: dict = {}
-        rows = md.num_rows
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                col = rg.column(c_i)
-                name = col.path_in_schema
-                if "." in name:  # nested leaves: not prunable here
-                    continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    cols[name] = None  # unknown for some row group → no prune
-                    continue
-                mn, mx = st.min, st.max
-                if not (isinstance(mn, _JSONABLE) and isinstance(mx, _JSONABLE)):
-                    cols[name] = None
-                    continue
-                nulls = st.null_count if st.has_null_count else None
-                prev = cols.get(name, {"min": mn, "max": mx, "nulls": 0})
-                if prev is None:
-                    continue
-                cols[name] = {
-                    "min": min(prev["min"], mn),
-                    "max": max(prev["max"], mx),
-                    "nulls": (
-                        None
-                        if nulls is None or prev["nulls"] is None
-                        else prev["nulls"] + nulls
+    prune.
+
+    Scale: small commits (≤ ``_STATS_DISTRIBUTE_MIN`` files) loop on the
+    driver — cheaper than a job round-trip.  Larger commits FAN OUT as a
+    Spark job (one task batch per executor slot, each reading its files'
+    footers/key columns from shared storage and shipping back only the
+    metadata-sized entries) — the Iceberg model where stats ride back
+    from write tasks, so a million-file commit never serializes a
+    million footer reads through one process.  Falls back to the driver
+    loop when no SparkSession is active (sessionless commit workers)."""
+    rels = list(_expand_files(root, entries))
+    spark = SparkSession.getActiveSession()
+    if spark is not None and len(rels) > _STATS_DISTRIBUTE_MIN:
+        sc = spark.sparkContext
+        n_slices = min(len(rels), sc.defaultParallelism or 8)
+        collected = (
+            sc.parallelize(rels, n_slices)
+            .map(
+                lambda rel: (
+                    rel,
+                    _file_stats_entry(
+                        os.path.join(root, rel), bloom_cols, pval_cols
                     ),
-                }
-        entry = {
-            "rows": rows,
-            "cols": {k: v for k, v in cols.items() if v is not None},
-        }
-        if bloom_cols:
-            blooms = {}
-            want = [c for c in bloom_cols if c in md.schema.names]
-            if want:
-                try:
-                    tbl = pq.read_table(os.path.join(root, rel), columns=want)
-                    for c in want:
-                        b = _bloom_build(tbl[c].to_pylist())
-                        if b is not None:
-                            blooms[c] = b
-                except Exception:
-                    blooms = {}
-            if blooms:
-                entry["bloom"] = blooms
-        if pval_cols:
-            pvals = {}
-            want = [c for c in pval_cols if c in md.schema.names]
-            if want:
-                try:
-                    tbl = pq.read_table(os.path.join(root, rel), columns=want)
-                    for c in want:
-                        vals = set(tbl[c].to_pylist())
-                        if len(vals) > _PVALS_MAX or not all(
-                            v is None or isinstance(v, _JSONABLE)
-                            for v in vals
-                        ):
-                            continue  # mis-partitioned / un-JSON-able: no prune
-                        pvals[c] = sorted(
-                            (v for v in vals if v is not None), key=str
-                        ) + ([None] if None in vals else [])
-                except Exception:
-                    pvals = {}
-            if pvals:
-                entry["pvals"] = pvals
-        stats[rel] = entry
+                )
+            )
+            .collect()
+        )
+        return {rel: e for rel, e in collected if e is not None}
+    stats: dict = {}
+    for rel in rels:
+        entry = _file_stats_entry(os.path.join(root, rel), bloom_cols, pval_cols)
+        if entry is not None:
+            stats[rel] = entry
     return stats
 
 

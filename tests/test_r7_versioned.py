@@ -270,3 +270,26 @@ def test_segment_blocking_complete_vs_bruteforce(spark):
                 ).collect()
             }
             assert got == exp, f"{blocking} tau={tau}"
+
+
+def test_collect_stats_distributed_equals_driver_loop(spark, tmp_path, monkeypatch):
+    """Above _STATS_DISTRIBUTE_MIN files, stats collection fans out as a
+    Spark job; the fanned-out result must be byte-identical to the
+    driver loop (same footers, same blooms, same pvals) — forced here by
+    lowering the threshold under a multi-file commit."""
+    from gsmls_analysis_spark.sources import versioned as V
+
+    df = spark.range(2000).selectExpr(
+        "id AS k", "id % 7 AS part", "CAST(id AS STRING) AS s"
+    ).repartition(12)
+    tbl = str(tmp_path / "tbl")
+    V.versioned_write(df, tbl, bloom_cols=["k"], partition_by=["part"])
+    root = os.path.abspath(tbl)
+    m = V._read_manifest(tbl, V.table_versions(tbl)[-1])
+    entries = V._entries(m)
+
+    driver = V._collect_stats(root, entries, bloom_cols=["k"], pval_cols=["part"])
+    monkeypatch.setattr(V, "_STATS_DISTRIBUTE_MIN", 1)
+    fanned = V._collect_stats(root, entries, bloom_cols=["k"], pval_cols=["part"])
+    assert len(driver) >= 2  # the threshold was actually exceeded
+    assert fanned == driver
