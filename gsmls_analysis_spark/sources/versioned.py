@@ -2824,6 +2824,7 @@ def versioned_vacuum(
     clean_orphans: bool = False,
     orphan_grace_seconds: float = 86400.0,
     dry_run: bool = False,
+    retention_seconds: float | None = None,
 ) -> list[str]:
     """Retention: drop manifests older than the newest ``keep_last``
     versions and delete every data FILE no kept version references —
@@ -2854,6 +2855,14 @@ def versioned_vacuum(
     versions), and a typo'd ``keep_last=0`` silently destroying every
     data file is exactly the footgun the guard exists for.
 
+    ``retention_seconds`` (Delta's ``VACUUM ... RETAIN <n> HOURS``):
+    additionally keep every version whose manifest is younger than the
+    window, regardless of ``keep_last`` — the time-based contract
+    readers and streams actually rely on ("any snapshot pinned in the
+    last N hours stays replayable").  Commit times are monotonic with
+    version numbers, so the retained set is always a contiguous suffix;
+    ``keep_last`` remains the floor.
+
     ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): report the
     files/sidecars/change-dirs/orphans that WOULD be deleted, touching
     nothing (manifests included).  Dir-collapse residue (_SUCCESS
@@ -2870,7 +2879,18 @@ def versioned_vacuum(
     if len(versions) <= keep_last and not clean_orphans:
         return []
     kept = versions[-keep_last:]
-    dropped = versions[: len(versions) - len(kept)]
+    if retention_seconds is not None:
+        cutoff = time.time() - retention_seconds
+        recent = []
+        for v in versions:
+            try:
+                mt = os.path.getmtime(os.path.join(path, f"manifest-v{v}.json"))
+            except OSError:
+                continue
+            if mt >= cutoff:
+                recent.append(v)
+        kept = sorted(set(kept) | set(recent))
+    dropped = [v for v in versions if v not in set(kept)]
     root = os.path.abspath(path)
     live_files: set[str] = set()
     live_sidecars: set[str] = set()

@@ -169,3 +169,34 @@ def test_table_history_labels_and_deltas(spark, tmp_path):
     # nothing here — the audit surface is manifests)
     versions = [r["version"] for r in table_history(spark, path).collect()]
     assert versions == sorted(versions, reverse=True)
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """retention_seconds keeps every version younger than the window
+    (Delta's RETAIN N HOURS) even when keep_last would drop it; aging
+    the manifests backwards releases them."""
+    import time
+
+    from gsmls_analysis_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        V.versioned_write(
+            spark.createDataFrame([(i,)], "k long"), tbl, mode="append"
+        )
+    assert V.table_versions(tbl) == [1, 2, 3, 4]
+
+    # everything is seconds old: a 1-hour window keeps all four
+    assert V.versioned_vacuum(tbl, keep_last=1, retention_seconds=3600) == []
+    assert V.table_versions(tbl) == [1, 2, 3, 4]
+
+    # age v1/v2 manifests past the window: only they become droppable
+    old = time.time() - 7200
+    for v in (1, 2):
+        os.utime(os.path.join(tbl, f"manifest-v{v}.json"), (old, old))
+    V.versioned_vacuum(tbl, keep_last=1, retention_seconds=3600)
+    assert V.table_versions(tbl) == [3, 4]
+    # the kept history still reads (time travel intact)
+    assert sorted(
+        r["k"] for r in V.versioned_read(spark, tbl, version=3).collect()
+    ) == [0, 1, 2]
