@@ -2165,3 +2165,48 @@ def q_profile_table(spark, sf_dir):
         li,
         ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"],
     )
+
+
+@query(
+    "q_versioned_identity",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rid
+FROM documents
+""",
+    doc="Identity columns (Delta GENERATED ALWAYS AS IDENTITY, "
+    "versioned.py::versioned_set_identity): two appends into a table "
+    "whose 'rid' is sequence-assigned — values are unique, increasing, "
+    "never reused (high water from the new files' FOOTER stats, no "
+    "extra scan), providing the column raises, and an OCC loser "
+    "REASSIGNS above the winner (unit-pinned in "
+    "tests/test_r7_identity.py).  Determinism for the oracle: each "
+    "batch is sorted and coalesced to one partition, so the assigned "
+    "ids equal row_number() in doc_id order with batch 1 (doc_id below "
+    "the split) first — the oracle recomputes exactly that.  At scale "
+    "assignment is a single JVM projection per task (no shuffle, no "
+    "coordination — Delta's gaps-allowed contract).",
+)
+def q_versioned_identity(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_read,
+        versioned_set_identity,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    split = 250
+    path = tempfile.mkdtemp(prefix="versioned_identity_")
+    # empty seed so identity can be declared before any data
+    versioned_write(docs.filter(F.lit(False)), path)
+    versioned_set_identity(spark, path, "rid", start=1)
+    for batch in (
+        docs.filter(F.col("doc_id") < split),
+        docs.filter(F.col("doc_id") >= split),
+    ):
+        versioned_write(
+            batch.orderBy("doc_id").coalesce(1), path, mode="append"
+        )
+    return versioned_read(spark, path).select("doc_id", "rid")

@@ -175,6 +175,13 @@ def versioned_write(
     gens = _generated_of(pm)
     if gens:
         df = _apply_generated(df, pm)
+    # identity columns (a table property, both modes): assign the
+    # sequence to the incoming rows; a frame providing the column raises
+    idn = _identity_of(pm)
+    df_pre_id = df  # logical, generation applied, BEFORE identity
+    used_idn = {k: int(v["high_water"]) for k, v in idn.items()}
+    if idn:
+        df = _apply_identity(df, idn)
     # column mapping: the caller speaks LOGICAL names; appends translate
     # to the table's physical names before anything touches disk.
     # Overwrite RESETS mapping and tombstones (the new schema is the
@@ -246,6 +253,10 @@ def versioned_write(
             manifest["constraints"] = cons
         if gens:
             manifest["generated"] = gens
+        if idn:
+            # high water = max id this commit assigned (from the new
+            # files' footer stats), floored at the parent's mark
+            manifest["identity"] = _advance_identity(idn, my_stats, renames)
         if mode == "append" and pm:
             manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
             if pm.get("data_files"):
@@ -281,6 +292,19 @@ def versioned_write(
         pm = _read_manifest(path, parent)
         version = parent + 1
         recollect = False
+        id_rewrite = False
+        new_idn = _identity_of(pm)
+        new_hw = {k: int(v["high_water"]) for k, v in new_idn.items()}
+        if new_hw != used_idn:
+            # the winner advanced (or declared) the identity sequence:
+            # our staged ids may collide with the winner's — reassign
+            # ABOVE the winner's high water and rewrite the staged files
+            # (serializable: exactly the ids a serial run would assign)
+            idn = new_idn
+            used_idn = new_hw
+            df0 = _apply_identity(df_pre_id, idn) if idn else df_pre_id
+            df = df0
+            id_rewrite = True
         if mode == "append":
             # the winner may have added a generated column: serial
             # execution after it would have computed the column — redo
@@ -295,7 +319,7 @@ def versioned_write(
             # already-written files carry wrong physical names and must
             # be rewritten (rare — only when a rename races an append)
             new_df, new_renames, new_added = _append_physical(df0, pm, token)
-            if new_renames != renames:
+            if new_renames != renames or id_rewrite:
                 df, renames, added_mapping = new_df, new_renames, new_added
                 pb_now = pm.get("partition_by") or (
                     partition_by if user_partition_by else None
@@ -309,6 +333,15 @@ def versioned_write(
                 recollect = True
             else:
                 added_mapping = new_added
+        elif id_rewrite:
+            # overwrite mode: rewrite the staged files with reassigned ids
+            if partition_by:
+                n_shuffle = int(
+                    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+                df = df.repartition(n_shuffle, *[F.col(c) for c in partition_by])
+            df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+            recollect = True
         if user_partition_by is None and mode == "append":
             # the winner may have created/changed the table's declared
             # partitioning (e.g. a first append losing to a rival that
@@ -460,6 +493,8 @@ def _carry_table_props(manifest: dict, pm: dict | None) -> dict:
         manifest["dropped_columns"] = pm["dropped_columns"]
     if pm and pm.get("generated"):
         manifest["generated"] = pm["generated"]
+    if pm and pm.get("identity"):
+        manifest["identity"] = pm["identity"]
     return manifest
 
 
@@ -673,6 +708,116 @@ def _apply_generated(df: DataFrame, pm: dict | None) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# Identity columns (Delta ``GENERATED ALWAYS AS IDENTITY``): a table
+# property assigning a unique, strictly increasing bigint to every row a
+# write adds.  Values are allocated DISTRIBUTEDLY with no coordination —
+# each task derives ids from (partition ordinal, row ordinal), offset by
+# the table's high-water mark — so, exactly as Delta documents, values
+# are unique and increasing BUT MAY HAVE GAPS; the next commit's start
+# is the maximum assigned value, read for free from the new files'
+# footer stats.  The high-water mark only ever advances (identity values
+# are never reused, even after DELETE or overwrite).  Concurrency: a
+# commit that loses the publish race to a winner that advanced the same
+# sequence REASSIGNS its ids above the winner's high water and rewrites
+# its staged files — serializable, never overlapping.
+# ---------------------------------------------------------------------------
+
+
+def _identity_of(manifest: dict | None) -> dict[str, dict]:
+    return dict((manifest or {}).get("identity") or {})
+
+
+def versioned_set_identity(
+    spark: SparkSession, path: str, name: str, start: int = 1
+) -> int:
+    """ALTER TABLE ... declare ``name`` GENERATED ALWAYS AS IDENTITY:
+    metadata-only commit.  Future writes must OMIT the column (providing
+    values raises — Delta's ALWAYS contract) and each write assigns
+    unique increasing bigints starting at ``start``.  If the column
+    already exists with data, the sequence starts above the current
+    maximum (Delta's ``ALTER TABLE ... SYNC IDENTITY`` semantics), so
+    declared-after-data tables never collide.  Returns the new version."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        pm = _read_manifest(path, versions[-1])
+        idn = _identity_of(pm)
+        if name in idn:
+            raise ValueError(f"identity column {name!r} already declared")
+        if name in _generated_of(pm):
+            raise ValueError(
+                f"{name!r} is a generated column — a column cannot be "
+                "both generated-by-expression and identity"
+            )
+        high_water = int(start) - 1
+        logical = _logical_struct(pm)
+        if logical is not None and name in logical.names:
+            f = logical[name]
+            if f.dataType.simpleString() not in ("bigint", "int", "long"):
+                raise ValueError(
+                    f"identity column {name!r} must be integer-typed, "
+                    f"found {f.dataType.simpleString()}"
+                )
+            # SYNC IDENTITY: never collide with existing values
+            row = (
+                versioned_read(spark, path, version=pm["version"])
+                .agg(F.max(F.col(name)).alias("mx"))
+                .collect()[0]
+            )
+            if row["mx"] is not None:
+                high_water = max(high_water, int(row["mx"]))
+        manifest = _metadata_only_child(pm, meta={"set_identity": name})
+        manifest["identity"] = {**idn, name: {"high_water": high_water}}
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_set_identity", attempt)
+
+
+def _apply_identity(df: DataFrame, idn: dict[str, dict]) -> DataFrame:
+    """Assign identity values to the (logical-space) incoming rows:
+    ``high_water + 1 + monotonically_increasing_id()`` — one JVM
+    projection, no shuffle, no coordination; unique and increasing with
+    gaps (the Delta contract).  A frame that PROVIDES an identity column
+    raises: the sequence is GENERATED ALWAYS."""
+    for name, spec in sorted(idn.items()):
+        if name in df.columns:
+            raise ValueError(
+                f"cannot provide values for identity column {name!r} "
+                "(GENERATED ALWAYS AS IDENTITY — omit the column)"
+            )
+        df = df.withColumn(
+            name,
+            (
+                F.lit(int(spec["high_water"]) + 1)
+                + F.monotonically_increasing_id()
+            ).cast("long"),
+        )
+    return df
+
+
+def _advance_identity(
+    idn: dict[str, dict], stats: dict, l2p: dict[str, str]
+) -> dict[str, dict]:
+    """The post-commit identity state: each sequence's high water becomes
+    the max value this commit's new files assigned (from their footer
+    stats — no extra scan), floored at the previous high water so the
+    sequence never goes backwards (empty writes advance nothing)."""
+    out = {}
+    for name, spec in idn.items():
+        hw = int(spec["high_water"])
+        phys = l2p.get(name, name)
+        for entry in stats.values():
+            st = (entry.get("cols") or {}).get(phys)
+            if st and st.get("max") is not None:
+                hw = max(hw, int(st["max"]))
+        out[name] = {**spec, "high_water": hw}
+    return out
+
+
 def versioned_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing the
     named CHECK constraint.  Raises if it does not exist (Delta's
@@ -836,6 +981,11 @@ def versioned_rename_column(
             manifest["column_mapping"] = mapping
         else:
             manifest.pop("column_mapping", None)
+        idn = _identity_of(pm)
+        if old in idn:
+            # identity is a LOGICAL-name property: it follows the rename
+            idn[new] = idn.pop(old)
+            manifest["identity"] = idn
         _publish_or_race(path, manifest)
         return manifest["version"]
 
@@ -900,6 +1050,16 @@ def versioned_drop_column(spark: SparkSession, path: str, name: str) -> int:
                     manifest[key] = val
                 else:
                     manifest.pop(key, None)
+        idn = _identity_of(pm)
+        if name in idn:
+            # dropping an identity column retires its sequence; the
+            # tombstoned physical name guarantees a re-added column never
+            # resurrects old values either way
+            idn.pop(name)
+            if idn:
+                manifest["identity"] = idn
+            else:
+                manifest.pop("identity", None)
         manifest["schema"] = new_phys.json()
         if mapping:
             manifest["column_mapping"] = mapping
@@ -1959,6 +2119,12 @@ def _update_attempt(
                 f"UPDATE targets unknown columns {unknown}; "
                 f"table has {logical_names}"
             )
+    hit_identity = sorted(set(assignments) & set(_identity_of(pm)))
+    if hit_identity:
+        raise ValueError(
+            f"UPDATE cannot set identity columns {hit_identity} "
+            "(GENERATED ALWAYS AS IDENTITY)"
+        )
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
@@ -2178,6 +2344,14 @@ def _merge_attempt(
     parent = versions[-1]
     root = os.path.abspath(path)
     pm = _read_manifest(path, parent)
+    if _identity_of(pm):
+        raise NotImplementedError(
+            "MERGE into a table with identity columns is not supported "
+            "yet: inserted source rows would need sequence assignment "
+            "inside the merge rewrite.  Route inserts through "
+            "versioned_write(mode='append') (which assigns the "
+            "sequence) and matched-row changes through versioned_update."
+        )
     schema_json = pm.get("schema")
     if not schema_json:
         raise ValueError(f"table {path} records no schema; cannot merge")
@@ -2743,6 +2917,12 @@ def versioned_restore(spark: SparkSession, path: str, version: int) -> int:
             manifest["dropped_columns"] = tm["dropped_columns"]
         if tm.get("generated"):
             manifest["generated"] = tm["generated"]
+        if pm.get("identity"):
+            # identity high water comes from the CURRENT version, not the
+            # restored-to one: the sequence never rolls back (a rollback
+            # would reuse ids already handed out after the target
+            # version — Delta's identity-never-reused invariant)
+            manifest["identity"] = pm["identity"]
         if tm.get("dvs"):
             manifest["dvs"] = tm["dvs"]
         _publish_or_race(path, manifest)
@@ -2797,6 +2977,11 @@ def versioned_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
         manifest["dropped_columns"] = sm["dropped_columns"]
     if sm.get("generated"):
         manifest["generated"] = sm["generated"]
+    if sm.get("identity"):
+        # the clone's sequence continues above the source's high water —
+        # cloned data already contains ids up to it, so the clone can
+        # never collide with itself; the two tables then diverge freely
+        manifest["identity"] = sm["identity"]
     if sm.get("dvs"):
         # sidecars stay in the source; entries re-point both the file
         # key and the sidecar path relative to the clone root

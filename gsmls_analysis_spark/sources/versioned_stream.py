@@ -875,9 +875,18 @@ def _publish_staged(
         _tombstones_of,
     )
 
+    from .versioned import _identity_of
+
     versions = table_versions(path)
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
+    if _identity_of(pm):
+        raise ValueError(
+            "versioned_table sink: the table declares identity columns, "
+            "which only versioned_write assigns (the sink's executor "
+            "tasks cannot allocate the sequence).  Write through "
+            "versioned_write / stream_to_versioned instead."
+        )
     version = parent + 1
     data_dir = f"data/v{version}-{token}"
     os.rename(os.path.join(root, staged_dir), os.path.join(root, data_dir))
@@ -946,6 +955,10 @@ def _publish_staged(
                 manifest["partition_by"] = pm["partition_by"]
         if cons:
             manifest["constraints"] = cons
+        if pm and pm.get("generated"):
+            # the generation RULES survive the commit (the paired
+            # __gen_ CHECKs above already validated the written values)
+            manifest["generated"] = pm["generated"]
         manifest["txns"] = _merge_txns(pm, meta)
         if _publish(path, manifest):
             return

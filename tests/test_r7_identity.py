@@ -1,0 +1,204 @@
+"""Identity columns (Delta GENERATED ALWAYS AS IDENTITY): unique,
+strictly increasing bigints assigned by writes, gaps allowed, never
+reused — with the high-water mark carried in the manifest and advanced
+from the new files' footer stats."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gsmls_analysis_spark.sources import versioned as V
+
+
+def _ids(spark, tbl, col="rid"):
+    return [r[col] for r in V.versioned_read(spark, tbl).collect()]
+
+
+def test_identity_assigns_unique_increasing_across_appends(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([("a",), ("b",)], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid", start=10)
+
+    V.versioned_write(
+        spark.createDataFrame([("c",), ("d",), ("e",)], "v string"),
+        tbl,
+        mode="append",
+    )
+    first = _ids(spark, tbl)
+    assigned1 = [i for i in first if i is not None]
+    assert len(assigned1) == 3 and len(set(assigned1)) == 3
+    assert min(assigned1) >= 10  # sequence starts at `start`
+    # pre-declaration rows read the evolved column as NULL
+    assert first.count(None) == 2
+
+    V.versioned_write(
+        spark.createDataFrame([("f",), ("g",)], "v string"), tbl, mode="append"
+    )
+    assigned2 = sorted(i for i in _ids(spark, tbl) if i is not None)
+    assert len(assigned2) == 5 and len(set(assigned2)) == 5
+    # the second batch sits strictly ABOVE the first (never reused)
+    assert min(set(assigned2) - set(assigned1)) > max(assigned1)
+
+
+def test_identity_never_reused_after_delete_and_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([("a",)], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+    V.versioned_write(
+        spark.createDataFrame([("b",), ("c",)], "v string"), tbl, mode="append"
+    )
+    hw1 = max(i for i in _ids(spark, tbl) if i is not None)
+    V.versioned_delete(spark, tbl, F.col("rid").isNotNull())
+    # overwrite resets the DATA but the sequence keeps advancing
+    V.versioned_write(
+        spark.createDataFrame([("z",)], "v string"), tbl, mode="overwrite"
+    )
+    new_ids = _ids(spark, tbl)
+    assert len(new_ids) == 1 and new_ids[0] > hw1
+
+
+def test_identity_provided_values_raise(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([("a",)], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        V.versioned_write(
+            spark.createDataFrame([(99, "x")], "rid long, v string"),
+            tbl,
+            mode="append",
+        )
+
+
+def test_identity_sync_starts_above_existing_values(spark, tmp_path):
+    """Declaring identity on a column that already has data starts the
+    sequence above the current max (SYNC IDENTITY), never colliding."""
+    tbl = str(tmp_path / "t")
+    V.versioned_write(
+        spark.createDataFrame([(100, "a"), (7, "b")], "rid long, v string"), tbl
+    )
+    V.versioned_set_identity(spark, tbl, "rid", start=1)
+    V.versioned_write(
+        spark.createDataFrame([("c",)], "v string"), tbl, mode="append"
+    )
+    ids = sorted(_ids(spark, tbl))
+    assert len(set(ids)) == 3
+    assert max(ids) > 100  # new value above the pre-existing max
+
+
+def test_identity_occ_race_reassigns_above_winner(spark, tmp_path, monkeypatch):
+    """append ∥ append on the same sequence: the loser's staged ids would
+    collide with the winner's — the retry must REASSIGN above the
+    winner's high water and rewrite, leaving all ids unique."""
+    from tests.test_r6_versioned import _race_once
+
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([("seed",)], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+
+    _race_once(
+        monkeypatch,
+        lambda: V.versioned_write(
+            spark.createDataFrame([("rival1",), ("rival2",)], "v string"),
+            tbl,
+            mode="append",
+        ),
+    )
+    V.versioned_write(
+        spark.createDataFrame([("victim1",), ("victim2",)], "v string"),
+        tbl,
+        mode="append",
+    )
+    rows = V.versioned_read(spark, tbl).collect()
+    ids = [r["rid"] for r in rows if r["rid"] is not None]
+    assert len(ids) == 4 and len(set(ids)) == 4  # no collision
+    by_v = {r["v"]: r["rid"] for r in rows if r["rid"] is not None}
+    # serializable order: the victim's ids sit above the winner's
+    assert min(by_v["victim1"], by_v["victim2"]) > max(
+        by_v["rival1"], by_v["rival2"]
+    )
+
+
+def test_identity_guards_merge_update_and_sinks(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([("a",)], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+    V.versioned_write(
+        spark.createDataFrame([("b",)], "v string"), tbl, mode="append"
+    )
+    with pytest.raises(NotImplementedError, match="identity"):
+        V.versioned_merge(
+            spark,
+            tbl,
+            spark.createDataFrame([("b", 1)], "v string, rid long"),
+            on=["v"],
+        )
+    with pytest.raises(ValueError, match="identity"):
+        V.versioned_update(
+            spark, tbl, F.col("v") == "b", {"rid": F.lit(0)}
+        )
+    # the native sink cannot allocate the sequence: refuse loudly
+    from gsmls_analysis_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    with pytest.raises(Exception, match="identity"):
+        (
+            spark.createDataFrame([("c",)], "v string")
+            .write.format("versioned_table")
+            .option("path", tbl)
+            .mode("append")
+            .save()
+        )
+
+
+def test_identity_follows_rename_and_retires_on_drop(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([("a",)], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+    V.versioned_write(
+        spark.createDataFrame([("b",)], "v string"), tbl, mode="append"
+    )
+    V.versioned_rename_column(spark, tbl, "rid", "row_id")
+    pm = V._read_manifest(tbl, V.table_versions(tbl)[-1])
+    assert set(V._identity_of(pm)) == {"row_id"}
+    hw = V._identity_of(pm)["row_id"]["high_water"]
+    # the sequence keeps assigning under the new name, above the old mark
+    V.versioned_write(
+        spark.createDataFrame([("c",)], "v string"), tbl, mode="append"
+    )
+    ids = [r["row_id"] for r in V.versioned_read(spark, tbl).collect()]
+    assert max(i for i in ids if i is not None) > hw
+
+    V.versioned_drop_column(spark, tbl, "row_id")
+    pm = V._read_manifest(tbl, V.table_versions(tbl)[-1])
+    assert V._identity_of(pm) == {}
+
+
+def test_identity_survives_restore_without_rollback(spark, tmp_path):
+    """RESTORE rolls the data back but the sequence keeps its high water
+    — ids handed out after the restore target are never reissued."""
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([("a",)], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+    V.versioned_write(
+        spark.createDataFrame([("b",)], "v string"), tbl, mode="append"
+    )  # v3
+    v3 = V.table_versions(tbl)[-1]
+    V.versioned_write(
+        spark.createDataFrame([("c",), ("d",)], "v string"), tbl, mode="append"
+    )
+    hw_after = max(i for i in _ids(spark, tbl) if i is not None)
+    V.versioned_restore(spark, tbl, version=v3)
+    V.versioned_write(
+        spark.createDataFrame([("e",)], "v string"), tbl, mode="append"
+    )
+    ids = [i for i in _ids(spark, tbl) if i is not None]
+    assert len(ids) == len(set(ids))
+    assert max(ids) > hw_after  # post-restore assignment above ALL history
