@@ -734,3 +734,47 @@ def synthesize_wav_assets(
         F.col(id_col).cast("long").alias("_id"),
         F.col(n_samples_col).cast("long").alias("_n"),
     ).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def resize_media(
+    assets: DataFrame, width: int, height: int, codec: str = "bmp"
+) -> DataFrame:
+    """Image RESIZE — the vision-pipeline preprocessing shape (decode →
+    nearest-neighbor resample → re-encode), Arrow-batched executor-side.
+
+    Nearest-neighbor with the floor convention ``src = (dst·src_dim) //
+    dst_dim`` (both axes), so an analytic oracle can recompute resized
+    pixels from the synthesis rule exactly.  Interpolating resamplers
+    (bilinear/Lanczos) need the codec libraries absent from this
+    container; ``codec='bmp'`` proves the full plumbing on genuinely
+    encoded bytes.  Undecodable payloads are dropped (quarantine them
+    upstream via decode_media if the error detail matters)."""
+    if codec != "bmp":
+        raise NotImplementedError(
+            "resize is implemented for the real pure-Python BMP path; "
+            "JPEG/PNG resize needs interpolating codec libraries absent "
+            "from this environment"
+        )
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                except ValueError:
+                    continue
+                xs = (np.arange(width) * w) // width
+                ys = (np.arange(height) * h) // height
+                out = px[np.ix_(ys, xs)]
+                ids.append(asset_id)
+                payloads.append(encode_bmp(width, height, out.tobytes()))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "asset_id long, payload binary"
+    )

@@ -57,6 +57,8 @@ _DRIVER_WINDOW = [
     "q_secrets_scan",  # credential detection/redaction (S12 analog)
     "q_stream_versioned_sink_native",  # engine-native exactly-once stream sink
     "q_profile_table",  # one-pass per-column profiling (Deequ shape)
+    "q_versioned_identity",  # GENERATED ALWAYS AS IDENTITY sequences
+    "q_multimodal_resize",  # decode -> nearest-neighbor resize -> re-encode
     "q_stream_versioned_cdf",  # change-data-feed streaming source
     "q_table_changes_feed",  # batch CDF reader (table_changes)
     "q_versioned_restore",  # RESTORE TO VERSION AS OF, metadata-only

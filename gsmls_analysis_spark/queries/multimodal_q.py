@@ -235,3 +235,55 @@ def q_multimodal_wav_decode(spark, sf_dir):
         )
     )
     return decode_media(synthesize_wav_assets(dims, "doc_id", "n"), codec="wav")
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 13 + 4 AS w, doc_id % 7 + 2 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, tc.c,
+         SUM((d.doc_id + (tx.x * d.w) // 5 + (ty.y * d.h) // 3 + tc.c) % 256)
+           AS s
+  FROM dims d, range(0, 5) tx(x), range(0, 3) ty(y), range(0, 3) tc(c)
+  GROUP BY 1, 2
+)
+SELECT doc_id AS asset_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS height,
+       CAST(MAX(CASE WHEN c = 0 THEN s END) * 1000000 // 15 AS BIGINT)
+         AS mean_b_micro,
+       CAST(MAX(CASE WHEN c = 1 THEN s END) * 1000000 // 15 AS BIGINT)
+         AS mean_g_micro,
+       CAST(MAX(CASE WHEN c = 2 THEN s END) * 1000000 // 15 AS BIGINT)
+         AS mean_r_micro,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM px
+GROUP BY doc_id
+""",
+    doc="Image RESIZE end-to-end (multimodal.py::resize_media): encode "
+    "real BMPs -> decode -> nearest-neighbor resample to 5x3 with the "
+    "floor convention src=(dst*src_dim)//dst_dim -> RE-ENCODE -> decode "
+    "again for channel means.  Five codec legs chained on genuine "
+    "bytes; the oracle recomputes the resized pixels analytically from "
+    "the synthesis rule ((id+x+y+c) mod 256 at the sampled source "
+    "coordinates), so an off-by-one in the resample index map or either "
+    "codec leg breaks the hash.  All legs Arrow-batched executor-side.",
+)
+def q_multimodal_resize(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_bmp_assets,
+    )
+
+    dims = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("n_chars") % 13 + 4).alias("w"),
+            (F.col("doc_id") % 7 + 2).alias("h"),
+        )
+    )
+    assets = synthesize_bmp_assets(dims, "doc_id", "w", "h")
+    return decode_media(resize_media(assets, 5, 3), codec="bmp")

@@ -394,3 +394,43 @@ def test_decode_wav_stats_quarantines_bad_rows(spark):
     assert got[1]["sum_sq"] == 36
     assert got[1]["sum_abs"] == 12
     assert got[2]["decode_error"] is not None and got[2]["n_samples"] is None
+
+
+def test_resize_media_exact_pixels_down_and_up(spark):
+    """Nearest-neighbor floor convention src=(dst*src_dim)//dst_dim:
+    downscale picks exactly the expected source pixels; upscale
+    replicates them.  Verified byte-exact through the re-encoded BMP."""
+    import numpy as np
+
+    from gsmls_analysis_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_media,
+    )
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)  # 4x2 image
+    rows = [(1, encode_bmp(4, 2, px.tobytes())), (2, b"junk, not a bmp")]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    down = {r["asset_id"]: r for r in resize_media(df, 2, 2).collect()}
+    assert set(down) == {1}  # undecodable payload dropped
+    w, h, got = decode_bmp(bytes(down[1]["payload"]))
+    assert (w, h) == (2, 2)
+    assert (got == px[np.ix_([0, 1], [0, 2])]).all()
+
+    up = {r["asset_id"]: r for r in resize_media(df, 8, 2).collect()}
+    w, h, got = decode_bmp(bytes(up[1]["payload"]))
+    assert (w, h) == (8, 2)
+    xs = (np.arange(8) * 4) // 8
+    assert (got == px[:, xs]).all()
+
+
+def test_resize_media_rejects_bad_args():
+    import pytest
+
+    from gsmls_analysis_spark.operators.multimodal import resize_media
+
+    with pytest.raises(ValueError, match="positive"):
+        resize_media(None, 0, 3)
+    with pytest.raises(NotImplementedError, match="BMP"):
+        resize_media(None, 2, 2, codec="jpeg")
