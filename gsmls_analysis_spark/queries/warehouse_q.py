@@ -2210,3 +2210,49 @@ def q_versioned_identity(spark, sf_dir):
             batch.orderBy("doc_id").coalesce(1), path, mode="append"
         )
     return versioned_read(spark, path).select("doc_id", "rid")
+
+
+@query(
+    "q_versioned_optimize_where",
+    oracle="""
+SELECT doc_id, lang, doc_id % 3 AS part
+FROM documents
+WHERE NOT doc_id % 97 = 3
+""",
+    doc="Scoped compaction (versioned_compact(where=...), Delta's "
+    "OPTIMIZE ... WHERE): a fragmented partitioned table (two "
+    "hash-clustered appends) takes a DV point-delete, then ONLY the "
+    "files whose manifest pvals may hold part=1 are rewritten (their "
+    "deletion vectors materialize); out-of-scope files carry by "
+    "reference with stats and DVs untouched — whole-file semantics, so "
+    "the table's rows are exactly preserved, which is what the oracle "
+    "checks.  File-level carry/rewrite/DV assertions are unit-pinned "
+    "in tests/test_r7_lakeops.py.  This is what makes OPTIMIZE "
+    "schedulable at 100 TB: compact yesterday's partition, not the "
+    "table.",
+)
+def q_versioned_optimize_where(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_compact,
+        versioned_delete_dv,
+        versioned_read,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 3).alias("part")
+    )
+    path = tempfile.mkdtemp(prefix="versioned_optwhere_")
+    versioned_write(
+        docs.filter(F.col("doc_id") < 250), path, partition_by=["part"]
+    )
+    versioned_write(
+        docs.filter(F.col("doc_id") >= 250), path, mode="append"
+    )
+    versioned_delete_dv(spark, path, F.col("doc_id") % 97 == 3)
+    versioned_compact(
+        spark, path, where=F.col("part") == 1, target_file_bytes=1 << 30
+    )
+    return versioned_read(spark, path).select("doc_id", "lang", "part")

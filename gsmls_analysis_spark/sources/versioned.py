@@ -3185,6 +3185,7 @@ def versioned_compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
     zorder: tuple[str, str] | None = None,
+    where: Column | None = None,
 ) -> int:
     """OPTIMIZE / small-file compaction: bin-pack the current version's
     files into ~``target_file_bytes`` files as a NEW version with
@@ -3204,15 +3205,23 @@ def versioned_compact(
     become (x, y) rectangles and predicates on EITHER column prune
     (footer-measured in tests).  Mutually exclusive.
 
+    ``where`` (Delta's ``OPTIMIZE ... WHERE``): compact ONLY the files
+    whose manifest stats/Blooms/pvals may match the predicate — whole
+    files, so the rows are preserved exactly regardless of predicate
+    selectivity; non-matching files (the bulk of a big table) carry by
+    reference with their stats and deletion vectors untouched.  This is
+    what makes OPTIMIZE schedulable at 100 TB: compact yesterday's
+    partition, not the table.  Returns the parent version unchanged
+    when no file matches (a no-op never publishes).
+
     Snapshot isolation holds: the pre-compaction version still reads the
     fragments until ``versioned_vacuum`` reclaims them (file-granular).
     Bloom columns are re-collected for the compacted files automatically.
-    At 100 TB, compact per partition/prefix on a schedule; the commit
-    protocol (write dir + one manifest publish) is unchanged."""
+    The commit protocol (write dir + one manifest publish) is unchanged."""
     return _with_occ_retry(
         "versioned_compact",
         lambda: _compact_attempt(
-            spark, path, target_file_bytes, cluster_by, zorder
+            spark, path, target_file_bytes, cluster_by, zorder, where
         ),
     )
 
@@ -3223,6 +3232,7 @@ def _compact_attempt(
     target_file_bytes: int,
     cluster_by: list[str] | None,
     zorder: tuple[str, str] | None,
+    where: Column | None = None,
 ) -> int:
     versions = table_versions(path)
     if not versions:
@@ -3235,7 +3245,16 @@ def _compact_attempt(
         # value list and partition pruning dies with it
         cluster_by = list(pm["partition_by"])
     root = os.path.abspath(path)
-    files = _expand_files(root, _entries(pm))
+    all_files = _expand_files(root, _entries(pm))
+    if where is not None:
+        # OPTIMIZE WHERE: metadata-only file selection — whole files
+        # whose stats MAY match, so rows are preserved exactly
+        files = sorted(prune_candidate_files(spark, pm, all_files, where))
+        kept = [f for f in all_files if f not in set(files)]
+        if not files:
+            return parent  # nothing in scope: no-op, nothing published
+    else:
+        files, kept = all_files, []
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for f in files
@@ -3244,7 +3263,25 @@ def _compact_attempt(
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     version = parent + 1
     data_dir = f"data/v{version}-{_commit_token()}"
-    cur = versioned_read(spark, path, parent)
+    if where is None:
+        cur = versioned_read(spark, path, parent)
+    else:
+        # read ONLY the in-scope files under the manifest schema,
+        # subtract their deletion vectors (the rewrite materializes
+        # them), and lift to the logical view for clustering names
+        schema_json = pm.get("schema")
+        reader = (
+            spark.read.schema(StructType.fromJson(json.loads(schema_json)))
+            if schema_json
+            else spark.read
+        )
+        cur = reader.parquet(*[os.path.join(root, f) for f in files])
+        sel_dvs = {
+            f: v for f, v in _load_dvs(root, pm).items() if f in set(files)
+        }
+        if sel_dvs:
+            cur = _apply_dvs(cur, spark, sel_dvs)
+        cur = _logical_view(cur, pm)
     if cluster_by and zorder:
         raise ValueError("pass cluster_by= or zorder=, not both")
     if cluster_by:
@@ -3268,35 +3305,46 @@ def _compact_attempt(
     # what cluster_by/zorder names refer to); files are written PHYSICAL
     out = _physical_view(out, pm)
     out.write.mode("overwrite").parquet(os.path.join(root, data_dir))
-    _publish_or_race(
-        path,
-        _carry_table_props(
-            {
-                "version": version,
-                "parent": parent,
-                "data_dirs": [data_dir],
-                "data_files": [],
-                "schema": pm.get("schema"),
-                "stats": _collect_stats(
+    parent_stats = pm.get("stats") or {}
+    new_dirs = [data_dir] if _expand_files(root, [data_dir]) else []
+    manifest = _carry_table_props(
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": new_dirs,
+            "data_files": kept,
+            "schema": pm.get("schema"),
+            "stats": {
+                **{f: parent_stats[f] for f in kept if f in parent_stats},
+                **_collect_stats(
                     root,
-                    [data_dir],
+                    new_dirs,
                     bloom_cols=_bloom_cols_of(pm),
                     pval_cols=pm.get("partition_by"),
                 ),
-                "txns": _merge_txns(pm, None),
-                "meta": {
-                    "compacted_from": len(files),
-                    "compacted_to": int(n_out),
-                    **(
-                        {"clustered_by": list(cluster_by or zorder)}
-                        if (cluster_by or zorder)
-                        else {}
-                    ),
-                },
             },
-            pm,
-        ),
+            "txns": _merge_txns(pm, None),
+            "meta": {
+                "compacted_from": len(files),
+                "compacted_to": int(n_out),
+                **({"scoped": True} if where is not None else {}),
+                **(
+                    {"clustered_by": list(cluster_by or zorder)}
+                    if (cluster_by or zorder)
+                    else {}
+                ),
+            },
+        },
+        pm,
     )
+    # out-of-scope files keep their deletion vectors; in-scope files'
+    # vectors were materialized by the rewrite
+    kept_dvs = {
+        f: e for f, e in (pm.get("dvs") or {}).items() if f in set(kept)
+    }
+    if kept_dvs:
+        manifest["dvs"] = kept_dvs
+    _publish_or_race(path, manifest)
     return version
 
 

@@ -200,3 +200,89 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     assert sorted(
         r["k"] for r in V.versioned_read(spark, tbl, version=3).collect()
     ) == [0, 1, 2]
+
+
+def test_optimize_where_compacts_only_matching_files(spark, tmp_path):
+    """OPTIMIZE WHERE: files outside the predicate scope carry BY
+    REFERENCE (byte-identical paths, stats, and deletion vectors); only
+    in-scope fragments are rewritten, with their DVs materialized."""
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    # 4 appends x 3 partitions = fragmented table
+    for i in range(4):
+        V.versioned_write(
+            spark.createDataFrame(
+                [(i * 10 + j, j % 3) for j in range(9)], "k long, part long"
+            ).repartition(3, "part"),
+            tbl,
+            mode="append" if i else "overwrite",
+            partition_by=["part"],
+        )
+    # DV-delete one row in partition 0 (in scope) and one in partition 2
+    V.versioned_delete_dv(spark, tbl, F.col("k") == 0)   # part 0
+    V.versioned_delete_dv(spark, tbl, F.col("k") == 2)   # part 2
+    pm_before = V._read_manifest(tbl, V.table_versions(tbl)[-1])
+    files_before = set(V._expand_files(tbl, V._entries(pm_before)))
+    rows_before = {
+        (r["k"], r["part"]) for r in V.versioned_read(spark, tbl).collect()
+    }
+
+    v = V.versioned_compact(
+        spark, tbl, where=F.col("part") == 0, target_file_bytes=1 << 30
+    )
+    pm = V._read_manifest(tbl, v)
+    files_after = set(V._expand_files(tbl, V._entries(pm)))
+    # content identical
+    assert {
+        (r["k"], r["part"]) for r in V.versioned_read(spark, tbl).collect()
+    } == rows_before
+    # out-of-scope files carried by reference
+    carried = files_before & files_after
+    assert carried, "expected out-of-scope files to carry by reference"
+    new = files_after - files_before
+    assert new, "expected in-scope fragments to be rewritten"
+    # whole-file semantics: the rewrite holds exactly the union of the
+    # SELECTED files' parts (a hash-clustered file can co-locate several
+    # part values; may-match selection pulls the whole file — rows ride
+    # along but are never lost), and every part-0 row left the old files
+    import pyarrow.parquet as pq
+
+    def parts_of(fs):
+        out = set()
+        for f in fs:
+            out |= set(
+                pq.read_table(os.path.join(tbl, f), columns=["part"])[
+                    "part"
+                ].to_pylist()
+            )
+        return out
+
+    selected = files_before - files_after
+    assert selected and parts_of(new) == parts_of(selected)
+    assert 0 in parts_of(new) and 0 not in parts_of(carried)
+    # the out-of-scope DV (part 2) survives; the in-scope DV was
+    # materialized by the rewrite
+    dv_files = set(pm.get("dvs") or {})
+    assert dv_files and dv_files <= carried
+    # scoped-compact commit is data-preserving for the stream source
+    assert pm["meta"]["compacted_from"] >= 1 and pm["meta"]["scoped"] is True
+
+
+def test_optimize_where_no_match_is_a_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.versioned_write(
+        spark.createDataFrame([(1, 0)], "k long, part long"),
+        tbl,
+        partition_by=["part"],
+    )
+    before = V.table_versions(tbl)
+    v = V.versioned_compact(spark, tbl, where=F.col("part") == 99)
+    assert v == before[-1]
+    assert V.table_versions(tbl) == before
