@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from gsmls_analysis_spark.sources import load_table
@@ -754,10 +755,12 @@ def test_versioned_schema_evolution_and_enforcement(spark, tmp_path):
         )
 
 
-def test_versioned_model_based_random_walk(spark, tmp_path):
+@pytest.mark.parametrize("seed", [42, 1337])
+def test_versioned_model_based_random_walk(spark, tmp_path, seed):
     """Model-based check of the whole versioned layer: a seeded random
-    walk of append / delete / UPDATE / MERGE (upsert + matched-delete) /
-    compact (plain + clustered) / vacuum ops runs against both the
+    walk of append / delete / DV-delete / UPDATE / MERGE (upsert +
+    matched-delete) / compact (plain + clustered + WHERE-scoped) /
+    RESTORE / vacuum ops runs against both the
     table and a pure-Python model (dict id->grp); after every op the
     snapshot read must equal the model, and at the end every
     still-published version must equal the model's history at that
@@ -772,14 +775,16 @@ def test_versioned_model_based_random_walk(spark, tmp_path):
         table_versions,
         versioned_compact,
         versioned_delete,
+        versioned_delete_dv,
         versioned_merge,
         versioned_read,
+        versioned_restore,
         versioned_update,
         versioned_vacuum,
         versioned_write,
     )
 
-    rng = random.Random(42)
+    rng = random.Random(seed)
     path = str(tmp_path / "vt")
     model: dict[int, int] = {}
     history: dict[int, dict[int, int]] = {}
@@ -805,22 +810,52 @@ def test_versioned_model_based_random_walk(spark, tmp_path):
 
     v = commit_append()
     history[v] = dict(model)
-    for _step in range(18):
+    for _step in range(26):
         op = rng.choice(
             [
                 "append",
                 "delete",
                 "delete_eq",
+                "delete_dv",
                 "compact",
                 "compact_clustered",
+                "optimize_where",
                 "vacuum",
                 "update",
                 "merge",
                 "merge_delete",
+                "restore",
             ]
         )
         if op == "append":
             v = commit_append()
+        elif op == "delete_dv":
+            # merge-on-read delete: zero files written, read-side subtract
+            if model:
+                k = rng.choice(sorted(model))
+                v = versioned_delete_dv(spark, path, F2.col("id") == k)
+                model.pop(k, None)
+            else:
+                v = versioned_delete_dv(spark, path, F2.col("id") == -1)
+        elif op == "optimize_where":
+            # scoped compaction: whole-file rewrite of may-match files;
+            # in-scope DVs materialize, rows must be exactly preserved
+            g = rng.randint(0, 4)
+            v = versioned_compact(spark, path, where=F2.col("grp") == g)
+        elif op == "restore":
+            # roll the DATA back to a retained, history-known version
+            targets = [
+                t
+                for t in table_versions(path)[:-1]
+                if t in history
+            ]
+            if targets:
+                target = rng.choice(targets)
+                v = versioned_restore(spark, path, version=target)
+                model.clear()
+                model.update(history[target])
+            else:
+                v = table_versions(path)[-1]
         elif op == "delete":
             g = rng.randint(0, 4)
             v = versioned_delete(spark, path, F2.col("grp") == g)
