@@ -100,9 +100,80 @@ def table_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# Protocol feature gating (Delta's reader/writer protocol versions):
+# every manifest lists the features a READER must understand to return
+# correct rows and a WRITER must understand to commit without corrupting
+# the table.  Silent ignoring is the failure mode this prevents — a
+# reader that skipped an unknown `dvs` key would RESURRECT deleted rows;
+# a writer that skipped `constraints`/`identity` would commit
+# unvalidated or sequence-less rows.  Readers refuse manifests listing
+# features outside READER_FEATURES; writers refuse parents listing
+# features outside WRITER_FEATURES (checked at every commit path's
+# entry).  Stats-only keys (pvals, blooms, min/max) are deliberately NOT
+# reader features: ignoring them only disables pruning, never changes
+# results.
+# ---------------------------------------------------------------------------
+
+READER_FEATURES = frozenset({"deletion_vectors", "column_mapping"})
+WRITER_FEATURES = READER_FEATURES | frozenset(
+    {"check_constraints", "generated_columns", "identity_columns"}
+)
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    pass
+
+
+def _features_of(manifest: dict) -> tuple[set[str], set[str]]:
+    rf = set()
+    if manifest.get("dvs"):
+        rf.add("deletion_vectors")
+    if manifest.get("column_mapping") or manifest.get("dropped_columns"):
+        rf.add("column_mapping")
+    wf = set(rf)
+    if manifest.get("constraints"):
+        wf.add("check_constraints")
+    if manifest.get("generated"):
+        wf.add("generated_columns")
+    if manifest.get("identity"):
+        wf.add("identity_columns")
+    return rf, wf
+
+
+def _check_reader_features(manifest: dict, path: str, version: int) -> None:
+    unknown = set(manifest.get("reader_features") or []) - READER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"table {path} version {version} requires reader features "
+            f"{sorted(unknown)} this engine version does not support — "
+            "refusing to read rather than silently returning wrong rows "
+            "(Delta's protocol-version contract).  Upgrade the engine."
+        )
+
+
+def _check_writer_features(pm: dict | None, path: str) -> None:
+    """Call at the entry of every commit path: a parent manifest listing
+    writer features this engine doesn't implement must abort the write —
+    committing while ignoring them (unenforced constraints, unassigned
+    identity sequences, untranslated column mappings) corrupts the
+    table for every future reader."""
+    if not pm:
+        return
+    unknown = set(pm.get("writer_features") or []) - WRITER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"table {path} requires writer features {sorted(unknown)} "
+            "this engine version does not support — refusing to commit "
+            "rather than corrupting the table.  Upgrade the engine."
+        )
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(os.path.join(path, f"manifest-v{version}.json")) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    _check_reader_features(m, path, version)
+    return m
 
 
 def _merge_txns(parent_manifest: dict | None, meta: dict | None) -> dict:
@@ -168,6 +239,7 @@ def versioned_write(
     versions = table_versions(path)
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
+    _check_writer_features(pm, path)
     version = parent + 1
     token = _commit_token()
     # generated columns (a table property, both modes): compute any the
@@ -441,6 +513,17 @@ def _publish(path: str, manifest: dict) -> bool:
     import time
 
     manifest.setdefault("committed_at", time.time())
+    # protocol stamp: the features a reader/writer MUST understand for
+    # this version (computed from content, so no commit path can forget)
+    rf, wf = _features_of(manifest)
+    if rf:
+        manifest["reader_features"] = sorted(rf)
+    else:
+        manifest.pop("reader_features", None)
+    if wf:
+        manifest["writer_features"] = sorted(wf)
+    else:
+        manifest.pop("writer_features", None)
     root = os.path.abspath(path)
     for d in list(manifest.get("data_dirs", [])) + list(manifest.get("cdf", [])):
         full = os.path.join(root, d)
@@ -1102,6 +1185,7 @@ def _metadata_only_child(pm: dict, meta: dict | None = None) -> dict:
     """A child manifest with the parent's exact visible content (entries,
     schema, stats, DVs, table props) — the shape every metadata-only op
     (constraint add/drop, rename) publishes.  Zero data touched."""
+    _check_writer_features(pm, "<table>")
     manifest = {
         "version": pm["version"] + 1,
         "parent": pm["version"],
@@ -1826,6 +1910,7 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
     parent = versions[-1]
     root = os.path.abspath(path)
     pm = _read_manifest(path, parent)
+    _check_writer_features(pm, path)
     schema_json = pm.get("schema")
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
@@ -1955,6 +2040,7 @@ def _delete_attempt(
     parent = versions[-1]
     root = os.path.abspath(path)
     pm = _read_manifest(path, parent)
+    _check_writer_features(pm, path)
     schema_json = pm.get("schema")
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
@@ -2107,6 +2193,7 @@ def _update_attempt(
     parent = versions[-1]
     root = os.path.abspath(path)
     pm = _read_manifest(path, parent)
+    _check_writer_features(pm, path)
     schema_json = pm.get("schema")
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
@@ -2344,6 +2431,7 @@ def _merge_attempt(
     parent = versions[-1]
     root = os.path.abspath(path)
     pm = _read_manifest(path, parent)
+    _check_writer_features(pm, path)
     if _identity_of(pm):
         raise NotImplementedError(
             "MERGE into a table with identity columns is not supported "
@@ -3239,6 +3327,7 @@ def _compact_attempt(
         raise FileNotFoundError(f"no committed versions under {path}")
     parent = versions[-1]
     pm = _read_manifest(path, parent)
+    _check_writer_features(pm, path)
     if cluster_by is None and zorder is None and pm.get("partition_by"):
         # a partitioned table must come OUT of compaction still
         # partition-clustered, or every pvals set degrades to the full

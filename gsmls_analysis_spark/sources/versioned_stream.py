@@ -875,11 +875,12 @@ def _publish_staged(
         _tombstones_of,
     )
 
-    from .versioned import _identity_of
+    from .versioned import _check_writer_features, _identity_of
 
     versions = table_versions(path)
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
+    _check_writer_features(pm, path)
     if _identity_of(pm):
         raise ValueError(
             "versioned_table sink: the table declares identity columns, "

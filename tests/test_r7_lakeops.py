@@ -286,3 +286,81 @@ def test_optimize_where_no_match_is_a_noop(spark, tmp_path):
     v = V.versioned_compact(spark, tbl, where=F.col("part") == 99)
     assert v == before[-1]
     assert V.table_versions(tbl) == before
+
+
+def test_protocol_features_stamped_and_gated(spark, tmp_path):
+    """Delta's protocol-version contract: manifests list the features a
+    reader/writer must understand; engines refuse tables from the
+    future instead of silently returning wrong rows or committing
+    corrupting writes."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.versioned_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl)
+    pm = V._read_manifest(tbl, 1)
+    assert "reader_features" not in pm  # plain table: no gate
+
+    # DV delete -> reader feature appears (ignoring dvs = resurrecting rows)
+    V.versioned_delete_dv(spark, tbl, F.col("k") == 1)
+    pm = V._read_manifest(tbl, 2)
+    assert pm["reader_features"] == ["deletion_vectors"]
+    assert "deletion_vectors" in pm["writer_features"]
+
+    # rename -> column_mapping joins; constraint -> writer-only feature
+    V.versioned_rename_column(spark, tbl, "v", "val")
+    V.versioned_add_constraint(spark, tbl, "k_pos", "k > 0")
+    pm = V._read_manifest(tbl, V.table_versions(tbl)[-1])
+    assert pm["reader_features"] == ["column_mapping", "deletion_vectors"]
+    assert "check_constraints" in pm["writer_features"]
+    assert "check_constraints" not in pm["reader_features"]
+
+    # a FUTURE reader feature: every read path refuses loudly
+    mpath = os.path.join(tbl, f"manifest-v{V.table_versions(tbl)[-1]}.json")
+    raw = json.load(open(mpath))
+    raw["reader_features"] = raw["reader_features"] + ["v9_hologram_index"]
+    json.dump(raw, open(mpath, "w"))
+    import pytest
+
+    with pytest.raises(V.UnsupportedTableFeatureError, match="hologram"):
+        V.versioned_read(spark, tbl).collect()
+    with pytest.raises(V.UnsupportedTableFeatureError, match="hologram"):
+        V.versioned_write(
+            spark.createDataFrame([(3, "c")], "k long, val string"),
+            tbl,
+            mode="append",
+        )
+
+
+def test_protocol_future_writer_feature_blocks_commits_not_reads(spark, tmp_path):
+    """A writer-only future feature (e.g. an enforcement rule this engine
+    doesn't implement) must block COMMITS but leave reads working —
+    exactly Delta's reader/writer version split."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.versioned_write(spark.createDataFrame([(1,)], "k long"), tbl)
+    mpath = os.path.join(tbl, "manifest-v1.json")
+    raw = json.load(open(mpath))
+    raw["writer_features"] = ["row_tracking_v9"]
+    json.dump(raw, open(mpath, "w"))
+
+    assert V.versioned_read(spark, tbl).count() == 1  # reads fine
+    for attempt in (
+        lambda: V.versioned_write(
+            spark.createDataFrame([(2,)], "k long"), tbl, mode="append"
+        ),
+        lambda: V.versioned_delete(spark, tbl, F.col("k") == 1),
+        lambda: V.versioned_compact(spark, tbl),
+        lambda: V.versioned_add_constraint(spark, tbl, "c", "k > 0"),
+    ):
+        with pytest.raises(V.UnsupportedTableFeatureError, match="row_tracking"):
+            attempt()
