@@ -202,3 +202,71 @@ def test_identity_survives_restore_without_rollback(spark, tmp_path):
     ids = [i for i in _ids(spark, tbl) if i is not None]
     assert len(ids) == len(set(ids))
     assert max(ids) > hw_after  # post-restore assignment above ALL history
+
+
+def test_identity_through_streaming_ingest(spark, tmp_path):
+    """stream_to_versioned routes through versioned_write, so identity
+    sequences assign per micro-batch commit with replay protection."""
+    import json
+
+    from gsmls_analysis_spark.streaming.ingest import stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    V.versioned_write(
+        spark.createDataFrame([], "k long, v string"), tbl
+    )
+    V.versioned_set_identity(spark, tbl, "rid")
+    with open(src / "a.json", "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"k": i, "v": f"x{i}"}) + "\n")
+    sdf = spark.readStream.schema("k long, v string").json(str(src))
+    stream_to_versioned(sdf, tbl, checkpoint=ckpt)
+    # drain again with the same checkpoint: no new batch, no new ids
+    stream_to_versioned(
+        spark.readStream.schema("k long, v string").json(str(src)),
+        tbl,
+        checkpoint=ckpt,
+    )
+    rows = V.versioned_read(spark, tbl).collect()
+    ids = [r["rid"] for r in rows]
+    assert len(rows) == 6 and len(set(ids)) == 6
+    assert all(i is not None and i >= 1 for i in ids)
+
+
+def test_identity_under_real_concurrent_writers(spark, tmp_path):
+    """Not a rigged race: 4 real threads each append 3 batches through
+    the OCC protocol on one identity table.  Every batch must land and
+    every assigned id must be unique — the reassign-above-winner path
+    exercised under genuine interleaving."""
+    import threading
+
+    tbl = str(tmp_path / "tbl")
+    V.versioned_write(spark.createDataFrame([], "w long, v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+    errors = []
+
+    def writer(w):
+        try:
+            for b in range(3):
+                df = spark.createDataFrame(
+                    [(w, f"w{w}b{b}r{r}") for r in range(4)],
+                    "w long, v string",
+                )
+                V.versioned_write(df, tbl, mode="append")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    rows = V.versioned_read(spark, tbl).collect()
+    assert len(rows) == 4 * 3 * 4
+    ids = [r["rid"] for r in rows]
+    assert len(set(ids)) == len(ids), "identity collision under concurrency"
+    assert V.table_versions(tbl)[-1] == 2 + 12  # one commit per batch
