@@ -69,3 +69,41 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_value_n(cols: list[Column], bits_per_col: int | None = None) -> Column:
+    """N-column Morton code (Delta's OPTIMIZE ZORDER BY takes any number
+    of columns): bit j of column i lands at position j·n + i, so a
+    contiguous key range is an axis-aligned BOX in n-space and a
+    predicate on ANY zordered column prunes.  ``bits_per_col`` defaults
+    to min(16, 63 // n) — total key width stays inside a signed long.
+
+    Built as a plain shift/mask expression tree (k·n bit ops), fully
+    whole-stage-codegen'd and engine-portable; ``zorder_sql_n``
+    generates the IDENTICAL arithmetic as ANSI SQL so DuckDB oracles
+    replay it bit-for-bit.  Two-column callers should prefer
+    ``zorder_value`` (the mask-ladder form, fewer ops)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    k = bits_per_col or min(16, 63 // n)
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        c = c.cast("long").bitwiseAND(F.lit((1 << k) - 1))
+        for j in range(k):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return out
+
+
+def zorder_sql_n(col_names: list[str], bits_per_col: int | None = None) -> str:
+    """The ANSI-SQL twin of ``zorder_value_n`` — same bit placement, same
+    masks — for DuckDB oracle replay."""
+    n = len(col_names)
+    k = bits_per_col or min(16, 63 // n)
+    terms = []
+    for i, name in enumerate(col_names):
+        masked = f"(CAST({name} AS BIGINT) & {(1 << k) - 1})"
+        for j in range(k):
+            terms.append(f"((({masked} >> {j}) & 1) << {j * n + i})")
+    return "(" + " | ".join(terms) + ")"

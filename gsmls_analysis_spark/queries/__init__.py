@@ -60,6 +60,7 @@ _DRIVER_WINDOW = [
     "q_versioned_identity",  # GENERATED ALWAYS AS IDENTITY sequences
     "q_multimodal_resize",  # decode -> nearest-neighbor resize -> re-encode
     "q_versioned_optimize_where",  # scoped compaction (OPTIMIZE WHERE)
+    "q_zorder3_value",  # N-column Morton key, bit-exact cross-engine
     "q_stream_versioned_cdf",  # change-data-feed streaming source
     "q_table_changes_feed",  # batch CDF reader (table_changes)
     "q_versioned_restore",  # RESTORE TO VERSION AS OF, metadata-only

@@ -2256,3 +2256,41 @@ def q_versioned_optimize_where(spark, sf_dir):
         spark, path, where=F.col("part") == 1, target_file_bytes=1 << 30
     )
     return versioned_read(spark, path).select("doc_id", "lang", "part")
+
+
+from ..operators.layout import zorder_sql_n  # noqa: E402
+
+
+@query(
+    "q_zorder3_value",
+    oracle="""
+SELECT o_orderkey,
+       {Z} AS z
+FROM (SELECT o_orderkey,
+             o_custkey % 256 AS a,
+             o_orderkey % 256 AS b,
+             CAST(floor(o_totalprice) AS BIGINT) % 256 AS c
+      FROM orders)
+""".replace("{Z}", zorder_sql_n(["a", "b", "c"])),
+    doc="N-column Morton (Z-order) key, the OPTIMIZE ZORDER BY (a,b,c) "
+    "sort key: bit j of column i lands at position j*n+i via a pure "
+    "shiftleft/AND/OR expression tree (whole-stage codegen, no UDF); "
+    "the oracle replays the IDENTICAL arithmetic from the "
+    "auto-generated SQL twin (layout.py::zorder_sql_n), so the two "
+    "engines must agree bit-for-bit on every row.  The layout effect "
+    "(per-file footer boxes shrink on every axis) is unit-measured in "
+    "tests/test_r7_lakeops.py.",
+)
+def q_zorder3_value(spark, sf_dir):
+    from ..operators.layout import zorder_value_n
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("a"),
+        (F.col("o_orderkey") % 256).alias("b"),
+        (F.col("o_totalprice").cast("long") % 256).alias("c"),
+    )
+    return o.select(
+        "o_orderkey",
+        zorder_value_n([F.col("a"), F.col("b"), F.col("c")]).alias("z"),
+    )

@@ -3272,7 +3272,7 @@ def versioned_compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
-    zorder: tuple[str, str] | None = None,
+    zorder: tuple[str, ...] | None = None,
     where: Column | None = None,
 ) -> int:
     """OPTIMIZE / small-file compaction: bin-pack the current version's
@@ -3288,10 +3288,11 @@ def versioned_compact(
     output file covers a narrow key range, so the manifest min/max stats
     this commit collects make subsequent DELETE/UPDATE/MERGE skip-scans
     prune almost everything — compaction is what KEEPS data skipping
-    effective as a table ages.  ``zorder``: two int-like columns to
-    Morton-interleave instead (operators/layout.py::zorder_value); files
-    become (x, y) rectangles and predicates on EITHER column prune
-    (footer-measured in tests).  Mutually exclusive.
+    effective as a table ages.  ``zorder``: two OR MORE int-like columns to
+    Morton-interleave instead (operators/layout.py::zorder_value /
+    zorder_value_n); files become axis-aligned boxes in n-space and a
+    predicate on ANY zordered column prunes (footer-measured in
+    tests).  Mutually exclusive.
 
     ``where`` (Delta's ``OPTIMIZE ... WHERE``): compact ONLY the files
     whose manifest stats/Blooms/pvals may match the predicate — whole
@@ -3319,7 +3320,7 @@ def _compact_attempt(
     path: str,
     target_file_bytes: int,
     cluster_by: list[str] | None,
-    zorder: tuple[str, str] | None,
+    zorder: tuple[str, ...] | None,
     where: Column | None = None,
 ) -> int:
     versions = table_versions(path)
@@ -3378,12 +3379,17 @@ def _compact_attempt(
             *cluster_by
         )
     elif zorder:
-        from ..operators.layout import zorder_value
+        from ..operators.layout import zorder_value, zorder_value_n
 
+        if len(zorder) < 2:
+            raise ValueError("zorder needs at least 2 columns")
+        z = (
+            zorder_value(F.col(zorder[0]), F.col(zorder[1]))
+            if len(zorder) == 2
+            else zorder_value_n([F.col(c) for c in zorder])
+        )
         out = (
-            cur.withColumn(
-                "__z", zorder_value(F.col(zorder[0]), F.col(zorder[1]))
-            )
+            cur.withColumn("__z", z)
             .repartitionByRange(n_out, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")

@@ -364,3 +364,63 @@ def test_protocol_future_writer_feature_blocks_commits_not_reads(spark, tmp_path
     ):
         with pytest.raises(V.UnsupportedTableFeatureError, match="row_tracking"):
             attempt()
+
+
+def test_zorder_three_columns_prunes_on_every_axis(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (a, b, c): after a 3-column Morton compaction,
+    every file's footer min/max span on EACH column is a fraction of the
+    global span — so a predicate on ANY of the three prunes files.  Also
+    pins the Spark bit arithmetic to the Python reference."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.operators.layout import zorder_value_n
+
+    tbl = str(tmp_path / "tbl")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 7919 % 256).alias("a"),
+        (F.col("id") * 104729 % 256).alias("b"),
+        (F.col("id") * 1299709 % 256).alias("c"),
+    )
+    versioned_write(df.repartition(8), tbl)
+    v = versioned_compact(
+        spark, tbl, zorder=("a", "b", "c"), target_file_bytes=1 << 12
+    )
+    pm = V._read_manifest(tbl, v)
+    files = V._expand_files(os.path.abspath(tbl), V._entries(pm))
+    assert len(files) >= 8
+    for col in ("a", "b", "c"):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(os.path.join(tbl, f)).metadata
+            mn = min(
+                md.row_group(i).column(
+                    [md.schema[j].name for j in range(len(md.schema))].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(i).column(
+                    [md.schema[j].name for j in range(len(md.schema))].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(mx - mn)
+        avg_span = sum(spans) / len(spans)
+        assert avg_span < 0.8 * 255, f"{col}: no locality (avg span {avg_span})"
+    # bit arithmetic pinned to the reference
+    def ref(vals, k=16, nn=3):
+        out = 0
+        for i, val in enumerate(vals):
+            val &= (1 << k) - 1
+            for j in range(k):
+                out |= ((val >> j) & 1) << (j * nn + i)
+        return out
+
+    got = (
+        spark.createDataFrame([(3, 5, 250)], "a long, b long, c long")
+        .select(zorder_value_n([F.col("a"), F.col("b"), F.col("c")]).alias("z"))
+        .first()["z"]
+    )
+    assert got == ref([3, 5, 250])
