@@ -1,0 +1,112 @@
+"""Scoped-vs-full OPTIMIZE measurement: the same fragmented partitioned
+table is compacted once whole-table and once WHERE-scoped to a single
+partition, and the script reports bytes/files written and wall time for
+each.  The 100 TB claim behind ``versioned_compact(where=)`` is that
+scheduled maintenance should pay for yesterday's partition, not the
+table — this measures the ratio instead of arguing it.
+
+Usage: python tools/measure_optimize_where.py [sf_dir] [n_parts]
+Prints one JSON line; a human-readable summary goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+from gsmls_analysis_spark.sources.catalog import load_table  # noqa: E402
+
+
+def _snapshot(root: str) -> set[str]:
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.add(os.path.relpath(os.path.join(dirpath, f), root))
+    return out
+
+
+def _new_bytes(root: str, before: set[str]) -> tuple[int, int]:
+    total, n_parquet = 0, 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            if rel in before:
+                continue
+            total += os.path.getsize(os.path.join(dirpath, f))
+            if f.endswith(".parquet"):
+                n_parquet += 1
+    return total, n_parquet
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    spark = get_spark("optimize-where")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_orderkey") % n_parts).alias("part"),
+    )
+    results = {}
+    for mode in ("full", "scoped"):
+        path = tempfile.mkdtemp(prefix=f"optwhere_{mode}_")
+        root = os.path.abspath(path)
+        # fragment: 4 partitioned appends -> many small files per partition
+        for i in range(4):
+            V.versioned_write(
+                li.filter(F.col("l_orderkey") % 4 == i),
+                path,
+                mode="append" if i else "overwrite",
+                partition_by=["part"],
+            )
+        before = _snapshot(root)
+        n_before = V.versioned_read(spark, path).count()
+        t0 = time.time()
+        if mode == "full":
+            V.versioned_compact(spark, path)
+        else:
+            V.versioned_compact(spark, path, where=F.col("part") == 3)
+        wall = time.time() - t0
+        nbytes, nfiles = _new_bytes(root, before)
+        assert V.versioned_read(spark, path).count() == n_before
+        results[mode] = {
+            "wall_sec": round(wall, 2),
+            "bytes_written": nbytes,
+            "data_files_written": nfiles,
+        }
+    amp = results["full"]["bytes_written"] / max(
+        1, results["scoped"]["bytes_written"]
+    )
+    out = {
+        "sf_dir": sf_dir,
+        "n_parts": n_parts,
+        "full": results["full"],
+        "scoped": results["scoped"],
+        "bytes_ratio_full_over_scoped": round(amp, 1),
+    }
+    print(json.dumps(out))
+    print(
+        f"FULL: {results['full']['bytes_written']:,} B "
+        f"({results['full']['data_files_written']} files, "
+        f"{results['full']['wall_sec']}s) | SCOPED part=3: "
+        f"{results['scoped']['bytes_written']:,} B "
+        f"({results['scoped']['data_files_written']} files, "
+        f"{results['scoped']['wall_sec']}s) | ratio {out['bytes_ratio_full_over_scoped']}x",
+        file=sys.stderr,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
