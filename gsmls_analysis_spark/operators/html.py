@@ -123,6 +123,15 @@ def html_extract(df: DataFrame, id_col: str = "doc_id", html_col: str = "html") 
         for pdf in batches:
             titles, texts, counts, links = [], [], [], []
             for html in pdf["_html"]:
+                if html is None or (isinstance(html, float) and html != html):
+                    # NULL html (routine in a crawl corpus): propagate
+                    # NULL outputs instead of failing the Arrow batch —
+                    # the quarantine convention of every decode operator
+                    titles.append(None)
+                    texts.append(None)
+                    counts.append(None)
+                    links.append(None)
+                    continue
                 t, m, n, h = extract_page(html)
                 titles.append(t)
                 texts.append(m)

@@ -86,7 +86,14 @@ def zorder_value_n(cols: list[Column], bits_per_col: int | None = None) -> Colum
     n = len(cols)
     if n < 2:
         raise ValueError("zorder needs at least 2 columns")
-    k = bits_per_col or min(16, 63 // n)
+    k = min(16, 63 // n) if bits_per_col is None else bits_per_col
+    if k < 1 or k * n > 63:
+        # Java shiftleft wraps shift amounts mod 64: an overflowing key
+        # would be SILENTLY corrupted (and diverge from the SQL twin)
+        raise ValueError(
+            f"bits_per_col={k} with {n} columns needs {k * n} key bits; "
+            "must satisfy 1 <= bits_per_col and bits_per_col * n <= 63"
+        )
     out = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         c = c.cast("long").bitwiseAND(F.lit((1 << k) - 1))
@@ -100,7 +107,14 @@ def zorder_sql_n(col_names: list[str], bits_per_col: int | None = None) -> str:
     """The ANSI-SQL twin of ``zorder_value_n`` — same bit placement, same
     masks — for DuckDB oracle replay."""
     n = len(col_names)
-    k = bits_per_col or min(16, 63 // n)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    k = min(16, 63 // n) if bits_per_col is None else bits_per_col
+    if k < 1 or k * n > 63:
+        raise ValueError(
+            f"bits_per_col={k} with {n} columns needs {k * n} key bits; "
+            "must satisfy 1 <= bits_per_col and bits_per_col * n <= 63"
+        )
     terms = []
     for i, name in enumerate(col_names):
         masked = f"(CAST({name} AS BIGINT) & {(1 << k) - 1})"

@@ -327,8 +327,11 @@ def versioned_write(
             manifest["generated"] = gens
         if idn:
             # high water = max id this commit assigned (from the new
-            # files' footer stats), floored at the parent's mark
-            manifest["identity"] = _advance_identity(idn, my_stats, renames)
+            # files' footer stats, verified — gaps fall back to an exact
+            # column-pruned scan), floored at the parent's mark
+            manifest["identity"] = _advance_identity_safe(
+                df.sparkSession, root, data_dir, idn, my_stats, renames
+            )
         if mode == "append" and pm:
             manifest["data_dirs"] = pm.get("data_dirs", []) + [data_dir]
             if pm.get("data_files"):
@@ -362,6 +365,10 @@ def versioned_write(
         versions = table_versions(path)
         parent = versions[-1]
         pm = _read_manifest(path, parent)
+        # the winner may demand writer features this engine lacks:
+        # re-gate before rebuilding a child manifest that would silently
+        # drop the unknown feature's metadata
+        _check_writer_features(pm, path)
         version = parent + 1
         recollect = False
         id_rewrite = False
@@ -469,21 +476,23 @@ def committed_meta(path: str, key: str) -> set:
     """All values of ``meta[key]`` across the table's commit history —
     the idempotence ledger for streaming sinks (has batch N committed?).
 
-    Reads the NEWEST manifest's carried-forward ``txns`` ledger plus the
-    ``meta`` of every still-published manifest, so the ledger survives
-    vacuuming old manifests (the Delta ``txn`` model).  Metadata-scale:
-    one small JSON read per retained version."""
-    out: set = set()
+    Reads ONLY the NEWEST manifest: its carried-forward ``txns`` ledger
+    already folds every ancestor's ``meta`` (each commit merges its
+    parent's meta via ``_merge_txns``), and the newest manifest's OWN
+    ``meta`` is unioned explicitly (some ops — e.g. RESTORE — stamp meta
+    without passing it through the ledger until the next commit folds
+    it).  O(1) manifest reads per call — a streaming sink checking its
+    replay key per micro-batch must not pay O(history); the ledger
+    survives vacuuming old manifests either way (the Delta ``txn``
+    model)."""
     versions = table_versions(path)
     if not versions:
-        return out
-    for v in versions:
-        m = _read_manifest(path, v)
-        meta = m.get("meta") or {}
-        if key in meta:
-            out.add(meta[key])
-        if v == versions[-1]:
-            out.update((m.get("txns") or {}).get(key, []))
+        return set()
+    m = _read_manifest(path, versions[-1])
+    out = set((m.get("txns") or {}).get(key, []))
+    meta = m.get("meta") or {}
+    if key in meta:
+        out.add(meta[key])
     return out
 
 
@@ -710,7 +719,7 @@ def versioned_add_constraint(
             {name: expr_sql},
             f"ADD CONSTRAINT {name!r}: existing data",
         )
-        manifest = _metadata_only_child(pm, meta={"add_constraint": name})
+        manifest = _metadata_only_child(pm, meta={"add_constraint": name}, path=path)
         manifest["constraints"] = {**cons, name: expr_sql}
         _publish_or_race(path, manifest)
         return manifest["version"]
@@ -768,7 +777,7 @@ def versioned_add_generated_column(
                 {gen_cons_name: check_sql},
                 f"ADD GENERATED COLUMN {name!r}: existing data",
             )
-        manifest = _metadata_only_child(pm, meta={"add_generated": name})
+        manifest = _metadata_only_child(pm, meta={"add_generated": name}, path=path)
         manifest["generated"] = {**gens, name: expr_sql}
         manifest["constraints"] = {**cons, gen_cons_name: check_sql}
         _publish_or_race(path, manifest)
@@ -852,7 +861,7 @@ def versioned_set_identity(
             )
             if row["mx"] is not None:
                 high_water = max(high_water, int(row["mx"]))
-        manifest = _metadata_only_child(pm, meta={"set_identity": name})
+        manifest = _metadata_only_child(pm, meta={"set_identity": name}, path=path)
         manifest["identity"] = {**idn, name: {"high_water": high_water}}
         _publish_or_race(path, manifest)
         return manifest["version"]
@@ -901,6 +910,55 @@ def _advance_identity(
     return out
 
 
+def _advance_identity_safe(
+    spark: SparkSession,
+    root: str,
+    data_dir: str,
+    idn: dict[str, dict],
+    stats: dict,
+    l2p: dict[str, str],
+) -> dict[str, dict]:
+    """``_advance_identity`` with the gap VERIFIED: stats collection is
+    best-effort (a dropped footer entry only weakens pruning), but
+    identity uniqueness is a hard invariant — an under-advanced high
+    water makes the NEXT commit reassign the same ids.  So every
+    non-empty new file must contribute a footer max for every identity
+    column; any gap falls back to an exact max over just the identity
+    columns of the new files (one tiny column-pruned scan, only on the
+    degraded path)."""
+    adv = _advance_identity(idn, stats, l2p)
+    new_files = _expand_files(root, [data_dir])
+    gap_cols: set[str] = set()
+    for name in idn:
+        phys = l2p.get(name, name)
+        for f in new_files:
+            entry = stats.get(f)
+            if entry is None:
+                gap_cols.add(phys)  # footer read failed: rows unknown
+                break
+            if not entry.get("rows"):
+                continue  # genuinely empty file: no max to contribute
+            st = (entry.get("cols") or {}).get(phys)
+            if st is None or st.get("max") is None:
+                gap_cols.add(phys)
+                break
+    if not gap_cols:
+        return adv
+    row = (
+        spark.read.parquet(os.path.join(root, data_dir))
+        .agg(*[F.max(F.col(p)).alias(p) for p in sorted(gap_cols)])
+        .collect()[0]
+    )
+    for name in idn:
+        phys = l2p.get(name, name)
+        if phys in gap_cols and row[phys] is not None:
+            adv[name] = {
+                **adv[name],
+                "high_water": max(int(adv[name]["high_water"]), int(row[phys])),
+            }
+    return adv
+
+
 def versioned_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing the
     named CHECK constraint.  Raises if it does not exist (Delta's
@@ -923,7 +981,7 @@ def versioned_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
                 f"{name[len('__gen_'):]!r}; generated columns cannot be "
                 "silently un-generated (drop the column instead)"
             )
-        manifest = _metadata_only_child(pm, meta={"drop_constraint": name})
+        manifest = _metadata_only_child(pm, meta={"drop_constraint": name}, path=path)
         cons.pop(name)
         if cons:
             manifest["constraints"] = cons
@@ -1058,7 +1116,7 @@ def versioned_rename_column(
         else:
             mapping[phys] = new
         manifest = _metadata_only_child(
-            pm, meta={"rename_column": f"{old}->{new}"}
+            pm, meta={"rename_column": f"{old}->{new}"}, path=path
         )
         if mapping:
             manifest["column_mapping"] = mapping
@@ -1121,7 +1179,7 @@ def versioned_drop_column(spark: SparkSession, path: str, name: str) -> int:
         new_phys = StructType([f for f in old_phys.fields if f.name != phys])
         mapping = _mapping_of(pm)
         mapping.pop(phys, None)
-        manifest = _metadata_only_child(pm, meta={"drop_column": name})
+        manifest = _metadata_only_child(pm, meta={"drop_column": name}, path=path)
         if own_gen_constraint:
             # dropping a generated column retires its rule and its
             # backing CHECK together (the only sanctioned way out)
@@ -1181,11 +1239,11 @@ def _append_physical(
     return (df.withColumnsRenamed(renames) if renames else df), renames, added
 
 
-def _metadata_only_child(pm: dict, meta: dict | None = None) -> dict:
+def _metadata_only_child(pm: dict, meta: dict | None = None, path: str = "<table>") -> dict:
     """A child manifest with the parent's exact visible content (entries,
     schema, stats, DVs, table props) — the shape every metadata-only op
     (constraint add/drop, rename) publishes.  Zero data touched."""
-    _check_writer_features(pm, "<table>")
+    _check_writer_features(pm, path)
     manifest = {
         "version": pm["version"] + 1,
         "parent": pm["version"],
@@ -3153,14 +3211,17 @@ def versioned_vacuum(
         return []
     kept = versions[-keep_last:]
     if retention_seconds is not None:
+        # keyed to the manifest's STAMPED committed_at — the same clock
+        # AS OF time travel resolves against — never file mtime, which
+        # backup restores / cp -p rewrites out from under the window
         cutoff = time.time() - retention_seconds
         recent = []
         for v in versions:
             try:
-                mt = os.path.getmtime(os.path.join(path, f"manifest-v{v}.json"))
+                ct = _read_manifest(path, v).get("committed_at")
             except OSError:
                 continue
-            if mt >= cutoff:
+            if ct is not None and ct >= cutoff:
                 recent.append(v)
         kept = sorted(set(kept) | set(recent))
     dropped = [v for v in versions if v not in set(kept)]
@@ -3340,7 +3401,8 @@ def _compact_attempt(
         # OPTIMIZE WHERE: metadata-only file selection — whole files
         # whose stats MAY match, so rows are preserved exactly
         files = sorted(prune_candidate_files(spark, pm, all_files, where))
-        kept = [f for f in all_files if f not in set(files)]
+        in_scope = set(files)
+        kept = [f for f in all_files if f not in in_scope]
         if not files:
             return parent  # nothing in scope: no-op, nothing published
     else:
@@ -3367,7 +3429,7 @@ def _compact_attempt(
         )
         cur = reader.parquet(*[os.path.join(root, f) for f in files])
         sel_dvs = {
-            f: v for f, v in _load_dvs(root, pm).items() if f in set(files)
+            f: v for f, v in _load_dvs(root, pm).items() if f in in_scope
         }
         if sel_dvs:
             cur = _apply_dvs(cur, spark, sel_dvs)

@@ -966,6 +966,17 @@ def _publish_staged(
         versions = table_versions(path)
         parent = versions[-1]
         pm = _read_manifest(path, parent)
+        # re-gate against the WINNER's manifest: an unknown writer
+        # feature would be silently dropped by our rebuild, and a newly
+        # declared identity column needs sequence assignment the sink
+        # cannot do — both abort (Delta's MetadataChanged contract)
+        _check_writer_features(pm, path)
+        if _identity_of(pm):
+            raise CommitConflictError(
+                "versioned_table sink: an identity column was declared "
+                "on the table during this write; the sink cannot assign "
+                "the sequence — re-run through versioned_write."
+            )
         version = parent + 1
         new_dir = f"data/v{version}-{token}"
         os.rename(

@@ -86,3 +86,12 @@ def test_secrets_scan_detects_and_redacts(spark):
     assert got[6]["secret_kinds"] == "aws_key,password"
     assert got[6]["n_secrets"] == 2
     assert got[7]["n_secrets"] == 0, got[7]["redacted"]
+
+
+def test_html_extract_null_rows_propagate_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>ok</p>"), (2, None)], "doc_id long, html string"
+    )
+    got = {r["doc_id"]: r for r in html_extract(df).collect()}
+    assert got[1]["main_text"] == "ok"
+    assert got[2]["main_text"] is None and got[2]["n_links"] is None

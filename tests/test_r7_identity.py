@@ -270,3 +270,37 @@ def test_identity_under_real_concurrent_writers(spark, tmp_path):
     ids = [r["rid"] for r in rows]
     assert len(set(ids)) == len(ids), "identity collision under concurrency"
     assert V.table_versions(tbl)[-1] == 2 + 12  # one commit per batch
+
+
+def test_identity_advance_scans_when_footer_stats_are_missing(spark, tmp_path):
+    """Identity uniqueness must not depend on best-effort stats: if a new
+    file's footer entry is missing, the high-water advance falls back to
+    an exact column-pruned scan instead of silently under-advancing
+    (which would make the next commit reassign the same ids)."""
+    tbl = str(tmp_path / "t")
+    V.versioned_write(spark.createDataFrame([], "v string"), tbl)
+    V.versioned_set_identity(spark, tbl, "rid")
+    V.versioned_write(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string"),
+        tbl,
+        mode="append",
+    )
+    pm = V._read_manifest(tbl, V.table_versions(tbl)[-1])
+    true_hw = pm["identity"]["rid"]["high_water"]
+    assert true_hw >= 3
+    root = os.path.abspath(tbl)
+    data_dir = pm["data_dirs"][-1]
+
+    # simulate total stats loss for the new files
+    gutted = V._advance_identity_safe(
+        spark, root, data_dir, {"rid": {"high_water": 0}}, {}, {}
+    )
+    assert gutted["rid"]["high_water"] == true_hw  # recovered by the scan
+
+    # and a rows>0 entry missing the identity column also triggers it
+    files = V._expand_files(root, [data_dir])
+    partial = {files[0]: {"rows": 1, "cols": {}}}
+    gutted2 = V._advance_identity_safe(
+        spark, root, data_dir, {"rid": {"high_water": 0}}, partial, {}
+    )
+    assert gutted2["rid"]["high_water"] == true_hw

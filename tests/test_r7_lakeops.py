@@ -190,10 +190,17 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     assert V.versioned_vacuum(tbl, keep_last=1, retention_seconds=3600) == []
     assert V.table_versions(tbl) == [1, 2, 3, 4]
 
-    # age v1/v2 manifests past the window: only they become droppable
+    # age v1/v2 COMMIT TIMES past the window (retention is keyed to the
+    # stamped committed_at, the same clock AS OF time travel uses — not
+    # file mtime, which backups/cp -p rewrite): only they become droppable
+    import json
+
     old = time.time() - 7200
     for v in (1, 2):
-        os.utime(os.path.join(tbl, f"manifest-v{v}.json"), (old, old))
+        mp = os.path.join(tbl, f"manifest-v{v}.json")
+        raw = json.load(open(mp))
+        raw["committed_at"] = old
+        json.dump(raw, open(mp, "w"))
     V.versioned_vacuum(tbl, keep_last=1, retention_seconds=3600)
     assert V.table_versions(tbl) == [3, 4]
     # the kept history still reads (time travel intact)
@@ -424,3 +431,17 @@ def test_zorder_three_columns_prunes_on_every_axis(spark, tmp_path):
         .first()["z"]
     )
     assert got == ref([3, 5, 250])
+
+
+def test_zorder_n_rejects_overflowing_bit_widths():
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.operators.layout import zorder_sql_n, zorder_value_n
+
+    cols = [F.lit(1), F.lit(2), F.lit(3)]
+    with pytest.raises(ValueError, match="63"):
+        zorder_value_n(cols, bits_per_col=22)  # 66 bits: shiftleft wraps
+    with pytest.raises(ValueError, match="bits_per_col"):
+        zorder_value_n(cols, bits_per_col=0)
+    with pytest.raises(ValueError, match="63"):
+        zorder_sql_n(["a", "b", "c"], bits_per_col=22)

@@ -203,3 +203,65 @@ def test_stream_sink_abort_cleans_staging(tmp_path):
     w.abort([m], 0)
     assert not os.path.exists(staged)
     assert V.table_versions(tbl) == []
+
+
+def test_stream_sink_aborts_when_identity_declared_mid_race(spark, tmp_path, monkeypatch):
+    """A versioned_set_identity landing between the sink's parent read
+    and its publish must abort the batch on retry — the sink cannot
+    assign the sequence, and publishing anyway would commit rows with
+    NULL ids into a GENERATED ALWAYS AS IDENTITY table forever."""
+    from tests.test_r6_versioned import _race_once
+
+    tbl = str(tmp_path / "tbl")
+    V.versioned_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), tbl
+    )
+    w = VersionedStreamWriter(
+        __import__("pyspark.sql.types", fromlist=["StructType"]).StructType.fromDDL(
+            "k long, v string"
+        ),
+        False,
+        {"path": tbl, "txnappid": "app"},
+    )
+    m = w.write(
+        iter(
+            [
+                pa.record_batch(
+                    {"k": pa.array([2], pa.int64()), "v": pa.array(["b"], pa.string())}
+                )
+            ]
+        )
+    )
+    _race_once(
+        monkeypatch,
+        lambda: V.versioned_set_identity(spark, tbl, "rid"),
+    )
+    with pytest.raises(V.CommitConflictError, match="identity"):
+        w.commit([m], 0)
+    # nothing published by the sink: only the seed row is visible
+    assert V.versioned_read(spark, tbl).count() == 1
+
+
+def test_stream_sink_replay_check_reads_one_manifest(spark, tmp_path, monkeypatch):
+    """committed_meta must stay O(1) in table history — a streaming sink
+    checks its replay key EVERY micro-batch, so an O(versions) ledger
+    read turns a long-lived stream quadratic."""
+    tbl = str(tmp_path / "tbl")
+    for i in range(6):
+        V.versioned_write(
+            spark.createDataFrame([(i,)], "k long"),
+            tbl,
+            mode="append" if i else "overwrite",
+            meta={"txn": f"app/{i}"},
+        )
+    calls = []
+    real = V._read_manifest
+
+    def counting(path, version):
+        calls.append(version)
+        return real(path, version)
+
+    monkeypatch.setattr(V, "_read_manifest", counting)
+    got = V.committed_meta(tbl, "txn")
+    assert got == {f"app/{i}" for i in range(6)}  # full ledger intact
+    assert len(calls) == 1, f"expected 1 manifest read, saw {calls}"
