@@ -45,6 +45,16 @@ EXTRACT_SCHEMA = (
 )
 
 
+# tags whose START implies </p> when a <p> is open (HTML spec's
+# "p element's end tag can be omitted" list) — real crawl HTML rarely
+# closes paragraphs explicitly, so dropping this loses most of the text
+_P_AUTOCLOSE = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption "
+    "figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main menu nav "
+    "ol p pre section table ul".split()
+)
+
+
 class _PageExtract(HTMLParser):
     """One-pass extractor: title text, per-<p> text (script/style CDATA
     and nav subtrees excluded), every <a href> in document order."""
@@ -61,6 +71,13 @@ class _PageExtract(HTMLParser):
         self._raw_tag: str | None = None  # inside <script>/<style>
 
     def handle_starttag(self, tag, attrs):
+        if self._in_p and tag in _P_AUTOCLOSE:
+            # implicit close (ubiquitous in real crawl HTML — unclosed
+            # <p> is the norm): flush the accumulated paragraph instead
+            # of silently dropping it on the next block start
+            self.paras.append("".join(self._cur))
+            self._cur = []
+            self._in_p = False
         if tag == "nav":
             self._nav_depth += 1
             return
@@ -97,6 +114,15 @@ class _PageExtract(HTMLParser):
             self.title_parts.append(data)
         elif self._in_p:
             self._cur.append(data)
+
+    def close(self):
+        super().close()
+        if self._in_p:
+            # EOF with an open <p> (valid HTML — its end tag is
+            # omittable at end of parent): flush, don't drop
+            self.paras.append("".join(self._cur))
+            self._cur = []
+            self._in_p = False
 
 
 def extract_page(html: str) -> tuple[str, str, int, str]:

@@ -292,13 +292,26 @@ def versioned_write(
     # re-computing df) BEFORE publishing; a violation orphans the dir
     cons = _constraints_of(pm)
     if cons:
-        _enforce_constraints(
-            _logical_view(
-                df.sparkSession.read.schema(df.schema).parquet(
-                    os.path.join(root, data_dir)
-                ),
-                {"column_mapping": {**_mapping_of(pm), **added_mapping}},
+        # overwrite RESETS the column mapping: the readback's physical
+        # names ARE the logical names, so applying the parent's mapping
+        # would rename any new column that happens to equal a renamed
+        # column's old physical name and evaluate the CHECK against the
+        # wrong column.  Append uses the full inherited+added mapping.
+        check_map = (
+            {**_mapping_of(pm), **added_mapping}
+            if mode == "append"
+            else dict(added_mapping)
+        )
+        readback = _logical_view(
+            df.sparkSession.read.schema(df.schema).parquet(
+                os.path.join(root, data_dir)
             ),
+            {"column_mapping": check_map},
+        )
+        if mode == "overwrite":
+            _require_constraint_columns(readback, cons, path)
+        _enforce_constraints(
+            readback,
             cons,
             f"versioned_write(mode={mode!r})",
         )
@@ -370,6 +383,21 @@ def versioned_write(
         # drop the unknown feature's metadata
         _check_writer_features(pm, path)
         version = parent + 1
+        # the staged dir name carries the commit version — batch-reader
+        # provenance (_file_commit_version parses ``data/v{N}-{token}``).
+        # A losing attempt re-publishes as a LATER version, so rename the
+        # dir per attempt exactly as the native sinks do; otherwise two
+        # different commits can both surface _commit_version=N.
+        new_data_dir = f"data/v{version}-{token}"
+        if new_data_dir != data_dir:
+            os.rename(
+                os.path.join(root, data_dir), os.path.join(root, new_data_dir)
+            )
+            my_stats = {
+                k.replace(data_dir, new_data_dir, 1): v
+                for k, v in my_stats.items()
+            }
+            data_dir = new_data_dir
         recollect = False
         id_rewrite = False
         new_idn = _identity_of(pm)
@@ -384,14 +412,22 @@ def versioned_write(
             df0 = _apply_identity(df_pre_id, idn) if idn else df_pre_id
             df = df0
             id_rewrite = True
+        # the winner may have added/changed a generated column — a table
+        # PROPERTY, so it binds BOTH modes: serial execution after the
+        # winner would have computed the column.  Redo generation over
+        # the pre-identity frame (matching the entry path's order) and
+        # re-apply identity, so the republished manifest's 'generated'
+        # map always matches the __gen_ CHECK it carries — republishing
+        # the stale map would leave an undropable orphan constraint.
+        new_gens = _generated_of(pm)
+        gen_changed = new_gens != gens
+        if gen_changed:
+            gens = new_gens
+            df_pre_id = _apply_generated(df_pre_id, pm)
+            df0 = _apply_identity(df_pre_id, idn) if idn else df_pre_id
+            df = df0
         if mode == "append":
-            # the winner may have added a generated column: serial
-            # execution after it would have computed the column — redo
-            # generation over the ORIGINAL frame, then re-translate
-            new_gens = _generated_of(pm)
-            if new_gens != gens:
-                gens = new_gens
-                df0 = _apply_generated(df0, pm)
+            if gen_changed:
                 renames = {"__force_rewrite__": ""}  # decisions invalid
             # the winner may have renamed/dropped columns: re-derive the
             # logical→physical translation; if any decision changed, the
@@ -412,8 +448,9 @@ def versioned_write(
                 recollect = True
             else:
                 added_mapping = new_added
-        elif id_rewrite:
-            # overwrite mode: rewrite the staged files with reassigned ids
+        elif id_rewrite or gen_changed:
+            # overwrite mode: rewrite the staged files (reassigned ids
+            # and/or the winner's new generated column)
             if partition_by:
                 n_shuffle = int(
                     df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -438,24 +475,28 @@ def versioned_write(
                 bloom_cols = inherited
                 recollect = True
         new_cons = _constraints_of(pm)
-        if new_cons != cons:
+        if new_cons != cons or (gen_changed and cons):
             # the winner added/changed constraints: serial execution
             # after the winner would have enforced them — re-validate
-            # the already-written files against the new set
+            # the already-written files against the new set (also after
+            # a generated-column rewrite: the files changed)
             cons = new_cons
             if cons:
-                _enforce_constraints(
-                    _logical_view(
-                        df.sparkSession.read.schema(df.schema).parquet(
-                            os.path.join(root, data_dir)
-                        ),
-                        {
-                            "column_mapping": {
-                                **_mapping_of(pm),
-                                **added_mapping,
-                            }
-                        },
+                check_map = (
+                    {**_mapping_of(pm), **added_mapping}
+                    if mode == "append"
+                    else dict(added_mapping)
+                )
+                readback = _logical_view(
+                    df.sparkSession.read.schema(df.schema).parquet(
+                        os.path.join(root, data_dir)
                     ),
+                    {"column_mapping": check_map},
+                )
+                if mode == "overwrite":
+                    _require_constraint_columns(readback, cons, path)
+                _enforce_constraints(
+                    readback,
                     cons,
                     f"versioned_write(mode={mode!r}) [post-race]",
                 )
@@ -613,6 +654,29 @@ class ConstraintViolationError(ValueError):
 
 def _constraints_of(manifest: dict | None) -> dict[str, str]:
     return dict((manifest or {}).get("constraints") or {})
+
+
+def _require_constraint_columns(
+    df: DataFrame, constraints: dict[str, str], path: str
+) -> None:
+    """An overwrite may change the schema while the table's CHECK
+    constraints carry over: refuse to publish a manifest whose
+    constraints reference columns the new schema lacks (they would fail
+    every later write with an opaque analysis error).  Pure Catalyst
+    analysis over ``df`` — zero data touched."""
+    from pyspark.errors import AnalysisException
+
+    for name in sorted(constraints):
+        try:
+            df.select(F.expr(constraints[name]))
+        except AnalysisException as e:
+            raise ConstraintViolationError(
+                f"overwrite of {path} would leave CHECK constraint "
+                f"{name!r} ({constraints[name]}) referencing columns "
+                f"absent from the new schema {df.columns} — drop the "
+                f"constraint first (versioned_drop_constraint) or keep "
+                f"the columns: {e}"
+            ) from e
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict[str, str], op: str):
@@ -3393,8 +3457,13 @@ def _compact_attempt(
     if cluster_by is None and zorder is None and pm.get("partition_by"):
         # a partitioned table must come OUT of compaction still
         # partition-clustered, or every pvals set degrades to the full
-        # value list and partition pruning dies with it
-        cluster_by = list(pm["partition_by"])
+        # value list and partition pruning dies with it.  partition_by is
+        # PHYSICAL; ``cur`` below is the LOGICAL view, so translate —
+        # otherwise default compaction breaks permanently after a
+        # versioned_rename_column on a partition column (user-supplied
+        # cluster_by/zorder already speak logical names).
+        p2l = _mapping_of(pm)
+        cluster_by = [p2l.get(c, c) for c in pm["partition_by"]]
     root = os.path.abspath(path)
     all_files = _expand_files(root, _entries(pm))
     if where is not None:

@@ -1,0 +1,217 @@
+"""Round-8 regression tests: the five advisor defects from the round-7
+review — OPTIMIZE default clustering after a partition-column rename,
+data-dir rename on OCC retry (batch-reader _commit_version provenance),
+overwrite constraint validation under a reset column mapping,
+generated-column refresh after a lost OVERWRITE race, and implicit
+</p> closing in the HTML extractor."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.html import extract_page
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    ConstraintViolationError,
+    versioned_add_constraint,
+    versioned_add_generated_column,
+    versioned_compact,
+    versioned_read,
+    versioned_rename_column,
+    versioned_write,
+)
+from gsmls_analysis_spark.sources.versioned_stream import (
+    _file_commit_version,
+    versioned_batch_source,
+)
+
+
+def _read_manifest(path, v):
+    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _race_once(monkeypatch, rival):
+    """First publish attempt is preceded by a rival commit winning the
+    version number (the deterministic interleave rig from r6/r7 tests)."""
+    real_publish = V._publish
+    state = {"first": True}
+
+    def rigged(path_, manifest):
+        if state["first"]:
+            state["first"] = False
+            monkeypatch.setattr(V, "_publish", real_publish)
+            rival()
+            return real_publish(path_, manifest)
+        return real_publish(path_, manifest)
+
+    monkeypatch.setattr(V, "_publish", rigged)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 1 (medium): default OPTIMIZE after renaming a partition column
+# ---------------------------------------------------------------------------
+
+
+def test_compact_default_clustering_after_partition_rename(spark, tmp_path):
+    """versioned_compact's inherited cluster_by comes from the manifest's
+    PHYSICAL partition_by, but the frame it clusters is the LOGICAL
+    view: after versioned_rename_column on a partition column, default
+    compaction used to raise AnalysisException (column not found) —
+    permanently, until the rename was reverted."""
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, 2020 + i % 3) for i in range(60)], "id long, year long"
+    )
+    versioned_write(df, path, partition_by=["year"])
+    versioned_rename_column(spark, path, "year", "yr")
+    v = versioned_compact(spark, path, target_file_bytes=1 << 30)
+    pm = _read_manifest(path, v)
+    # clustering happened on the logical name, partitioning survives on
+    # the physical name, and the rows are intact
+    assert pm["meta"]["clustered_by"] == ["yr"]
+    assert pm["partition_by"] == ["year"]
+    got = versioned_read(spark, path)
+    assert got.count() == 60 and "yr" in got.columns
+    # pvals survived compaction: a partition predicate still prunes
+    stats = pm["stats"]
+    assert all("pvals" in e and e["pvals"].get("year") for e in stats.values())
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 2 (medium): OCC retry must rename the staged data dir
+# ---------------------------------------------------------------------------
+
+
+def test_write_retry_renames_dir_for_commit_version(spark, tmp_path, monkeypatch):
+    """versioned_write keeps its staged dir name when it loses the
+    publish race; the batch reader parses _commit_version from the dir
+    name, so two different commits could both surface version N.  The
+    retry loop must rename data/v{N}-{token} to the version actually
+    published (as the native sinks do)."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.createDataFrame([(1, "base")], "id long, src string"), path
+    )
+    _race_once(
+        monkeypatch,
+        lambda: versioned_write(
+            spark.createDataFrame([(2, "rival")], "id long, src string"),
+            path,
+            mode="append",
+        ),
+    )
+    v = versioned_write(
+        spark.createDataFrame([(3, "loser")], "id long, src string"),
+        path,
+        mode="append",
+    )
+    assert v == 3
+    pm = _read_manifest(path, 3)
+    mine = [d for d in pm["data_dirs"] if d not in _read_manifest(path, 2)["data_dirs"]]
+    assert len(mine) == 1 and _file_commit_version(mine[0]) == 3
+    # stats were re-keyed to the renamed dir (pruning stays sound)
+    assert all(
+        any(k.startswith(d) for d in pm["data_dirs"]) for k in pm["stats"]
+    )
+    # end-to-end: the native batch source maps each row to its true commit
+    gb = dict(
+        (r["_commit_version"], r["count"])
+        for r in versioned_batch_source(spark, path)
+        .groupBy("_commit_version")
+        .count()
+        .collect()
+    )
+    assert gb == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 3 (low): overwrite constraint check under a reset mapping
+# ---------------------------------------------------------------------------
+
+
+def test_overwrite_constraint_with_stale_physical_name(spark, tmp_path):
+    """Overwrite resets the column mapping, but the CHECK readback used
+    to apply the PARENT's mapping: a new column named like a renamed
+    column's old physical name got renamed during validation and the
+    CHECK ran against the wrong column — here a spurious PASS that
+    published a manifest whose constraint references a column the new
+    schema lacks (breaking every later write)."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.createDataFrame([(1,)], "a long"), path)
+    versioned_rename_column(spark, path, "a", "b")
+    versioned_add_constraint(spark, path, "b_nonneg", "b >= 0")
+    with pytest.raises(ConstraintViolationError, match="absent from the new schema"):
+        versioned_write(
+            spark.createDataFrame([(5,)], "a long"), path, mode="overwrite"
+        )
+    # nothing was published; the table still reads v3 with column b
+    assert V.table_versions(path) == [1, 2, 3]
+    assert versioned_read(spark, path).columns == ["b"]
+    # a conforming overwrite (schema keeps b) still works
+    v = versioned_write(
+        spark.createDataFrame([(7,)], "b long"), path, mode="overwrite"
+    )
+    assert versioned_read(spark, path, version=v).collect()[0]["b"] == 7
+    # and a violating value still violates (the check runs un-renamed)
+    with pytest.raises(ConstraintViolationError, match="b_nonneg"):
+        versioned_write(
+            spark.createDataFrame([(-7,)], "b long"), path, mode="overwrite"
+        )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 4 (low): generated-column refresh after a lost OVERWRITE race
+# ---------------------------------------------------------------------------
+
+
+def test_overwrite_race_refreshes_generated_columns(spark, tmp_path, monkeypatch):
+    """An overwrite losing the race to a concurrent
+    versioned_add_generated_column used to republish the winner's
+    constraints (including __gen_X) with the STALE 'generated' map —
+    leaving an undropable constraint whose generation rule is gone and
+    failing every later write that omits the column.  The retry must
+    refresh gens for BOTH modes and compute the column."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.createDataFrame([(1, 2)], "id long, id2 long"), path)
+    _race_once(
+        monkeypatch,
+        lambda: versioned_add_generated_column(spark, path, "id2", "id * 2"),
+    )
+    v = versioned_write(
+        spark.createDataFrame([(3,), (4,)], "id long"), path, mode="overwrite"
+    )
+    pm = _read_manifest(path, v)
+    assert pm["generated"] == {"id2": "id * 2"}
+    assert "__gen_id2" in pm["constraints"]
+    rows = {
+        r["id"]: r["id2"] for r in versioned_read(spark, path, version=v).collect()
+    }
+    assert rows == {3: 6, 4: 8}
+    # later writes that omit the column keep working (the defect broke them)
+    versioned_write(spark.createDataFrame([(5,)], "id long"), path, mode="append")
+    rows = {r["id"]: r["id2"] for r in versioned_read(spark, path).collect()}
+    assert rows == {3: 6, 4: 8, 5: 10}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 5 (low): unclosed <p> tags must not drop paragraph text
+# ---------------------------------------------------------------------------
+
+
+def test_html_unclosed_p_implicit_close():
+    title, text, n, hrefs = extract_page(
+        "<html><body><p>first para<p>second para</p>"
+        "<p>third<div>not para</div><p>fourth</body></html>"
+    )
+    assert text == "first para second para third fourth"
+    # block starts (here <div>) close an open <p>; EOF closes the last
+    _, text2, _, _ = extract_page("<p>alpha<ul><li>x</li></ul><p>omega")
+    assert text2 == "alpha omega"
+    # the existing closed-tag behavior is unchanged
+    _, text3, _, _ = extract_page("<p>a</p><p>b</p>")
+    assert text3 == "a b"
