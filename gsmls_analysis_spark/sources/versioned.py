@@ -38,7 +38,11 @@ Each manifest additionally carries:
   from the parquet FOOTERS of files written by this commit (carried
   forward by reference for kept files) — the Iceberg/Delta data-skipping
   model.  ``versioned_delete`` prunes its skip-scan from these stats
-  without opening non-candidate files.
+  without opening non-candidate files.  On disk the stats live in
+  immutable SEGMENT files under ``segments/`` referenced by name
+  (``stats_segments``), so a commit serializes only the entries it
+  touched — the manifest JSON itself stays O(touched files), not
+  O(table files); see ``_segment_stats``.
 - ``txns``: a compacted ledger of every ancestor commit's ``meta``
   values, carried forward into each child manifest (Delta's
   ``txn`` appId/version table).  Vacuuming old manifests therefore
@@ -169,10 +173,126 @@ def _check_writer_features(pm: dict | None, path: str) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# Segmented manifest metadata (Iceberg's manifest-list shape): per-file
+# stats/Blooms/pvals — the dominant manifest bytes, ~KB per file — live
+# in IMMUTABLE segment files under ``segments/``; the manifest JSON
+# itself carries only the segment names.  A commit references the
+# parent's segments that survived intact and writes new segment(s) for
+# only the entries it touched, so commit metadata I/O is O(touched
+# files), not O(table files): a one-row DV commit on a million-file
+# table writes a manifest of a few KB instead of re-serializing a
+# million stats entries (Delta solves the same problem with checkpoint
+# parquet + log segments).  ``_read_manifest`` materializes the merged
+# ``stats`` dict transparently, so every consumer (pruning, vacuum,
+# compaction, the executor-side data sources) keeps its exact
+# semantics.  Segments are cached per-process (immutability makes the
+# cache trivially coherent).  Inline ``stats`` manifests (the pre-r8
+# format) remain readable — upgrade happens on the next commit.
+# Stats-segmentation is deliberately NOT a reader/writer protocol
+# feature: an engine that ignored ``stats_segments`` would only lose
+# pruning and child-commit stats, never return wrong rows.
+# ---------------------------------------------------------------------------
+
+_SEG_DIR = "segments"
+_SEG_MAX_REFS = 64  # max segments a manifest references (fold beyond)
+_SEG_CHUNK = 4096  # max entries per newly-written segment
+_SEG_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _load_segment(root: str, name: str) -> dict:
+    """Entries of one immutable stats segment.  Cached: a segment file
+    is written once and never modified (rewrites get a fresh name), so
+    the cache is coherent by construction."""
+    key = (root, name)
+    entries = _SEG_CACHE.get(key)
+    if entries is None:
+        with open(os.path.join(root, _SEG_DIR, name)) as fh:
+            entries = json.load(fh)["entries"]
+        if len(_SEG_CACHE) > 512:
+            _SEG_CACHE.clear()  # bound memory; immutable → safe to refill
+        _SEG_CACHE[key] = entries
+    return entries
+
+
+def _segment_stats(path: str, root: str, manifest: dict) -> dict:
+    """Split ``manifest['stats']`` into segment references + new segment
+    files and return the dict to SERIALIZE (the caller's in-memory
+    manifest keeps its materialized stats).  A parent segment is
+    re-referenced iff every file it describes is still live with an
+    identical entry (file names embed a per-commit token, so entries
+    are immutable by name; the equality check keeps this sound even
+    against hand-edited metadata).  Folds the smallest inherited
+    segments into the new write while the reference count exceeds
+    ``_SEG_MAX_REFS`` — LSM-style merging that bounds a cold
+    ``_read_manifest`` to O(_SEG_MAX_REFS) segment reads at amortized
+    O(log) rewrite cost.  New segments are chunked at ``_SEG_CHUNK``
+    path-sorted entries so a later partial delete rewrites one chunk,
+    not the whole commit's metadata.  Segments are written BEFORE the
+    manifest link; a crash in between orphans them (invisible — vacuum
+    reclaims)."""
+    stats = manifest.get("stats") or {}
+    if not stats:
+        return manifest
+    remaining = dict(stats)
+    refs: list[tuple[str, int]] = []
+    parent_v = manifest.get("parent")
+    if parent_v:
+        try:
+            with open(os.path.join(path, f"manifest-v{parent_v}.json")) as fh:
+                praw = json.load(fh)
+        except (OSError, ValueError):
+            praw = {}
+        for name in praw.get("stats_segments") or []:
+            try:
+                entries = _load_segment(root, name)
+            except (OSError, ValueError, KeyError):
+                continue  # segment missing/corrupt: rewrite its entries
+            intact = bool(entries)
+            for k, e in entries.items():
+                v = remaining.get(k)
+                if v is None or (v is not e and v != e):
+                    intact = False
+                    break
+            if intact:
+                refs.append((name, len(entries)))
+                for k in entries:
+                    del remaining[k]
+    refs.sort(key=lambda t: -t[1])  # fold smallest first (from the tail)
+    while refs and len(refs) + max(
+        1, -(-len(remaining) // _SEG_CHUNK)
+    ) > _SEG_MAX_REFS:
+        name, _n = refs.pop()
+        remaining.update(_load_segment(root, name))
+    seg_names = [name for name, _n in refs]
+    if remaining:
+        os.makedirs(os.path.join(root, _SEG_DIR), exist_ok=True)
+        keys = sorted(remaining)
+        for i in range(0, len(keys), _SEG_CHUNK):
+            chunk = {k: remaining[k] for k in keys[i : i + _SEG_CHUNK]}
+            name = f"seg-v{manifest['version']}-{_commit_token()}.json"
+            seg_path = os.path.join(root, _SEG_DIR, name)
+            with open(seg_path + ".tmp", "w") as fh:
+                json.dump({"entries": chunk}, fh)
+            os.replace(seg_path + ".tmp", seg_path)
+            _SEG_CACHE[(root, name)] = chunk
+            seg_names.append(name)
+    disk = {k: v for k, v in manifest.items() if k != "stats"}
+    disk["stats_segments"] = seg_names
+    return disk
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(os.path.join(path, f"manifest-v{version}.json")) as fh:
         m = json.load(fh)
     _check_reader_features(m, path, version)
+    segs = m.get("stats_segments")
+    if segs:
+        root = os.path.abspath(path)
+        stats: dict = {}
+        for s in segs:
+            stats.update(_load_segment(root, s))
+        m["stats"] = stats
     return m
 
 
@@ -579,9 +699,12 @@ def _publish(path: str, manifest: dict) -> bool:
         full = os.path.join(root, d)
         if os.path.isdir(full):
             os.utime(full)
+    # per-file stats go to immutable segment files; the manifest JSON
+    # stays O(touched files + segment refs) — see _segment_stats
+    disk = _segment_stats(path, root, manifest)
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(disk, fh)
     target = os.path.join(path, f"manifest-v{manifest['version']}.json")
     try:
         os.link(tmp, target)
@@ -3293,19 +3416,23 @@ def versioned_vacuum(
     live_files: set[str] = set()
     live_sidecars: set[str] = set()
     live_cdf: set[str] = set()
+    live_segs: set[str] = set()
     for v in kept:
         m = _read_manifest(path, v)
         live_files.update(_expand_files(root, _entries(m)))
         live_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
         live_cdf.update(m.get("cdf") or [])
+        live_segs.update(m.get("stats_segments") or [])
     deleted: list[str] = []
     drop_dirs: set[str] = set()
     drop_sidecars: set[str] = set()
     drop_cdf: set[str] = set()
+    drop_segs: set[str] = set()
     for v in dropped:
         m = _read_manifest(path, v)
         drop_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
         drop_cdf.update(m.get("cdf") or [])
+        drop_segs.update(m.get("stats_segments") or [])
         for e in _entries(m):
             for f in _expand_files(root, [e]):
                 drop_dirs.add(os.path.dirname(f))
@@ -3329,6 +3456,14 @@ def versioned_vacuum(
             if not dry_run:
                 shutil.rmtree(full)
             deleted.append(c)
+    # ... and stats segments referenced only by dropped versions
+    for s in sorted(drop_segs - live_segs):
+        full = os.path.join(root, _SEG_DIR, s)
+        if os.path.isfile(full):
+            if not dry_run:
+                os.remove(full)
+                _SEG_CACHE.pop((root, s), None)
+            deleted.append(f"{_SEG_DIR}/{s}")
     # collapse: a dir with no parquet files left is residue (_SUCCESS etc.)
     collapsed: list[str] = []
     for d in sorted(drop_dirs):
@@ -3388,6 +3523,22 @@ def versioned_vacuum(
                     continue
                 if not dry_run:
                     shutil.rmtree(full)
+                deleted.append(rel)
+        # orphaned stats segments: residue of crashed/raced publishes
+        # (segments are written before the manifest links — same grace
+        # reasoning as data dirs and DV sidecars)
+        seg_root = os.path.join(root, _SEG_DIR)
+        if os.path.isdir(seg_root):
+            for f in sorted(os.listdir(seg_root)):
+                rel = f"{_SEG_DIR}/{f}"
+                full = os.path.join(seg_root, f)
+                if not os.path.isfile(full) or f in live_segs:
+                    continue
+                if now - os.path.getmtime(full) < orphan_grace_seconds:
+                    continue
+                if not dry_run:
+                    os.remove(full)
+                    _SEG_CACHE.pop((root, f), None)
                 deleted.append(rel)
     return deleted
 

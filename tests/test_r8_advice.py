@@ -31,8 +31,8 @@ from gsmls_analysis_spark.sources.versioned_stream import (
 
 
 def _read_manifest(path, v):
-    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
-        return json.load(fh)
+    # the module reader materializes segmented stats (r8 manifest format)
+    return V._read_manifest(path, v)
 
 
 def _race_once(monkeypatch, rival):

@@ -1,0 +1,163 @@
+"""Round-8 segmented manifest metadata (verdict task 1): per-file stats
+live in immutable ``segments/`` files referenced by name, so a commit
+serializes O(touched files) metadata instead of re-snapshotting every
+file's stats — the Iceberg manifest-list shape.  These tests pin the
+mechanics: segment reuse across commits, zero-segment metadata-only
+commits, partial-death rewrite on COW delete, LSM-style folding at the
+reference cap, chunking, vacuum reclamation, and old-format
+(inline-stats) read compatibility."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_add_constraint,
+    versioned_delete,
+    versioned_read,
+    versioned_vacuum,
+    versioned_write,
+)
+
+
+def _raw(path, v):
+    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def test_append_chain_reuses_parent_segments(spark, tmp_path):
+    """Each append writes ONE new segment and references the parent's
+    untouched ones by name — the raw manifest JSON never re-serializes
+    inherited entries."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(10), path)
+    for lo in (10, 20, 30):
+        versioned_write(
+            spark.range(lo, lo + 10), path, mode="append"
+        )
+    raws = {v: _raw(path, v) for v in (1, 2, 3, 4)}
+    for v, raw in raws.items():
+        assert "stats" not in raw, "stats must live in segments, not inline"
+        assert raw["stats_segments"]
+    # strict chain reuse: v4 references every segment v3 did, plus new
+    assert set(raws[3]["stats_segments"]) < set(raws[4]["stats_segments"])
+    # materialized stats cover every live file
+    m4 = V._read_manifest(path, 4)
+    files = set(V._expand_files(os.path.abspath(path), V._entries(m4)))
+    assert set(m4["stats"]) == files
+    assert versioned_read(spark, path).count() == 40
+
+
+def test_metadata_only_commit_writes_zero_segments(spark, tmp_path):
+    """ADD CONSTRAINT publishes a manifest referencing the parent's
+    segments verbatim — zero segment files written (the O(touched)=O(0)
+    case the old full-snapshot format couldn't express)."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(1, 50), path)
+    seg_dir = os.path.join(path, "segments")
+    before = set(os.listdir(seg_dir))
+    versioned_add_constraint(spark, path, "pos", "id > 0")
+    assert set(os.listdir(seg_dir)) == before
+    assert _raw(path, 2)["stats_segments"] == _raw(path, 1)["stats_segments"]
+
+
+def test_cow_delete_rewrites_only_dead_segment(spark, tmp_path):
+    """A copy-on-write delete kills one file of a multi-file segment:
+    the child manifest drops that segment, re-writing only the
+    SURVIVORS + the rewritten file's fresh entry; stats stay exact."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(30).repartitionByRange(3, "id"), path)
+    versioned_delete(spark, path, F.col("id").between(22, 24))
+    m2 = V._read_manifest(path, 2)
+    files = set(V._expand_files(os.path.abspath(path), V._entries(m2)))
+    assert set(m2["stats"]) == files
+    assert versioned_read(spark, path).count() == 27
+    # v1's segment is not referenced by v2 (one of its files died)
+    assert not set(_raw(path, 1)["stats_segments"]) & set(
+        _raw(path, 2)["stats_segments"]
+    )
+
+
+def test_folding_bounds_segment_references(spark, tmp_path, monkeypatch):
+    """With the reference cap forced low, a long append chain folds the
+    smallest inherited segments into each new write — cold reads stay
+    O(cap) segment loads, and no entry is lost in the merge."""
+    monkeypatch.setattr(V, "_SEG_MAX_REFS", 3)
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(5), path)
+    for k in range(1, 7):
+        versioned_write(
+            spark.range(k * 5, k * 5 + 5), path, mode="append"
+        )
+    raw = _raw(path, 7)
+    assert len(raw["stats_segments"]) <= 3
+    m = V._read_manifest(path, 7)
+    files = set(V._expand_files(os.path.abspath(path), V._entries(m)))
+    assert set(m["stats"]) == files and len(files) >= 7
+    assert versioned_read(spark, path).count() == 35
+
+
+def test_chunking_splits_large_commits(spark, tmp_path, monkeypatch):
+    """A commit whose touched-entry count exceeds _SEG_CHUNK writes
+    multiple path-sorted segments (so a later partial delete rewrites
+    one chunk, not the whole commit's metadata)."""
+    monkeypatch.setattr(V, "_SEG_CHUNK", 4)
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(100).repartition(10), path)
+    raw = _raw(path, 1)
+    assert len(raw["stats_segments"]) == 3  # ceil(10 / 4)
+    m = V._read_manifest(path, 1)
+    assert len(m["stats"]) == 10
+
+
+def test_vacuum_reclaims_dead_and_orphan_segments(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(10), path)
+    versioned_write(spark.range(5), path)  # v2 overwrite: v1 seg dies with v1
+    seg_dir = os.path.join(path, "segments")
+    # plant an orphan (crashed publish residue)
+    orphan = os.path.join(seg_dir, "seg-v9-deadbeef.json")
+    with open(orphan, "w") as fh:
+        json.dump({"entries": {"data/v9-x/p.parquet": {"rows": 1}}}, fh)
+    deleted = versioned_vacuum(
+        path, keep_last=1, clean_orphans=True, orphan_grace_seconds=0.0
+    )
+    live = set(_raw(path, 2)["stats_segments"])
+    assert set(os.listdir(seg_dir)) == live
+    assert any(d.startswith("segments/") for d in deleted)
+    assert not os.path.exists(orphan)
+    assert versioned_read(spark, path).count() == 5
+
+
+def test_inline_stats_manifest_still_readable(spark, tmp_path):
+    """Pre-r8 manifests carry inline stats: reads must keep working and
+    the NEXT commit upgrades the table to segments without losing any
+    inherited entry."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(10), path)
+    # rewrite v1's manifest to the old format (inline stats)
+    m1 = V._read_manifest(path, 1)
+    raw1 = _raw(path, 1)
+    old = dict(raw1)
+    old.pop("stats_segments", None)
+    old["stats"] = m1["stats"]
+    os.remove(os.path.join(path, "manifest-v1.json"))
+    with open(os.path.join(path, "manifest-v1.json"), "w") as fh:
+        json.dump(old, fh)
+    for f in raw1.get("stats_segments") or []:
+        os.remove(os.path.join(path, "segments", f))
+    V._SEG_CACHE.clear()
+    assert V._read_manifest(path, 1)["stats"] == m1["stats"]
+    assert versioned_read(spark, path).count() == 10
+    # next commit: upgraded, nothing lost
+    versioned_write(spark.range(10, 12), path, mode="append")
+    raw2 = _raw(path, 2)
+    assert "stats" not in raw2 and raw2["stats_segments"]
+    m2 = V._read_manifest(path, 2)
+    assert set(m1["stats"]) < set(m2["stats"])
+    assert versioned_read(spark, path).count() == 12

@@ -1,0 +1,192 @@
+"""Measure manifest metadata cost: full-snapshot (pre-r8, inline stats)
+vs segmented (r8, Iceberg manifest-list shape) — the round-7 verdict's
+top task.  The question: what does ONE SMALL COMMIT (append of one
+file) on an N-file table cost in metadata bytes + serialization
+latency, and what does a cold snapshot read cost?
+
+Two measurements:
+
+1. Synthetic metadata-plane microbench at N = 1k / 10k / 100k files:
+   realistic per-file entries (8 min/max/null columns, one 1 KiB
+   b64 Bloom, pvals) — exactly the dict shape _collect_stats emits —
+   published through the REAL `_publish` / `_read_manifest` code.
+   "Before" is the same manifest serialized with inline stats (what
+   every commit paid until r8).
+
+2. End-to-end: a real versioned_write append of 1 file onto a
+   1000-file table, wall-clock + on-disk manifest bytes.
+
+Run: python tools/measure_manifest_meta.py [--real]
+Prints a markdown table (pasted into docs/METADATA_SCALE.md).
+"""
+
+from __future__ import annotations
+
+import base64
+import glob
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gsmls_analysis_spark.sources import versioned as V
+
+
+def synth_entry(i: int) -> dict:
+    # deterministic pseudo-bloom: same bytes every run, realistic size
+    blob = hashlib.sha256(f"bloom-{i}".encode()).digest() * 32  # 1 KiB
+    return {
+        "rows": 10_000,
+        "cols": {
+            f"c{j}": {"min": i * 8 + j, "max": i * 8 + j + 1000, "nulls": 0}
+            for j in range(8)
+        },
+        "bloom": {"k": base64.b64encode(blob).decode()},
+        "pvals": {"year": [2020 + (i % 5)]},
+    }
+
+
+def seg_bytes(path: str) -> dict[str, int]:
+    out = {}
+    seg_dir = os.path.join(path, "segments")
+    if os.path.isdir(seg_dir):
+        for f in os.listdir(seg_dir):
+            out[f] = os.path.getsize(os.path.join(seg_dir, f))
+    return out
+
+
+def bench_synthetic(n_files: int) -> dict:
+    path = tempfile.mkdtemp(prefix=f"manifest_meta_{n_files}_")
+    try:
+        dir1 = "data/v1-aaaaaaaa"
+        stats1 = {
+            f"{dir1}/part-{i:06d}.parquet": synth_entry(i)
+            for i in range(n_files)
+        }
+        m1 = {
+            "version": 1,
+            "parent": 0,
+            "data_dirs": [dir1],
+            "schema": None,
+            "stats": stats1,
+            "txns": {},
+        }
+        t0 = time.perf_counter()
+        assert V._publish(path, m1)
+        t_init = time.perf_counter() - t0
+
+        # --- the measured op: append ONE file ---
+        dir2 = "data/v2-bbbbbbbb"
+        new_key = f"{dir2}/part-000000.parquet"
+        stats2 = {**stats1, new_key: synth_entry(n_files)}
+        m2 = {
+            "version": 2,
+            "parent": 1,
+            "data_dirs": [dir1, dir2],
+            "schema": None,
+            "stats": stats2,
+            "txns": {},
+        }
+        before_segs = seg_bytes(path)
+        t0 = time.perf_counter()
+        assert V._publish(path, m2)
+        t_commit = time.perf_counter() - t0
+        after_segs = seg_bytes(path)
+        new_seg_bytes = sum(
+            sz for f, sz in after_segs.items() if f not in before_segs
+        )
+        manifest_bytes = os.path.getsize(
+            os.path.join(path, "manifest-v2.json")
+        )
+
+        # --- "before" baseline: the same commit with inline stats ---
+        inline = {k: v for k, v in m2.items()}
+        t0 = time.perf_counter()
+        blob = json.dumps(inline)
+        with open(os.path.join(path, "_inline.tmp"), "w") as fh:
+            fh.write(blob)
+        t_inline = time.perf_counter() - t0
+        inline_bytes = len(blob)
+
+        # --- read path: cold (no segment cache) and warm ---
+        V._SEG_CACHE.clear()
+        t0 = time.perf_counter()
+        got = V._read_manifest(path, 2)
+        t_cold = time.perf_counter() - t0
+        assert got["stats"] == stats2, "segmented readback != original"
+        t0 = time.perf_counter()
+        V._read_manifest(path, 2)
+        t_warm = time.perf_counter() - t0
+        return {
+            "n_files": n_files,
+            "init_commit_s": t_init,
+            "commit_bytes_before": inline_bytes,
+            "commit_bytes_after": manifest_bytes + new_seg_bytes,
+            "commit_s_before": t_inline,
+            "commit_s_after": t_commit,
+            "manifest_bytes": manifest_bytes,
+            "n_segments": len(after_segs),
+            "cold_read_s": t_cold,
+            "warm_read_s": t_warm,
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def bench_real(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    path = tempfile.mkdtemp(prefix="manifest_meta_real_") + "/vt"
+    base = spark.range(100_000).select(
+        "id", (F.col("id") % 5 + 2020).alias("year")
+    )
+    # no partition_by: it would re-cluster to shuffle-partition count;
+    # the point here is a genuinely 1000-file table
+    V.versioned_write(base.repartition(1000), path, bloom_cols=["id"])
+    one = spark.createDataFrame([(999_999, 2025)], "id long, year long")
+    t0 = time.perf_counter()
+    v = V.versioned_write(one, path, mode="append")
+    t_commit = time.perf_counter() - t0
+    man_bytes = os.path.getsize(os.path.join(path, f"manifest-v{v}.json"))
+    inline_equiv = len(json.dumps(V._read_manifest(path, v)))
+    return {
+        "n_files": 1000,
+        "append_wall_s": t_commit,
+        "manifest_bytes_after": man_bytes,
+        "manifest_bytes_inline_equiv": inline_equiv,
+    }
+
+
+def main() -> None:
+    rows = [bench_synthetic(n) for n in (1_000, 10_000, 100_000)]
+    print("\n## Metadata microbench: 1-file append on an N-file table\n")
+    print(
+        "| files | commit bytes before | after | ratio | "
+        "serialize s before | after | cold read s | warm read s | segments |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        ratio = r["commit_bytes_before"] / max(1, r["commit_bytes_after"])
+        print(
+            f"| {r['n_files']:,} | {r['commit_bytes_before']:,} "
+            f"| {r['commit_bytes_after']:,} | {ratio:,.0f}x "
+            f"| {r['commit_s_before']:.3f} | {r['commit_s_after']:.3f} "
+            f"| {r['cold_read_s']:.3f} | {r['warm_read_s']:.4f} "
+            f"| {r['n_segments']} |"
+        )
+    print(json.dumps(rows))
+    if "--real" in sys.argv:
+        from gsmls_analysis_spark.session import get_spark
+
+        r = bench_real(get_spark("manifest-meta"))
+        print("\n## Real versioned_write append on a 1000-file table\n")
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
