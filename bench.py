@@ -67,6 +67,11 @@ HEADLINE = [
     # costs (stats collection, DV planning, sink 2PC) are visible
     "q_versioned_delete_dv",  # merge-on-read delete: sidecar planning
     "q_versioned_batch_source",  # native DS read incl. pushdown pruning
+    # r8 verdict task 5: the remaining lakehouse ops join the headline
+    # set so versioned-layer regressions surface in BENCH deltas
+    "q_versioned_dv_read",  # heavy-DV merge-on-read scan (read penalty)
+    "q_versioned_changes",  # CDF tail read (batch change feed)
+    "q_versioned_optimize_where",  # scoped OPTIMIZE (metadata file select)
 ]
 
 

@@ -2294,3 +2294,52 @@ def q_zorder3_value(spark, sf_dir):
         "o_orderkey",
         zorder_value_n([F.col("a"), F.col("b"), F.col("c")]).alias("z"),
     )
+
+
+@query(
+    "q_versioned_dv_read",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_quantity > 8
+GROUP BY l_returnflag
+""",
+    doc="merge-on-read READ overhead under a HEAVY deletion vector (r8 "
+    "verdict task 2): lineitem is committed as an 8-file snapshot, "
+    "~16% of its rows are DV-deleted in one commit (zero data files "
+    "written; roaring-encoded sidecar, versioned.py::_dv_encode), and "
+    "the timed body aggregates over the merge-on-read scan — the scan "
+    "subtracts positions via ONE broadcast anti-join probe per row "
+    "(versioned.py::_apply_dvs), which is the read penalty this bench "
+    "entry tracks round-over-round (tools/measure_dv_read.py holds the "
+    "MoR-vs-compacted A/B and sidecar size bounds).  Oracle: the same "
+    "delete as a plain filter.  l_quantity is never NULL in TPC-H, so "
+    "DELETE's keep-NULL semantics and the oracle's WHERE agree.",
+)
+def q_versioned_dv_read(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete_dv,
+        versioned_read,
+        versioned_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_dvread_")
+    versioned_write(li.repartitionByRange(8, "l_orderkey"), path)
+    versioned_delete_dv(spark, path, F.col("l_quantity") <= 8)
+    return (
+        versioned_read(spark, path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(dec("l_quantity"), "sum_qty"),
+            dsum(dec("l_extendedprice"), "sum_price"),
+        )
+    )

@@ -1991,13 +1991,7 @@ def _matching_files(
     # task-context function that goes blank after a join)
     aug = _with_scan_position(cur)
     if dvs:
-        del_df = _dv_rows_df(spark, dvs)
-        aug = aug.join(
-            F.broadcast(del_df),
-            (aug["__sfx"] == del_df["__dv_file"])
-            & (aug["__ri"] == del_df["__dv_idx"]),
-            "left_anti",
-        )
+        aug = _dv_join(aug, spark, dvs, "left_anti")
     # column mapping: the predicate speaks logical names
     aug = _logical_view(aug, manifest)
     out: set[str] = set()
@@ -2029,30 +2023,114 @@ def _dv_suffix(rel: str) -> str:
     return "/".join(parts[-2:])
 
 
+_DV_MAGIC = b"GDV2"
+_DV_BITMAP_CUTOVER = 4096  # entries per 64 Ki container before bitmap wins
+
+
+def _dv_encode(indexes) -> bytes:
+    """Roaring-shaped positional-delete encoding (the Delta DV model):
+    row indexes partition into 64 Ki containers by their high bits; each
+    container stores its low 16 bits either as a sorted u2 ARRAY
+    (≤4096 entries → 2 bytes/row) or as an 8 KiB BITMAP (>4096 entries
+    → ≤2 bits/row at worst, constant for dense deletes), zlib'd on top
+    (run-structured bitmaps collapse further).  Replaces the r7 JSON
+    int list (~7 bytes/row before compression): a 1M-row vector is no
+    longer a megabytes-of-digits sidecar.  numpy-vectorized both ways —
+    no per-row Python in the encode/decode hot path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.unique(np.asarray(list(indexes), dtype=np.uint64))
+    his = (idx >> np.uint64(16)).astype(np.uint32)
+    parts = [struct.pack("<I", 0)]
+    uniq_his = np.unique(his)
+    for hi in uniq_his:
+        lows = (idx[his == hi] & np.uint64(0xFFFF)).astype("<u2")
+        if len(lows) > _DV_BITMAP_CUTOVER:
+            bm = np.zeros(65536, dtype=bool)
+            bm[lows] = True
+            payload = np.packbits(bm, bitorder="little").tobytes()
+            parts.append(struct.pack("<IBI", int(hi), 1, len(lows)) + payload)
+        else:
+            parts.append(
+                struct.pack("<IBI", int(hi), 0, len(lows)) + lows.tobytes()
+            )
+    parts[0] = struct.pack("<I", len(uniq_his))
+    return zlib.compress(b"".join(parts))
+
+
+def _dv_decode(blob: bytes) -> list[int]:
+    import struct
+    import zlib
+
+    import numpy as np
+
+    raw = zlib.decompress(blob)
+    (n,) = struct.unpack_from("<I", raw, 0)
+    off = 4
+    out: list[int] = []
+    for _ in range(n):
+        hi, typ, card = struct.unpack_from("<IBI", raw, off)
+        off += 9
+        base = int(hi) << 16
+        if typ == 1:
+            bits = np.frombuffer(raw, dtype=np.uint8, count=8192, offset=off)
+            off += 8192
+            lows = np.nonzero(np.unpackbits(bits, bitorder="little"))[0]
+        else:
+            lows = np.frombuffer(raw, dtype="<u2", count=card, offset=off)
+            off += 2 * card
+        out.extend((lows.astype(np.int64) + base).tolist())
+    return out
+
+
 def _write_dv_sidecar(root: str, rel: str, dv_map: dict[str, list[int]]) -> None:
     """One sidecar per DV commit holding every file's FULL merged vector
-    (zlib'd JSON of {file_rel: sorted row indexes}); production would
-    use roaring bitmaps (the Delta DV encoding) — same protocol, denser
-    bytes.  Deleted-row-count-sized, not data-sized."""
-    import zlib
+    in the GDV2 container: magic + length-prefixed JSON header mapping
+    ``file_rel -> [offset, length, count]`` + concatenated roaring-shaped
+    blobs (``_dv_encode``).  The header keeps per-file reads seekable;
+    deleted-row-count-sized, not data-sized."""
+    import struct
 
     full = os.path.join(root, rel)
     os.makedirs(os.path.dirname(full), exist_ok=True)
-    payload = zlib.compress(
-        json.dumps({f: sorted(int(i) for i in v) for f, v in dv_map.items()}).encode()
-    )
+    header: dict[str, list[int]] = {}
+    blobs: list[bytes] = []
+    off = 0
+    for f in sorted(dv_map):
+        blob = _dv_encode(dv_map[f])
+        header[f] = [off, len(blob), len(dv_map[f])]
+        blobs.append(blob)
+        off += len(blob)
+    hj = json.dumps(header).encode()
     tmp = full + ".tmp"
     with open(tmp, "wb") as fh:
-        fh.write(payload)
+        fh.write(_DV_MAGIC)
+        fh.write(struct.pack("<I", len(hj)))
+        fh.write(hj)
+        fh.write(b"".join(blobs))
     os.replace(tmp, full)
 
 
 def _read_dv_sidecar(root: str, rel: str) -> dict[str, list[int]]:
+    import struct
     import zlib
 
     with open(os.path.join(root, rel), "rb") as fh:
-        raw = json.loads(zlib.decompress(fh.read()))
-    return {f: [int(i) for i in v] for f, v in raw.items()}
+        data = fh.read()
+    if data[:4] != _DV_MAGIC:
+        # legacy (pre-r8) sidecar: zlib'd JSON of {file: [row indexes]}
+        raw = json.loads(zlib.decompress(data))
+        return {f: [int(i) for i in v] for f, v in raw.items()}
+    (hlen,) = struct.unpack_from("<I", data, 4)
+    header = json.loads(data[8 : 8 + hlen])
+    base = 8 + hlen
+    return {
+        f: _dv_decode(data[base + off : base + off + ln])
+        for f, (off, ln, _cnt) in header.items()
+    }
 
 
 def _load_dvs(
@@ -2077,11 +2155,55 @@ def _load_dvs(
     return out
 
 
-def _dv_rows_df(spark: SparkSession, dv_idx: dict[str, list[int]]) -> DataFrame:
-    rows = [
-        (_dv_suffix(f), int(i)) for f, idxs in dv_idx.items() for i in idxs
-    ]
-    return spark.createDataFrame(rows, "__dv_file string, __dv_idx long")
+_DV_RI_BITS = 40  # row index < 2^40 (a trillion rows/file); fid gets the rest
+
+
+def _dv_join(
+    aug: DataFrame,
+    spark: SparkSession,
+    dv_idx: dict[str, list[int]],
+    how: str,
+) -> DataFrame:
+    """Join a position-augmented scan (``_with_scan_position`` columns)
+    against the deleted positions — the merge-on-read primitive.
+
+    Shape chosen for the read penalty (tools/measure_dv_read.py): the
+    deleted set is dictionary-encoded driver-side (file suffix → int
+    id, numpy-assembled, Arrow-shipped) and PACKED into a single long
+    ``fid << 40 | row_index``, so the big broadcast carries 8 bytes per
+    deleted row (not a ~45-char path string) and the scan-side probe is
+    one long-key hash lookup per row.  The scan attaches its file id
+    via a files-count-sized broadcast first; files with no vector get a
+    NULL id → NULL key, which never equals anything: anti keeps them,
+    semi drops them — exactly the DV semantics."""
+    import numpy as np
+    import pandas as pd
+
+    sfx = sorted({_dv_suffix(f) for f in dv_idx})
+    fid = {s: i for i, s in enumerate(sfx)}
+    parts = []
+    for f, ix in dv_idx.items():
+        arr = np.asarray(list(ix), dtype=np.int64)
+        parts.append((np.int64(fid[_dv_suffix(f)]) << _DV_RI_BITS) | arr)
+    keys = np.concatenate(parts) if parts else np.array([], np.int64)
+    pos_df = spark.createDataFrame(
+        pd.DataFrame({"__dv_key": keys}), "__dv_key long"
+    )
+    map_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"__dv_file": sfx, "__dv_fid": np.arange(len(sfx), dtype=np.int64)}
+        ),
+        "__dv_file string, __dv_fid long",
+    )
+    aug2 = aug.join(
+        F.broadcast(map_df), aug["__sfx"] == map_df["__dv_file"], "left"
+    ).drop("__dv_file")
+    aug2 = aug2.withColumn(
+        "__dv_key",
+        F.shiftleft(F.col("__dv_fid"), _DV_RI_BITS).bitwiseOR(F.col("__ri")),
+    )
+    joined = aug2.join(F.broadcast(pos_df), on="__dv_key", how=how)
+    return joined.drop("__dv_fid", "__dv_key")
 
 
 def _with_scan_position(df: DataFrame) -> DataFrame:
@@ -2094,12 +2216,11 @@ def _with_scan_position(df: DataFrame) -> DataFrame:
         F.col("_metadata.file_path").alias("__fp"),
         F.col("_metadata.row_index").alias("__ri"),
     ).withColumn(
+        # last two path components in ONE string expression — this runs
+        # per scanned row on every merge-on-read scan, so it is the
+        # fixed per-row cost of the DV read penalty
         "__sfx",
-        F.concat_ws(
-            "/",
-            F.element_at(F.split(F.col("__fp"), "/"), -2),
-            F.element_at(F.split(F.col("__fp"), "/"), -1),
-        ),
+        F.substring_index(F.col("__fp"), "/", -2),
     )
 
 
@@ -2117,14 +2238,8 @@ def _apply_dvs(
         return df
     out_cols = df.columns
     aug = _with_scan_position(df)
-    del_df = _dv_rows_df(spark, dv_idx)
     how = "left_semi" if keep_deleted else "left_anti"
-    joined = aug.join(
-        F.broadcast(del_df),
-        (aug["__sfx"] == del_df["__dv_file"]) & (aug["__ri"] == del_df["__dv_idx"]),
-        how,
-    )
-    return joined.select(*out_cols)
+    return _dv_join(aug, spark, dv_idx, how).select(*out_cols)
 
 
 def versioned_delete_dv(spark: SparkSession, path: str, predicate: Column) -> int:
@@ -2175,13 +2290,7 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
             )
             cand_dvs = {f: v for f, v in existing.items() if f in set(candidates)}
             if cand_dvs:
-                del_df = _dv_rows_df(spark, cand_dvs)
-                aug = aug.join(
-                    F.broadcast(del_df),
-                    (aug["__sfx"] == del_df["__dv_file"])
-                    & (aug["__ri"] == del_df["__dv_idx"]),
-                    "left_anti",
-                )
+                aug = _dv_join(aug, spark, cand_dvs, "left_anti")
             aug = _logical_view(aug, pm)  # predicate speaks logical names
             hits = aug.filter(predicate).select("__fp", "__ri").collect()
             for r in hits:
@@ -2797,13 +2906,7 @@ def _merge_attempt(
             )
             cand_dvs = {f: v for f, v in dvs.items() if f in set(candidates)}
             if cand_dvs:
-                del_df = _dv_rows_df(spark, cand_dvs)
-                tgt = tgt.join(
-                    F.broadcast(del_df),
-                    (tgt["__sfx"] == del_df["__dv_file"])
-                    & (tgt["__ri"] == del_df["__dv_idx"]),
-                    "left_anti",
-                )
+                tgt = _dv_join(tgt, spark, cand_dvs, "left_anti")
             tgt = _logical_view(tgt, pm)  # keys speak logical names
             if null_safe_keys:
                 k2 = keys.select(*[F.col(c).alias(f"__k_{c}") for c in on])

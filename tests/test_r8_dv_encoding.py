@@ -1,0 +1,94 @@
+"""Round-8 DV sidecar encoding (verdict task 2): roaring-shaped
+containers (sorted-u2 array / 8 KiB bitmap per 64 Ki rows, zlib'd)
+replace the r7 JSON int lists; the GDV2 sidecar container carries a
+seekable per-file header.  Pins: exact round-trips across container
+shapes, the array→bitmap cutover, density vs the legacy encoding,
+legacy-sidecar read compatibility, and the end-to-end merge-on-read
+path over the new format."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import zlib
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    _dv_decode,
+    _dv_encode,
+    _read_dv_sidecar,
+    _write_dv_sidecar,
+    versioned_delete_dv,
+    versioned_read,
+    versioned_write,
+)
+
+
+def test_dv_encode_roundtrip_shapes():
+    random.seed(11)
+    cases = [
+        [],
+        [0],
+        [65535, 65536, 65537, 131071, 131072],  # container boundaries
+        sorted(random.sample(range(1_000_000), 9_999)),  # arrays only
+        sorted(random.sample(range(120_000), 60_000)),  # bitmap containers
+        list(range(4096)),  # exactly at the cutover (array)
+        list(range(4097)),  # just past the cutover (bitmap)
+        [7, 7, 7, 9],  # duplicates collapse
+    ]
+    for idx in cases:
+        assert _dv_decode(_dv_encode(idx)) == sorted(set(idx))
+
+
+def test_dv_encoding_denser_than_legacy_json():
+    """The size claim the r7 verdict asked to close: dense and
+    run-structured vectors must beat the zlib'd JSON int list by a wide
+    margin (scattered vectors are entropy-limited — still no worse)."""
+    dense = sorted(random.Random(3).sample(range(200_000), 100_000))
+    run = list(range(50_000, 150_000))
+    for idx, floor in ((dense, 5.0), (run, 100.0)):
+        new = len(_dv_encode(idx))
+        legacy = len(zlib.compress(json.dumps(idx).encode()))
+        assert legacy / new >= floor, (len(idx), new, legacy)
+
+
+def test_sidecar_container_roundtrip_and_header(tmp_path):
+    root = str(tmp_path)
+    dv_map = {
+        "data/v1-a/p1.parquet": [1, 5, 9],
+        "data/v1-a/p2.parquet": list(range(10_000)),
+    }
+    _write_dv_sidecar(root, "dv/v2-x.json.z", dv_map)
+    got = _read_dv_sidecar(root, "dv/v2-x.json.z")
+    assert got == {f: sorted(v) for f, v in dv_map.items()}
+    with open(os.path.join(root, "dv/v2-x.json.z"), "rb") as fh:
+        assert fh.read(4) == V._DV_MAGIC
+
+
+def test_legacy_sidecar_still_readable(tmp_path):
+    """Pre-r8 sidecars are zlib'd JSON: tables written by r7 keep
+    reading after the upgrade (the magic check routes them)."""
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "dv"))
+    legacy = {"data/v1-a/p1.parquet": [2, 4, 6]}
+    with open(os.path.join(root, "dv/v2-old.json.z"), "wb") as fh:
+        fh.write(zlib.compress(json.dumps(legacy).encode()))
+    assert _read_dv_sidecar(root, "dv/v2-old.json.z") == legacy
+
+
+def test_merge_on_read_over_new_format(spark, tmp_path):
+    """End-to-end: DV delete → new-format sidecar → reads subtract the
+    positions; a second delete merges vectors monotonically."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(1000).repartitionByRange(4, "id"), path)
+    versioned_delete_dv(spark, path, F.col("id") % 10 == 0)
+    versioned_delete_dv(spark, path, F.col("id") % 7 == 0)
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    want = {i for i in range(1000) if i % 10 and i % 7}
+    assert got == want
+    # time travel still sees the intermediate vector
+    v2 = {r["id"] for r in versioned_read(spark, path, 2).collect()}
+    assert v2 == {i for i in range(1000) if i % 10}

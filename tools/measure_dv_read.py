@@ -1,0 +1,122 @@
+"""Measure the merge-on-read penalty of deletion vectors (r8 verdict
+task 2): read a heavily-DV'd table vs its compacted twin (the number
+Delta publishes for DV-enabled tables), plus sidecar size bounds for
+the r8 roaring-shaped encoding vs the r7 zlib'd-JSON one.
+
+Protocol per delete fraction p ∈ {1%, 16%, 50%}:
+  1. commit lineitem (sf dir from $SPARK_GRAFT_SF_DIR, default sf0.1)
+     as an 8-file snapshot;
+  2. one DV commit deleting p of the rows (predicate on l_quantity —
+     uniform 1..50, so fractions are exact-ish);
+  3. time the same grouped aggregate over (a) the merge-on-read scan,
+     (b) the table after OPTIMIZE materializes the vector — median of
+     3 passes each, noop sink;
+  4. report sidecar bytes (new encoding) vs the legacy JSON bytes for
+     the identical vector.
+
+Run: python tools/measure_dv_read.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.session import get_spark
+from gsmls_analysis_spark.sources import load_table
+from gsmls_analysis_spark.sources import versioned as V
+
+
+def timed_agg(spark, path) -> float:
+    t0 = time.perf_counter()
+    (
+        V.versioned_read(spark, path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
+def median3(fn) -> float:
+    return sorted(fn() for _ in range(3))[1]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dv-read")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    n_total = li.count()
+    rows = []
+    for cutoff, label in ((1, "2pct"), (8, "16pct"), (25, "50pct")):
+        path = tempfile.mkdtemp(prefix=f"dvread_{label}_") + "/vt"
+        try:
+            V.versioned_write(li.repartitionByRange(8, "l_orderkey"), path)
+            V.versioned_delete_dv(spark, path, F.col("l_quantity") <= cutoff)
+            pm = V._read_manifest(path, 2)
+            root = os.path.abspath(path)
+            sidecars = {e["path"] for e in pm["dvs"].values()}
+            new_bytes = sum(
+                os.path.getsize(os.path.join(root, s)) for s in sidecars
+            )
+            merged = V._load_dvs(root, pm)
+            n_del = sum(len(v) for v in merged.values())
+            legacy_bytes = len(
+                zlib.compress(
+                    json.dumps(
+                        {f: sorted(v) for f, v in merged.items()}
+                    ).encode()
+                )
+            )
+            t_mor = median3(lambda: timed_agg(spark, path))
+            V.versioned_compact(spark, path, target_file_bytes=1 << 26)
+            t_cow = median3(lambda: timed_agg(spark, path))
+            rows.append(
+                {
+                    "deleted_pct": round(100.0 * n_del / n_total, 1),
+                    "n_deleted": n_del,
+                    "sidecar_bytes_r8": new_bytes,
+                    "sidecar_bytes_legacy_json": legacy_bytes,
+                    "bytes_per_deleted_row": round(new_bytes / max(1, n_del), 3),
+                    "read_s_merge_on_read": round(t_mor, 3),
+                    "read_s_compacted": round(t_cow, 3),
+                    "mor_overhead_x": round(t_mor / max(1e-9, t_cow), 2),
+                }
+            )
+        finally:
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    print(
+        "| deleted % | rows | sidecar B (r8) | sidecar B (r7 JSON) | "
+        "B/row | MoR read s | compacted read s | overhead |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['deleted_pct']} | {r['n_deleted']:,} "
+            f"| {r['sidecar_bytes_r8']:,} "
+            f"| {r['sidecar_bytes_legacy_json']:,} "
+            f"| {r['bytes_per_deleted_row']} "
+            f"| {r['read_s_merge_on_read']} | {r['read_s_compacted']} "
+            f"| {r['mor_overhead_x']}x |"
+        )
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
