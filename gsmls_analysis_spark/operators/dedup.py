@@ -716,16 +716,33 @@ def simhash_near_dups(
     reachable through both paths keeps ``star=false``.  Pass
     ``max_bucket=None`` for exact all-pairs semantics when the corpus
     allows it."""
-    if max_bucket is None:
-        max_bucket = 1 << 62  # uncapped: exact all-pairs semantics
-    width = 64 // segments
-    mask = (1 << width) - 1
     # two staged projections: the vote fold runs once, then the 64-way bit
     # reconstruction reads the materialized vote column
     voted = ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), simhash_votes(F.col(text_col)).alias("votes")
     )
     sigs = voted.select("doc", votes_to_simhash(F.col("votes")).alias("sig"))
+    return sig_near_dup_pairs(sigs, max_hamming, segments, max_bucket)
+
+
+def sig_near_dup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 8,
+    segments: int = 4,
+    max_bucket: int | None = 128,
+) -> DataFrame:
+    """Pigeonhole-banded near-dup pairs over ANY 64-bit signature frame
+    ``(doc, sig)`` — the blocking engine shared by text SimHash
+    (``simhash_near_dups``) and image perceptual hashes
+    (``operators/phash.py``): split the signature into ``segments``
+    chunks; a pair with Hamming ≤ segments−1 must agree on ≥1 whole
+    chunk, so candidates are pairs sharing (chunk_idx, chunk_value) —
+    one equi-join shuffle, never the O(n²) cross product.  Semantics of
+    ``max_bucket`` star-capping are documented on simhash_near_dups."""
+    if max_bucket is None:
+        max_bucket = 1 << 62  # uncapped: exact all-pairs semantics
+    width = 64 // segments
+    mask = (1 << width) - 1
     chunks = sigs.select(
         "doc",
         "sig",

@@ -305,6 +305,46 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+@query(
+    "q_approx_distinct_bounds",
+    oracle="""
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_exact,
+  TRUE AS within_bound
+FROM events
+GROUP BY event_type
+""",
+    doc="oracle-expressible HLL accuracy twin (r8 verdict task 3 — "
+    "q_approx_distinct was the registry's only rows-only entry): the "
+    "Spark side computes approx_count_distinct(user_id, rsd=0.02) AND "
+    "the exact distinct per event_type, then emits the BOOLEAN "
+    "|approx − exact| ≤ 0.05·exact alongside the exact count; the "
+    "DuckDB oracle recomputes the exact count and asserts the bound as "
+    "literal TRUE — a hash mismatch means Spark's sketch left its "
+    "advertised ±5% envelope (rsd 0.02 → 5% is a 2.5σ bound; Spark's "
+    "HLL++ is deterministic, so this is stable, not flaky).  At 100 TB "
+    "both aggregates are one shuffle of partial sketches / partial "
+    "distinct sets per group.",
+)
+def q_approx_distinct_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.05)
+            ).alias("within_bound"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # More TPC-H-shaped queries over the star schema: semi/anti joins, nation-
 # pair volume joins, promo share, complex OR predicates (pushdown/CNF).

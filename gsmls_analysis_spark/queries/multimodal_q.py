@@ -287,3 +287,43 @@ def q_multimodal_resize(spark, sf_dir):
     )
     assets = synthesize_bmp_assets(dims, "doc_id", "w", "h")
     return decode_media(resize_media(assets, 5, 3), codec="bmp")
+
+
+@query(
+    "q_image_phash_dups",
+    oracle="""
+SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+    doc="perceptual-hash image near-dup detection (operators/phash.py — "
+    "r8 verdict task 4, the one LLM-dedup modality previously "
+    "uncovered): a genuinely-encoded 48x48 BMP corpus is synthesized "
+    "with planted brightness-shifted twins (+25 on every pixel for "
+    "doc_id % 3 == 0), each image is DCT-hashed (32x32 mean-pool -> "
+    "2-D DCT-II -> 8x8 low-frequency block -> median-thresholded 63 "
+    "bits) beside the real BMP decoder in one Arrow-batched "
+    "mapInPandas, and pairs come from 7-segment pigeonhole banding "
+    "(dedup.py::sig_near_dup_pairs) — every pair within Hamming <= 6 "
+    "must share a 9-bit chunk, so the plan is one equi-join shuffle of "
+    "8-byte signatures, NEVER all-pairs, and pixels never shuffle at "
+    "all.  Both pHash and dHash are EXACTLY invariant under the "
+    "planted brightness offset (linear resample + DCT linearity + "
+    "median over uniformly-shifted ACs), so the twins match at "
+    "Hamming 0 while distinct pseudo-random images sit ~30 bits apart "
+    "— the oracle enumerates the planted pairs analytically from the "
+    "construction rule without hashing anything.",
+)
+def q_image_phash_dups(spark, sf_dir):
+    from ..operators.phash import image_near_dup_pairs, synthesize_phash_corpus
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    assets = synthesize_phash_corpus(docs, "doc_id", twin_mod=3)
+    pairs = image_near_dup_pairs(
+        assets, codec="bmp", method="phash", max_hamming=6, segments=7
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

@@ -1,0 +1,115 @@
+"""Round-8 perceptual-hash image near-dup (verdict task 4,
+operators/phash.py): hash invariances the planted-duplicate oracle
+relies on, codec-order independence, the blocked pairing end-to-end,
+and the never-all-pairs plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.multimodal import (
+    decode_bmp,
+    encode_bmp,
+    encode_png,
+)
+from gsmls_analysis_spark.operators.phash import (
+    _mean_pool,
+    dhash64,
+    image_near_dup_pairs,
+    image_phash,
+    phash64,
+    synthesize_phash_corpus,
+)
+
+
+def _img(seed: int, h: int = 48, w: int = 48) -> np.ndarray:
+    return np.random.RandomState(seed).randint(
+        10, 200, size=(h, w, 3)
+    ).astype(np.uint8)
+
+
+def test_brightness_offset_invariance_exact():
+    """The analytic-oracle foundation: +b on every pixel changes neither
+    hash by a single bit (dHash: strict monotone remap preserves
+    gradient signs; pHash: DCT linearity shifts only the DC term, the
+    median over uniformly-scaled ACs preserves every comparison)."""
+    for seed in range(5):
+        img = _img(seed)
+        twin = (img.astype(np.int16) + 25).astype(np.uint8)
+        assert dhash64(img) == dhash64(twin)
+        assert phash64(img) == phash64(twin)
+
+
+def test_dhash_monotone_remap_invariance():
+    img = _img(9)
+    # strictly increasing integer remap (a contrast curve)
+    remap = ((img.astype(np.int32) * 6) // 5 + 10).astype(np.uint8)
+    assert dhash64(img) == dhash64(remap)
+
+
+def test_distinct_images_hash_far_apart():
+    sigs = [phash64(_img(s)) for s in range(20)]
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            assert bin(sigs[i] ^ sigs[j]).count("1") > 6
+
+
+def test_resize_stability():
+    """The same scene at 2x resolution (pixel-doubled): pHash's 32x32
+    grid divides both sizes, so its pooling is bit-exact; dHash's 8x9
+    grid does not divide 32/64, so its bins shift slightly — the hash
+    stays within a small Hamming radius (the scale robustness
+    perceptual hashes exist for, approximate by nature)."""
+    img = _img(3, 32, 32)
+    big = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert phash64(img) == phash64(big)
+    d = (dhash64(img) ^ dhash64(big)) & ((1 << 64) - 1)
+    assert bin(d).count("1") <= 6
+
+
+def test_mean_pool_properties():
+    g = np.arange(64, dtype=float).reshape(8, 8)
+    assert np.allclose(_mean_pool(g, 8, 8), g)  # identity
+    assert np.allclose(_mean_pool(g, 4, 4)[0, 0], np.mean(g[:2, :2]))
+    assert _mean_pool(np.ones((4, 4)), 8, 8).shape == (8, 8)  # NN upscale
+
+
+def test_codec_order_independence():
+    """BMP decodes BGR, PNG decodes RGB: the channel-mean luma makes the
+    same image hash identically through either codec."""
+    img = _img(7)
+    _, _, via_bmp = decode_bmp(encode_bmp(48, 48, img[:, :, ::-1].tobytes()))
+    assert phash64(via_bmp) == phash64(img)
+
+
+def test_image_phash_quarantines_bad_payloads(spark):
+    rows = [
+        (1, bytearray(encode_bmp(8, 8, bytes(192)))),
+        (2, bytearray(b"not a bmp")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["doc"]: r["sig"] for r in image_phash(df).collect()}
+    assert got[1] is not None and got[2] is None and got[3] is None
+
+
+def test_near_dup_pairs_end_to_end_and_plan(spark):
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    assets = synthesize_phash_corpus(docs, "doc_id", twin_mod=3)
+    pairs = image_near_dup_pairs(
+        assets, codec="bmp", method="phash", max_hamming=6, segments=7
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    want = {(2 * d, 2 * d + 1): 0 for d in range(0, 60, 3)}
+    assert got == want
+    # dHash agrees on the planted pairs too
+    pairs_d = image_near_dup_pairs(
+        assets, codec="bmp", method="dhash", max_hamming=3, segments=4
+    )
+    got_d = {(r["id_a"], r["id_b"]) for r in pairs_d.collect()}
+    assert got_d == set(want)
