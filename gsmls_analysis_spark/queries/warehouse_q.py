@@ -2343,3 +2343,52 @@ def q_versioned_dv_read(spark, sf_dir):
             dsum(dec("l_extendedprice"), "sum_price"),
         )
     )
+
+
+@query(
+    "q_versioned_partition_evolution",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+WHERE year(o_orderdate) IN (1994, 1997)
+""",
+    doc="partition-spec EVOLUTION, Iceberg semantics (r8 verdict task 6, "
+    "versioned.py::versioned_set_partitioning): orders up to 1995 are "
+    "committed partitioned by order year, the spec is then changed to "
+    "o_orderstatus METADATA-ONLY (zero files touched), and the "
+    "remaining years append clustered on status.  The final read "
+    "carries a year IN-predicate spanning BOTH eras: pre-evolution "
+    "files prune via their exact year pvals, post-evolution files via "
+    "their year min/max — per-file stats make multi-spec pruning "
+    "automatic, no rewrite required (corrupt-file proof in tests/"
+    "test_r8_partition_evolution.py).  Oracle: the plain filter.",
+)
+def q_versioned_partition_evolution(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_read,
+        versioned_set_partitioning,
+        versioned_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_pev_")
+    versioned_write(
+        orders.filter(F.col("order_year") <= 1995),
+        path,
+        partition_by=["order_year"],
+    )
+    versioned_set_partitioning(spark, path, ["o_orderstatus"])
+    versioned_write(
+        orders.filter(F.col("order_year") > 1995), path, mode="append"
+    )
+    return versioned_read(
+        spark, path, predicate=F.col("order_year").isin(1994, 1997)
+    )

@@ -1260,6 +1260,54 @@ def _expr_references(expr_sql: str, names: list[str]) -> list[str]:
     return hits
 
 
+def versioned_set_partitioning(
+    spark: SparkSession, path: str, partition_by: list[str]
+) -> int:
+    """ALTER TABLE ... partition-spec EVOLUTION (Iceberg semantics,
+    metadata-only): publish one manifest declaring a NEW ``partition_by``
+    — zero data files touched.  Files committed before the change keep
+    their old-spec pvals; files written after it are clustered on (and
+    collect exact pvals for) the new spec.  Reads prune PER FILE from
+    whatever stats each file carries (pvals where present, min/max
+    otherwise), so both eras keep skipping without a rewrite — exactly
+    Iceberg's multi-spec table model, vs. the pre-r8 state where the
+    spec was fixed at first write and changing it meant a full
+    overwrite.  ``partition_by=[]`` stops clustering for future writes.
+    An OPTIMIZE after the change migrates compacted files to the new
+    spec (its default cluster_by follows the manifest).  Column names
+    are LOGICAL; they must exist in the current schema.  Returns the
+    new version number."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        pm = _read_manifest(path, versions[-1])
+        logical = _logical_struct(pm)
+        if logical is not None:
+            missing = [c for c in partition_by if c not in logical.names]
+            if missing:
+                raise ValueError(
+                    f"partition columns {missing} not in {path} schema "
+                    f"{logical.names}"
+                )
+        l2p = _l2p_of(pm)
+        phys = [l2p.get(c, c) for c in partition_by]
+        manifest = _metadata_only_child(
+            pm,
+            meta={"set_partitioning": ",".join(partition_by) or "<none>"},
+            path=path,
+        )
+        if phys:
+            manifest["partition_by"] = phys
+        else:
+            manifest.pop("partition_by", None)
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_set_partitioning", attempt)
+
+
 def versioned_rename_column(
     spark: SparkSession, path: str, old: str, new: str
 ) -> int:

@@ -1,0 +1,116 @@
+"""Round-8 partition-spec evolution (verdict task 6,
+versioned.py::versioned_set_partitioning): Iceberg-style metadata-only
+spec change — old files keep old-spec pvals, new files cluster on the
+new spec, and reads prune BOTH eras from each file's own stats.  The
+corrupt-file trick proves pruned files are never opened."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_read,
+    versioned_rename_column,
+    versioned_set_partitioning,
+    versioned_write,
+)
+
+
+def _frame(spark, years, n_per=40):
+    rows = [
+        (y * 1000 + i, y, i % 4, float(i))
+        for y in years
+        for i in range(n_per)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, year long, bucket long, val double"
+    )
+
+
+def test_evolution_is_metadata_only_and_appends_inherit(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        _frame(spark, [2020, 2021, 2022]), path, partition_by=["year"]
+    )
+    files_v1 = set(V._expand_files(os.path.abspath(path), V._entries(V._read_manifest(path, 1))))
+    v = versioned_set_partitioning(spark, path, ["bucket"])
+    m = V._read_manifest(path, v)
+    assert m["partition_by"] == ["bucket"]
+    files_v2 = set(V._expand_files(os.path.abspath(path), V._entries(m)))
+    assert files_v2 == files_v1  # zero data files touched
+    # the next append clusters on the NEW spec and collects its pvals
+    versioned_write(_frame(spark, [2030]), path, mode="append")
+    m3 = V._read_manifest(path, 3)
+    new_files = set(m3["stats"]) - set(m["stats"])
+    assert new_files
+    for f in new_files:
+        assert "bucket" in m3["stats"][f].get("pvals", {})
+    # old files keep their old-era year pvals untouched
+    for f in files_v1:
+        assert m3["stats"][f].get("pvals", {}).get("year")
+    assert versioned_read(spark, path).count() == 160
+
+
+def test_pruning_consults_both_eras(spark, tmp_path):
+    """A year predicate must prune new-era files via min/max and open
+    only the old-era year file; a bucket predicate must prune new-era
+    files via pvals.  Corrupting every non-candidate file proves the
+    pruned files are never opened."""
+    path = str(tmp_path / "vt")
+    versioned_write(
+        _frame(spark, [2020, 2021, 2022]), path, partition_by=["year"]
+    )
+    versioned_set_partitioning(spark, path, ["bucket"])
+    versioned_write(_frame(spark, [2030]), path, mode="append")
+    root = os.path.abspath(path)
+    pm = V._read_manifest(path, 3)
+    all_files = V._expand_files(root, V._entries(pm))
+    pred = F.col("year") == 2021
+    cand = set(V.prune_candidate_files(spark, pm, all_files, pred))
+    assert cand and len(cand) < len(all_files)
+    # new-era files (year minmax = [2030, 2030]) must all be pruned
+    for f in cand:
+        assert pm["stats"][f].get("pvals", {}).get("year") == [2021]
+    for f in all_files:
+        if f not in cand:
+            with open(os.path.join(root, f), "wb") as fh:
+                fh.write(b"PAR1 corrupted")
+    got = versioned_read(spark, path, predicate=pred)
+    assert got.count() == 40
+    assert {r["year"] for r in got.collect()} == {2021}
+
+
+def test_evolution_speaks_logical_names(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(_frame(spark, [2020]), path, partition_by=["year"])
+    versioned_rename_column(spark, path, "bucket", "shard")
+    v = versioned_set_partitioning(spark, path, ["shard"])
+    # the manifest records the stable PHYSICAL name
+    assert V._read_manifest(path, v)["partition_by"] == ["bucket"]
+    versioned_write(
+        spark.createDataFrame(
+            [(9, 2031, 1, 0.5)], "id long, year long, shard long, val double"
+        ),
+        path,
+        mode="append",
+    )
+    m = V._read_manifest(path, v + 1)
+    new_files = [f for f in m["stats"] if "v4-" in f]
+    assert new_files and all(
+        "bucket" in m["stats"][f].get("pvals", {}) for f in new_files
+    )
+    with pytest.raises(ValueError, match="not in"):
+        versioned_set_partitioning(spark, path, ["nope"])
+
+
+def test_evolution_stop_clustering(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(_frame(spark, [2020]), path, partition_by=["year"])
+    v = versioned_set_partitioning(spark, path, [])
+    assert "partition_by" not in V._read_manifest(path, v)
+    versioned_write(_frame(spark, [2021]), path, mode="append")
+    assert versioned_read(spark, path).count() == 80
