@@ -1,0 +1,558 @@
+"""Baseline-sequential JPEG (ITU T.81) codec — pure stdlib + numpy, no
+codec library (r8 verdict task 8: the spike showed ~550 LoC, so the
+honest stub becomes a real decoder).  Image-heavy training-data
+pipelines are JPEG-dominated; this closes the one codec gap left after
+the BMP/PNG/WAV legs (operators/multimodal.py).
+
+Scope (and honest limits):
+
+- DECODER: baseline DCT sequential (SOF0), 8-bit, 1 or 3 components,
+  arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 —
+  nearest-neighbor chroma upsample), restart markers, 0xFF00 byte
+  unstuffing, multi-table DQT/DHT segments.  Progressive (SOF2),
+  arithmetic coding, 12-bit precision and hierarchical modes raise
+  ``ValueError`` — a decode error callers quarantine, never a crash.
+- ENCODER: 4:4:4 baseline with the Annex K quantization and Huffman
+  tables (public spec content) — enough to synthesize genuinely
+  entropy-coded files executor-side for oracle queries and round-trip
+  tests.
+
+Exactness lever the analytic oracles use: for a block-CONSTANT image
+the FDCT concentrates everything in the DC term (AC quantize to 0),
+and with the Annex K luma DC step of 16, any EVEN gray value v has
+8·(v−128) divisible by 16 — quantization is lossless on such blocks,
+so decode(encode(img)) == img EXACTLY and an oracle can recompute
+per-image statistics from the construction rule without touching
+bytes.  (General images round-trip within a quantization-bounded
+error, asserted in tests.)
+
+The DCT here is the orthonormal 8-point DCT-II matrix product: for
+D[u,x] = c_u·sqrt(2/8)·cos((2x+1)uπ/16), c_0 = 1/√2, the JPEG FDCT
+S = D·b·Dᵀ and IDCT b = Dᵀ·S·D — bit-identical in float64 to the
+spec's quadruple-sum definition."""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# Spec tables (ITU T.81 Annex K — public standard content)
+# ---------------------------------------------------------------------------
+
+QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# zigzag: scan position -> linear (row-major) coefficient index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Huffman specs: (BITS[1..16], HUFFVAL) per Annex K
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_DCT8 = None
+
+
+def _dct8():
+    import numpy as np
+
+    global _DCT8
+    if _DCT8 is None:
+        k = np.arange(8)[:, None]
+        x = np.arange(8)[None, :]
+        m = np.sqrt(2.0 / 8) * np.cos(np.pi * (2 * x + 1) * k / 16)
+        m[0] /= np.sqrt(2.0)
+        _DCT8 = m
+    return _DCT8
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the spec's canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Encoder (4:4:4 baseline, Annex K tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category, appended bits) per the spec's table F.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _encode_block(w: _BitWriter, q, dc_pred: int, dc_codes, ac_codes) -> int:
+    zz = [int(q[ZIGZAG[i] // 8, ZIGZAG[i] % 8]) for i in range(64)]
+    s, extra = _magnitude(zz[0] - dc_pred)
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(extra, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s, extra = _magnitude(zz[i])
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(extra, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return zz[0]
+
+
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc_th] + bits + vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    width: int, height: int, rgb: bytes, subsampling: str = "444"
+) -> bytes:
+    """Encode raw RGB (row-major, top-down, len == 3·w·h) as baseline
+    JPEG with the Annex K tables.  ``subsampling``: '444' (one block
+    per component per MCU) or '420' (2×2 luma blocks + mean-pooled
+    chroma — the real-world default, and the round-trip exerciser for
+    the decoder's upsampling path)."""
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(
+            f"need {3 * width * height} RGB bytes for {width}x{height}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling}")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    luma_hv = (2, 2) if subsampling == "420" else (1, 1)
+    hmax, vmax = luma_hv
+    # pad to MCU multiples by edge replication
+    ph = -(-height // (8 * vmax)) * 8 * vmax
+    pw = -(-width // (8 * hmax)) * 8 * hmax
+
+    def _pad(p):
+        pp = np.empty((ph, pw))
+        hh, ww = p.shape
+        pp[:hh, :ww] = p
+        pp[hh:, :ww] = p[hh - 1 : hh, :ww]
+        pp[:, ww:] = pp[:, ww - 1 : ww]
+        return pp
+
+    comp_planes = [_pad(planes[0]) - 128.0]
+    if subsampling == "420":
+        for p in planes[1:]:
+            pp = _pad(p)
+            pooled = pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comp_planes.append(np.round(pooled) - 128.0)
+    else:
+        comp_planes += [_pad(p) - 128.0 for p in planes[1:]]
+    comp_hv = [luma_hv, (1, 1), (1, 1)]
+    d = _dct8()
+    qts = [
+        np.asarray(QT_LUMA, np.float64).reshape(8, 8),
+        np.asarray(QT_CHROMA, np.float64).reshape(8, 8),
+    ]
+    dc_codes = [
+        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(ph // (8 * vmax)):
+        for mx in range(pw // (8 * hmax)):
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                ch, cv = comp_hv[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        y0 = (my * cv + vy) * 8
+                        x0 = (mx * ch + vx) * 8
+                        blk = comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = d @ blk @ d.T
+                        q = np.round(coef / qts[ti]).astype(np.int32)
+                        preds[ci] = _encode_block(
+                            w, q, preds[ci], dc_codes[ti], ac_codes[ti]
+                        )
+    scan = w.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0/JFIF: identifier + version 1.1 + unitless 1x1 density, no thumb
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tq, qt in ((0, QT_LUMA), (1, QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq] + qt)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    luma_byte = (hmax << 4) | vmax
+    for cid, hv, tq in ((1, luma_byte, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, hv, tq])
+    out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _dht_segment(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tt in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tt])
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder (baseline sequential, sampling up to 2x2, restart markers)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, RSTn surfacing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy segment")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _Restart(nxt - 0xD0)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_consume_rst(self) -> None:
+        self.nbits = 0  # discard pad bits
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+class _Restart(Exception):
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+
+def _extend(v: int, s: int) -> int:
+    """Appended-bits value -> signed coefficient (spec EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, "object"]:
+    """Parse a baseline-sequential JFIF/JPEG; returns (width, height,
+    pixels) with pixels shaped (h, w, 3) RGB uint8 (grayscale files
+    replicate the luma plane).  Raises ValueError on any unsupported
+    mode — a decode error, not a crash."""
+    import numpy as np
+
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qts: dict[int, "object"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("reached EOI before SOS scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stray RST: no payload
+        (seg_len,) = struct.unpack_from(">H", d, pos)
+        body = d[pos + 2 : pos + seg_len]
+        end = pos + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = body[i + 1 + k]
+                qts[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            for c in comps:
+                if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+                    raise ValueError("sampling factors beyond 2x2 unsupported")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/arithmetic/hierarchical JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if not comps or not qts:
+                raise ValueError("SOS before SOF/DQT")
+            ns = body[0]
+            scan_sel = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_sel.append((comp, tt >> 4, tt & 0xF))
+            return _decode_scan(
+                np, d, end, w, h, scan_sel, qts, huff, restart_interval
+            )
+        pos = end
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(np, d, pos, w, h, scan_sel, qts, huff, restart_interval):
+    dct = _dct8()
+    hmax = max(c["h"] for c, _t, _a in scan_sel)
+    vmax = max(c["v"] for c, _t, _a in scan_sel)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c, _td, _ta in scan_sel:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    preds = [0] * len(scan_sel)
+    rdr = _BitReader(d, pos)
+    mcu_count = 0
+    mcu = 0
+    total = mcux * mcuy
+    while mcu < total:
+        try:
+            my, mx = divmod(mcu, mcux)
+            for si, (c, td, ta) in enumerate(scan_sel):
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                qt = qts.get(c["tq"])
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("scan references undefined table")
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        s = rdr.decode_huff(dc_tab)
+                        diff = _extend(rdr.bits(s), s) if s else 0
+                        preds[si] += diff
+                        zz = np.zeros(64)
+                        zz[0] = preds[si]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:
+                                break  # EOB
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(rdr.bits(s), s)
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[ZIGZAG] = zz
+                        coef = blk.reshape(8, 8) * qt
+                        px = dct.T @ coef @ dct + 128.0
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + vx) * 8
+                        planes[si][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu += 1
+            mcu_count += 1
+            if restart_interval and mcu_count == restart_interval and mcu < total:
+                rdr.align_and_consume_rst()
+                preds = [0] * len(scan_sel)
+                mcu_count = 0
+        except _Restart:
+            # tolerated early restart: realign predictors and continue
+            preds = [0] * len(scan_sel)
+            mcu_count = 0
+            mcu += 0  # the interrupted MCU re-decodes from the marker
+    full = []
+    for (c, _td, _ta), p in zip(scan_sel, planes):
+        rep_y = vmax // c["v"]
+        rep_x = hmax // c["h"]
+        up = np.repeat(np.repeat(p, rep_y, axis=0), rep_x, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(gray[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
+        axis=2,
+    )
+    return w, h, rgb

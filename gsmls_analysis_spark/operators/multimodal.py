@@ -97,24 +97,31 @@ def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
     ``codec='wav'``: REAL decode of RIFF/WAVE 16-bit PCM mono — chunk
     walk with word alignment + integer signal statistics (see
     ``decode_wav_stats``); stdlib + numpy only.
+    ``codec='jpeg'``: REAL decode of baseline-sequential JPEG — marker
+    walk, Huffman entropy decode, dequantize + IDCT, chroma upsample to
+    2×2 sampling, restart markers (see ``operators/jpeg.py`` and
+    ``decode_jpeg_stats``); progressive/arithmetic files quarantine as
+    decode errors.
     ``codec='fake'``: deterministic fake decode (dims derived from the
     first payload bytes) for plumbing tests.
-    ``codec='real'`` (JPEG/compressed audio/video): raises — those
-    codecs need libraries absent from this container; the BMP, PNG and
+    ``codec='real'`` (compressed audio/video): raises — those codecs
+    need libraries absent from this container; the BMP, PNG, JPEG and
     WAV paths prove the decode plumbing on genuine encoded bytes.
     """
     if codec == "bmp":
         return decode_bmp_stats(df)
     if codec == "png":
         return decode_png_stats(df)
+    if codec == "jpeg":
+        return decode_jpeg_stats(df)
     if codec == "wav":
         return decode_wav_stats(df)
     if codec == "real":
         raise NotImplementedError(
-            "JPEG/compressed-audio/video decode requires codec libraries "
-            "(PIL/ffmpeg) not present in this environment; use "
-            "codec='bmp', codec='png' or codec='wav' for the real "
-            "pure-Python paths or codec='fake' for the stub"
+            "compressed-audio/video decode requires codec libraries "
+            "(ffmpeg) not present in this environment; use codec='bmp', "
+            "'png', 'jpeg' or 'wav' for the real pure-Python paths or "
+            "codec='fake' for the stub"
         )
     # fake dims from the first two payload bytes (payloads here are ASCII,
     # so a string round-trip reads the raw byte values)
@@ -574,6 +581,99 @@ def synthesize_png_assets(
         F.col(width_col).cast("long").alias("_w"),
         F.col(height_col).cast("long").alias("_h"),
     ).mapInPandas(gen, "asset_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: baseline JPEG (operators/jpeg.py — encoder + full
+# baseline-sequential decoder, stdlib + numpy).  The stats/synthesis
+# legs below mirror the BMP/PNG twins; the oracle corpus uses 8×8
+# block-constant EVEN gray values, for which Annex-K quantization is
+# exactly lossless (jpeg.py module docstring), so expected statistics
+# are analytic despite JPEG being lossy in general.
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_stats(assets: DataFrame) -> DataFrame:
+    """Real baseline-JPEG decode over Arrow batches: dimensions from
+    SOF0 and exact per-channel means (integer-scaled mean·10^6,
+    floored); undecodable payloads quarantined into decode_error.
+    Mirrors decode_png_stats; channel order is RGB."""
+    from .jpeg import decode_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "mean_r_micro": [],
+                "mean_g_micro": [],
+                "mean_b_micro": [],
+                "decode_error": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(asset_id)
+                try:
+                    w, h, px = decode_jpeg(bytes(payload))
+                    sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    n = w * h
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r_micro"].append(int(sums[0]) * 1_000_000 // n)
+                    out["mean_g_micro"].append(int(sums[1]) * 1_000_000 // n)
+                    out["mean_b_micro"].append(int(sums[2]) * 1_000_000 // n)
+                    out["decode_error"].append(None)
+                except ValueError as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r_micro"].append(None)
+                    out["mean_g_micro"].append(None)
+                    out["mean_b_micro"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, width long, height long, mean_r_micro long, "
+        "mean_g_micro long, mean_b_micro long, decode_error string",
+    )
+
+
+def synthesize_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id", subsampling: str = "444"
+) -> DataFrame:
+    """Executor-side synthesis of genuinely ENTROPY-CODED JPEG payloads
+    whose decoded pixels are analytically known: per doc, a grid of
+    (doc_id%4+3) × (doc_id%3+2) constant 8×8 blocks, gray value
+    ``((doc_id·31 + bx·7 + by·13) mod 96)·2 + 8`` — even, so Annex-K
+    quantization reconstructs it EXACTLY (jpeg.py docstring) and an
+    oracle recomputes the per-image means from the rule without
+    touching bytes."""
+    from .jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid in pdf["_id"]:
+                did = int(rid)
+                nbx, nby = did % 4 + 3, did % 3 + 2
+                by, bx = np.mgrid[0:nby, 0:nbx]
+                vals = ((did * 31 + bx * 7 + by * 13) % 96) * 2 + 8
+                gray = np.repeat(
+                    np.repeat(vals.astype(np.uint8), 8, axis=0), 8, axis=1
+                )
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                ids.append(did)
+                payloads.append(
+                    encode_jpeg(nbx * 8, nby * 8, rgb.tobytes(), subsampling)
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -327,3 +327,49 @@ def q_image_phash_dups(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@query(
+    "q_multimodal_jpeg_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 + 3 AS nbx, doc_id % 3 + 2 AS nby FROM documents
+), blk AS (
+  SELECT d.doc_id, d.nbx, d.nby,
+         SUM(((d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 96) * 2 + 8) AS sv
+  FROM dims d, range(0, 6) gx(x), range(0, 4) gy(y)
+  WHERE gx.x < d.nbx AND gy.y < d.nby
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS asset_id,
+       CAST(nbx * 8 AS BIGINT) AS width,
+       CAST(nby * 8 AS BIGINT) AS height,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_r_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_g_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_b_micro,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM blk
+""",
+    doc="REAL baseline JPEG decode end-to-end, stdlib+numpy only (r8 "
+    "verdict task 8 — the spike became a codec, operators/jpeg.py): "
+    "per-document JPEGs are genuinely ENTROPY-CODED executor-side "
+    "(synthesize_jpeg_assets: Annex-K quant + Huffman tables, FDCT, "
+    "zigzag, DC prediction, byte stuffing) and genuinely DECODED "
+    "(decode_jpeg_stats: marker walk, canonical Huffman decode, "
+    "dequantize, IDCT, YCbCr->RGB).  JPEG is lossy in general, so the "
+    "corpus uses 8x8 block-constant EVEN gray values, for which the "
+    "luma DC step of 16 quantizes LOSSLESSLY — the oracle recomputes "
+    "each image's exact means from the construction rule ((id*31 + "
+    "bx*7 + by*13) mod 96)*2 + 8 without touching bytes, so any "
+    "bitstream/Huffman/DCT bug in either codec leg breaks the hash.  "
+    "Payloads are built and decoded inside mapInPandas, never on the "
+    "driver; per-pixel means come back as integer-scaled micro units "
+    "(floored), the engine-portable convention of the BMP/PNG twins.",
+)
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_media, synthesize_jpeg_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_media(synthesize_jpeg_assets(docs, "doc_id"), codec="jpeg")

@@ -1,0 +1,190 @@
+"""sf0.1 → sf1 scale curve for the VERSIONED LAYER (r8 verdict task 7):
+SCALE_CURVE.md covers query plans; this measures the lakehouse ops —
+write/commit, DV delete, merge-on-read read, scoped OPTIMIZE WHERE,
+CDF read, native batch-source scan — at both scales and reports each
+op's growth exponent α = log10(t_sf1 / t_sf0.1) (α = 1 would be
+linear-in-data; α ≥ 1 is the super-linear red flag).
+
+Each mutating op runs 3 times with DISJOINT same-sized predicates
+(state accumulates monotonically either way); reads run 3 times
+directly; medians are reported.  File counts scale with rows (~75k
+rows/file) so the per-file metadata population grows with sf, as a
+real table's would.
+
+Run: python tools/measure_versioned_scale.py
+     (expects /root/testdata/sf0.1 and /tmp/spark_graft_sf1 — rebuild
+     the latter with tools/make_scale_data.py if /tmp was wiped)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.session import get_spark
+from gsmls_analysis_spark.sources import load_table
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned_stream import versioned_batch_source
+
+SF_DIRS = {
+    "sf0.1": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    "sf1": os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"),
+}
+
+
+def _t(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _med(vals) -> float:
+    return sorted(vals)[len(vals) // 2]
+
+
+def bench_sf(spark, sf_dir: str, fixed_scope: int) -> dict[str, float]:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    n = li.count()
+    nf = max(8, min(96, n // 75_000))
+    path = tempfile.mkdtemp(prefix="vscale_") + "/vt"
+    out: dict[str, float] = {"rows": float(n), "files": float(nf)}
+    out["write_commit_s"] = _t(
+        lambda: V.versioned_write(
+            li.repartitionByRange(nf, "l_orderkey"), path, bloom_cols=["l_orderkey"]
+        )
+    )
+    kmax = li.agg(F.max("l_orderkey")).collect()[0][0]
+    # scoped OPTIMIZE runs FIRST, while the write's range clustering is
+    # intact (the operational shape: compact yesterday's partition).
+    # Measured on the r8 first cut AFTER the %1000 COW deletes below,
+    # every file had been rewritten unclustered, the WHERE matched the
+    # whole table and the op looked super-linear — ordering artifact,
+    # kept here as a warning.  Two variants:
+    #   fixed: a constant ABSOLUTE key range (same rows at every sf) —
+    #     the O(scope)-not-O(table) claim; alpha should be ~0.
+    #   frac: a constant FRACTION of the keyspace — in-scope rows grow
+    #     with sf; alpha ~1 vs table rows is expected and fine.
+    out["optimize_where_fixed_s"] = _med(
+        [
+            _t(
+                lambda i=i: V.versioned_compact(
+                    spark,
+                    path,
+                    target_file_bytes=1 << 26,
+                    where=F.col("l_orderkey").between(
+                        i * fixed_scope, (i + 1) * fixed_scope
+                    ),
+                )
+            )
+            for i in range(3)
+        ]
+    )
+    frac = kmax // 20
+    out["optimize_where_frac_s"] = _med(
+        [
+            _t(
+                lambda i=i: V.versioned_compact(
+                    spark,
+                    path,
+                    target_file_bytes=1 << 26,
+                    where=F.col("l_orderkey").between(
+                        kmax // 2 + i * frac, kmax // 2 + (i + 1) * frac
+                    ),
+                )
+            )
+            for i in range(3)
+        ]
+    )
+    # selective DV deletes (~0.1% each, disjoint)
+    out["dv_delete_s"] = _med(
+        [
+            _t(lambda m=m: V.versioned_delete_dv(spark, path, F.col("l_orderkey") % 1000 == m))
+            for m in (7, 13, 29)
+        ]
+    )
+
+    def mor_read():
+        (
+            V.versioned_read(spark, path)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    out["mor_read_s"] = _med([_t(mor_read) for _ in range(3)])
+    # CDF: copy-on-write deletes recording change files; timed READ only
+    cdf_times = []
+    for m in (41, 53, 67):
+        v = V.versioned_delete(
+            spark, path, F.col("l_orderkey") % 1000 == m, change_feed=True
+        )
+        cdf_times.append(
+            _t(
+                lambda v=v: V.table_changes(spark, path, v - 1, v)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        )
+    out["cdf_read_s"] = _med(cdf_times)
+
+    def native_scan():
+        (
+            versioned_batch_source(spark, path)
+            .filter(F.col("l_orderkey") <= kmax // 5)
+            .groupBy("l_returnflag")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    out["native_scan_s"] = _med([_t(native_scan) for _ in range(3)])
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("versioned-scale")
+    # fixed absolute OPTIMIZE scope: a twentieth of the sf0.1 keyspace
+    # (the sf1 generator replicates keys by offset, so this range holds
+    # the SAME rows at both scales)
+    base_li = load_table(spark, SF_DIRS["sf0.1"], "lineitem")
+    fixed_scope = int(base_li.agg(F.max("l_orderkey")).collect()[0][0]) // 20
+    res = {label: bench_sf(spark, d, fixed_scope) for label, d in SF_DIRS.items()}
+    ratio_rows = res["sf1"]["rows"] / res["sf0.1"]["rows"]
+    ops = [
+        "write_commit_s",
+        "optimize_where_fixed_s",
+        "optimize_where_frac_s",
+        "dv_delete_s",
+        "mor_read_s",
+        "cdf_read_s",
+        "native_scan_s",
+    ]
+    print(f"\nrows: {int(res['sf0.1']['rows']):,} -> {int(res['sf1']['rows']):,} ({ratio_rows:.1f}x)")
+    print("| op | sf0.1 s | sf1 s | ratio | alpha |")
+    print("|---|---|---|---|---|")
+    for op in ops:
+        a, b = res["sf0.1"][op], res["sf1"][op]
+        ratio = b / a
+        alpha = math.log10(max(ratio, 1e-9)) / math.log10(ratio_rows)
+        print(f"| {op} | {a:.3f} | {b:.3f} | {ratio:.2f}x | {alpha:.2f} |")
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
