@@ -219,7 +219,11 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
 
 
 def encode_jpeg(
-    width: int, height: int, rgb: bytes, subsampling: str = "444"
+    width: int,
+    height: int,
+    rgb: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode raw RGB (row-major, top-down, len == 3·w·h) as baseline
     JPEG with the Annex K tables.  ``subsampling``: '444' (one block
@@ -278,8 +282,24 @@ def encode_jpeg(
     ]
     w = _BitWriter()
     preds = [0, 0, 0]
+    mcu_in_interval = 0
+    mcu_index = 0
+    total_mcus = (ph // (8 * vmax)) * (pw // (8 * hmax))
     for my in range(ph // (8 * vmax)):
         for mx in range(pw // (8 * hmax)):
+            if (
+                restart_interval
+                and mcu_in_interval == restart_interval
+                and mcu_index < total_mcus
+            ):
+                # byte-align (1-pad) and emit RSTn; DC predictors reset
+                w.buf = bytearray(w.flush())
+                w.acc = w.nbits = 0
+                w.buf += bytes([0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8])
+                preds = [0, 0, 0]
+                mcu_in_interval = 0
+            mcu_index += 1
+            mcu_in_interval += 1
             for ci in range(3):
                 ti = 0 if ci == 0 else 1
                 ch, cv = comp_hv[ci]
@@ -308,6 +328,8 @@ def encode_jpeg(
     luma_byte = (hmax << 4) | vmax
     for cid, hv, tq in ((1, luma_byte, 0), (2, 0x11, 1), (3, 0x11, 1)):
         out += bytes([cid, hv, tq])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
     out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -401,6 +423,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, "object"]:
     d = payload
     if len(d) < 4 or d[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
+    try:
+        return _parse_and_decode(np, d)
+    except (struct.error, IndexError) as e:
+        # malformed/truncated segment tables: a decode ERROR (callers
+        # quarantine), never a crash class the mapInPandas leg won't catch
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _parse_and_decode(np, d: bytes):
     pos = 2
     qts: dict[int, "object"] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -437,6 +468,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, "object"]:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline

@@ -136,7 +136,9 @@ def image_phash(
     Arrow-batched beside the real decoder.  Undecodable payloads yield
     NULL sig (the quarantine convention of every decode operator) and
     are dropped from pairing by the caller's filter."""
-    decode = {"bmp": decode_bmp, "png": decode_png}[codec]
+    from .jpeg import decode_jpeg
+
+    decode = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg}[codec]
     hasher = {"phash": phash64, "dhash": dhash64}[method]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

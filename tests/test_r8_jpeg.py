@@ -1,0 +1,150 @@
+"""Round-8 baseline JPEG codec (verdict task 8, operators/jpeg.py):
+exact round-trip on the block-constant-even oracle corpus (both
+samplings), near-lossless validation of the entropy machinery at Q=1,
+bounded error on smooth content, restart markers, odd dimensions,
+quarantined error paths, and the Spark decode leg end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators import jpeg as J
+from gsmls_analysis_spark.operators.multimodal import (
+    decode_media,
+    synthesize_jpeg_assets,
+)
+
+
+def _block_gray(seed: int, nbx: int = 6, nby: int = 4) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    blocks = (rng.randint(0, 96, size=(nby, nbx)) * 2 + 8).astype(np.uint8)
+    gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+@pytest.mark.parametrize("ss", ["444", "420"])
+def test_block_constant_even_gray_roundtrip_exact(ss):
+    """The oracle-corpus exactness lever: even gray constant blocks make
+    Annex-K quantization lossless, through both sampling modes."""
+    rgb = _block_gray(1)
+    h, w = rgb.shape[:2]
+    payload = J.encode_jpeg(w, h, rgb.tobytes(), subsampling=ss)
+    w2, h2, out = J.decode_jpeg(payload)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, rgb)
+
+
+def test_q1_near_lossless_validates_entropy_machinery(monkeypatch):
+    """With unit quant tables the only loss is rounding: a random image
+    must survive FDCT -> Huffman -> bitstream -> decode within ±2 —
+    any bug in zigzag/DC-prediction/byte-stuffing/EXTEND blows this up."""
+    monkeypatch.setattr(J, "QT_LUMA", [1] * 64)
+    monkeypatch.setattr(J, "QT_CHROMA", [1] * 64)
+    img = np.random.RandomState(2).randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    _, _, out = J.decode_jpeg(J.encode_jpeg(40, 24, img.tobytes()))
+    # bound = composed rounding: YCbCr quantize-to-int (±0.5 per plane,
+    # amplified up to 1.772x in the color transform) + final pixel round
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_smooth_image_bounded_error_both_samplings():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(yy * 2 + xx) % 256, (yy + xx * 2) % 256, (yy * 3) % 256], axis=2
+    ).astype(np.uint8)
+    for ss, bound in (("444", 8), ("420", 16)):
+        _, _, out = J.decode_jpeg(J.encode_jpeg(56, 40, img.tobytes(), ss))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < bound, (ss, err.mean())
+
+
+def test_odd_dimensions_edge_padding():
+    rgb = _block_gray(3)[:19, :29]  # crop to non-multiple-of-8 dims
+    payload = J.encode_jpeg(29, 19, rgb.tobytes())
+    w, h, out = J.decode_jpeg(payload)
+    assert (w, h) == (29, 19)
+    # constant blocks crop-aligned: interior still exact
+    assert np.array_equal(out[:16, :24], rgb[:16, :24])
+
+
+def test_restart_markers_roundtrip():
+    rgb = _block_gray(4, nbx=8, nby=2)  # 16 MCUs at 4:4:4
+    payload = J.encode_jpeg(64, 16, rgb.tobytes(), restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+    w, h, out = J.decode_jpeg(payload)
+    assert np.array_equal(out, rgb)
+
+
+def test_error_paths_quarantine():
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+    good = J.encode_jpeg(8, 8, bytes(192))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[: len(good) // 2])  # truncated scan
+    # progressive (SOF2) must be refused, not mis-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg(prog)
+
+
+def test_grayscale_single_component_decode():
+    """1-component files (common in the wild) decode via the same scan
+    machinery; built by surgically rewriting SOF/SOS of a gray 4:4:4
+    file is fragile, so craft a minimal luma-only file directly."""
+    import struct
+
+    rgb = _block_gray(5, nbx=2, nby=2)
+    full = J.encode_jpeg(16, 16, rgb.tobytes())
+    # decode the 3-component version as reference
+    _, _, ref = J.decode_jpeg(full)
+    # build the gray file: same tables, SOF with 1 component, SOS with 1
+    w = J._BitWriter()
+    d = J._dct8()
+    qt = np.asarray(J.QT_LUMA, float).reshape(8, 8)
+    dc = J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac = J._canonical_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    plane = rgb[:, :, 0].astype(float) - 128.0
+    pred = 0
+    for by in range(2):
+        for bx in range(2):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.round(d @ blk @ d.T / qt).astype(np.int32)
+            pred = J._encode_block(w, q, pred, dc, ac)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0] + J.QT_LUMA)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+    out += bytes([1, 0x11, 0])
+    out += J._dht_segment(0x00, J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    out += J._dht_segment(0x10, J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += b"\x00\x3f\x00" + w.flush() + b"\xff\xd9"
+    w2, h2, px = J.decode_jpeg(bytes(out))
+    assert (w2, h2) == (16, 16)
+    # gray input: every channel equals the (exactly reconstructed) luma
+    assert np.array_equal(px, rgb)
+
+
+def test_spark_decode_leg(spark):
+    docs = spark.range(0, 30).select(F_col_doc())
+    assets = synthesize_jpeg_assets(docs, "doc_id")
+    got = {r["asset_id"]: r for r in decode_media(assets, codec="jpeg").collect()}
+    assert len(got) == 30
+    for did, r in got.items():
+        nbx, nby = did % 4 + 3, did % 3 + 2
+        assert (r["width"], r["height"]) == (nbx * 8, nby * 8)
+        assert r["decode_error"] is None
+        sv = sum(
+            ((did * 31 + bx * 7 + by * 13) % 96) * 2 + 8
+            for bx in range(nbx)
+            for by in range(nby)
+        )
+        assert r["mean_r_micro"] == sv * 1_000_000 // (nbx * nby)
+        assert r["mean_r_micro"] == r["mean_g_micro"] == r["mean_b_micro"]
+
+
+def F_col_doc():
+    from pyspark.sql import functions as F
+
+    return F.col("id").alias("doc_id")
