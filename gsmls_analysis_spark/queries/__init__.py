@@ -43,7 +43,72 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # ROUND 7 window (policy + slot accounting in docs/ROUND7_NOTES.md).
+    # ROUND 8 window (policy + slot accounting in docs/ROUND8_NOTES.md).
+    # (c) added in round 8 — never driver-checked
+    "q_approx_distinct_bounds",  # HLL accuracy-bound oracle twin
+    "q_image_phash_dups",  # perceptual-hash image near-dup (DCT pHash)
+    "q_multimodal_jpeg_decode",  # real baseline JPEG codec end-to-end
+    "q_versioned_dv_read",  # heavy-DV merge-on-read read penalty
+    "q_versioned_partition_evolution",  # Iceberg-style spec evolution
+    # (b) code changed in round 8 — re-verify through the driver: the
+    # whole versioned layer (segmented manifests touched every read and
+    # publish; DV sidecar re-encoding + packed-key merge-on-read join;
+    # OCC-retry dir rename; overwrite constraint/generated fixes;
+    # OPTIMIZE logical-name clustering) ...
+    "q_versioned_delete_dv",
+    "q_versioned_partitioned",
+    "q_versioned_identity",
+    "q_versioned_optimize_where",
+    "q_versioned_restore",
+    "q_versioned_clone",
+    "q_versioned_constraints",
+    "q_versioned_rename",
+    "q_versioned_batch_source",
+    "q_versioned_sink_roundtrip",
+    "q_versioned_generated",
+    "q_versioned_history",
+    "q_versioned_delete",
+    "q_versioned_delete_bloom",
+    "q_versioned_update",
+    "q_versioned_merge",
+    "q_versioned_compact",
+    "q_versioned_changes",
+    "q_table_changes_feed",
+    "q_lakehouse_lifecycle",
+    "q_stream_versioned_ingest",
+    "q_stream_versioned_upsert",
+    "q_stream_versioned_source",
+    "q_stream_versioned_cdf",
+    "q_stream_versioned_sink_native",
+    "q_continuous_aggregate",
+    "q_ivm_join_delta",
+    "q_zorder_orders",  # runs versioned_compact(zorder=...)
+    # ... the HTML extractor (implicit <p> closing changed extraction)
+    "q_html_extract",
+    # ... the simhash pairing refactor (sig_near_dup_pairs extraction)
+    "q_simhash_near_dups",
+    # ... decode_media dispatch (jpeg leg added beside bmp/png/wav)
+    "q_multimodal_bmp_decode",
+    "q_multimodal_png_decode",
+    "q_multimodal_wav_decode",
+    "q_multimodal_resize",
+    # (d) remaining slots: representative cumulative greens in
+    # registration order (TPC-H core + dedup/cleaning/graph families)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "q_keep_last_dedup",
+    "q_golden_record",
+    "q_lpa_communities",
+    "q_approx_distinct",  # rows-only by design (HLL)
+    "q_currency_clean",
+]
+
+_DRIVER_WINDOW_R7 = [
+    # ROUND 7 window (kept for the accounting trail in ROUND7_NOTES.md).
     # (a) the ONE oracle-expressible query with zero driver rows across
     # six rounds (r6 verdict task 1) — front-loaded so the driver
     # finally records it
