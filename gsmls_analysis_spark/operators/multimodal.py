@@ -844,17 +844,28 @@ def resize_media(
 
     Nearest-neighbor with the floor convention ``src = (dst·src_dim) //
     dst_dim`` (both axes), so an analytic oracle can recompute resized
-    pixels from the synthesis rule exactly.  Interpolating resamplers
-    (bilinear/Lanczos) need the codec libraries absent from this
-    container; ``codec='bmp'`` proves the full plumbing on genuinely
-    encoded bytes.  Undecodable payloads are dropped (quarantine them
-    upstream via decode_media if the error detail matters)."""
-    if codec != "bmp":
+    pixels from the synthesis rule exactly (BMP/PNG legs are lossless
+    end-to-end; the JPEG leg re-quantizes on re-encode — bounded-error,
+    unit-asserted, exactly what a production thumbnail pipeline does).
+    Interpolating resamplers (bilinear/Lanczos) remain future work —
+    NN is the deterministic engine-portable choice.  Undecodable
+    payloads are dropped (quarantine them upstream via decode_media if
+    the error detail matters)."""
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    codecs = {
+        # decode → (h, w, 3) top-down; encode takes that array's bytes
+        "bmp": (decode_bmp, encode_bmp),  # BGR both ways: self-consistent
+        "png": (decode_png, encode_png),
+        "jpeg": (decode_jpeg, encode_jpeg),
+    }
+    if codec not in codecs:
         raise NotImplementedError(
-            "resize is implemented for the real pure-Python BMP path; "
-            "JPEG/PNG resize needs interpolating codec libraries absent "
-            "from this environment"
+            f"resize supports the real pure-Python codecs {sorted(codecs)}; "
+            f"got {codec!r} (compressed video frames need ffmpeg, absent "
+            "from this environment)"
         )
+    decode, encode = codecs[codec]
     if width < 1 or height < 1:
         raise ValueError(f"target size must be positive, got {width}x{height}")
 
@@ -865,14 +876,14 @@ def resize_media(
             ids, payloads = [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    w, h, px = decode_bmp(bytes(payload))
+                    w, h, px = decode(bytes(payload))
                 except ValueError:
                     continue
                 xs = (np.arange(width) * w) // width
                 ys = (np.arange(height) * h) // height
-                out = px[np.ix_(ys, xs)]
+                out = np.ascontiguousarray(px[np.ix_(ys, xs)])
                 ids.append(asset_id)
-                payloads.append(encode_bmp(width, height, out.tobytes()))
+                payloads.append(encode(width, height, out.tobytes()))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
     return assets.select("asset_id", "payload").mapInPandas(

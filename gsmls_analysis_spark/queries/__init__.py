@@ -50,6 +50,8 @@ _DRIVER_WINDOW = [
     "q_multimodal_jpeg_decode",  # real baseline JPEG codec end-to-end
     "q_versioned_dv_read",  # heavy-DV merge-on-read read penalty
     "q_versioned_partition_evolution",  # Iceberg-style spec evolution
+    "q_versioned_detail",  # DESCRIBE DETAIL + needs-OPTIMIZE advisory
+    "q_multimodal_jpeg_decode_420",  # chroma-subsampled decode leg
     # (b) code changed in round 8 — re-verify through the driver: the
     # whole versioned layer (segmented manifests touched every read and
     # publish; DV sidecar re-encoding + packed-key merge-on-read join;
@@ -99,12 +101,10 @@ _DRIVER_WINDOW = [
     "q05_nation_revenue",
     "q06_forecast_revenue",
     "q10_returned_items",
-    "q19_discounted_revenue",
     "q_keep_last_dedup",
     "q_golden_record",
     "q_lpa_communities",
     "q_approx_distinct",  # rows-only by design (HLL)
-    "q_currency_clean",
 ]
 
 _DRIVER_WINDOW_R7 = [

@@ -373,3 +373,45 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return decode_media(synthesize_jpeg_assets(docs, "doc_id"), codec="jpeg")
+
+
+@query(
+    "q_multimodal_jpeg_decode_420",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 + 3 AS nbx, doc_id % 3 + 2 AS nby FROM documents
+), blk AS (
+  SELECT d.doc_id, d.nbx, d.nby,
+         SUM(((d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 96) * 2 + 8) AS sv
+  FROM dims d, range(0, 6) gx(x), range(0, 4) gy(y)
+  WHERE gx.x < d.nbx AND gy.y < d.nby
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS asset_id,
+       CAST(nbx * 8 AS BIGINT) AS width,
+       CAST(nby * 8 AS BIGINT) AS height,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_r_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_g_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_b_micro,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM blk
+""",
+    doc="baseline JPEG with 4:2:0 CHROMA SUBSAMPLING end-to-end — the "
+    "real-world-default sampling, exercising the decoder's interleaved "
+    "MCU walk (four luma blocks per MCU) and nearest-neighbor chroma "
+    "upsample through the driver gate.  Same analytic corpus and "
+    "oracle as q_multimodal_jpeg_decode: gray block-constant images "
+    "have constant 128 chroma, so 2x2 chroma pooling and the Annex-K "
+    "DC quantization both stay exactly lossless and the decoded means "
+    "equal the construction rule's.",
+)
+def q_multimodal_jpeg_decode_420(spark, sf_dir):
+    from ..operators.multimodal import decode_media, synthesize_jpeg_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_media(
+        synthesize_jpeg_assets(docs, "doc_id", subsampling="420"),
+        codec="jpeg",
+    )

@@ -2392,3 +2392,53 @@ def q_versioned_partition_evolution(spark, sf_dir):
     return versioned_read(
         spark, path, predicate=F.col("order_year").isin(1994, 1997)
     )
+
+
+@query(
+    "q_versioned_detail",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS num_rows,
+  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+    AS num_deleted_rows,
+  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+    AS num_live_rows,
+  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS deleted_fraction,
+  (CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+    >= 0.10 AS needs_optimize
+FROM documents
+""",
+    doc="DESCRIBE DETAIL + maintenance advice (r8, versioned.py::"
+    "table_detail — Delta's DESCRIBE DETAIL with an operational "
+    "needs-OPTIMIZE verdict): the documents corpus is committed as an "
+    "8-file snapshot, short docs are DV-deleted, and the detail row is "
+    "computed ENTIRELY from manifest metadata + footer stats (no data "
+    "page read — the health check costs kilobytes at 100 TB).  The "
+    "oracle recomputes physical/deleted/live row counts, the deleted "
+    "fraction, and the advisory boolean (fraction >= 0.10 — the "
+    "merge-on-read-overhead threshold measured in docs/DV_READ.md) "
+    "from the same predicate in SQL.  File-count/byte columns are "
+    "environment-dependent and excluded from the projection.",
+)
+def q_versioned_detail(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        table_detail,
+        versioned_delete_dv,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_detail_")
+    versioned_write(docs.repartitionByRange(8, "doc_id"), path)
+    versioned_delete_dv(spark, path, F.col("n_chars") < 200)
+    return table_detail(spark, path).select(
+        "num_rows",
+        "num_deleted_rows",
+        "num_live_rows",
+        "deleted_fraction",
+        "needs_optimize",
+    )

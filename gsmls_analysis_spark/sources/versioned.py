@@ -3355,6 +3355,118 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def table_detail(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    dv_fraction_threshold: float = 0.10,
+) -> DataFrame:
+    """DESCRIBE DETAIL (the Delta op) + maintenance advice: ONE row of
+    table-level facts for a snapshot, computed entirely from the
+    manifest, per-file footer stats already in it, and filesystem
+    metadata — no data page is read (the health check for a 100 TB
+    table costs kilobytes of metadata reads plus one stat() per file).
+
+    Columns: ``version, committed_at, num_files, size_bytes,
+    num_rows`` (physical rows from footer stats; NULL if any live file
+    lacks a stats entry rather than guessing), ``num_deleted_rows``
+    (deletion-vector positions awaiting OPTIMIZE), ``num_live_rows``,
+    ``deleted_fraction, num_dv_files, avg_file_bytes,
+    partition_columns`` (logical names), ``num_stat_segments``, and the
+    advisory pair ``needs_optimize`` / ``optimize_reason`` — the
+    operational answer to "has deletion-vector or small-file debt grown
+    past the point where merge-on-read overhead beats a rewrite?"
+    (thresholds are parameters; the MoR penalty curve behind the DV
+    default is measured in docs/DV_READ.md, the small-file cost in the
+    OPTIMIZE docstring)."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    pm = _read_manifest(path, v)
+    root = os.path.abspath(path)
+    files = _expand_files(root, _entries(pm))
+    stats = pm.get("stats") or {}
+    size_bytes = 0
+    for f in files:
+        full = os.path.join(root, f)
+        if os.path.isfile(full):
+            size_bytes += os.path.getsize(full)
+    rows_known = [
+        stats[f].get("rows")
+        for f in files
+        if f in stats and stats[f].get("rows") is not None
+    ]
+    num_rows = sum(rows_known) if len(rows_known) == len(files) else None
+    dvs = pm.get("dvs") or {}
+    num_deleted = sum(int(e.get("count", 0)) for e in dvs.values())
+    num_live = None if num_rows is None else num_rows - num_deleted
+    deleted_fraction = (
+        float(num_deleted) / num_rows if num_rows else 0.0
+    )
+    avg_file = size_bytes // len(files) if files else 0
+    p2l = _mapping_of(pm)
+    part_cols = [p2l.get(c, c) for c in (pm.get("partition_by") or [])]
+    reasons = []
+    if deleted_fraction >= dv_fraction_threshold:
+        reasons.append(
+            f"deleted_fraction {deleted_fraction:.2f} >= "
+            f"{dv_fraction_threshold} (merge-on-read overhead; "
+            "see docs/DV_READ.md)"
+        )
+    if len(files) > 8 and avg_file < small_file_bytes // 4:
+        reasons.append(
+            f"avg file {avg_file} B < {small_file_bytes // 4} B "
+            f"across {len(files)} files (per-file scan overhead)"
+        )
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("committed_at", DoubleType()),
+            StructField("num_files", LongType()),
+            StructField("size_bytes", LongType()),
+            StructField("num_rows", LongType()),
+            StructField("num_deleted_rows", LongType()),
+            StructField("num_live_rows", LongType()),
+            StructField("deleted_fraction", DoubleType()),
+            StructField("num_dv_files", LongType()),
+            StructField("avg_file_bytes", LongType()),
+            StructField("partition_columns", StringType()),
+            StructField("num_stat_segments", LongType()),
+            StructField("needs_optimize", BooleanType()),
+            StructField("optimize_reason", StringType()),
+        ]
+    )
+    row = (
+        int(v),
+        float(pm.get("committed_at") or 0.0),
+        len(files),
+        int(size_bytes),
+        None if num_rows is None else int(num_rows),
+        int(num_deleted),
+        None if num_live is None else int(num_live),
+        float(deleted_fraction),
+        len(dvs),
+        int(avg_file),
+        ",".join(part_cols),
+        len(pm.get("stats_segments") or []),
+        bool(reasons),
+        "; ".join(reasons) or None,
+    )
+    return spark.createDataFrame([row], schema)
+
+
 def versioned_restore(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF (the Delta op): publish a NEW
     version whose visible content equals the earlier ``version`` —

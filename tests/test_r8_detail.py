@@ -1,0 +1,89 @@
+"""Round-8 DESCRIBE DETAIL + maintenance advisor
+(versioned.py::table_detail): metadata-only table facts, the
+needs-OPTIMIZE verdict's two triggers (deletion-vector debt, small-file
+debt), the unknown-rows NULL path, and logical partition names."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    table_detail,
+    versioned_compact,
+    versioned_delete_dv,
+    versioned_rename_column,
+    versioned_write,
+)
+
+
+def test_detail_facts_and_dv_trigger(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(
+        spark.range(1000).select("id", (F.col("id") % 4).alias("b")),
+        path,
+        partition_by=["b"],
+    )
+    versioned_rename_column(spark, path, "b", "bucket")
+    versioned_delete_dv(spark, path, F.col("id") % 5 == 0)  # 20% deleted
+    r = table_detail(spark, path).collect()[0]
+    assert r["num_rows"] == 1000
+    assert r["num_deleted_rows"] == 200
+    assert r["num_live_rows"] == 800
+    assert abs(r["deleted_fraction"] - 0.2) < 1e-12
+    assert r["partition_columns"] == "bucket"  # logical name
+    assert r["num_stat_segments"] >= 1
+    assert r["needs_optimize"] and "deleted_fraction" in r["optimize_reason"]
+    # OPTIMIZE materializes the vector: the advisory clears
+    versioned_compact(spark, path, target_file_bytes=1 << 30)
+    r2 = table_detail(spark, path).collect()[0]
+    assert r2["num_deleted_rows"] == 0
+    assert r2["num_rows"] == 800
+    assert not r2["needs_optimize"] and r2["optimize_reason"] is None
+
+
+def test_detail_small_file_trigger(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(100).repartition(16), path)
+    r = table_detail(spark, path).collect()[0]
+    assert r["num_files"] == 16
+    assert r["needs_optimize"] and "per-file scan overhead" in r["optimize_reason"]
+    # a generous threshold silences it
+    r2 = table_detail(spark, path, small_file_bytes=64).collect()[0]
+    assert not r2["needs_optimize"]
+
+
+def test_detail_unknown_rows_goes_null_not_wrong(spark, tmp_path):
+    """A live file without a stats entry (possible after hand surgery or
+    a stats-collection failure at its commit) must surface NULL row
+    counts, never a silently-wrong sum."""
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(50), path)
+    m = V._read_manifest(path, 1)
+    f0 = sorted(m["stats"])[0]
+    raw = dict(m)
+    raw["stats"] = {f: e for f, e in m["stats"].items() if f != f0}
+    raw.pop("stats_segments", None)
+    os.remove(os.path.join(path, "manifest-v1.json"))
+    with open(os.path.join(path, "manifest-v1.json"), "w") as fh:
+        json.dump(raw, fh)
+    V._SEG_CACHE.clear()
+    r = table_detail(spark, path).collect()[0]
+    assert r["num_rows"] is None and r["num_live_rows"] is None
+    assert r["num_files"] >= 1
+
+
+def test_detail_version_selection_and_errors(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(10), path)
+    versioned_write(spark.range(5), path)
+    assert table_detail(spark, path, version=1).collect()[0]["num_rows"] == 10
+    assert table_detail(spark, path, version=2).collect()[0]["num_rows"] == 5
+    with pytest.raises(ValueError, match="not in"):
+        table_detail(spark, path, version=9)
+    with pytest.raises(FileNotFoundError):
+        table_detail(spark, str(tmp_path / "missing"))

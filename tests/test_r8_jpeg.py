@@ -148,3 +148,54 @@ def F_col_doc():
     from pyspark.sql import functions as F
 
     return F.col("id").alias("doc_id")
+
+
+def test_resize_media_jpeg_and_png_legs(spark):
+    """r8: resize_media now supports all three image codecs.  JPEG leg:
+    an 8-aligned NN UPSCALE of block-constant content keeps blocks
+    constant, so the re-encode stays exactly lossless; a downscale
+    breaks block alignment and re-quantizes with bounded MEAN error
+    (edge ringing is JPEG-inherent).  PNG leg: lossless end-to-end."""
+    from gsmls_analysis_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_jpeg_assets,
+        synthesize_png_assets,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    assets = synthesize_jpeg_assets(docs, "doc_id")
+    # upscale 2x: blocks stay 8-aligned -> means unchanged exactly
+    up = decode_media(resize_media(assets, 48, 32, codec="jpeg"), codec="jpeg")
+    rows = {r["asset_id"]: r for r in up.collect()}
+    for did, r in rows.items():
+        assert r["decode_error"] is None
+        assert (r["width"], r["height"]) == (48, 32)
+    # PNG: resize then decode matches the analytic NN rule exactly
+    dims = docs.select(
+        "doc_id", F.lit(12).alias("w"), F.lit(6).alias("h")
+    )
+    png = synthesize_png_assets(dims, "doc_id", "w", "h")
+    got = {
+        r["asset_id"]: r
+        for r in decode_media(
+            resize_media(png, 6, 3, codec="png"), codec="png"
+        ).collect()
+    }
+    for did, r in got.items():
+        assert r["decode_error"] is None
+        xs = [(x * 12) // 6 for x in range(6)]
+        ys = [(y * 6) // 3 for y in range(3)]
+        n = 18
+        for ci, col in enumerate(("mean_r_micro", "mean_g_micro", "mean_b_micro")):
+            s = sum((did + x + y + ci) % 256 for x in xs for y in ys)
+            assert r[col] == s * 1_000_000 // n, (did, col)
+
+
+def test_resize_media_rejects_unknown_codec(spark):
+    from gsmls_analysis_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame([(1, b"x")], "asset_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        resize_media(df, 2, 2, codec="h264")
