@@ -51,6 +51,7 @@ _DRIVER_WINDOW = [
     "q_versioned_dv_read",  # heavy-DV merge-on-read read penalty
     "q_versioned_partition_evolution",  # Iceberg-style spec evolution
     "q_versioned_detail",  # DESCRIBE DETAIL + needs-OPTIMIZE advisory
+    "q_versioned_dfp_join",  # dynamic file pruning for dim joins
     "q_multimodal_jpeg_decode_420",  # chroma-subsampled decode leg
     # (b) code changed in round 8 — re-verify through the driver: the
     # whole versioned layer (segmented manifests touched every read and
@@ -100,7 +101,6 @@ _DRIVER_WINDOW = [
     "q03_shipping_priority",
     "q05_nation_revenue",
     "q06_forecast_revenue",
-    "q10_returned_items",
     "q_keep_last_dedup",
     "q_golden_record",
     "q_lpa_communities",

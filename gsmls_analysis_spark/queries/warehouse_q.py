@@ -2442,3 +2442,61 @@ def q_versioned_detail(spark, sf_dir):
         "deleted_fraction",
         "needs_optimize",
     )
+
+
+@query(
+    "q_versioned_dfp_join",
+    oracle="""
+SELECT o.o_custkey AS custkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name = 'GERMANY'
+GROUP BY o.o_custkey
+""",
+    doc="DYNAMIC FILE PRUNING for dimension joins (r8, versioned.py::"
+    "versioned_join_dim_pruned — Delta's dynamic file skipping / "
+    "Spark DPP lifted to the manifest plane): the orders fact table is "
+    "committed custkey-range-clustered with per-file Bloom filters on "
+    "o_custkey; the dimension is GERMANY's customers (driver-small by "
+    "the same contract Spark's DPP subquery carries).  The join opens "
+    "only the fact files whose Blooms/min-max admit ANY of the dim "
+    "keys — skipped at the MANIFEST, before Spark sees a file list — "
+    "then broadcasts the dim; the fact side never shuffles.  Pruning "
+    "is restricted to inner/semi joins (fact-preserving joins must see "
+    "every file — the op refuses).  Oracle: the plain 3-way join.  "
+    "Corrupt-file proof that pruned files are never opened lives in "
+    "tests/test_r8_dfp.py.",
+)
+def q_versioned_dfp_join(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import versioned_join_dim_pruned, versioned_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_dfp_")
+    versioned_write(
+        orders.repartitionByRange(8, "o_custkey"),
+        path,
+        bloom_cols=["o_custkey"],
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.filter(F.col("n_name") == "GERMANY"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    joined = versioned_join_dim_pruned(
+        spark, path, dim, dim_key="c_custkey", fact_key="o_custkey"
+    )
+    return joined.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice"), "sum_price"),
+    )

@@ -3355,6 +3355,64 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def versioned_join_dim_pruned(
+    spark: SparkSession,
+    fact_path: str,
+    dim: DataFrame,
+    dim_key: str,
+    fact_key: str | None = None,
+    version: int | None = None,
+    max_keys: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """DYNAMIC FILE PRUNING for dimension joins (Delta/Databricks'
+    dynamic file skipping; Spark's DPP lifted to the manifest plane):
+    join a versioned FACT table to a small dimension, skipping every
+    fact FILE whose stats prove it holds none of the dimension's join
+    keys — pvals and min/max prune clustered keys, per-file Bloom
+    filters answer the scattered high-cardinality case neither can.
+    At 100 TB this is the star-schema workhorse: "orders of these 600
+    German customers" opens the handful of files whose Blooms admit
+    any of the keys, not the table.
+
+    Contract: the dimension's DISTINCT key set must be driver-small
+    (the same broadcast-sized contract Spark's own DPP subquery
+    carries); above ``max_keys`` the pruning step is skipped and the
+    plan degrades to a plain broadcast join — sound, never wrong.
+    ``how`` is restricted to fact-preserving-free joins ('inner',
+    'left_semi'): pruning fact files is UNSOUND for fact-preserving
+    joins (a left-outer fact row with no dim match must still appear),
+    so those raise rather than silently dropping rows.  The dimension
+    side is broadcast; the fact side never shuffles for the join."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"file pruning is unsound for how={how!r}: a fact-preserving "
+            "join must see every fact file (use versioned_read + join)"
+        )
+    fact_key = fact_key or dim_key
+    rows = (
+        dim.select(dim_key).distinct().limit(max_keys + 1).collect()
+    )
+    keys = [r[0] for r in rows if r[0] is not None]
+    if len(rows) > max_keys:
+        fact = versioned_read(spark, fact_path, version=version)
+    elif not keys:
+        # no (non-null) dim keys: an inner/semi join is empty by law
+        fact = versioned_read(spark, fact_path, version=version).filter(
+            F.lit(False)
+        )
+    else:
+        fact = versioned_read(
+            spark,
+            fact_path,
+            version=version,
+            predicate=F.col(fact_key).isin(keys),
+        )
+    return fact.join(
+        F.broadcast(dim), fact[fact_key] == dim[dim_key], how
+    )
+
+
 def table_detail(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,89 @@
+"""Round-8 dynamic file pruning for dimension joins
+(versioned.py::versioned_join_dim_pruned): corrupt-file proof that
+pruned fact files are never opened, Bloom pruning on scattered keys,
+the unsound-join guard, the over-cap fallback, and the empty-dim
+shortcut."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_join_dim_pruned,
+    versioned_write,
+)
+
+
+def _fact(spark, path, n=1000, files=10):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    versioned_write(
+        df.repartitionByRange(files, "k"), path, bloom_cols=["k"]
+    )
+
+
+def test_pruned_files_never_opened(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _fact(spark, path)
+    root = os.path.abspath(path)
+    pm = V._read_manifest(path, 1)
+    all_files = V._expand_files(root, V._entries(pm))
+    dim = spark.createDataFrame([(7,), (8,), (9,)], "dk long")
+    cand = V.prune_candidate_files(
+        spark, pm, all_files, F.col("k").isin([7, 8, 9])
+    )
+    assert len(cand) < len(all_files)  # range clustering prunes
+    for f in all_files:
+        if f not in cand:
+            with open(os.path.join(root, f), "wb") as fh:
+                fh.write(b"PAR1 corrupted")
+    got = versioned_join_dim_pruned(spark, path, dim, "dk", "k").collect()
+    assert {(r["k"], r["v"]) for r in got} == {(7, 21), (8, 24), (9, 27)}
+
+
+def test_bloom_prunes_scattered_keys(spark, tmp_path):
+    """Hash-scattered writes give every file the full min/max range —
+    only the Bloom filters can prune a key-set probe."""
+    path = str(tmp_path / "vt")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    versioned_write(df.repartition(10, "v"), path, bloom_cols=["k"])
+    root = os.path.abspath(path)
+    pm = V._read_manifest(path, 1)
+    all_files = V._expand_files(root, V._entries(pm))
+    cand = V.prune_candidate_files(spark, pm, all_files, F.col("k") == 42)
+    assert 0 < len(cand) < len(all_files)  # min/max can't do this; blooms did
+
+
+def test_fact_preserving_joins_refused(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _fact(spark, path, n=10, files=2)
+    dim = spark.createDataFrame([(1,)], "dk long")
+    with pytest.raises(ValueError, match="unsound"):
+        versioned_join_dim_pruned(spark, path, dim, "dk", "k", how="left")
+
+
+def test_over_cap_falls_back_sound(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _fact(spark, path, n=50, files=2)
+    dim = spark.range(40).select(F.col("id").alias("dk"))
+    got = versioned_join_dim_pruned(
+        spark, path, dim, "dk", "k", max_keys=10
+    ).count()
+    assert got == 40  # plain broadcast join, nothing dropped
+
+
+def test_empty_and_null_dim_keys(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _fact(spark, path, n=10, files=2)
+    empty = spark.createDataFrame([], "dk long")
+    assert versioned_join_dim_pruned(spark, path, empty, "dk", "k").count() == 0
+    nulls = spark.createDataFrame([(None,), (3,)], "dk long")
+    got = versioned_join_dim_pruned(spark, path, nulls, "dk", "k").collect()
+    assert {r["k"] for r in got} == {3}  # NULL keys never match (SQL join law)
