@@ -432,5 +432,6 @@ def test_resize_media_rejects_bad_args():
 
     with pytest.raises(ValueError, match="positive"):
         resize_media(None, 0, 3)
-    with pytest.raises(NotImplementedError, match="BMP"):
-        resize_media(None, 2, 2, codec="jpeg")
+    # r8: jpeg/png became real resize legs; only library-less codecs refuse
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        resize_media(None, 2, 2, codec="h264")
