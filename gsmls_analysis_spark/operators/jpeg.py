@@ -476,6 +476,11 @@ def _parse_and_decode(np, d: bytes):
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
+            if w == 0 or h == 0:
+                # DNL-deferred height (h=0) is unsupported; a 0-pixel image
+                # would divide-by-zero downstream stats outside the
+                # ValueError quarantine contract.
+                raise ValueError("SOF with zero width/height unsupported")
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
             comps = []
@@ -567,10 +572,14 @@ def _decode_scan(np, d, pos, w, h, scan_sel, qts, huff, restart_interval):
                 preds = [0] * len(scan_sel)
                 mcu_count = 0
         except _Restart:
-            # tolerated early restart: realign predictors and continue
+            # tolerated early restart (missing/mismatched DRI): CONSUME the
+            # 0xFFDn marker and drop pad bits before retrying, else _fill
+            # re-raises at the same position forever — the interrupted MCU
+            # then re-decodes from the data after the marker.
+            rdr.pos += 2
+            rdr.nbits = 0
             preds = [0] * len(scan_sel)
             mcu_count = 0
-            mcu += 0  # the interrupted MCU re-decodes from the marker
     full = []
     for (c, _td, _ta), p in zip(scan_sel, planes):
         rep_y = vmax // c["v"]

@@ -59,15 +59,23 @@ def _mean_pool(gray, oh: int, ow: int):
     import numpy as np
 
     h, w = gray.shape
-    if h < oh or w < ow:
-        ridx = (np.arange(oh) * h) // oh
-        cidx = (np.arange(ow) * w) // ow
-        return gray[np.ix_(ridx, cidx)]
-    re = np.add.reduceat(gray, (np.arange(oh) * h) // oh, axis=0)
-    re = np.add.reduceat(re, (np.arange(ow) * w) // ow, axis=1)
-    rc = np.diff(np.append((np.arange(oh) * h) // oh, h)).astype(np.float64)
-    cc = np.diff(np.append((np.arange(ow) * w) // ow, w)).astype(np.float64)
-    return re / rc[:, None] / cc[None, :]
+    out = np.asarray(gray, dtype=np.float64)
+    # Each axis independently: area-mean pool when the axis is large
+    # enough, nearest-index only the undersized axis — a 4x1000 image
+    # still gets real pooling horizontally.
+    if h >= oh:
+        edges = (np.arange(oh) * h) // oh
+        out = np.add.reduceat(out, edges, axis=0)
+        out = out / np.diff(np.append(edges, h)).astype(np.float64)[:, None]
+    else:
+        out = out[(np.arange(oh) * h) // oh, :]
+    if w >= ow:
+        edges = (np.arange(ow) * w) // ow
+        out = np.add.reduceat(out, edges, axis=1)
+        out = out / np.diff(np.append(edges, w)).astype(np.float64)[None, :]
+    else:
+        out = out[:, (np.arange(ow) * w) // ow]
+    return out
 
 
 def _to_signed64(v: int) -> int:

@@ -3462,18 +3462,29 @@ def table_detail(
     dvs = pm.get("dvs") or {}
     num_deleted = sum(int(e.get("count", 0)) for e in dvs.values())
     num_live = None if num_rows is None else num_rows - num_deleted
+    # NULL (not 0.0) when num_rows is unknown — same no-guessing policy
+    # as num_rows itself; the DV advisory then falls back to the raw
+    # deleted count so DV debt still surfaces without a denominator.
     deleted_fraction = (
-        float(num_deleted) / num_rows if num_rows else 0.0
+        float(num_deleted) / num_rows if num_rows else None
     )
+    if num_rows == 0:
+        deleted_fraction = 0.0
     avg_file = size_bytes // len(files) if files else 0
     p2l = _mapping_of(pm)
     part_cols = [p2l.get(c, c) for c in (pm.get("partition_by") or [])]
     reasons = []
-    if deleted_fraction >= dv_fraction_threshold:
+    if deleted_fraction is not None and deleted_fraction >= dv_fraction_threshold:
         reasons.append(
             f"deleted_fraction {deleted_fraction:.2f} >= "
             f"{dv_fraction_threshold} (merge-on-read overhead; "
             "see docs/DV_READ.md)"
+        )
+    elif deleted_fraction is None and num_deleted > 0:
+        reasons.append(
+            f"{num_deleted} deletion-vector rows with unknown table row "
+            "count (a live file lacks footer stats) — DV debt cannot be "
+            "ratio-checked; see docs/DV_READ.md"
         )
     if len(files) > 8 and avg_file < small_file_bytes // 4:
         reasons.append(
@@ -3514,7 +3525,7 @@ def table_detail(
         None if num_rows is None else int(num_rows),
         int(num_deleted),
         None if num_live is None else int(num_live),
-        float(deleted_fraction),
+        None if deleted_fraction is None else float(deleted_fraction),
         len(dvs),
         int(avg_file),
         ",".join(part_cols),

@@ -1,0 +1,231 @@
+"""Round-9 regression tests: the four advisor defects from the round-8
+review — the restart-marker infinite loop in the JPEG bit reader, the
+zero-dimension SOF ZeroDivisionError escape, table_detail's silent
+deleted_fraction=0.0 under an unknown row count, and _mean_pool's
+all-or-nothing nearest fallback on extreme aspect ratios."""
+
+from __future__ import annotations
+
+import signal
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from gsmls_analysis_spark.operators.phash import _mean_pool
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    table_detail,
+    versioned_delete_dv,
+    versioned_write,
+)
+
+
+class _Deadline:
+    """SIGALRM guard: a regression back to the infinite restart loop
+    fails the test instead of hanging the suite."""
+
+    def __init__(self, seconds: int) -> None:
+        self.seconds = seconds
+
+    def __enter__(self):
+        def boom(signum, frame):  # pragma: no cover - only on regression
+            raise AssertionError("decode_jpeg hung (restart-marker loop)")
+
+        self._old = signal.signal(signal.SIGALRM, boom)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def _strip_dri(payload: bytes) -> bytes:
+    i = payload.find(b"\xff\xdd")
+    assert i >= 0, "fixture must contain a DRI segment"
+    (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+    return payload[:i] + payload[i + 2 + seg_len :]
+
+
+def _set_dri(payload: bytes, interval: int) -> bytes:
+    i = payload.find(b"\xff\xdd")
+    assert i >= 0
+    return payload[: i + 4] + struct.pack(">H", interval) + payload[i + 6 :]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 1 (high): unexpected RSTn must not hang the decoder
+# ---------------------------------------------------------------------------
+
+
+def _gray_rgb(w: int, h: int, val: int) -> bytes:
+    return bytes([val]) * (3 * w * h)
+
+
+def test_rst_without_dri_terminates():
+    # 4 MCUs with RST after every MCU, then the DRI segment REMOVED:
+    # every restart marker is now unexpected.  Pre-fix this spun forever
+    # in _BitReader._fill; post-fix the tolerated-early-restart path
+    # consumes the marker and the image still decodes exactly (constant
+    # even gray is lossless under the Annex-K tables, and the encoder
+    # reset its DC predictors at each marker just like the handler does).
+    payload = _strip_dri(
+        encode_jpeg(32, 8, _gray_rgb(32, 8, 90), restart_interval=1)
+    )
+    with _Deadline(30):
+        w, h, px = decode_jpeg(payload)
+    assert (w, h) == (32, 8)
+    assert int(px.min()) == int(px.max()) == 90
+
+
+def test_rst_with_mismatched_dri_terminates():
+    # Encoded at interval 1, DECLARED at interval 3: markers arrive two
+    # MCUs early each time.  Must terminate (decode or ValueError), never
+    # hang.
+    payload = _set_dri(
+        encode_jpeg(32, 8, _gray_rgb(32, 8, 122), restart_interval=1), 3
+    )
+    with _Deadline(30):
+        try:
+            w, h, px = decode_jpeg(payload)
+        except ValueError:
+            return  # quarantine is an acceptable outcome for a desync
+    assert (w, h) == (32, 8)
+    assert int(px.min()) == int(px.max()) == 122
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 2 (medium): SOF with zero width/height is a decode ERROR
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("field", ["height", "width"])
+def test_zero_dimension_sof_is_value_error(field):
+    payload = bytearray(encode_jpeg(8, 8, _gray_rgb(8, 8, 100)))
+    i = payload.find(b"\xff\xc0")
+    # SOF0 body: >HBHHB = len, prec, height, width, nc
+    off = i + 5 if field == "height" else i + 7
+    payload[off : off + 2] = b"\x00\x00"
+    with pytest.raises(ValueError, match="zero width/height"):
+        decode_jpeg(bytes(payload))
+
+
+def test_zero_dimension_quarantined_not_task_failure(spark):
+    # through the Spark leg: the malformed payload must land in
+    # decode_error, not kill the task with ZeroDivisionError
+    from gsmls_analysis_spark.operators.multimodal import decode_jpeg_stats
+
+    bad = bytearray(encode_jpeg(8, 8, _gray_rgb(8, 8, 100)))
+    i = bad.find(b"\xff\xc0")
+    bad[i + 5 : i + 7] = b"\x00\x00"
+    good = encode_jpeg(8, 8, _gray_rgb(8, 8, 64))
+    df = spark.createDataFrame(
+        [(1, bytes(bad)), (2, bytes(good))], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in decode_jpeg_stats(df).collect()}
+    assert rows[1]["decode_error"] is not None
+    assert rows[1]["width"] is None
+    assert rows[2]["decode_error"] is None
+    assert rows[2]["mean_r_micro"] == 64_000_000
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 3 (low): unknown row count -> deleted_fraction NULL + DV note
+# ---------------------------------------------------------------------------
+
+
+def test_table_detail_unknown_rows_nulls_fraction(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    versioned_write(df, path, mode="overwrite")
+    versioned_delete_dv(spark, path, F.col("k") < 30)
+
+    real = V._read_manifest
+
+    def stats_dropped(p, v):
+        pm = dict(real(p, v))
+        stats = dict(pm.get("stats") or {})
+        assert stats, "fixture expects footer stats"
+        k = sorted(stats)[0]
+        e = dict(stats[k])
+        e["rows"] = None
+        stats[k] = e
+        pm["stats"] = stats
+        return pm
+
+    monkeypatch.setattr(V, "_read_manifest", stats_dropped)
+    row = table_detail(spark, path).collect()[0]
+    assert row["num_rows"] is None
+    assert row["num_live_rows"] is None
+    assert row["deleted_fraction"] is None  # NULL, never a silent 0.0
+    assert row["num_deleted_rows"] == 30
+    # the advisory still fires on the raw deleted count
+    assert row["needs_optimize"] is True
+    assert "unknown table row" in row["optimize_reason"]
+
+
+def test_table_detail_known_rows_unchanged(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    versioned_write(
+        spark.range(50).select(F.col("id").alias("k")), path, mode="overwrite"
+    )
+    versioned_delete_dv(spark, path, F.col("k") < 10)
+    row = table_detail(spark, path).collect()[0]
+    assert row["deleted_fraction"] == pytest.approx(0.2)
+    assert row["needs_optimize"] is True  # 20% >= 10% threshold
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 4 (low): _mean_pool pools each axis independently
+# ---------------------------------------------------------------------------
+
+
+def _bin_mean_axis1(gray, ow):
+    h, w = gray.shape
+    edges = (np.arange(ow) * w) // ow
+    ends = np.append(edges[1:], w)
+    return np.stack(
+        [gray[:, a:b].mean(axis=1) for a, b in zip(edges, ends)], axis=1
+    )
+
+
+def test_mean_pool_mixed_axes_pools_the_wide_axis():
+    # 4x1000 ramp: rows < target (nearest), cols >> target (MUST pool)
+    gray = np.tile(np.arange(1000, dtype=np.float64), (4, 1))
+    out = _mean_pool(gray, 32, 32)
+    assert out.shape == (32, 32)
+    ridx = (np.arange(32) * 4) // 32
+    expected = _bin_mean_axis1(gray, 32)[ridx, :]
+    np.testing.assert_allclose(out, expected)
+    # pre-fix this axis was nearest-sampled: cell 0 would be exactly 0.0;
+    # area-mean of the first 31-px bin is 15.0
+    assert out[0, 0] == pytest.approx(np.arange(0, 1000 // 32).mean())
+
+
+def test_mean_pool_downscale_path_unchanged():
+    rng = np.random.default_rng(7)
+    gray = rng.uniform(0, 255, size=(40, 56))
+    out = _mean_pool(gray, 8, 9)
+    redges = (np.arange(8) * 40) // 8
+    cedges = (np.arange(9) * 56) // 9
+    brute = np.empty((8, 9))
+    rends = np.append(redges[1:], 40)
+    cends = np.append(cedges[1:], 56)
+    for i, (r0, r1) in enumerate(zip(redges, rends)):
+        for j, (c0, c1) in enumerate(zip(cedges, cends)):
+            brute[i, j] = gray[r0:r1, c0:c1].mean()
+    np.testing.assert_allclose(out, brute)
+
+
+def test_mean_pool_upscale_both_axes_nearest():
+    gray = np.arange(6, dtype=np.float64).reshape(2, 3)
+    out = _mean_pool(gray, 4, 6)
+    ridx = (np.arange(4) * 2) // 4
+    cidx = (np.arange(6) * 3) // 6
+    np.testing.assert_allclose(out, gray[np.ix_(ridx, cidx)])
