@@ -1486,6 +1486,74 @@ def q_versioned_merge(spark, sf_dir):
 
 
 @query(
+    "q_versioned_merge_dv",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(count(*) AS DOUBLE) * 10.5 AS c_acctbal,
+         count(*) AS c_urgent_orders
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+  UNION ALL
+  SELECT s_suppkey + 10000000, s_acctbal, NULL FROM supplier
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       t.c_name AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       t.c_mktsegment AS c_mktsegment,
+       s.c_urgent_orders AS c_urgent_orders
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+""",
+    doc="MERGE-ON-READ MERGE INTO via deletion vectors (sources/"
+    "versioned.py::versioned_merge(mor=True), Delta's DV-backed MERGE — "
+    "the dominant CDC-upsert write shape at 100 TB): the same CDC batch "
+    "as q_versioned_merge, but matched customer rows enter their files' "
+    "roaring deletion vectors (positions grouped and encoded "
+    "EXECUTOR-side; the driver pulls only compressed bitmaps) and ONLY "
+    "the post-image + inserted rows are written — every parent file "
+    "carries by reference, so write amplification is O(changed rows) "
+    "instead of O(rows in touched files) (measured: docs/MERGE_AMP.md). "
+    "The read resolves base files minus vectors via one broadcast hash "
+    "probe per scanned row.  Oracle: the identical FULL OUTER JOIN "
+    "upsert — MoR and COW must commit the same logical state.",
+)
+def q_versioned_merge_dv(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_cust_dv_")
+    versioned_write(cust.repartitionByRange(8, "c_custkey"), path)
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_urgent_orders"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            (F.col("c_urgent_orders").cast("double") * 10.5).alias("c_acctbal"),
+            "c_urgent_orders",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 10000000).alias("c_custkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.lit(None).cast("long").alias("c_urgent_orders"),
+    )
+    versioned_merge(
+        spark, path, upd.unionByName(sup), on=["c_custkey"], mor=True
+    )
+    return versioned_read(spark, path)
+
+
+@query(
     "q_continuous_aggregate",
     oracle="""
 SELECT user_id, COUNT(*) AS n_rows,

@@ -2162,6 +2162,117 @@ def _write_dv_sidecar(root: str, rel: str, dv_map: dict[str, list[int]]) -> None
     os.replace(tmp, full)
 
 
+def _write_dv_sidecar_blobs(
+    root: str, rel: str, blob_map: dict[str, tuple[bytes, int]]
+) -> None:
+    """Same GDV2 container as ``_write_dv_sidecar`` but from PRE-ENCODED
+    ``{file_rel: (roaring blob, count)}`` — the executor-side assembly
+    path hands the driver only compressed vectors, never row positions."""
+    import struct
+
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    header: dict[str, list[int]] = {}
+    blobs: list[bytes] = []
+    off = 0
+    for f in sorted(blob_map):
+        blob, count = blob_map[f]
+        header[f] = [off, len(blob), int(count)]
+        blobs.append(blob)
+        off += len(blob)
+    hj = json.dumps(header).encode()
+    tmp = full + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(_DV_MAGIC)
+        fh.write(struct.pack("<I", len(hj)))
+        fh.write(hj)
+        fh.write(b"".join(blobs))
+    os.replace(tmp, full)
+
+
+def _assemble_dvs_executor(
+    spark: SparkSession,
+    hits: DataFrame,
+    rel_of_sfx: dict[str, str],
+    existing: dict[str, list[int]],
+) -> dict[str, tuple[bytes, int, int]]:
+    """EXECUTOR-SIDE deletion-vector assembly: the enforcement of the
+    selective-delete contract that r8 documented but did not enforce.
+
+    ``hits``: a DataFrame of NEW deleted positions (``__sfx``, ``__ri``
+    from a position-augmented scan, existing vectors already
+    anti-joined away).  ``existing``: the affected files' CURRENT
+    vectors (deleted-rows-sized, already driver-resident from the
+    manifest read — the same budget every merge-on-read scan pays).
+
+    Shape: positions shuffle ONCE on the file key (17 bytes/row — never
+    table data), each file's merged vector is roaring-encoded by
+    ``_dv_encode`` inside ``applyInPandas``, and the driver collects
+    only ``{file: (compressed blob, merged count, new count)}`` — a
+    100M-row DELETE pulls megabytes of bitmaps, not gigabytes of Row
+    objects.  Per-file groups hold int64 positions only, so even a
+    fully-deleted 100M-row file is ~800 MB transient executor memory at
+    worst and typically far less after the arrays dedupe."""
+    import numpy as np
+    import pandas as pd
+
+    sfx_rows = pd.DataFrame(
+        {
+            "__sfx": list(rel_of_sfx.keys()),
+            "__rel": list(rel_of_sfx.values()),
+        }
+    )
+    if not len(sfx_rows):
+        return {}
+    map_df = spark.createDataFrame(sfx_rows, "__sfx string, __rel string")
+    new_pos = (
+        hits.join(F.broadcast(map_df), on="__sfx", how="inner")
+        .select("__rel", "__ri", F.lit(1).alias("__new"))
+    )
+    if existing:
+        rels, arrs = [], []
+        for f, ix in existing.items():
+            a = np.asarray(list(ix), dtype=np.int64)
+            rels.extend([f] * len(a))
+            arrs.append(a)
+        old_pdf = pd.DataFrame(
+            {
+                "__rel": rels,
+                "__ri": np.concatenate(arrs) if arrs else np.array([], np.int64),
+                "__new": np.zeros(len(rels), dtype=np.int32),
+            }
+        )
+        all_pos = new_pos.unionByName(
+            spark.createDataFrame(old_pdf, "__rel string, __ri long, __new int")
+        )
+    else:
+        all_pos = new_pos
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = pdf["__rel"].iloc[0]
+        idx = np.unique(pdf["__ri"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "rel": [rel],
+                "blob": [_dv_encode(idx)],
+                "merged_count": [len(idx)],
+                "new_count": [int((pdf["__new"] == 1).sum())],
+            }
+        )
+
+    rows = (
+        all_pos.groupBy("__rel")
+        .applyInPandas(
+            encode, "rel string, blob binary, merged_count long, new_count long"
+        )
+        .collect()
+    )
+    return {
+        r["rel"]: (bytes(r["blob"]), int(r["merged_count"]), int(r["new_count"]))
+        for r in rows
+    }
+
+
 def _read_dv_sidecar(root: str, rel: str) -> dict[str, list[int]]:
     import struct
     import zlib
@@ -2298,12 +2409,13 @@ def versioned_delete_dv(spark: SparkSession, path: str, predicate: Column) -> in
     without opening them (same pruning as the copy-on-write delete);
     (b) a pushed-down scan of just the candidates — with existing DVs
     already subtracted, so re-deleting is a no-op — yields the matching
-    (file, row-index) positions, which is a DELETED-ROWS-sized driver
-    pull (the selective-delete contract: wide deletes belong on
-    ``versioned_delete``, whose rewrite never routes rows through the
-    driver); (c) one sidecar write + one manifest publish.  Existing
-    vectors merge monotonically (a file's DV only grows until a rewrite
-    materializes it).  NULL-predicate rows are NOT deleted (SQL DELETE
+    (file, row-index) positions, which are grouped by file and
+    roaring-encoded EXECUTOR-SIDE (``_assemble_dvs_executor``): the
+    driver pulls only per-file compressed bitmap blobs, so even a WIDE
+    predicate never routes row-granular data through the driver (the
+    enforcement the r8 contract lacked); (c) one sidecar write + one
+    manifest publish.  Existing vectors merge monotonically (a file's
+    DV only grows until a rewrite materializes it).  NULL-predicate rows are NOT deleted (SQL DELETE
     semantics).  OCC: races re-execute against the winner's snapshot.
     Returns the new version number."""
     return _with_occ_retry(
@@ -2325,8 +2437,7 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
     )
     all_files = _expand_files(root, _entries(pm))
     version = parent + 1
-    existing = _load_dvs(root, pm)
-    new_hits: dict[str, set[int]] = {}
+    assembled: dict[str, tuple[bytes, int, int]] = {}
     if all_files:
         candidates = prune_candidate_files(spark, pm, all_files, predicate)
         if candidates:
@@ -2336,15 +2447,21 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
             aug = _with_scan_position(
                 reader.parquet(*[os.path.join(root, f) for f in sorted(candidates)])
             )
-            cand_dvs = {f: v for f, v in existing.items() if f in set(candidates)}
+            cand_dvs = _load_dvs(root, pm, files=candidates)
             if cand_dvs:
                 aug = _dv_join(aug, spark, cand_dvs, "left_anti")
             aug = _logical_view(aug, pm)  # predicate speaks logical names
-            hits = aug.filter(predicate).select("__fp", "__ri").collect()
-            for r in hits:
-                local = unquote(urlparse(r["__fp"]).path)
-                rel = os.path.relpath(local, root)
-                new_hits.setdefault(rel, set()).add(int(r["__ri"]))
+            hits = aug.filter(predicate).select("__sfx", "__ri")
+            # enforcement of the selective-delete contract: positions are
+            # grouped and roaring-encoded EXECUTOR-SIDE; the driver pulls
+            # only per-file compressed blobs, so a wide predicate can no
+            # longer route row-granular data through the driver
+            assembled = _assemble_dvs_executor(
+                spark,
+                hits,
+                {_dv_suffix(f): f for f in candidates},
+                cand_dvs,
+            )
     manifest = _carry_table_props(
         {
             "version": version,
@@ -2357,15 +2474,26 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
         },
         pm,
     )
-    if new_hits:
-        merged = {
-            f: sorted(set(existing.get(f, [])) | new_hits.get(f, set()))
-            for f in set(existing) | set(new_hits)
-        }
+    new_files = {f for f, (_b, _m, nw) in assembled.items() if nw > 0}
+    if new_files:
         sidecar = f"dv/v{version}-{_commit_token()}.json.z"
-        _write_dv_sidecar(root, sidecar, merged)
+        _write_dv_sidecar_blobs(
+            root,
+            sidecar,
+            {f: (assembled[f][0], assembled[f][1]) for f in new_files},
+        )
+        # files whose vector did not grow keep their OLD sidecar entries
+        # (including clone re-keys) — the new sidecar holds only grown
+        # vectors, so its size tracks this commit's deletes, not debt
+        carried = {
+            f: e for f, e in (pm.get("dvs") or {}).items() if f not in new_files
+        }
         manifest["dvs"] = {
-            f: {"path": sidecar, "count": len(ix)} for f, ix in merged.items()
+            **carried,
+            **{
+                f: {"path": sidecar, "count": assembled[f][1]}
+                for f in new_files
+            },
         }
     elif pm.get("dvs"):
         manifest["dvs"] = pm["dvs"]  # no new matches: carry as-is
@@ -2557,6 +2685,7 @@ def versioned_update(
     predicate: Column,
     assignments: dict[str, Column],
     change_feed: bool = False,
+    mor: bool = False,
 ) -> int:
     """Copy-on-write UPDATE (Delta's ``UPDATE ... SET`` on the snapshot
     model): commit a new version where every row matching ``predicate``
@@ -2575,10 +2704,24 @@ def versioned_update(
     are NOT updated (SQL UPDATE semantics: only TRUE matches).
     ``change_feed=True`` records pre/post images of every updated row
     ('update_preimage'/'update_postimage', Delta CDF labels) as a
-    change file.  Returns the new version number."""
+    change file.
+
+    ``mor=True`` switches to MERGE-ON-READ (Delta's DV-backed UPDATE,
+    the high-frequency CDC write shape): matched rows enter their
+    files' deletion vectors (assembled executor-side, driver pulls
+    only compressed bitmaps) and ONLY the updated post-image rows are
+    written as new files — write amplification is O(changed rows), not
+    O(touched files), at the measured merge-on-read scan penalty
+    (docs/DV_READ.md) until OPTIMIZE materializes the vectors.  The
+    committed logical state is IDENTICAL to the copy-on-write path;
+    readers, CDF, and streams need no new concepts (new files = the
+    post-images, grown vectors = the pre-image deletes).
+    Returns the new version number."""
     return _with_occ_retry(
         "versioned_update",
-        lambda: _update_attempt(spark, path, predicate, assignments, change_feed),
+        lambda: _update_attempt(
+            spark, path, predicate, assignments, change_feed, mor
+        ),
     )
 
 
@@ -2588,6 +2731,7 @@ def _update_attempt(
     predicate: Column,
     assignments: dict[str, Column],
     change_feed: bool = False,
+    mor: bool = False,
 ) -> int:
     versions = table_versions(path)
     if not versions:
@@ -2627,23 +2771,35 @@ def _update_attempt(
     new_dirs: list[str] = []
     new_stats: dict = {}
     cdf_dir = None
+    assembled: dict[str, tuple[bytes, int, int]] = {}
+    touched_dvs: dict[str, list[int]] = {}
     if touched:
         data_dir = f"data/v{version}-{_commit_token()}"
         reader = spark.read.schema(schema) if schema is not None else spark.read
         cur = reader.parquet(*[os.path.join(root, f) for f in sorted(touched)])
         touched_dvs = {f: v for f, v in dvs.items() if f in touched}
-        if touched_dvs:
+        if mor:
+            # merge-on-read: keep scan positions so matched rows can be
+            # DV-marked in place; existing vectors anti-join (their rows
+            # are already logically gone and must not re-match)
+            cur = _with_scan_position(cur)
+            if touched_dvs:
+                cur = _dv_join(cur, spark, touched_dvs, "left_anti")
+        elif touched_dvs:
             # rewriting a DV'd file materializes its vector
             cur = _apply_dvs(cur, spark, touched_dvs)
         # column mapping: assignments/predicate speak LOGICAL names
         cur = _logical_view(cur, pm)
+        logical_cols = [
+            c for c in cur.columns if c not in ("__fp", "__ri", "__sfx")
+        ]
         cond = F.coalesce(predicate, F.lit(False))
         updated = cur.select(
             *[
                 F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
                 if c in assignments
                 else F.col(c)
-                for c in cur.columns
+                for c in logical_cols
             ]
         )
         # schema enforcement: the conditional's unified type must BE the
@@ -2656,18 +2812,40 @@ def _update_attempt(
                     f"schema enforcement: UPDATE would change column "
                     f"{name!r} from {old_t} to {new_t}"
                 )
+        # the predicate must evaluate on PRE-update values everywhere: the
+        # post-image set is the matched rows re-projected, NOT
+        # updated.filter(cond) (an assignment touching a predicate column
+        # would shift that set)
+        matched_pre = cur.filter(cond)
+        post_img = matched_pre.select(
+            *[
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in logical_cols
+            ]
+        )
         if change_feed:
-            pre = cur.filter(cond).withColumn(
+            pre = matched_pre.select(*logical_cols).withColumn(
                 CDF_CHANGE_COL, F.lit("update_preimage")
             )
-            post = updated.filter(cond).withColumn(
+            post = post_img.withColumn(
                 CDF_CHANGE_COL, F.lit("update_postimage")
             )
             cdf_dir = _write_cdf(
                 root, version, _physical_view(pre.unionByName(post), pm)
             )
-        out_df = _physical_view(updated, pm)
+        out_df = _physical_view(post_img if mor else updated, pm)
         out_df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+        if mor:
+            # matched rows leave their files via the deletion vector;
+            # positions group + roaring-encode executor-side
+            assembled = _assemble_dvs_executor(
+                spark,
+                matched_pre.select("__sfx", "__ri"),
+                {_dv_suffix(f): f for f in sorted(touched)},
+                touched_dvs,
+            )
         cons = _constraints_of(pm)
         if cons:
             # surviving rows satisfied the constraints already (table
@@ -2690,31 +2868,46 @@ def _update_attempt(
                 bloom_cols=_bloom_cols_of(pm),
                 pval_cols=pm.get("partition_by"),
             )
-    untouched = [f for f in all_files if f not in touched]
+    # merge-on-read keeps every parent file (matched rows are DV'd in
+    # place); copy-on-write drops the rewritten ones
+    kept = list(all_files) if mor else [f for f in all_files if f not in touched]
     manifest = _carry_table_props(
         {
             "version": version,
             "parent": parent,
             "data_dirs": new_dirs,
-            "data_files": untouched,
+            "data_files": kept,
             "schema": schema_json,
             "stats": {
-                **{
-                    f: parent_stats[f]
-                    for f in untouched
-                    if f in parent_stats
-                },
+                **{f: parent_stats[f] for f in kept if f in parent_stats},
                 **new_stats,
             },
             "txns": _merge_txns(pm, None),
         },
         pm,
     )
-    kept_dvs = {
-        f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
+    new_dv_files = {f for f, (_b, _m, nw) in assembled.items() if nw > 0}
+    carried_dvs = {
+        f: e
+        for f, e in (pm.get("dvs") or {}).items()
+        if f in set(kept) and f not in new_dv_files
     }
-    if kept_dvs:
-        manifest["dvs"] = kept_dvs
+    if new_dv_files:
+        sidecar = f"dv/v{version}-{_commit_token()}.json.z"
+        _write_dv_sidecar_blobs(
+            root,
+            sidecar,
+            {f: (assembled[f][0], assembled[f][1]) for f in new_dv_files},
+        )
+        manifest["dvs"] = {
+            **carried_dvs,
+            **{
+                f: {"path": sidecar, "count": assembled[f][1]}
+                for f in new_dv_files
+            },
+        }
+    elif carried_dvs:
+        manifest["dvs"] = carried_dvs
     if cdf_dir:
         manifest["cdf"] = [cdf_dir]
     _publish_or_race(path, manifest)
@@ -2733,6 +2926,7 @@ def versioned_merge(
     meta: dict | None = None,
     null_safe_keys: bool = False,
     change_feed: bool = False,
+    mor: bool = False,
 ) -> int:
     """MERGE INTO (keyed upsert, the Delta/Iceberg primitive that turns a
     snapshot table into a CDC target): join ``source`` against the
@@ -2784,6 +2978,21 @@ def versioned_merge(
     ``change_feed=True`` records the commit's row-level changes
     (insert / delete / update_preimage / update_postimage, Delta CDF
     labels) as a change file for the CDF stream source.
+
+    ``mor=True`` switches the write to MERGE-ON-READ (Delta's DV-backed
+    MERGE, the CDC-upsert shape that dominates at 100 TB): matched
+    target rows whose clause fires enter their files' deletion vectors
+    (positions grouped and roaring-encoded EXECUTOR-SIDE — the driver
+    pulls only compressed bitmaps), post-image and inserted rows land
+    as NEW files, and every parent file carries by reference — write
+    amplification is O(changed rows) instead of O(rows in touched
+    files) (measured: docs/MERGE_AMP.md), at the measured merge-on-read
+    scan penalty (docs/DV_READ.md) until OPTIMIZE materializes the
+    vectors.  The committed LOGICAL state is identical to the
+    copy-on-write path; CDF and both stream sources need no new
+    concepts — without ``change_feed`` the commit surfaces as its
+    delete+insert pair (grown vectors + added files), with it the
+    recorded update_pre/postimage rows are verbatim.
     Returns the new version number."""
     return _with_occ_retry(
         "versioned_merge",
@@ -2799,6 +3008,7 @@ def versioned_merge(
             meta,
             null_safe_keys,
             change_feed,
+            mor,
         ),
     )
 
@@ -2815,6 +3025,7 @@ def _merge_attempt(
     meta: dict | None,
     null_safe_keys: bool,
     change_feed: bool = False,
+    mor: bool = False,
 ) -> int:
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
@@ -2968,17 +3179,32 @@ def _merge_attempt(
             for r in probe.select("__fp").distinct().collect():
                 local = unquote(urlparse(r["__fp"]).path)
                 touched.add(os.path.relpath(local, root))
+    touched_dvs: dict[str, list[int]] = {}
     if touched:
         t_side = spark.read.schema(phys_schema).parquet(
             *[os.path.join(root, f) for f in sorted(touched)]
         )
         touched_dvs = {f: v for f, v in dvs.items() if f in touched}
-        if touched_dvs:
+        if mor:
+            # merge-on-read: keep scan positions through the join so
+            # clause-hit target rows can be DV-marked in place; existing
+            # vectors anti-join (their rows are logically gone already)
+            t_side = _with_scan_position(t_side)
+            if touched_dvs:
+                t_side = _dv_join(t_side, spark, touched_dvs, "left_anti")
+        elif touched_dvs:
             # rewriting a DV'd file materializes its vector
             t_side = _apply_dvs(t_side, spark, touched_dvs)
         t_side = _logical_view(t_side, pm)
     else:
         t_side = spark.createDataFrame([], table_schema)
+        if mor:
+            t_side = t_side.select(
+                "*",
+                F.lit(None).cast("string").alias("__fp"),
+                F.lit(None).cast("long").alias("__ri"),
+                F.lit(None).cast("string").alias("__sfx"),
+            )
     src_cols = [c for c in source.columns if c not in on]
     if null_safe_keys:
         # eqNullSafe condition join (IS NOT DISTINCT FROM): source keys
@@ -3082,6 +3308,23 @@ def _merge_attempt(
     if when_not_matched == "ignore":
         keep = keep & is_t
     merged = j.filter(keep).select(*out_cols)
+    cond_cf = F.coalesce(cond, F.lit(False))
+    if mor:
+        # merge-on-read row classification: clause-hit target rows leave
+        # via deletion vectors; only post-images and inserts are written.
+        # Matched pairs failing every clause survive IN PLACE — no DV, no
+        # rewrite, which is the whole write-amp win.
+        if when_matched == "update":
+            dv_cond = is_t & is_s & (cond_cf | del_cond)
+            app_cond = is_t & is_s & cond_cf & ~del_cond
+        else:  # delete
+            dv_cond = is_t & is_s & cond_cf
+            app_cond = F.lit(False)
+        if when_not_matched == "insert":
+            app_cond = app_cond | (~is_t & is_s)
+        write_df = j.filter(app_cond).select(*out_cols)
+    else:
+        write_df = merged
     cdf_dir = None
     if change_feed:
         # the join knows the exact per-clause row sets — record them
@@ -3123,8 +3366,16 @@ def _merge_attempt(
     new_dirs: list[str] = []
     new_stats: dict = {}
     data_dir = f"data/v{version}-{token}"
-    out_df = _physical_view(merged, {"column_mapping": full_map})
+    out_df = _physical_view(write_df, {"column_mapping": full_map})
     out_df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    assembled: dict[str, tuple[bytes, int, int]] = {}
+    if mor and touched:
+        assembled = _assemble_dvs_executor(
+            spark,
+            j.filter(dv_cond).select("__sfx", "__ri"),
+            {_dv_suffix(f): f for f in sorted(touched)},
+            touched_dvs,
+        )
     cons = _constraints_of(pm)
     if cons:
         # matched-and-kept rows already satisfied the constraints; the
@@ -3147,16 +3398,18 @@ def _merge_attempt(
             bloom_cols=_bloom_cols_of(pm),
             pval_cols=pm.get("partition_by"),
         )
-    untouched = [f for f in all_files if f not in touched]
+    # merge-on-read keeps every parent file (clause-hit rows are DV'd in
+    # place); copy-on-write drops the rewritten ones
+    kept = list(all_files) if mor else [f for f in all_files if f not in touched]
     manifest = _carry_table_props(
         {
             "version": version,
             "parent": parent,
             "data_dirs": new_dirs,
-            "data_files": untouched,
+            "data_files": kept,
             "schema": evolved_phys_json,
             "stats": {
-                **{f: parent_stats[f] for f in untouched if f in parent_stats},
+                **{f: parent_stats[f] for f in kept if f in parent_stats},
                 **new_stats,
             },
             "txns": _merge_txns(pm, meta),
@@ -3165,10 +3418,27 @@ def _merge_attempt(
     )
     if full_map:
         manifest["column_mapping"] = full_map
+    new_dv_files = {f for f, (_b, _m, nw) in assembled.items() if nw > 0}
     kept_dvs = {
-        f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
+        f: e
+        for f, e in (pm.get("dvs") or {}).items()
+        if f in set(kept) and f not in new_dv_files
     }
-    if kept_dvs:
+    if new_dv_files:
+        sidecar = f"dv/v{version}-{_commit_token()}.json.z"
+        _write_dv_sidecar_blobs(
+            root,
+            sidecar,
+            {f: (assembled[f][0], assembled[f][1]) for f in new_dv_files},
+        )
+        manifest["dvs"] = {
+            **kept_dvs,
+            **{
+                f: {"path": sidecar, "count": assembled[f][1]}
+                for f in new_dv_files
+            },
+        }
+    elif kept_dvs:
         manifest["dvs"] = kept_dvs
     if cdf_dir:
         manifest["cdf"] = [cdf_dir]

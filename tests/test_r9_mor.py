@@ -1,0 +1,345 @@
+"""Round-9: merge-on-read UPDATE/MERGE via deletion vectors, and the
+executor-side enforcement of the DV-delete selective contract.
+
+The MoR write path must commit the IDENTICAL logical state as the
+copy-on-write path while (a) keeping every parent data file by
+reference, (b) adding clause-hit rows to roaring DV sidecars assembled
+executor-side, and (c) appending only post-image/insert rows."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    table_changes,
+    versioned_delete_dv,
+    versioned_merge,
+    versioned_read,
+    versioned_update,
+    versioned_write,
+)
+from gsmls_analysis_spark.sources.versioned_stream import (
+    versioned_cdf_stream_source,
+)
+
+
+def _mk(spark, path, n=40, files=4):
+    rows = [(i, f"g{i % 3}", 100 + i) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, grp string, n long")
+    versioned_write(df.repartition(files), path)
+    return df
+
+
+def _state(spark, path):
+    return sorted(
+        tuple(r) for r in versioned_read(spark, path).select("id", "grp", "n").collect()
+    )
+
+
+def _files(path, v):
+    pm = V._read_manifest(path, v)
+    root = os.path.abspath(path)
+    return set(V._expand_files(root, V._entries(pm)))
+
+
+# ---------------------------------------------------------------------------
+# MoR MERGE == COW MERGE (logical state), keeps parent files, grows DVs
+# ---------------------------------------------------------------------------
+
+
+def _src(spark):
+    # updates ids 3,7,11 / inserts 100,101
+    return spark.createDataFrame(
+        [(3, "u", 0), (7, "u", 1), (11, "u", 2), (100, "new", 3), (101, "new", 4)],
+        "id long, grp string, n long",
+    )
+
+
+def test_mor_merge_matches_cow_merge(spark, tmp_path):
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    _mk(spark, cow)
+    _mk(spark, mor)
+    versioned_merge(spark, cow, _src(spark), on=["id"])
+    versioned_merge(spark, mor, _src(spark), on=["id"], mor=True)
+    assert _state(spark, cow) == _state(spark, mor)
+    # MoR kept every parent file; COW dropped the touched ones
+    assert _files(mor, 1) <= _files(mor, 2)
+    assert not (_files(cow, 1) <= _files(cow, 2))
+    pm = V._read_manifest(mor, 2)
+    assert sum(e["count"] for e in pm["dvs"].values()) == 3  # 3 updated rows
+
+
+def test_mor_merge_delete_clause_and_condition(spark, tmp_path):
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    _mk(spark, cow)
+    _mk(spark, mor)
+    src = spark.createDataFrame(
+        [(2, "u", 500), (5, "u", 50), (9, "u", 500), (200, "new", 1)],
+        "id long, grp string, n long",
+    )
+    kw = dict(
+        on=["id"],
+        matched_condition="s.n > t.n",  # id=5: 50 < 105 -> target survives
+        matched_delete_condition="s.n = 500 and t.id = 9",  # id=9 deleted
+    )
+    versioned_merge(spark, cow, src, **kw)
+    versioned_merge(spark, mor, src, mor=True, **kw)
+    assert _state(spark, cow) == _state(spark, mor)
+    st = dict((r[0], (r[1], r[2])) for r in _state(spark, mor))
+    assert st[2] == ("u", 500)  # updated
+    assert st[5] == ("g2", 105)  # survived the failed condition IN PLACE
+    assert 9 not in st  # delete clause
+    assert st[200] == ("new", 1)  # insert
+    # DV marks exactly the update-hit and delete-hit rows
+    pm = V._read_manifest(mor, 2)
+    assert sum(e["count"] for e in pm["dvs"].values()) == 2
+
+
+def test_mor_merge_update_only_and_repeat(spark, tmp_path):
+    # second MoR merge over already-DV'd files: vectors merge
+    # monotonically and re-matching a DV'd row is impossible
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(3, "a", 1)], "id long, grp string, n long"),
+        on=["id"],
+        mor=True,
+    )
+    versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(3, "b", 2)], "id long, grp string, n long"),
+        on=["id"],
+        mor=True,
+    )
+    st = dict((r[0], (r[1], r[2])) for r in _state(spark, path))
+    assert st[3] == ("b", 2)
+    assert versioned_read(spark, path).count() == 40
+    pm = V._read_manifest(path, 3)
+    # v2's post-image row got DV'd by v3 (it lives in v2's appended file)
+    assert sum(e["count"] for e in pm["dvs"].values()) == 2
+
+
+def test_mor_merge_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    src = spark.createDataFrame(
+        [(3, "u", 1, "extra3"), (300, "new", 2, "extra300")],
+        "id long, grp string, n long, note string",
+    )
+    versioned_merge(spark, path, src, on=["id"], mor=True)
+    got = {
+        r["id"]: r["note"]
+        for r in versioned_read(spark, path).select("id", "note").collect()
+    }
+    assert got[3] == "extra3"
+    assert got[300] == "extra300"
+    assert got[4] is None  # old file reads the evolved column as NULL
+
+
+# ---------------------------------------------------------------------------
+# MoR UPDATE
+# ---------------------------------------------------------------------------
+
+
+def test_mor_update_matches_cow_update(spark, tmp_path):
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    _mk(spark, cow)
+    _mk(spark, mor)
+    versioned_update(spark, cow, F.col("n") < 110, {"grp": F.lit("low")})
+    versioned_update(
+        spark, mor, F.col("n") < 110, {"grp": F.lit("low")}, mor=True
+    )
+    assert _state(spark, cow) == _state(spark, mor)
+    assert _files(mor, 1) <= _files(mor, 2)
+    pm = V._read_manifest(mor, 2)
+    assert sum(e["count"] for e in pm["dvs"].values()) == 10
+    # appended files hold ONLY the 10 post-images: O(changed rows)
+    new_files = _files(mor, 2) - _files(mor, 1)
+    root = os.path.abspath(mor)
+    n_new = (
+        spark.read.parquet(*[os.path.join(root, f) for f in sorted(new_files)])
+        .count()
+    )
+    assert n_new == 10
+
+
+def test_mor_update_self_referential_predicate_cdf(spark, tmp_path):
+    # SET n = n + 1000 WHERE n < 105: the post-image set must be the
+    # PRE-update matches (the r9 fix: updated.filter(cond) would have
+    # re-evaluated the predicate on post values) — checked on BOTH paths
+    for mode in (False, True):
+        path = str(tmp_path / f"t{int(mode)}")
+        _mk(spark, path)
+        versioned_update(
+            spark,
+            path,
+            F.col("n") < 105,
+            {"n": F.col("n") + 1000},
+            change_feed=True,
+            mor=mode,
+        )
+        ch = table_changes(spark, path, 1, 2)
+        pre = {r["n"] for r in ch.filter(F.col("_change") == "update_preimage").collect()}
+        post = {r["n"] for r in ch.filter(F.col("_change") == "update_postimage").collect()}
+        assert pre == {100, 101, 102, 103, 104}
+        assert post == {1100, 1101, 1102, 1103, 1104}
+
+
+# ---------------------------------------------------------------------------
+# CDF / stream parity (task 5)
+# ---------------------------------------------------------------------------
+
+
+def test_mor_merge_table_changes_without_feed(spark, tmp_path):
+    # no change_feed: the commit surfaces as its delete+insert pair
+    # (grown vectors + added files) — never raises, never double-counts
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    versioned_merge(spark, path, _src(spark), on=["id"], mor=True)
+    ch = table_changes(spark, path, 1, 2)
+    dels = {r["id"] for r in ch.filter(F.col("_change") == "delete").collect()}
+    ins = {(r["id"], r["grp"]) for r in ch.filter(F.col("_change") == "insert").collect()}
+    assert dels == {3, 7, 11}
+    assert ins == {(3, "u"), (7, "u"), (11, "u"), (100, "new"), (101, "new")}
+
+
+def test_mor_merge_cdf_stream_exactly_once(spark, tmp_path):
+    # 3-batch replay: baseline append, MoR merge with change_feed, MoR
+    # DV growth without feed — each commit's rows appear EXACTLY once
+    path = str(tmp_path / "t")
+    _mk(spark, path)  # v1
+    versioned_merge(spark, path, _src(spark), on=["id"], change_feed=True, mor=True)  # v2
+    versioned_merge(
+        spark,
+        path,
+        spark.createDataFrame([(8, "z", 9)], "id long, grp string, n long"),
+        on=["id"],
+        mor=True,
+    )  # v3: delete+insert representation
+
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            versioned_cdf_stream_source(spark, path, 0)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    drain()  # resumed from the checkpoint: replays NOTHING
+    rows = spark.read.parquet(out_dir).collect()
+    got = [
+        (r["id"], r["_change"], r["_commit_version"])
+        for r in rows
+        if r["_commit_version"] >= 2
+    ]
+    assert sorted(got) == sorted(
+        [(3, "update_preimage", 2), (3, "update_postimage", 2)]
+        + [(7, "update_preimage", 2), (7, "update_postimage", 2)]
+        + [(11, "update_preimage", 2), (11, "update_postimage", 2)]
+        + [(100, "insert", 2), (101, "insert", 2)]
+        + [(8, "delete", 3), (8, "insert", 3)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# OCC race (task 1): MoR merge vs concurrent append re-executes cleanly
+# ---------------------------------------------------------------------------
+
+
+def test_mor_merge_occ_race_vs_append(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    base = _mk(spark, path)
+
+    rival_rows = spark.createDataFrame(
+        [(500, "rival", 0)], "id long, grp string, n long"
+    )
+    real_publish = V._publish
+    state = {"first": True}
+
+    def rigged(path_, manifest):
+        if state["first"]:
+            state["first"] = False
+            monkeypatch.setattr(V, "_publish", real_publish)
+            versioned_write(rival_rows, path, mode="append")
+            return real_publish(path_, manifest)
+        return real_publish(path_, manifest)
+
+    monkeypatch.setattr(V, "_publish", rigged)
+    v = versioned_merge(spark, path, _src(spark), on=["id"], mor=True)
+    assert v == 3  # re-executed against the rival's v2
+    st = dict((r[0], (r[1], r[2])) for r in _state(spark, path))
+    assert st[3] == ("u", 0) and st[500] == ("rival", 0)
+    assert versioned_read(spark, path).count() == 40 + 1 + 2
+
+
+# ---------------------------------------------------------------------------
+# Enforcement (task 2): wide DV delete never collects row-granular data
+# ---------------------------------------------------------------------------
+
+
+def test_wide_dv_delete_driver_pull_is_file_sized(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    n = 20000
+    versioned_write(
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ).repartition(4),
+        path,
+    )
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    collected: list[int] = []
+    real_collect = ClassicDF.collect
+
+    def spying(self):
+        out = real_collect(self)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ClassicDF, "collect", spying)
+    versioned_delete_dv(spark, path, F.col("k") < n - 100)  # 19900 rows
+    monkeypatch.setattr(ClassicDF, "collect", real_collect)
+    # every driver pull during the wide delete is file-count-sized
+    # (encoded blobs), never row-granular
+    assert collected, "expected the blob pull to go through collect()"
+    assert max(collected) <= 16
+    assert versioned_read(spark, path).count() == 100
+    pm = V._read_manifest(path, 2)
+    assert sum(e["count"] for e in pm["dvs"].values()) == n - 100
+
+
+def test_dv_delete_carries_untouched_sidecar_entries(spark, tmp_path):
+    # second delete touching a disjoint file set keeps the first commit's
+    # sidecar entries by reference instead of rewriting them
+    path = str(tmp_path / "t")
+    for p in range(3):
+        df = spark.range(100).select(
+            (F.col("id") + 1000 * p).alias("k"), F.lit(p).alias("p")
+        ).coalesce(1)
+        versioned_write(df, path, mode="append" if p else "overwrite", partition_by=["p"])
+    versioned_delete_dv(spark, path, F.col("p") == 0)  # v4
+    pm4 = V._read_manifest(path, 4)
+    versioned_delete_dv(spark, path, F.col("p") == 2)  # v5
+    pm5 = V._read_manifest(path, 5)
+    side4 = {e["path"] for e in pm4["dvs"].values()}
+    side_carried = {e["path"] for f, e in pm5["dvs"].items() if f in pm4["dvs"]}
+    assert side_carried == side4  # untouched entries carried, not re-encoded
+    assert len(pm5["dvs"]) > len(pm4["dvs"])
+    assert versioned_read(spark, path).count() == 100
