@@ -2835,7 +2835,10 @@ def _update_attempt(
             cdf_dir = _write_cdf(
                 root, version, _physical_view(pre.unionByName(post), pm)
             )
-        out_df = _physical_view(post_img if mor else updated, pm)
+        # MoR appends only the post-images: REBALANCE so AQE coalesces
+        # the write to size-targeted files instead of one tiny file per
+        # inherited scan partition (small-file debt per CDC batch)
+        out_df = _physical_view(post_img.hint("rebalance") if mor else updated, pm)
         out_df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
         if mor:
             # matched rows leave their files via the deletion vector;
@@ -3322,7 +3325,13 @@ def _merge_attempt(
             app_cond = F.lit(False)
         if when_not_matched == "insert":
             app_cond = app_cond | (~is_t & is_s)
-        write_df = j.filter(app_cond).select(*out_cols)
+        # REBALANCE before the append: the post-image/insert set is
+        # O(changed rows) but inherits the join's partitioning — without
+        # this every CDC batch would leave shuffle-partition-count tiny
+        # files (small-file debt at exactly the cadence OPTIMIZE is too
+        # expensive to run at); AQE coalesces the rebalance exchange to
+        # size-targeted outputs and the shuffle moves only changed rows
+        write_df = j.filter(app_cond).select(*out_cols).hint("rebalance")
     else:
         write_df = merged
     cdf_dir = None

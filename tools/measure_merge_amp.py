@@ -1,0 +1,141 @@
+"""Write-amplification measurement: copy-on-write MERGE vs
+deletion-vector (merge-on-read) MERGE on the same table and CDC batch.
+
+The r9 claim behind ``versioned_merge(mor=True)`` is that a CDC upsert
+batch — the highest-frequency write shape against a 100 TB table —
+should cost O(changed rows) of new bytes (post-images + inserts + a
+roaring sidecar), not a rewrite of every file containing a matched key.
+This measures it instead of arguing it: the same range-clustered
+orders snapshot is committed twice; the same CDC batch (~0.5% of order
+keys hash-spread across the key range — so most files are touched —
+plus a handful of key-offset inserts) is merged once copy-on-write and
+once merge-on-read.  Reported per
+mode: wall time, bytes written, data files created, read-back parity,
+and the post-merge full-scan time (the MoR read penalty actually paid
+after ONE such batch, to put the write win in context).
+
+Usage: python tools/measure_merge_amp.py [sf_dir]   (default sf0.1)
+Prints one JSON line; a human-readable table goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+from gsmls_analysis_spark.sources.catalog import load_table  # noqa: E402
+
+
+def _snapshot(root: str) -> set[str]:
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.add(os.path.relpath(os.path.join(dirpath, f), root))
+    return out
+
+
+def _bytes_of(root: str, rels: set[str]) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, rel))
+        for rel in rels
+        if os.path.isfile(os.path.join(root, rel))
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("merge-amp")
+    li = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    n_rows = li.count()
+    # ~0.5% of order keys, hash-spread across the key range: a CDC batch
+    # that touches MOST of the 16 range-clustered files — the worst case
+    # for copy-on-write, the intended case for merge-on-read
+    pred = F.abs(F.hash("o_orderkey")) % 1009 < 5
+    updates = li.filter(pred).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = li.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    source = updates.unionByName(inserts).persist()
+    n_changed = source.count()
+    results = {}
+    for mode in ("cow", "mor"):
+        path = tempfile.mkdtemp(prefix=f"mergeamp_{mode}_")
+        root = os.path.abspath(path)
+        V.versioned_write(li.repartitionByRange(16, "o_orderkey"), path)
+        before = _snapshot(root)
+        table_bytes = _bytes_of(root, before)
+        t0 = time.time()
+        V.versioned_merge(
+            spark,
+            path,
+            source,
+            on=["o_orderkey"],
+            mor=(mode == "mor"),
+        )
+        wall = time.time() - t0
+        new = _snapshot(root) - before
+        new_parquet = {f for f in new if f.endswith(".parquet") and f.startswith("data/")}
+        t1 = time.time()
+        survivors = V.versioned_read(spark, path).count()
+        read_sec = time.time() - t1
+        qsum = V.versioned_read(spark, path).agg(
+            F.sum("o_totalprice").alias("s")
+        ).collect()[0]["s"]
+        results[mode] = {
+            "wall_sec": round(wall, 2),
+            "bytes_written": _bytes_of(root, new),
+            "data_files_written": len(new_parquet),
+            "artifacts_written": len(new),
+            "rows_after": survivors,
+            "totalprice_sum": float(qsum),
+            "full_scan_sec": round(read_sec, 2),
+            "table_bytes": table_bytes,
+        }
+    assert results["cow"]["rows_after"] == results["mor"]["rows_after"]
+    assert abs(
+        results["cow"]["totalprice_sum"] - results["mor"]["totalprice_sum"]
+    ) < 1e-6 * abs(results["cow"]["totalprice_sum"])
+    amp = results["cow"]["bytes_written"] / max(1, results["mor"]["bytes_written"])
+    out = {
+        "sf_dir": sf_dir,
+        "rows": n_rows,
+        "cdc_rows": n_changed,
+        "cow": results["cow"],
+        "mor": results["mor"],
+        "bytes_amplification_cow_over_mor": round(amp, 1),
+    }
+    print(json.dumps(out))
+    print(
+        f"COW merge: {results['cow']['bytes_written']:,} B in "
+        f"{results['cow']['data_files_written']} data files, "
+        f"{results['cow']['wall_sec']}s | MoR merge: "
+        f"{results['mor']['bytes_written']:,} B in "
+        f"{results['mor']['data_files_written']} data files, "
+        f"{results['mor']['wall_sec']}s | amp "
+        f"{out['bytes_amplification_cow_over_mor']}x | post-merge scan "
+        f"cow {results['cow']['full_scan_sec']}s vs mor "
+        f"{results['mor']['full_scan_sec']}s",
+        file=sys.stderr,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
