@@ -1554,6 +1554,58 @@ def q_versioned_merge_dv(spark, sf_dir):
 
 
 @query(
+    "q_versioned_spj_join",
+    oracle="""
+SELECT o.o_custkey AS o_custkey,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       max(c.c_mktsegment) AS c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 0
+GROUP BY o.o_custkey
+""",
+    doc="storage-partitioned join of two BUCKETED versioned tables "
+    "(sources/versioned.py::versioned_join_bucketed — the Iceberg SPJ / "
+    "Delta liquid-clustering shape): orders and customer are each "
+    "committed with bucket_by=(custkey, 16) — Spark's native bucketBy "
+    "layout recorded in the manifest, every commit kind re-hashes into "
+    "bucket-pure files — then joined on the bucket key through catalog-"
+    "registered bucket views whose scans report HashPartitioning(16).  "
+    "EnsureRequirements inserts ZERO shuffle exchanges for the join AND "
+    "the downstream per-custkey aggregate (plan-asserted in tests/"
+    "test_r9_bucketed.py) — the fact-to-fact join shape that otherwise "
+    "shuffles both sides at 100 TB.  Decimal-stable cents keep the sum "
+    "order-insensitive.  Oracle: the same join+group in SQL.",
+)
+def q_versioned_spj_join(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import versioned_join_bucketed, versioned_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_acctbal"
+    )
+    po = tempfile.mkdtemp(prefix="spj_orders_")
+    pc = tempfile.mkdtemp(prefix="spj_cust_")
+    versioned_write(orders, po, bucket_by=(["o_custkey"], 16))
+    versioned_write(cust, pc, bucket_by=(["o_custkey"], 16))
+    j = versioned_join_bucketed(spark, po, pc, on=["o_custkey"]).filter(
+        F.col("c_acctbal") > 0
+    )
+    return j.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)"))
+        .cast("long")
+        .alias("total_cents"),
+        F.max("c_mktsegment").alias("c_mktsegment"),
+    )
+
+
+@query(
     "q_continuous_aggregate",
     oracle="""
 SELECT user_id, COUNT(*) AS n_rows,

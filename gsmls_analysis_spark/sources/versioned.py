@@ -121,7 +121,7 @@ def table_versions(path: str) -> list[int]:
 
 READER_FEATURES = frozenset({"deletion_vectors", "column_mapping"})
 WRITER_FEATURES = READER_FEATURES | frozenset(
-    {"check_constraints", "generated_columns", "identity_columns"}
+    {"check_constraints", "generated_columns", "identity_columns", "bucketing"}
 )
 
 
@@ -142,6 +142,10 @@ def _features_of(manifest: dict) -> tuple[set[str], set[str]]:
         wf.add("generated_columns")
     if manifest.get("identity"):
         wf.add("identity_columns")
+    if manifest.get("bucket_by"):
+        # a writer ignoring the spec would commit bucket-impure files and
+        # silently break every storage-partitioned join's results
+        wf.add("bucketing")
     return rf, wf
 
 
@@ -215,6 +219,79 @@ def _load_segment(root: str, name: str) -> dict:
     return entries
 
 
+_SEG_PVALS_CAP = 64  # max union size for a segment-envelope pvals set
+
+
+def _segment_envelope(entries: dict) -> dict:
+    """Fold a segment's per-file stats entries into ONE file-stats-shaped
+    envelope ``{rows, cols: {col: {min, max, nulls}}, pvals: {col:
+    [...]}}`` that ``_can_match`` can evaluate directly — the segment
+    prunes like a single pseudo-file.  Sound by construction: a column
+    missing from ANY entry is dropped (its range is unknown), ``rows``
+    is omitted unless every entry knows its count, and a pvals set is
+    kept only when every file recorded one and the union stays small."""
+    n = len(entries)
+    col_agg: dict[str, dict] = {}
+    col_seen: dict[str, int] = {}
+    pv_agg: dict[str, set] = {}
+    pv_seen: dict[str, int] = {}
+    rows_total = 0
+    rows_known = True
+    for e in entries.values():
+        r = e.get("rows")
+        if r is None:
+            rows_known = False
+        else:
+            rows_total += int(r)
+        for c, st in (e.get("cols") or {}).items():
+            col_seen[c] = col_seen.get(c, 0) + 1
+            cur = col_agg.get(c)
+            if cur is None:
+                col_agg[c] = {
+                    "min": st.get("min"),
+                    "max": st.get("max"),
+                    "nulls": st.get("nulls"),
+                }
+            elif cur is not False:
+                try:
+                    if st.get("min") is None or st.get("max") is None:
+                        col_agg[c] = False
+                    else:
+                        if st["min"] < cur["min"]:
+                            cur["min"] = st["min"]
+                        if st["max"] > cur["max"]:
+                            cur["max"] = st["max"]
+                        if cur["nulls"] is None or st.get("nulls") is None:
+                            cur["nulls"] = None
+                        else:
+                            cur["nulls"] += int(st["nulls"])
+                except TypeError:
+                    col_agg[c] = False  # mixed types: no envelope bound
+        for c, vals in (e.get("pvals") or {}).items():
+            pv_seen[c] = pv_seen.get(c, 0) + 1
+            pv_agg.setdefault(c, set()).update(
+                v for v in vals
+            )
+    env: dict = {}
+    cols = {
+        c: st
+        for c, st in col_agg.items()
+        if st is not False and col_seen.get(c) == n and st.get("min") is not None
+    }
+    if cols:
+        env["cols"] = cols
+    if rows_known:
+        env["rows"] = rows_total
+    pvals = {
+        c: sorted(v, key=lambda x: (x is None, x))
+        for c, v in pv_agg.items()
+        if pv_seen.get(c) == n and len(v) <= _SEG_PVALS_CAP
+    }
+    if pvals:
+        env["pvals"] = pvals
+    return env
+
+
 def _segment_stats(path: str, root: str, manifest: dict) -> dict:
     """Split ``manifest['stats']`` into segment references + new segment
     files and return the dict to SERIALIZE (the caller's in-memory
@@ -236,13 +313,16 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
         return manifest
     remaining = dict(stats)
     refs: list[tuple[str, int]] = []
+    seg_meta: dict[str, dict] = {}
     parent_v = manifest.get("parent")
+    praw: dict = {}
     if parent_v:
         try:
             with open(os.path.join(path, f"manifest-v{parent_v}.json")) as fh:
                 praw = json.load(fh)
         except (OSError, ValueError):
             praw = {}
+        parent_meta = praw.get("stats_segment_meta") or {}
         for name in praw.get("stats_segments") or []:
             try:
                 entries = _load_segment(root, name)
@@ -256,6 +336,12 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
                     break
             if intact:
                 refs.append((name, len(entries)))
+                # carried segments keep their envelope (recomputed from
+                # the already-loaded entries when the parent predates
+                # envelopes — self-healing for old tables)
+                seg_meta[name] = parent_meta.get(name) or _segment_envelope(
+                    entries
+                )
                 for k in entries:
                     del remaining[k]
     refs.sort(key=lambda t: -t[1])  # fold smallest first (from the tail)
@@ -263,6 +349,7 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
         1, -(-len(remaining) // _SEG_CHUNK)
     ) > _SEG_MAX_REFS:
         name, _n = refs.pop()
+        seg_meta.pop(name, None)
         remaining.update(_load_segment(root, name))
     seg_names = [name for name, _n in refs]
     if remaining:
@@ -277,8 +364,21 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
             os.replace(seg_path + ".tmp", seg_path)
             _SEG_CACHE[(root, name)] = chunk
             seg_names.append(name)
+            seg_meta[name] = _segment_envelope(chunk)
     disk = {k: v for k, v in manifest.items() if k != "stats"}
     disk["stats_segments"] = seg_names
+    # per-segment min/max envelopes: readers with a point predicate load
+    # only segments whose envelope can match (Iceberg's manifest-list
+    # pruning shape) — O(64) tiny dicts in the manifest proper
+    disk["stats_segment_meta"] = seg_meta
+    # every live file has a stats entry -> a pruned reader may soundly
+    # DROP files it finds no loaded entry for (they live in segments
+    # whose envelope excluded the predicate)
+    try:
+        live = _expand_files(root, _entries(manifest))
+        disk["stats_complete"] = all(f in stats for f in live)
+    except OSError:
+        disk["stats_complete"] = False
     return disk
 
 
@@ -294,6 +394,56 @@ def _read_manifest(path: str, version: int) -> dict:
             stats.update(_load_segment(root, s))
         m["stats"] = stats
     return m
+
+
+def _read_manifest_pruned(
+    spark: SparkSession, path: str, version: int, predicate: Column
+) -> tuple[dict, int, int]:
+    """Read a manifest materializing ONLY the stats segments whose
+    min/max envelope can match ``predicate`` — Iceberg's manifest-list
+    pruning: a point read of a 100k-file table loads 1–2 segments, not
+    all 64 (measured: docs/METADATA_SCALE.md).  Sound gate: the pruned
+    form is used only when the writer stamped ``stats_complete`` (every
+    live file has an entry), every referenced segment carries an
+    envelope, and the predicate parses to a prunable tree — otherwise
+    this degrades to the full ``_read_manifest``.  Returns (manifest,
+    segments_loaded, segments_total); when pruning applied, the manifest
+    carries the in-memory marker ``__stats_pruned_complete`` telling
+    ``prune_candidate_files`` that a file with no loaded entry is
+    PROVABLY non-matching and may be dropped instead of kept."""
+    with open(os.path.join(path, f"manifest-v{version}.json")) as fh:
+        m = json.load(fh)
+    _check_reader_features(m, path, version)
+    segs = m.get("stats_segments")
+    if not segs:
+        return m, 0, 0
+    root = os.path.abspath(path)
+    meta = m.get("stats_segment_meta") or {}
+    logical = _logical_struct(m)
+    tree = (
+        _rename_tree(_pred_tree(spark, logical, predicate), _l2p_of(m))
+        if logical is not None
+        else None
+    )
+    if (
+        tree is None
+        or not m.get("stats_complete")
+        or any(s not in meta for s in segs)
+    ):
+        stats: dict = {}
+        for s in segs:
+            stats.update(_load_segment(root, s))
+        m["stats"] = stats
+        return m, len(segs), len(segs)
+    stats = {}
+    loaded = 0
+    for s in segs:
+        if _can_match(tree, meta[s]):
+            stats.update(_load_segment(root, s))
+            loaded += 1
+    m["stats"] = stats
+    m["__stats_pruned_complete"] = True
+    return m, loaded, len(segs)
 
 
 def _merge_txns(parent_manifest: dict | None, meta: dict | None) -> dict:
@@ -316,6 +466,49 @@ def _merge_txns(parent_manifest: dict | None, meta: dict | None) -> dict:
     return txns
 
 
+def _bucket_of(pm: dict | None) -> dict | None:
+    """The table's declared bucket spec ``{"columns": [physical...],
+    "n": int}`` or None."""
+    return (pm or {}).get("bucket_by") or None
+
+
+def _write_bucketed(df: DataFrame, abs_dir: str, cols: list[str], n: int) -> None:
+    """Write ``df`` as a HASH-BUCKETED file set: Spark's native bucketed
+    writer (bucket id = pmod(murmur3(cols), n), recorded in each file
+    NAME), one file per non-empty bucket (the repartition uses the SAME
+    hash+pmod as the bucket assignment, so every task holds exactly one
+    bucket).  Routed through a throwaway catalog entry because
+    ``bucketBy`` requires ``saveAsTable``; the table is EXTERNAL (path
+    option), so dropping it keeps the files — the manifest, not the
+    catalog, owns them."""
+    spark = df.sparkSession
+    tmp = f"__vb_{_commit_token()}"
+    (
+        df.repartition(n, *[F.col(c) for c in cols])
+        .write.bucketBy(n, *cols)
+        .sortBy(*cols)
+        .option("path", abs_dir)
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE `{tmp}`")
+
+
+def _write_data_dir(df_physical: DataFrame, pm: dict | None, abs_dir: str) -> None:
+    """Write a commit's data dir honoring the table's declared bucket
+    spec: rewrites of a bucketed table re-hash their rows back into
+    bucket-pure, bucket-named files, so the all-files-bucketed invariant
+    (what makes storage-partitioned joins sound) survives every commit
+    kind — delete/update/merge rewrites, MoR appends, OPTIMIZE."""
+    spec = _bucket_of(pm)
+    if spec:
+        _write_bucketed(
+            df_physical, abs_dir, list(spec["columns"]), int(spec["n"])
+        )
+    else:
+        df_physical.write.mode("overwrite").parquet(abs_dir)
+
+
 def versioned_write(
     df: DataFrame,
     path: str,
@@ -323,6 +516,7 @@ def versioned_write(
     meta: dict | None = None,
     bloom_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    bucket_by: tuple[list[str], int] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return its number.
 
@@ -389,6 +583,32 @@ def versioned_write(
     elif partition_by and mode == "append" and pm:
         l2p = _l2p_of(pm)
         partition_by = [l2p.get(c, c) for c in partition_by]
+    user_bucket_by = bucket_by  # None = inherit (re-checked on retry)
+    if bucket_by is None and mode == "append" and pm:
+        spec = _bucket_of(pm)  # already physical
+        bucket_by = (list(spec["columns"]), int(spec["n"])) if spec else None
+    elif bucket_by and mode == "append" and pm:
+        l2p = _l2p_of(pm)
+        bucket_by = ([l2p.get(c, c) for c in bucket_by[0]], int(bucket_by[1]))
+        spec = _bucket_of(pm)
+        if spec and (
+            list(spec["columns"]) != bucket_by[0] or int(spec["n"]) != bucket_by[1]
+        ):
+            raise ValueError(
+                f"append bucket spec {bucket_by} conflicts with the "
+                f"table's declared spec {spec}; a bucket change needs a "
+                "full overwrite (every file must be re-hashed)"
+            )
+    if bucket_by and partition_by:
+        raise ValueError(
+            "bucket_by and partition_by are mutually exclusive: bucketing "
+            "fixes the file layout to the key hash, partitioning to the "
+            "partition values"
+        )
+    if bucket_by:
+        missing = [c for c in bucket_by[0] if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucket_by columns {missing} not in DataFrame")
     if partition_by:
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
@@ -406,7 +626,10 @@ def versioned_write(
     # it) and two concurrent committers can never write into each other
     data_dir = f"data/v{version}-{token}"
     root = os.path.abspath(path)
-    df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    if bucket_by:
+        _write_bucketed(df, os.path.join(root, data_dir), *bucket_by)
+    else:
+        df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
     # CHECK constraints: validate the just-written files (columnar
     # readback pruned to the constrained columns — cheaper than
     # re-computing df) BEFORE publishing; a violation orphans the dir
@@ -454,6 +677,11 @@ def versioned_write(
         }
         if partition_by:
             manifest["partition_by"] = list(partition_by)
+        if bucket_by:
+            manifest["bucket_by"] = {
+                "columns": list(bucket_by[0]),
+                "n": int(bucket_by[1]),
+            }
         if cons:
             manifest["constraints"] = cons
         if gens:
@@ -564,7 +792,12 @@ def versioned_write(
                         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
                     )
                     df = df.repartition(n_shuffle, *[F.col(c) for c in pb_now])
-                df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+                if bucket_by:
+                    _write_bucketed(df, os.path.join(root, data_dir), *bucket_by)
+                else:
+                    df.write.mode("overwrite").parquet(
+                        os.path.join(root, data_dir)
+                    )
                 recollect = True
             else:
                 added_mapping = new_added
@@ -576,8 +809,27 @@ def versioned_write(
                     df.sparkSession.conf.get("spark.sql.shuffle.partitions")
                 )
                 df = df.repartition(n_shuffle, *[F.col(c) for c in partition_by])
-            df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+            if bucket_by:
+                _write_bucketed(df, os.path.join(root, data_dir), *bucket_by)
+            else:
+                df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
             recollect = True
+        if user_bucket_by is None and mode == "append":
+            # the winner may have declared/changed the bucket spec (e.g.
+            # a first append losing to a rival that made a bucketed v1):
+            # re-lay out the staged files under the winner's spec so the
+            # all-files-bucketed invariant holds
+            spec = _bucket_of(pm)
+            inh = (list(spec["columns"]), int(spec["n"])) if spec else None
+            if inh != bucket_by:
+                bucket_by = inh
+                if bucket_by:
+                    _write_bucketed(df, os.path.join(root, data_dir), *bucket_by)
+                else:
+                    df.write.mode("overwrite").parquet(
+                        os.path.join(root, data_dir)
+                    )
+                recollect = True
         if user_partition_by is None and mode == "append":
             # the winner may have created/changed the table's declared
             # partitioning (e.g. a first append losing to a rival that
@@ -741,6 +993,8 @@ def _carry_table_props(manifest: dict, pm: dict | None) -> dict:
     a per-commit flag — Delta semantics)."""
     if pm and pm.get("partition_by"):
         manifest["partition_by"] = pm["partition_by"]
+    if pm and pm.get("bucket_by"):
+        manifest["bucket_by"] = pm["bucket_by"]
     if pm and pm.get("constraints"):
         manifest["constraints"] = pm["constraints"]
     if pm and pm.get("column_mapping"):
@@ -1398,6 +1652,11 @@ def versioned_drop_column(spark: SparkSession, path: str, name: str) -> int:
                 f"cannot drop partition column {name!r} (repartition the "
                 "table with partition_by=[] first)"
             )
+        if phys in ((_bucket_of(pm) or {}).get("columns") or []):
+            raise ValueError(
+                f"cannot drop bucket column {name!r} (rewrite the table "
+                "without bucket_by first)"
+            )
         gens = _generated_of(pm)
         own_gen_constraint = f"__gen_{name}" if name in gens else None
         refs = [
@@ -2009,6 +2268,11 @@ def prune_candidate_files(
     if tree is None:
         return list(all_files)
     stats = manifest.get("stats") or {}
+    if manifest.get("__stats_pruned_complete"):
+        # segment-envelope-pruned manifest: every live file HAS an entry
+        # somewhere; one absent from the loaded segments lives in a
+        # segment whose envelope excluded this predicate — drop it
+        return [f for f in all_files if f in stats and _can_match(tree, stats[f])]
     return [f for f in all_files if f not in stats or _can_match(tree, stats[f])]
 
 
@@ -2062,13 +2326,15 @@ def _matching_files(
 # ---------------------------------------------------------------------------
 
 
-def _dv_suffix(rel: str) -> str:
-    """Last two path components of a data-file path — the join key DV
-    application matches against ``_metadata.file_path``.  Unique per
+def _dv_suffix(rel: str, parts: int = 2) -> str:
+    """Last ``parts`` path components of a data-file path — the join key
+    DV application matches against ``_metadata.file_path``.  Unique per
     table by construction: the directory component carries the commit's
-    uuid token and the basename carries the write job's uuid."""
-    parts = rel.replace(os.sep, "/").split("/")
-    return "/".join(parts[-2:])
+    uuid token and the basename carries the write job's uuid.
+    ``parts=1`` (basename only) serves scans whose physical location
+    flattens the layout (the bucketed symlink view)."""
+    segs = rel.replace(os.sep, "/").split("/")
+    return "/".join(segs[-parts:])
 
 
 _DV_MAGIC = b"GDV2"
@@ -2322,6 +2588,7 @@ def _dv_join(
     spark: SparkSession,
     dv_idx: dict[str, list[int]],
     how: str,
+    suffix_parts: int = 2,
 ) -> DataFrame:
     """Join a position-augmented scan (``_with_scan_position`` columns)
     against the deleted positions — the merge-on-read primitive.
@@ -2338,12 +2605,14 @@ def _dv_join(
     import numpy as np
     import pandas as pd
 
-    sfx = sorted({_dv_suffix(f) for f in dv_idx})
+    sfx = sorted({_dv_suffix(f, suffix_parts) for f in dv_idx})
     fid = {s: i for i, s in enumerate(sfx)}
     parts = []
     for f, ix in dv_idx.items():
         arr = np.asarray(list(ix), dtype=np.int64)
-        parts.append((np.int64(fid[_dv_suffix(f)]) << _DV_RI_BITS) | arr)
+        parts.append(
+            (np.int64(fid[_dv_suffix(f, suffix_parts)]) << _DV_RI_BITS) | arr
+        )
     keys = np.concatenate(parts) if parts else np.array([], np.int64)
     pos_df = spark.createDataFrame(
         pd.DataFrame({"__dv_key": keys}), "__dv_key long"
@@ -2365,7 +2634,7 @@ def _dv_join(
     return joined.drop("__dv_fid", "__dv_key")
 
 
-def _with_scan_position(df: DataFrame) -> DataFrame:
+def _with_scan_position(df: DataFrame, suffix_parts: int = 2) -> DataFrame:
     """Augment a fresh parquet scan with its per-row physical position:
     the DV join key (file suffix) and the row's index within its file.
     Must be applied directly on the scan — ``_metadata`` is a scan-time
@@ -2375,11 +2644,11 @@ def _with_scan_position(df: DataFrame) -> DataFrame:
         F.col("_metadata.file_path").alias("__fp"),
         F.col("_metadata.row_index").alias("__ri"),
     ).withColumn(
-        # last two path components in ONE string expression — this runs
+        # last path components in ONE string expression — this runs
         # per scanned row on every merge-on-read scan, so it is the
         # fixed per-row cost of the DV read penalty
         "__sfx",
-        F.substring_index(F.col("__fp"), "/", -2),
+        F.substring_index(F.col("__fp"), "/", -suffix_parts),
     )
 
 
@@ -2388,6 +2657,7 @@ def _apply_dvs(
     spark: SparkSession,
     dv_idx: dict[str, list[int]],
     keep_deleted: bool = False,
+    suffix_parts: int = 2,
 ) -> DataFrame:
     """Subtract (default) or select (``keep_deleted=True``, the CDC diff
     case) DV'd positions from a fresh parquet scan.  The DV side is
@@ -2396,9 +2666,9 @@ def _apply_dvs(
     if not dv_idx:
         return df
     out_cols = df.columns
-    aug = _with_scan_position(df)
+    aug = _with_scan_position(df, suffix_parts)
     how = "left_semi" if keep_deleted else "left_anti"
-    return _dv_join(aug, spark, dv_idx, how).select(*out_cols)
+    return _dv_join(aug, spark, dv_idx, how, suffix_parts).select(*out_cols)
 
 
 def versioned_delete_dv(spark: SparkSession, path: str, predicate: Column) -> int:
@@ -2632,11 +2902,12 @@ def _delete_attempt(
                     pm,
                 ),
             )
-        (
+        _write_data_dir(
             _physical_view(
                 cur.filter(~F.coalesce(predicate, F.lit(False))), pm
-            )
-            .write.mode("overwrite").parquet(os.path.join(root, data_dir))
+            ),
+            pm,
+            os.path.join(root, data_dir),
         )
         # a delete that removed every row of the touched files can leave a
         # dir with no parquet parts — never reference an unreadable dir
@@ -2837,9 +3108,11 @@ def _update_attempt(
             )
         # MoR appends only the post-images: REBALANCE so AQE coalesces
         # the write to size-targeted files instead of one tiny file per
-        # inherited scan partition (small-file debt per CDC batch)
-        out_df = _physical_view(post_img.hint("rebalance") if mor else updated, pm)
-        out_df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+        # inherited scan partition (small-file debt per CDC batch).
+        # Bucketed tables re-hash instead (the layout invariant wins).
+        mor_src = post_img if _bucket_of(pm) else post_img.hint("rebalance")
+        out_df = _physical_view(mor_src if mor else updated, pm)
+        _write_data_dir(out_df, pm, os.path.join(root, data_dir))
         if mor:
             # matched rows leave their files via the deletion vector;
             # positions group + roaring-encode executor-side
@@ -3330,8 +3603,11 @@ def _merge_attempt(
         # this every CDC batch would leave shuffle-partition-count tiny
         # files (small-file debt at exactly the cadence OPTIMIZE is too
         # expensive to run at); AQE coalesces the rebalance exchange to
-        # size-targeted outputs and the shuffle moves only changed rows
-        write_df = j.filter(app_cond).select(*out_cols).hint("rebalance")
+        # size-targeted outputs and the shuffle moves only changed rows.
+        # Bucketed tables re-hash in _write_data_dir instead.
+        write_df = j.filter(app_cond).select(*out_cols)
+        if not _bucket_of(pm):
+            write_df = write_df.hint("rebalance")
     else:
         write_df = merged
     cdf_dir = None
@@ -3376,7 +3652,7 @@ def _merge_attempt(
     new_stats: dict = {}
     data_dir = f"data/v{version}-{token}"
     out_df = _physical_view(write_df, {"column_mapping": full_map})
-    out_df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    _write_data_dir(out_df, pm, os.path.join(root, data_dir))
     assembled: dict[str, tuple[bytes, int, int]] = {}
     if mor and touched:
         assembled = _assemble_dvs_executor(
@@ -3504,7 +3780,15 @@ def versioned_read(
         version = versions[-1]
     elif version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    manifest = _read_manifest(path, version)
+    if predicate is not None:
+        # segment-envelope pruning: a point predicate loads only the
+        # stats segments whose min/max can match (1-2 of 64 at 100k
+        # files) before per-file pruning even starts
+        manifest, _nl, _nt = _read_manifest_pruned(
+            spark, path, version, predicate
+        )
+    else:
+        manifest = _read_manifest(path, version)
     entries = _entries(manifest)
     schema_json = manifest.get("schema")
     schema = (
@@ -3524,10 +3808,18 @@ def versioned_read(
     reader = spark.read.schema(schema) if schema is not None else spark.read
     out = reader.parquet(*[os.path.join(path, e) for e in entries])
     if manifest.get("dvs"):
-        # merge-on-read: subtract deletion-vector positions at scan time
-        # (pruned-away files' vectors simply never match — harmless in a
-        # broadcast-side map that is deleted-rows-sized)
-        out = _apply_dvs(out, spark, _load_dvs(os.path.abspath(path), manifest))
+        # merge-on-read: subtract deletion-vector positions at scan time;
+        # a pruned read (entries = expanded file rels) broadcasts only
+        # the vectors it can actually hit
+        out = _apply_dvs(
+            out,
+            spark,
+            _load_dvs(
+                os.path.abspath(path),
+                manifest,
+                files=entries if predicate is not None else None,
+            ),
+        )
     # column mapping: the caller sees logical names (renames push down —
     # the scan still prunes/filters on the physical columns)
     out = _logical_view(out, manifest)
@@ -3632,6 +3924,117 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows, key=lambda r: -r[0]), schema
     )
+
+
+_BUCKET_VIEWS: dict[tuple[str, int], str] = {}  # (abs path, version) -> table
+
+
+def versioned_bucketed_scan(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Scan a BUCKETED versioned table so Spark KNOWS the layout: the
+    snapshot's (immutable) files are exposed through a flat symlink view
+    registered as a catalog table with the manifest's CLUSTERED BY spec
+    — the file-source scan then reports ``HashPartitioning(bucket cols,
+    n)`` and any join/aggregate keyed on the bucket columns elides its
+    exchange entirely (Iceberg storage-partitioned-join shape).  This is
+    the one join shape where the engine previously always paid a full
+    shuffle: fact ⨝ fact between two versioned tables.
+
+    Soundness: every commit kind routes its writes through
+    ``_write_data_dir``, which re-hashes a bucketed table's rows into
+    bucket-pure, bucket-NAMED files (Spark's own bucketBy writer, same
+    murmur3+pmod as the catalog spec), so the invariant holds across
+    appends, CoW rewrites, MoR appends, and OPTIMIZE.  Deletion vectors
+    apply as a broadcast anti-join AFTER the scan — broadcast joins
+    preserve the streamed side's partitioning, so the bucket info
+    survives to the consuming join.  The symlink view costs O(files)
+    metadata ops and is cached per (table, version); the catalog entry
+    is session-local and never owns the files."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    pm = _read_manifest(path, v)
+    spec = _bucket_of(pm)
+    if not spec:
+        raise ValueError(
+            f"{path} declares no bucket_by spec; use versioned_read "
+            "(or rewrite with versioned_write(..., bucket_by=...))"
+        )
+    root = os.path.abspath(path)
+    files = _expand_files(root, _entries(pm))
+    key = (root, int(v))
+    name = _BUCKET_VIEWS.get(key)
+    if name is None or not spark.catalog.tableExists(name):
+        view_dir = tempfile.mkdtemp(prefix="vbview_")
+        seen: set[str] = set()
+        for f in files:
+            base = os.path.basename(f)
+            if base in seen:  # uuid'd basenames: effectively impossible
+                raise ValueError(f"duplicate basename in snapshot: {base}")
+            seen.add(base)
+            os.symlink(os.path.join(root, f), os.path.join(view_dir, base))
+        schema = StructType.fromJson(json.loads(pm["schema"]))
+        name = f"vb_{_commit_token()}"
+        cols = ", ".join(f"`{c}`" for c in spec["columns"])
+        spark.sql(
+            f"CREATE TABLE `{name}` ({schema.toDDL()}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+            f"INTO {int(spec['n'])} BUCKETS LOCATION '{view_dir}'"
+        )
+        _BUCKET_VIEWS[key] = name
+    df = spark.table(name)
+    dvs = _load_dvs(root, pm)
+    if dvs:
+        # basename-keyed suffix match: the view flattens the dir layout
+        df = _apply_dvs(df, spark, dvs, suffix_parts=1)
+    return _logical_view(df, pm)
+
+
+def versioned_join_bucketed(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    on: list[str],
+    how: str = "inner",
+    left_version: int | None = None,
+    right_version: int | None = None,
+) -> DataFrame:
+    """Storage-partitioned join of two bucketed versioned tables: both
+    sides scan through ``versioned_bucketed_scan`` and the join keys ARE
+    the shared bucket spec, so EnsureRequirements finds both children
+    already hash-partitioned into the same n buckets and inserts ZERO
+    exchanges — the fact⨝fact shape that otherwise shuffles both sides
+    at 100 TB.  Raises unless the two specs agree (same logical column
+    sequence = ``on``, same n) — a mismatched-spec join would silently
+    fall back to a full shuffle, which is exactly the surprise this
+    helper exists to prevent."""
+
+    def spec_of(path, version):
+        versions = table_versions(path)
+        v = versions[-1] if version is None else version
+        pm = _read_manifest(path, v)
+        spec = _bucket_of(pm)
+        if not spec:
+            raise ValueError(f"{path} is not bucketed")
+        p2l = _mapping_of(pm)
+        return [p2l.get(c, c) for c in spec["columns"]], int(spec["n"])
+
+    lcols, ln = spec_of(left_path, left_version)
+    rcols, rn = spec_of(right_path, right_version)
+    if lcols != list(on) or rcols != list(on) or ln != rn:
+        raise ValueError(
+            f"bucket specs must both equal the join keys: left "
+            f"{(lcols, ln)}, right {(rcols, rn)}, on={list(on)}.  "
+            "Re-bucket one side (versioned_write(..., bucket_by="
+            f"({list(on)}, n))) so the join can run exchange-free."
+        )
+    a = versioned_bucketed_scan(spark, left_path, left_version)
+    b = versioned_bucketed_scan(spark, right_path, right_version)
+    return a.join(b, on=list(on), how=how)
 
 
 def versioned_join_dim_pruned(
@@ -4267,7 +4670,18 @@ def _compact_attempt(
         cur = _logical_view(cur, pm)
     if cluster_by and zorder:
         raise ValueError("pass cluster_by= or zorder=, not both")
-    if cluster_by:
+    if _bucket_of(pm) and (cluster_by or zorder):
+        raise ValueError(
+            "cannot cluster/Z-order a bucketed table: the file layout is "
+            "fixed by the bucket hash (rewrite with bucket_by=None via "
+            "versioned_write to change layout strategy)"
+        )
+    if _bucket_of(pm):
+        # OPTIMIZE of a bucketed table re-hashes into bucket-pure files:
+        # materializes deletion vectors and merges each bucket's small
+        # files while keeping storage-partitioned joins sound
+        out = cur
+    elif cluster_by:
         out = cur.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
@@ -4292,7 +4706,7 @@ def _compact_attempt(
     # column mapping: versioned_read returned the LOGICAL view (which is
     # what cluster_by/zorder names refer to); files are written PHYSICAL
     out = _physical_view(out, pm)
-    out.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    _write_data_dir(out, pm, os.path.join(root, data_dir))
     parent_stats = pm.get("stats") or {}
     new_dirs = [data_dir] if _expand_files(root, [data_dir]) else []
     manifest = _carry_table_props(

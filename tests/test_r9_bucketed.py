@@ -1,0 +1,171 @@
+"""Round-9: bucketed layout + storage-partitioned joins on versioned
+tables — the one join shape (fact ⨝ fact) where the engine previously
+always paid a full exchange.  The invariant under test: EVERY commit
+kind keeps a bucketed table's files bucket-pure and bucket-named, so
+``versioned_join_bucketed`` stays exchange-free forever."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_bucketed_scan,
+    versioned_compact,
+    versioned_delete,
+    versioned_delete_dv,
+    versioned_drop_column,
+    versioned_join_bucketed,
+    versioned_merge,
+    versioned_read,
+    versioned_write,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _shuffles(plan: str) -> int:
+    # DV application adds BroadcastExchange (moves vectors, not data);
+    # count only SHUFFLE exchanges
+    import re
+
+    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+
+
+def _no_shuffle_join(plan: str) -> bool:
+    return "SortMergeJoin" in plan and _shuffles(plan) == 0
+
+
+def _mk_pair(spark, tmp_path, n=8):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    dfa = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    dfb = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("vb")
+    )
+    versioned_write(dfa, a, bucket_by=(["k"], n))
+    versioned_write(dfb, b, bucket_by=(["k"], n))
+    return a, b, dfa, dfb
+
+
+def test_spj_join_zero_exchange_and_correct(spark, tmp_path):
+    a, b, dfa, dfb = _mk_pair(spark, tmp_path)
+    j = versioned_join_bucketed(spark, a, b, on=["k"])
+    # forbid broadcast so the storage-partitioned SMJ is visible
+    sa = versioned_bucketed_scan(spark, a).hint("merge")
+    sb = versioned_bucketed_scan(spark, b)
+    plan = _plan(sa.join(sb, on=["k"]))
+    assert "Bucketed: true" in plan
+    assert _no_shuffle_join(plan), plan
+    got = sorted(tuple(r) for r in j.collect())
+    want = sorted(tuple(r) for r in dfa.join(dfb, on=["k"]).collect())
+    assert got == want
+
+
+def test_spj_survives_append_and_dv_delete(spark, tmp_path):
+    a, b, dfa, dfb = _mk_pair(spark, tmp_path)
+    versioned_write(
+        spark.range(1000, 1200).select(
+            F.col("id").alias("k"), F.lit(99).cast("long").alias("va")
+        ),
+        a,
+        mode="append",
+    )  # inherits the bucket spec
+    versioned_delete_dv(spark, b, F.col("k") < 10)
+    sa = versioned_bucketed_scan(spark, a).hint("merge")
+    sb = versioned_bucketed_scan(spark, b)
+    plan = _plan(sa.join(sb, on=["k"]))
+    assert _no_shuffle_join(plan), plan
+    j = versioned_join_bucketed(spark, a, b, on=["k"])
+    assert j.count() == 490  # 500 matches minus 10 DV'd
+
+
+def test_spj_survives_mor_merge_and_cow_delete(spark, tmp_path):
+    a, b, dfa, dfb = _mk_pair(spark, tmp_path)
+    # MoR merge appends post-images — must re-hash into buckets
+    src = spark.createDataFrame([(3, 111), (2000, 5)], "k long, vb long")
+    versioned_merge(spark, b, src, on=["k"], mor=True)
+    # CoW delete rewrites touched files — must re-hash into buckets
+    versioned_delete(spark, a, F.col("k") % 100 == 7)
+    sa = versioned_bucketed_scan(spark, a).hint("merge")
+    sb = versioned_bucketed_scan(spark, b)
+    plan = _plan(sa.join(sb, on=["k"]))
+    assert _no_shuffle_join(plan), plan
+    got = {r["k"]: r["vb"] for r in versioned_join_bucketed(spark, a, b, on=["k"]).collect()}
+    assert got[3] == 111  # merged post-image visible through the SPJ
+    assert 7 not in got  # CoW-deleted
+    assert 2000 not in got  # insert matches nothing in a
+
+
+def test_bucketed_groupby_zero_exchange(spark, tmp_path):
+    # the keep-last-dedup claim on the versioned layer: a groupBy on the
+    # bucket key needs NO exchange — map-side-only aggregation forever
+    a, _b, dfa, _dfb = _mk_pair(spark, tmp_path)
+    agg = versioned_bucketed_scan(spark, a).groupBy("k").agg(
+        F.max("va").alias("last_va")
+    )
+    plan = _plan(agg)
+    assert _shuffles(plan) == 0, plan
+    assert agg.count() == 1000
+
+
+def test_compact_rebuckets_and_materializes_dvs(spark, tmp_path):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    versioned_delete_dv(spark, b, F.col("k") >= 450)
+    versioned_compact(spark, b)
+    pm = V._read_manifest(b, 3)
+    assert not pm.get("dvs")  # OPTIMIZE materialized the vectors
+    assert V._bucket_of(pm)  # and kept the spec
+    sa = versioned_bucketed_scan(spark, a).hint("merge")
+    sb = versioned_bucketed_scan(spark, b)
+    plan = _plan(sa.join(sb, on=["k"]))
+    assert _no_shuffle_join(plan), plan
+    assert versioned_join_bucketed(spark, a, b, on=["k"]).count() == 450
+
+
+def test_bucket_spec_guards(spark, tmp_path):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("va")
+    )
+    with pytest.raises(ValueError, match="conflicts with the"):
+        versioned_write(df, a, mode="append", bucket_by=(["k"], 16))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        versioned_write(df, str(tmp_path / "c"), partition_by=["va"], bucket_by=(["k"], 4))
+    with pytest.raises(ValueError, match="bucket column"):
+        versioned_drop_column(spark, a, "k")
+    with pytest.raises(ValueError, match="cluster/Z-order a bucketed"):
+        versioned_compact(spark, a, cluster_by=["va"])
+    c = str(tmp_path / "c2")
+    versioned_write(df, c, bucket_by=(["k"], 16))  # different n
+    with pytest.raises(ValueError, match="must both equal the join keys"):
+        versioned_join_bucketed(spark, a, c, on=["k"])
+    with pytest.raises(ValueError, match="not bucketed"):
+        d = str(tmp_path / "d")
+        versioned_write(df, d)
+        versioned_join_bucketed(spark, a, d, on=["k"])
+
+
+def test_bucketed_scan_after_rename_keeps_spj(spark, tmp_path):
+    # column mapping: rename the bucket column; the spec records the
+    # stable PHYSICAL name, the scan surfaces the logical one
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    from gsmls_analysis_spark.sources.versioned import versioned_rename_column
+
+    versioned_rename_column(spark, a, "k", "key")
+    sa = versioned_bucketed_scan(spark, a)
+    assert "key" in sa.columns
+    agg = sa.groupBy("key").count()
+    plan = _plan(agg)
+    assert _shuffles(plan) == 0, plan
+    assert agg.count() == 1000
