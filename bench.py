@@ -72,6 +72,10 @@ HEADLINE = [
     "q_versioned_dv_read",  # heavy-DV merge-on-read scan (read penalty)
     "q_versioned_changes",  # CDF tail read (batch change feed)
     "q_versioned_optimize_where",  # scoped OPTIMIZE (metadata file select)
+    # r9 verdict task 7: the new write paths join the headline set
+    "q_versioned_merge_dv",  # merge-on-read MERGE (DV mark + append)
+    "q_versioned_dfp_join",  # dynamic file pruning star join
+    "q_versioned_spj_join",  # storage-partitioned (bucketed) join
 ]
 
 

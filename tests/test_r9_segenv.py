@@ -1,0 +1,166 @@
+"""Round-9: segment-envelope pruning — a point-predicate read loads
+only the stats segments whose min/max envelope can match, instead of
+materializing all of them (Iceberg's manifest-list pruning shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    _read_manifest_pruned,
+    versioned_delete_dv,
+    versioned_read,
+    versioned_write,
+)
+
+
+@pytest.fixture()
+def small_segments(monkeypatch):
+    # 2 files per segment so a handful of appends spans many segments
+    monkeypatch.setattr(V, "_SEG_CHUNK", 2)
+
+
+def _mk(spark, path, n_appends=6, rows_per=50):
+    # each append covers a DISJOINT k-range -> disjoint segment envelopes
+    for i in range(n_appends):
+        df = spark.range(i * rows_per, (i + 1) * rows_per).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+        ).repartition(2)
+        versioned_write(df, path, mode="append" if i else "overwrite")
+    return n_appends * rows_per
+
+
+def _count_loads(monkeypatch):
+    calls = []
+    real = V._load_segment
+
+    def spy(root, name):
+        calls.append(name)
+        return real(root, name)
+
+    monkeypatch.setattr(V, "_load_segment", spy)
+    return calls
+
+
+def test_point_read_loads_few_segments(spark, tmp_path, small_segments, monkeypatch):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    vlast = V.table_versions(path)[-1]
+    raw = json.load(open(os.path.join(path, f"manifest-v{vlast}.json")))
+    assert raw.get("stats_complete") is True
+    n_segs = len(raw["stats_segments"])
+    assert n_segs >= 6
+    assert set(raw["stats_segment_meta"]) == set(raw["stats_segments"])
+    calls = _count_loads(monkeypatch)
+    m, loaded, total = _read_manifest_pruned(
+        spark, path, vlast, F.col("k") == 123
+    )
+    assert total == n_segs
+    assert loaded <= 2  # the envelope prunes the other ranges' segments
+    assert len(calls) == loaded
+    assert m["__stats_pruned_complete"] is True
+
+
+def test_pruned_read_matches_full_read(spark, tmp_path, small_segments):
+    path = str(tmp_path / "t")
+    n = _mk(spark, path)
+    for pred in (
+        F.col("k") == 123,
+        F.col("k").between(40, 60),  # spans two appends' ranges
+        F.col("k").isin(5, 155, 299),
+        (F.col("k") < 10) | (F.col("k") >= 290),
+        F.col("v") == 3,  # v overlaps every segment: no pruning possible
+    ):
+        got = sorted(
+            tuple(r) for r in versioned_read(spark, path, predicate=pred).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in versioned_read(spark, path).filter(pred).collect()
+        )
+        assert got == want, str(pred)
+    assert versioned_read(spark, path).count() == n
+
+
+def test_unparseable_predicate_degrades_to_full_load(
+    spark, tmp_path, small_segments, monkeypatch
+):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    vlast = V.table_versions(path)[-1]
+    calls = _count_loads(monkeypatch)
+    m, loaded, total = _read_manifest_pruned(
+        spark, path, vlast, F.length(F.col("k").cast("string")) == 3
+    )
+    assert loaded == total  # no tree -> sound degrade, all segments
+    assert "__stats_pruned_complete" not in m
+    # and the read is still correct
+    got = versioned_read(
+        spark, path, predicate=F.length(F.col("k").cast("string")) == 3
+    ).count()
+    assert got == 300 - 100  # k in [100, 299] have 3 digits
+
+
+def test_pruned_read_with_dvs(spark, tmp_path, small_segments):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    versioned_delete_dv(spark, path, F.col("k").isin(123, 124))
+    got = versioned_read(
+        spark, path, predicate=F.col("k").between(120, 130)
+    ).count()
+    assert got == 11 - 2
+
+
+def test_envelope_self_heals_on_legacy_manifest(
+    spark, tmp_path, small_segments
+):
+    # simulate a pre-r9 table: strip meta + completeness from the parent
+    # manifest on disk; the NEXT commit recomputes envelopes for carried
+    # segments from their (already loaded) entries
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=3)
+    vlast = V.table_versions(path)[-1]
+    mp = os.path.join(path, f"manifest-v{vlast}.json")
+    raw = json.load(open(mp))
+    raw.pop("stats_segment_meta", None)
+    raw.pop("stats_complete", None)
+    os.remove(mp)
+    json.dump(raw, open(mp, "w"))
+    df = spark.range(900, 950).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    versioned_write(df, path, mode="append")
+    raw2 = json.load(open(os.path.join(path, f"manifest-v{vlast + 1}.json")))
+    assert set(raw2["stats_segment_meta"]) == set(raw2["stats_segments"])
+    assert raw2["stats_complete"] is True
+
+
+def test_envelope_shape_is_sound(small_segments):
+    env = V._segment_envelope(
+        {
+            "f1": {"rows": 10, "cols": {"a": {"min": 1, "max": 5, "nulls": 0}}},
+            "f2": {
+                "rows": 20,
+                "cols": {
+                    "a": {"min": -3, "max": 2, "nulls": 4},
+                    "b": {"min": "x", "max": "z", "nulls": 0},
+                },
+            },
+        }
+    )
+    assert env["rows"] == 30
+    assert env["cols"]["a"] == {"min": -3, "max": 5, "nulls": 4}
+    assert "b" not in env["cols"]  # missing from f1: unknown range
+    # mixed types never produce a bound
+    env2 = V._segment_envelope(
+        {
+            "f1": {"cols": {"a": {"min": 1, "max": 5, "nulls": 0}}},
+            "f2": {"cols": {"a": {"min": "s", "max": "t", "nulls": 0}}},
+        }
+    )
+    assert "cols" not in env2 or "a" not in env2.get("cols", {})

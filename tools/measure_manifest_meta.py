@@ -162,6 +162,72 @@ def bench_real(spark) -> dict:
     }
 
 
+def bench_pruning(spark, n_files: int) -> dict:
+    """r9 segment-envelope pruning: segments opened + wall for a POINT
+    read of an n_files table, pruned vs full materialization.  Entries
+    are range-clustered on c0 (file i covers [i*8, i*8+1000]) — the
+    key-sorted layout a real clustered table has."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = tempfile.mkdtemp(prefix=f"seg_prune_{n_files}_")
+    try:
+        dir1 = "data/v1-aaaaaaaa"
+        stats = {
+            f"{dir1}/part-{i:06d}.parquet": synth_entry(i)
+            for i in range(n_files)
+        }
+        # the files must EXIST (zero-byte stand-ins): the writer stamps
+        # stats_complete only after verifying every live file has an entry
+        os.makedirs(os.path.join(path, dir1), exist_ok=True)
+        for rel in stats:
+            open(os.path.join(path, rel), "w").close()
+        schema = StructType(
+            [StructField(f"c{j}", LongType()) for j in range(8)]
+        )
+        m1 = {
+            "version": 1,
+            "parent": 0,
+            "data_dirs": [dir1],
+            "schema": schema.json(),
+            "stats": stats,
+            "txns": {},
+        }
+        assert V._publish(path, m1)
+        point = F.col("c0") == (n_files // 2) * 8
+        loads = {"n": 0}
+        real = V._load_segment
+
+        def spy(root, name):
+            loads["n"] += 1
+            return real(root, name)
+
+        V._load_segment, _orig = spy, real
+        try:
+            V._SEG_CACHE.clear()
+            t0 = time.perf_counter()
+            _m, loaded, total = V._read_manifest_pruned(spark, path, 1, point)
+            t_pruned = time.perf_counter() - t0
+            V._SEG_CACHE.clear()
+            loads["n"] = 0
+            t0 = time.perf_counter()
+            V._read_manifest(path, 1)
+            t_full = time.perf_counter() - t0
+            full_loads = loads["n"]
+        finally:
+            V._load_segment = _orig
+        return {
+            "n_files": n_files,
+            "segments_total": total,
+            "segments_loaded_pruned": loaded,
+            "segments_loaded_full": full_loads,
+            "cold_read_s_pruned": t_pruned,
+            "cold_read_s_full": t_full,
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     rows = [bench_synthetic(n) for n in (1_000, 10_000, 100_000)]
     print("\n## Metadata microbench: 1-file append on an N-file table\n")
@@ -180,6 +246,28 @@ def main() -> None:
             f"| {r['n_segments']} |"
         )
     print(json.dumps(rows))
+    if "--prune" in sys.argv:
+        from gsmls_analysis_spark.session import get_spark
+
+        spark = get_spark("manifest-meta")
+        print("\n## Segment-envelope pruning: point read of an N-file table\n")
+        print(
+            "| files | segments | loaded (pruned) | loaded (full) | "
+            "cold read s pruned | full |"
+        )
+        print("|---|---|---|---|---|---|")
+        prows = []
+        for n in (10_000, 100_000):
+            r = bench_pruning(spark, n)
+            prows.append(r)
+            print(
+                f"| {r['n_files']:,} | {r['segments_total']} "
+                f"| {r['segments_loaded_pruned']} "
+                f"| {r['segments_loaded_full']} "
+                f"| {r['cold_read_s_pruned']:.3f} "
+                f"| {r['cold_read_s_full']:.3f} |"
+            )
+        print(json.dumps(prows))
     if "--real" in sys.argv:
         from gsmls_analysis_spark.session import get_spark
 
