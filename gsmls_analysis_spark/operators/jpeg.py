@@ -6,16 +6,23 @@ the BMP/PNG/WAV legs (operators/multimodal.py).
 
 Scope (and honest limits):
 
-- DECODER: baseline DCT sequential (SOF0), 8-bit, 1 or 3 components,
-  arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 —
-  nearest-neighbor chroma upsample), restart markers, 0xFF00 byte
-  unstuffing, multi-table DQT/DHT segments.  Progressive (SOF2),
-  arithmetic coding, 12-bit precision and hierarchical modes raise
-  ``ValueError`` — a decode error callers quarantine, never a crash.
-- ENCODER: 4:4:4 baseline with the Annex K quantization and Huffman
-  tables (public spec content) — enough to synthesize genuinely
-  entropy-coded files executor-side for oracle queries and round-trip
-  tests.
+- DECODER: baseline DCT sequential (SOF0) AND progressive (SOF2, r9:
+  spectral selection + successive approximation per T.81 G.2 —
+  coefficient accumulation across scans, EOB runs, refinement
+  correction bits, tables/DRI changing between scans), 8-bit, 1 or 3
+  components, arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 /
+  4:2:0 — nearest-neighbor chroma upsample), restart markers, 0xFF00
+  byte unstuffing, multi-table DQT/DHT segments.  Arithmetic coding,
+  12-bit precision and hierarchical modes raise ``ValueError`` — a
+  decode error callers quarantine, never a crash.
+- ENCODER: baseline (4:4:4 / 4:2:0) plus a progressive scan-script
+  encoder (``encode_jpeg_progressive``: DC successive approximation,
+  per-component spectral-selection AC, refinement scans) with the
+  Annex K quantization and Huffman tables (public spec content) —
+  enough to synthesize genuinely entropy-coded files executor-side
+  for oracle queries and round-trip tests.  Both encoders quantize
+  IDENTICAL coefficients, so progressive decode is held to
+  bit-identity with baseline decode.
 
 Exactness lever the analytic oracles use: for a block-CONSTANT image
 the FDCT concentrates everything in the DC term (AC quantize to 0),
@@ -343,6 +350,235 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    width: int, height: int, rgb: bytes, subsampling: str = "444"
+) -> bytes:
+    """Encode raw RGB as a PROGRESSIVE (SOF2) JPEG with a libjpeg-style
+    scan script exercising both progressive mechanisms end to end:
+
+      1. interleaved DC, successive approximation Ah=0/Al=1
+      2. interleaved DC refinement, Ah=1/Al=0
+      3. per-component AC 1–63 first pass, Ah=0/Al=1 (spectral
+         selection + EOB runs)
+      4. per-component AC refinement, Ah=1/Al=0 (correction bits)
+
+    The QUANTIZED coefficients are identical to ``encode_jpeg``'s, so a
+    correct progressive decode is bit-identical to the baseline decode
+    of the same image — the round-trip test the decoder is held to."""
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(
+            f"need {3 * width * height} RGB bytes for {width}x{height}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling}")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    luma_hv = (2, 2) if subsampling == "420" else (1, 1)
+    hmax, vmax = luma_hv
+    ph = -(-height // (8 * vmax)) * 8 * vmax
+    pw = -(-width // (8 * hmax)) * 8 * hmax
+
+    def _pad(p):
+        pp = np.empty((ph, pw))
+        hh, ww = p.shape
+        pp[:hh, :ww] = p
+        pp[hh:, :ww] = p[hh - 1 : hh, :ww]
+        pp[:, ww:] = pp[:, ww - 1 : ww]
+        return pp
+
+    comp_planes = [_pad(planes[0]) - 128.0]
+    if subsampling == "420":
+        for p in planes[1:]:
+            pp = _pad(p)
+            pooled = pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comp_planes.append(np.round(pooled) - 128.0)
+    else:
+        comp_planes += [_pad(p) - 128.0 for p in planes[1:]]
+    comp_hv = [luma_hv, (1, 1), (1, 1)]
+    d = _dct8()
+    qts = [
+        np.asarray(QT_LUMA, np.float64).reshape(8, 8),
+        np.asarray(QT_CHROMA, np.float64).reshape(8, 8),
+    ]
+    # quantized coefficient arrays, ZIGZAG order, over the padded grid
+    coefs = []
+    for ci, plane in enumerate(comp_planes):
+        hh, ww = plane.shape
+        bh, bw = hh // 8, ww // 8
+        qt = qts[0 if ci == 0 else 1]
+        q = np.zeros((bh, bw, 64), dtype=np.int64)
+        # per-block 2D matmuls, SAME float64 op order as encode_jpeg —
+        # both encoders quantize to IDENTICAL coefficients, making the
+        # progressive-vs-baseline round-trip comparable bit-for-bit
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                qb = np.round((d @ blk @ d.T) / qt).astype(np.int64)
+                q[by, bx] = qb.reshape(64)
+        coefs.append(q[:, :, ZIGZAG])
+    dc_codes = [
+        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+
+    def sos(comps_tt: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps_tt)])
+        for cid, tt in comps_tt:
+            body += bytes([cid, tt])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tq, qt in ((0, QT_LUMA), (1, QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq] + qt)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    luma_byte = (hmax << 4) | vmax
+    for cid, hv, tq in ((1, luma_byte, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, hv, tq])
+    out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _dht_segment(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    # scan 1: interleaved DC, Ah=0 Al=1
+    w1 = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                ch, cv = comp_hv[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        v = int(coefs[ci][my * cv + vy, mx * ch + vx, 0]) >> 1
+                        s, extra = _magnitude(v - preds[ci])
+                        code, ln = dc_codes[ti][s]
+                        w1.write(code, ln)
+                        if s:
+                            w1.write(extra, s)
+                        preds[ci] = v
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1) + w1.flush()
+
+    # scan 2: interleaved DC refinement, Ah=1 Al=0 (one raw bit/block)
+    w2 = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                ch, cv = comp_hv[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        w2.write(int(coefs[ci][my * cv + vy, mx * ch + vx, 0]) & 1, 1)
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0) + w2.flush()
+
+    def _true_dims(ci):
+        # non-interleaved scans cover the component's OWN block grid
+        # (ceil of its subsampled size), not the MCU-padded grid
+        ch, cv = comp_hv[ci]
+        cw = -(-(width * ch) // hmax)
+        chh = -(-(height * cv) // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    # scans 3..5: per-component AC 1-63 first pass, Al=1
+    for ci in range(3):
+        ti = 0 if ci == 0 else 1
+        wv = _BitWriter()
+        bh, bw = _true_dims(ci)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = coefs[ci][by, bx]
+                run = 0
+                last = 0
+                tvals = [0] * 64
+                for k in range(1, 64):
+                    c = int(blk[k])
+                    t = (abs(c) >> 1) * (1 if c >= 0 else -1)
+                    tvals[k] = t
+                    if t:
+                        last = k
+                for k in range(1, last + 1):
+                    if tvals[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[ti][0xF0]
+                        wv.write(code, ln)
+                        run -= 16
+                    s, extra = _magnitude(tvals[k])
+                    code, ln = ac_codes[ti][(run << 4) | s]
+                    wv.write(code, ln)
+                    wv.write(extra, s)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_codes[ti][0x00]  # EOB (run of 1)
+                    wv.write(code, ln)
+        out += sos([(ci + 1, 0x00 | ti)], 1, 63, 0, 1) + wv.flush()
+
+    # scans 6..8: per-component AC refinement, Ah=1 Al=0
+    for ci in range(3):
+        ti = 0 if ci == 0 else 1
+        wv = _BitWriter()
+        bh, bw = _true_dims(ci)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = coefs[ci][by, bx]
+                absv = [0] * 64
+                eob_k = 0
+                for k in range(1, 64):
+                    absv[k] = abs(int(blk[k]))
+                    if absv[k] == 1:
+                        eob_k = k
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob_k:
+                        code, ln = ac_codes[ti][0xF0]
+                        wv.write(code, ln)
+                        run -= 16
+                        for bit in br:
+                            wv.write(bit, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    code, ln = ac_codes[ti][(run << 4) | 1]
+                    wv.write(code, ln)
+                    wv.write(0 if int(blk[k]) < 0 else 1, 1)
+                    for bit in br:
+                        wv.write(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    code, ln = ac_codes[ti][0x00]
+                    wv.write(code, ln)
+                    for bit in br:
+                        wv.write(bit, 1)
+        out += sos([(ci + 1, 0x00 | ti)], 1, 63, 1, 0) + wv.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder (baseline sequential, sampling up to 2x2, restart markers)
 # ---------------------------------------------------------------------------
@@ -438,6 +674,7 @@ def _parse_and_decode(np, d: bytes):
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -472,7 +709,8 @@ def _parse_and_decode(np, d: bytes):
                     raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
@@ -492,13 +730,19 @@ def _parse_and_decode(np, d: bytes):
             for c in comps:
                 if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
                     raise ValueError("sampling factors beyond 2x2 unsupported")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/arithmetic/hierarchical JPEG unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("arithmetic/lossless/hierarchical JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if not comps or not qts:
                 raise ValueError("SOS before SOF/DQT")
+            if progressive:
+                # hand the whole multi-scan tail (this SOS onward) to the
+                # progressive loop — tables/DRI may change between scans
+                return _decode_progressive(
+                    np, d, pos - 2, w, h, comps, qts, huff, restart_interval
+                )
             ns = body[0]
             scan_sel = []
             for si in range(ns):
@@ -580,8 +824,284 @@ def _decode_scan(np, d, pos, w, h, scan_sel, qts, huff, restart_interval):
             rdr.nbits = 0
             preds = [0] * len(scan_sel)
             mcu_count = 0
+    return _assemble(np, planes, [c for c, _td, _ta in scan_sel], hmax, vmax, w, h)
+
+
+def _decode_progressive(np, d, pos, w, h, comps, qts, huff, restart_interval):
+    """Progressive (SOF2) decode: accumulate DCT coefficients across the
+    image's scan sequence — spectral selection (Ss..Se bands) AND
+    successive approximation (Ah/Al bit planes), per ITU T.81 G.2 — then
+    dequantize/IDCT once at EOI.  ``pos`` points at the first SOS
+    marker; tables (DHT/DQT) and DRI may legally change between scans.
+    Coefficients are stored in ZIGZAG order per block (scan decoding is
+    band-indexed); `_can`-style two's-complement bit operations on
+    negative values follow the spec's arithmetic-shift point transform
+    exactly (Python ints and int64 both behave like C here)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    dims = []
+    for c in comps:
+        pbh, pbw = mcuy * c["v"], mcux * c["h"]
+        cw = -(-(w * c["h"]) // hmax)
+        chh = -(-(h * c["v"]) // vmax)
+        coefs.append(np.zeros((pbh, pbw, 64), dtype=np.int64))
+        dims.append((-(-chh // 8), -(-cw // 8)))
+    saw_scan = False
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack_from(">H", d, pos)
+        body = d[pos + 2 : pos + seg_len]
+        end = pos + seg_len
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
+                huff[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = body[i + 1 + k]
+                qts[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                ci = next(
+                    i for i, c in enumerate(comps) if c["id"] == cs
+                )
+                scan.append((ci, tt >> 4, tt & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _progressive_scan(
+                np, d, end, scan, ss, se, ah, al, comps, coefs, dims,
+                huff, restart_interval, mcux, mcuy,
+            )
+            saw_scan = True
+            continue
+        pos = end
+    if not saw_scan:
+        raise ValueError("progressive JPEG without any scan")
+    dct = _dct8()
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qts.get(c["tq"])
+        if qt is None:
+            raise ValueError("component references undefined quant table")
+        pbh, pbw = coefs[ci].shape[:2]
+        nat = np.zeros((pbh, pbw, 64))
+        nat[:, :, ZIGZAG] = coefs[ci].astype(np.float64)
+        nat = nat.reshape(pbh, pbw, 8, 8) * qt
+        plane = np.zeros((pbh * 8, pbw * 8))
+        # per-block 2D matmuls, SAME float64 op order as the baseline
+        # decoder — progressive and baseline decodes of identical
+        # quantized coefficients are bit-identical
+        for by in range(pbh):
+            for bx in range(pbw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dct.T @ nat[by, bx] @ dct + 128.0
+                )
+        planes.append(plane)
+    return _assemble(np, planes, comps, hmax, vmax, w, h)
+
+
+def _next_marker(d, pos):
+    """Skip pad bits / fill bytes to the next real marker boundary."""
+    while pos + 1 < len(d):
+        if d[pos] == 0xFF and d[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return len(d)
+
+
+def _progressive_scan(
+    np, d, pos, scan, ss, se, ah, al, comps, coefs, dims, huff, ri, mcux, mcuy
+):
+    rdr = _BitReader(d, pos)
+    eob = [0]
+    preds = {ci: 0 for ci, _td, _ta in scan}
+
+    def dc_unit(blk, ci, td):
+        if ah == 0:
+            tab = huff.get((0, td))
+            if tab is None:
+                raise ValueError("DC scan references undefined table")
+            s = rdr.decode_huff(tab)
+            diff = _extend(rdr.bits(s), s) if s else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << al
+        elif rdr.bit():
+            blk[0] |= 1 << al
+
+    def reset():
+        for k in preds:
+            preds[k] = 0
+        eob[0] = 0
+
+    if ss == 0 and se != 0:
+        # T.81 G.1.1.1.1: a progressive DC scan carries ONLY the DC band
+        # (a baseline stream rebranded SOF2 lands here, not in garbage)
+        raise ValueError("progressive DC scan must have Se=0")
+    if len(scan) > 1:
+        # interleaved DC scan: MCU raster over the PADDED block grid
+        if ss != 0:
+            raise ValueError("interleaved AC progressive scan is invalid")
+        total = mcux * mcuy
+        mcu = 0
+        cnt = 0
+        while mcu < total:
+            try:
+                my, mx = divmod(mcu, mcux)
+                for ci, td, _ta in scan:
+                    c = comps[ci]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            dc_unit(
+                                coefs[ci][my * c["v"] + vy, mx * c["h"] + vx],
+                                ci,
+                                td,
+                            )
+                mcu += 1
+                cnt += 1
+                if ri and cnt == ri and mcu < total:
+                    rdr.align_and_consume_rst()
+                    reset()
+                    cnt = 0
+            except _Restart:
+                rdr.pos += 2
+                rdr.nbits = 0
+                reset()
+                cnt = 0
+        return _next_marker(d, rdr.pos)
+    ci, td, ta = scan[0]
+    bh, bw = dims[ci]
+    ac_tab = huff.get((1, ta)) if ss else None
+    if ss and ac_tab is None:
+        raise ValueError("AC scan references undefined table")
+    total = bh * bw
+    i = 0
+    cnt = 0
+    while i < total:
+        try:
+            by, bx = divmod(i, bw)
+            blk = coefs[ci][by, bx]
+            if ss == 0:
+                dc_unit(blk, ci, td)
+            elif ah == 0:
+                _ac_first(rdr, ac_tab, blk, ss, se, al, eob)
+            else:
+                _ac_refine(rdr, ac_tab, blk, ss, se, al, eob)
+            i += 1
+            cnt += 1
+            if ri and cnt == ri and i < total:
+                rdr.align_and_consume_rst()
+                reset()
+                cnt = 0
+        except _Restart:
+            rdr.pos += 2
+            rdr.nbits = 0
+            reset()
+            cnt = 0
+    return _next_marker(d, rdr.pos)
+
+
+def _ac_first(rdr, tab, blk, ss, se, al, eob):
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rdr.decode_huff(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eob[0] = (1 << r) - 1
+            if r:
+                eob[0] += rdr.bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(rdr.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(rdr, tab, blk, ss, se, al, eob):
+    """Successive-approximation AC refinement (T.81 G.1.2.3 / the
+    libjpeg decode_mcu_AC_refine structure): newly-significant
+    coefficients arrive as ±2^Al; every nonzero-history coefficient
+    crossed — in runs, after ZRL, and through the EOB sweep — carries
+    one correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = rdr.decode_huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                val = p1 if rdr.bit() else m1
+            elif r != 15:
+                eob[0] = 1 << r
+                if r:
+                    eob[0] += rdr.bits(r)
+                break
+            while k <= se:
+                if blk[k] != 0:
+                    if rdr.bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if rdr.bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eob[0] -= 1
+
+
+def _assemble(np, planes, comps, hmax, vmax, w, h):
+    """Upsample component planes to full resolution, color-convert, and
+    clip — shared by the baseline and progressive reconstruction."""
     full = []
-    for (c, _td, _ta), p in zip(scan_sel, planes):
+    for c, p in zip(comps, planes):
         rep_y = vmax // c["v"]
         rep_x = hmax // c["h"]
         up = np.repeat(np.repeat(p, rep_y, axis=0), rep_x, axis=1)

@@ -640,7 +640,10 @@ def decode_jpeg_stats(assets: DataFrame) -> DataFrame:
 
 
 def synthesize_jpeg_assets(
-    df: DataFrame, id_col: str = "doc_id", subsampling: str = "444"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    subsampling: str = "444",
+    progressive: bool = False,
 ) -> DataFrame:
     """Executor-side synthesis of genuinely ENTROPY-CODED JPEG payloads
     whose decoded pixels are analytically known: per doc, a grid of
@@ -648,8 +651,12 @@ def synthesize_jpeg_assets(
     ``((doc_id·31 + bx·7 + by·13) mod 96)·2 + 8`` — even, so Annex-K
     quantization reconstructs it EXACTLY (jpeg.py docstring) and an
     oracle recomputes the per-image means from the rule without
-    touching bytes."""
-    from .jpeg import encode_jpeg
+    touching bytes.  ``progressive=True`` emits SOF2 multi-scan files
+    (DC successive approximation + spectral-selection AC + refinement
+    scans) with the SAME quantized coefficients — same oracle."""
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
+
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -667,7 +674,7 @@ def synthesize_jpeg_assets(
                 rgb = np.repeat(gray[:, :, None], 3, axis=2)
                 ids.append(did)
                 payloads.append(
-                    encode_jpeg(nbx * 8, nby * 8, rgb.tobytes(), subsampling)
+                    enc(nbx * 8, nby * 8, rgb.tobytes(), subsampling)
                 )
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 

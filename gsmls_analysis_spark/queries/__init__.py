@@ -43,22 +43,21 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # ROUND 8 window (policy + slot accounting in docs/ROUND8_NOTES.md).
-    # (c) added in round 8 — never driver-checked
-    "q_approx_distinct_bounds",  # HLL accuracy-bound oracle twin
-    "q_image_phash_dups",  # perceptual-hash image near-dup (DCT pHash)
-    "q_multimodal_jpeg_decode",  # real baseline JPEG codec end-to-end
-    "q_versioned_dv_read",  # heavy-DV merge-on-read read penalty
-    "q_versioned_partition_evolution",  # Iceberg-style spec evolution
-    "q_versioned_detail",  # DESCRIBE DETAIL + needs-OPTIMIZE advisory
-    "q_versioned_dfp_join",  # dynamic file pruning for dim joins
-    "q_multimodal_jpeg_decode_420",  # chroma-subsampled decode leg
-    # (b) code changed in round 8 — re-verify through the driver: the
-    # whole versioned layer (segmented manifests touched every read and
-    # publish; DV sidecar re-encoding + packed-key merge-on-read join;
-    # OCC-retry dir rename; overwrite constraint/generated fixes;
-    # OPTIMIZE logical-name clustering) ...
+    # ROUND 9 window (policy + slot accounting in docs/ROUND9_NOTES.md).
+    # (c) added in round 9 — never driver-checked
+    "q_versioned_merge_dv",  # merge-on-read MERGE via deletion vectors
+    "q_versioned_spj_join",  # storage-partitioned (bucketed) join
+    "q_multimodal_jpeg_progressive",  # SOF2 multi-scan decode
+    # (b) code changed in round 9 — re-verify through the driver: the
+    # whole versioned layer again (executor-side DV assembly touched
+    # every DV write; MoR merge/update; bucketed _write_data_dir routed
+    # every rewrite; segment envelopes touched every publish and every
+    # predicate read) ...
     "q_versioned_delete_dv",
+    "q_versioned_dv_read",
+    "q_versioned_detail",  # table_detail NULL deleted_fraction change
+    "q_versioned_dfp_join",
+    "q_versioned_partition_evolution",
     "q_versioned_partitioned",
     "q_versioned_identity",
     "q_versioned_optimize_where",
@@ -86,25 +85,25 @@ _DRIVER_WINDOW = [
     "q_continuous_aggregate",
     "q_ivm_join_delta",
     "q_zorder_orders",  # runs versioned_compact(zorder=...)
-    # ... the HTML extractor (implicit <p> closing changed extraction)
-    "q_html_extract",
-    # ... the simhash pairing refactor (sig_near_dup_pairs extraction)
-    "q_simhash_near_dups",
-    # ... decode_media dispatch (jpeg leg added beside bmp/png/wav)
-    "q_multimodal_bmp_decode",
-    "q_multimodal_png_decode",
-    "q_multimodal_wav_decode",
+    # ... the JPEG decoder (restart-marker consume, zero-dim SOF gate,
+    # progressive integration share the entry point) and pHash pooling
+    "q_multimodal_jpeg_decode",
+    "q_multimodal_jpeg_decode_420",
+    "q_image_phash_dups",
     "q_multimodal_resize",
     # (d) remaining slots: representative cumulative greens in
-    # registration order (TPC-H core + dedup/cleaning/graph families)
+    # registration order (TPC-H core + dedup/text/ANN families)
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_nation_revenue",
     "q06_forecast_revenue",
     "q_keep_last_dedup",
     "q_golden_record",
-    "q_lpa_communities",
-    "q_approx_distinct",  # rows-only by design (HLL)
+    "q_minhash_lsh_pairs",
+    "q_ivf_topk",
+    "q_token_stats",
+    "q_lang_id",
+    "q_events_sessionize",
 ]
 
 _DRIVER_WINDOW_R7 = [

@@ -415,3 +415,50 @@ def q_multimodal_jpeg_decode_420(spark, sf_dir):
         synthesize_jpeg_assets(docs, "doc_id", subsampling="420"),
         codec="jpeg",
     )
+
+
+@query(
+    "q_multimodal_jpeg_progressive",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 + 3 AS nbx, doc_id % 3 + 2 AS nby FROM documents
+), blk AS (
+  SELECT d.doc_id, d.nbx, d.nby,
+         SUM(((d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 96) * 2 + 8) AS sv
+  FROM dims d, range(0, 6) gx(x), range(0, 4) gy(y)
+  WHERE gx.x < d.nbx AND gy.y < d.nby
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS asset_id,
+       CAST(nbx * 8 AS BIGINT) AS width,
+       CAST(nby * 8 AS BIGINT) AS height,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_r_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_g_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_b_micro,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM blk
+""",
+    doc="PROGRESSIVE (SOF2) JPEG decode end-to-end — the remaining "
+    "real-corpus JPEG variant (r8 verdict task 8, now a codec instead "
+    "of a gate): each payload is a genuine multi-scan progressive "
+    "file (encode_jpeg_progressive: interleaved DC with successive "
+    "approximation Al=1, DC refinement, per-component spectral-"
+    "selection AC 1-63 with EOB runs, AC refinement correction bits) "
+    "decoded by the same decode_jpeg entry point "
+    "(_decode_progressive: coefficient accumulation across scans, "
+    "T.81 G.1.2.3 refinement, one dequantize+IDCT at EOI).  The "
+    "progressive encoder quantizes IDENTICAL coefficients to the "
+    "baseline encoder, so the analytic block-constant-even-gray "
+    "oracle of q_multimodal_jpeg_decode applies unchanged — any "
+    "bit-plane or EOB-run bug in either direction breaks the hash.",
+)
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    from ..operators.multimodal import decode_media, synthesize_jpeg_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_media(
+        synthesize_jpeg_assets(docs, "doc_id", progressive=True),
+        codec="jpeg",
+    )

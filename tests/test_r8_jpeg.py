@@ -83,9 +83,11 @@ def test_error_paths_quarantine():
     good = J.encode_jpeg(8, 8, bytes(192))
     with pytest.raises(ValueError):
         J.decode_jpeg(good[: len(good) // 2])  # truncated scan
-    # progressive (SOF2) must be refused, not mis-decoded
+    # SOF2 is SUPPORTED since r9 — but a baseline stream rebranded SOF2
+    # is malformed (a progressive DC scan may not carry Se=63) and must
+    # still be a quarantinable ValueError, never a mis-decode
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan"):
         J.decode_jpeg(prog)
 
 

@@ -1,0 +1,99 @@
+"""Round-9: progressive (SOF2) JPEG — spectral selection, successive
+approximation (DC and AC bit planes, EOB runs, correction bits).  The
+contract: the progressive encoder quantizes IDENTICAL coefficients to
+the baseline encoder, so progressive decode must be BIT-IDENTICAL to
+baseline decode of the same image."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize(
+    "w,h,sub",
+    [
+        (16, 16, "444"),
+        (24, 17, "444"),  # odd height: partial bottom MCU row
+        (23, 9, "444"),  # odd both
+        (24, 24, "420"),
+        (25, 19, "420"),  # odd dims + subsampled chroma
+        (64, 48, "420"),
+    ],
+)
+def test_progressive_equals_baseline_bitwise(w, h, sub):
+    rng = np.random.default_rng(w * 1000 + h)
+    rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+    wb, hb, pb = decode_jpeg(encode_jpeg(w, h, rgb, subsampling=sub))
+    wp, hp, pp = decode_jpeg(
+        encode_jpeg_progressive(w, h, rgb, subsampling=sub)
+    )
+    assert (wb, hb) == (wp, hp) == (w, h)
+    assert np.array_equal(pb, pp)
+
+
+def test_progressive_block_constant_even_gray_exact():
+    # Annex-K lossless case: progressive round-trip is pixel-exact
+    for v in (8, 90, 198):
+        rgb = bytes([v]) * (3 * 24 * 16)
+        _w, _h, px = decode_jpeg(encode_jpeg_progressive(24, 16, rgb))
+        assert int(px.min()) == int(px.max()) == v
+
+
+def test_progressive_sparse_blocks_exercise_eob_runs():
+    # mostly-flat image: AC scans are EOB-dominated; one hot block per
+    # region forces newly-significant coefficients amid long zero runs
+    img = np.full((32, 32, 3), 120, np.uint8)
+    img[3, 5] = 250
+    img[20, 28] = 0
+    rgb = img.tobytes()
+    pb = decode_jpeg(encode_jpeg(32, 32, rgb))[2]
+    pp = decode_jpeg(encode_jpeg_progressive(32, 32, rgb))[2]
+    assert np.array_equal(pb, pp)
+
+
+def test_progressive_high_contrast_refinement_bits():
+    # alternating extremes: large AC coefficients whose low bits make
+    # the refinement scans (correction bits) carry real information
+    y, x = np.mgrid[0:24, 0:24]
+    img = ((x + y) % 2 * 255).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2).tobytes()
+    pb = decode_jpeg(encode_jpeg(24, 24, rgb))[2]
+    pp = decode_jpeg(encode_jpeg_progressive(24, 24, rgb))[2]
+    assert np.array_equal(pb, pp)
+
+
+def test_progressive_truncated_is_value_error():
+    rgb = bytes([100]) * (3 * 16 * 16)
+    payload = encode_jpeg_progressive(16, 16, rgb)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 3])
+
+
+def test_arithmetic_still_rejected():
+    rgb = bytes([100]) * (3 * 8 * 8)
+    payload = bytearray(encode_jpeg_progressive(8, 8, rgb))
+    i = payload.find(b"\xff\xc2")
+    payload[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(bytes(payload))
+
+
+def test_progressive_through_spark_quarantine_leg(spark):
+    from gsmls_analysis_spark.operators.multimodal import decode_jpeg_stats
+
+    good = encode_jpeg_progressive(16, 8, bytes([64]) * (3 * 16 * 8))
+    bad = good[:40]
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in decode_jpeg_stats(df).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["mean_g_micro"] == 64_000_000
+    assert rows[2]["decode_error"] is not None
