@@ -843,21 +843,82 @@ def synthesize_wav_assets(
     ).mapInPandas(gen, "asset_id long, payload binary")
 
 
+def _bilinear(np, px, w: int, h: int, width: int, height: int):
+    """Edge-clamped bilinear resample, half-pixel-center convention,
+    float64 weights, round-half-even → uint8."""
+    sx = np.clip((np.arange(width) + 0.5) * (w / width) - 0.5, 0, w - 1)
+    sy = np.clip((np.arange(height) + 0.5) * (h / height) - 0.5, 0, h - 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (sx - x0)[None, :, None]
+    fy = (sy - y0)[:, None, None]
+    p = px.astype(np.float64)
+    top = p[np.ix_(y0, x0)] * (1 - fx) + p[np.ix_(y0, x1)] * fx
+    bot = p[np.ix_(y1, x0)] * (1 - fx) + p[np.ix_(y1, x1)] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.ascontiguousarray(
+        np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    )
+
+
+def synthesize_gradient_bmp_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Executor-side synthesis of LINEAR-GRADIENT BMPs for the bilinear
+    oracle: per doc, a 16×8 image whose channel value is the linear
+    function ``(id%50)·2 + 2x + 4y + c`` (max 158 — never clamps).
+    Bilinear interpolation reproduces a linear function at the sample
+    points exactly, and an exact 2× downscale samples at half-integer
+    coordinates where ``2·sx`` and ``4·sy`` are integers — so every
+    resized pixel is the INTEGER ``base + 4X + 8Y + 3 + c`` and an
+    oracle recomputes the channel means in SQL without touching
+    bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid in pdf["_id"]:
+                did = int(rid)
+                w, h = 16, 8
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                img = ((did % 50) * 2 + 2 * x + 4 * y + c).astype(np.uint8)
+                ids.append(did)
+                payloads.append(encode_bmp(w, h, img.tobytes()))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
+
+
 def resize_media(
-    assets: DataFrame, width: int, height: int, codec: str = "bmp"
+    assets: DataFrame,
+    width: int,
+    height: int,
+    codec: str = "bmp",
+    method: str = "nearest",
 ) -> DataFrame:
     """Image RESIZE — the vision-pipeline preprocessing shape (decode →
-    nearest-neighbor resample → re-encode), Arrow-batched executor-side.
+    resample → re-encode), Arrow-batched executor-side.
 
-    Nearest-neighbor with the floor convention ``src = (dst·src_dim) //
+    ``method='nearest'``: floor convention ``src = (dst·src_dim) //
     dst_dim`` (both axes), so an analytic oracle can recompute resized
     pixels from the synthesis rule exactly (BMP/PNG legs are lossless
     end-to-end; the JPEG leg re-quantizes on re-encode — bounded-error,
     unit-asserted, exactly what a production thumbnail pipeline does).
-    Interpolating resamplers (bilinear/Lanczos) remain future work —
-    NN is the deterministic engine-portable choice.  Undecodable
-    payloads are dropped (quarantine them upstream via decode_media if
-    the error detail matters)."""
+
+    ``method='bilinear'`` (r9): the standard half-pixel-center
+    convention ``src = (dst + 0.5)·src/dst − 0.5`` (align_corners=False
+    — what OpenCV/PIL/torch antialias-off use), edge-clamped, float64
+    weights, round-half-even.  Deterministic and engine-portable; for
+    a LINEAR gradient image bilinear interpolation reproduces the
+    gradient exactly, which is what the oracle query exploits
+    (synthesize_gradient_bmp_assets).  Lanczos remains future work.
+
+    Undecodable payloads are dropped (quarantine them upstream via
+    decode_media if the error detail matters)."""
     from .jpeg import decode_jpeg, encode_jpeg
 
     codecs = {
@@ -875,6 +936,8 @@ def resize_media(
     decode, encode = codecs[codec]
     if width < 1 or height < 1:
         raise ValueError(f"target size must be positive, got {width}x{height}")
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be nearest|bilinear, got {method!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -886,9 +949,12 @@ def resize_media(
                     w, h, px = decode(bytes(payload))
                 except ValueError:
                     continue
-                xs = (np.arange(width) * w) // width
-                ys = (np.arange(height) * h) // height
-                out = np.ascontiguousarray(px[np.ix_(ys, xs)])
+                if method == "nearest":
+                    xs = (np.arange(width) * w) // width
+                    ys = (np.arange(height) * h) // height
+                    out = np.ascontiguousarray(px[np.ix_(ys, xs)])
+                else:
+                    out = _bilinear(np, px, w, h, width, height)
                 ids.append(asset_id)
                 payloads.append(encode(width, height, out.tobytes()))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})

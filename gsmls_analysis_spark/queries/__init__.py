@@ -48,6 +48,7 @@ _DRIVER_WINDOW = [
     "q_versioned_merge_dv",  # merge-on-read MERGE via deletion vectors
     "q_versioned_spj_join",  # storage-partitioned (bucketed) join
     "q_multimodal_jpeg_progressive",  # SOF2 multi-scan decode
+    "q_multimodal_resize_bilinear",  # interpolating resample leg
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed
@@ -103,7 +104,6 @@ _DRIVER_WINDOW = [
     "q_ivf_topk",
     "q_token_stats",
     "q_lang_id",
-    "q_events_sessionize",
 ]
 
 _DRIVER_WINDOW_R7 = [

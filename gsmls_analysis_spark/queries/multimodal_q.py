@@ -418,6 +418,47 @@ def q_multimodal_jpeg_decode_420(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_resize_bilinear",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(((doc_id % 50) * 2 + 29) * 1000000 AS BIGINT) AS mean_b_micro,
+       CAST(((doc_id % 50) * 2 + 30) * 1000000 AS BIGINT) AS mean_g_micro,
+       CAST(((doc_id % 50) * 2 + 31) * 1000000 AS BIGINT) AS mean_r_micro,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM documents
+""",
+    doc="BILINEAR image resize end-to-end (multimodal.py::resize_media "
+    "method='bilinear', r9 — closes the interpolating-resampler gap): "
+    "encode real 16x8 LINEAR-GRADIENT BMPs (value (id%50)*2+2x+4y+c, "
+    "synthesize_gradient_bmp_assets) -> decode -> half-pixel-center "
+    "edge-clamped bilinear downscale to 8x4 -> re-encode -> decode "
+    "stats.  Bilinear interpolation reproduces a linear function "
+    "exactly, and the 2x downscale samples at half-integers where the "
+    "gradient evaluates to the INTEGER base+4X+8Y+3+c, so the oracle "
+    "computes each channel mean in closed form (base+29/30/31) — any "
+    "weight, clamp, or center-convention bug shifts every pixel and "
+    "breaks the hash.",
+)
+def q_multimodal_resize_bilinear(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_gradient_bmp_assets,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    assets = synthesize_gradient_bmp_assets(docs, "doc_id")
+    return decode_media(
+        resize_media(assets, 8, 4, codec="bmp", method="bilinear"),
+        codec="bmp",
+    )
+
+
+@query(
     "q_multimodal_jpeg_progressive",
     oracle="""
 WITH dims AS (

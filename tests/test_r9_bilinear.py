@@ -1,0 +1,88 @@
+"""Round-9: bilinear resampling in resize_media — half-pixel-center,
+edge-clamped, float64 weights (the align_corners=False convention)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.multimodal import (
+    _bilinear,
+    decode_bmp,
+    encode_bmp,
+    resize_media,
+    synthesize_gradient_bmp_assets,
+)
+
+
+def _brute(px, w, h, width, height):
+    out = np.zeros((height, width, 3))
+    for Y in range(height):
+        sy = min(max((Y + 0.5) * (h / height) - 0.5, 0), h - 1)
+        y0 = int(np.floor(sy))
+        y1 = min(y0 + 1, h - 1)
+        fy = sy - y0
+        for X in range(width):
+            sx = min(max((X + 0.5) * (w / width) - 0.5, 0), w - 1)
+            x0 = int(np.floor(sx))
+            x1 = min(x0 + 1, w - 1)
+            fx = sx - x0
+            p = px.astype(np.float64)
+            out[Y, X] = (
+                p[y0, x0] * (1 - fx) * (1 - fy)
+                + p[y0, x1] * fx * (1 - fy)
+                + p[y1, x0] * (1 - fx) * fy
+                + p[y1, x1] * fx * fy
+            )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "w,h,width,height",
+    [(16, 8, 8, 4), (10, 10, 7, 3), (5, 4, 13, 9), (8, 8, 8, 8), (3, 3, 1, 1)],
+)
+def test_bilinear_matches_bruteforce(w, h, width, height):
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = _bilinear(np, px, w, h, width, height)
+    np.testing.assert_array_equal(got, _brute(px, w, h, width, height))
+
+
+def test_bilinear_preserves_constant_and_linear():
+    const = np.full((6, 10, 3), 77, np.uint8)
+    assert (_bilinear(np, const, 10, 6, 5, 3) == 77).all()
+    # exact 2x downscale of a linear ramp: samples at half-integers
+    y, x, c = np.mgrid[0:8, 0:16, 0:3]
+    lin = (10 + 2 * x + 4 * y + c).astype(np.uint8)
+    out = _bilinear(np, lin, 16, 8, 8, 4)
+    Y, X, C = np.mgrid[0:4, 0:8, 0:3]
+    np.testing.assert_array_equal(out, (10 + 4 * X + 8 * Y + 3 + C).astype(np.uint8))
+
+
+def test_bilinear_upscale_edge_clamp():
+    px = np.zeros((2, 2, 3), np.uint8)
+    px[0, 0] = 200
+    out = _bilinear(np, px, 2, 2, 4, 4)
+    # corner pixel clamps to the source corner exactly
+    assert (out[0, 0] == 200).all()
+    assert (out[3, 3] == 0).all()
+
+
+def test_resize_media_bilinear_end_to_end(spark):
+    df = spark.createDataFrame([(5,), (17,)], "doc_id long")
+    assets = synthesize_gradient_bmp_assets(df, "doc_id")
+    resized = resize_media(assets, 8, 4, codec="bmp", method="bilinear")
+    rows = {r["asset_id"]: bytes(r["payload"]) for r in resized.collect()}
+    for did in (5, 17):
+        w, h, px = decode_bmp(rows[did])
+        assert (w, h) == (8, 4)
+        base = (did % 50) * 2
+        Y, X, C = np.mgrid[0:4, 0:8, 0:3]
+        np.testing.assert_array_equal(px, (base + 4 * X + 8 * Y + 3 + C).astype(np.uint8))
+
+
+def test_resize_media_bad_method():
+    import pyspark.sql
+
+    with pytest.raises(ValueError, match="nearest|bilinear"):
+        resize_media(None, 4, 4, codec="bmp", method="lanczos")
