@@ -3321,13 +3321,22 @@ def _merge_attempt(
     root = os.path.abspath(path)
     pm = _read_manifest(path, parent)
     _check_writer_features(pm, path)
-    if _identity_of(pm):
+    idn = _identity_of(pm)
+    if idn and not mor:
         raise NotImplementedError(
-            "MERGE into a table with identity columns is not supported "
-            "yet: inserted source rows would need sequence assignment "
-            "inside the merge rewrite.  Route inserts through "
-            "versioned_write(mode='append') (which assigns the "
-            "sequence) and matched-row changes through versioned_update."
+            "copy-on-write MERGE into a table with identity columns is "
+            "not supported: the rewrite mixes surviving, updated, and "
+            "inserted rows in one output, and surviving rows must keep "
+            "their ids byte-identical.  Use versioned_merge(mor=True) — "
+            "merge-on-read appends ONLY post-images and inserts, so the "
+            "sequence assigns cleanly to the inserted rows — or route "
+            "inserts through versioned_write(mode='append')."
+        )
+    if idn and set(idn) & set(source.columns):
+        raise ValueError(
+            f"merge source provides identity column(s) "
+            f"{sorted(set(idn) & set(source.columns))} (GENERATED ALWAYS "
+            "AS IDENTITY — omit them; inserts are assigned the sequence)"
         )
     schema_json = pm.get("schema")
     if not schema_json:
@@ -3605,10 +3614,30 @@ def _merge_attempt(
         # expensive to run at); AQE coalesces the rebalance exchange to
         # size-targeted outputs and the shuffle moves only changed rows.
         # Bucketed tables re-hash in _write_data_dir instead.
-        write_df = j.filter(app_cond).select(*out_cols)
+        if idn:
+            # identity tables (MoR only): matched post-images KEEP their
+            # existing ids; inserted rows are assigned the sequence —
+            # the clean split is exactly why MoR can support this.
+            # Persisted so the CDF record and the data write see the
+            # SAME assignment (monotonically_increasing_id is
+            # plan-layout-dependent across separate jobs otherwise).
+            matched_part = j.filter(
+                app_cond & F.coalesce(F.col("__t"), F.lit(False))
+            ).select(*out_cols)
+            idn_insert_part = _apply_identity(
+                j.filter(app_cond & ~F.coalesce(F.col("__t"), F.lit(False)))
+                .select(*out_cols)
+                .drop(*sorted(idn)),
+                idn,
+            ).persist()
+            write_df = matched_part.unionByName(idn_insert_part)
+        else:
+            idn_insert_part = None
+            write_df = j.filter(app_cond).select(*out_cols)
         if not _bucket_of(pm):
             write_df = write_df.hint("rebalance")
     else:
+        idn_insert_part = None
         write_df = merged
     cdf_dir = None
     if change_feed:
@@ -3637,11 +3666,20 @@ def _merge_attempt(
             .withColumn(CDF_CHANGE_COL, F.lit("delete"))
         )
         if when_not_matched == "insert":
-            parts.append(
-                j.filter(~is_t & is_s)
-                .select(*s_cols)
-                .withColumn(CDF_CHANGE_COL, F.lit("insert"))
-            )
+            if idn_insert_part is not None:
+                # identity MoR merge: the CDF insert rows carry the
+                # ASSIGNED ids (same persisted frame the data write uses)
+                parts.append(
+                    idn_insert_part.withColumn(
+                        CDF_CHANGE_COL, F.lit("insert")
+                    )
+                )
+            else:
+                parts.append(
+                    j.filter(~is_t & is_s)
+                    .select(*s_cols)
+                    .withColumn(CDF_CHANGE_COL, F.lit("insert"))
+                )
         changes = parts[0]
         for p in parts[1:]:
             changes = changes.unionByName(p)
@@ -3703,6 +3741,13 @@ def _merge_attempt(
     )
     if full_map:
         manifest["column_mapping"] = full_map
+    if idn and new_dirs:
+        # inserted rows advanced the sequence: record the verified new
+        # high water (footer max, gap-checked) so the next commit never
+        # reassigns an id
+        manifest["identity"] = _advance_identity_safe(
+            spark, root, data_dir, idn, new_stats, _l2p_of(pm)
+        )
     new_dv_files = {f for f, (_b, _m, nw) in assembled.items() if nw > 0}
     kept_dvs = {
         f: e
@@ -3729,6 +3774,8 @@ def _merge_attempt(
         manifest["cdf"] = [cdf_dir]
     if meta:
         manifest["meta"] = meta
+    if idn_insert_part is not None:
+        idn_insert_part.unpersist()
     _publish_or_race(path, manifest)
     return version
 

@@ -325,6 +325,65 @@ def test_wide_dv_delete_driver_pull_is_file_sized(spark, tmp_path, monkeypatch):
     assert sum(e["count"] for e in pm["dvs"].values()) == n - 100
 
 
+def test_mor_merge_into_identity_table(spark, tmp_path):
+    # MoR MERGE supports identity tables (CoW still refuses): matched
+    # post-images KEEP their ids, inserts get fresh unique ids above
+    # the high water, the recorded high water prevents later collisions
+    from gsmls_analysis_spark.sources.versioned import versioned_set_identity
+
+    path = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(0, "z")], "k long, v string"), path
+    )
+    versioned_set_identity(spark, path, "rid", start=100)
+    # rows written AFTER the declaration all carry sequence ids (the
+    # v1 row legitimately reads NULL — the column postdates it)
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+        ),
+        path,
+        "append",
+    )
+    ids_before = {
+        r["k"]: r["rid"] for r in versioned_read(spark, path).collect()
+    }
+    src = spark.createDataFrame(
+        [(2, "B"), (50, "new"), (51, "new2")], "k long, v string"
+    )
+    with pytest.raises(NotImplementedError, match="mor=True"):
+        versioned_merge(spark, path, src, on=["k"])
+    with pytest.raises(ValueError, match="identity column"):
+        versioned_merge(
+            spark,
+            path,
+            src.withColumn("rid", F.lit(1).cast("long")),
+            on=["k"],
+            mor=True,
+        )
+    versioned_merge(spark, path, src, on=["k"], change_feed=True, mor=True)
+    rows = {r["k"]: r for r in versioned_read(spark, path).collect()}
+    assert rows[2]["v"] == "B"
+    assert rows[2]["rid"] == ids_before[2]  # post-image keeps its id
+    all_ids = [r["rid"] for r in rows.values() if r["rid"] is not None]
+    assert len(all_ids) == 6  # 4 base + 2 inserts (only the v1 row NULL)
+    assert len(set(all_ids)) == len(all_ids)  # unique
+    assert rows[50]["rid"] is not None and rows[51]["rid"] is not None
+    # CDF insert rows carry the SAME assigned ids as the table
+    ch = table_changes(spark, path, 3, 4)
+    cdf_ids = {
+        r["k"]: r["rid"]
+        for r in ch.filter(F.col("_change") == "insert").collect()
+    }
+    assert cdf_ids == {50: rows[50]["rid"], 51: rows[51]["rid"]}
+    # a later append never collides with merge-assigned ids
+    versioned_write(
+        spark.createDataFrame([(60, "e")], "k long, v string"), path, "append"
+    )
+    final = [r["rid"] for r in versioned_read(spark, path).collect()]
+    assert len(set(final)) == len(final)
+
+
 def test_dv_delete_carries_untouched_sidecar_entries(spark, tmp_path):
     # second delete touching a disjoint file set keeps the first commit's
     # sidecar entries by reference instead of rewriting them
