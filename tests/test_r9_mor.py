@@ -325,6 +325,35 @@ def test_wide_dv_delete_driver_pull_is_file_sized(spark, tmp_path, monkeypatch):
     assert sum(e["count"] for e in pm["dvs"].values()) == n - 100
 
 
+def test_mor_merge_null_safe_keys(spark, tmp_path):
+    # IS NOT DISTINCT FROM matching on the MoR path: the NULL-key source
+    # row updates the NULL-key target row in place via the DV
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "nullrow"), (3, "c")], "k long, v string"
+    )
+    src = spark.createDataFrame(
+        [(None, "NULL-UPDATED"), (3, "C"), (9, "new")], "k long, v string"
+    )
+    for path in (cow, mor):
+        versioned_write(base.repartition(2), path)
+    versioned_merge(spark, cow, src, on=["k"], null_safe_keys=True)
+    versioned_merge(spark, mor, src, on=["k"], null_safe_keys=True, mor=True)
+    assert _nullsafe_state(spark, cow) == _nullsafe_state(spark, mor)
+    st = dict(_nullsafe_state(spark, mor))
+    assert st[None] == "NULL-UPDATED"
+    assert st[3] == "C" and st[9] == "new" and st[1] == "a"
+    pm = V._read_manifest(mor, 2)
+    assert sum(e["count"] for e in pm["dvs"].values()) == 2
+
+
+def _nullsafe_state(spark, path):
+    return sorted(
+        ((r["k"], r["v"]) for r in versioned_read(spark, path).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+
+
 def test_mor_merge_into_identity_table(spark, tmp_path):
     # MoR MERGE supports identity tables (CoW still refuses): matched
     # post-images KEEP their ids, inserts get fresh unique ids above
