@@ -1537,6 +1537,11 @@ def versioned_set_partitioning(
         if not versions:
             raise FileNotFoundError(f"no committed versions under {path}")
         pm = _read_manifest(path, versions[-1])
+        if partition_by and _bucket_of(pm):
+            raise ValueError(
+                f"{path} is bucketed (bucket_by and partition_by are "
+                "mutually exclusive); rewrite without bucket_by first"
+            )
         logical = _logical_struct(pm)
         if logical is not None:
             missing = [c for c in partition_by if c not in logical.names]

@@ -154,6 +154,10 @@ def test_bucket_spec_guards(spark, tmp_path):
         d = str(tmp_path / "d")
         versioned_write(df, d)
         versioned_join_bucketed(spark, a, d, on=["k"])
+    from gsmls_analysis_spark.sources.versioned import versioned_set_partitioning
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        versioned_set_partitioning(spark, a, ["va"])
 
 
 def test_bucketed_scan_after_rename_keeps_spj(spark, tmp_path):
