@@ -351,7 +351,11 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    width: int, height: int, rgb: bytes, subsampling: str = "444"
+    width: int,
+    height: int,
+    rgb: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode raw RGB as a PROGRESSIVE (SOF2) JPEG with a libjpeg-style
     scan script exercising both progressive mechanisms end to end:
@@ -457,11 +461,30 @@ def encode_jpeg_progressive(
     out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
     out += _dht_segment(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    # scan 1: interleaved DC, Ah=0 Al=1
+    # scan 1: interleaved DC, Ah=0 Al=1 — optionally with restart
+    # markers (DRI applies to this scan only: a DRI=0 segment follows,
+    # which is the legal way real encoders scope restarts per scan)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     w1 = _BitWriter()
     preds = [0, 0, 0]
+    mcu_index = 0
+    total_mcus = mcux * mcuy
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+                and mcu_index < total_mcus
+            ):
+                w1.buf = bytearray(w1.flush())
+                w1.acc = w1.nbits = 0
+                w1.buf += bytes(
+                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]
+                )
+                preds = [0, 0, 0]
+            mcu_index += 1
             for ci in range(3):
                 ti = 0 if ci == 0 else 1
                 ch, cv = comp_hv[ci]
@@ -475,6 +498,8 @@ def encode_jpeg_progressive(
                             w1.write(extra, s)
                         preds[ci] = v
     out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1) + w1.flush()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 0)  # later scans: none
 
     # scan 2: interleaved DC refinement, Ah=1 Al=0 (one raw bit/block)
     w2 = _BitWriter()

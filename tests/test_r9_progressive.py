@@ -69,6 +69,19 @@ def test_progressive_high_contrast_refinement_bits():
     assert np.array_equal(pb, pp)
 
 
+@pytest.mark.parametrize("ri", [1, 3])
+def test_progressive_restart_markers(ri):
+    # DRI scoped to the DC scan (reset to 0 after — the legal per-scan
+    # scoping): decoder must realign + reset predictors at each RSTn
+    rng = np.random.default_rng(ri)
+    rgb = rng.integers(0, 256, size=3 * 64 * 16, dtype=np.uint8).tobytes()
+    prog = encode_jpeg_progressive(64, 16, rgb, restart_interval=ri)
+    assert any(bytes([0xFF, 0xD0 + i]) in prog for i in range(8))
+    pb = decode_jpeg(encode_jpeg(64, 16, rgb))[2]
+    pp = decode_jpeg(prog)[2]
+    assert np.array_equal(pb, pp)
+
+
 def test_progressive_truncated_is_value_error():
     rgb = bytes([100]) * (3 * 16 * 16)
     payload = encode_jpeg_progressive(16, 16, rgb)
