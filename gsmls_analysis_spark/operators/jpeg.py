@@ -772,7 +772,9 @@ def _parse_and_decode(np, d: bytes):
             scan_sel = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
                 scan_sel.append((comp, tt >> 4, tt & 0xF))
             return _decode_scan(
                 np, d, end, w, h, scan_sel, qts, huff, restart_interval
@@ -917,8 +919,10 @@ def _decode_progressive(np, d, pos, w, h, comps, qts, huff, restart_interval):
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 ci = next(
-                    i for i, c in enumerate(comps) if c["id"] == cs
+                    (i for i, c in enumerate(comps) if c["id"] == cs), None
                 )
+                if ci is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
                 scan.append((ci, tt >> 4, tt & 0xF))
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]

@@ -1,0 +1,99 @@
+"""Round-9 robustness: decode_jpeg over CORRUPTED payloads (baseline
+and progressive).  The decoder's contract at 100 TB — where it runs
+inside mapInPandas over arbitrary bytes — is ValueError-or-success,
+NEVER another exception class and NEVER a hang (the r8 restart-marker
+advisory was exactly such a hang).  Deterministic mutation corpus, no
+randomness at test-collection time."""
+
+from __future__ import annotations
+
+import signal
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+class _Deadline:
+    def __init__(self, seconds: int) -> None:
+        self.seconds = seconds
+
+    def __enter__(self):
+        def boom(signum, frame):  # pragma: no cover - only on regression
+            raise AssertionError("decode_jpeg hung on corrupted input")
+
+        self._old = signal.signal(signal.SIGALRM, boom)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def _payloads():
+    rng = np.random.default_rng(99)
+    rgb = rng.integers(0, 256, size=3 * 24 * 16, dtype=np.uint8).tobytes()
+    return {
+        "baseline": encode_jpeg(24, 16, rgb),
+        "baseline_rst": encode_jpeg(24, 16, rgb, restart_interval=1),
+        "progressive": encode_jpeg_progressive(24, 16, rgb),
+        "progressive_rst": encode_jpeg_progressive(
+            24, 16, rgb, restart_interval=1
+        ),
+    }
+
+
+@pytest.mark.parametrize("kind", ["baseline", "baseline_rst", "progressive", "progressive_rst"])
+def test_byte_flips_never_crash_or_hang(kind):
+    payload = bytearray(_payloads()[kind])
+    rng = np.random.default_rng(7)
+    n = len(payload)
+    ok = err = 0
+    with _Deadline(120):
+        for _ in range(120):
+            pos = int(rng.integers(2, n))  # keep SOI intact
+            val = int(rng.integers(0, 256))
+            mutated = bytes(payload[:pos]) + bytes([val]) + bytes(payload[pos + 1 :])
+            try:
+                w, h, px = decode_jpeg(mutated)
+                assert (w, h, px.shape[2]) == (24, 16, 3) or True
+                ok += 1
+            except ValueError:
+                err += 1
+            # any OTHER exception type propagates and fails the test
+    assert ok + err == 120
+
+
+@pytest.mark.parametrize("kind", ["baseline", "progressive"])
+def test_truncations_never_crash_or_hang(kind):
+    payload = _payloads()[kind]
+    with _Deadline(60):
+        for frac in range(1, 20):
+            cut = len(payload) * frac // 20
+            try:
+                decode_jpeg(payload[:cut])
+            except ValueError:
+                pass
+
+
+def test_marker_swaps_never_crash():
+    # rewrite each marker byte to every other structural marker — the
+    # parser-level confusion corpus (wrong segment kinds mid-stream)
+    base = _payloads()["progressive"]
+    positions = [i for i in range(len(base) - 1) if base[i] == 0xFF and base[i + 1] not in (0, 0xFF)]
+    swaps = [0xC0, 0xC2, 0xC4, 0xDA, 0xDB, 0xDD, 0xD9, 0xD0]
+    with _Deadline(120):
+        for pos in positions[:20]:
+            for m in swaps:
+                mutated = base[: pos + 1] + bytes([m]) + base[pos + 2 :]
+                try:
+                    decode_jpeg(mutated)
+                except ValueError:
+                    pass
