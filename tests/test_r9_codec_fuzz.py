@@ -1,0 +1,97 @@
+"""Round-9 robustness sweep for the remaining pure-Python codecs:
+decode_bmp / decode_png / decode_wav over corrupted payloads.  Same
+contract as the JPEG fuzz (test_r9_jpeg_fuzz.py): ValueError or
+success, never another exception class, never a hang."""
+
+from __future__ import annotations
+
+import signal
+import zlib
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.multimodal import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+)
+
+
+class _Deadline:
+    def __init__(self, seconds: int) -> None:
+        self.seconds = seconds
+
+    def __enter__(self):
+        def boom(signum, frame):  # pragma: no cover
+            raise AssertionError("codec decode hung on corrupted input")
+
+        self._old = signal.signal(signal.SIGALRM, boom)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def _corpus():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    samples = rng.integers(-3000, 3000, size=256).astype(np.int16)
+    return {
+        "bmp": (encode_bmp(20, 12, rgb.tobytes()), decode_bmp),
+        "png": (encode_png(20, 12, rgb.tobytes()), decode_png),
+        "wav": (encode_wav(samples), decode_wav),
+    }
+
+
+@pytest.mark.parametrize("kind", ["bmp", "png", "wav"])
+def test_byte_flips_never_crash_or_hang(kind):
+    payload, decode = _corpus()[kind]
+    rng = np.random.default_rng(11)
+    n = len(payload)
+    with _Deadline(120):
+        for _ in range(150):
+            pos = int(rng.integers(0, n))
+            val = int(rng.integers(0, 256))
+            mutated = payload[:pos] + bytes([val]) + payload[pos + 1 :]
+            try:
+                decode(mutated)
+            except ValueError:
+                pass
+
+
+@pytest.mark.parametrize("kind", ["bmp", "png", "wav"])
+def test_truncations_never_crash_or_hang(kind):
+    payload, decode = _corpus()[kind]
+    with _Deadline(60):
+        for frac in range(0, 20):
+            try:
+                decode(payload[: len(payload) * frac // 20])
+            except ValueError:
+                pass
+
+
+def test_png_bad_zlib_stream_is_value_error():
+    payload, decode = _corpus()["png"]
+    # surgically corrupt the IDAT payload but FIX the CRC so the zlib
+    # layer (not the chunk walk) sees the damage
+    i = payload.find(b"IDAT")
+    assert i > 0
+    ln = int.from_bytes(payload[i - 4 : i], "big")
+    body = bytearray(payload[i + 4 : i + 4 + ln])
+    body[0] ^= 0xFF
+    crc = zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF
+    mutated = (
+        payload[: i + 4]
+        + bytes(body)
+        + crc.to_bytes(4, "big")
+        + payload[i + 8 + ln :]
+    )
+    with pytest.raises(ValueError):
+        decode(mutated)
