@@ -1288,22 +1288,44 @@ def q_versioned_compact(spark, sf_dir):
 @query(
     "q_versioned_changes",
     oracle="""
+WITH upd AS (
+  SELECT doc_id FROM documents WHERE doc_id % 37 = 0 AND source <> 'src3'
+)
 SELECT doc_id, text, lang, source, n_chars, 'delete' AS _change
 FROM documents WHERE source = 'src3'
+UNION ALL
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, 'delete'
+FROM documents d JOIN upd USING (doc_id)
+UNION ALL
+SELECT d.doc_id, d.text, 'UP', d.source, d.n_chars, 'insert'
+FROM documents d JOIN upd USING (doc_id)
+UNION ALL
+SELECT doc_id + 1000000, 'inserted', 'xx', 'mor', CAST(0 AS BIGINT),
+       'insert'
+FROM documents WHERE doc_id % 97 = 0
 """,
     doc="CDC between table versions via MANIFEST-DIFF "
     "(sources/versioned.py::versioned_changes): v1 commits the corpus, "
-    "v2 deletes one source; the v1→v2 delta reads ONLY the files the "
-    "delete touched (files shared by both manifests are immutable and "
-    "cancel out of the diff — proven by the corrupt-shared-file unit), "
-    "yielding exactly the deleted rows tagged 'delete'.  At 100 TB this "
-    "is how downstream consumers incrementally follow a table without "
-    "re-scanning it.",
+    "v2 copy-on-write-deletes one source, v3 (r9) applies a "
+    "MERGE-ON-READ merge (versioned_merge(mor=True): lang updates DV-"
+    "mark their rows in place + key-offset inserts append).  The v1→v3 "
+    "delta composes BOTH write shapes: shared-file deletion-vector "
+    "growth surfaces the MoR pre-images as position-identified deletes "
+    "and the rewritten/appended files carry the rest through the "
+    "multiset diff — updates appear as their delete+insert pair, "
+    "exactly Delta's snapshot-CDC semantics.  At 100 TB this is how "
+    "downstream consumers incrementally follow a table without "
+    "re-scanning it, whichever write path produced each commit.",
 )
 def q_versioned_changes(spark, sf_dir):
     import tempfile
 
-    from ..sources.versioned import versioned_changes, versioned_delete, versioned_write
+    from ..sources.versioned import (
+        versioned_changes,
+        versioned_delete,
+        versioned_merge,
+        versioned_write,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -1311,7 +1333,20 @@ def q_versioned_changes(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="versioned_cdc_")
     versioned_write(docs.repartitionByRange(8, "doc_id"), path)
     versioned_delete(spark, path, F.col("source") == "src3")
-    return versioned_changes(spark, path, 1, 2)
+    updates = docs.filter(
+        (F.col("doc_id") % 37 == 0) & (F.col("source") != "src3")
+    ).withColumn("lang", F.lit("UP"))
+    inserts = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("inserted").alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("mor").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    versioned_merge(
+        spark, path, updates.unionByName(inserts), on=["doc_id"], mor=True
+    )
+    return versioned_changes(spark, path, 1, 3)
 
 
 @query(
