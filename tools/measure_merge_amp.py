@@ -113,6 +113,41 @@ def main() -> None:
         results["cow"]["totalprice_sum"] - results["mor"]["totalprice_sum"]
     ) < 1e-6 * abs(results["cow"]["totalprice_sum"])
     amp = results["cow"]["bytes_written"] / max(1, results["mor"]["bytes_written"])
+    # the same measurement for UPDATE (versioned_update cow vs mor):
+    # SET o_totalprice += 1000 on the same spread predicate
+    upd = {}
+    for mode in ("cow", "mor"):
+        path = tempfile.mkdtemp(prefix=f"updamp_{mode}_")
+        root = os.path.abspath(path)
+        V.versioned_write(li.repartitionByRange(16, "o_orderkey"), path)
+        before = _snapshot(root)
+        t0 = time.time()
+        V.versioned_update(
+            spark,
+            path,
+            pred,
+            {"o_totalprice": F.col("o_totalprice") + 1000.0},
+            mor=(mode == "mor"),
+        )
+        wall = time.time() - t0
+        new = _snapshot(root) - before
+        qsum = (
+            V.versioned_read(spark, path)
+            .agg(F.sum("o_totalprice").alias("s"))
+            .collect()[0]["s"]
+        )
+        upd[mode] = {
+            "wall_sec": round(wall, 2),
+            "bytes_written": _bytes_of(root, new),
+            "data_files_written": len(
+                {f for f in new if f.endswith(".parquet") and f.startswith("data/")}
+            ),
+            "totalprice_sum": float(qsum),
+        }
+    assert abs(
+        upd["cow"]["totalprice_sum"] - upd["mor"]["totalprice_sum"]
+    ) < 1e-6 * abs(upd["cow"]["totalprice_sum"])
+    upd_amp = upd["cow"]["bytes_written"] / max(1, upd["mor"]["bytes_written"])
     out = {
         "sf_dir": sf_dir,
         "rows": n_rows,
@@ -120,6 +155,9 @@ def main() -> None:
         "cow": results["cow"],
         "mor": results["mor"],
         "bytes_amplification_cow_over_mor": round(amp, 1),
+        "update_cow": upd["cow"],
+        "update_mor": upd["mor"],
+        "update_bytes_amplification": round(upd_amp, 1),
     }
     print(json.dumps(out))
     print(
