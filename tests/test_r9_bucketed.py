@@ -160,6 +160,42 @@ def test_bucket_spec_guards(spark, tmp_path):
         versioned_set_partitioning(spark, a, ["va"])
 
 
+def test_append_race_inherits_winners_bucket_spec(spark, tmp_path, monkeypatch):
+    # OCC: our plain append races a rival OVERWRITE that declares a
+    # bucket spec; the losing attempt must re-lay out its staged files
+    # under the winner's spec so the all-files-bucketed invariant holds
+    path = str(tmp_path / "t")
+    df0 = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 3).alias("va"))
+    versioned_write(df0, path)  # v1: plain
+
+    rival = spark.range(1000, 1500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("va")
+    )
+    real_publish = V._publish
+    state = {"first": True}
+
+    def rigged(path_, manifest):
+        if state["first"]:
+            state["first"] = False
+            monkeypatch.setattr(V, "_publish", real_publish)
+            versioned_write(rival, path, bucket_by=(["k"], 8))  # v2 wins
+            return real_publish(path_, manifest)
+        return real_publish(path_, manifest)
+
+    monkeypatch.setattr(V, "_publish", rigged)
+    appended = spark.range(2000, 2050).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("va")
+    )
+    v = versioned_write(appended, path, mode="append")
+    assert v == 3
+    pm = V._read_manifest(path, 3)
+    assert V._bucket_of(pm) == {"columns": ["k"], "n": 8}
+    # the re-laid-out append is bucket-pure: SPJ machinery works on v3
+    agg = versioned_bucketed_scan(spark, path).groupBy("k").count()
+    assert _shuffles(_plan(agg)) == 0
+    assert agg.count() == 550  # rival overwrote v1; append survives
+
+
 def test_bucketed_scan_after_rename_keeps_spj(spark, tmp_path):
     # column mapping: rename the bucket column; the spec records the
     # stable PHYSICAL name, the scan surfaces the logical one
