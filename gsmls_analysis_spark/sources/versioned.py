@@ -4207,6 +4207,11 @@ def table_detail(
     avg_file = size_bytes // len(files) if files else 0
     p2l = _mapping_of(pm)
     part_cols = [p2l.get(c, c) for c in (pm.get("partition_by") or [])]
+    bspec = _bucket_of(pm)
+    bucket_cols = (
+        ",".join(p2l.get(c, c) for c in bspec["columns"]) if bspec else None
+    )
+    bucket_n = int(bspec["n"]) if bspec else None
     reasons = []
     if deleted_fraction is not None and deleted_fraction >= dv_fraction_threshold:
         reasons.append(
@@ -4246,6 +4251,8 @@ def table_detail(
             StructField("num_dv_files", LongType()),
             StructField("avg_file_bytes", LongType()),
             StructField("partition_columns", StringType()),
+            StructField("bucket_columns", StringType()),
+            StructField("bucket_n", LongType()),
             StructField("num_stat_segments", LongType()),
             StructField("needs_optimize", BooleanType()),
             StructField("optimize_reason", StringType()),
@@ -4263,6 +4270,8 @@ def table_detail(
         len(dvs),
         int(avg_file),
         ",".join(part_cols),
+        bucket_cols,
+        bucket_n,
         len(pm.get("stats_segments") or []),
         bool(reasons),
         "; ".join(reasons) or None,

@@ -160,6 +160,25 @@ def test_bucket_spec_guards(spark, tmp_path):
         versioned_set_partitioning(spark, a, ["va"])
 
 
+def test_table_detail_reports_bucket_spec(spark, tmp_path):
+    from gsmls_analysis_spark.sources.versioned import (
+        table_detail,
+        versioned_rename_column,
+    )
+
+    a, _b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    row = table_detail(spark, a).collect()[0]
+    assert row["bucket_columns"] == "k"
+    assert row["bucket_n"] == 8
+    versioned_rename_column(spark, a, "k", "key")
+    row2 = table_detail(spark, a).collect()[0]
+    assert row2["bucket_columns"] == "key"  # logical name surfaces
+    plain = str(tmp_path / "plain")
+    versioned_write(spark.range(5).select(F.col("id").alias("k")), plain)
+    row3 = table_detail(spark, plain).collect()[0]
+    assert row3["bucket_columns"] is None and row3["bucket_n"] is None
+
+
 def test_append_race_inherits_winners_bucket_spec(spark, tmp_path, monkeypatch):
     # OCC: our plain append races a rival OVERWRITE that declares a
     # bucket spec; the losing attempt must re-lay out its staged files
