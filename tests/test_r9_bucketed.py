@@ -133,6 +133,33 @@ def test_compact_rebuckets_and_materializes_dvs(spark, tmp_path):
     assert versioned_join_bucketed(spark, a, b, on=["k"]).count() == 450
 
 
+def test_scoped_optimize_on_bucketed_table(spark, tmp_path):
+    # OPTIMIZE ... WHERE composes with bucketing: only the in-scope
+    # files rewrite, re-hashed into bucket-pure files; the invariant
+    # and the zero-exchange plan survive
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    versioned_write(
+        spark.range(1000, 1100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+        ),
+        a,
+        mode="append",
+    )
+    versioned_delete_dv(spark, a, F.col("k").between(1000, 1009))
+    versioned_compact(spark, a, where=F.col("k") >= 1000)
+    pm = V._read_manifest(a, 4)
+    assert V._bucket_of(pm)
+    # in-scope vectors materialized by the rewrite
+    assert not {
+        f for f in (pm.get("dvs") or {})
+    }, "scoped rewrite should materialize the scoped files' vectors"
+    sa = versioned_bucketed_scan(spark, a).hint("merge")
+    sb = versioned_bucketed_scan(spark, b)
+    plan = _plan(sa.join(sb, on=["k"]))
+    assert _no_shuffle_join(plan), plan
+    assert versioned_bucketed_scan(spark, a).count() == 1090
+
+
 def test_bucket_spec_guards(spark, tmp_path):
     a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
     df = spark.range(10).select(
