@@ -289,6 +289,42 @@ def test_mor_merge_occ_race_vs_append(spark, tmp_path, monkeypatch):
     assert versioned_read(spark, path).count() == 40 + 1 + 2
 
 
+def test_concurrent_dv_writers_converge(spark, tmp_path):
+    # REAL-thread OCC stress on the r9 executor-side DV assembly: four
+    # concurrent merge-on-read deletes with disjoint predicates — losers
+    # re-execute against the winner's snapshot, vectors merge
+    # monotonically, and the final state equals the serial result
+    import threading
+
+    path = str(tmp_path / "t")
+    versioned_write(
+        spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("lane")
+        ).repartition(4),
+        path,
+    )
+    errors: list[Exception] = []
+
+    def deleter(lane: int) -> None:
+        try:
+            versioned_delete_dv(
+                spark, path, (F.col("lane") == lane) & (F.col("k") < 2000)
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=deleter, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert V.table_versions(path)[-1] == 5  # one commit each, serialized
+    assert versioned_read(spark, path).count() == 2000
+    pm = V._read_manifest(path, 5)
+    assert sum(e["count"] for e in pm["dvs"].values()) == 2000
+
+
 # ---------------------------------------------------------------------------
 # Enforcement (task 2): wide DV delete never collects row-granular data
 # ---------------------------------------------------------------------------
