@@ -1,0 +1,108 @@
+"""CDC-cadence decay: what N consecutive merge-on-read MERGE batches
+do to a table — and what OPTIMIZE recovers.
+
+MoR merges trade write amplification (93-155x measured,
+docs/MERGE_AMP.md) for accumulating deletion vectors and per-batch
+appended files.  This measures the OPERATIONAL consequence at CDC
+cadence: after each of N batches (each updating ~0.2% of keys,
+hash-spread) record live files, DV'd rows, full-scan wall, and whether
+`table_detail` has tripped its needs-OPTIMIZE advisory; then run
+OPTIMIZE once and record the recovery.
+
+Usage: python tools/measure_cdc_decay.py [sf_dir] [n_batches]
+Prints one JSON line; a human-readable table goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+from gsmls_analysis_spark.sources.catalog import load_table  # noqa: E402
+
+
+def _detail(spark, path):
+    r = V.table_detail(spark, path).collect()[0]
+    return {
+        "files": int(r["num_files"]),
+        "dv_rows": int(r["num_deleted_rows"]),
+        "needs_optimize": bool(r["needs_optimize"]),
+    }
+
+
+def _scan_sec(spark, path) -> float:
+    t0 = time.time()
+    V.versioned_read(spark, path).agg(
+        F.sum("o_totalprice").alias("s")
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("cdc-decay")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="cdc_decay_")
+    V.versioned_write(orders.repartitionByRange(16, "o_orderkey"), path)
+    _scan_sec(spark, path)  # warm
+    base_scan = _scan_sec(spark, path)
+    steps = []
+    t_total = 0.0
+    for i in range(1, n_batches + 1):
+        batch = orders.filter(
+            F.abs(F.hash(F.col("o_orderkey") + F.lit(i * 7919))) % 997 < 2
+        ).withColumn("o_totalprice", F.col("o_totalprice") + float(i))
+        t0 = time.time()
+        V.versioned_merge(spark, path, batch, on=["o_orderkey"], mor=True)
+        t_commit = round(time.time() - t0, 3)
+        t_total += t_commit
+        if i in (1, 5, 10, 15, n_batches):
+            d = _detail(spark, path)
+            d.update(
+                {"batch": i, "commit_sec": t_commit, "scan_sec": _scan_sec(spark, path)}
+            )
+            steps.append(d)
+    t0 = time.time()
+    V.versioned_compact(spark, path)
+    t_opt = round(time.time() - t0, 3)
+    after = _detail(spark, path)
+    after.update({"scan_sec": _scan_sec(spark, path), "optimize_sec": t_opt})
+    out = {
+        "sf_dir": sf_dir,
+        "n_batches": n_batches,
+        "base_scan_sec": base_scan,
+        "total_merge_sec": round(t_total, 2),
+        "steps": steps,
+        "after_optimize": after,
+    }
+    print(json.dumps(out))
+    for s in steps:
+        print(
+            f"batch {s['batch']:>3}: files {s['files']:>3}, dv_rows "
+            f"{s['dv_rows']:>6}, scan {s['scan_sec']}s, commit "
+            f"{s['commit_sec']}s, needs_optimize={s['needs_optimize']}",
+            file=sys.stderr,
+        )
+    print(
+        f"OPTIMIZE {t_opt}s -> files {after['files']}, dv_rows "
+        f"{after['dv_rows']}, scan {after['scan_sec']}s "
+        f"(base {base_scan}s)",
+        file=sys.stderr,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
