@@ -420,6 +420,7 @@ def stream_to_versioned_merge(
     app_id: str | None = None,
     matched_condition: str | None = None,
     bloom_cols: list[str] | None = None,
+    mor: bool = False,
 ) -> None:
     """Exactly-once streaming CDC APPLY: maintain a keyed current-state
     table by upserting each micro-batch through
@@ -441,7 +442,12 @@ def stream_to_versioned_merge(
     100 TB shape: each batch's merge rewrites only key-matching files
     (manifest range prune + semi-join discovery); state lives in the
     table, not in streaming state; readers get atomic per-batch
-    visibility and snapshot isolation mid-stream."""
+    visibility and snapshot isolation mid-stream.  ``mor=True`` applies
+    each batch MERGE-ON-READ (versioned_merge(mor=True)): matched rows
+    DV-mark in place and only post-images/inserts append — the
+    write-amp win docs/MERGE_AMP.md measured (93-155x), at CDC cadence
+    where it matters most; pair with OPTIMIZE when table_detail's
+    advisory trips (decay curve: docs/CDC_DECAY.md)."""
     from ..operators.dedup import keep_last_dedup
     from ..sources.versioned import (
         committed_meta,
@@ -483,6 +489,7 @@ def stream_to_versioned_merge(
                 on=on,
                 matched_condition=matched_condition,
                 meta={"txn": txn},
+                mor=mor,
             )
 
     os.makedirs(table_path, exist_ok=True)

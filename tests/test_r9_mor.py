@@ -289,6 +289,47 @@ def test_mor_merge_occ_race_vs_append(spark, tmp_path, monkeypatch):
     assert versioned_read(spark, path).count() == 40 + 1 + 2
 
 
+def test_stream_cdc_apply_mor(spark, tmp_path):
+    # the streaming CDC applier runs each micro-batch MERGE-ON-READ:
+    # same converged state as the COW applier, but batch 2+ grows DVs
+    # and appends post-images instead of rewriting matched files
+    from gsmls_analysis_spark.streaming.ingest import stream_to_versioned_merge
+
+    src_dir = tmp_path / "cdc"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k long, seq long, v string"
+    ).coalesce(1).write.parquet(str(src_dir / "f0.parquet"))
+    spark.createDataFrame(
+        [(2, 5, "B"), (9, 5, "new")], "k long, seq long, v string"
+    ).coalesce(1).write.parquet(str(src_dir / "f1.parquet"))
+    table = str(tmp_path / "state")
+    sdf = (
+        spark.readStream.schema("k long, seq long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    stream_to_versioned_merge(
+        sdf,
+        table,
+        on=["k"],
+        order_col="seq",
+        checkpoint=str(tmp_path / "ckpt"),
+        matched_condition="s.seq > t.seq",
+        mor=True,
+    )
+    got = {r["k"]: r["v"] for r in versioned_read(spark, table).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "new"}
+    vlast = V.table_versions(table)[-1]
+    pm = V._read_manifest(table, vlast)
+    assert sum(e["count"] for e in (pm.get("dvs") or {}).values()) == 1
+    f1 = V._expand_files(os.path.abspath(table), V._entries(V._read_manifest(table, 1)))
+    assert set(f1) <= set(
+        V._expand_files(os.path.abspath(table), V._entries(pm))
+    )  # batch-0 files carried by reference, never rewritten
+
+
 def test_concurrent_dv_writers_converge(spark, tmp_path):
     # REAL-thread OCC stress on the r9 executor-side DV assembly: four
     # concurrent merge-on-read deletes with disjoint predicates — losers
