@@ -140,6 +140,60 @@ def test_envelope_self_heals_on_legacy_manifest(
     assert raw2["stats_complete"] is True
 
 
+def test_envelope_pvals_prune_partitioned_table(
+    spark, tmp_path, small_segments, monkeypatch
+):
+    # partitioned table: each append is one partition value; segment
+    # envelopes carry the pvals UNION, so an equality predicate on the
+    # partition column skips other partitions' segments before opening
+    path = str(tmp_path / "t")
+    for p in range(5):
+        df = spark.range(40).select(
+            (F.col("id") + 100 * p).alias("k"), F.lit(p).alias("p")
+        ).coalesce(1)
+        versioned_write(
+            df, path, mode="append" if p else "overwrite", partition_by=["p"]
+        )
+    vlast = V.table_versions(path)[-1]
+    raw = json.load(open(os.path.join(path, f"manifest-v{vlast}.json")))
+    assert any(
+        "pvals" in env for env in raw["stats_segment_meta"].values()
+    )
+    calls = _count_loads(monkeypatch)
+    m, loaded, total = _read_manifest_pruned(spark, path, vlast, F.col("p") == 3)
+    assert total >= 5
+    assert loaded < total
+    got = versioned_read(spark, path, predicate=F.col("p") == 3).count()
+    assert got == 40
+
+
+def test_mor_update_respects_constraints(spark, tmp_path):
+    # CHECK constraints enforce on the MoR post-image readback: a
+    # violating assignment aborts, nothing is committed
+    from gsmls_analysis_spark.sources.versioned import (
+        ConstraintViolationError,
+        versioned_add_constraint,
+        versioned_update,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(
+        spark.range(50).select(F.col("id").alias("k"), (F.col("id") + 10).alias("v")),
+        path,
+    )
+    versioned_add_constraint(spark, path, "v_pos", "v >= 0")
+    with pytest.raises(ConstraintViolationError):
+        versioned_update(
+            spark, path, F.col("k") < 5, {"v": F.lit(-1).cast("long")}, mor=True
+        )
+    assert V.table_versions(path)[-1] == 2  # nothing committed
+    versioned_update(
+        spark, path, F.col("k") < 5, {"v": F.col("v") + 1000}, mor=True
+    )
+    got = versioned_read(spark, path).agg(F.sum("v")).collect()[0][0]
+    assert got == sum(i + 10 for i in range(50)) + 5 * 1000
+
+
 def test_envelope_shape_is_sound(small_segments):
     env = V._segment_envelope(
         {
