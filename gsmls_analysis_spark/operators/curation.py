@@ -958,3 +958,149 @@ def shard_manifest(
         .alias("content_hash"),
         F.min_by(F.col(key_col), F.col("shard_order")).alias("first_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: crawl-corpus identity (dedup key + domain controls)
+# ---------------------------------------------------------------------------
+
+# Multi-label public suffixes this engine recognizes (a PSL subset large
+# enough for the synthetic corpus and unit fixtures; a production table
+# would broadcast the full Mozilla list as a dimension — same plan shape).
+MULTI_LABEL_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "gov.uk",
+    "com.au",
+    "net.au",
+    "org.au",
+    "co.jp",
+    "co.nz",
+    "com.br",
+)
+
+# Tracking parameters stripped by canonicalization (utm_* is a prefix
+# family; the rest are exact keys).
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def synthesize_doc_urls(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic crawl URLs for the ``documents`` table —
+    one per doc, exercising every canonicalization hazard: mixed-case
+    scheme and host, optional ``WWW.`` prefix, explicit DEFAULT ports
+    (``:80``/``:443``, junk) vs a real ``:8080`` (signal), trailing
+    slashes, unsorted query params, ``utm_source`` tracking junk,
+    fragments, multi-label public suffixes, and a no-query case.  Pure
+    JVM expressions; the oracle rebuilds the same string in SQL."""
+    i = F.col(id_col).cast("long")
+    scheme = F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    www = F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    host = F.concat(
+        F.lit("Site"),
+        (i % 13).cast("string"),
+        F.element_at(
+            F.array(
+                F.lit(".co.uk"),
+                F.lit(".org.uk"),
+                F.lit(".com.au"),
+                F.lit(".com"),
+                F.lit(".com"),
+            ),
+            (i % 5 + 1).cast("int"),
+        ),
+    )
+    port = (
+        F.when((i % 7 == 0) & (i % 2 == 0), F.lit(":80"))
+        .when((i % 7 == 0) & (i % 2 == 1), F.lit(":443"))
+        .when(i % 7 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        (i % 17).cast("string"),
+        F.when(i % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(i % 23 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("?"),
+            F.when(i % 6 == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+            F.lit("b="),
+            (i % 7).cast("string"),
+            F.lit("&a="),
+            (i % 11).cast("string"),
+        )
+    )
+    frag = F.when(i % 9 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return df.withColumn(
+        "url", F.concat(scheme, F.lit("://"), www, host, port, path, query, frag)
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (pay-level) domain of a lowercase host: the last TWO
+    labels, or the last THREE when the trailing two form a multi-label
+    public suffix (``co.uk`` family) — the key crawl pipelines group,
+    cap, and rate-limit by (plain eTLD+1; no PSL wildcard rules)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    suffix_hit = last2.isin(*MULTI_LABEL_SUFFIXES)
+    return F.when(
+        (n >= 3) & suffix_hit,
+        F.concat_ws(".", F.element_at(parts, -3), last2),
+    ).otherwise(F.when(n >= 2, last2).otherwise(host))
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization — the identity function of every crawl
+    corpus (dedup keys, per-domain caps, robots grouping all hang off
+    it).  Adds ``canon_url``, ``host`` (canonical) and ``reg_domain``:
+
+    - scheme and host lowercased; leading ``www.`` stripped
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+      any other explicit port KEPT (it names a different origin)
+    - trailing slashes stripped from the path (root collapses to '')
+    - query params: tracking junk removed (``utm_*``, fbclid, gclid,
+      msclkid, ref), remainder SORTED bytewise and re-joined — param
+      order never distinguishes resources; empty query drops the '?'
+    - fragment dropped (client-side only)
+
+    Pure JVM expressions end to end (``parse_url`` + higher-order
+    array functions — no UDF, whole-stage codegen), so at 100 TB this
+    is a free map stage fused into the scan."""
+    u = F.col(url_col)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    authority = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(
+        F.when(scheme == "https", F.lit("443")).otherwise(F.lit(""))
+    )
+    keep_port = (port != "") & (port != default_port)
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    raw_q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(raw_q, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    query = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        query,
+    )
+    return df.withColumn("canon_url", canon).withColumn(
+        "host", host
+    ).withColumn("reg_domain", registered_domain(host))

@@ -814,6 +814,78 @@ def decode_wav_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def frame_audio_features(assets: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Frame-level audio analysis — the decode → window → per-frame
+    features shape every speech/audio training pipeline runs before
+    VAD, silence trimming, or feature extraction.  Decodes RIFF/WAVE
+    payloads executor-side and explodes each asset into its full
+    ``frame_len``-sample frames (the ragged tail is dropped — fixed
+    frames are what downstream models consume), emitting EXACT integer
+    statistics per frame so a SQL oracle can replay the synthesis rule:
+
+    - ``sum_sq``: frame energy as Σ s², int64 (RMS without the float)
+    - ``peak_abs``: max |s|
+    - ``zero_crossings``: count of i in the frame interior where
+      ``s[i-1] < 0`` differs from ``s[i] < 0`` (zero counts as
+      non-negative; frame-LOCAL — no cross-frame edge, so frames are
+      independently recomputable)
+
+    1 row → N rows inside mapInPandas (Arrow-batched, vectorized
+    numpy over a reshaped (n_frames, frame_len) view — no Python
+    per-sample loop); payloads never reach the driver.  Undecodable
+    payloads are dropped (quarantine upstream via decode_media)."""
+    if frame_len < 2:
+        raise ValueError(f"frame_len must be >= 2, got {frame_len}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _rate, pcm = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                n = len(pcm) // frame_len
+                if n == 0:
+                    continue
+                w = pcm[: n * frame_len].astype("int64").reshape(n, frame_len)
+                neg = w < 0
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "asset_id": np.full(n, int(asset_id)),
+                            "frame_idx": np.arange(n, dtype="int64"),
+                            "sum_sq": (w * w).sum(axis=1),
+                            "peak_abs": np.abs(w).max(axis=1),
+                            "zero_crossings": (
+                                neg[:, 1:] != neg[:, :-1]
+                            ).sum(axis=1, dtype="int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(dtype="int64"),
+                        "frame_idx": pd.Series(dtype="int64"),
+                        "sum_sq": pd.Series(dtype="int64"),
+                        "peak_abs": pd.Series(dtype="int64"),
+                        "zero_crossings": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run,
+        "asset_id long, frame_idx long, sum_sq long, peak_abs long, "
+        "zero_crossings long",
+    )
+
+
 def synthesize_wav_assets(
     df: DataFrame, id_col: str, n_samples_col: str, sample_rate: int = 8000
 ) -> DataFrame:
@@ -860,6 +932,122 @@ def _bilinear(np, px, w: int, h: int, width: int, height: int):
     out = top * (1 - fy) + bot * fy
     return np.ascontiguousarray(
         np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    )
+
+
+def _lanczos_axis_matrix(np, src: int, dst: int) -> "np.ndarray":
+    """Dense (dst, src) Lanczos-3 resampling matrix for one axis:
+    half-pixel centers, antialias (the kernel stretches by the scale
+    factor when downscaling, the PIL/OpenCV-area convention), taps
+    outside the image CLAMP to the edge pixel (their weight accumulates
+    on the border column), and each row is normalized by its full
+    window sum so the matrix has exact partition of unity — a constant
+    image resamples to itself."""
+    scale = src / dst
+    s = max(scale, 1.0)
+    r = 3.0 * s
+    m = np.zeros((dst, src), dtype=np.float64)
+    for X in range(dst):
+        sx = (X + 0.5) * scale - 0.5
+        lo = int(np.ceil(sx - r))
+        hi = int(np.floor(sx + r))
+        taps = np.arange(lo, hi + 1, dtype=np.float64)
+        t = (sx - taps) / s
+        k = np.where(np.abs(t) < 3.0, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+        k /= k.sum()
+        np.add.at(m[X], np.clip(np.arange(lo, hi + 1), 0, src - 1), k)
+    return m
+
+
+def _lanczos(np, px, w: int, h: int, width: int, height: int):
+    """Separable Lanczos-3 resample (see ``_lanczos_axis_matrix``).
+    Rounds via floor(v + 0.5) — the engine-portable half-up rule a SQL
+    oracle can replicate with ``floor(x + 0.5)`` (the bilinear leg's
+    round-half-even has no single-function SQL equivalent)."""
+    mx = _lanczos_axis_matrix(np, w, width)
+    my = _lanczos_axis_matrix(np, h, height)
+    out = np.einsum("Yy,yxc,Xx->YXc", my, px.astype(np.float64), mx)
+    return np.ascontiguousarray(
+        np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    )
+
+
+def synthesize_impulse_bmp_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Executor-side synthesis of IMPULSE BMPs for the Lanczos oracle:
+    per doc, a 16×8 gray image of value 60 with a single 160-valued
+    pixel at ``(xi, yi) = (1 + id % 14, 1 + id % 6)`` — strictly
+    interior, so after edge-clamping exactly ONE kernel tap reads the
+    impulse and every resampled pixel is the closed form
+    ``60 + 100·ux(X,xi)·uy(Y,yi)`` with ux/uy the normalized Lanczos
+    weights, which a SQL oracle recomputes from sin() alone.  The
+    impulse amplitude keeps ringing inside [0, 255]: no clamping."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid in pdf["_id"]:
+                did = int(rid)
+                w, h = 16, 8
+                img = np.full((h, w, 3), 60, dtype=np.uint8)
+                img[1 + did % 6, 1 + did % 14, :] = 160
+                ids.append(did)
+                payloads.append(encode_bmp(w, h, img.tobytes()))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
+
+
+def decode_bmp_pixels(assets: DataFrame) -> DataFrame:
+    """Decode BMP payloads and EXPLODE to one row per pixel
+    ``(asset_id, x, y, b, g, r)`` — the pixel-exact readback shape the
+    resampler oracles compare against (stronger than channel means:
+    any single-pixel weight error breaks the hash).  Undecodable
+    payloads are dropped; quarantine upstream if the error matters."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                except ValueError:
+                    continue
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "asset_id": np.full(w * h, int(asset_id)),
+                            "x": xx.ravel().astype("int32"),
+                            "y": yy.ravel().astype("int32"),
+                            "b": px[:, :, 0].ravel().astype("int64"),
+                            "g": px[:, :, 1].ravel().astype("int64"),
+                            "r": px[:, :, 2].ravel().astype("int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(dtype="int64"),
+                        "x": pd.Series(dtype="int32"),
+                        "y": pd.Series(dtype="int32"),
+                        "b": pd.Series(dtype="int64"),
+                        "g": pd.Series(dtype="int64"),
+                        "r": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "asset_id long, x int, y int, b long, g long, r long"
     )
 
 
@@ -915,7 +1103,14 @@ def resize_media(
     weights, round-half-even.  Deterministic and engine-portable; for
     a LINEAR gradient image bilinear interpolation reproduces the
     gradient exactly, which is what the oracle query exploits
-    (synthesize_gradient_bmp_assets).  Lanczos remains future work.
+    (synthesize_gradient_bmp_assets).
+
+    ``method='lanczos'`` (r9): separable Lanczos-3, half-pixel
+    centers, ANTIALIAS (kernel stretched by the scale factor on
+    downscale — the PIL convention), edge-clamped taps, rows
+    normalized to exact partition of unity, floor(v+0.5) rounding so
+    a SQL oracle using only sin()/floor() replicates every pixel
+    (synthesize_impulse_bmp_assets + decode_bmp_pixels).
 
     Undecodable payloads are dropped (quarantine them upstream via
     decode_media if the error detail matters)."""
@@ -936,8 +1131,10 @@ def resize_media(
     decode, encode = codecs[codec]
     if width < 1 or height < 1:
         raise ValueError(f"target size must be positive, got {width}x{height}")
-    if method not in ("nearest", "bilinear"):
-        raise ValueError(f"method must be nearest|bilinear, got {method!r}")
+    if method not in ("nearest", "bilinear", "lanczos"):
+        raise ValueError(
+            f"method must be nearest|bilinear|lanczos, got {method!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -953,6 +1150,8 @@ def resize_media(
                     xs = (np.arange(width) * w) // width
                     ys = (np.arange(height) * h) // height
                     out = np.ascontiguousarray(px[np.ix_(ys, xs)])
+                elif method == "lanczos":
+                    out = _lanczos(np, px, w, h, width, height)
                 else:
                     out = _bilinear(np, px, w, h, width, height)
                 ids.append(asset_id)

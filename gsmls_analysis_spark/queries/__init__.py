@@ -49,6 +49,9 @@ _DRIVER_WINDOW = [
     "q_versioned_spj_join",  # storage-partitioned (bucketed) join
     "q_multimodal_jpeg_progressive",  # SOF2 multi-scan decode
     "q_multimodal_resize_bilinear",  # interpolating resample leg
+    "q_multimodal_resize_lanczos",  # Lanczos-3, pixel-exact impulse oracle
+    "q_multimodal_audio_frames",  # frame-level audio energy/ZCR
+    "q_url_canonical_dedup",  # URL canonicalization + eTLD+1 + cap rank
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed

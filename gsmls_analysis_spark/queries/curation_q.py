@@ -1322,3 +1322,65 @@ def q_secrets_scan(spark, sf_dir):
     return secrets_scan(planted, "text").select(
         "doc_id", "n_secrets", "secret_kinds", "redacted"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + registered domain + per-domain cap rank
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_url_canonical_dedup",
+    oracle="""
+WITH canon AS (
+  SELECT d.doc_id, d.n_chars,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+    || '://site' || CAST(doc_id % 13 AS VARCHAR)
+    || CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.org.uk'
+            WHEN 2 THEN '.com.au' ELSE '.com' END
+    || CASE WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END
+    || '/p/' || CAST(doc_id % 17 AS VARCHAR)
+    || CASE WHEN doc_id % 23 = 0 THEN ''
+            ELSE '?a=' || CAST(doc_id % 11 AS VARCHAR)
+              || '&b=' || CAST(doc_id % 7 AS VARCHAR) END AS canon_url,
+    'site' || CAST(doc_id % 13 AS VARCHAR)
+    || CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.org.uk'
+            WHEN 2 THEN '.com.au' ELSE '.com' END AS reg_domain
+  FROM documents d
+)
+SELECT doc_id, canon_url, reg_domain,
+       CAST(row_number() OVER (PARTITION BY reg_domain
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS domain_rank
+FROM canon
+""",
+    doc="URL CANONICALIZATION — the identity key of a crawl corpus "
+    "(curation.py::canonicalize_urls + registered_domain): synthetic "
+    "per-doc URLs exercising every hazard (mixed-case scheme/host, "
+    "WWW. prefix, explicit default :80/:443 vs a kept :8080, trailing "
+    "slashes, unsorted params, utm_source junk, fragments, co.uk-"
+    "family multi-label suffixes, a no-query case) are canonicalized "
+    "with parse_url + higher-order array functions (pure JVM, no UDF) "
+    "and keyed to their eTLD+1; domain_rank is the per-registered-"
+    "domain quality rank (n_chars DESC) a per-domain cap keeps top-K "
+    "of.  The oracle computes the expected CANONICAL string in closed "
+    "form from the synthesis rule — the raw URL writes params b-"
+    "before-a, so the a-first oracle string proves the bytewise sort "
+    "ran; every case fold, port drop, slash strip, and junk-param "
+    "filter is load-bearing for the hash.",
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    from ..operators.curation import canonicalize_urls, synthesize_doc_urls
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    canon = canonicalize_urls(synthesize_doc_urls(docs))
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return canon.select(
+        "doc_id",
+        "canon_url",
+        "reg_domain",
+        F.row_number().over(w).cast("long").alias("domain_rank"),
+    )

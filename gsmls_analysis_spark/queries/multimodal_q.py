@@ -459,6 +459,120 @@ def q_multimodal_resize_bilinear(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_audio_frames",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 379 + 64 AS n FROM documents
+), s AS (
+  SELECT d.doc_id, t.i // 64 AS frame_idx, t.i AS i,
+         (d.doc_id * 31 + t.i * 7) % 2048 - 1024 AS v
+  FROM dims d, range(0, 443) t(i)
+  WHERE t.i < (d.n // 64) * 64
+)
+SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN i % 64 > 0 AND
+                 ((v < 0) <> ((doc_id * 31 + (i - 1) * 7) % 2048 - 1024 < 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM s GROUP BY doc_id, frame_idx
+""",
+    doc="frame-level AUDIO ANALYSIS end-to-end (multimodal.py::"
+    "frame_audio_features): real RIFF/WAVE payloads (same encoded "
+    "corpus as q_multimodal_wav_decode, sample rule "
+    "(id*31 + i*7) mod 2048 - 1024, n = id%379+64 samples) are "
+    "decoded and EXPLODED into full 64-sample frames with exact "
+    "integer per-frame energy (sum of squares), peak amplitude, and "
+    "frame-local zero-crossing counts — the decode -> window -> "
+    "features shape a speech pipeline runs before VAD/silence "
+    "trimming, as 1-row -> N-row vectorized mapInPandas with the "
+    "ragged tail dropped.  The oracle replays the synthesis rule "
+    "per sample in SQL (all-integer — no float boundary), so any "
+    "framing, off-by-one, sign, or tail-handling bug breaks the hash.",
+)
+def q_multimodal_audio_frames(spark, sf_dir):
+    from ..operators.multimodal import frame_audio_features, synthesize_wav_assets
+
+    dims = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 379 + 64).alias("n"),
+        )
+    )
+    return frame_audio_features(
+        synthesize_wav_assets(dims, "doc_id", "n"), frame_len=64
+    )
+
+
+@query(
+    "q_multimodal_resize_lanczos",
+    oracle="""
+WITH wx AS (
+  SELECT X, j, CASE WHEN abs(sx - j) / 2.0 >= 3 THEN 0.0
+       ELSE (sin(pi()*(sx - j)/2.0)/(pi()*(sx - j)/2.0))
+          * (sin(pi()*(sx - j)/6.0)/(pi()*(sx - j)/6.0)) END AS kw
+  FROM (SELECT X, 2.0*X + 0.5 AS sx FROM range(0, 8) t(X)) g,
+       range(-6, 23) rj(j)
+  WHERE j >= ceil(sx - 6) AND j <= floor(sx + 6)
+), wxs AS (SELECT X, sum(kw) AS wsum FROM wx GROUP BY X),
+wy AS (
+  SELECT Y, j, CASE WHEN abs(sy - j) / 2.0 >= 3 THEN 0.0
+       ELSE (sin(pi()*(sy - j)/2.0)/(pi()*(sy - j)/2.0))
+          * (sin(pi()*(sy - j)/6.0)/(pi()*(sy - j)/6.0)) END AS kw
+  FROM (SELECT Y, 2.0*Y + 0.5 AS sy FROM range(0, 4) t(Y)) g,
+       range(-6, 15) rj(j)
+  WHERE j >= ceil(sy - 6) AND j <= floor(sy + 6)
+), wys AS (SELECT Y, sum(kw) AS wsum FROM wy GROUP BY Y),
+px AS (
+  SELECT d.doc_id, gx.X AS x, gy.Y AS y,
+         CAST(floor(60 + 100 * (coalesce(ux.kw, 0) / sx.wsum)
+                            * (coalesce(uy.kw, 0) / sy.wsum) + 0.5)
+              AS BIGINT) AS v
+  FROM (SELECT doc_id, 1 + doc_id % 14 AS xi, 1 + doc_id % 6 AS yi
+        FROM documents) d
+  CROSS JOIN range(0, 8) gx(X) CROSS JOIN range(0, 4) gy(Y)
+  JOIN wxs sx ON sx.X = gx.X JOIN wys sy ON sy.Y = gy.Y
+  LEFT JOIN wx ux ON ux.X = gx.X AND ux.j = d.xi
+  LEFT JOIN wy uy ON uy.Y = gy.Y AND uy.j = d.yi
+)
+SELECT doc_id AS asset_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+       v AS b, v AS g, v AS r
+FROM px
+""",
+    doc="LANCZOS-3 image resize end-to-end (multimodal.py::resize_media "
+    "method='lanczos', r9 — closes the r9-notes 'Lanczos remains "
+    "future work' gap): encode real 16x8 IMPULSE BMPs (gray 60 with a "
+    "single 160 pixel at interior (1+id%14, 1+id%6), "
+    "synthesize_impulse_bmp_assets) -> decode -> antialiased "
+    "half-pixel-center edge-clamped separable Lanczos-3 downscale to "
+    "8x4 -> re-encode -> decode to EXPLODED PIXELS.  The impulse "
+    "response of a linear resampler IS its kernel, so every output "
+    "pixel equals 60 + 100*ux*uy with ux/uy the normalized "
+    "sinc(t)sinc(t/3) weights — the oracle recomputes all 32 pixels "
+    "per doc from sin()/floor() alone (weights exhaustively certified "
+    "against numpy for all 42 reachable impulse positions in "
+    "tests/test_lanczos_audio.py).  Any tap-window, antialias-stretch, "
+    "clamp, normalization, or rounding bug shifts pixels and breaks "
+    "the hash; ringing (negative lobes) stays in-range by "
+    "construction, so clipping never masks a weight error.",
+)
+def q_multimodal_resize_lanczos(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_bmp_pixels,
+        resize_media,
+        synthesize_impulse_bmp_assets,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    assets = synthesize_impulse_bmp_assets(docs, "doc_id")
+    return decode_bmp_pixels(
+        resize_media(assets, 8, 4, codec="bmp", method="lanczos")
+    )
+
+
+@query(
     "q_multimodal_jpeg_progressive",
     oracle="""
 WITH dims AS (

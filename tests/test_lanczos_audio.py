@@ -1,0 +1,220 @@
+"""Round-9 (cont.): Lanczos-3 resampling and frame-level audio features.
+
+The Lanczos tests certify the kernel against first principles — a naive
+direct-convolution reference, the partition-of-unity (constant-image)
+property, impulse-response symmetry, and an EXHAUSTIVE replay of the
+q_multimodal_resize_lanczos oracle formula for every reachable impulse
+position — so the SQL oracle and the numpy matmul can never drift
+silently.  The audio tests pin the framing contract (full frames only,
+frame-local zero crossings) against hand-computed values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.multimodal import (
+    _lanczos,
+    _lanczos_axis_matrix,
+    decode_bmp,
+    decode_bmp_pixels,
+    encode_bmp,
+    encode_wav,
+    frame_audio_features,
+    resize_media,
+    synthesize_impulse_bmp_assets,
+)
+
+
+def _naive_lanczos_axis(src: int, dst: int) -> np.ndarray:
+    """Direct per-tap reference: no vectorization, no np.sinc."""
+    import math
+
+    scale = src / dst
+    s = max(scale, 1.0)
+    m = np.zeros((dst, src))
+    for X in range(dst):
+        sx = (X + 0.5) * scale - 0.5
+        lo = math.ceil(sx - 3 * s)
+        hi = math.floor(sx + 3 * s)
+        ws, js = [], []
+        for j in range(lo, hi + 1):
+            t = (sx - j) / s
+            if abs(t) >= 3:
+                w = 0.0
+            elif t == 0:
+                w = 1.0
+            else:
+                w = (
+                    math.sin(math.pi * t)
+                    / (math.pi * t)
+                    * math.sin(math.pi * t / 3)
+                    / (math.pi * t / 3)
+                )
+            ws.append(w)
+            js.append(min(max(j, 0), src - 1))
+        tot = sum(ws)
+        for w, j in zip(ws, js):
+            m[X, j] += w / tot
+    return m
+
+
+def test_axis_matrix_matches_naive_reference():
+    for src, dst in ((16, 8), (8, 4), (10, 7), (5, 9), (7, 7), (64, 3)):
+        got = _lanczos_axis_matrix(np, src, dst)
+        want = _naive_lanczos_axis(src, dst)
+        assert np.allclose(got, want, atol=1e-12), (src, dst)
+        # partition of unity: every row sums to exactly ~1
+        assert np.allclose(got.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_constant_image_is_preserved_exactly():
+    img = np.full((8, 16, 3), 77, dtype=np.uint8)
+    for W, H in ((8, 4), (16, 8), (32, 16), (5, 3)):
+        out = _lanczos(np, img, 16, 8, W, H)
+        assert out.shape == (H, W, 3)
+        assert (out == 77).all(), (W, H)
+
+
+def test_upscale_uses_unstretched_kernel():
+    # scale < 1 -> s = 1: the 2x upscale of an impulse has the classic
+    # 6-tap Lanczos-3 footprint per axis, symmetric about the impulse.
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[4, 4, :] = 255
+    out = _lanczos(np, img.astype(np.uint8), 8, 8, 16, 16).astype(int)
+    # centers sx = X/2 - 0.25 put X=8 and X=9 at distance 0.25 either
+    # side of the impulse column 4: the response is mirror-symmetric
+    assert (out[:, 8, 0] == out[:, 9, 0]).all()
+    assert (out[8, :, 0] == out[9, :, 0]).all()
+    assert out.max() > 200  # peak survives
+    assert out.min() == 0  # ringing clipped at 0 somewhere
+
+
+def test_exhaustive_oracle_replay_all_impulse_positions():
+    """Replays the q_multimodal_resize_lanczos oracle formula (DuckDB
+    SQL, sin()/floor() only) for all 42 reachable (xi, yi) impulse
+    positions and compares every output pixel with the numpy path —
+    the certification the driver-gate hash match rests on."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+WITH wx AS (
+  SELECT X, j, CASE WHEN abs(sx - j) / 2.0 >= 3 THEN 0.0
+       ELSE (sin(pi()*(sx - j)/2.0)/(pi()*(sx - j)/2.0))
+          * (sin(pi()*(sx - j)/6.0)/(pi()*(sx - j)/6.0)) END AS kw
+  FROM (SELECT X, 2.0*X + 0.5 AS sx FROM range(0, 8) t(X)) g,
+       range(-6, 23) rj(j)
+  WHERE j >= ceil(sx - 6) AND j <= floor(sx + 6)
+), wxs AS (SELECT X, sum(kw) AS wsum FROM wx GROUP BY X),
+wy AS (
+  SELECT Y, j, CASE WHEN abs(sy - j) / 2.0 >= 3 THEN 0.0
+       ELSE (sin(pi()*(sy - j)/2.0)/(pi()*(sy - j)/2.0))
+          * (sin(pi()*(sy - j)/6.0)/(pi()*(sy - j)/6.0)) END AS kw
+  FROM (SELECT Y, 2.0*Y + 0.5 AS sy FROM range(0, 4) t(Y)) g,
+       range(-6, 15) rj(j)
+  WHERE j >= ceil(sy - 6) AND j <= floor(sy + 6)
+), wys AS (SELECT Y, sum(kw) AS wsum FROM wy GROUP BY Y)
+SELECT d.xi, d.yi, gx.X, gy.Y,
+  CAST(floor(60 + 100 * (coalesce(ux.kw, 0) / sx.wsum)
+                     * (coalesce(uy.kw, 0) / sy.wsum) + 0.5) AS BIGINT)
+FROM (SELECT DISTINCT 1 + i % 14 AS xi, 1 + i % 6 AS yi
+      FROM range(0, 42) t(i)) d
+CROSS JOIN range(0, 8) gx(X) CROSS JOIN range(0, 4) gy(Y)
+JOIN wxs sx ON sx.X = gx.X JOIN wys sy ON sy.Y = gy.Y
+LEFT JOIN wx ux ON ux.X = gx.X AND ux.j = d.xi
+LEFT JOIN wy uy ON uy.Y = gy.Y AND uy.j = d.yi
+"""
+    ).fetchall()
+    expected = {(xi, yi, X, Y): v for xi, yi, X, Y, v in rows}
+    seen = set()
+    for did in range(42):
+        xi, yi = 1 + did % 14, 1 + did % 6
+        assert (xi, yi) not in seen
+        seen.add((xi, yi))
+        img = np.full((8, 16, 3), 60, dtype=np.uint8)
+        img[yi, xi, :] = 160
+        out = _lanczos(np, img, 16, 8, 8, 4)
+        for Y in range(4):
+            for X in range(8):
+                assert out[Y, X, 0] == expected[(xi, yi, X, Y)], (xi, yi, X, Y)
+    assert len(seen) == 42
+
+
+def test_resize_media_lanczos_spark_roundtrip(spark):
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    assets = synthesize_impulse_bmp_assets(df, "doc_id")
+    px = decode_bmp_pixels(
+        resize_media(assets, 8, 4, codec="bmp", method="lanczos")
+    ).toPandas()
+    assert len(px) == 6 * 8 * 4
+    # gray in, gray out
+    assert (px["b"] == px["g"]).all() and (px["g"] == px["r"]).all()
+    # background far from the impulse is (rounded) flat 60
+    assert px["b"].min() >= 50 and px["b"].max() <= 170
+
+
+def test_resize_media_rejects_unknown_method(spark):
+    df = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+    assets = synthesize_impulse_bmp_assets(df, "doc_id")
+    with pytest.raises(ValueError, match="nearest|bilinear|lanczos"):
+        resize_media(assets, 4, 4, codec="bmp", method="bicubic")
+
+
+def test_decode_bmp_pixels_drops_undecodable(spark):
+    good = encode_bmp(2, 2, bytes(range(12)))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"nope"))],
+        "asset_id long, payload binary",
+    )
+    px = decode_bmp_pixels(df).toPandas()
+    assert set(px["asset_id"]) == {1}
+    assert len(px) == 4
+    # spot-check pixel (x=1, y=0): BGR bytes 3,4,5
+    row = px[(px.x == 1) & (px.y == 0)].iloc[0]
+    assert (row.b, row.g, row.r) == (3, 4, 5)
+
+
+# ---------------------------------------------------------------- audio
+
+
+def test_frame_audio_features_hand_computed(spark):
+    # 5 samples, frame_len=2 -> 2 full frames, sample 4 dropped
+    pcm = np.array([3, -4, 0, -1, 9], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_wav(pcm)))], "asset_id long, payload binary"
+    )
+    out = (
+        frame_audio_features(df, frame_len=2)
+        .toPandas()
+        .sort_values("frame_idx")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    # frame 0: [3, -4] -> sum_sq 25, peak 4, one sign change
+    assert tuple(out.loc[0, ["sum_sq", "peak_abs", "zero_crossings"]]) == (25, 4, 1)
+    # frame 1: [0, -1] -> zero is non-negative -> one crossing
+    assert tuple(out.loc[1, ["sum_sq", "peak_abs", "zero_crossings"]]) == (1, 1, 1)
+
+
+def test_frame_audio_features_zero_crossing_is_frame_local(spark):
+    # boundary sign change between frames must NOT count
+    pcm = np.array([5, 5, -5, -5], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(pcm)))], "asset_id long, payload binary"
+    )
+    out = frame_audio_features(df, frame_len=2).toPandas()
+    assert out["zero_crossings"].sum() == 0
+
+
+def test_frame_audio_features_short_and_bad_payloads(spark):
+    pcm = np.array([1], dtype=np.int16)  # shorter than one frame
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(pcm))), (2, bytearray(b"junk"))],
+        "asset_id long, payload binary",
+    )
+    assert frame_audio_features(df, frame_len=2).count() == 0
+    with pytest.raises(ValueError, match="frame_len"):
+        frame_audio_features(df, frame_len=1)

