@@ -1104,3 +1104,55 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("canon_url", canon).withColumn(
         "host", host
     ).withColumn("reg_domain", registered_domain(host))
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization: NFC + control strip + whitespace collapse
+# ---------------------------------------------------------------------------
+
+
+def unicode_normalize_text(
+    df: DataFrame, text_col: str, form: str = "NFC"
+) -> DataFrame:
+    """Unicode TEXT NORMALIZATION — the first pass of every multilingual
+    corpus pipeline (mixed NFC/NFD crawls hash-split identical words;
+    stray control bytes poison tokenizers).  Adds ``norm_text`` and
+    ``changed``:
+
+    1. canonical composition (``unicodedata.normalize(form)`` —
+       decomposed e+COMBINING ACUTE becomes the single codepoint)
+    2. C0/DEL control characters stripped (tab/newline survive as
+       whitespace: ``[\\x00-\\x08\\x0B-\\x1F\\x7F]``)
+    3. ASCII whitespace runs collapsed to one space (the RE2 ``\\s``
+       class — engine-portable, no Unicode-space surprises)
+    4. leading/trailing spaces stripped
+
+    Unicode tables are the one text job Spark has no built-in for, so
+    this is an Arrow-batched pandas leg (``Series.str.normalize`` —
+    vectorized ICU-shaped work, not a per-row Python loop); everything
+    around it stays JVM.  Step order is part of the contract: the SQL
+    oracle replays the same four steps with DuckDB's nfc_normalize."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            s = pdf["__text"].astype("string").fillna("")
+            norm = (
+                s.str.normalize(form)
+                .str.replace(r"[\x00-\x08\x0B-\x1F\x7F]", "", regex=True)
+                .str.replace(r"[\t\n\f\r ]+", " ", regex=True)
+                .str.strip(" ")
+            )
+            out = pdf.drop(columns=["__text"])
+            out["norm_text"] = norm
+            out["changed"] = (norm != s).astype("boolean")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return (
+        df.withColumn("__text", F.col(text_col))
+        .mapInPandas(run, schema + ", norm_text string, changed boolean")
+    )

@@ -1161,3 +1161,120 @@ def resize_media(
     return assets.select("asset_id", "payload").mapInPandas(
         run, "asset_id long, payload binary"
     )
+
+
+def synthesize_impulse_wav_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Executor-side synthesis of IMPULSE WAVs for the resampler oracle:
+    per doc, ``n = 2·(id % 190 + 32)`` zero samples (always EVEN, so an
+    8000→4000 Hz conversion is an exact 2× decimation with constant
+    kernel phase) with a single 8000-valued sample at the interior
+    position ``k = 3 + id % (n − 6)``.  The impulse response of a
+    linear resampler is its kernel, so every output sample has the
+    closed form ``round(8000·L(d/2)/W0)`` with d the half-integer
+    source-space offset — SQL-computable from sin() alone."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid in pdf["_id"]:
+                did = int(rid)
+                n = 2 * (did % 190 + 32)
+                pcm = np.zeros(n, dtype="<i2")
+                pcm[3 + did % (n - 6)] = 8000
+                ids.append(did)
+                payloads.append(encode_wav(pcm, 8000))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
+
+
+def resample_audio(assets: DataFrame, dst_rate: int) -> DataFrame:
+    """Audio SAMPLE-RATE CONVERSION — the resample-to-16k shape every
+    speech pipeline runs before feature extraction.  Decodes RIFF/WAVE
+    payloads, applies the same windowed-sinc (Lanczos-3) machinery as
+    the image path in one dimension (``_lanczos_axis_matrix``:
+    half-pixel centers, antialias stretch on downsample, edge-clamped
+    taps, exact partition of unity — DC offset preserved), rounds
+    floor(v+0.5), clips to int16, and RE-ENCODES at ``dst_rate`` — the
+    output is again a WAV asset column, so resampling composes with
+    every other audio operator.
+
+    Output length is ``floor(n·dst/src)``.  The dense-matrix multiply
+    is O(n·out_len) per asset — right for the second-scale clips a
+    training corpus holds (and for the oracle's exactness); hour-scale
+    audio would swap in a polyphase FIR of the same kernel, an
+    executor-side detail behind the same operator signature.
+    Undecodable or empty payloads are dropped."""
+    if dst_rate < 1:
+        raise ValueError(f"dst_rate must be positive, got {dst_rate}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    src_rate, pcm = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                out_len = len(pcm) * dst_rate // src_rate
+                if out_len == 0:
+                    continue
+                m = _lanczos_axis_matrix(np, len(pcm), out_len)
+                out = m @ pcm.astype(np.float64)
+                res = np.clip(
+                    np.floor(out + 0.5), -32768, 32767
+                ).astype("<i2")
+                ids.append(asset_id)
+                payloads.append(encode_wav(res, dst_rate))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "asset_id long, payload binary"
+    )
+
+
+def decode_wav_samples(assets: DataFrame) -> DataFrame:
+    """Decode WAV payloads and EXPLODE to one row per sample
+    ``(asset_id, idx, v)`` — the sample-exact readback the resampler
+    oracle compares against.  Undecodable payloads are dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _rate, pcm = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "asset_id": np.full(len(pcm), int(asset_id)),
+                            "idx": np.arange(len(pcm), dtype="int64"),
+                            "v": pcm.astype("int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(dtype="int64"),
+                        "idx": pd.Series(dtype="int64"),
+                        "v": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "asset_id long, idx long, v long"
+    )

@@ -52,6 +52,10 @@ _DRIVER_WINDOW = [
     "q_multimodal_resize_lanczos",  # Lanczos-3, pixel-exact impulse oracle
     "q_multimodal_audio_frames",  # frame-level audio energy/ZCR
     "q_url_canonical_dedup",  # URL canonicalization + eTLD+1 + cap rank
+    "q_multimodal_audio_resample",  # windowed-sinc sample-rate conversion
+    "q_unicode_normalize",  # NFC + control strip + whitespace collapse
+    "q_format_roundtrip_orc",  # ORC write/read + pruned aggregate
+    "q_format_roundtrip_jsonl",  # JSONL scan with dead-letter quarantine
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed
@@ -96,17 +100,12 @@ _DRIVER_WINDOW = [
     "q_image_phash_dups",
     "q_multimodal_resize",
     # (d) remaining slots: representative cumulative greens in
-    # registration order (TPC-H core + dedup/text/ANN families)
+    # registration order (TPC-H core + dedup/text/ANN families).
+    # Session-2 additions above consumed 7 (d) slots to keep the
+    # window at exactly 50 (accounting in docs/ROUND9_NOTES.md).
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_nation_revenue",
-    "q06_forecast_revenue",
-    "q_keep_last_dedup",
-    "q_golden_record",
-    "q_minhash_lsh_pairs",
-    "q_ivf_topk",
-    "q_token_stats",
-    "q_lang_id",
 ]
 
 _DRIVER_WINDOW_R7 = [
@@ -207,6 +206,7 @@ def load_all() -> dict[str, QueryDef]:
         "tpch_extra_q",
         "tpch_full_q",
         "warehouse_q",
+        "formats_q",
     ):
         # import errors must be LOUD: a silently-skipped module would drop
         # every query it registers from the driver's correctness run.

@@ -1384,3 +1384,64 @@ def q_url_canonical_dedup(spark, sf_dir):
         "reg_domain",
         F.row_number().over(w).cast("long").alias("domain_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC + control strip + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unicode_normalize",
+    oracle="""
+WITH built AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' Cafee' || chr(769) ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN chr(7) || 'bell' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '  twin  spaces ' ELSE '' END AS raw
+  FROM documents
+), norm AS (
+  SELECT doc_id, raw,
+    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+         '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+         '\\s+', ' ', 'g'), ' ') AS norm_text
+  FROM built
+)
+SELECT doc_id, norm_text, (norm_text <> raw) AS changed
+FROM norm
+""",
+    doc="UNICODE NORMALIZATION -- the first pass of a multilingual "
+    "corpus pipeline (curation.py::unicode_normalize_text): per-doc "
+    "text is salted JVM-side with three hazards (a DECOMPOSED "
+    "e+COMBINING-ACUTE that NFC must fold to one codepoint, a C0 "
+    "control byte that must be stripped, double-spacing that must "
+    "collapse), then normalized via the Arrow-batched pandas "
+    "Series.str.normalize leg -- the one text job Spark has no "
+    "built-in for.  The oracle builds the identical salted string in "
+    "SQL and normalizes it INDEPENDENTLY with DuckDB's ICU-backed "
+    "nfc_normalize + RE2 replaces, so the two engines' Unicode "
+    "tables, step order, and whitespace classes must all agree for "
+    "the hash to match.",
+)
+def q_unicode_normalize(spark, sf_dir):
+    from ..operators.curation import unicode_normalize_text
+
+    i = F.col("doc_id")
+    # hazard strings built with chr() so this source file stays ASCII
+    decomposed = " Cafee" + chr(0x0301)  # e + COMBINING ACUTE (NFD form)
+    control = chr(0x07) + "bell"  # C0 BEL, must be stripped
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.lit(decomposed)).otherwise(F.lit("")),
+            F.when(i % 4 == 0, F.lit(control)).otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit("  twin  spaces ")).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    return unicode_normalize_text(docs, "raw", form="NFC").select(
+        "doc_id",
+        "norm_text",
+        (F.col("norm_text") != F.col("raw")).alias("changed"),
+    )

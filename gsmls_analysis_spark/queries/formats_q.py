@@ -1,0 +1,105 @@
+"""File-format roundtrip queries: ORC and JSON-lines through Spark's
+built-in datasources — the format legs of the S-family scan surface
+(parquet is every other query; CSV-with-quarantine is unit-covered in
+sources/io.py::csv_read_quarantine).  Each query WRITES real files to a
+scratch dir, reads them back with the production reader options, and
+aggregates, so serializer, reader, schema projection, and corrupt-record
+channel are all load-bearing for the oracle hash."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+
+@query(
+    "q_format_roundtrip_orc",
+    oracle="""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY source, lang
+""",
+    doc="ORC format roundtrip (Spark's second built-in columnar "
+    "format): documents are written as zlib ORC to scratch, read back "
+    "with an aggregate whose projection prunes to 4 of the columns, "
+    "and grouped.  The oracle aggregates the original parquet -- any "
+    "type mapping, compression, or reader-projection defect in either "
+    "ORC leg changes the hash.  Scale note: the plan pushes the "
+    "column pruning into the ORC scan exactly as for parquet "
+    "(ReadSchema shows the 4-column subset).",
+)
+def q_format_roundtrip_orc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    docs.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "q_format_roundtrip_jsonl",
+    oracle="""
+WITH lines AS (
+  SELECT CASE WHEN doc_id % 97 = 0 THEN NULL ELSE source END AS source,
+         CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END AS n_chars,
+         (doc_id % 97 = 0) AS bad
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+FROM lines
+GROUP BY source
+""",
+    doc="JSON-lines scan with DEAD-LETTER QUARANTINE (the crawl-dump "
+    "ingest shape): every doc becomes one JSON line -- except each "
+    "97th, which is written syntactically TRUNCATED -- the files are "
+    "read back with an explicit schema in PERMISSIVE mode, and "
+    "corrupt lines surface in _corrupt_record (grouping under a NULL "
+    "source) instead of killing the scan or silently vanishing.  The "
+    "oracle replays the corruption rule; the n_corrupt column pins "
+    "that every planted bad line was quarantined, and sum_chars pins "
+    "that no good line was.  JSONL is splittable, so at 100 TB each "
+    "executor parses its own byte range and the quarantine channel "
+    "stays a per-row column, never a driver-side error list.",
+)
+def q_format_roundtrip_jsonl(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    line = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("doc_id", "source", "n_chars")))
+    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.json(
+        path,
+        schema="doc_id long, source string, n_chars long, "
+        "_corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_corrupt"),
+    )

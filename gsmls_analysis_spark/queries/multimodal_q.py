@@ -505,6 +505,60 @@ def q_multimodal_audio_frames(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_audio_resample",
+    oracle="""
+WITH w0 AS (
+  SELECT 2 * SUM((sin(pi()*(m + 0.5)/2.0)/(pi()*(m + 0.5)/2.0))
+               * (sin(pi()*(m + 0.5)/6.0)/(pi()*(m + 0.5)/6.0))) AS wsum
+  FROM range(0, 6) t(m)
+), dims AS (
+  SELECT doc_id, 2 * (doc_id % 190 + 32) AS n FROM documents
+), imp AS (
+  SELECT doc_id, n, 3 + doc_id % (n - 6) AS k FROM dims
+), outx AS (
+  SELECT i.doc_id, t.X, (2.0 * t.X + 0.5 - i.k) AS d
+  FROM imp i, range(0, 222) t(X)
+  WHERE t.X < i.n // 2
+)
+SELECT doc_id AS asset_id, CAST(X AS BIGINT) AS idx,
+  CAST(floor(8000 * (CASE WHEN abs(d) / 2.0 >= 3 THEN 0.0
+      ELSE (sin(pi()*d/2.0)/(pi()*d/2.0))
+         * (sin(pi()*d/6.0)/(pi()*d/6.0)) END) / o.wsum + 0.5)
+    AS BIGINT) AS v
+FROM outx, w0 o
+""",
+    doc="audio SAMPLE-RATE CONVERSION end-to-end (multimodal.py::"
+    "resample_audio): real RIFF/WAVE impulse clips (n = 2*(id%190+32) "
+    "zeros with one 8000-valued sample at interior k = 3 + id%(n-6), "
+    "synthesize_impulse_wav_assets) are decoded, resampled 8000 -> "
+    "4000 Hz through the SAME Lanczos-3 machinery as the image path "
+    "in one dimension (antialias stretch, edge clamp, partition of "
+    "unity), re-encoded at the new rate, and decoded back to EXPLODED "
+    "SAMPLES.  An exact 2x decimation keeps constant kernel phase: "
+    "every source-space offset d = 2X+0.5-k is a half-integer, so the "
+    "whole transform evaluates the kernel at 12 fixed points and the "
+    "oracle recomputes every output sample as "
+    "floor(8000*L(d/2)/W0 + 0.5) from sin()/floor() alone.  Any "
+    "phase, window, normalization, clamp, or re-encode bug breaks "
+    "the hash; negative sinc lobes appear verbatim in the output "
+    "(values near -480), proving signed samples survive the WAV "
+    "round trip.",
+)
+def q_multimodal_audio_resample(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_wav_samples,
+        resample_audio,
+        synthesize_impulse_wav_assets,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    assets = synthesize_impulse_wav_assets(docs, "doc_id")
+    return decode_wav_samples(resample_audio(assets, dst_rate=4000))
+
+
+@query(
     "q_multimodal_resize_lanczos",
     oracle="""
 WITH wx AS (

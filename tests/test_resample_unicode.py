@@ -1,0 +1,126 @@
+"""Audio sample-rate conversion and Unicode normalization units: the
+behaviors the synthetic corpora can't reach — DC preservation through
+resampling, upsampling, rate round-trips, NFD/NFKC forms, and null text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.curation import unicode_normalize_text
+from gsmls_analysis_spark.operators.multimodal import (
+    decode_wav,
+    decode_wav_samples,
+    encode_wav,
+    resample_audio,
+    synthesize_impulse_wav_assets,
+)
+
+
+def _wav_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(encode_wav(np.asarray(s, dtype=np.int16), rate)))
+         for i, (s, rate) in enumerate(rows)],
+        "asset_id long, payload binary",
+    )
+
+
+def test_resample_preserves_dc(spark):
+    # constant signal -> constant signal (partition of unity), half length
+    df = _wav_df(spark, [([1000] * 64, 8000)])
+    out = decode_wav_samples(resample_audio(df, 4000)).toPandas()
+    assert len(out) == 32
+    assert (out["v"] == 1000).all()
+
+
+def test_resample_output_rate_and_upsample_length(spark):
+    df = _wav_df(spark, [([0, 100] * 32, 8000)])
+    res = resample_audio(df, 16000).toPandas()
+    rate, pcm = decode_wav(bytes(res.loc[0, "payload"]))
+    assert rate == 16000
+    assert len(pcm) == 128  # 64 * 16000 // 8000
+
+
+def test_resample_drops_bad_and_tiny(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"junk")),
+         (2, bytearray(encode_wav(np.asarray([5], dtype=np.int16), 8000)))],
+        "asset_id long, payload binary",
+    )
+    # 1 sample at 8000 -> 4000 gives floor(1/2)=0 output samples: dropped
+    assert resample_audio(df, 4000).count() == 0
+    with pytest.raises(ValueError, match="dst_rate"):
+        resample_audio(df, 0)
+
+
+def test_resample_impulse_matches_kernel(spark):
+    # one impulse doc through the full Spark path equals the direct
+    # matrix row: sample X = round(8000 * M[X, k])
+    from gsmls_analysis_spark.operators.multimodal import _lanczos_axis_matrix
+
+    df = spark.range(5, 6).withColumnRenamed("id", "doc_id")
+    assets = synthesize_impulse_wav_assets(df, "doc_id")
+    out = (
+        decode_wav_samples(resample_audio(assets, 4000))
+        .toPandas()
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+    did = 5
+    n = 2 * (did % 190 + 32)
+    k = 3 + did % (n - 6)
+    m = _lanczos_axis_matrix(np, n, n // 2)
+    want = np.floor(8000 * m[:, k] + 0.5).astype(int)
+    assert len(out) == n // 2
+    assert (out["v"].to_numpy() == want).all()
+    assert out["v"].min() < 0  # negative sinc lobes survive the round trip
+
+
+# ------------------------------------------------------------- unicode
+
+
+def _norm(spark, texts, form="NFC"):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    out = unicode_normalize_text(df, "t", form=form).orderBy("i").toPandas()
+    return list(out["norm_text"]), list(out["changed"])
+
+
+def test_nfc_composes_and_nfd_decomposes(spark):
+    decomposed = "Cafe" + chr(0x0301)
+    composed = "Caf" + chr(0xE9)
+    got, changed = _norm(spark, [decomposed])
+    assert got[0] == composed and changed[0]
+    got, changed = _norm(spark, [composed], form="NFD")
+    assert got[0] == decomposed and changed[0]
+
+
+def test_nfkc_folds_compatibility_forms(spark):
+    # ligature fi and fullwidth A are NFKC-only folds
+    got, _ = _norm(spark, [chr(0xFB01) + " " + chr(0xFF21)], form="NFKC")
+    assert got[0] == "fi A"
+
+
+def test_controls_stripped_tabs_collapse(spark):
+    raw = "a" + chr(0x07) + "b\t\tc\n d  e "
+    got, changed = _norm(spark, [raw])
+    assert got[0] == "ab c d e" and changed[0]
+
+
+def test_clean_ascii_unchanged(spark):
+    got, changed = _norm(spark, ["already clean"])
+    assert got[0] == "already clean" and not changed[0]
+
+
+def test_null_text_normalizes_to_empty(spark):
+    df = spark.createDataFrame([(1, None)], "i long, t string")
+    out = unicode_normalize_text(df, "t").toPandas()
+    assert out.loc[0, "norm_text"] == ""
+
+
+def test_unknown_form_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "i long, t string")
+    with pytest.raises(ValueError, match="normalization form"):
+        unicode_normalize_text(df, "t", form="NFX")
