@@ -56,6 +56,7 @@ _DRIVER_WINDOW = [
     "q_unicode_normalize",  # NFC + control strip + whitespace collapse
     "q_format_roundtrip_orc",  # ORC write/read + pruned aggregate
     "q_format_roundtrip_jsonl",  # JSONL scan with dead-letter quarantine
+    "q_format_roundtrip_csv",  # typed CSV scan, field-level salvage
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed
@@ -105,7 +106,6 @@ _DRIVER_WINDOW = [
     # window at exactly 50 (accounting in docs/ROUND9_NOTES.md).
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q05_nation_revenue",
 ]
 
 _DRIVER_WINDOW_R7 = [

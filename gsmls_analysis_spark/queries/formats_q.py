@@ -1,10 +1,9 @@
-"""File-format roundtrip queries: ORC and JSON-lines through Spark's
-built-in datasources — the format legs of the S-family scan surface
-(parquet is every other query; CSV-with-quarantine is unit-covered in
-sources/io.py::csv_read_quarantine).  Each query WRITES real files to a
-scratch dir, reads them back with the production reader options, and
-aggregates, so serializer, reader, schema projection, and corrupt-record
-channel are all load-bearing for the oracle hash."""
+"""File-format roundtrip queries: ORC, JSON-lines, and CSV through
+Spark's built-in datasources — the format legs of the S-family scan
+surface (parquet is every other query).  Each query WRITES real files
+to a scratch dir, reads them back with the production reader options,
+and aggregates, so serializer, reader, schema projection, and
+corrupt-record channel are all load-bearing for the oracle hash."""
 
 from __future__ import annotations
 
@@ -102,4 +101,56 @@ def q_format_roundtrip_jsonl(spark, sf_dir):
         F.sum(
             F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
         ).cast("long").alias("n_corrupt"),
+    )
+
+
+@query(
+    "q_format_roundtrip_csv",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN doc_id % 89 = 0 THEN NULL
+                               ELSE n_chars END), 0) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN doc_id % 89 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt
+FROM documents
+GROUP BY source
+""",
+    doc="typed CSV scan with DEAD-LETTER QUARANTINE (sources/io.py::"
+    "csv_read_quarantine, the S1 text-format leg): documents are "
+    "written as headerless CSV with each 89th row's numeric n_chars "
+    "replaced by a non-numeric token, read back through the "
+    "PERMISSIVE reader, and aggregated.  Spark's CSV salvage keeps "
+    "the PARSEABLE fields of a malformed row (doc_id and source "
+    "survive; only the failed numeric is null) while capturing the "
+    "raw line in _corrupt_record -- so corrupt rows group under their "
+    "REAL source with a null n_chars, which is exactly what the "
+    "oracle replays.  No row is dropped: n_rows per source matches "
+    "the clean table's count.",
+)
+def q_format_roundtrip_csv(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        F.col("source"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit("oops")).otherwise(
+            F.col("n_chars").cast("string")
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    from ..sources.io import csv_read_quarantine
+
+    back = csv_read_quarantine(
+        spark, path, "doc_id long, source string, n_chars long", header=False
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+        F.sum(F.when(F.col("quarantined"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
     )
