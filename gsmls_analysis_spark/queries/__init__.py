@@ -57,6 +57,7 @@ _DRIVER_WINDOW = [
     "q_format_roundtrip_orc",  # ORC write/read + pruned aggregate
     "q_format_roundtrip_jsonl",  # JSONL scan with dead-letter quarantine
     "q_format_roundtrip_csv",  # typed CSV scan, field-level salvage
+    "q_versioned_replace_where",  # Delta replaceWhere (selective overwrite)
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed
@@ -105,7 +106,6 @@ _DRIVER_WINDOW = [
     # Session-2 additions above consumed 7 (d) slots to keep the
     # window at exactly 50 (accounting in docs/ROUND9_NOTES.md).
     "q01_pricing_summary",
-    "q03_shipping_priority",
 ]
 
 _DRIVER_WINDOW_R7 = [

@@ -2655,3 +2655,58 @@ def q_versioned_dfp_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dec("o_totalprice"), "sum_price"),
     )
+
+
+@query(
+    "q_versioned_replace_where",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN year(o_orderdate) = 1995 THEN 'R'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+WHERE year(o_orderdate) IN (1994, 1995)
+  AND (year(o_orderdate) <> 1995 OR o_totalprice > 1000)
+""",
+    doc="selective overwrite -- Delta's replaceWhere (sources/"
+    "versioned.py::versioned_replace_where, the backfill/partition-"
+    "restatement primitive): orders are committed partitioned by "
+    "order year, then the 1995 slice is ATOMICALLY replaced by its "
+    "restatement (only totalprice > 1000, status restated to 'R') in "
+    "one commit -- delete side prunes to 1995's files via manifest "
+    "pvals and rewrites only those; every other year carries by "
+    "reference; incoming rows are ENFORCED to satisfy the predicate "
+    "(an out-of-region row raises instead of silently overwriting "
+    "data the caller said they weren't touching).  The final read "
+    "carries a partition IN-predicate, proving pvals survive the "
+    "replace.  Oracle: the equivalent CASE/filter over plain orders.",
+)
+def q_versioned_replace_where(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_read,
+        versioned_replace_where,
+        versioned_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_rw_")
+    versioned_write(orders, path, partition_by=["order_year"])
+    restated = (
+        orders.filter(
+            (F.col("order_year") == 1995) & (F.col("o_totalprice") > 1000)
+        ).withColumn("o_orderstatus", F.lit("R"))
+    )
+    versioned_replace_where(
+        spark, path, restated, F.col("order_year") == 1995, change_feed=True
+    )
+    return versioned_read(
+        spark, path, predicate=F.col("order_year").isin(1994, 1995)
+    )

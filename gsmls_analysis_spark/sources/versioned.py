@@ -2955,6 +2955,221 @@ def _delete_attempt(
     return version
 
 
+def versioned_replace_where(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    predicate: Column,
+    meta: dict | None = None,
+    change_feed: bool = False,
+) -> int:
+    """Selective overwrite — Delta's ``replaceWhere`` (the backfill /
+    partition-restatement primitive): in ONE atomic commit, rows
+    matching ``predicate`` are deleted and ``df``'s rows are inserted.
+    The canonical use is recomputing a time slice or partition: replace
+    WHERE month = X with the corrected recomputation of month X, while
+    concurrent readers see either the old slice or the new one, never a
+    gap or a mix.
+
+    Contract (Delta semantics, enforced): EVERY incoming row must
+    satisfy ``predicate`` — a row outside the replaced region would
+    make the commit a silent partial overwrite of data the caller said
+    they weren't touching; it raises instead.  Incoming columns must
+    match the table's logical schema (generated columns may be omitted
+    — they're computed; identity columns MUST be omitted — the
+    sequence assigns, and replaced rows' ids are NOT reused).  CHECK
+    constraints are enforced on the written files; ``change_feed=True``
+    records the deleted and inserted rows for the CDF stream source;
+    ``meta`` rides the txn ledger for idempotent replay.
+
+    Why this survives 100 TB: the delete side is the same
+    manifest-stats prune → skip-scan → rewrite-touched-only pipeline as
+    ``versioned_delete`` (a partition-scoped predicate touches only
+    that partition's files; everything else carries by reference), the
+    insert side is one REBALANCE-coalesced write (bucketed tables
+    re-hash through ``_write_data_dir``), and the swap is one manifest
+    publish.  Returns the new version number."""
+    return _with_occ_retry(
+        "versioned_replace_where",
+        lambda: _replace_where_attempt(
+            spark, path, df, predicate, meta, change_feed
+        ),
+    )
+
+
+def _replace_where_attempt(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    predicate: Column,
+    meta: dict | None,
+    change_feed: bool,
+) -> int:
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    parent = versions[-1]
+    root = os.path.abspath(path)
+    pm = _read_manifest(path, parent)
+    _check_writer_features(pm, path)
+    schema_json = pm.get("schema")
+    if not schema_json:
+        raise ValueError(f"table {path} records no schema; cannot replace")
+    phys_schema = StructType.fromJson(json.loads(schema_json))
+    table_schema = _logical_struct(pm)
+    idn = _identity_of(pm)
+    if idn and set(idn) & set(df.columns):
+        raise ValueError(
+            f"replace source provides identity column(s) "
+            f"{sorted(set(idn) & set(df.columns))} (GENERATED ALWAYS AS "
+            "IDENTITY — omit them; inserted rows are assigned the "
+            "sequence, and replaced rows' ids are never reused)"
+        )
+    gens = _generated_of(pm)
+    expected = [c for c in table_schema.names if c not in idn]
+    extra = sorted(set(df.columns) - set(expected))
+    missing = sorted(
+        set(expected) - set(df.columns) - set(gens)
+    )
+    if extra or missing:
+        raise ValueError(
+            "replaceWhere source schema mismatch: "
+            + (f"unknown columns {extra}; " if extra else "")
+            + (f"missing columns {missing}; " if missing else "")
+            + "schema evolution is not part of replaceWhere — evolve via "
+            "append/merge first"
+        )
+    # Delta's replaceWhere enforcement: a source row OUTSIDE the replaced
+    # region would silently overwrite data the caller said they weren't
+    # touching — refuse (NULL predicate counts as outside, like DELETE).
+    if df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).count():
+        raise ValueError(
+            "replaceWhere violation: incoming rows exist that do NOT "
+            "satisfy the replace predicate"
+        )
+    incoming = _apply_generated(df, pm)
+    if idn:
+        incoming = _apply_identity(incoming, idn)
+    # a declared-but-never-written identity column is not in the parent
+    # schema yet: this commit introduces it (appended last, like append
+    # mode does); survivors read it as NULL — ids only exist for rows
+    # written after the declaration
+    new_idn_cols = [c for c in sorted(idn) if c not in table_schema.names]
+    out_names = list(table_schema.names) + new_idn_cols
+    incoming = incoming.select(*out_names)
+    all_files = _expand_files(root, _entries(pm))
+    parent_stats = pm.get("stats") or {}
+    version = parent + 1
+    dvs = _load_dvs(root, pm)
+    touched: set[str] = set()
+    survivors = None
+    deleted = None
+    if all_files:
+        candidates = prune_candidate_files(spark, pm, all_files, predicate)
+        touched = _matching_files(
+            spark, root, candidates, predicate, phys_schema, dvs=dvs,
+            manifest=pm,
+        )
+    if touched:
+        cur = spark.read.schema(phys_schema).parquet(
+            *[os.path.join(root, f) for f in sorted(touched)]
+        )
+        touched_dvs = {f: v for f, v in dvs.items() if f in touched}
+        if touched_dvs:
+            cur = _apply_dvs(cur, spark, touched_dvs)
+        cur = _logical_view(cur, pm)
+        for c in new_idn_cols:
+            cur = cur.withColumn(c, F.lit(None).cast("long"))
+        cur = cur.select(*out_names)
+        survivors = cur.filter(~F.coalesce(predicate, F.lit(False)))
+        deleted = cur.filter(F.coalesce(predicate, F.lit(False)))
+    write_df = (
+        survivors.unionByName(incoming) if survivors is not None else incoming
+    )
+    if not _bucket_of(pm):
+        write_df = write_df.hint("rebalance")
+    token = _commit_token()
+    data_dir = f"data/v{version}-{token}"
+    cdf_dir = None
+    if change_feed:
+        changes = incoming.withColumn(CDF_CHANGE_COL, F.lit("insert"))
+        if deleted is not None:
+            changes = deleted.withColumn(
+                CDF_CHANGE_COL, F.lit("delete")
+            ).unionByName(changes)
+        cdf_dir = _write_cdf(root, version, _physical_view(changes, pm))
+    _write_data_dir(
+        _physical_view(write_df, pm), pm, os.path.join(root, data_dir)
+    )
+    cons = _constraints_of(pm)
+    if cons:
+        # surviving rows already satisfied the constraints; the readback
+        # can only trip on the incoming rows — enforced on the REAL
+        # written files so generated-column rules are proven too
+        _enforce_constraints(
+            _logical_view(
+                spark.read.schema(
+                    _physical_view(write_df, pm).schema
+                ).parquet(os.path.join(root, data_dir)),
+                pm,
+            ),
+            cons,
+            "versioned_replace_where",
+        )
+    new_dirs: list[str] = []
+    new_stats: dict = {}
+    if _expand_files(root, [data_dir]):
+        new_dirs = [data_dir]
+        new_stats = _collect_stats(
+            root,
+            [data_dir],
+            bloom_cols=_bloom_cols_of(pm),
+            pval_cols=pm.get("partition_by"),
+        )
+    untouched = [f for f in all_files if f not in touched]
+    schema_out = pm.get("schema")
+    if new_idn_cols:
+        # this commit introduced the identity column: extend the
+        # physical schema (physical name = logical; the column is new,
+        # so the no-reuse rule is trivially satisfied)
+        from pyspark.sql.types import LongType, StructField
+
+        schema_out = StructType(
+            list(phys_schema.fields)
+            + [StructField(c, LongType(), True) for c in new_idn_cols]
+        ).json()
+    manifest = _carry_table_props(
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": new_dirs,
+            "data_files": untouched,
+            "schema": schema_out,
+            "stats": {
+                **{f: parent_stats[f] for f in untouched if f in parent_stats},
+                **new_stats,
+            },
+            "txns": _merge_txns(pm, meta),
+        },
+        pm,
+    )
+    kept_dvs = {
+        f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
+    }
+    if kept_dvs:
+        manifest["dvs"] = kept_dvs
+    if idn and new_dirs:
+        manifest["identity"] = _advance_identity_safe(
+            spark, root, data_dir, idn, new_stats, _l2p_of(pm)
+        )
+    if cdf_dir:
+        manifest["cdf"] = [cdf_dir]
+    if meta:
+        manifest["meta"] = meta
+    _publish_or_race(path, manifest)
+    return version
+
+
 def versioned_update(
     spark: SparkSession,
     path: str,

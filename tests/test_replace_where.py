@@ -1,0 +1,194 @@
+"""versioned_replace_where (Delta's selective overwrite): atomicity,
+contract enforcement, CDF, constraints, generated/identity interplay,
+DV interplay, and the untouched-files-carry-by-reference invariant."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources.versioned import (
+    _entries,
+    _read_manifest,
+    table_changes,
+    table_versions,
+    versioned_delete_dv,
+    versioned_read,
+    versioned_replace_where,
+    versioned_add_constraint,
+    versioned_set_identity,
+    versioned_write,
+)
+
+
+def _base(spark, t, n=100, parts=4, partition_by=None):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % parts).alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    return versioned_write(
+        df, t, partition_by=partition_by or ["part"]
+    )
+
+
+def _repl(spark, part=2, lo=200, hi=210, mult=100):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(part).cast("long").alias("part"),
+        (F.col("id") * mult).alias("v"),
+    )
+
+
+def test_replace_where_swaps_only_the_region(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    v1 = _base(spark, t)
+    v2 = versioned_replace_where(
+        spark, t, _repl(spark), F.col("part") == 2
+    )
+    cur = versioned_read(spark, t).toPandas()
+    assert len(cur) == 75 + 10
+    assert sorted(cur[cur.part == 2].k) == list(range(200, 210))
+    # untouched regions byte-identical
+    assert sorted(cur[cur.part == 1].k) == list(range(1, 100, 4))
+    # snapshot isolation: v1 still sees the old slice
+    assert versioned_read(spark, t, version=v1).filter("part = 2").count() == 25
+    assert v2 == v1 + 1
+
+
+def test_replace_where_untouched_files_carry_by_reference(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    _base(spark, t)
+    pm1 = _read_manifest(t, table_versions(t)[-1])
+    versioned_replace_where(spark, t, _repl(spark), F.col("part") == 2)
+    pm2 = _read_manifest(t, table_versions(t)[-1])
+    carried = set(pm2.get("data_files") or [])
+    assert carried, "expected untouched files carried by reference"
+    # every carried entry is one of the parent's entries
+    parent_entries = set(_entries(pm1))
+    assert all(
+        any(c == e or c.startswith(e + "/") or c.startswith(e) for e in parent_entries)
+        or c in parent_entries
+        for c in carried
+    )
+
+
+def test_replace_where_rejects_out_of_region_rows(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    _base(spark, t)
+    bad = _repl(spark).withColumn("part", F.lit(3).cast("long"))
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        versioned_replace_where(spark, t, bad, F.col("part") == 2)
+    # NULL predicate counts as outside the region
+    nullp = _repl(spark).withColumn("part", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        versioned_replace_where(spark, t, nullp, F.col("part") == 2)
+
+
+def test_replace_where_rejects_schema_drift(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    _base(spark, t)
+    with pytest.raises(ValueError, match="unknown columns"):
+        versioned_replace_where(
+            spark, t, _repl(spark).withColumn("zzz", F.lit(1)),
+            F.col("part") == 2,
+        )
+    with pytest.raises(ValueError, match="missing columns"):
+        versioned_replace_where(
+            spark, t, _repl(spark).drop("v"), F.col("part") == 2
+        )
+
+
+def test_replace_where_cdf_records_delete_and_insert(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    v1 = _base(spark, t)
+    v2 = versioned_replace_where(
+        spark, t, _repl(spark), F.col("part") == 2, change_feed=True
+    )
+    ch = (
+        table_changes(spark, t, v1, v2)
+        .groupBy("_change")
+        .count()
+        .toPandas()
+        .set_index("_change")["count"]
+        .to_dict()
+    )
+    assert ch == {"delete": 25, "insert": 10}
+
+
+def test_replace_where_enforces_check_constraints(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    _base(spark, t)
+    versioned_add_constraint(spark, t, "v_nonneg", "v >= 0")
+    with pytest.raises(Exception, match="v_nonneg"):
+        versioned_replace_where(
+            spark, t, _repl(spark, mult=-1), F.col("part") == 2
+        )
+    # table unchanged after the refused commit
+    assert versioned_read(spark, t).count() == 100
+
+
+def test_replace_where_empty_source_is_a_delete(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    _base(spark, t)
+    empty = _repl(spark).filter(F.lit(False))
+    versioned_replace_where(spark, t, empty, F.col("part") == 2)
+    cur = versioned_read(spark, t)
+    assert cur.count() == 75
+    assert cur.filter("part = 2").count() == 0
+
+
+def test_replace_where_identity_assigns_and_never_reuses(spark):
+    t = tempfile.mkdtemp(prefix="rw_")
+    df = spark.range(0, 20).select(
+        (F.col("id") % 2).alias("part"), (F.col("id") * 10).alias("v")
+    )
+    versioned_write(df, t)
+    versioned_set_identity(spark, t, "rid")
+    # establish ids for existing rows via an append? ids exist only for
+    # rows written after declaration; replace a region and check inserts
+    repl = spark.range(0, 5).select(
+        F.lit(1).cast("long").alias("part"), (F.col("id") * 7).alias("v")
+    )
+    with pytest.raises(ValueError, match="identity"):
+        versioned_replace_where(
+            spark, t, repl.withColumn("rid", F.lit(1)), F.col("part") == 1
+        )
+    versioned_replace_where(spark, t, repl, F.col("part") == 1)
+    cur = versioned_read(spark, t).toPandas()
+    new_ids = cur[cur.part == 1]["rid"].tolist()
+    assert len(new_ids) == 5 and len(set(new_ids)) == 5
+    assert all(i is not None for i in new_ids)
+    hw1 = max(new_ids)
+    # a second replace of the same region assigns STRICTLY above
+    versioned_replace_where(spark, t, repl, F.col("part") == 1)
+    cur2 = versioned_read(spark, t).toPandas()
+    ids2 = cur2[cur2.part == 1]["rid"].tolist()
+    assert min(ids2) > hw1
+
+
+def test_replace_where_materializes_region_dvs(spark):
+    # rows already DV-deleted in the region must NOT resurrect, and
+    # survivors of partially-DV'd files keep their DV subtraction
+    t = tempfile.mkdtemp(prefix="rw_")
+    _base(spark, t, partition_by=None)
+    versioned_delete_dv(spark, t, (F.col("part") == 1) & (F.col("k") < 10))
+    assert versioned_read(spark, t).count() == 100 - 3  # k=1,5,9
+    versioned_replace_where(spark, t, _repl(spark), F.col("part") == 2)
+    cur = versioned_read(spark, t).toPandas()
+    assert len(cur) == 97 - 25 + 10
+    assert sorted(cur[(cur.part == 1) & (cur.k < 10)].k) == []
+
+
+def test_replace_where_meta_rides_txn_ledger(spark):
+    from gsmls_analysis_spark.sources.versioned import committed_meta
+
+    t = tempfile.mkdtemp(prefix="rw_")
+    _base(spark, t)
+    versioned_replace_where(
+        spark, t, _repl(spark), F.col("part") == 2, meta={"batch": "b7"}
+    )
+    assert "b7" in committed_meta(t, "batch")
