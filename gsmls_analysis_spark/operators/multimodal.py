@@ -1278,3 +1278,77 @@ def decode_wav_samples(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, "asset_id long, idx long, v long"
     )
+
+
+def transform_media(
+    assets: DataFrame, op: str, codec: str = "bmp"
+) -> DataFrame:
+    """Geometric/photometric image AUGMENTATION — the training-time ops a
+    vision data pipeline runs between decode and batch assembly:
+
+    - ``flip_h`` / ``flip_v``: mirror (pixel permutations — exactly
+      invertible, so an oracle recomputes every output pixel from the
+      synthesis rule with swapped coordinates)
+    - ``rot90`` / ``rot180`` / ``rot270``: right-angle rotations
+      (counter-clockwise; rot90/rot270 swap the output dimensions)
+    - ``grayscale``: integer BT.601 luma ``(299R + 587G + 114B + 500)
+      // 1000`` replicated to all channels — fixed-point arithmetic, so
+      the oracle is exact integer math (no float weights to disagree on)
+
+    Pixel permutations re-encode losslessly for BMP/PNG; decode →
+    transform → re-encode inside mapInPandas, payloads never on the
+    driver.  Undecodable payloads are dropped."""
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    codecs = {
+        "bmp": (decode_bmp, encode_bmp),
+        "png": (decode_png, encode_png),
+        "jpeg": (decode_jpeg, encode_jpeg),
+    }
+    if codec not in codecs:
+        raise NotImplementedError(f"transform supports {sorted(codecs)}")
+    ops = ("flip_h", "flip_v", "rot90", "rot180", "rot270", "grayscale")
+    if op not in ops:
+        raise ValueError(f"op must be one of {ops}, got {op!r}")
+    decode, encode = codecs[codec]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode(bytes(payload))
+                except ValueError:
+                    continue
+                if op == "flip_h":
+                    out = px[:, ::-1]
+                elif op == "flip_v":
+                    out = px[::-1, :]
+                elif op == "rot180":
+                    out = px[::-1, ::-1]
+                elif op == "rot90":  # counter-clockwise
+                    out = np.rot90(px, 1)
+                elif op == "rot270":
+                    out = np.rot90(px, 3)
+                else:  # grayscale: BT.601 integer luma.  BMP arrays are
+                    # BGR; the PNG/JPEG decoders return RGB — pick the
+                    # channel order per codec so the weights land right.
+                    c0, c2 = (0, 2) if codec == "bmp" else (2, 0)
+                    b = px[:, :, c0].astype(np.int64)
+                    g = px[:, :, 1].astype(np.int64)
+                    r = px[:, :, c2].astype(np.int64)
+                    y = (299 * r + 587 * g + 114 * b + 500) // 1000
+                    out = np.repeat(
+                        y[:, :, None].astype(np.uint8), 3, axis=2
+                    )
+                out = np.ascontiguousarray(out)
+                oh, ow = out.shape[0], out.shape[1]
+                ids.append(asset_id)
+                payloads.append(encode(ow, oh, out.tobytes()))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "asset_id long, payload binary"
+    )

@@ -58,6 +58,8 @@ _DRIVER_WINDOW = [
     "q_format_roundtrip_jsonl",  # JSONL scan with dead-letter quarantine
     "q_format_roundtrip_csv",  # typed CSV scan, field-level salvage
     "q_versioned_replace_where",  # Delta replaceWhere (selective overwrite)
+    "q_multimodal_augment",  # rot90+flip pixel-permutation augmentation
+    "q_multimodal_grayscale",  # BT.601 integer luma
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed
@@ -100,12 +102,11 @@ _DRIVER_WINDOW = [
     "q_multimodal_jpeg_decode",
     "q_multimodal_jpeg_decode_420",
     "q_image_phash_dups",
-    "q_multimodal_resize",
-    # (d) remaining slots: representative cumulative greens in
-    # registration order (TPC-H core + dedup/text/ANN families).
-    # Session-2 additions above consumed 7 (d) slots to keep the
-    # window at exactly 50 (accounting in docs/ROUND9_NOTES.md).
-    "q01_pricing_summary",
+    # Session-2 additions consumed every (d) slot and two (b) slots
+    # (q_multimodal_resize — its nearest path is unchanged and the
+    # method family is driver-covered via the lanczos/bilinear windows
+    # — and the last (d) representative q01).  Window stays exactly 50;
+    # accounting in docs/ROUND9_NOTES.md.
 ]
 
 _DRIVER_WINDOW_R7 = [

@@ -671,3 +671,85 @@ def q_multimodal_jpeg_progressive(spark, sf_dir):
         synthesize_jpeg_assets(docs, "doc_id", progressive=True),
         codec="jpeg",
     )
+
+
+def _rule_bmp_assets(spark, sf_dir):
+    from ..operators.multimodal import synthesize_bmp_assets
+
+    dims = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("n_chars") % 13 + 4).alias("w"),
+            (F.col("doc_id") % 7 + 2).alias("h"),
+        )
+    )
+    return synthesize_bmp_assets(dims, "doc_id", "w", "h")
+
+
+@query(
+    "q_multimodal_augment",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 13 + 4 AS w, doc_id % 7 + 2 AS h FROM documents
+)
+SELECT d.doc_id AS asset_id,
+       CAST(tx.x AS INT) AS x, CAST(ty.y AS INT) AS y,
+       (d.doc_id + (d.w - 1 - ty.y) + (d.h - 1 - tx.x)) % 256 AS b,
+       (d.doc_id + (d.w - 1 - ty.y) + (d.h - 1 - tx.x) + 1) % 256 AS g,
+       (d.doc_id + (d.w - 1 - ty.y) + (d.h - 1 - tx.x) + 2) % 256 AS r
+FROM dims d, range(0, 9) tx(x), range(0, 17) ty(y)
+WHERE tx.x < d.h AND ty.y < d.w
+""",
+    doc="image AUGMENTATION end-to-end (multimodal.py::transform_media): "
+    "rule-pixel BMPs ((id+x+y+c) mod 256) are decoded, rotated 90 "
+    "degrees counter-clockwise, horizontally mirrored, re-encoded, and "
+    "read back as EXPLODED PIXELS.  Right-angle rotations and flips "
+    "are pixel PERMUTATIONS (lossless through the BMP round trip), so "
+    "the oracle recomputes every output pixel in closed form with the "
+    "composed coordinate map out(x, y) = src(w-1-y, h-1-x) — any "
+    "direction, axis-order, or dimension-swap bug (the classic rot90 "
+    "w/h mixup) lands pixels at wrong coordinates and breaks the "
+    "hash.  Output dims swap: the rotated image is h wide, w tall.",
+)
+def q_multimodal_augment(spark, sf_dir):
+    from ..operators.multimodal import decode_bmp_pixels, transform_media
+
+    assets = _rule_bmp_assets(spark, sf_dir)
+    return decode_bmp_pixels(
+        transform_media(transform_media(assets, "rot90"), "flip_h")
+    )
+
+
+@query(
+    "q_multimodal_grayscale",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 13 + 4 AS w, doc_id % 7 + 2 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, tx.x, ty.y,
+         (d.doc_id + tx.x + ty.y) % 256 AS b,
+         (d.doc_id + tx.x + ty.y + 1) % 256 AS g,
+         (d.doc_id + tx.x + ty.y + 2) % 256 AS r
+  FROM dims d, range(0, 17) tx(x), range(0, 9) ty(y)
+  WHERE tx.x < d.w AND ty.y < d.h
+)
+SELECT doc_id AS asset_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+       (299 * r + 587 * g + 114 * b + 500) // 1000 AS b,
+       (299 * r + 587 * g + 114 * b + 500) // 1000 AS g,
+       (299 * r + 587 * g + 114 * b + 500) // 1000 AS r
+FROM px
+""",
+    doc="GRAYSCALE conversion end-to-end (multimodal.py::transform_media "
+    "op='grayscale'): BT.601 integer luma (299R + 587G + 114B + 500) "
+    "div 1000 replicated to all channels — fixed-point arithmetic, so "
+    "the oracle is exact integer math per pixel with no float-weight "
+    "boundary.  The rule corpus's mod-256 wraparound makes R/G/B "
+    "differ sharply at the wrap (255 next to 0), so a channel-order "
+    "bug (BGR-vs-RGB, the classic BMP trap) shifts the luma by "
+    "hundreds and breaks the hash.",
+)
+def q_multimodal_grayscale(spark, sf_dir):
+    from ..operators.multimodal import decode_bmp_pixels, transform_media
+
+    assets = _rule_bmp_assets(spark, sf_dir)
+    return decode_bmp_pixels(transform_media(assets, "grayscale"))

@@ -1,0 +1,99 @@
+"""transform_media augmentation units: involution/composition algebra of
+the permutation ops, dimension swaps, codec channel order for grayscale,
+and the JPEG leg (lossy — properties, not byte equality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.multimodal import (
+    decode_bmp,
+    decode_bmp_pixels,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    transform_media,
+)
+
+
+def _bmp_df(spark, w=5, h=3, seed=7):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return (
+        spark.createDataFrame(
+            [(1, bytearray(encode_bmp(w, h, px.tobytes())))],
+            "asset_id long, payload binary",
+        ),
+        px,
+    )
+
+
+def _decode_one(df):
+    row = df.toPandas().iloc[0]
+    return decode_bmp(bytes(row.payload))
+
+
+def test_flips_are_involutions(spark):
+    df, px = _bmp_df(spark)
+    for op in ("flip_h", "flip_v", "rot180"):
+        w, h, out = _decode_one(transform_media(transform_media(df, op), op))
+        assert (out == px).all(), op
+
+
+def test_rot90_composition_and_dimension_swap(spark):
+    df, px = _bmp_df(spark)
+    w, h, r90 = _decode_one(transform_media(df, "rot90"))
+    assert (w, h) == (3, 5)  # dims swap
+    assert (r90 == np.rot90(px, 1)).all()
+    # rot90 then rot270 = identity
+    w2, h2, back = _decode_one(
+        transform_media(transform_media(df, "rot90"), "rot270")
+    )
+    assert (w2, h2) == (5, 3) and (back == px).all()
+    # four rot90s = identity
+    d = df
+    for _ in range(4):
+        d = transform_media(d, "rot90")
+    assert (_decode_one(d)[2] == px).all()
+
+
+def test_grayscale_bt601_integer_and_channel_order(spark):
+    # pure-red pixel: BMP stores BGR, so b-plane=0, r-plane=255
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    px[0, 0, 2] = 255  # R in BGR layout
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(1, 1, px.tobytes())))],
+        "asset_id long, payload binary",
+    )
+    _, _, out = _decode_one(transform_media(df, "grayscale"))
+    want = (299 * 255 + 500) // 1000  # 76
+    assert (out == want).all()
+    # same logical red through the PNG (RGB) leg must give the same luma
+    rgb = np.zeros((1, 1, 3), dtype=np.uint8)
+    rgb[0, 0, 0] = 255  # R in RGB layout
+    dfp = spark.createDataFrame(
+        [(1, bytearray(encode_png(1, 1, rgb.tobytes())))],
+        "asset_id long, payload binary",
+    )
+    res = transform_media(dfp, "grayscale", codec="png").toPandas()
+    _, _, outp = decode_png(bytes(res.iloc[0].payload))
+    assert (outp == want).all()
+
+
+def test_transform_rejects_unknown_op_and_drops_bad(spark):
+    df, _ = _bmp_df(spark)
+    with pytest.raises(ValueError, match="op must be"):
+        transform_media(df, "zoom")
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"nope"))], "asset_id long, payload binary"
+    )
+    assert transform_media(bad, "flip_h").count() == 0
+
+
+def test_augment_pixels_roundtrip_via_exploded_reader(spark):
+    df, px = _bmp_df(spark, w=4, h=2)
+    out = decode_bmp_pixels(transform_media(df, "flip_h")).toPandas()
+    assert len(out) == 8
+    for _, r in out.iterrows():
+        assert r.b == px[r.y, 4 - 1 - r.x, 0]
