@@ -2710,3 +2710,54 @@ def q_versioned_replace_where(spark, sf_dir):
     return versioned_read(
         spark, path, predicate=F.col("order_year").isin(1994, 1995)
     )
+
+
+@query(
+    "q_versioned_replace_where_mor",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN year(o_orderdate) = 1995 THEN 'R'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+WHERE year(o_orderdate) IN (1994, 1995)
+  AND (year(o_orderdate) <> 1995 OR o_totalprice > 1000)
+""",
+    doc="MERGE-ON-READ replaceWhere (versioned_replace_where(mor=True)): "
+    "the same 1995 restatement as q_versioned_replace_where, but the "
+    "deleted region enters DELETION VECTORS (executor-assembled "
+    "roaring bitmaps) and every parent file carries by reference -- "
+    "write amplification O(region rows + replacement rows) instead of "
+    "O(rows in touched files).  The committed LOGICAL state is "
+    "identical to the copy-on-write twin, so the same oracle must "
+    "hash-match through the DV-subtracting merge-on-read scan.",
+)
+def q_versioned_replace_where_mor(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_read,
+        versioned_replace_where,
+        versioned_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_rwm_")
+    versioned_write(orders, path, partition_by=["order_year"])
+    restated = (
+        orders.filter(
+            (F.col("order_year") == 1995) & (F.col("o_totalprice") > 1000)
+        ).withColumn("o_orderstatus", F.lit("R"))
+    )
+    versioned_replace_where(
+        spark, path, restated, F.col("order_year") == 1995, mor=True
+    )
+    return versioned_read(
+        spark, path, predicate=F.col("order_year").isin(1994, 1995)
+    )

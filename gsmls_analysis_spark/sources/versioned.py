@@ -2962,6 +2962,7 @@ def versioned_replace_where(
     predicate: Column,
     meta: dict | None = None,
     change_feed: bool = False,
+    mor: bool = False,
 ) -> int:
     """Selective overwrite — Delta's ``replaceWhere`` (the backfill /
     partition-restatement primitive): in ONE atomic commit, rows
@@ -2988,11 +2989,21 @@ def versioned_replace_where(
     that partition's files; everything else carries by reference), the
     insert side is one REBALANCE-coalesced write (bucketed tables
     re-hash through ``_write_data_dir``), and the swap is one manifest
-    publish.  Returns the new version number."""
+    publish.
+
+    ``mor=True`` switches the delete side to MERGE-ON-READ: region rows
+    enter their files' deletion vectors (positions grouped and
+    roaring-encoded executor-side, exactly the ``versioned_delete_dv``
+    contract) and EVERY parent file carries by reference — write
+    amplification is O(region rows deleted + replacement rows), not
+    O(rows in touched files), at the measured DV scan penalty
+    (docs/DV_READ.md) until OPTIMIZE materializes the vectors.  The
+    committed logical state is identical to the copy-on-write path.
+    Returns the new version number."""
     return _with_occ_retry(
         "versioned_replace_where",
         lambda: _replace_where_attempt(
-            spark, path, df, predicate, meta, change_feed
+            spark, path, df, predicate, meta, change_feed, mor
         ),
     )
 
@@ -3004,6 +3015,7 @@ def _replace_where_attempt(
     predicate: Column,
     meta: dict | None,
     change_feed: bool,
+    mor: bool = False,
 ) -> int:
     versions = table_versions(path)
     if not versions:
@@ -3061,6 +3073,12 @@ def _replace_where_attempt(
     parent_stats = pm.get("stats") or {}
     version = parent + 1
     dvs = _load_dvs(root, pm)
+    if mor:
+        return _replace_where_mor(
+            spark, root, path, pm, parent, version, predicate, incoming,
+            out_names, new_idn_cols, phys_schema, all_files, parent_stats,
+            dvs, idn, meta, change_feed,
+        )
     touched: set[str] = set()
     survivors = None
     deleted = None
@@ -3157,6 +3175,133 @@ def _replace_where_attempt(
         f: e for f, e in (pm.get("dvs") or {}).items() if f in set(untouched)
     }
     if kept_dvs:
+        manifest["dvs"] = kept_dvs
+    if idn and new_dirs:
+        manifest["identity"] = _advance_identity_safe(
+            spark, root, data_dir, idn, new_stats, _l2p_of(pm)
+        )
+    if cdf_dir:
+        manifest["cdf"] = [cdf_dir]
+    if meta:
+        manifest["meta"] = meta
+    _publish_or_race(path, manifest)
+    return version
+
+
+def _replace_where_mor(
+    spark, root, path, pm, parent, version, predicate, incoming, out_names,
+    new_idn_cols, phys_schema, all_files, parent_stats, dvs, idn, meta,
+    change_feed,
+):
+    """Merge-on-read leg of replaceWhere: region rows enter deletion
+    vectors (``versioned_delete_dv``'s executor-side assembly), the
+    replacement appends as new files, every parent file carries by
+    reference — one atomic commit."""
+    assembled: dict[str, tuple[bytes, int, int]] = {}
+    deleted = None
+    if all_files:
+        candidates = prune_candidate_files(spark, pm, all_files, predicate)
+        if candidates:
+            aug = _with_scan_position(
+                spark.read.schema(phys_schema).parquet(
+                    *[os.path.join(root, f) for f in sorted(candidates)]
+                )
+            )
+            cand_dvs = _load_dvs(root, pm, files=candidates)
+            if cand_dvs:
+                aug = _dv_join(aug, spark, cand_dvs, "left_anti")
+            aug = _logical_view(aug, pm)
+            for c in new_idn_cols:
+                aug = aug.withColumn(c, F.lit(None).cast("long"))
+            hits = aug.filter(F.coalesce(predicate, F.lit(False)))
+            if change_feed:
+                deleted = hits.select(*out_names)
+            assembled = _assemble_dvs_executor(
+                spark,
+                hits.select("__sfx", "__ri"),
+                {_dv_suffix(f): f for f in candidates},
+                cand_dvs,
+            )
+    token = _commit_token()
+    data_dir = f"data/v{version}-{token}"
+    cdf_dir = None
+    if change_feed:
+        changes = incoming.withColumn(CDF_CHANGE_COL, F.lit("insert"))
+        if deleted is not None:
+            changes = deleted.withColumn(
+                CDF_CHANGE_COL, F.lit("delete")
+            ).unionByName(changes)
+        cdf_dir = _write_cdf(root, version, _physical_view(changes, pm))
+    write_df = incoming
+    if not _bucket_of(pm):
+        write_df = write_df.hint("rebalance")
+    _write_data_dir(
+        _physical_view(write_df, pm), pm, os.path.join(root, data_dir)
+    )
+    cons = _constraints_of(pm)
+    if cons:
+        _enforce_constraints(
+            _logical_view(
+                spark.read.schema(
+                    _physical_view(write_df, pm).schema
+                ).parquet(os.path.join(root, data_dir)),
+                pm,
+            ),
+            cons,
+            "versioned_replace_where(mor=True)",
+        )
+    new_dirs: list[str] = []
+    new_stats: dict = {}
+    if _expand_files(root, [data_dir]):
+        new_dirs = [data_dir]
+        new_stats = _collect_stats(
+            root,
+            [data_dir],
+            bloom_cols=_bloom_cols_of(pm),
+            pval_cols=pm.get("partition_by"),
+        )
+    schema_out = pm.get("schema")
+    if new_idn_cols:
+        from pyspark.sql.types import LongType, StructField
+
+        schema_out = StructType(
+            list(phys_schema.fields)
+            + [StructField(c, LongType(), True) for c in new_idn_cols]
+        ).json()
+    manifest = _carry_table_props(
+        {
+            "version": version,
+            "parent": parent,
+            "data_dirs": new_dirs,
+            "data_files": list(all_files),
+            "schema": schema_out,
+            "stats": {
+                **{f: parent_stats[f] for f in all_files if f in parent_stats},
+                **new_stats,
+            },
+            "txns": _merge_txns(pm, meta),
+        },
+        pm,
+    )
+    new_dv_files = {f for f, (_b, _m, nw) in assembled.items() if nw > 0}
+    kept_dvs = {
+        f: e for f, e in (pm.get("dvs") or {}).items() if f not in new_dv_files
+    }
+    if new_dv_files:
+        sidecar = f"dv/v{version}-{_commit_token()}.json.z"
+        _write_dv_sidecar_blobs(
+            root,
+            sidecar,
+            {f: (assembled[f][0], assembled[f][1]) for f in new_dv_files},
+        )
+        manifest["dvs"] = {
+            **kept_dvs,
+            **{
+                f: {"path": sidecar, "count": assembled[f][1]}
+                for f in new_dv_files
+            },
+        }
+    elif kept_dvs:
         manifest["dvs"] = kept_dvs
     if idn and new_dirs:
         manifest["identity"] = _advance_identity_safe(

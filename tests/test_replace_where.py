@@ -192,3 +192,97 @@ def test_replace_where_meta_rides_txn_ledger(spark):
         spark, t, _repl(spark), F.col("part") == 2, meta={"batch": "b7"}
     )
     assert "b7" in committed_meta(t, "batch")
+
+
+def test_replace_where_mor_matches_cow_state(spark):
+    t_cow = tempfile.mkdtemp(prefix="rw_cow_")
+    t_mor = tempfile.mkdtemp(prefix="rw_mor_")
+    _base(spark, t_cow)
+    _base(spark, t_mor)
+    versioned_replace_where(spark, t_cow, _repl(spark), F.col("part") == 2)
+    versioned_replace_where(
+        spark, t_mor, _repl(spark), F.col("part") == 2, mor=True
+    )
+    cow = (
+        versioned_read(spark, t_cow)
+        .toPandas()
+        .sort_values(["k", "part"])
+        .reset_index(drop=True)
+    )
+    mor = (
+        versioned_read(spark, t_mor)
+        .toPandas()
+        .sort_values(["k", "part"])
+        .reset_index(drop=True)
+    )
+    assert cow.equals(mor)
+
+
+def test_replace_where_mor_parents_carry_by_reference(spark):
+    t = tempfile.mkdtemp(prefix="rw_mor_")
+    _base(spark, t)
+    pm1 = _read_manifest(t, table_versions(t)[-1])
+    from gsmls_analysis_spark.sources.versioned import _expand_files
+
+    parent_files = set(_expand_files(t, _entries(pm1)))
+    versioned_replace_where(
+        spark, t, _repl(spark), F.col("part") == 2, mor=True
+    )
+    pm2 = _read_manifest(t, table_versions(t)[-1])
+    assert set(pm2.get("data_files") or []) == parent_files
+    assert pm2.get("dvs"), "expected a deletion-vector sidecar"
+
+
+def test_replace_where_mor_cdf_parity_with_cow(spark):
+    t = tempfile.mkdtemp(prefix="rw_mor_")
+    v1 = _base(spark, t)
+    v2 = versioned_replace_where(
+        spark, t, _repl(spark), F.col("part") == 2, change_feed=True, mor=True
+    )
+    ch = (
+        table_changes(spark, t, v1, v2)
+        .groupBy("_change")
+        .count()
+        .toPandas()
+        .set_index("_change")["count"]
+        .to_dict()
+    )
+    assert ch == {"delete": 25, "insert": 10}
+
+
+def test_replace_where_mor_already_dvd_rows_not_double_marked(spark):
+    t = tempfile.mkdtemp(prefix="rw_mor_")
+    _base(spark, t, partition_by=None)
+    versioned_delete_dv(spark, t, (F.col("part") == 2) & (F.col("k") < 10))
+    n_before = versioned_read(spark, t).count()  # 100 - 3 (k=2,6 wait)
+    v = versioned_replace_where(
+        spark, t, _repl(spark), F.col("part") == 2, change_feed=True, mor=True
+    )
+    cur = versioned_read(spark, t)
+    assert cur.filter("part = 2").count() == 10
+    assert cur.count() == 75 + 10
+    # CDF delete count excludes the rows already logically gone
+    already = 100 // 4 - (n_before - 75)
+    ch = (
+        table_changes(spark, t, v - 1, v)
+        .filter("_change = 'delete'")
+        .count()
+    )
+    assert ch == n_before - 75
+
+
+def test_replace_where_mor_identity_inserts_get_sequence(spark):
+    t = tempfile.mkdtemp(prefix="rw_mor_")
+    df = spark.range(0, 20).select(
+        (F.col("id") % 2).alias("part"), (F.col("id") * 10).alias("v")
+    )
+    versioned_write(df, t)
+    versioned_set_identity(spark, t, "rid")
+    repl = spark.range(0, 5).select(
+        F.lit(1).cast("long").alias("part"), (F.col("id") * 7).alias("v")
+    )
+    versioned_replace_where(spark, t, repl, F.col("part") == 1, mor=True)
+    cur = versioned_read(spark, t).toPandas()
+    ids = cur[cur.part == 1]["rid"].tolist()
+    assert len(ids) == 5 and len(set(ids)) == 5
+    assert all(i is not None for i in ids)
