@@ -1,0 +1,151 @@
+"""Write-amplification measurement for replaceWhere: full overwrite vs
+copy-on-write replaceWhere vs merge-on-read replaceWhere, restating one
+year of a year-partitioned orders table.
+
+The claim behind ``versioned_replace_where``: restating a slice (the
+backfill shape — recompute month X, swap it in) should cost (CoW) a
+rewrite of ONLY that slice's files, or (MoR) only the replacement rows
+plus a roaring sidecar — never the full-table rewrite the naive
+"recompute everything and overwrite" workaround pays.  Measured, not
+argued: the same partitioned snapshot is committed three times and one
+year is restated each way.  Reported per mode: wall, bytes written,
+files created, and read-back parity across all three.
+
+Usage: python tools/measure_replace_amp.py [sf_dir]   (default sf0.1)
+Prints one JSON line; a human-readable table goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+from gsmls_analysis_spark.sources.catalog import load_table  # noqa: E402
+
+
+def _snapshot(root: str) -> set[str]:
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.add(os.path.relpath(os.path.join(dirpath, f), root))
+    return out
+
+
+def _bytes_of(root: str, rels: set[str]) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, rel))
+        for rel in rels
+        if os.path.isfile(os.path.join(root, rel))
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("replace-amp")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    n_rows = orders.count()
+    scenarios = {
+        # whole-partition restatement: CoW already touches only the
+        # region's files, so CoW == region bytes and MoR matches it
+        "partition": F.col("order_year") == 1995,
+        # SUB-partition restatement (a correction touching ~3% of the
+        # slice's rows, spread across every file of it): CoW must
+        # rewrite whole files, MoR writes only the corrected rows + DVs
+        "subrange": (F.col("order_year") == 1995)
+        & (F.col("o_custkey") % 37 == 0),
+    }
+    out = {"sf_dir": sf_dir, "n_rows": n_rows, "scenarios": {}}
+    for scen, region in scenarios.items():
+        restated = orders.filter(region).withColumn(
+            "o_orderstatus", F.lit("R")
+        )
+        n_region = restated.count()
+        results = {}
+        readbacks = {}
+        for mode in ("overwrite", "cow", "mor"):
+            path = tempfile.mkdtemp(prefix=f"ramp_{scen}_{mode}_")
+            V.versioned_write(orders, path, partition_by=["order_year"])
+            before = _snapshot(path)
+            t0 = time.time()
+            if mode == "overwrite":
+                # the pre-replaceWhere workaround: recompute the whole
+                # table and overwrite it
+                full = orders.filter(
+                    ~F.coalesce(region, F.lit(False))
+                ).unionByName(restated)
+                V.versioned_write(full, path, partition_by=["order_year"])
+            else:
+                V.versioned_replace_where(
+                    spark, path, restated, region, mor=(mode == "mor")
+                )
+            wall = time.time() - t0
+            new = _snapshot(path) - before
+            data_new = {r for r in new if r.startswith("data/")}
+            dv_new = {r for r in new if r.startswith("dv/")}
+            results[mode] = {
+                "wall_s": round(wall, 3),
+                "bytes_written": _bytes_of(path, new),
+                "data_bytes": _bytes_of(path, data_new),
+                "dv_bytes": _bytes_of(path, dv_new),
+                "data_files": len(
+                    [r for r in data_new if r.endswith(".parquet")]
+                ),
+            }
+            t0 = time.time()
+            got = V.versioned_read(spark, path)
+            agg = got.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "R", 1).otherwise(0)
+                ).alias("n_restated"),
+            ).collect()[0]
+            results[mode]["scan_s"] = round(time.time() - t0, 3)
+            readbacks[mode] = (int(agg["n"]), int(agg["n_restated"]))
+        assert len(set(readbacks.values())) == 1, f"parity broke: {readbacks}"
+        out["scenarios"][scen] = {
+            "n_region": n_region,
+            "modes": results,
+            "overwrite_vs_cow_x": round(
+                results["overwrite"]["bytes_written"]
+                / max(1, results["cow"]["bytes_written"]),
+                1,
+            ),
+            "overwrite_vs_mor_x": round(
+                results["overwrite"]["bytes_written"]
+                / max(1, results["mor"]["bytes_written"]),
+                1,
+            ),
+            "cow_vs_mor_x": round(
+                results["cow"]["bytes_written"]
+                / max(1, results["mor"]["bytes_written"]),
+                1,
+            ),
+            "readback": readbacks["cow"],
+        }
+        for m, r in results.items():
+            print(
+                f"{scen:>9}/{m:>9}: {r['wall_s']:7.2f}s  "
+                f"{r['bytes_written']:>12,} B ({r['data_files']} data "
+                f"files, {r['dv_bytes']:,} DV B)  scan {r['scan_s']:.2f}s",
+                file=sys.stderr,
+            )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
