@@ -753,3 +753,69 @@ def q_multimodal_grayscale(spark, sf_dir):
 
     assets = _rule_bmp_assets(spark, sf_dir)
     return decode_bmp_pixels(transform_media(assets, "grayscale"))
+
+
+@query(
+    "q_multimodal_mulaw_roundtrip",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 379 + 64 AS n FROM documents
+), s AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 31 + t.i * 7) % 2048 - 1024 AS x
+  FROM dims d, range(0, 443) t(i)
+  WHERE t.i < d.n
+), enc AS (
+  -- x >> 2 is the ARITHMETIC shift (negatives floor), matching the
+  -- g711.c order; DuckDB's // truncates toward zero and would be off
+  -- by one on 3 of every 4 negative samples
+  SELECT doc_id, i,
+         CASE WHEN x >> 2 < 0 THEN -(x >> 2) ELSE x >> 2 END + 33 AS p,
+         (x >> 2 < 0) AS neg
+  FROM s
+), seg AS (
+  SELECT doc_id, i, p, neg,
+         CASE WHEN p > 255 THEN 3 WHEN p > 127 THEN 2
+              WHEN p > 63 THEN 1 ELSE 0 END AS e
+  FROM enc
+), code AS (
+  SELECT doc_id, i,
+         xor(e * 16 + ((p >> (e + 1)) & 15),
+             CASE WHEN neg THEN 127 ELSE 255 END) AS c
+  FROM seg
+), dec AS (
+  SELECT doc_id, i, xor(c, 255) AS u FROM code
+)
+SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS idx,
+       CAST(CASE WHEN u >= 128
+                 THEN 132 - (((u & 15) * 8 + 132) << ((u >> 4) & 7))
+                 ELSE (((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132
+            END AS BIGINT) AS v
+FROM dec
+""",
+    doc="G.711 MU-LAW companding end-to-end (multimodal.py::"
+    "encode_mulaw/decode_mulaw/encode_wav_mulaw — the telephony/"
+    "speech-corpus 8-bit encoding, WAV format 7): the PCM sample rule "
+    "is companded to 8-bit codes, wrapped in a REAL format-7 RIFF "
+    "container, decoded back through the same chunk walk as PCM16 "
+    "WAVs (decode_wav expands format 7 via the companding table), and "
+    "EXPLODED to samples.  Both directions are bit-exact with "
+    "CPython's audioop over all 65,536 int16 values (unit-proven), "
+    "and the oracle replays encode+decode in closed INTEGER form — "
+    "including the g711.c subtlety that the 14-bit shift happens "
+    "BEFORE sign folding (x//4 floors negatives), which naive "
+    "reimplementations get off by one.",
+)
+def q_multimodal_mulaw_roundtrip(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_wav_samples,
+        synthesize_mulaw_wav_assets,
+    )
+
+    dims = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 379 + 64).alias("n"),
+        )
+    )
+    return decode_wav_samples(synthesize_mulaw_wav_assets(dims, "doc_id", "n"))

@@ -1,0 +1,85 @@
+"""G.711 mu-law companding units: exhaustive bit-equality with CPython's
+audioop over all 65,536 int16 values (both directions), the format-7
+WAV container round trip, and profile rejection staying intact."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.multimodal import (
+    decode_mulaw,
+    decode_wav,
+    decode_wav_samples,
+    encode_mulaw,
+    encode_wav,
+    encode_wav_mulaw,
+)
+
+
+def test_mulaw_bit_exact_with_audioop_all_values():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+        x = np.arange(-32768, 32768, dtype="<i2")
+        ref_codes = np.frombuffer(
+            audioop.lin2ulaw(x.tobytes(), 2), dtype=np.uint8
+        )
+        ref_back = np.frombuffer(
+            audioop.ulaw2lin(ref_codes.tobytes(), 2), dtype="<i2"
+        )
+    assert (encode_mulaw(x) == ref_codes).all()
+    assert (decode_mulaw(ref_codes) == ref_back).all()
+
+
+def test_mulaw_roundtrip_properties():
+    x = np.arange(-32768, 32768, dtype="<i2")
+    back = decode_mulaw(encode_mulaw(x)).astype(np.int64)
+    # companding error is bounded by the segment step (<= 1/16 relative
+    # + the 14-bit floor); re-encoding the decoded value is a fixpoint
+    assert (encode_mulaw(back.astype("<i2")) == encode_mulaw(x)).all()
+    err = np.abs(back - x.astype(np.int64))
+    assert err.max() <= 1024  # top-segment step for |x| near full scale
+    small = np.abs(x.astype(np.int64)) < 64
+    assert err[small].max() <= 7  # fine resolution near zero
+
+
+def test_wav_format7_container_roundtrip():
+    pcm = np.array([0, 1, -1, 1000, -1000, 32767, -32768], dtype="<i2")
+    payload = encode_wav_mulaw(pcm, 8000)
+    rate, back = decode_wav(payload)
+    assert rate == 8000
+    assert (back == decode_mulaw(encode_mulaw(pcm))).all()
+    # odd-length code streams get the RIFF pad byte and still parse
+    rate2, back2 = decode_wav(encode_wav_mulaw(pcm[:3], 8000))
+    assert len(back2) == 3
+
+
+def test_wav_profile_rejection_still_intact():
+    # stereo/24-bit/other formats must still quarantine
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 2, 8000, 16000, 2, 8)  # stereo mu-law
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    bad = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="unsupported WAV profile"):
+        decode_wav(bad)
+    # plain PCM16 unaffected
+    rate, back = decode_wav(encode_wav(np.array([5, -5], dtype="<i2")))
+    assert list(back) == [5, -5]
+
+
+def test_mulaw_spark_explode(spark):
+    pcm = np.array([100, -100, 0], dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_mulaw(pcm)))], "asset_id long, payload binary"
+    )
+    out = decode_wav_samples(df).orderBy("idx").toPandas()
+    want = decode_mulaw(encode_mulaw(pcm))
+    assert list(out["v"]) == [int(v) for v in want]
