@@ -754,6 +754,9 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         # G.711 mu-law mono (format 7): expand to int16 through the
         # audioop-bit-exact companding table (see encode_mulaw)
         return sample_rate, decode_mulaw(np.frombuffer(data, dtype=np.uint8))
+    if audio_format == 6 and channels == 1 and bits == 8 and block_align == 1:
+        # G.711 A-law mono (format 6), same contract
+        return sample_rate, decode_alaw(np.frombuffer(data, dtype=np.uint8))
     if audio_format != 1 or channels != 1 or bits != 16 or block_align != 2:
         raise ValueError(
             f"unsupported WAV profile (format={audio_format} "
@@ -1428,6 +1431,77 @@ def synthesize_mulaw_wav_assets(
                 pcm = ((int(rid) * 31 + i * 7) % 2048 - 1024).astype("<i2")
                 ids.append(rid)
                 payloads.append(encode_wav_mulaw(pcm, sample_rate))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(n_samples_col).cast("long").alias("_n"),
+    ).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def encode_alaw(samples: "np.ndarray") -> "np.ndarray":
+    """int16 PCM -> uint8 A-law codes (G.711, audioop-bit-exact): the
+    European telephony sibling of mu-law — 13-bit domain (arithmetic
+    >>3), negatives fold as ``-p - 1`` (one's-complement style), XOR
+    masks 0xD5/0x55, and segments 0/1 share the ``>>1`` mantissa."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    p = x >> 3
+    neg = p < 0
+    pv = np.where(neg, -p - 1, p)
+    mask = np.where(neg, 0x55, 0xD5)
+    bounds = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+    seg = np.searchsorted(bounds, pv, side="left")
+    aval = (seg << 4) | np.where(seg < 2, (pv >> 1) & 0xF, (pv >> seg) & 0xF)
+    return np.where(seg >= 8, 0x7F ^ mask, aval ^ mask).astype(np.uint8)
+
+
+def decode_alaw(codes: "np.ndarray") -> "np.ndarray":
+    """uint8 A-law codes -> int16 PCM (G.711, audioop-bit-exact)."""
+    import numpy as np
+
+    a = np.asarray(codes, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype("<i2")
+
+
+def encode_wav_alaw(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM as a format-6 (A-law) RIFF/WAVE payload."""
+    import struct
+
+    codes = encode_alaw(samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 6, 1, sample_rate, sample_rate, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synthesize_alaw_wav_assets(
+    df: DataFrame, id_col: str, n_samples_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """Format-6 (A-law) twin of ``synthesize_mulaw_wav_assets`` — same
+    deterministic sample rule, A-law companding container."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, n in zip(pdf["_id"], pdf["_n"]):
+                i = np.arange(int(n), dtype="int64")
+                pcm = ((int(rid) * 31 + i * 7) % 2048 - 1024).astype("<i2")
+                ids.append(rid)
+                payloads.append(encode_wav_alaw(pcm, sample_rate))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
     return df.select(

@@ -819,3 +819,70 @@ def q_multimodal_mulaw_roundtrip(spark, sf_dir):
         )
     )
     return decode_wav_samples(synthesize_mulaw_wav_assets(dims, "doc_id", "n"))
+
+
+@query(
+    "q_multimodal_alaw_roundtrip",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 379 + 64 AS n FROM documents
+), s AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 31 + t.i * 7) % 2048 - 1024 AS x
+  FROM dims d, range(0, 443) t(i)
+  WHERE t.i < d.n
+), enc AS (
+  -- arithmetic >>3 to the 13-bit domain; negatives fold as -p - 1
+  SELECT doc_id, i,
+         CASE WHEN x >> 3 < 0 THEN -(x >> 3) - 1 ELSE x >> 3 END AS pv,
+         (x >> 3 < 0) AS neg
+  FROM s
+), seg AS (
+  SELECT doc_id, i, pv, neg,
+         CASE WHEN pv > 127 THEN 3 WHEN pv > 63 THEN 2
+              WHEN pv > 31 THEN 1 ELSE 0 END AS e
+  FROM enc
+), code AS (
+  SELECT doc_id, i,
+         xor(e * 16 + (CASE WHEN e < 2 THEN (pv >> 1) & 15
+                            ELSE (pv >> e) & 15 END),
+             CASE WHEN neg THEN 85 ELSE 213 END) AS c
+  FROM seg
+), dec AS (
+  SELECT doc_id, i, xor(c, 85) AS a FROM code
+), mag AS (
+  SELECT doc_id, i, a,
+         CASE WHEN (a >> 4) & 7 = 0 THEN ((a & 15) << 4) + 8
+              WHEN (a >> 4) & 7 = 1 THEN ((a & 15) << 4) + 264
+              ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1)
+         END AS t
+  FROM dec
+)
+SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS idx,
+       CAST(CASE WHEN a >= 128 THEN t ELSE -t END AS BIGINT) AS v
+FROM mag
+""",
+    doc="G.711 A-LAW companding end-to-end (multimodal.py::encode_alaw/"
+    "decode_alaw/encode_wav_alaw, WAV format 6 — the European "
+    "telephony sibling of mu-law, completing G.711): bit-exact with "
+    "CPython's audioop over all 65,536 int16 values both directions "
+    "(tests/test_mulaw.py), decoded through the same RIFF chunk walk "
+    "and exploded to samples.  The oracle replays the A-law "
+    "specifics in closed integer form: 13-bit arithmetic shift, the "
+    "-p-1 negative fold, the 0xD5/0x55 alternating-bit masks, and "
+    "segments 0/1 sharing the >>1 mantissa — each one a distinct "
+    "way naive ports go wrong.",
+)
+def q_multimodal_alaw_roundtrip(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_wav_samples,
+        synthesize_alaw_wav_assets,
+    )
+
+    dims = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 379 + 64).alias("n"),
+        )
+    )
+    return decode_wav_samples(synthesize_alaw_wav_assets(dims, "doc_id", "n"))

@@ -83,3 +83,40 @@ def test_mulaw_spark_explode(spark):
     out = decode_wav_samples(df).orderBy("idx").toPandas()
     want = decode_mulaw(encode_mulaw(pcm))
     assert list(out["v"]) == [int(v) for v in want]
+
+
+def test_alaw_bit_exact_with_audioop_all_values():
+    from gsmls_analysis_spark.operators.multimodal import (
+        decode_alaw,
+        encode_alaw,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+        x = np.arange(-32768, 32768, dtype="<i2")
+        ref = np.frombuffer(audioop.lin2alaw(x.tobytes(), 2), dtype=np.uint8)
+        refdec = np.frombuffer(
+            audioop.alaw2lin(ref.tobytes(), 2), dtype="<i2"
+        )
+    assert (encode_alaw(x) == ref).all()
+    assert (decode_alaw(ref) == refdec).all()
+
+
+def test_alaw_wav_format6_container(spark):
+    from gsmls_analysis_spark.operators.multimodal import (
+        decode_alaw,
+        encode_alaw,
+        encode_wav_alaw,
+    )
+
+    pcm = np.array([0, 8, -8, 500, -500, 32767, -32768], dtype="<i2")
+    rate, back = decode_wav(encode_wav_alaw(pcm, 16000))
+    assert rate == 16000
+    assert (back == decode_alaw(encode_alaw(pcm))).all()
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_alaw(pcm)))], "asset_id long, payload binary"
+    )
+    out = decode_wav_samples(df).orderBy("idx").toPandas()
+    assert list(out["v"]) == [int(v) for v in decode_alaw(encode_alaw(pcm))]
