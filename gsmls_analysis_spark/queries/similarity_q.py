@@ -711,3 +711,129 @@ def q_ivf_pq_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.round("adc", 6).alias("adc_r"), "rank"
     )
+
+
+def _ivf_index_incremental_oracle(
+    n_cells: int = 16, n_iter: int = 2, k: int = 5, n_probe: int = 2
+) -> str:
+    iters = ",\n".join(_lloyd_iter(i, 64) for i in range(1, n_iter + 1))
+    d = _DOT64.format(a="v.nv", b="c.nv")
+    dqc = _DOT64.format(a="q.qv", b="co.cv")
+    return f"""
+WITH allv AS ({_NORMALIZE_DUCK}),
+nv AS (SELECT * FROM allv WHERE vec_id % 5 <> 0),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv
+  FROM (SELECT * FROM nv ORDER BY vec_id LIMIT {n_cells})
+),
+{iters},
+cents AS (SELECT cell, {_RENORM.format(v="nv")} AS nv FROM c{n_iter}),
+corp AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT v.vec_id AS neighbor_id, v.nv AS cv, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d} DESC, c.cell) AS rn
+    FROM allv v CROSS JOIN cents c) WHERE rn = 1
+),
+qry AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT v.vec_id AS query_id, v.nv AS qv, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d} DESC, c.cell) AS rn
+    FROM allv v CROSS JOIN cents c WHERE v.vec_id < 20) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, co.neighbor_id, {dqc} AS cosine
+  FROM qry q JOIN corp co USING (cell)
+  WHERE q.query_id <> co.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "q_ivf_index_incremental",
+    oracle=_ivf_index_incremental_oracle(),
+    doc="INCREMENTAL ANN INDEX MAINTENANCE on the versioned layer — the "
+    "shape a 100 TB embedding corpus actually needs (rebuilding the "
+    "index per ingest batch is the scale killer): centroids are "
+    "Lloyd-trained on the BASE corpus (vec_id %% 5 != 0, frozen — "
+    "retraining per batch would invalidate every stored assignment), "
+    "the base assignments are committed as a VERSIONED TABLE "
+    "partitioned by cell (manifest pvals -> probe reads prune to "
+    "n_probe cells' files), and the new-vector batch (vec_id %% 5 == "
+    "0) is assigned against the SAME frozen centroids and APPENDED as "
+    "its own commit — O(batch) write, snapshot isolation, time travel "
+    "to the pre-batch index for free.  The search joins probed cells "
+    "against the read-back index and exact-reranks.  Oracle: the full "
+    "Lloyd replay (train on base, assign ALL, probe, rerank) — "
+    "incremental maintenance must be INDISTINGUISHABLE from a batch "
+    "build with the same centroids, which is exactly what the hash "
+    "match proves.",
+)
+def q_ivf_index_incremental(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, ivf_assign, ivf_train, l2_normalize
+    from ..sources.versioned import versioned_read, versioned_write
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    incr = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = ivf_train(base, n_cells=16, n_iter=2)
+
+    def assign(df):
+        return ivf_assign(
+            df.select(
+                F.col("vec_id").alias("neighbor_id"),
+                l2_normalize(F.col("embedding")).alias("nv"),
+            ),
+            cents,
+            id_col="neighbor_id",
+            n_probe=1,
+        ).select("neighbor_id", "cell", "nv")
+
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    versioned_write(assign(base), path, partition_by=["cell"])
+    versioned_write(assign(incr), path, mode="append", partition_by=["cell"])
+    index = versioned_read(spark, path)
+    qry = ivf_assign(
+        emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            l2_normalize(F.col("embedding")).alias("nv"),
+        ),
+        cents,
+        id_col="query_id",
+        n_probe=2,
+    ).select("query_id", F.col("nv").alias("qv"), "cell")
+    scored = (
+        qry.join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            "rank",
+        )
+    )

@@ -537,3 +537,53 @@ def test_ivf_pq_refine_recall(spark, sf_dir):
     recall = len(truth & got) / len(truth)
     assert recall >= 0.85, recall
     assert "cosine" in refined.columns  # exact scores surfaced
+
+
+def test_ivf_index_versioned_maintenance(spark, sf_dir):
+    """The incremental ANN index table: time travel to the pre-batch
+    index, cell-predicate reads, and append-only maintenance."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gsmls_analysis_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        l2_normalize,
+    )
+    from gsmls_analysis_spark.sources import load_table
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_read,
+        versioned_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    incr = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = ivf_train(base, n_cells=8, n_iter=1)
+
+    def assign(df):
+        return ivf_assign(
+            df.select(
+                F.col("vec_id").alias("neighbor_id"),
+                l2_normalize(F.col("embedding")).alias("nv"),
+            ),
+            cents,
+            id_col="neighbor_id",
+            n_probe=1,
+        ).select("neighbor_id", "cell", "nv")
+
+    path = tempfile.mkdtemp(prefix="ivf_vidx_")
+    v1 = versioned_write(assign(base), path, partition_by=["cell"])
+    v2 = versioned_write(assign(incr), path, mode="append", partition_by=["cell"])
+    n_base, n_incr = base.count(), incr.count()
+    # time travel: the pre-batch index is intact
+    assert versioned_read(spark, path, version=v1).count() == n_base
+    cur = versioned_read(spark, path)
+    assert cur.count() == n_base + n_incr
+    # a probe read with a cell predicate returns exactly that cell
+    one = versioned_read(spark, path, predicate=F.col("cell") == 3)
+    got = one.select("cell").distinct().collect()
+    assert [r["cell"] for r in got] in ([], [3])
+    # every vector is assigned exactly once
+    assert cur.select("neighbor_id").distinct().count() == n_base + n_incr
