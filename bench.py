@@ -76,6 +76,10 @@ HEADLINE = [
     "q_versioned_merge_dv",  # merge-on-read MERGE (DV mark + append)
     "q_versioned_dfp_join",  # dynamic file pruning star join
     "q_versioned_spj_join",  # storage-partitioned (bucketed) join
+    # r9 session 2: selective overwrite + the heaviest new compute paths
+    "q_versioned_replace_where",  # Delta replaceWhere (region rewrite)
+    "q_multimodal_audio_resample",  # windowed-sinc resample (Python path)
+    "q_multimodal_resize_lanczos",  # Lanczos-3 resample + pixel explode
 ]
 
 

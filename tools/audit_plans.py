@@ -116,6 +116,8 @@ BOUNDED_CROSS_OK = {
     "q_iqr_outliers",
     "q_ivf_topk",
     "q_ivf_topk_trained",  # same broadcast-centroid scoring as q_ivf_topk
+    "q_ivf_index_incremental",  # same 16-row broadcast-centroid assign
+    # (train + both index commits + probe) — bounded, never shuffled
     "q_ivf_pq_topk",  # same 32-row broadcast-centroid cell assignment +
     # a 128-row broadcast codebook join — bounded, never shuffled
     "q_scalar_subquery",
