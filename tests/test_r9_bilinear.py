@@ -82,7 +82,7 @@ def test_resize_media_bilinear_end_to_end(spark):
 
 
 def test_resize_media_bad_method():
-    import pyspark.sql
-
-    with pytest.raises(ValueError, match="nearest|bilinear"):
-        resize_media(None, 4, 4, codec="bmp", method="lanczos")
+    # lanczos graduated from rejected-to-real in session 2; an unknown
+    # method must still raise before any Spark plan is built
+    with pytest.raises(ValueError, match="nearest|bilinear|lanczos"):
+        resize_media(None, 4, 4, codec="bmp", method="bicubic")
