@@ -118,10 +118,12 @@ def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
         return decode_wav_stats(df)
     if codec == "real":
         raise NotImplementedError(
-            "compressed-audio/video decode requires codec libraries "
-            "(ffmpeg) not present in this environment; use codec='bmp', "
-            "'png', 'jpeg' or 'wav' for the real pure-Python paths or "
-            "codec='fake' for the stub"
+            "inter-frame video (H.264/VP9) and compressed audio "
+            "(MP3/AAC) require codec libraries (ffmpeg) not present in "
+            "this environment; use codec='bmp', 'png', 'jpeg' or 'wav' "
+            "for the real pure-Python paths, operators/video.py for "
+            "real MJPEG-in-AVI video, G.711 mu-law/A-law via the WAV "
+            "format-6/7 legs, or codec='fake' for the stub"
         )
     # fake dims from the first two payload bytes (payloads here are ASCII,
     # so a string round-trip reads the raw byte values)

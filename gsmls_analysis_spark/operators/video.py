@@ -1,0 +1,285 @@
+"""REAL video path: MJPEG-in-AVI, built entirely from machinery this
+repo already proves — the RIFF chunk walk (WAV's container family) and
+the pure-Python baseline JPEG codec (operators/jpeg.py).  This closes
+the last honestly-stubbed modality: video decode runs on genuinely
+encoded bytes (container headers, stream lists, per-frame entropy-coded
+JPEG, an idx1 frame index used for real SEEKS), not a byte-block fake.
+
+Scale notes: payloads stay executor-side (mapInPandas); frame sampling
+reads ONLY the sampled frames' byte ranges via the idx1 index — the
+in-memory analog of ranged GETs against object storage, which is what
+makes every-k-th-frame extraction O(sampled) instead of O(video).
+Compressed inter-frame codecs (H.264/VP9) still require ffmpeg and stay
+honestly stubbed behind decode_media(codec='real'); MJPEG is the
+intra-only format real pipelines use for frame-accurate processing.
+
+Reference parity: the source system stores media as opaque downloaded
+files (RealEstateImages.py:402-439); this is the engine-side typed
+decode of the video branch of that corpus.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encode JPEG frame payloads as a spec-shaped AVI: RIFF('AVI ') ->
+    LIST hdrl (avih + one 'vids'/'MJPG' stream with strh/strf) ->
+    LIST movi ('00dc' chunks, RIFF-even-padded) -> idx1 (one KEYFRAME
+    entry per frame; MJPEG is intra-only, every frame seekable)."""
+    if not frames:
+        raise ValueError("an AVI needs at least one frame")
+    sugbuf = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIII16x",
+        1_000_000 // fps,
+        sugbuf * fps,
+        0,
+        _AVIF_HASINDEX,
+        len(frames),
+        0,
+        1,
+        sugbuf,
+        width,
+        height,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids",
+        b"MJPG",
+        0,
+        0,
+        0,
+        0,
+        1,
+        fps,
+        0,
+        len(frames),
+        sugbuf,
+        0xFFFF,
+        0,
+        0,
+        0,
+        width,
+        height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,
+        width,
+        height,
+        1,
+        24,
+        b"MJPG",
+        width * height * 3,
+        0,
+        0,
+        0,
+        0,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are measured from the 'movi' fourcc (the common
+        # convention; the reader accepts this one)
+        idx_entries.append((len(movi_body), len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
+            for off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """Parse an MJPEG AVI: returns (width, height, [(abs_offset, size)]
+    per frame, in stream order).  Walks the real container (hdrl dims,
+    movi '00dc' chunks with RIFF padding) and, when an idx1 index is
+    present, VERIFIES it against the walk — a lying index is corruption
+    (ValueError), not something to silently trust or ignore."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (bad RIFF/AVI magic)")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    pos = 12
+    width = height = None
+    frames: list[tuple[int, int]] = []
+    idx: list[tuple[int, int]] | None = None
+    movi_four_abs = None
+    while pos + 8 <= end:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body_at = pos + 8
+        if body_at + csize > end:
+            raise ValueError(f"truncated AVI chunk {cid!r}")
+        if cid == b"LIST":
+            four = payload[body_at : body_at + 4]
+            if four == b"hdrl":
+                # avih is the first subchunk of hdrl
+                sid, ssize = struct.unpack_from("<4sI", payload, body_at + 4)
+                if sid != b"avih" or ssize < 40:
+                    raise ValueError("AVI hdrl missing avih")
+                vals = struct.unpack_from("<10I", payload, body_at + 12)
+                width, height = vals[8], vals[9]
+            elif four == b"movi":
+                movi_four_abs = body_at
+                sub = body_at + 4
+                while sub + 8 <= body_at + csize:
+                    scid, ssz = struct.unpack_from("<4sI", payload, sub)
+                    if scid == b"00dc":
+                        frames.append((sub + 8, ssz))
+                    sub += 8 + ssz + (ssz & 1)
+        elif cid == b"idx1":
+            idx = []
+            for i in range(csize // 16):
+                ckid, _fl, off, size = struct.unpack_from(
+                    "<4sIII", payload, body_at + i * 16
+                )
+                if ckid == b"00dc":
+                    idx.append((off, size))
+        pos = body_at + csize + (csize & 1)
+    if width is None or not frames:
+        raise ValueError("AVI missing hdrl dims or movi frames")
+    if idx is not None:
+        resolved = [(movi_four_abs + off + 8, size) for off, size in idx]
+        if resolved != frames:
+            raise ValueError("AVI idx1 disagrees with the movi chunk walk")
+    return width, height, frames
+
+
+def sample_avi_frames(
+    payload: bytes, every_k: int = 1
+) -> list[tuple[int, bytes]]:
+    """Every k-th frame's JPEG payload via the verified index — slices
+    ONLY the sampled byte ranges (the seek path a ranged-GET reader
+    takes); skipped frames' bytes are never touched past the parse."""
+    _w, _h, frames = parse_avi(payload)
+    return [
+        (i, payload[off : off + size])
+        for i, (off, size) in enumerate(frames)
+        if i % every_k == 0
+    ]
+
+
+def decode_video_stats(assets: DataFrame, every_k: int = 1) -> DataFrame:
+    """REAL video decode over Arrow batches: parse the AVI container,
+    seek to every k-th frame, entropy-decode it with the pure-Python
+    JPEG codec, and emit per-frame dimensions + channel means (the
+    integer micro convention of the image decoders).  Undecodable
+    payloads or frames quarantine into decode_error."""
+    from .jpeg import decode_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = (
+            "asset_id",
+            "frame_idx",
+            "width",
+            "height",
+            "mean_r_micro",
+            "mean_g_micro",
+            "mean_b_micro",
+            "decode_error",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+
+            def emit(aid, fi, w=None, h=None, r=None, g=None, b=None, e=None):
+                for c, v in zip(
+                    cols, (aid, fi, w, h, r, g, b, e)
+                ):
+                    out[c].append(v)
+
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    sampled = sample_avi_frames(bytes(payload), every_k)
+                except ValueError as e:
+                    emit(asset_id, None, e=str(e))
+                    continue
+                for fi, jpg in sampled:
+                    try:
+                        w, h, px = decode_jpeg(jpg)
+                        wide = px.astype(np.int64)
+                        n = w * h
+                        emit(
+                            asset_id,
+                            fi,
+                            w,
+                            h,
+                            int(wide[:, :, 0].sum()) * 1_000_000 // n,
+                            int(wide[:, :, 1].sum()) * 1_000_000 // n,
+                            int(wide[:, :, 2].sum()) * 1_000_000 // n,
+                        )
+                    except ValueError as e:
+                        emit(asset_id, fi, e=str(e))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, frame_idx long, width long, height long, "
+        "mean_r_micro long, mean_g_micro long, mean_b_micro long, "
+        "decode_error string",
+    )
+
+
+def synthesize_avi_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Executor-side synthesis of genuinely ENCODED MJPEG AVIs whose
+    decoded frames are analytically known: per doc, ``id % 4 + 2``
+    frames of ``(id%3+3) x (id%2+2)`` constant 8x8 blocks, gray value
+    ``((id*31 + f*17 + bx*7 + by*13) mod 96)*2 + 8`` — even, so the
+    Annex-K luma quantization reconstructs every frame EXACTLY (the
+    q_multimodal_jpeg_decode losslessness argument, per frame)."""
+    from .jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid in pdf["_id"]:
+                did = int(rid)
+                nbx, nby = did % 3 + 3, did % 2 + 2
+                n_frames = did % 4 + 2
+                frames = []
+                for f in range(n_frames):
+                    by, bx = np.mgrid[0:nby, 0:nbx]
+                    vals = ((did * 31 + f * 17 + bx * 7 + by * 13) % 96) * 2 + 8
+                    gray = np.repeat(
+                        np.repeat(vals.astype(np.uint8), 8, axis=0), 8, axis=1
+                    )
+                    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                    frames.append(encode_jpeg(nbx * 8, nby * 8, rgb.tobytes()))
+                ids.append(did)
+                payloads.append(encode_avi_mjpeg(frames, nbx * 8, nby * 8))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )

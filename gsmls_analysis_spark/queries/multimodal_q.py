@@ -886,3 +886,73 @@ def q_multimodal_alaw_roundtrip(spark, sf_dir):
         )
     )
     return decode_wav_samples(synthesize_alaw_wav_assets(dims, "doc_id", "n"))
+
+
+_VIDEO_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 3 + 3 AS nbx, doc_id % 2 + 2 AS nby,
+         doc_id % 4 + 2 AS nf
+  FROM documents
+), blk AS (
+  SELECT d.doc_id, fr.f, d.nbx, d.nby,
+         SUM(((d.doc_id * 31 + fr.f * 17 + gx.x * 7 + gy.y * 13) % 96)
+             * 2 + 8) AS sv
+  FROM dims d, range(0, 6) fr(f), range(0, 5) gx(x), range(0, 3) gy(y)
+  WHERE fr.f < d.nf AND gx.x < d.nbx AND gy.y < d.nby {extra}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(nbx * 8 AS BIGINT) AS width,
+       CAST(nby * 8 AS BIGINT) AS height,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_r_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_g_micro,
+       CAST(sv * 1000000 // (nbx * nby) AS BIGINT) AS mean_b_micro,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM blk
+"""
+
+
+@query(
+    "q_multimodal_video_decode",
+    oracle=_VIDEO_ORACLE.format(extra=""),
+    doc="REAL VIDEO decode end-to-end (operators/video.py — MJPEG-in-"
+    "AVI, closing the last honestly-stubbed modality): per doc, "
+    "id%4+2 frames of analytically-known block-constant gray are "
+    "genuinely JPEG-entropy-coded, wrapped in a spec-shaped AVI "
+    "container (RIFF hdrl/avih/strh/strf, movi 00dc chunks with "
+    "even padding, a KEYFRAME idx1 index the parser VERIFIES against "
+    "the chunk walk), then parsed and per-frame entropy-decoded "
+    "executor-side.  The gray block values are even, so Annex-K luma "
+    "quantization reconstructs every frame EXACTLY and the oracle "
+    "recomputes each frame's means from the construction rule — any "
+    "container-offset, index, padding, or codec bug breaks the hash.",
+)
+def q_multimodal_video_decode(spark, sf_dir):
+    from ..operators.video import decode_video_stats, synthesize_avi_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_video_stats(synthesize_avi_assets(docs, "doc_id"))
+
+
+@query(
+    "q_multimodal_video_sample",
+    oracle=_VIDEO_ORACLE.format(extra="AND fr.f % 2 = 0"),
+    doc="FRAME SAMPLING on real video (video.py::sample_avi_frames): "
+    "every 2nd frame is located through the VERIFIED idx1 index and "
+    "only those frames' byte ranges are sliced and decoded — the "
+    "O(sampled) seek path (in-memory analog of ranged GETs) a "
+    "training pipeline uses to pull 1 fps from hour-long clips "
+    "without touching the other frames' bytes.  Same analytic "
+    "per-frame oracle, restricted to the sampled indices: a sampling "
+    "or index-resolution bug surfaces as missing/extra/mislabeled "
+    "frames and breaks the hash.",
+)
+def q_multimodal_video_sample(spark, sf_dir):
+    from ..operators.video import decode_video_stats, synthesize_avi_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_video_stats(synthesize_avi_assets(docs, "doc_id"), every_k=2)

@@ -1,0 +1,107 @@
+"""MJPEG-in-AVI container units: round trip, index verification,
+truncation/magic rejection, odd-size RIFF padding, seek-sampling
+equivalence, and the Spark decode/quarantine legs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from gsmls_analysis_spark.operators.video import (
+    decode_video_stats,
+    encode_avi_mjpeg,
+    parse_avi,
+    sample_avi_frames,
+    synthesize_avi_assets,
+)
+
+
+def _frames(n=3, w=16, h=8, seed=11):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        # even gray block-constant -> exact JPEG round trip
+        vals = rng.randint(0, 96, size=(h // 8, w // 8)) * 2 + 8
+        gray = np.repeat(np.repeat(vals.astype(np.uint8), 8, 0), 8, 1)
+        rgb = np.repeat(gray[:, :, None], 3, 2)
+        out.append((encode_jpeg(w, h, rgb.tobytes()), gray))
+    return out
+
+
+def test_avi_roundtrip_every_frame_exact():
+    fr = _frames(4)
+    avi = encode_avi_mjpeg([j for j, _ in fr], 16, 8)
+    w, h, offs = parse_avi(avi)
+    assert (w, h, len(offs)) == (16, 8, 4)
+    for (i, jpg), (_j, gray) in zip(sample_avi_frames(avi, 1), fr):
+        ww, hh, px = decode_jpeg(jpg)
+        assert (px[:, :, 0] == gray).all()
+
+
+def test_avi_sampling_is_the_full_decode_subset():
+    fr = _frames(5)
+    avi = encode_avi_mjpeg([j for j, _ in fr], 16, 8)
+    full = dict(sample_avi_frames(avi, 1))
+    for k in (2, 3):
+        for i, jpg in sample_avi_frames(avi, k):
+            assert i % k == 0 and full[i] == jpg
+
+
+def test_avi_odd_sized_frames_pad_evenly():
+    fr = [j for j, _ in _frames(2)]
+    # force an odd payload length: JPEG ignores trailing bytes after EOI
+    odd = fr[0] + b"\x00" if len(fr[0]) % 2 == 0 else fr[0]
+    avi = encode_avi_mjpeg([odd, fr[1]], 16, 8)
+    got = sample_avi_frames(avi, 1)
+    assert got[0][1] == odd and got[1][1] == fr[1]
+
+
+def test_avi_lying_index_is_corruption():
+    fr = [j for j, _ in _frames(2)]
+    avi = bytearray(encode_avi_mjpeg(fr, 16, 8))
+    at = avi.rfind(b"idx1")
+    # corrupt the first idx1 entry's offset field
+    off_at = at + 8 + 8
+    (off,) = struct.unpack_from("<I", avi, off_at)
+    struct.pack_into("<I", avi, off_at, off + 2)
+    with pytest.raises(ValueError, match="idx1 disagrees"):
+        parse_avi(bytes(avi))
+
+
+def test_avi_rejects_bad_magic_and_truncation():
+    fr = [j for j, _ in _frames(1)]
+    avi = encode_avi_mjpeg(fr, 16, 8)
+    with pytest.raises(ValueError, match="magic"):
+        parse_avi(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError):
+        parse_avi(avi[: len(avi) // 2])
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([], 16, 8)
+
+
+def test_decode_video_stats_quarantines_bad_payloads(spark):
+    fr = [j for j, _ in _frames(2)]
+    good = encode_avi_mjpeg(fr, 16, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not an avi"))],
+        "asset_id long, payload binary",
+    )
+    out = decode_video_stats(df).toPandas()
+    ok = out[out.asset_id == 1]
+    bad = out[out.asset_id == 2]
+    assert len(ok) == 2 and ok["decode_error"].isna().all()
+    assert len(bad) == 1 and bad.iloc[0]["decode_error"]
+
+
+def test_synthesize_and_decode_spark_path(spark):
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    out = decode_video_stats(synthesize_avi_assets(docs, "doc_id")).toPandas()
+    # frames per doc = id % 4 + 2
+    want = sum(i % 4 + 2 for i in range(8))
+    assert len(out) == want
+    assert out["decode_error"].isna().all()
+    # all three channels equal on the gray corpus
+    assert (out["mean_r_micro"] == out["mean_b_micro"]).all()
