@@ -283,3 +283,71 @@ def synthesize_avi_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
         gen, "asset_id long, payload binary"
     )
+
+
+def frame_digests(assets: DataFrame, every_k: int = 1) -> DataFrame:
+    """Content-addressed frame identity: decode every k-th frame and
+    emit the md5 of its RAW PIXEL buffer (not the JPEG bytes — two
+    encoders producing different bitstreams for identical pixels must
+    still collide).  The digest is the join key for cross-video
+    duplicate-frame detection (intro/outro/logo dedup — the video
+    analog of exact text dedup).  Undecodable payloads/frames are
+    dropped; use decode_video_stats to quarantine with reasons."""
+    import hashlib
+
+    from .jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "digest": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    sampled = sample_avi_frames(bytes(payload), every_k)
+                except ValueError:
+                    continue
+                for fi, jpg in sampled:
+                    try:
+                        w, h, px = decode_jpeg(jpg)
+                    except ValueError:
+                        continue
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["digest"].append(
+                        hashlib.md5(px.tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run,
+        "asset_id long, frame_idx long, width long, height long, "
+        "digest string",
+    )
+
+
+def duplicate_frame_pairs(digests: DataFrame) -> DataFrame:
+    """Cross-video duplicate frames: equi-join on the pixel digest —
+    one shuffle on a content hash, never an all-pairs comparison.
+    Returns (id1, frame1, id2, frame2) with id1 < id2."""
+    a = digests.select(
+        F.col("asset_id").alias("id1"),
+        F.col("frame_idx").alias("frame1"),
+        "digest",
+    )
+    b = digests.select(
+        F.col("asset_id").alias("id2"),
+        F.col("frame_idx").alias("frame2"),
+        "digest",
+    )
+    return (
+        a.join(b, "digest")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "frame1", "id2", "frame2")
+    )

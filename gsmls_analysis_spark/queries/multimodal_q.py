@@ -956,3 +956,46 @@ def q_multimodal_video_sample(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return decode_video_stats(synthesize_avi_assets(docs, "doc_id"), every_k=2)
+
+
+@query(
+    "q_video_frame_dedup",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, t.f,
+         doc_id % 3 + 3 AS nbx, doc_id % 2 + 2 AS nby,
+         (doc_id * 31 + t.f * 17) % 96 AS c0
+  FROM documents, range(0, 6) t(f)
+  WHERE t.f < doc_id % 4 + 2
+)
+SELECT a.doc_id AS id1, CAST(a.f AS BIGINT) AS frame1,
+       b.doc_id AS id2, CAST(b.f AS BIGINT) AS frame2
+FROM fr a JOIN fr b
+  ON a.nbx = b.nbx AND a.nby = b.nby AND a.c0 = b.c0
+WHERE a.doc_id < b.doc_id
+""",
+    doc="cross-video DUPLICATE-FRAME detection (video.py::frame_digests "
+    "+ duplicate_frame_pairs — the video analog of exact text dedup, "
+    "catching shared intros/outros/logos): every frame of every AVI "
+    "is entropy-decoded and content-addressed by the md5 of its RAW "
+    "PIXEL buffer (bitstream-independent identity), then pairs join "
+    "on the digest — ONE shuffle on a content hash, never all-pairs.  "
+    "The synthesis rule makes two frames pixel-identical exactly when "
+    "their dims classes match and (id*31 + f*17) agree mod 96, so "
+    "the oracle derives the complete expected pair set from the "
+    "congruence — a decode, hashing, or join bug yields missing or "
+    "phantom pairs and breaks the hash.",
+)
+def q_video_frame_dedup(spark, sf_dir):
+    from ..operators.video import (
+        duplicate_frame_pairs,
+        frame_digests,
+        synthesize_avi_assets,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return duplicate_frame_pairs(
+        frame_digests(synthesize_avi_assets(docs, "doc_id"))
+    )

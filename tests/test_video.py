@@ -105,3 +105,28 @@ def test_synthesize_and_decode_spark_path(spark):
     assert out["decode_error"].isna().all()
     # all three channels equal on the gray corpus
     assert (out["mean_r_micro"] == out["mean_b_micro"]).all()
+
+
+def test_duplicate_frame_pairs_content_addressed(spark):
+    from gsmls_analysis_spark.operators.video import (
+        duplicate_frame_pairs,
+        frame_digests,
+    )
+
+    fr = _frames(1, seed=3)[0][0]
+    other = _frames(1, seed=4)[0][0]
+    # video 1 and video 2 share one identical frame; video 3 does not
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi_mjpeg([fr, other], 16, 8))),
+            (2, bytearray(encode_avi_mjpeg([fr], 16, 8))),
+            (3, bytearray(encode_avi_mjpeg([other[:2] + other[2:]], 16, 8))),
+        ],
+        "asset_id long, payload binary",
+    )
+    digs = frame_digests(df)
+    pairs = duplicate_frame_pairs(digs).toPandas()
+    got = set(map(tuple, pairs.values.tolist()))
+    # (1, frame 0) == (2, frame 0); (1, frame 1) == (3, frame 0)
+    assert (1, 0, 2, 0) in got and (1, 1, 3, 0) in got
+    assert (1, 0, 3, 0) not in got
