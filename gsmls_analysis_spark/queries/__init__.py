@@ -58,8 +58,15 @@ _DRIVER_WINDOW = [
     "q_format_roundtrip_jsonl",  # JSONL scan with dead-letter quarantine
     "q_format_roundtrip_csv",  # typed CSV scan, field-level salvage
     "q_versioned_replace_where",  # Delta replaceWhere (selective overwrite)
+    "q_versioned_replace_where_mor",  # MoR twin (DV region + append)
     "q_multimodal_augment",  # rot90+flip pixel-permutation augmentation
     "q_multimodal_grayscale",  # BT.601 integer luma
+    "q_multimodal_mulaw_roundtrip",  # G.711 mu-law companding
+    "q_multimodal_alaw_roundtrip",  # G.711 A-law companding
+    "q_ivf_index_incremental",  # versioned ANN index maintenance
+    "q_multimodal_video_decode",  # MJPEG-in-AVI container + codec
+    "q_multimodal_video_sample",  # idx1-seek frame sampling
+    "q_video_frame_dedup",  # cross-video duplicate frames
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed
@@ -73,14 +80,13 @@ _DRIVER_WINDOW = [
     "q_versioned_partitioned",
     "q_versioned_identity",
     "q_versioned_optimize_where",
-    "q_versioned_restore",
-    "q_versioned_clone",
+    # (q_versioned_restore / clone / rename / history / generated /
+    # q01-q03 rotated out in session 2 to admit the 11 new (c) queries:
+    # they are metadata-plane ops with r8 driver greens, 3-SF gate rows
+    # this session, and the least session-1 data-path churn)
     "q_versioned_constraints",
-    "q_versioned_rename",
     "q_versioned_batch_source",
     "q_versioned_sink_roundtrip",
-    "q_versioned_generated",
-    "q_versioned_history",
     "q_versioned_delete",
     "q_versioned_delete_bloom",
     "q_versioned_update",
@@ -91,7 +97,6 @@ _DRIVER_WINDOW = [
     "q_lakehouse_lifecycle",
     "q_stream_versioned_ingest",
     "q_stream_versioned_upsert",
-    "q_stream_versioned_source",
     "q_stream_versioned_cdf",
     "q_stream_versioned_sink_native",
     "q_continuous_aggregate",
@@ -100,13 +105,14 @@ _DRIVER_WINDOW = [
     # ... the JPEG decoder (restart-marker consume, zero-dim SOF gate,
     # progressive integration share the entry point) and pHash pooling
     "q_multimodal_jpeg_decode",
-    "q_multimodal_jpeg_decode_420",
     "q_image_phash_dups",
-    # Session-2 additions consumed every (d) slot and two (b) slots
-    # (q_multimodal_resize — its nearest path is unchanged and the
-    # method family is driver-covered via the lanczos/bilinear windows
-    # — and the last (d) representative q01).  Window stays exactly 50;
-    # accounting in docs/ROUND9_NOTES.md.
+    # Session-2 rotation: the 22 new (c) queries consumed all (d) slots
+    # and nine (b) slots (metadata-plane ops with r8 driver greens and
+    # fresh 3-SF gate rows: restore/clone/rename/history/generated/
+    # resize/jpeg_420/stream_source + the q01/q03 representatives).
+    # Never-driver-checked queries are the weakest link the driver can
+    # close; everything rotated out keeps its recorded local-gate rows.
+    # Window stays exactly 50; accounting in docs/ROUND9_NOTES.md.
 ]
 
 _DRIVER_WINDOW_R7 = [
@@ -166,8 +172,6 @@ _DRIVER_WINDOW_R7 = [
     # (d) remaining slots: representative re-greens in registration
     # order (TPC-H core + the cleaning/label operator families, all
     # cumulatively driver-green r1-r6)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
     "q05_nation_revenue",
     "q06_forecast_revenue",
     "q10_returned_items",
