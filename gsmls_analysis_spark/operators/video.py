@@ -351,3 +351,255 @@ def duplicate_frame_pairs(digests: DataFrame) -> DataFrame:
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "frame1", "id2", "frame2")
     )
+
+
+def encode_avi_av(
+    frames: list[bytes],
+    pcm: "object",
+    width: int,
+    height: int,
+    fps: int = 10,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Encode an INTERLEAVED audio+video AVI: stream 0 is the MJPEG
+    video, stream 1 is 16-bit PCM mono audio ('auds' strl with a
+    WAVEFORMATEX strf), and the movi list interleaves one '01wb' audio
+    slice after each '00dc' frame — the layout real muxers emit so a
+    sequential reader can play without seeking.  idx1 indexes BOTH
+    streams."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("an AVI needs at least one frame")
+    samples = np.asarray(pcm, dtype="<i2")
+    sugbuf = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIII16x",
+        1_000_000 // fps,
+        sugbuf * fps,
+        0,
+        _AVIF_HASINDEX,
+        len(frames),
+        0,
+        2,
+        sugbuf,
+        width,
+        height,
+    )
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        sugbuf, 0xFFFF, 0, 0, 0, width, height,
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, sample_rate, 0,
+        len(samples), sample_rate * 2, 0xFFFF, 2, 0, 0, 0, 0,
+    )
+    strf_a = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    per = len(samples) // len(frames)
+    movi_body = b"movi"
+    idx_entries = []
+    for i, f in enumerate(frames):
+        idx_entries.append((b"00dc", len(movi_body), len(f)))
+        movi_body += chunk(b"00dc", f)
+        lo = i * per
+        hi = len(samples) if i == len(frames) - 1 else (i + 1) * per
+        ab = samples[lo:hi].tobytes()
+        idx_entries.append((b"01wb", len(movi_body), len(ab)))
+        movi_body += chunk(b"01wb", ab)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            ckid + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
+            for ckid, off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi(payload: bytes):
+    """Demultiplex an interleaved AVI into its streams: returns
+    (width, height, [jpeg frame payloads], int16 audio samples,
+    sample_rate).  The same verified chunk walk as ``parse_avi``,
+    extended to the '01wb' audio stream and the 'auds' strf
+    (WAVEFORMATEX) — only 16-bit PCM mono audio is supported; other
+    profiles raise (quarantine upstream)."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (bad RIFF/AVI magic)")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    pos = 12
+    width = height = None
+    sample_rate = None
+    vframes: list[bytes] = []
+    audio = b""
+    while pos + 8 <= end:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body_at = pos + 8
+        if body_at + csize > end:
+            raise ValueError(f"truncated AVI chunk {cid!r}")
+        if cid == b"LIST":
+            four = payload[body_at : body_at + 4]
+            if four == b"hdrl":
+                sid, _sz = struct.unpack_from("<4sI", payload, body_at + 4)
+                if sid != b"avih":
+                    raise ValueError("AVI hdrl missing avih")
+                vals = struct.unpack_from("<10I", payload, body_at + 12)
+                width, height = vals[8], vals[9]
+                # find the auds strl's strf (WAVEFORMATEX)
+                sub = body_at + 4
+                while sub + 8 <= body_at + csize:
+                    scid, ssz = struct.unpack_from("<4sI", payload, sub)
+                    if (
+                        scid == b"LIST"
+                        and payload[sub + 8 : sub + 12] == b"strl"
+                        and payload[sub + 20 : sub + 24] == b"auds"
+                    ):
+                        # strh is at sub+12; strf follows it
+                        _t, hsz = struct.unpack_from("<4sI", payload, sub + 12)
+                        fat = sub + 12 + 8 + hsz + (hsz & 1)
+                        ft, _fsz = struct.unpack_from("<4sI", payload, fat)
+                        if ft != b"strf":
+                            raise ValueError("auds strl missing strf")
+                        tag, ch, rate, _br, ba, bits = struct.unpack_from(
+                            "<HHIIHH", payload, fat + 8
+                        )
+                        if tag != 1 or ch != 1 or bits != 16 or ba != 2:
+                            raise ValueError(
+                                "unsupported AVI audio profile; only "
+                                "16-bit PCM mono"
+                            )
+                        sample_rate = rate
+                    sub += 8 + ssz + (ssz & 1)
+            elif four == b"movi":
+                sub = body_at + 4
+                while sub + 8 <= body_at + csize:
+                    scid, ssz = struct.unpack_from("<4sI", payload, sub)
+                    if scid == b"00dc":
+                        vframes.append(payload[sub + 8 : sub + 8 + ssz])
+                    elif scid == b"01wb":
+                        audio += payload[sub + 8 : sub + 8 + ssz]
+                    sub += 8 + ssz + (ssz & 1)
+        pos = body_at + csize + (csize & 1)
+    if width is None or not vframes:
+        raise ValueError("AVI missing hdrl dims or movi frames")
+    if len(audio) % 2:
+        raise ValueError("odd-length PCM16 audio stream")
+    return (
+        width,
+        height,
+        vframes,
+        np.frombuffer(audio, dtype="<i2"),
+        sample_rate,
+    )
+
+
+def demux_avi_stats(assets: DataFrame) -> DataFrame:
+    """One row per interleaved A/V asset: container dims, stream
+    lengths, EXACT integer audio statistics over the re-concatenated
+    '01wb' slices, and the integer sum of per-frame video means —
+    everything an oracle can recompute from synthesis rules.
+    Undecodable payloads quarantine into decode_error."""
+    from .jpeg import decode_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = (
+            "asset_id", "width", "height", "n_frames", "n_samples",
+            "sample_rate", "audio_sum_sq", "audio_peak",
+            "video_mean_micro_sum", "decode_error",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, vframes, pcm, rate = demux_avi(bytes(payload))
+                    wide = pcm.astype(np.int64)
+                    mm = 0
+                    for jpg in vframes:
+                        fw, fh, px = decode_jpeg(jpg)
+                        mm += int(px[:, :, 0].astype(np.int64).sum()) \
+                            * 1_000_000 // (fw * fh)
+                    row = (
+                        asset_id, w, h, len(vframes), len(pcm), rate,
+                        int((wide * wide).sum()),
+                        int(np.abs(wide).max()) if len(pcm) else 0,
+                        mm, None,
+                    )
+                except ValueError as e:
+                    row = (asset_id,) + (None,) * 8 + (str(e),)
+                for c, v in zip(cols, row):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, width long, height long, n_frames long, "
+        "n_samples long, sample_rate long, audio_sum_sq long, "
+        "audio_peak long, video_mean_micro_sum long, decode_error string",
+    )
+
+
+def synthesize_av_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Interleaved A/V synthesis: the video-frame rule of
+    ``synthesize_avi_assets`` muxed with the audio rule of
+    ``synthesize_wav_assets`` (sample ``(id*31 + i*7) mod 2048 - 1024``,
+    ``n = id % 379 + 64``) — both streams analytically known, so one
+    oracle checks the DEMUX of both."""
+    from .jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid in pdf["_id"]:
+                did = int(rid)
+                nbx, nby = did % 3 + 3, did % 2 + 2
+                n_frames = did % 4 + 2
+                frames = []
+                for f in range(n_frames):
+                    by, bx = np.mgrid[0:nby, 0:nbx]
+                    vals = ((did * 31 + f * 17 + bx * 7 + by * 13) % 96) * 2 + 8
+                    gray = np.repeat(
+                        np.repeat(vals.astype(np.uint8), 8, axis=0), 8, axis=1
+                    )
+                    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                    frames.append(encode_jpeg(nbx * 8, nby * 8, rgb.tobytes()))
+                n = did % 379 + 64
+                i = np.arange(n, dtype="int64")
+                pcm = ((did * 31 + i * 7) % 2048 - 1024).astype("<i2")
+                ids.append(did)
+                payloads.append(
+                    encode_avi_av(frames, pcm, nbx * 8, nby * 8)
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )

@@ -67,6 +67,7 @@ _DRIVER_WINDOW = [
     "q_multimodal_video_decode",  # MJPEG-in-AVI container + codec
     "q_multimodal_video_sample",  # idx1-seek frame sampling
     "q_video_frame_dedup",  # cross-video duplicate frames
+    "q_multimodal_av_demux",  # interleaved audio+video demux
     # (b) code changed in round 9 — re-verify through the driver: the
     # whole versioned layer again (executor-side DV assembly touched
     # every DV write; MoR merge/update; bucketed _write_data_dir routed
@@ -97,7 +98,6 @@ _DRIVER_WINDOW = [
     "q_lakehouse_lifecycle",
     "q_stream_versioned_ingest",
     "q_stream_versioned_upsert",
-    "q_stream_versioned_cdf",
     "q_stream_versioned_sink_native",
     "q_continuous_aggregate",
     "q_ivm_join_delta",

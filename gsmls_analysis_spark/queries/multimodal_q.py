@@ -999,3 +999,64 @@ def q_video_frame_dedup(spark, sf_dir):
     return duplicate_frame_pairs(
         frame_digests(synthesize_avi_assets(docs, "doc_id"))
     )
+
+
+@query(
+    "q_multimodal_av_demux",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 3 + 3 AS nbx, doc_id % 2 + 2 AS nby,
+         doc_id % 4 + 2 AS nf, doc_id % 379 + 64 AS n
+  FROM documents
+), aud AS (
+  SELECT d.doc_id,
+         CAST(SUM(((d.doc_id * 31 + t.i * 7) % 2048 - 1024)
+             * ((d.doc_id * 31 + t.i * 7) % 2048 - 1024)) AS BIGINT)
+           AS sum_sq,
+         MAX(abs((d.doc_id * 31 + t.i * 7) % 2048 - 1024)) AS peak
+  FROM dims d, range(0, 443) t(i)
+  WHERE t.i < d.n
+  GROUP BY 1
+), vid AS (
+  SELECT d.doc_id, fr.f, d.nbx, d.nby,
+         SUM(((d.doc_id * 31 + fr.f * 17 + gx.x * 7 + gy.y * 13) % 96)
+             * 2 + 8) AS sv
+  FROM dims d, range(0, 6) fr(f), range(0, 5) gx(x), range(0, 3) gy(y)
+  WHERE fr.f < d.nf AND gx.x < d.nbx AND gy.y < d.nby
+  GROUP BY 1, 2, 3, 4
+), vidm AS (
+  SELECT doc_id, SUM(sv * 1000000 // (nbx * nby)) AS msum
+  FROM vid GROUP BY 1
+)
+SELECT d.doc_id AS asset_id,
+       CAST(d.nbx * 8 AS BIGINT) AS width,
+       CAST(d.nby * 8 AS BIGINT) AS height,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(d.n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       a.sum_sq AS audio_sum_sq,
+       CAST(a.peak AS BIGINT) AS audio_peak,
+       CAST(m.msum AS BIGINT) AS video_mean_micro_sum,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM dims d JOIN aud a USING (doc_id) JOIN vidm m USING (doc_id)
+""",
+    doc="interleaved AUDIO+VIDEO DEMUX end-to-end (video.py::"
+    "encode_avi_av/demux_avi — the multi-stream container shape real "
+    "corpora arrive in): each AVI carries an MJPEG video stream AND a "
+    "16-bit PCM mono audio stream ('auds' strl with a WAVEFORMATEX "
+    "strf), movi interleaving one '01wb' audio slice after each "
+    "'00dc' frame exactly as real muxers lay it out.  The demux "
+    "re-concatenates the audio slices and entropy-decodes every "
+    "frame; the oracle recomputes exact integer audio statistics AND "
+    "the per-frame video means from the two synthesis rules — a "
+    "stream-routing bug (audio bytes into the video path or vice "
+    "versa), a slice-boundary bug, or a WAVEFORMATEX parse bug all "
+    "break the hash.  Unsupported audio profiles quarantine.",
+)
+def q_multimodal_av_demux(spark, sf_dir):
+    from ..operators.video import demux_avi_stats, synthesize_av_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return demux_avi_stats(synthesize_av_assets(docs, "doc_id"))

@@ -130,3 +130,44 @@ def test_duplicate_frame_pairs_content_addressed(spark):
     # (1, frame 0) == (2, frame 0); (1, frame 1) == (3, frame 0)
     assert (1, 0, 2, 0) in got and (1, 1, 3, 0) in got
     assert (1, 0, 3, 0) not in got
+
+
+def test_av_demux_roundtrip_and_profile_rejection(spark):
+    from gsmls_analysis_spark.operators.video import demux_avi, encode_avi_av
+
+    fr = [j for j, _ in _frames(2)]
+    pcm = np.array([3, -4, 1000, -32768, 32767], dtype="<i2")
+    avi = encode_avi_av(fr, pcm, 16, 8, sample_rate=16000)
+    w, h, vf, audio, rate = demux_avi(avi)
+    assert (w, h, rate) == (16, 8, 16000)
+    assert [bytes(x) for x in vf] == fr
+    assert (audio == pcm).all()
+    # corrupt the WAVEFORMATEX format tag -> unsupported profile raises
+    at = avi.find(struct.pack("<HHI", 1, 1, 16000))
+    bad = avi[:at] + struct.pack("<H", 2) + avi[at + 2 :]
+    with pytest.raises(ValueError, match="audio profile"):
+        demux_avi(bad)
+
+
+def test_av_demux_audio_slices_reassemble_in_order():
+    from gsmls_analysis_spark.operators.video import demux_avi, encode_avi_av
+
+    fr = [j for j, _ in _frames(3)]
+    pcm = np.arange(-50, 57, dtype="<i2")  # 107 samples over 3 frames
+    _w, _h, _vf, audio, _r = demux_avi(encode_avi_av(fr, pcm, 16, 8))
+    assert (audio == pcm).all()  # uneven last slice included, order kept
+
+
+def test_demux_avi_stats_spark(spark):
+    from gsmls_analysis_spark.operators.video import (
+        demux_avi_stats,
+        synthesize_av_assets,
+    )
+
+    docs = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    out = demux_avi_stats(synthesize_av_assets(docs, "doc_id")).toPandas()
+    assert len(out) == 6 and out["decode_error"].isna().all()
+    for _, r in out.iterrows():
+        did = int(r.asset_id)
+        assert r.n_frames == did % 4 + 2
+        assert r.n_samples == did % 379 + 64
