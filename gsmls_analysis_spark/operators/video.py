@@ -465,12 +465,16 @@ def demux_avi(payload: bytes):
         if cid == b"LIST":
             four = payload[body_at : body_at + 4]
             if four == b"hdrl":
-                sid, _sz = struct.unpack_from("<4sI", payload, body_at + 4)
-                if sid != b"avih":
+                if body_at + 12 > end:
+                    raise ValueError("truncated AVI hdrl")
+                sid, avih_sz = struct.unpack_from("<4sI", payload, body_at + 4)
+                if sid != b"avih" or avih_sz < 40 or body_at + 12 + 40 > end:
                     raise ValueError("AVI hdrl missing avih")
                 vals = struct.unpack_from("<10I", payload, body_at + 12)
                 width, height = vals[8], vals[9]
-                # find the auds strl's strf (WAVEFORMATEX)
+                # find the auds strl's strf (WAVEFORMATEX); every offset
+                # derived from an in-file size field is bounds-checked —
+                # a corrupt size is a ValueError, never a struct.error
                 sub = body_at + 4
                 while sub + 8 <= body_at + csize:
                     scid, ssz = struct.unpack_from("<4sI", payload, sub)
@@ -480,8 +484,12 @@ def demux_avi(payload: bytes):
                         and payload[sub + 20 : sub + 24] == b"auds"
                     ):
                         # strh is at sub+12; strf follows it
+                        if sub + 20 > end:
+                            raise ValueError("truncated auds strl")
                         _t, hsz = struct.unpack_from("<4sI", payload, sub + 12)
                         fat = sub + 12 + 8 + hsz + (hsz & 1)
+                        if fat + 8 + 16 > end:
+                            raise ValueError("truncated auds strf")
                         ft, _fsz = struct.unpack_from("<4sI", payload, fat)
                         if ft != b"strf":
                             raise ValueError("auds strl missing strf")

@@ -1,0 +1,86 @@
+"""Deterministic corruption sweep for the AVI container parsers —
+the video leg of the r9 codec-fuzz practice: every mutation must
+either parse to the same streams or raise ValueError; never hang,
+never crash with a non-contract exception, never return garbage
+silently for structural corruptions the parser claims to verify."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.jpeg import encode_jpeg
+from gsmls_analysis_spark.operators.video import (
+    demux_avi,
+    encode_avi_av,
+    encode_avi_mjpeg,
+    parse_avi,
+)
+
+
+def _avi(av=False, seed=5):
+    rng = np.random.RandomState(seed)
+    frames = []
+    for _ in range(3):
+        vals = rng.randint(0, 96, size=(1, 2)) * 2 + 8
+        gray = np.repeat(np.repeat(vals.astype(np.uint8), 8, 0), 8, 1)
+        rgb = np.repeat(gray[:, :, None], 3, 2)
+        frames.append(encode_jpeg(16, 8, rgb.tobytes()))
+    if av:
+        pcm = rng.randint(-1000, 1000, size=77).astype("<i2")
+        return encode_avi_av(frames, pcm, 16, 8)
+    return encode_avi_mjpeg(frames, 16, 8)
+
+
+@pytest.mark.parametrize("av", [False, True])
+def test_truncation_sweep_never_crashes(av):
+    payload = _avi(av)
+    fn = demux_avi if av else parse_avi
+    for cut in range(0, len(payload), 97):
+        try:
+            fn(payload[:cut])
+        except ValueError:
+            pass  # the contract failure mode
+
+
+@pytest.mark.parametrize("av", [False, True])
+def test_byte_flip_sweep_contract(av):
+    payload = _avi(av)
+    fn = demux_avi if av else parse_avi
+    base = fn(payload)
+    rng = np.random.RandomState(123)
+    for _ in range(300):
+        i = int(rng.randint(0, len(payload)))
+        b = bytearray(payload)
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            got = fn(bytes(b))
+        except ValueError:
+            continue
+        # a surviving parse must still be structurally sane
+        if av:
+            w, h, vf, audio, rate = got
+            assert isinstance(vf, list)
+        else:
+            w, h, frames = got
+            assert all(off + sz <= len(b) for off, sz in frames)
+
+
+def test_size_field_corruption_sweep():
+    payload = bytearray(_avi(False))
+    import struct
+
+    # inflate every chunk-size-looking field we wrote and confirm the
+    # parser either rejects or stays in bounds
+    pos = 12
+    checked = 0
+    while pos + 8 <= len(payload) and checked < 12:
+        (_sz,) = struct.unpack_from("<I", payload, pos + 4)
+        mutated = bytearray(payload)
+        struct.pack_into("<I", mutated, pos + 4, 0x7FFFFFFF)
+        with pytest.raises(ValueError):
+            parse_avi(bytes(mutated))
+        pos += 8 + _sz + (_sz & 1)
+        checked += 1
+    # an MJPEG AVI has exactly 3 top-level chunks (hdrl, movi, idx1)
+    assert checked == 3
