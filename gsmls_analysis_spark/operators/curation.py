@@ -1072,10 +1072,19 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     u = F.col(url_col)
     scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
     authority = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
-    host = F.regexp_replace(
-        F.regexp_replace(authority, r":\d+$", ""), r"^www\.", ""
-    )
-    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    # real crawl authorities carry userinfo ('user@host') and bracketed
+    # IPv6 literals ('[::1]:8080'): strip the former before host/port
+    # derivation, and for the latter take the bracketed literal as the
+    # host so the ':' inside it never masquerades as a port separator
+    auth_nouser = F.regexp_replace(authority, r"^[^@/\[\]]*@", "")
+    is_v6 = auth_nouser.startswith("[")
+    bare_host = F.when(
+        is_v6, F.regexp_extract(auth_nouser, r"^(\[[^\]]*\])", 1)
+    ).otherwise(F.regexp_replace(auth_nouser, r":\d+$", ""))
+    host = F.regexp_replace(bare_host, r"^www\.", "")
+    port = F.when(
+        is_v6, F.regexp_extract(auth_nouser, r"^\[[^\]]*\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(auth_nouser, r":(\d+)$", 1))
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(
         F.when(scheme == "https", F.lit("443")).otherwise(F.lit(""))
     )
@@ -1137,16 +1146,23 @@ def unicode_normalize_text(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            s = pdf["__text"].astype("string").fillna("")
+            s = pdf["__text"].astype("string")
+            null_mask = s.isna()
             norm = (
-                s.str.normalize(form)
+                s.fillna("")
+                .str.normalize(form)
                 .str.replace(r"[\x00-\x08\x0B-\x1F\x7F]", "", regex=True)
                 .str.replace(r"[\t\n\f\r ]+", " ", regex=True)
                 .str.strip(" ")
             )
             out = pdf.drop(columns=["__text"])
-            out["norm_text"] = norm
-            out["changed"] = (norm != s).astype("boolean")
+            # NULL text propagates as NULL (not ''): downstream corpus
+            # code must distinguish missing from genuinely empty text,
+            # and SQL string functions agree (|| / trim on NULL is NULL)
+            out["norm_text"] = norm.mask(null_mask)
+            out["changed"] = (norm != s.fillna("")).astype("boolean").mask(
+                null_mask
+            )
             yield out
 
     schema = ", ".join(

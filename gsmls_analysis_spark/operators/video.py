@@ -141,9 +141,14 @@ def parse_avi(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
         if cid == b"LIST":
             four = payload[body_at : body_at + 4]
             if four == b"hdrl":
-                # avih is the first subchunk of hdrl
+                # avih is the first subchunk of hdrl; every offset derived
+                # from an in-file size field is bounds-checked before the
+                # unpack — a corrupt/truncated header is a ValueError
+                # (quarantined upstream), never a struct.error task crash
+                if body_at + 12 > end:
+                    raise ValueError("truncated AVI hdrl")
                 sid, ssize = struct.unpack_from("<4sI", payload, body_at + 4)
-                if sid != b"avih" or ssize < 40:
+                if sid != b"avih" or ssize < 40 or body_at + 12 + 40 > end:
                     raise ValueError("AVI hdrl missing avih")
                 vals = struct.unpack_from("<10I", payload, body_at + 12)
                 width, height = vals[8], vals[9]
@@ -179,6 +184,8 @@ def sample_avi_frames(
     """Every k-th frame's JPEG payload via the verified index — slices
     ONLY the sampled byte ranges (the seek path a ranged-GET reader
     takes); skipped frames' bytes are never touched past the parse."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     _w, _h, frames = parse_avi(payload)
     return [
         (i, payload[off : off + size])
@@ -193,6 +200,8 @@ def decode_video_stats(assets: DataFrame, every_k: int = 1) -> DataFrame:
     JPEG codec, and emit per-frame dimensions + channel means (the
     integer micro convention of the image decoders).  Undecodable
     payloads or frames quarantine into decode_error."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     from .jpeg import decode_jpeg
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -293,6 +302,8 @@ def frame_digests(assets: DataFrame, every_k: int = 1) -> DataFrame:
     duplicate-frame detection (intro/outro/logo dedup — the video
     analog of exact text dedup).  Undecodable payloads/frames are
     dropped; use decode_video_stats to quarantine with reasons."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     import hashlib
 
     from .jpeg import decode_jpeg

@@ -3054,6 +3054,15 @@ def _replace_where_attempt(
     # Delta's replaceWhere enforcement: a source row OUTSIDE the replaced
     # region would silently overwrite data the caller said they weren't
     # touching — refuse (NULL predicate counts as outside, like DELETE).
+    # The source is lazily localCheckpoint'ed FIRST so the rows this
+    # check sees are the rows the write ships: a nondeterministic source
+    # (sample/rand/non-idempotent UDF) re-evaluated per action could
+    # otherwise pass the check and then write rows outside the region —
+    # exactly the silent partial overwrite the check exists to prevent.
+    # eager=False: the check's count() is the materializing action, the
+    # write reuses the stored blocks — no extra compute pass, one
+    # batch-sized block-manager pin for the life of this commit.
+    df = df.localCheckpoint(eager=False)
     if df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).count():
         raise ValueError(
             "replaceWhere violation: incoming rows exist that do NOT "

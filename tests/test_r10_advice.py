@@ -1,0 +1,229 @@
+"""Round-10 regression tests: the five advisor defects from the round-9
+review — parse_avi's unguarded hdrl unpack (struct.error escaping the
+quarantine contract), missing every_k validation in the video samplers,
+replaceWhere's check-then-reevaluate race on nondeterministic sources,
+canonicalize_urls mishandling userinfo / bracketed-IPv6 authorities, and
+unicode_normalize_text coercing NULL text to ''."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.video import (
+    decode_video_stats,
+    encode_avi_mjpeg,
+    frame_digests,
+    parse_avi,
+    sample_avi_frames,
+)
+from gsmls_analysis_spark.sources.versioned import (
+    versioned_read,
+    versioned_replace_where,
+    versioned_write,
+)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def _riff(body: bytes) -> bytes:
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 1 (medium): truncated hdrl must raise ValueError, not struct.error
+# ---------------------------------------------------------------------------
+
+
+def test_parse_avi_hdrl_claiming_avih_at_eof_is_value_error():
+    # LIST hdrl whose 12-byte body declares 'avih' ssize=40 but the file
+    # ends right there: the <10I unpack would read past EOF.  Pre-fix
+    # this escaped as struct.error (a task crash through the samplers,
+    # which catch only ValueError); post-fix it's a contract ValueError.
+    body = b"AVI " + _chunk(b"LIST", b"hdrl" + b"avih" + struct.pack("<I", 40))
+    with pytest.raises(ValueError, match="avih"):
+        parse_avi(_riff(body))
+
+
+def test_parse_avi_hdrl_too_short_for_avih_header_is_value_error():
+    # LIST hdrl with only the 'hdrl' fourcc (csize=4): even the avih
+    # subchunk HEADER is missing.
+    body = b"AVI " + _chunk(b"LIST", b"hdrl")
+    with pytest.raises(ValueError, match="truncated AVI hdrl"):
+        parse_avi(_riff(body))
+
+
+def test_malformed_hdrl_quarantines_not_task_failure(spark):
+    from gsmls_analysis_spark.operators.jpeg import encode_jpeg
+
+    bad = _riff(
+        b"AVI " + _chunk(b"LIST", b"hdrl" + b"avih" + struct.pack("<I", 40))
+    )
+    good = encode_avi_mjpeg(
+        [encode_jpeg(8, 8, bytes([100]) * (3 * 64))], 8, 8
+    )
+    df = spark.createDataFrame(
+        [(1, bad), (2, good)], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in decode_video_stats(df).collect()}
+    assert rows[1]["decode_error"] is not None
+    assert rows[1]["width"] is None
+    assert rows[2]["decode_error"] is None
+    assert rows[2]["mean_r_micro"] == 100_000_000
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 2 (low): every_k < 1 fails fast on the driver
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bad_k", [0, -1])
+def test_sample_avi_frames_rejects_nonpositive_every_k(bad_k):
+    from gsmls_analysis_spark.operators.jpeg import encode_jpeg
+
+    payload = encode_avi_mjpeg(
+        [encode_jpeg(8, 8, bytes([64]) * (3 * 64))], 8, 8
+    )
+    with pytest.raises(ValueError, match="every_k"):
+        sample_avi_frames(payload, every_k=bad_k)
+
+
+@pytest.mark.parametrize("fn", [decode_video_stats, frame_digests])
+def test_spark_video_ops_reject_every_k_zero_before_plan_runs(spark, fn):
+    df = spark.createDataFrame([(1, b"x")], "asset_id long, payload binary")
+    with pytest.raises(ValueError, match="every_k"):
+        fn(df, every_k=0)  # raises on the driver, no job submitted
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 3 (low): replaceWhere checks the rows it actually writes
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_nondeterministic_source_writes_checked_rows(
+    spark, tmp_path
+):
+    # A non-idempotent source whose value STEPS UP on every evaluation
+    # (a side-effect file bumps a global epoch): evaluation 1 yields
+    # v=1 (inside the region v <= 1), evaluation 2 yields v=2 (outside).
+    # Pre-fix the containment check passed on evaluation 1 and the write
+    # shipped evaluation 2's out-of-region rows — the silent partial
+    # overwrite the check exists to prevent.  Post-fix the source is
+    # lazily localCheckpoint'ed, so whatever the check saw is what lands
+    # on disk: every committed row satisfies the predicate.
+    path = str(tmp_path / "t")
+    epoch_file = str(tmp_path / "epoch")
+    base = spark.createDataFrame(
+        [(i, 1 if i < 10 else 99) for i in range(20)], "k long, v long"
+    )
+    versioned_write(base, path, mode="overwrite")
+
+    @F.pandas_udf("long")
+    def epoch(s: pd.Series) -> pd.Series:
+        with open(epoch_file, "a") as f:
+            f.write("x")
+        return pd.Series([os.path.getsize(epoch_file)] * len(s))
+
+    epoch = epoch.asNondeterministic()
+    src = (
+        spark.range(5)
+        .repartition(1)
+        .select(
+            (F.col("id") + 100).alias("k"),
+            epoch(F.col("id")).alias("v"),
+        )
+    )
+    try:
+        versioned_replace_where(spark, path, src, F.col("v") <= 1)
+    except ValueError:
+        return  # refusing the commit is also a sound outcome
+    got = versioned_read(spark, path).filter(F.col("k") >= 100).collect()
+    assert len(got) == 5
+    assert all(r["v"] <= 1 for r in got), (
+        "committed rows violate the replace predicate: the check and the "
+        "write saw different evaluations of the source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 4 (low): canonicalize_urls on userinfo / IPv6 authorities
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_urls_strips_userinfo_and_brackets_ipv6(spark):
+    from gsmls_analysis_spark.operators.curation import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://user@Site.com/a/"),
+            (2, "https://u:p@www.Example.co.uk:443/x"),
+            (3, "http://[::1]:8080/p"),
+            (4, "https://[2001:DB8::1]/q/"),
+            (5, "http://u@www.Foo.com:8081/bar?b=2&utm_source=x&a=1#f"),
+        ],
+        "id long, url string",
+    )
+    rows = {r["id"]: r for r in canonicalize_urls(df).collect()}
+    assert rows[1]["host"] == "site.com"
+    assert rows[1]["canon_url"] == "http://site.com/a"
+    assert rows[1]["reg_domain"] == "site.com"
+    assert rows[2]["host"] == "example.co.uk"
+    assert rows[2]["canon_url"] == "https://example.co.uk/x"
+    assert rows[2]["reg_domain"] == "example.co.uk"
+    # bracketed IPv6: the ':' inside the literal is not a port separator
+    assert rows[3]["host"] == "[::1]"
+    assert rows[3]["canon_url"] == "http://[::1]:8080/p"
+    assert rows[4]["host"] == "[2001:db8::1]"
+    assert rows[4]["canon_url"] == "https://[2001:db8::1]/q"
+    # userinfo + non-default port + junk-param filter + sort compose
+    assert rows[5]["host"] == "foo.com"
+    assert rows[5]["canon_url"] == "http://foo.com:8081/bar?a=1&b=2"
+
+
+def test_canonicalize_urls_synthetic_shapes_unchanged(spark):
+    # the shapes the q_url_canonical_dedup oracle covers must canonize
+    # exactly as before the userinfo/IPv6 fix
+    from gsmls_analysis_spark.operators.curation import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Site3.co.uk:443/p/9/?b=1&a=2#sec"),
+            (2, "http://site4.com:8080/p/1?utm_source=z&a=0"),
+        ],
+        "id long, url string",
+    )
+    rows = {r["id"]: r for r in canonicalize_urls(df).collect()}
+    assert rows[1]["canon_url"] == "https://site3.co.uk/p/9?a=2&b=1"
+    assert rows[1]["reg_domain"] == "site3.co.uk"
+    assert rows[2]["canon_url"] == "http://site4.com:8080/p/1?a=0"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 5 (low): unicode_normalize_text propagates NULL
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_normalize_null_propagates(spark):
+    from gsmls_analysis_spark.operators.curation import unicode_normalize_text
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a  b")], "id long, t string"
+    )
+    rows = {
+        r["id"]: r for r in unicode_normalize_text(df, "t").collect()
+    }
+    # NULL stays NULL — missing text is distinguishable from empty text
+    assert rows[1]["norm_text"] is None
+    assert rows[1]["changed"] is None
+    assert rows[2]["norm_text"] == ""
+    assert rows[2]["changed"] is False
+    assert rows[3]["norm_text"] == "a b"
+    assert rows[3]["changed"] is True
