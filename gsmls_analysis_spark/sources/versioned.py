@@ -2287,7 +2287,7 @@ def _matching_files(
     files: list[str],
     predicate: Column,
     schema: StructType | None = None,
-    dvs: dict[str, list[int]] | None = None,
+    dvs: dict | None = None,
     manifest: dict | None = None,
 ) -> set[str]:
     """Relative paths of the files that contain ≥1 predicate-TRUE row.
@@ -2465,69 +2465,74 @@ def _assemble_dvs_executor(
     spark: SparkSession,
     hits: DataFrame,
     rel_of_sfx: dict[str, str],
-    existing: dict[str, list[int]],
+    existing: dict[str, tuple[bytes, int]],
 ) -> dict[str, tuple[bytes, int, int]]:
     """EXECUTOR-SIDE deletion-vector assembly: the enforcement of the
-    selective-delete contract that r8 documented but did not enforce.
+    selective-delete contract that r8 documented but did not enforce,
+    closed for OLD vectors too in r10.
 
     ``hits``: a DataFrame of NEW deleted positions (``__sfx``, ``__ri``
-    from a position-augmented scan, existing vectors already
-    anti-joined away).  ``existing``: the affected files' CURRENT
-    vectors (deleted-rows-sized, already driver-resident from the
-    manifest read — the same budget every merge-on-read scan pays).
+    from a position-augmented scan).  ``existing``: the affected files'
+    CURRENT vectors as COMPRESSED roaring blobs (``_load_dv_blobs`` —
+    never decoded driver-side).  Old blobs ship down with the new
+    positions, are decoded and merged INSIDE the ``applyInPandas``
+    kernel, and the driver collects only ``{file: (merged blob, merged
+    count, grown-by count)}`` — so neither a wide predicate nor heavy
+    accumulated DV debt ever routes row-granular data through the
+    driver, in either direction.
 
     Shape: positions shuffle ONCE on the file key (17 bytes/row — never
-    table data), each file's merged vector is roaring-encoded by
-    ``_dv_encode`` inside ``applyInPandas``, and the driver collects
-    only ``{file: (compressed blob, merged count, new count)}`` — a
-    100M-row DELETE pulls megabytes of bitmaps, not gigabytes of Row
-    objects.  Per-file groups hold int64 positions only, so even a
-    fully-deleted 100M-row file is ~800 MB transient executor memory at
-    worst and typically far less after the arrays dedupe."""
+    table data); per-file groups hold int64 positions plus that file's
+    old blob, so even a fully-deleted 100M-row file is ~800 MB
+    transient executor memory at worst.  ``new_count`` is computed
+    in-kernel as merged − old cardinality, so re-deleting already-DV'd
+    rows reports zero growth whether or not the caller anti-joined the
+    existing vectors out of ``hits``."""
     import numpy as np
     import pandas as pd
 
-    sfx_rows = pd.DataFrame(
-        {
-            "__sfx": list(rel_of_sfx.keys()),
-            "__rel": list(rel_of_sfx.values()),
-        }
-    )
-    if not len(sfx_rows):
+    if not rel_of_sfx:
         return {}
-    map_df = spark.createDataFrame(sfx_rows, "__sfx string, __rel string")
+    map_df = spark.createDataFrame(
+        [(s, r) for s, r in rel_of_sfx.items()], "__sfx string, __rel string"
+    )
     new_pos = (
         hits.join(F.broadcast(map_df), on="__sfx", how="inner")
-        .select("__rel", "__ri", F.lit(1).alias("__new"))
+        .select(
+            "__rel", "__ri", F.lit(None).cast("binary").alias("__blob")
+        )
     )
     if existing:
-        rels, arrs = [], []
-        for f, ix in existing.items():
-            a = np.asarray(list(ix), dtype=np.int64)
-            rels.extend([f] * len(a))
-            arrs.append(a)
-        old_pdf = pd.DataFrame(
-            {
-                "__rel": rels,
-                "__ri": np.concatenate(arrs) if arrs else np.array([], np.int64),
-                "__new": np.zeros(len(rels), dtype=np.int32),
-            }
-        )
+        old_rows = [
+            (f, None, bytes(b)) for f, (b, _c) in existing.items()
+        ]
         all_pos = new_pos.unionByName(
-            spark.createDataFrame(old_pdf, "__rel string, __ri long, __new int")
+            spark.createDataFrame(
+                old_rows, "__rel string, __ri long, __blob binary"
+            )
         )
     else:
         all_pos = new_pos
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         rel = pdf["__rel"].iloc[0]
-        idx = np.unique(pdf["__ri"].to_numpy(np.int64))
+        new_ri = pdf["__ri"].dropna().to_numpy(np.int64)
+        olds = [
+            np.asarray(_dv_decode(bytes(b)), dtype=np.int64)
+            for b in pdf["__blob"].dropna()
+        ]
+        old = (
+            np.unique(np.concatenate(olds))
+            if olds
+            else np.empty(0, np.int64)
+        )
+        merged = np.unique(np.concatenate([old, new_ri]))
         return pd.DataFrame(
             {
                 "rel": [rel],
-                "blob": [_dv_encode(idx)],
-                "merged_count": [len(idx)],
-                "new_count": [int((pdf["__new"] == 1).sum())],
+                "blob": [_dv_encode(merged)],
+                "merged_count": [len(merged)],
+                "new_count": [int(len(merged) - len(old))],
             }
         )
 
@@ -2585,13 +2590,62 @@ def _load_dvs(
     return out
 
 
+def _read_dv_sidecar_blobs(root: str, rel: str) -> dict[str, tuple[bytes, int]]:
+    """Per-file COMPRESSED vectors of one sidecar, WITHOUT decoding:
+    ``{key: (roaring blob, deleted count)}`` sliced straight out of the
+    GDV2 container via its seekable header.  Legacy (pre-r8 JSON)
+    sidecars decode + re-encode driver-side — a bounded migration path,
+    not the hot one."""
+    import struct
+    import zlib
+
+    with open(os.path.join(root, rel), "rb") as fh:
+        data = fh.read()
+    if data[:4] != _DV_MAGIC:
+        raw = json.loads(zlib.decompress(data))
+        return {
+            f: (_dv_encode([int(i) for i in v]), len(v))
+            for f, v in raw.items()
+        }
+    (hlen,) = struct.unpack_from("<I", data, 4)
+    header = json.loads(data[8 : 8 + hlen])
+    base = 8 + hlen
+    return {
+        f: (data[base + off : base + off + ln], int(cnt))
+        for f, (off, ln, cnt) in header.items()
+    }
+
+
+def _load_dv_blobs(
+    root: str, manifest: dict, files: list[str] | set[str] | None = None
+) -> dict[str, tuple[bytes, int]]:
+    """Blob-level twin of ``_load_dvs``: ``{file_rel: (roaring blob,
+    count)}`` with NO driver-side decode — the budget is O(compressed
+    vector bytes), never O(deleted rows).  Every consumer that only
+    joins or merges vectors (MoR scans, DV-commit assembly) should load
+    through this; ``_load_dvs`` remains for the few consumers that do
+    driver-side position arithmetic (CDC diff bookkeeping)."""
+    dvs = manifest.get("dvs") or {}
+    if files is not None:
+        want = set(files)
+        dvs = {f: e for f, e in dvs.items() if f in want}
+    out: dict[str, tuple[bytes, int]] = {}
+    cache: dict[str, dict[str, tuple[bytes, int]]] = {}
+    for f, e in dvs.items():
+        side = e["path"]
+        if side not in cache:
+            cache[side] = _read_dv_sidecar_blobs(root, side)
+        out[f] = cache[side][e.get("key", f)]
+    return out
+
+
 _DV_RI_BITS = 40  # row index < 2^40 (a trillion rows/file); fid gets the rest
 
 
 def _dv_join(
     aug: DataFrame,
     spark: SparkSession,
-    dv_idx: dict[str, list[int]],
+    dv_idx: dict,
     how: str,
     suffix_parts: int = 2,
 ) -> DataFrame:
@@ -2606,22 +2660,48 @@ def _dv_join(
     one long-key hash lookup per row.  The scan attaches its file id
     via a files-count-sized broadcast first; files with no vector get a
     NULL id → NULL key, which never equals anything: anti keeps them,
-    semi drops them — exactly the DV semantics."""
+    semi drops them — exactly the DV semantics.
+
+    ``dv_idx`` is either ``{file_rel: [row indexes]}`` (legacy position
+    lists, driver-assembled) or ``{file_rel: (roaring blob, count)}``
+    (``_load_dv_blobs``): with blobs the driver ships only the
+    COMPRESSED vectors and the packed keys are decoded executor-side in
+    ``mapInPandas`` — the Python driver never materializes a position,
+    whatever the table's accumulated DV debt."""
     import numpy as np
     import pandas as pd
 
     sfx = sorted({_dv_suffix(f, suffix_parts) for f in dv_idx})
     fid = {s: i for i, s in enumerate(sfx)}
-    parts = []
-    for f, ix in dv_idx.items():
-        arr = np.asarray(list(ix), dtype=np.int64)
-        parts.append(
-            (np.int64(fid[_dv_suffix(f, suffix_parts)]) << _DV_RI_BITS) | arr
+    sample = next(iter(dv_idx.values()), None)
+    if isinstance(sample, tuple):
+        rows = [
+            (fid[_dv_suffix(f, suffix_parts)], bytes(b))
+            for f, (b, _c) in dv_idx.items()
+        ]
+        bdf = spark.createDataFrame(rows, "__dv_fid long, __dv_blob binary")
+
+        def _unpack(batches):
+            for pdf in batches:
+                for fi, blob in zip(pdf["__dv_fid"], pdf["__dv_blob"]):
+                    arr = np.asarray(_dv_decode(bytes(blob)), dtype=np.int64)
+                    yield pd.DataFrame(
+                        {"__dv_key": (np.int64(int(fi)) << _DV_RI_BITS) | arr}
+                    )
+
+        pos_df = bdf.mapInPandas(_unpack, "__dv_key long")
+    else:
+        parts = []
+        for f, ix in dv_idx.items():
+            arr = np.asarray(list(ix), dtype=np.int64)
+            parts.append(
+                (np.int64(fid[_dv_suffix(f, suffix_parts)]) << _DV_RI_BITS)
+                | arr
+            )
+        keys = np.concatenate(parts) if parts else np.array([], np.int64)
+        pos_df = spark.createDataFrame(
+            pd.DataFrame({"__dv_key": keys}), "__dv_key long"
         )
-    keys = np.concatenate(parts) if parts else np.array([], np.int64)
-    pos_df = spark.createDataFrame(
-        pd.DataFrame({"__dv_key": keys}), "__dv_key long"
-    )
     map_df = spark.createDataFrame(
         pd.DataFrame(
             {"__dv_file": sfx, "__dv_fid": np.arange(len(sfx), dtype=np.int64)}
@@ -2660,7 +2740,7 @@ def _with_scan_position(df: DataFrame, suffix_parts: int = 2) -> DataFrame:
 def _apply_dvs(
     df: DataFrame,
     spark: SparkSession,
-    dv_idx: dict[str, list[int]],
+    dv_idx: dict,
     keep_deleted: bool = False,
     suffix_parts: int = 2,
 ) -> DataFrame:
@@ -2722,20 +2802,22 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
             aug = _with_scan_position(
                 reader.parquet(*[os.path.join(root, f) for f in sorted(candidates)])
             )
-            cand_dvs = _load_dvs(root, pm, files=candidates)
-            if cand_dvs:
-                aug = _dv_join(aug, spark, cand_dvs, "left_anti")
+            cand_blobs = _load_dv_blobs(root, pm, files=candidates)
+            if cand_blobs:
+                aug = _dv_join(aug, spark, cand_blobs, "left_anti")
             aug = _logical_view(aug, pm)  # predicate speaks logical names
             hits = aug.filter(predicate).select("__sfx", "__ri")
             # enforcement of the selective-delete contract: positions are
-            # grouped and roaring-encoded EXECUTOR-SIDE; the driver pulls
-            # only per-file compressed blobs, so a wide predicate can no
-            # longer route row-granular data through the driver
+            # grouped and roaring-encoded EXECUTOR-SIDE, existing vectors
+            # ride along as compressed blobs and merge in-kernel; the
+            # driver pulls only per-file compressed blobs, so neither a
+            # wide predicate nor accumulated DV debt routes row-granular
+            # data through the driver
             assembled = _assemble_dvs_executor(
                 spark,
                 hits,
                 {_dv_suffix(f): f for f in candidates},
-                cand_dvs,
+                cand_blobs,
             )
     manifest = _carry_table_props(
         {
@@ -2879,7 +2961,7 @@ def _delete_attempt(
     # and post-evolution files.  Existing deletion vectors subtract
     # first: DV'd rows are logically gone, so they neither match nor
     # survive into a rewrite (the rewrite MATERIALIZES the file's DV).
-    dvs = _load_dvs(root, pm)
+    dvs = _load_dv_blobs(root, pm)
     touched = _matching_files(
         spark, root, candidates, predicate, schema, dvs=dvs, manifest=pm
     )
@@ -3081,7 +3163,7 @@ def _replace_where_attempt(
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
-    dvs = _load_dvs(root, pm)
+    dvs = _load_dv_blobs(root, pm)
     if mor:
         return _replace_where_mor(
             spark, root, path, pm, parent, version, predicate, incoming,
@@ -3216,7 +3298,7 @@ def _replace_where_mor(
                     *[os.path.join(root, f) for f in sorted(candidates)]
                 )
             )
-            cand_dvs = _load_dvs(root, pm, files=candidates)
+            cand_dvs = _load_dv_blobs(root, pm, files=candidates)
             if cand_dvs:
                 aug = _dv_join(aug, spark, cand_dvs, "left_anti")
             aug = _logical_view(aug, pm)
@@ -3406,7 +3488,7 @@ def _update_attempt(
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
-    dvs = _load_dvs(root, pm)
+    dvs = _load_dv_blobs(root, pm)
     touched: set[str] = set()
     if all_files:
         candidates = prune_candidate_files(spark, pm, all_files, predicate)
@@ -3417,7 +3499,7 @@ def _update_attempt(
     new_stats: dict = {}
     cdf_dir = None
     assembled: dict[str, tuple[bytes, int, int]] = {}
-    touched_dvs: dict[str, list[int]] = {}
+    touched_dvs: dict[str, tuple[bytes, int]] = {}
     if touched:
         data_dir = f"data/v{version}-{_commit_token()}"
         reader = spark.read.schema(schema) if schema is not None else spark.read
@@ -3768,7 +3850,7 @@ def _merge_attempt(
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
     version = parent + 1
-    dvs = _load_dvs(root, pm)
+    dvs = _load_dv_blobs(root, pm)
     if null_safe_keys:
         keys = source.select(*on).distinct()
     else:
@@ -3838,7 +3920,7 @@ def _merge_attempt(
             for r in probe.select("__fp").distinct().collect():
                 local = unquote(urlparse(r["__fp"]).path)
                 touched.add(os.path.relpath(local, root))
-    touched_dvs: dict[str, list[int]] = {}
+    touched_dvs: dict[str, tuple[bytes, int]] = {}
     if touched:
         t_side = spark.read.schema(phys_schema).parquet(
             *[os.path.join(root, f) for f in sorted(touched)]
@@ -4235,7 +4317,7 @@ def versioned_read(
         out = _apply_dvs(
             out,
             spark,
-            _load_dvs(
+            _load_dv_blobs(
                 os.path.abspath(path),
                 manifest,
                 files=entries if predicate is not None else None,
@@ -4408,7 +4490,7 @@ def versioned_bucketed_scan(
         )
         _BUCKET_VIEWS[key] = name
     df = spark.table(name)
-    dvs = _load_dvs(root, pm)
+    dvs = _load_dv_blobs(root, pm)
     if dvs:
         # basename-keyed suffix match: the view flattens the dir layout
         df = _apply_dvs(df, spark, dvs, suffix_parts=1)

@@ -1,0 +1,191 @@
+"""Round-10 task 1: EXISTING deletion-vector sidecars merge
+executor-side.  r9 enforced that NEW positions never transit the driver
+(_assemble_dvs_executor); these tests prove the same for OLD vectors —
+a repeat merge-on-read write against a heavy-DV table ships only
+compressed blobs up and down, never decoded row positions, and the
+driver never even decodes a vector.
+
+Mechanism under test (sources/versioned.py):
+- _load_dv_blobs / _read_dv_sidecar_blobs: header-seek blob slices, no
+  decode.
+- _dv_join blob branch: packed anti-join keys decoded in mapInPandas.
+- _assemble_dvs_executor: old blobs union with new positions and merge
+  inside the applyInPandas kernel; new_count = merged - old.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    table_versions,
+    versioned_delete_dv,
+    versioned_merge,
+    versioned_read,
+    versioned_update,
+    versioned_write,
+)
+
+
+def _base(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        (F.col("id") % 7).cast("string").alias("grp"),
+    )
+
+
+@pytest.fixture()
+def heavy_dv_table(spark, tmp_path):
+    """A table carrying real DV debt: 4000 rows, 2000 already DV-deleted."""
+    path = str(tmp_path / "t")
+    versioned_write(_base(spark).repartition(4), path, mode="overwrite")
+    versioned_delete_dv(spark, path, F.col("k") < 2000)
+    return path
+
+
+class _Spy:
+    """Records every driver->executor createDataFrame row count and
+    forbids driver-side vector decode while armed.  The decode guard
+    patches the DRIVER-ONLY entry points (_load_dvs/_read_dv_sidecar)
+    rather than _dv_decode itself: the executor kernels reference
+    _dv_decode as a module global, so patching it would ship the test
+    wrapper into cloudpickled closures."""
+
+    def __init__(self, monkeypatch, spark):
+        self.created: list[int] = []
+        self.decodes = 0
+
+        real_create = type(spark).createDataFrame
+
+        def spy_create(sess, data, *a, **kw):
+            try:
+                self.created.append(len(data))
+            except TypeError:
+                self.created.append(-1)  # RDD/iterator input: not used here
+            return real_create(sess, data, *a, **kw)
+
+        def forbidden(*a, **kw):
+            self.decodes += 1
+            raise AssertionError(
+                "driver-side DV position decode during a MoR write"
+            )
+
+        monkeypatch.setattr(type(spark), "createDataFrame", spy_create)
+        monkeypatch.setattr(V, "_load_dvs", forbidden)
+        monkeypatch.setattr(V, "_read_dv_sidecar", forbidden)
+
+
+def test_repeat_dv_delete_driver_traffic_is_blob_sized(
+    spark, heavy_dv_table, monkeypatch
+):
+    spy = _Spy(monkeypatch, spark)
+    versioned_delete_dv(spark, heavy_dv_table, F.col("k").between(2000, 2499))
+    # (a) the driver never decoded a vector: old blobs merged in-kernel
+    assert spy.decodes == 0
+    # (b) the largest driver->executor frame is O(files), never the
+    # 2000-row existing vector or the 500 new positions
+    assert spy.created, "expected blob/map frames to ship via createDataFrame"
+    assert max(spy.created) <= 16
+
+
+def test_repeat_dv_delete_result_exact(spark, heavy_dv_table):
+    versioned_delete_dv(spark, heavy_dv_table, F.col("k").between(2000, 2499))
+    got = sorted(
+        r["k"] for r in versioned_read(spark, heavy_dv_table).collect()
+    )
+    assert got == list(range(2500, 4000))
+
+
+def test_redelete_same_predicate_reports_no_growth(spark, heavy_dv_table):
+    manifest_before = V._read_manifest(
+        heavy_dv_table, table_versions(heavy_dv_table)[-1]
+    )
+    v = versioned_delete_dv(spark, heavy_dv_table, F.col("k") < 2000)
+    manifest_after = V._read_manifest(heavy_dv_table, v)
+    # vectors did not grow: every file keeps its OLD sidecar entry
+    assert manifest_after["dvs"] == manifest_before["dvs"]
+    got = sorted(
+        r["k"] for r in versioned_read(spark, heavy_dv_table).collect()
+    )
+    assert got == list(range(2000, 4000))
+
+
+def test_mor_update_on_heavy_dv_table_blob_only(
+    spark, heavy_dv_table, monkeypatch
+):
+    spy = _Spy(monkeypatch, spark)
+    versioned_update(
+        spark,
+        heavy_dv_table,
+        F.col("k").between(3000, 3099),
+        {"v": F.lit(-1)},
+        mor=True,
+    )
+    assert spy.decodes == 0
+    assert max(spy.created) <= 16
+    rows = {
+        r["k"]: r["v"] for r in versioned_read(spark, heavy_dv_table).collect()
+    }
+    assert len(rows) == 2000
+    assert all(rows[k] == -1 for k in range(3000, 3100))
+    assert rows[2999] == 2999 % 97
+    # a DV-deleted row must NOT be resurrected by a matching update
+    assert 1500 not in rows
+
+
+def test_mor_merge_on_heavy_dv_table_blob_only(
+    spark, heavy_dv_table, monkeypatch
+):
+    src = spark.createDataFrame(
+        [(2500, 7, "x"), (9999, 8, "y")], "k long, v long, grp string"
+    )
+    spy = _Spy(monkeypatch, spark)
+    versioned_merge(
+        spark,
+        heavy_dv_table,
+        src,
+        on=["k"],
+        when_matched="update",
+        when_not_matched="insert",
+        mor=True,
+    )
+    assert spy.decodes == 0
+    assert max(spy.created) <= 16
+    rows = {
+        r["k"]: (r["v"], r["grp"])
+        for r in versioned_read(spark, heavy_dv_table).collect()
+    }
+    assert rows[2500] == (7, "x")
+    assert rows[9999] == (8, "y")
+    assert len(rows) == 2001
+    # merging a key whose only occurrences are DV-deleted inserts fresh
+    assert 1500 not in rows or rows.get(1500) is None
+
+
+def test_dv_growth_accumulates_across_mor_commits(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    versioned_write(_base(spark, 1000).repartition(2), path, mode="overwrite")
+    for lo in (0, 100, 200, 300):
+        versioned_delete_dv(
+            spark, path, F.col("k").between(lo, lo + 99)
+        )
+    got = sorted(r["k"] for r in versioned_read(spark, path).collect())
+    assert got == list(range(400, 1000))
+    pm = V._read_manifest(path, table_versions(path)[-1])
+    assert sum(e["count"] for e in pm["dvs"].values()) == 400
+
+
+def test_load_dv_blobs_matches_load_dvs(spark, heavy_dv_table):
+    root = V.os.path.abspath(heavy_dv_table)
+    pm = V._read_manifest(heavy_dv_table, table_versions(heavy_dv_table)[-1])
+    pos = V._load_dvs(root, pm)
+    blobs = V._load_dv_blobs(root, pm)
+    assert set(pos) == set(blobs)
+    for f in pos:
+        blob, count = blobs[f]
+        assert count == len(pos[f])
+        assert sorted(V._dv_decode(blob)) == sorted(pos[f])
