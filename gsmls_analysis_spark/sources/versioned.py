@@ -119,7 +119,9 @@ def table_versions(path: str) -> list[int]:
 # results.
 # ---------------------------------------------------------------------------
 
-READER_FEATURES = frozenset({"deletion_vectors", "column_mapping"})
+READER_FEATURES = frozenset(
+    {"deletion_vectors", "column_mapping", "names_segments"}
+)
 WRITER_FEATURES = READER_FEATURES | frozenset(
     {"check_constraints", "generated_columns", "identity_columns", "bucketing"}
 )
@@ -379,20 +381,108 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
         disk["stats_complete"] = all(f in stats for f in live)
     except OSError:
         disk["stats_complete"] = False
+    # --- name lists (r10): data_dirs/data_files/dvs — the manifest's
+    # last O(files) inline component — move into NAME segments with the
+    # same inheritance/folding policy, so the serialized manifest is
+    # O(touched) in names too.  Entries: "d:<dir>" / "f:<file>" -> 1,
+    # "v:<file>" -> its dvs reference dict.  A commit that only appends
+    # re-references every parent name chunk by name; a delete or DV
+    # growth rewrites only the chunks holding the touched entries.
+    # Readers materialize the lists transparently (_materialize_names);
+    # the stamped reader feature makes older engines refuse loudly.
+    names: dict = {}
+    for d in manifest.get("data_dirs", []) or []:
+        names["d:" + d] = 1
+    for f in manifest.get("data_files", []) or []:
+        names["f:" + f] = 1
+    for f, e in (manifest.get("dvs") or {}).items():
+        names["v:" + f] = e
+    if names:
+        n_remaining = dict(names)
+        n_refs: list[tuple[str, int]] = []
+        for name in praw.get("names_segments") or []:
+            try:
+                entries = _load_segment(root, name)
+            except (OSError, ValueError, KeyError):
+                continue
+            intact = bool(entries)
+            for k, e in entries.items():
+                v = n_remaining.get(k)
+                if v is None or v != e:
+                    intact = False
+                    break
+            if intact:
+                n_refs.append((name, len(entries)))
+                for k in entries:
+                    del n_remaining[k]
+        n_refs.sort(key=lambda t: -t[1])
+        while n_refs and len(n_refs) + max(
+            1, -(-len(n_remaining) // _SEG_CHUNK)
+        ) > _SEG_MAX_REFS:
+            nm, _n = n_refs.pop()
+            n_remaining.update(_load_segment(root, nm))
+        nseg_names = [n for n, _c in n_refs]
+        if n_remaining:
+            os.makedirs(os.path.join(root, _SEG_DIR), exist_ok=True)
+            keys = sorted(n_remaining)
+            for i in range(0, len(keys), _SEG_CHUNK):
+                chunk = {k: n_remaining[k] for k in keys[i : i + _SEG_CHUNK]}
+                name = f"nseg-v{manifest['version']}-{_commit_token()}.json"
+                seg_path = os.path.join(root, _SEG_DIR, name)
+                with open(seg_path + ".tmp", "w") as fh:
+                    json.dump({"entries": chunk}, fh)
+                os.replace(seg_path + ".tmp", seg_path)
+                _SEG_CACHE[(root, name)] = chunk
+                nseg_names.append(name)
+        for k in ("data_dirs", "data_files", "dvs"):
+            disk.pop(k, None)
+        disk["names_segments"] = nseg_names
+        disk["reader_features"] = sorted(
+            set(disk.get("reader_features") or []) | {"names_segments"}
+        )
+        disk["writer_features"] = sorted(
+            set(disk.get("writer_features") or []) | {"names_segments"}
+        )
     return disk
+
+
+def _materialize_names(m: dict, root: str) -> None:
+    """Resolve a manifest's ``names_segments`` back into the in-memory
+    ``data_dirs``/``data_files``/``dvs`` every consumer expects — the
+    name-list twin of the stats materialization.  No-op for manifests
+    that still carry the lists inline."""
+    nsegs = m.get("names_segments")
+    if nsegs is None:
+        return
+    dirs: list[str] = []
+    files: list[str] = []
+    dvs: dict = {}
+    for s in nsegs:
+        for k, e in _load_segment(root, s).items():
+            if k.startswith("d:"):
+                dirs.append(k[2:])
+            elif k.startswith("f:"):
+                files.append(k[2:])
+            else:
+                dvs[k[2:]] = e
+    m["data_dirs"] = sorted(dirs)
+    m["data_files"] = sorted(files)
+    if dvs:
+        m["dvs"] = dvs
 
 
 def _read_manifest(path: str, version: int) -> dict:
     with open(os.path.join(path, f"manifest-v{version}.json")) as fh:
         m = json.load(fh)
     _check_reader_features(m, path, version)
+    root = os.path.abspath(path)
     segs = m.get("stats_segments")
     if segs:
-        root = os.path.abspath(path)
         stats: dict = {}
         for s in segs:
             stats.update(_load_segment(root, s))
         m["stats"] = stats
+    _materialize_names(m, root)
     return m
 
 
@@ -414,10 +504,14 @@ def _read_manifest_pruned(
     with open(os.path.join(path, f"manifest-v{version}.json")) as fh:
         m = json.load(fh)
     _check_reader_features(m, path, version)
+    root = os.path.abspath(path)
+    # names always materialize (the candidate enumeration needs the live
+    # set either way); at ~40 B/name this is ~2% of the stats bytes the
+    # envelope prune skips — measured in docs/METADATA_SCALE.md
+    _materialize_names(m, root)
     segs = m.get("stats_segments")
     if not segs:
         return m, 0, 0
-    root = os.path.abspath(path)
     meta = m.get("stats_segment_meta") or {}
     logical = _logical_struct(m)
     tree = (
@@ -4451,9 +4545,21 @@ def versioned_bucketed_scan(
     appends, CoW rewrites, MoR appends, and OPTIMIZE.  Deletion vectors
     apply as a broadcast anti-join AFTER the scan — broadcast joins
     preserve the streamed side's partitioning, so the bucket info
-    survives to the consuming join.  The symlink view costs O(files)
-    metadata ops and is cached per (table, version); the catalog entry
-    is session-local and never owns the files."""
+    survives to the consuming join.
+
+    Registration is CATALOG-SHAPED (r10): the table is declared
+    PARTITIONED BY a synthetic ``__vb_part`` column and each of the
+    snapshot's whole data dirs becomes one ``ADD PARTITION ...
+    LOCATION`` pointing DIRECTLY at the real dir — O(dirs) catalog
+    calls, zero per-file filesystem work (bucket identity rides the
+    file NAMES, which Spark's bucketed reader groups across
+    partitions).  Only loose ``data_files`` (kept-by-reference
+    survivors of copy-on-write deletes, collapsed by OPTIMIZE) still
+    need a symlink dir — O(loose), not O(files).  The r9 flat symlink
+    view paid O(files) symlinks per (table, version); measured at
+    docs/BUCKET_REGISTRATION.md.  Entries are cached per (table,
+    version); the catalog entry is session-local and never owns the
+    files."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -4468,31 +4574,53 @@ def versioned_bucketed_scan(
             "(or rewrite with versioned_write(..., bucket_by=...))"
         )
     root = os.path.abspath(path)
-    files = _expand_files(root, _entries(pm))
     key = (root, int(v))
     name = _BUCKET_VIEWS.get(key)
     if name is None or not spark.catalog.tableExists(name):
-        view_dir = tempfile.mkdtemp(prefix="vbview_")
-        seen: set[str] = set()
-        for f in files:
-            base = os.path.basename(f)
-            if base in seen:  # uuid'd basenames: effectively impossible
-                raise ValueError(f"duplicate basename in snapshot: {base}")
-            seen.add(base)
-            os.symlink(os.path.join(root, f), os.path.join(view_dir, base))
+        dirs = list(pm.get("data_dirs", []) or [])
+        loose = list(pm.get("data_files", []) or [])
+        link_dir = None
+        if loose:
+            link_dir = tempfile.mkdtemp(prefix="vbloose_")
+            seen: set[str] = set()
+            for f in loose:
+                base = os.path.basename(f)
+                if base in seen:  # uuid'd basenames: effectively impossible
+                    raise ValueError(f"duplicate basename in snapshot: {base}")
+                seen.add(base)
+                os.symlink(os.path.join(root, f), os.path.join(link_dir, base))
         schema = StructType.fromJson(json.loads(pm["schema"]))
         name = f"vb_{_commit_token()}"
         cols = ", ".join(f"`{c}`" for c in spec["columns"])
+        base_dir = tempfile.mkdtemp(prefix="vbroot_")
         spark.sql(
-            f"CREATE TABLE `{name}` ({schema.toDDL()}) USING PARQUET "
+            f"CREATE TABLE `{name}` ({schema.toDDL()}, __vb_part STRING) "
+            f"USING PARQUET PARTITIONED BY (__vb_part) "
             f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-            f"INTO {int(spec['n'])} BUCKETS LOCATION '{view_dir}'"
+            f"INTO {int(spec['n'])} BUCKETS LOCATION '{base_dir}'"
         )
+        parts = [(f"d{i}", os.path.join(root, d)) for i, d in enumerate(dirs)]
+        if link_dir:
+            parts.append(("loose", link_dir))
+        for pv, loc in parts:
+            spark.sql(
+                f"ALTER TABLE `{name}` ADD PARTITION (__vb_part='{pv}') "
+                f"LOCATION '{loc}'"
+            )
         _BUCKET_VIEWS[key] = name
-    df = spark.table(name)
+    df = spark.table(name).drop("__vb_part")
     dvs = _load_dv_blobs(root, pm)
     if dvs:
-        # basename-keyed suffix match: the view flattens the dir layout
+        # basename-keyed suffix match (the partitions flatten away the
+        # dir layout); uniqueness across the WHOLE snapshot is verified
+        # here because DV identity rides the basename — one in-memory
+        # listing, only paid when vectors exist
+        files = _expand_files(root, _entries(pm))
+        bases = [os.path.basename(f) for f in files]
+        if len(set(bases)) != len(bases):
+            raise ValueError(
+                "duplicate basenames in snapshot would alias DV keys"
+            )
         df = _apply_dvs(df, spark, dvs, suffix_parts=1)
     return _logical_view(df, pm)
 
@@ -4949,6 +5077,7 @@ def versioned_vacuum(
         live_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
         live_cdf.update(m.get("cdf") or [])
         live_segs.update(m.get("stats_segments") or [])
+        live_segs.update(m.get("names_segments") or [])
     deleted: list[str] = []
     drop_dirs: set[str] = set()
     drop_sidecars: set[str] = set()
@@ -4959,6 +5088,7 @@ def versioned_vacuum(
         drop_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
         drop_cdf.update(m.get("cdf") or [])
         drop_segs.update(m.get("stats_segments") or [])
+        drop_segs.update(m.get("names_segments") or [])
         for e in _entries(m):
             for f in _expand_files(root, [e]):
                 drop_dirs.add(os.path.dirname(f))

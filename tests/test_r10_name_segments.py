@@ -1,0 +1,209 @@
+"""Round-10 task 2: the manifest's last O(files) inline component —
+the data_dirs/data_files name lists and the dvs reference map — moves
+into immutable NAME segments under segments/, with the same
+inheritance, folding, and chunking policy as the r8 stats segments.
+The serialized manifest is now O(touched) in names too; readers
+materialize the lists transparently and legacy inline manifests stay
+readable (the next commit upgrades them)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    UnsupportedTableFeatureError,
+    table_versions,
+    versioned_delete,
+    versioned_delete_dv,
+    versioned_read,
+    versioned_vacuum,
+    versioned_write,
+)
+
+
+def _raw(path: str, v: int) -> dict:
+    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def test_manifest_serializes_no_inline_name_lists(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(50).repartition(3), path)
+    versioned_write(spark.range(50, 80).repartition(2), path, mode="append")
+    raw = _raw(path, 2)
+    assert "names_segments" in raw
+    assert "data_dirs" not in raw and "data_files" not in raw
+    assert "names_segments" in (raw.get("reader_features") or [])
+    # the reader materializes the lists transparently
+    m = V._read_manifest(path, 2)
+    assert len(m["data_dirs"]) == 2
+    assert versioned_read(spark, path).count() == 80
+
+
+def test_dv_map_rides_name_segments(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(100).repartition(2), path)
+    versioned_delete_dv(spark, path, F.col("id") < 10)
+    raw = _raw(path, 2)
+    assert "dvs" not in raw
+    m = V._read_manifest(path, 2)
+    assert m["dvs"] and sum(e["count"] for e in m["dvs"].values()) == 10
+    assert versioned_read(spark, path).count() == 90
+
+
+def test_append_carries_parent_name_chunks_by_reference(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(V, "_SEG_CHUNK", 4)
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(160).repartition(16), path)
+    # a COW delete enumerates the 15 untouched files as data_files —
+    # the name-entry-heavy shape (a fresh whole-dir write is 1 entry)
+    versioned_delete(spark, path, F.col("id") == 3)
+    parent_nsegs = set(_raw(path, 2)["names_segments"])
+    assert len(parent_nsegs) >= 3  # ~16 entries at chunk size 4
+    versioned_write(spark.range(160, 170), path, mode="append")
+    child_nsegs = _raw(path, 3)["names_segments"]
+    # every parent chunk is re-referenced BY NAME; only the new dir's
+    # entry needed a new chunk
+    assert parent_nsegs <= set(child_nsegs)
+    assert len(set(child_nsegs) - parent_nsegs) == 1
+
+
+def test_delete_rewrites_only_touched_name_chunks(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(V, "_SEG_CHUNK", 4)
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(160).repartition(16), path)
+    versioned_delete(spark, path, F.col("id") == 3)  # -> data_files shape
+    before = set(_raw(path, 2)["names_segments"])
+    versioned_delete(spark, path, F.col("id") == 17)
+    after = set(_raw(path, 3)["names_segments"])
+    assert versioned_read(spark, path).count() == 158
+    # chunks whose membership survived intact carry by reference; only
+    # the chunks holding the touched file's entry (and the dir-entry
+    # churn) rewrite
+    assert before & after, "expected at least one carried name chunk"
+    assert after - before, "expected the touched chunk to rewrite"
+
+
+def test_legacy_inline_manifest_reads_and_upgrades(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(30).repartition(2), path)
+    # rewrite v1's manifest in the PRE-r10 inline form
+    m = V._read_manifest(path, 1)
+    raw = _raw(path, 1)
+    legacy = dict(raw)
+    legacy.pop("names_segments", None)
+    legacy["data_dirs"] = m["data_dirs"]
+    legacy["data_files"] = m.get("data_files", [])
+    rf = [f for f in (legacy.get("reader_features") or []) if f != "names_segments"]
+    wf = [f for f in (legacy.get("writer_features") or []) if f != "names_segments"]
+    legacy["reader_features"] = rf
+    legacy["writer_features"] = wf
+    if not rf:
+        legacy.pop("reader_features")
+    if not wf:
+        legacy.pop("writer_features")
+    mf = os.path.join(path, "manifest-v1.json")
+    os.remove(mf)
+    with open(mf, "w") as fh:
+        json.dump(legacy, fh)
+    assert versioned_read(spark, path).count() == 30
+    # the next commit upgrades the table to name segments
+    versioned_write(spark.range(30, 40), path, mode="append")
+    raw2 = _raw(path, 2)
+    assert "names_segments" in raw2 and "data_dirs" not in raw2
+    assert versioned_read(spark, path).count() == 40
+
+
+def test_old_engine_refuses_name_segment_manifest(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(10), path)
+    monkeypatch.setattr(
+        V,
+        "READER_FEATURES",
+        frozenset({"deletion_vectors", "column_mapping"}),
+    )
+    with pytest.raises(UnsupportedTableFeatureError, match="names_segments"):
+        V._read_manifest(path, 1)
+
+
+def test_vacuum_tracks_name_segment_liveness(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(10), path)
+    versioned_write(spark.range(5), path)  # overwrite: v1 segments die
+    v1_nsegs = set(_raw(path, 1)["names_segments"])
+    v2_nsegs = set(_raw(path, 2)["names_segments"])
+    versioned_vacuum(path, keep_last=1, orphan_grace_seconds=1e9)
+    seg_dir = os.path.join(path, "segments")
+    listing = set(os.listdir(seg_dir))
+    assert v2_nsegs <= listing
+    assert not (v1_nsegs - v2_nsegs) & listing
+    assert versioned_read(spark, path).count() == 5
+
+
+def test_commit_bytes_do_not_scale_with_file_count(spark, tmp_path):
+    """The headline contract: a 1-file append's manifest bytes are
+    O(touched), whatever the table's file count — names included."""
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    versioned_write(spark.range(100).repartition(2), small)
+    versioned_write(spark.range(10000).repartition(64), big)
+    versioned_write(spark.range(5), small, mode="append")
+    versioned_write(spark.range(5), big, mode="append")
+    b_small = os.path.getsize(os.path.join(small, "manifest-v2.json"))
+    b_big = os.path.getsize(os.path.join(big, "manifest-v2.json"))
+    # 32x the files should cost ~nothing in manifest bytes (segment
+    # name refs only); allow 2x slack for extra segment references
+    assert b_big < 2 * b_small
+
+
+# ---------------------------------------------------------------------------
+# r10 task 3: bucketed-scan registration is O(dirs), not O(files)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_scan_registration_makes_no_per_file_symlinks(
+    spark, tmp_path, monkeypatch
+):
+    """An append-only bucketed snapshot registers through partition
+    locations pointing at the real data dirs — zero symlinks; loose
+    data_files (post-CoW-delete) symlink O(loose) only."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "b")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    V.versioned_write(df, path, bucket_by=(["k"], 4))
+    V.versioned_write(
+        spark.range(500, 600).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        path,
+        mode="append",
+    )
+    links: list[str] = []
+    real_symlink = os.symlink
+
+    def spy(src, dst, *a, **kw):
+        links.append(dst)
+        return real_symlink(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "symlink", spy)
+    scan = V.versioned_bucketed_scan(spark, path)
+    assert links == []  # dir-only snapshot: no per-file work
+    assert scan.count() == 600
+    from tests.test_r9_bucketed import _plan, _shuffles
+
+    agg = V.versioned_bucketed_scan(spark, path).groupBy("k").agg(
+        F.max("v").alias("m")
+    )
+    assert _shuffles(_plan(agg)) == 0

@@ -36,8 +36,9 @@ def _files_of(path, v):
 
 
 def _man(path, v):
-    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
-        return json.load(fh)
+    # through the reader: r10 manifests carry dvs/name lists in name
+    # segments; _read_manifest materializes them transparently
+    return V._read_manifest(path, v)
 
 
 def _mk(spark, path, n=50, parts=4):

@@ -309,19 +309,23 @@ def test_protocol_features_stamped_and_gated(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     V.versioned_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl)
     pm = V._read_manifest(tbl, 1)
-    assert "reader_features" not in pm  # plain table: no gate
+    # r10: every table serializes its name lists into segments, which
+    # is itself a stamped reader feature — the only one a plain table has
+    assert pm["reader_features"] == ["names_segments"]
 
     # DV delete -> reader feature appears (ignoring dvs = resurrecting rows)
     V.versioned_delete_dv(spark, tbl, F.col("k") == 1)
     pm = V._read_manifest(tbl, 2)
-    assert pm["reader_features"] == ["deletion_vectors"]
+    assert pm["reader_features"] == ["deletion_vectors", "names_segments"]
     assert "deletion_vectors" in pm["writer_features"]
 
     # rename -> column_mapping joins; constraint -> writer-only feature
     V.versioned_rename_column(spark, tbl, "v", "val")
     V.versioned_add_constraint(spark, tbl, "k_pos", "k > 0")
     pm = V._read_manifest(tbl, V.table_versions(tbl)[-1])
-    assert pm["reader_features"] == ["column_mapping", "deletion_vectors"]
+    assert pm["reader_features"] == [
+        "column_mapping", "deletion_vectors", "names_segments"
+    ]
     assert "check_constraints" in pm["writer_features"]
     assert "check_constraints" not in pm["reader_features"]
 

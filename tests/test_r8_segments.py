@@ -127,7 +127,8 @@ def test_vacuum_reclaims_dead_and_orphan_segments(spark, tmp_path):
     deleted = versioned_vacuum(
         path, keep_last=1, clean_orphans=True, orphan_grace_seconds=0.0
     )
-    live = set(_raw(path, 2)["stats_segments"])
+    raw2 = _raw(path, 2)
+    live = set(raw2["stats_segments"]) | set(raw2.get("names_segments") or [])
     assert set(os.listdir(seg_dir)) == live
     assert any(d.startswith("segments/") for d in deleted)
     assert not os.path.exists(orphan)

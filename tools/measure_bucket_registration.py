@@ -1,0 +1,120 @@
+"""Measure bucketed-scan REGISTRATION cost: r9 flat symlink view
+(O(files) symlinks per (table, version)) vs r10 catalog-shaped
+partition registration (O(dirs) ADD PARTITION calls + O(loose)
+symlinks) — round-10 verdict task 3.
+
+The data plane is identical either way (same files, same bucketed
+scan, same zero-exchange SPJ — tests/test_r9_bucketed.py); only the
+driver-side metadata work to expose a snapshot differs.  Files are
+zero-byte stand-ins: registration never opens them.
+
+Run: python tools/measure_bucket_registration.py
+Prints a markdown table (pasted into docs/BUCKET_REGISTRATION.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+
+
+def _mk_layout(n_files: int, n_dirs: int = 8) -> tuple[str, list[str]]:
+    root = tempfile.mkdtemp(prefix=f"bucket_reg_{n_files}_")
+    per = n_files // n_dirs
+    dirs = []
+    for d in range(n_dirs):
+        rel = f"data/v{d + 1}-aaaaaaa{d}"
+        os.makedirs(os.path.join(root, rel), exist_ok=True)
+        dirs.append(rel)
+        for i in range(per):
+            open(
+                os.path.join(
+                    root, rel, f"part-{i:05d}-tok_{i % 16:05d}.c000.parquet"
+                ),
+                "w",
+            ).close()
+    return root, dirs
+
+
+def bench(spark, n_files: int) -> dict:
+    root, dirs = _mk_layout(n_files)
+    try:
+        files = []
+        for rel in dirs:
+            for f in sorted(os.listdir(os.path.join(root, rel))):
+                files.append(f"{rel}/{f}")
+        ddl = "k BIGINT, v BIGINT"
+
+        # --- r9 path: flat symlink view + unpartitioned bucketed table
+        t0 = time.perf_counter()
+        view_dir = tempfile.mkdtemp(prefix="vbflat_")
+        for i, f in enumerate(files):
+            os.symlink(
+                os.path.join(root, f), os.path.join(view_dir, f"{i}.parquet")
+            )
+        spark.sql(
+            f"CREATE TABLE flat_{n_files} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (k) SORTED BY (k) INTO 16 BUCKETS "
+            f"LOCATION '{view_dir}'"
+        )
+        t_flat = time.perf_counter() - t0
+
+        # --- r10 path: partition locations point at the real dirs
+        t0 = time.perf_counter()
+        base_dir = tempfile.mkdtemp(prefix="vbroot_")
+        spark.sql(
+            f"CREATE TABLE part_{n_files} ({ddl}, __vb_part STRING) "
+            f"USING PARQUET PARTITIONED BY (__vb_part) "
+            f"CLUSTERED BY (k) SORTED BY (k) INTO 16 BUCKETS "
+            f"LOCATION '{base_dir}'"
+        )
+        for i, rel in enumerate(dirs):
+            spark.sql(
+                f"ALTER TABLE part_{n_files} ADD PARTITION "
+                f"(__vb_part='d{i}') LOCATION '{os.path.join(root, rel)}'"
+            )
+        t_part = time.perf_counter() - t0
+        spark.sql(f"DROP TABLE flat_{n_files}")
+        spark.sql(f"DROP TABLE part_{n_files}")
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        return {
+            "n_files": n_files,
+            "n_dirs": len(dirs),
+            "flat_symlink_s": t_flat,
+            "partition_catalog_s": t_part,
+            "speedup": t_flat / max(1e-9, t_part),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("bucket-registration")
+    print("\n## Bucketed-scan registration: r9 flat symlinks vs r10 partitions\n")
+    print(
+        "| files | dirs | r9 symlink view s | r10 partition catalog s "
+        "| speedup |"
+    )
+    print("|---|---|---|---|---|")
+    rows = []
+    for n in (1_000, 10_000, 100_000):
+        r = bench(spark, n)
+        rows.append(r)
+        print(
+            f"| {r['n_files']:,} | {r['n_dirs']} | {r['flat_symlink_s']:.3f} "
+            f"| {r['partition_catalog_s']:.3f} | {r['speedup']:.0f}x |"
+        )
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -228,6 +228,79 @@ def bench_pruning(spark, n_files: int) -> dict:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def bench_names(n_files: int) -> dict:
+    """r10 name segments: the manifest's data_files/dvs lists were the
+    last O(files) inline component (~40 B/name, ~60 B/dv entry).  The
+    worst shape is post-COW-delete: every file listed individually in
+    ``data_files`` plus a full ``dvs`` map.  Measured op: ONE file's
+    deletion vector grows (the repeat-MoR-write commit) — r9 re-wrote
+    both full lists in the manifest; r10 rewrites only the name chunks
+    holding the touched entries."""
+    path = tempfile.mkdtemp(prefix=f"names_meta_{n_files}_")
+    try:
+        dir1 = "data/v1-aaaaaaaa"
+        files = [f"{dir1}/part-{i:06d}.parquet" for i in range(n_files)]
+        stats = {f: synth_entry(i) for i, f in enumerate(files)}
+        dvs1 = {f: {"path": "dv/v1-aaaaaaaa.json.z", "count": 3} for f in files}
+        m1 = {
+            "version": 1,
+            "parent": 0,
+            "data_dirs": [],
+            "data_files": list(files),
+            "schema": None,
+            "stats": stats,
+            "dvs": dvs1,
+            "txns": {},
+        }
+        assert V._publish(path, m1)
+        # --- the measured op: one file's vector grows ---
+        dvs2 = dict(dvs1)
+        dvs2[files[n_files // 2]] = {
+            "path": "dv/v2-bbbbbbbb.json.z",
+            "count": 7,
+        }
+        m2 = {**{k: v for k, v in m1.items()}, "version": 2, "parent": 1,
+              "dvs": dvs2}
+        before_segs = seg_bytes(path)
+        t0 = time.perf_counter()
+        assert V._publish(path, m2)
+        t_commit = time.perf_counter() - t0
+        after_segs = seg_bytes(path)
+        new_seg_bytes = sum(
+            sz for f, sz in after_segs.items() if f not in before_segs
+        )
+        manifest_bytes = os.path.getsize(
+            os.path.join(path, "manifest-v2.json")
+        )
+        # --- r9 equivalent: stats segmented, names still inline ---
+        with open(os.path.join(path, "manifest-v2.json")) as fh:
+            raw = json.load(fh)
+        inline = {k: v for k, v in raw.items() if k != "names_segments"}
+        inline["data_files"] = files
+        inline["dvs"] = dvs2
+        r9_bytes = len(json.dumps(inline))
+        # --- cold read including name materialization ---
+        V._SEG_CACHE.clear()
+        t0 = time.perf_counter()
+        got = V._read_manifest(path, 2)
+        t_cold = time.perf_counter() - t0
+        assert sorted(got["data_files"]) == sorted(files)
+        assert got["dvs"] == dvs2, "name readback != original"
+        n_new_chunks = len(
+            [f for f in after_segs if f not in before_segs]
+        )
+        return {
+            "n_files": n_files,
+            "commit_bytes_r9_inline_names": r9_bytes,
+            "commit_bytes_r10": manifest_bytes + new_seg_bytes,
+            "new_chunks": n_new_chunks,
+            "commit_s": t_commit,
+            "cold_read_s": t_cold,
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     rows = [bench_synthetic(n) for n in (1_000, 10_000, 100_000)]
     print("\n## Metadata microbench: 1-file append on an N-file table\n")
@@ -246,6 +319,30 @@ def main() -> None:
             f"| {r['n_segments']} |"
         )
     print(json.dumps(rows))
+    if "--names" in sys.argv:
+        print(
+            "\n## Name segments: DV-grow commit on an N-file "
+            "data_files+dvs table\n"
+        )
+        print(
+            "| files | commit bytes r9 (inline names) | r10 | ratio | "
+            "new chunks | commit s | cold read s |"
+        )
+        print("|---|---|---|---|---|---|---|")
+        nrows = []
+        for n in (1_000, 10_000, 100_000):
+            r = bench_names(n)
+            nrows.append(r)
+            ratio = r["commit_bytes_r9_inline_names"] / max(
+                1, r["commit_bytes_r10"]
+            )
+            print(
+                f"| {r['n_files']:,} | {r['commit_bytes_r9_inline_names']:,} "
+                f"| {r['commit_bytes_r10']:,} | {ratio:,.0f}x "
+                f"| {r['new_chunks']} | {r['commit_s']:.3f} "
+                f"| {r['cold_read_s']:.3f} |"
+            )
+        print(json.dumps(nrows))
     if "--prune" in sys.argv:
         from gsmls_analysis_spark.session import get_spark
 
