@@ -1641,6 +1641,66 @@ def q_versioned_spj_join(spark, sf_dir):
 
 
 @query(
+    "q_versioned_bucket_evolution",
+    oracle="""
+SELECT c.c_custkey AS c_custkey,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    doc="BUCKET-SPEC EVOLUTION end-to-end (sources/versioned.py::"
+    "versioned_set_bucketing, r10): customers commit bucketed "
+    "(c_custkey, 8), the spec EVOLVES to 16 as a metadata-only commit, "
+    "the odd-key half appends under the NEW spec (mixed-era layout — "
+    "versioned_bucketed_scan refuses, versioned_join_bucketed degrades "
+    "loudly to shuffle; unit-matrixed in tests/"
+    "test_r10_bucket_evolution.py), then OPTIMIZE re-buckets everything "
+    "under 16 and the storage-partitioned join against 16-bucketed "
+    "orders runs exchange-free again.  The returned aggregate proves "
+    "rows from BOTH eras survived the evolve->append->compact cycle "
+    "exactly; the oracle is the same join+group over the raw tables.",
+)
+def q_versioned_bucket_evolution(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_compact,
+        versioned_join_bucketed,
+        versioned_set_bucketing,
+        versioned_write,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pa = tempfile.mkdtemp(prefix="bev_cust_")
+    pb = tempfile.mkdtemp(prefix="bev_orders_")
+    versioned_write(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        pa,
+        bucket_by=(["c_custkey"], 8),
+    )
+    versioned_set_bucketing(spark, pa, ["c_custkey"], 16)
+    versioned_write(
+        cust.filter(F.col("c_custkey") % 2 == 1), pa, mode="append"
+    )
+    versioned_compact(spark, pa)  # re-buckets both eras into 16
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    versioned_write(orders, pb, bucket_by=(["c_custkey"], 16))
+    j = versioned_join_bucketed(spark, pa, pb, on=["c_custkey"])
+    return j.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@query(
     "q_continuous_aggregate",
     oracle="""
 SELECT user_id, COUNT(*) AS n_rows,

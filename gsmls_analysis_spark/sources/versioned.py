@@ -120,7 +120,8 @@ def table_versions(path: str) -> list[int]:
 # ---------------------------------------------------------------------------
 
 READER_FEATURES = frozenset(
-    {"deletion_vectors", "column_mapping", "names_segments"}
+    {"deletion_vectors", "column_mapping", "names_segments",
+     "bucket_evolution"}
 )
 WRITER_FEATURES = READER_FEATURES | frozenset(
     {"check_constraints", "generated_columns", "identity_columns", "bucketing"}
@@ -137,6 +138,10 @@ def _features_of(manifest: dict) -> tuple[set[str], set[str]]:
         rf.add("deletion_vectors")
     if manifest.get("column_mapping") or manifest.get("dropped_columns"):
         rf.add("column_mapping")
+    if manifest.get("bucket_spec_history"):
+        # an older engine's bucketed scan would group a MIXED-era layout
+        # by the wrong bucket ids and silently return wrong joins
+        rf.add("bucket_evolution")
     wf = set(rf)
     if manifest.get("constraints"):
         wf.add("check_constraints")
@@ -799,6 +804,10 @@ def versioned_write(
             if pm.get("dvs"):
                 # kept files keep their deletion vectors by reference
                 manifest["dvs"] = pm["dvs"]
+            if pm.get("bucket_spec_history"):
+                # the era ledger survives appends (an overwrite resets
+                # it — fresh single-era layout)
+                manifest["bucket_spec_history"] = pm["bucket_spec_history"]
             # kept entries keep their stats by reference
             manifest["stats"] = {**(pm.get("stats") or {}), **my_stats}
             # schema EVOLUTION with ENFORCEMENT (the Delta model): an
@@ -1089,6 +1098,8 @@ def _carry_table_props(manifest: dict, pm: dict | None) -> dict:
         manifest["partition_by"] = pm["partition_by"]
     if pm and pm.get("bucket_by"):
         manifest["bucket_by"] = pm["bucket_by"]
+    if pm and pm.get("bucket_spec_history"):
+        manifest["bucket_spec_history"] = pm["bucket_spec_history"]
     if pm and pm.get("constraints"):
         manifest["constraints"] = pm["constraints"]
     if pm and pm.get("column_mapping"):
@@ -1659,6 +1670,110 @@ def versioned_set_partitioning(
         return manifest["version"]
 
     return _with_occ_retry("versioned_set_partitioning", attempt)
+
+
+class BucketLayoutMixedError(ValueError):
+    """The table's live files span more than one bucket-spec era: a
+    bucketed scan would group files by bucket ids hashed under
+    DIFFERENT specs and silently mis-join.  Run a full OPTIMIZE
+    (``versioned_compact``) to re-bucket everything under the current
+    spec, or read through ``versioned_read`` (the shuffle path)."""
+
+
+def _entry_commit_version(rel: str) -> int | None:
+    """The commit version a data entry was written at, parsed from its
+    ``data/v{N}-{token}`` dir name — the era key for bucket-spec
+    evolution.  None when the name doesn't carry one (e.g. shallow-clone
+    re-keys): callers must treat that as unknown-era (degrade)."""
+    parts = rel.replace(os.sep, "/").split("/")
+    if len(parts) < 2:
+        return None
+    m = re.match(r"^v(\d+)-", parts[1])
+    return int(m.group(1)) if m else None
+
+
+def versioned_set_bucketing(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    n: int | None = None,
+) -> int:
+    """ALTER TABLE ... bucket-spec EVOLUTION (metadata-only): declare a
+    NEW bucket spec (different columns or n), or drop bucketing
+    (``columns=None``) — zero data files touched, mirroring
+    ``versioned_set_partitioning``'s era model.  Files committed before
+    the change keep their old-era layout; files written after it hash
+    under the new spec (every commit path routes writes through
+    ``_write_data_dir``, which follows the CURRENT spec).
+
+    The layout is era-scoped, not lied about: ``versioned_bucketed_scan``
+    verifies every live entry was written at or after the current
+    spec's commit and raises ``BucketLayoutMixedError`` otherwise —
+    ``versioned_join_bucketed`` degrades LOUDLY to the shuffle path.  A
+    full OPTIMIZE (``versioned_compact``) rewrites everything under the
+    current spec, after which the zero-exchange plan returns.  This is
+    Iceberg bucket-transform evolution / Delta liquid-reclustering
+    territory: evolve when data outgrows the chosen n, re-bucket at
+    compaction cadence, never block ingestion.
+
+    The manifest records ``bucket_spec_history`` (spec + the commit it
+    took effect at) and stamps the ``bucket_evolution`` reader feature
+    so an older engine refuses the table instead of bucketed-scanning a
+    mixed layout.  Column names are LOGICAL.  Returns the new version."""
+
+    def attempt() -> int:
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        pm = _read_manifest(path, versions[-1])
+        spec = None
+        if columns:
+            if n is None or int(n) < 1:
+                raise ValueError(
+                    "bucket evolution needs n >= 1 when columns are given"
+                )
+            if pm.get("partition_by"):
+                raise ValueError(
+                    f"{path} is partitioned (bucket_by and partition_by "
+                    "are mutually exclusive)"
+                )
+            logical = _logical_struct(pm)
+            if logical is not None:
+                missing = [c for c in columns if c not in logical.names]
+                if missing:
+                    raise ValueError(
+                        f"bucket columns {missing} not in {path} schema "
+                        f"{logical.names}"
+                    )
+            l2p = _l2p_of(pm)
+            spec = {"columns": [l2p.get(c, c) for c in columns], "n": int(n)}
+        elif n is not None:
+            raise ValueError("n given without columns; pass both to bucket")
+        if spec == _bucket_of(pm):
+            raise ValueError(f"{path} already has bucket spec {spec}")
+        manifest = _metadata_only_child(
+            pm,
+            meta={
+                "set_bucketing": (
+                    f"{','.join(columns)}/{int(n)}" if columns else "<none>"
+                )
+            },
+            path=path,
+        )
+        hist = list(pm.get("bucket_spec_history") or [])
+        if not hist and _bucket_of(pm):
+            # legacy bucketed table: its founding spec has held since v1
+            hist = [{"since": 1, "spec": _bucket_of(pm)}]
+        hist.append({"since": manifest["version"], "spec": spec})
+        manifest["bucket_spec_history"] = hist
+        if spec:
+            manifest["bucket_by"] = spec
+        else:
+            manifest.pop("bucket_by", None)
+        _publish_or_race(path, manifest)
+        return manifest["version"]
+
+    return _with_occ_retry("versioned_set_bucketing", attempt)
 
 
 def versioned_rename_column(
@@ -4573,6 +4688,25 @@ def versioned_bucketed_scan(
             f"{path} declares no bucket_by spec; use versioned_read "
             "(or rewrite with versioned_write(..., bucket_by=...))"
         )
+    hist = pm.get("bucket_spec_history") or []
+    if hist:
+        # era soundness: every live entry must have been written at or
+        # after the current spec's commit — older-era files hash under a
+        # DIFFERENT spec and would silently mis-bucket the join
+        cur_since = int(hist[-1]["since"])
+        stale = [
+            e
+            for e in _entries(pm)
+            if (ev := _entry_commit_version(e)) is None or ev < cur_since
+        ]
+        if stale:
+            raise BucketLayoutMixedError(
+                f"{path} has {len(stale)} live entr"
+                f"{'y' if len(stale) == 1 else 'ies'} written under an "
+                f"older bucket spec (current spec took effect at "
+                f"v{cur_since}, e.g. {stale[0]!r}); run "
+                "versioned_compact() to re-bucket, or use versioned_read"
+            )
     root = os.path.abspath(path)
     key = (root, int(v))
     name = _BUCKET_VIEWS.get(key)
@@ -4663,8 +4797,21 @@ def versioned_join_bucketed(
             "Re-bucket one side (versioned_write(..., bucket_by="
             f"({list(on)}, n))) so the join can run exchange-free."
         )
-    a = versioned_bucketed_scan(spark, left_path, left_version)
-    b = versioned_bucketed_scan(spark, right_path, right_version)
+    try:
+        a = versioned_bucketed_scan(spark, left_path, left_version)
+        b = versioned_bucketed_scan(spark, right_path, right_version)
+    except BucketLayoutMixedError as e:
+        # degrade LOUDLY, never silently: the join still answers
+        # correctly through the shuffle path; OPTIMIZE restores the
+        # exchange-free plan
+        import warnings
+
+        warnings.warn(
+            f"storage-partitioned join degraded to shuffle: {e}",
+            stacklevel=2,
+        )
+        a = versioned_read(spark, left_path, version=left_version)
+        b = versioned_read(spark, right_path, version=right_version)
     return a.join(b, on=list(on), how=how)
 
 

@@ -881,6 +881,16 @@ def _publish_staged(
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
     _check_writer_features(pm, path)
+    from .versioned import _bucket_of
+
+    if _bucket_of(pm):
+        raise ValueError(
+            "versioned_table sink: the table declares a bucket_by spec; "
+            "the sink's staged files are not bucket-hashed and would "
+            "silently break every storage-partitioned join.  Append "
+            "through versioned_write (it re-hashes), or drop the spec "
+            "with versioned_set_bucketing(path)."
+        )
     if _identity_of(pm):
         raise ValueError(
             "versioned_table sink: the table declares identity columns, "
@@ -954,6 +964,8 @@ def _publish_staged(
                 manifest["schema"] = _evolve_schema(pm["schema"], phys_schema)
             if pm.get("partition_by"):
                 manifest["partition_by"] = pm["partition_by"]
+            if pm.get("bucket_spec_history"):
+                manifest["bucket_spec_history"] = pm["bucket_spec_history"]
         if cons:
             manifest["constraints"] = cons
         if pm and pm.get("generated"):

@@ -1,0 +1,164 @@
+"""Round-10 task 4: bucket-spec evolution as a metadata commit with an
+ERA-SCOPED layout.  The matrix under test (verdict r9 task 4):
+evolve -> append -> SPJ refuses/degrades loudly -> OPTIMIZE re-buckets
+-> SPJ zero-exchange again.  Plus: drop bucketing, bucket a previously
+unbucketed table, old-engine refusal, and correctness through every
+stage (the shuffle fallback answers identically)."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.sources import versioned as V
+from gsmls_analysis_spark.sources.versioned import (
+    BucketLayoutMixedError,
+    versioned_bucketed_scan,
+    versioned_compact,
+    versioned_join_bucketed,
+    versioned_read,
+    versioned_set_bucketing,
+    versioned_write,
+)
+from tests.test_r9_bucketed import _no_shuffle_join, _plan, _shuffles
+
+
+def _mk(spark, path, n_buckets=4, rows=400):
+    df = spark.range(rows).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    versioned_write(df, path, bucket_by=(["k"], n_buckets))
+    return df
+
+
+def test_evolution_matrix(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _mk(spark, a, 4)
+    _mk(spark, b, 4)
+
+    # 1. evolve a's spec 4 -> 8 buckets: metadata-only commit
+    v = versioned_set_bucketing(spark, a, ["k"], 8)
+    pm = V._read_manifest(a, v)
+    assert V._bucket_of(pm) == {"columns": ["k"], "n": 8}
+    assert pm["bucket_spec_history"][-1]["since"] == v
+
+    # 2. the old-era files are still live: bucketed scan REFUSES
+    with pytest.raises(BucketLayoutMixedError, match="older bucket spec"):
+        versioned_bucketed_scan(spark, a)
+
+    # 3. mismatched specs (a evolved to 8, b still 4) stay a hard error
+    # — the refusal fires before any degrade
+    with pytest.raises(ValueError, match="bucket specs must both equal"):
+        versioned_join_bucketed(spark, a, b, on=["k"])
+
+
+def test_evolve_append_degrade_optimize_restore(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    dfa = _mk(spark, a, 8)
+    _mk(spark, b, 4)
+
+    # evolve b 4 -> 8 so the specs MATCH but b's layout is old-era
+    versioned_set_bucketing(spark, b, ["k"], 8)
+
+    # append after evolution: new files hash under the NEW spec
+    versioned_write(
+        spark.range(400, 450).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        b,
+        mode="append",
+    )
+
+    # SPJ degrades loudly (mixed eras on b) but answers correctly
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        j = versioned_join_bucketed(spark, a, b, on=["k"])
+        plan = _plan(j)
+        assert j.count() == 400
+    assert any("degraded to shuffle" in str(x.message) for x in w)
+    # honest plan: the fallback is a plain (non-bucketed) scan join —
+    # at toy scale AQE picks a broadcast join, at scale it shuffles
+    assert "Bucketed: true" not in plan
+
+    # OPTIMIZE re-buckets everything under the current spec
+    versioned_compact(spark, b)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sa = versioned_bucketed_scan(spark, a).hint("merge")
+        sb = versioned_bucketed_scan(spark, b)
+        plan = _plan(sa.join(sb, on=["k"]))
+    assert not w
+    assert _no_shuffle_join(plan), plan
+    assert versioned_join_bucketed(spark, a, b, on=["k"]).count() == 400
+    rows = {
+        r["k"]: r["v"]
+        for r in versioned_read(spark, b).collect()
+    }
+    assert len(rows) == 450 and rows[449] == 449 % 7
+
+
+def test_bucket_previously_unbucketed_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(
+        spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ),
+        path,
+    )
+    versioned_set_bucketing(spark, path, ["k"], 4)
+    with pytest.raises(BucketLayoutMixedError):
+        versioned_bucketed_scan(spark, path)
+    versioned_compact(spark, path)
+    agg = versioned_bucketed_scan(spark, path).groupBy("k").agg(
+        F.max("v").alias("m")
+    )
+    assert _shuffles(_plan(agg)) == 0
+    assert agg.count() == 300
+
+
+def test_drop_bucketing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, 4)
+    v = versioned_set_bucketing(spark, path)  # drop
+    pm = V._read_manifest(path, v)
+    assert V._bucket_of(pm) is None
+    assert pm["bucket_spec_history"][-1]["spec"] is None
+    with pytest.raises(ValueError, match="no bucket_by spec"):
+        versioned_bucketed_scan(spark, path)
+    # future writes stop re-hashing; reads stay exact
+    versioned_write(
+        spark.range(400, 420).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        path,
+        mode="append",
+    )
+    assert versioned_read(spark, path).count() == 420
+
+
+def test_evolution_validations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, 4)
+    with pytest.raises(ValueError, match="already has bucket spec"):
+        versioned_set_bucketing(spark, path, ["k"], 4)
+    with pytest.raises(ValueError, match="not in"):
+        versioned_set_bucketing(spark, path, ["nope"], 8)
+    with pytest.raises(ValueError, match="n given without columns"):
+        versioned_set_bucketing(spark, path, None, 8)
+    with pytest.raises(ValueError, match="n >= 1"):
+        versioned_set_bucketing(spark, path, ["k"], 0)
+
+
+def test_old_engine_refuses_evolved_table(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    _mk(spark, path, 4)
+    versioned_set_bucketing(spark, path, ["k"], 8)
+    monkeypatch.setattr(
+        V,
+        "READER_FEATURES",
+        frozenset({"deletion_vectors", "column_mapping", "names_segments"}),
+    )
+    with pytest.raises(V.UnsupportedTableFeatureError, match="bucket_evolution"):
+        versioned_read(spark, path).collect()
