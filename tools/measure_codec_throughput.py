@@ -1,0 +1,152 @@
+"""Measure the pure-Python media codecs' single-core throughput —
+round-10 verdict task 5 ("publish codec throughput + the native-swap
+line").  These codecs exist because the container has no PIL/libjpeg/
+ffmpeg: they are spec-correct (T.81, RIFF/AVI, G.711 companding
+tables), Arrow-batched, and embarrassingly parallel across executors —
+but a native library decodes orders of magnitude more bytes per core.
+This tool publishes the honest per-core numbers so the swap point is
+explicit (docs/CODEC_THROUGHPUT.md).
+
+All timing is single-threaded driver-side on genuinely ENCODED
+payloads (the same synthesis rules the oracle queries use).
+
+Run: python tools/measure_codec_throughput.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gsmls_analysis_spark.operators import jpeg as J  # noqa: E402
+from gsmls_analysis_spark.operators import multimodal as M  # noqa: E402
+from gsmls_analysis_spark.operators import video as Vid  # noqa: E402
+
+
+def _gradient_rgb(w: int, h: int, seed: int) -> bytes:
+    y, x = np.mgrid[0:h, 0:w]
+    r = ((x * 3 + seed) % 256).astype(np.uint8)
+    g = ((y * 5 + seed * 7) % 256).astype(np.uint8)
+    b = ((x + y + seed * 13) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=2).tobytes()
+
+
+def bench_jpeg(progressive: bool, w=320, h=240, n=8) -> dict:
+    payloads = []
+    for i in range(n):
+        rgb = _gradient_rgb(w, h, i)
+        payloads.append(
+            J.encode_jpeg_progressive(w, h, rgb)
+            if progressive
+            else J.encode_jpeg(w, h, rgb)
+        )
+    t0 = time.perf_counter()
+    px_total = 0
+    for p in payloads:
+        dw, dh, _px = J.decode_jpeg(p)
+        px_total += dw * dh
+    dt = time.perf_counter() - t0
+    nbytes = sum(len(p) for p in payloads)
+    return {
+        "codec": "jpeg-progressive" if progressive else "jpeg-baseline",
+        "unit_note": f"{w}x{h} gradient x{n}",
+        "MB_per_s": nbytes / dt / 1e6,
+        "px_per_s": px_total / dt,
+        "s": dt,
+    }
+
+
+def bench_mjpeg(w=160, h=120, frames=12, n=4) -> dict:
+    vids = []
+    for i in range(n):
+        fr = [
+            J.encode_jpeg(w, h, _gradient_rgb(w, h, i * 31 + f))
+            for f in range(frames)
+        ]
+        vids.append(Vid.encode_avi_mjpeg(fr, w, h))
+    t0 = time.perf_counter()
+    px_total = 0
+    nframes = 0
+    for v in vids:
+        for _i, jpg in Vid.sample_avi_frames(v, every_k=1):
+            dw, dh, _px = J.decode_jpeg(jpg)
+            px_total += dw * dh
+            nframes += 1
+    dt = time.perf_counter() - t0
+    nbytes = sum(len(v) for v in vids)
+    return {
+        "codec": "mjpeg-avi",
+        "unit_note": f"{w}x{h} x{frames}f x{n}",
+        "MB_per_s": nbytes / dt / 1e6,
+        "px_per_s": px_total / dt,
+        "frames_per_s": nframes / dt,
+        "s": dt,
+    }
+
+
+def bench_g711(n_samples=2_000_000) -> dict:
+    i = np.arange(n_samples, dtype=np.int64)
+    pcm = ((i * 31) % 65536 - 32768).astype(np.int16)
+    t0 = time.perf_counter()
+    codes = M.encode_mulaw(pcm)
+    back = M.decode_mulaw(codes)
+    dt = time.perf_counter() - t0
+    assert len(back) == n_samples
+    return {
+        "codec": "g711-mulaw (enc+dec)",
+        "unit_note": f"{n_samples:,} samples",
+        "MB_per_s": (2 * n_samples) / dt / 1e6,
+        "samples_per_s": 2 * n_samples / dt,
+        "s": dt,
+    }
+
+
+def bench_wav(n_samples=2_000_000) -> dict:
+    i = np.arange(n_samples, dtype=np.int64)
+    pcm = ((i * 31) % 2048 - 1024).astype(np.int16)
+    payload = M.encode_wav(pcm)
+    t0 = time.perf_counter()
+    rate, back = M.decode_wav(payload)
+    dt = time.perf_counter() - t0
+    assert len(back) == n_samples and rate == 8000
+    return {
+        "codec": "wav-pcm16 decode",
+        "unit_note": f"{n_samples:,} samples",
+        "MB_per_s": len(payload) / dt / 1e6,
+        "samples_per_s": n_samples / dt,
+        "s": dt,
+    }
+
+
+def main() -> None:
+    rows = [
+        bench_jpeg(False),
+        bench_jpeg(True),
+        bench_mjpeg(),
+        bench_g711(),
+        bench_wav(),
+    ]
+    print("\n## Codec throughput, single core (pure Python + numpy)\n")
+    print("| codec | workload | MB/s | domain rate | wall s |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        rate = (
+            f"{r['px_per_s']:,.0f} px/s"
+            if "px_per_s" in r
+            else f"{r['samples_per_s']:,.0f} samples/s"
+        )
+        print(
+            f"| {r['codec']} | {r['unit_note']} | {r['MB_per_s']:.3f} "
+            f"| {rate} | {r['s']:.2f} |"
+        )
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
