@@ -1202,7 +1202,61 @@ def synthesize_impulse_wav_assets(df: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
-def resample_audio(assets: DataFrame, dst_rate: int) -> DataFrame:
+def _polyphase_resample(np, pcm, src_rate: int, dst_rate: int):
+    """POLYPHASE Lanczos-3 rate conversion — the hour-scale path the
+    dense-matrix docstring promised.  For rational rates L/M =
+    dst/src (reduced), every output X = kL + p in phase p has source
+    center ``sx(X) = (X + 0.5)·M/L − 0.5``, and ``sx(X+L) = sx(X) + M``
+    EXACTLY — so each of the L phases shares ONE kernel, computed once,
+    and the clip resamples as L strided dot products over an
+    edge-padded buffer: O(n·taps) time, O(n) memory, vs the dense
+    matrix's O(n·out) memory (an hour of 8 kHz audio would need a
+    ~29M x 57M matrix; here it's a 6-tap bank).
+
+    Convention: centers come from the RATE ratio (the scipy
+    ``resample_poly`` convention); the dense path derives its scale
+    from the LENGTH ratio ``n/out_len``.  The two agree bit-for-bit
+    whenever ``src_rate`` divides ``n·dst_rate`` (every integer-factor
+    conversion — tested), and differ by a sub-sample center shift
+    otherwise.  Same kernel (antialias stretch on downsample,
+    edge-clamped taps, exact partition of unity), same
+    floor(v+0.5)/clip/int16 output contract."""
+    from math import ceil, gcd
+
+    n = len(pcm)
+    out_len = n * dst_rate // src_rate
+    if out_len == 0:
+        return np.empty(0, dtype="<i2")
+    g = gcd(src_rate, dst_rate)
+    L, M = dst_rate // g, src_rate // g
+    scale = M / L
+    s = max(scale, 1.0)
+    r = 3.0 * s
+    pad = int(ceil(r)) + 1
+    padded = np.pad(pcm.astype(np.float64), pad, mode="edge")
+    out = np.empty(out_len, dtype=np.float64)
+    for p in range(min(L, out_len)):
+        # exact rational center of this phase's first output
+        sx0 = ((2 * p + 1) * M - L) / (2 * L)
+        lo = int(np.ceil(sx0 - r))
+        hi = int(np.floor(sx0 + r))
+        taps = np.arange(lo, hi + 1, dtype=np.float64)
+        t = (sx0 - taps) / s
+        k = np.where(np.abs(t) < 3.0, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+        k /= k.sum()
+        n_k = (out_len - 1 - p) // L + 1
+        width = hi - lo + 1
+        win = np.lib.stride_tricks.sliding_window_view(padded, width)
+        # same-phase windows start at lo + k·M (shifted by the pad);
+        # edge-clamp is the pad's edge replication — identical weights
+        starts = win[lo + pad :: M][:n_k]
+        out[p::L] = starts @ k
+    return np.clip(np.floor(out + 0.5), -32768, 32767).astype("<i2")
+
+
+def resample_audio(
+    assets: DataFrame, dst_rate: int, method: str = "dense"
+) -> DataFrame:
     """Audio SAMPLE-RATE CONVERSION — the resample-to-16k shape every
     speech pipeline runs before feature extraction.  Decodes RIFF/WAVE
     payloads, applies the same windowed-sinc (Lanczos-3) machinery as
@@ -1213,14 +1267,22 @@ def resample_audio(assets: DataFrame, dst_rate: int) -> DataFrame:
     output is again a WAV asset column, so resampling composes with
     every other audio operator.
 
-    Output length is ``floor(n·dst/src)``.  The dense-matrix multiply
-    is O(n·out_len) per asset — right for the second-scale clips a
-    training corpus holds (and for the oracle's exactness); hour-scale
-    audio would swap in a polyphase FIR of the same kernel, an
-    executor-side detail behind the same operator signature.
+    Output length is ``floor(n·dst/src)``.  ``method`` picks the
+    executor-side kernel evaluation, SAME operator contract:
+
+    - ``"dense"``: the (out_len, n) matrix multiply — O(n·out_len)
+      memory, right for second-scale clips and the oracle's exactness.
+    - ``"polyphase"``: the hour-scale path (``_polyphase_resample``):
+      one kernel per phase of the reduced L/M rate ratio, L strided
+      dot products, O(n) memory — bit-identical to dense for
+      integer-factor conversions (tested), standard resample_poly
+      center convention otherwise.
+
     Undecodable or empty payloads are dropped."""
     if dst_rate < 1:
         raise ValueError(f"dst_rate must be positive, got {dst_rate}")
+    if method not in ("dense", "polyphase"):
+        raise ValueError(f"method must be dense|polyphase, got {method!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1232,14 +1294,19 @@ def resample_audio(assets: DataFrame, dst_rate: int) -> DataFrame:
                     src_rate, pcm = decode_wav(bytes(payload))
                 except ValueError:
                     continue
-                out_len = len(pcm) * dst_rate // src_rate
-                if out_len == 0:
-                    continue
-                m = _lanczos_axis_matrix(np, len(pcm), out_len)
-                out = m @ pcm.astype(np.float64)
-                res = np.clip(
-                    np.floor(out + 0.5), -32768, 32767
-                ).astype("<i2")
+                if method == "polyphase":
+                    res = _polyphase_resample(np, pcm, src_rate, dst_rate)
+                    if not len(res):
+                        continue
+                else:
+                    out_len = len(pcm) * dst_rate // src_rate
+                    if out_len == 0:
+                        continue
+                    m = _lanczos_axis_matrix(np, len(pcm), out_len)
+                    out = m @ pcm.astype(np.float64)
+                    res = np.clip(
+                        np.floor(out + 0.5), -32768, 32767
+                    ).astype("<i2")
                 ids.append(asset_id)
                 payloads.append(encode_wav(res, dst_rate))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})

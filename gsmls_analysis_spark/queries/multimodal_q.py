@@ -559,6 +559,57 @@ def q_multimodal_audio_resample(spark, sf_dir):
 
 
 @query(
+    "q_audio_resample_polyphase",
+    oracle="""
+WITH w0 AS (
+  SELECT 2 * SUM((sin(pi()*(m + 0.5)/2.0)/(pi()*(m + 0.5)/2.0))
+               * (sin(pi()*(m + 0.5)/6.0)/(pi()*(m + 0.5)/6.0))) AS wsum
+  FROM range(0, 6) t(m)
+), dims AS (
+  SELECT doc_id, 2 * (doc_id % 190 + 32) AS n FROM documents
+), imp AS (
+  SELECT doc_id, n, 3 + doc_id % (n - 6) AS k FROM dims
+), outx AS (
+  SELECT i.doc_id, t.X, (2.0 * t.X + 0.5 - i.k) AS d
+  FROM imp i, range(0, 222) t(X)
+  WHERE t.X < i.n // 2
+)
+SELECT doc_id AS asset_id, CAST(X AS BIGINT) AS idx,
+  CAST(floor(8000 * (CASE WHEN abs(d) / 2.0 >= 3 THEN 0.0
+      ELSE (sin(pi()*d/2.0)/(pi()*d/2.0))
+         * (sin(pi()*d/6.0)/(pi()*d/6.0)) END) / o.wsum + 0.5)
+    AS BIGINT) AS v
+FROM outx, w0 o
+""",
+    doc="POLYPHASE FIR resample — the hour-scale audio path (r10, "
+    "multimodal.py::_polyphase_resample): the SAME impulse clips and "
+    "8000 -> 4000 Hz conversion as q_multimodal_audio_resample, "
+    "evaluated through the polyphase bank (one Lanczos-3 kernel per "
+    "phase of the reduced L/M = 1/2 rate ratio, strided dot products "
+    "over an edge-padded buffer — O(n) memory vs the dense matrix's "
+    "O(n^2/2), which is what makes hour-scale clips tractable).  An "
+    "integer-factor conversion keeps the two centers conventions "
+    "coincident, so the polyphase output is held to the IDENTICAL "
+    "closed-form sin()/floor() oracle — any phase-bank indexing, "
+    "padding, or stride bug breaks the hash.",
+)
+def q_audio_resample_polyphase(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_wav_samples,
+        resample_audio,
+        synthesize_impulse_wav_assets,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    assets = synthesize_impulse_wav_assets(docs, "doc_id")
+    return decode_wav_samples(
+        resample_audio(assets, dst_rate=4000, method="polyphase")
+    )
+
+
+@query(
     "q_multimodal_resize_lanczos",
     oracle="""
 WITH wx AS (
