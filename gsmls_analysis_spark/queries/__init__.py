@@ -43,48 +43,36 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # ROUND 9 window (policy + slot accounting in docs/ROUND9_NOTES.md).
-    # (c) added in round 9 — never driver-checked
-    "q_versioned_merge_dv",  # merge-on-read MERGE via deletion vectors
-    "q_versioned_spj_join",  # storage-partitioned (bucketed) join
-    "q_multimodal_jpeg_progressive",  # SOF2 multi-scan decode
-    "q_multimodal_resize_bilinear",  # interpolating resample leg
-    "q_multimodal_resize_lanczos",  # Lanczos-3, pixel-exact impulse oracle
-    "q_multimodal_audio_frames",  # frame-level audio energy/ZCR
-    "q_url_canonical_dedup",  # URL canonicalization + eTLD+1 + cap rank
-    "q_multimodal_audio_resample",  # windowed-sinc sample-rate conversion
-    "q_unicode_normalize",  # NFC + control strip + whitespace collapse
-    "q_format_roundtrip_orc",  # ORC write/read + pruned aggregate
-    "q_format_roundtrip_jsonl",  # JSONL scan with dead-letter quarantine
-    "q_format_roundtrip_csv",  # typed CSV scan, field-level salvage
-    "q_versioned_replace_where",  # Delta replaceWhere (selective overwrite)
-    "q_versioned_replace_where_mor",  # MoR twin (DV region + append)
-    "q_multimodal_augment",  # rot90+flip pixel-permutation augmentation
-    "q_multimodal_grayscale",  # BT.601 integer luma
-    "q_multimodal_mulaw_roundtrip",  # G.711 mu-law companding
-    "q_multimodal_alaw_roundtrip",  # G.711 A-law companding
-    "q_ivf_index_incremental",  # versioned ANN index maintenance
-    "q_multimodal_video_decode",  # MJPEG-in-AVI container + codec
-    "q_multimodal_video_sample",  # idx1-seek frame sampling
-    "q_video_frame_dedup",  # cross-video duplicate frames
-    "q_multimodal_av_demux",  # interleaved audio+video demux
-    # (b) code changed in round 9 — re-verify through the driver: the
-    # whole versioned layer again (executor-side DV assembly touched
-    # every DV write; MoR merge/update; bucketed _write_data_dir routed
-    # every rewrite; segment envelopes touched every publish and every
-    # predicate read) ...
+    # ROUND 10 window (policy + slot accounting in docs/ROUND10_NOTES.md).
+    # (c) added in round 10 — never driver-checked
+    "q_versioned_bucket_evolution",  # era-scoped bucket-spec evolution
+    "q_audio_resample_polyphase",  # polyphase FIR hour-scale resample
+    # (b) the metadata-plane family the r9 verdict (task 8) asked back
+    # in: rotated out in r9 session 2, code-touched AGAIN this round by
+    # the name-segment serialization (every commit and every read now
+    # routes data_dirs/data_files/dvs through segment files)
+    "q_versioned_restore",
+    "q_versioned_clone",
+    "q_versioned_rename",
+    "q_versioned_history",
+    "q_versioned_generated",
+    "q_stream_versioned_source",
+    "q_stream_versioned_cdf",
+    "q_versioned_replace_where",  # + r10 localCheckpoint containment fix
+    "q_versioned_replace_where_mor",
+    # (b) DV writes/reads moved to executor-side blob merge; bucketed
+    # scans re-registered through partition locations — the whole
+    # versioned layer re-verifies through the driver
     "q_versioned_delete_dv",
     "q_versioned_dv_read",
-    "q_versioned_detail",  # table_detail NULL deleted_fraction change
+    "q_versioned_merge_dv",
+    "q_versioned_spj_join",
+    "q_versioned_detail",
     "q_versioned_dfp_join",
     "q_versioned_partition_evolution",
     "q_versioned_partitioned",
     "q_versioned_identity",
     "q_versioned_optimize_where",
-    # (q_versioned_restore / clone / rename / history / generated /
-    # q01-q03 rotated out in session 2 to admit the 11 new (c) queries:
-    # they are metadata-plane ops with r8 driver greens, 3-SF gate rows
-    # this session, and the least session-1 data-path churn)
     "q_versioned_constraints",
     "q_versioned_batch_source",
     "q_versioned_sink_roundtrip",
@@ -101,18 +89,25 @@ _DRIVER_WINDOW = [
     "q_stream_versioned_sink_native",
     "q_continuous_aggregate",
     "q_ivm_join_delta",
-    "q_zorder_orders",  # runs versioned_compact(zorder=...)
-    # ... the JPEG decoder (restart-marker consume, zero-dim SOF gate,
-    # progressive integration share the entry point) and pHash pooling
+    "q_zorder_orders",
+    "q_ivf_index_incremental",  # versioned-layer-backed ANN index
+    # (b) operators touched by the r9 ADVICE fixes this round: AVI hdrl
+    # bounds + every_k guards (video), userinfo/IPv6 canonicalization,
+    # NULL propagation (unicode), resample_audio method dispatch
+    "q_multimodal_video_decode",
+    "q_multimodal_video_sample",
+    "q_video_frame_dedup",
+    "q_multimodal_av_demux",
+    "q_url_canonical_dedup",
+    "q_unicode_normalize",
+    "q_multimodal_audio_resample",
+    # (d) representative greens in registration order
+    "q01_pricing_summary",
+    "q03_shipping_priority",
     "q_multimodal_jpeg_decode",
     "q_image_phash_dups",
-    # Session-2 rotation: the 22 new (c) queries consumed all (d) slots
-    # and nine (b) slots (metadata-plane ops with r8 driver greens and
-    # fresh 3-SF gate rows: restore/clone/rename/history/generated/
-    # resize/jpeg_420/stream_source + the q01/q03 representatives).
-    # Never-driver-checked queries are the weakest link the driver can
-    # close; everything rotated out keeps its recorded local-gate rows.
-    # Window stays exactly 50; accounting in docs/ROUND9_NOTES.md.
+    # Window stays exactly 50; everything rotated out keeps its r9
+    # driver greens plus fresh r10 3-SF gate rows (docs/GATE_r10_*).
 ]
 
 _DRIVER_WINDOW_R7 = [

@@ -354,7 +354,10 @@ def main() -> None:
         )
         print("|---|---|---|---|---|---|")
         prows = []
-        for n in (10_000, 100_000):
+        sizes = (10_000, 100_000)
+        if "--prune-xl" in sys.argv:
+            sizes = (10_000, 100_000, 1_000_000)
+        for n in sizes:
             r = bench_pruning(spark, n)
             prows.append(r)
             print(

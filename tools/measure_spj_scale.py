@@ -1,0 +1,129 @@
+"""Storage-partitioned-join scale curve (formalizes the r9 ad-hoc
+measurement; r10 adds the sf10 decade).  orders ⨝ customer on the
+bucket key (16 buckets) + a per-key aggregate, timed two ways:
+
+- SPJ: both sides through versioned_bucketed_scan — zero shuffle
+  exchanges (plan-asserted in tests/test_r9_bucketed.py)
+- plain SMJ: versioned_read + merge hint, broadcast disabled — both
+  sides shuffle
+
+The claim under measurement: the SPJ cost curve is FLAT in data volume
+(its join does no shuffle, so extra rows only deepen the per-bucket
+streams), while the shuffle join grows with rows moved.
+
+Usage: python tools/measure_spj_scale.py [sf_dir ...]
+       (default /root/testdata/sf0.1 /tmp/spark_graft_sf1
+                /tmp/spark_graft_sf10 — build the latter two with
+                tools/make_scale_data.py)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources.versioned import (  # noqa: E402
+    versioned_bucketed_scan,
+    versioned_read,
+    versioned_write,
+)
+
+
+def _noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def bench(spark, sf_dir: str) -> dict:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    po = tempfile.mkdtemp(prefix="spjs_o_")
+    pc = tempfile.mkdtemp(prefix="spjs_c_")
+    try:
+        versioned_write(orders, po, bucket_by=(["o_custkey"], 16))
+        versioned_write(cust, pc, bucket_by=(["o_custkey"], 16))
+
+        def spj():
+            a = versioned_bucketed_scan(spark, po).hint("merge")
+            b = versioned_bucketed_scan(spark, pc)
+            return (
+                a.join(b, on=["o_custkey"])
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice"))
+            )
+
+        def smj():
+            a = versioned_read(spark, po).hint("merge")
+            b = versioned_read(spark, pc)
+            return (
+                a.join(b, on=["o_custkey"])
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice"))
+            )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            _noop(spj())  # warm
+            t_spj = min(_noop(spj()) for _ in range(2))
+            _noop(smj())  # warm
+            t_smj = min(_noop(smj()) for _ in range(2))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        return {
+            "sf_dir": sf_dir,
+            "orders_rows": orders.count(),
+            "spj_s": t_spj,
+            "smj_s": t_smj,
+        }
+    finally:
+        shutil.rmtree(po, ignore_errors=True)
+        shutil.rmtree(pc, ignore_errors=True)
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        "/tmp/spark_graft_sf1",
+        "/tmp/spark_graft_sf10",
+    ]
+    spark = get_spark("spj-scale")
+    rows = [bench(spark, d) for d in dirs]
+    print("\n## SPJ vs shuffle join scale curve (16 buckets, min of 2 warm)\n")
+    print("| scale | orders rows | SPJ s | SMJ s | SMJ/SPJ | SPJ alpha vs prev |")
+    print("|---|---|---|---|---|---|")
+    prev = None
+    for r in rows:
+        alpha = ""
+        if prev is not None and prev["spj_s"] > 0:
+            ratio_rows = r["orders_rows"] / prev["orders_rows"]
+            if ratio_rows > 1:
+                alpha = (
+                    f"{math.log(r['spj_s'] / prev['spj_s']) / math.log(ratio_rows):+.2f}"
+                )
+        print(
+            f"| {os.path.basename(r['sf_dir'])} | {r['orders_rows']:,} "
+            f"| {r['spj_s']:.3f} | {r['smj_s']:.3f} "
+            f"| {r['smj_s'] / r['spj_s']:.2f}x | {alpha} |"
+        )
+        prev = r
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
