@@ -80,6 +80,9 @@ HEADLINE = [
     "q_versioned_replace_where",  # Delta replaceWhere (region rewrite)
     "q_multimodal_audio_resample",  # windowed-sinc resample (Python path)
     "q_multimodal_resize_lanczos",  # Lanczos-3 resample + pixel explode
+    # r10: bucket-spec evolution cycle + the polyphase resample path
+    "q_versioned_bucket_evolution",  # evolve -> append -> OPTIMIZE -> SPJ
+    "q_audio_resample_polyphase",  # polyphase FIR (hour-scale path)
 ]
 
 

@@ -330,7 +330,9 @@ def test_versioned_delete_is_copy_on_write(spark, tmp_path):
     versioned_write(df.repartitionByRange(3, "id"), path)
     v2 = versioned_delete(spark, path, F.col("id").between(22, 24))
     assert v2 == 2
-    man = json.load(open(f"{path}/manifest-v2.json"))
+    from gsmls_analysis_spark.sources import versioned as _V2
+
+    man = _V2._read_manifest(path, 2)  # r10: names live in name segments
     # only the file holding 22-24 was rewritten; the other two files are
     # referenced, not copied
     assert len(man["data_files"]) == 2
@@ -963,7 +965,9 @@ def test_versioned_update_is_copy_on_write(spark, tmp_path):
         {"val": F.col("val") + F.lit(1000), "grp": F.lit("hot")},
     )
     assert v2 == 2
-    man2 = json.load(open(f"{path}/manifest-v2.json"))
+    from gsmls_analysis_spark.sources import versioned as _V
+
+    man2 = _V._read_manifest(path, 2)  # r10: names live in name segments
     assert len(man2["data_files"]) == 2 and len(man2["data_dirs"]) == 1
     # restore the corrupted files so the full read works
     for f in files:
@@ -998,7 +1002,9 @@ def test_versioned_update_is_copy_on_write(spark, tmp_path):
     assert got3[1] == -1
     # no-match predicate commits a reference-only child version
     v4 = versioned_update(spark, path, F.col("id") > 1000, {"val": F.lit(0)})
-    man4 = json.load(open(f"{path}/manifest-v{v4}.json"))
+    from gsmls_analysis_spark.sources import versioned as _V3
+
+    man4 = _V3._read_manifest(path, v4)
     assert man4["data_dirs"] == []
     assert versioned_read(spark, path, v4).count() == 30
 
@@ -1055,7 +1061,9 @@ def test_versioned_merge_upsert_copy_on_write(spark, tmp_path):
     )
     v2 = versioned_merge(spark, path, src, on=["id"])
     assert v2 == 2
-    man2 = json.load(open(f"{path}/manifest-v2.json"))
+    from gsmls_analysis_spark.sources import versioned as _V
+
+    man2 = _V._read_manifest(path, 2)  # r10: names live in name segments
     assert len(man2["data_files"]) == 2 and len(man2["data_dirs"]) == 1
     # the merge never opened the corrupted out-of-range files; restore
     # them so the full-table read below can scan every referenced file

@@ -62,7 +62,8 @@ def test_point_read_loads_few_segments(spark, tmp_path, small_segments, monkeypa
     )
     assert total == n_segs
     assert loaded <= 2  # the envelope prunes the other ranges' segments
-    assert len(calls) == loaded
+    stat_calls = [c for c in calls if not c.startswith("nseg-")]
+    assert len(stat_calls) == loaded
     assert m["__stats_pruned_complete"] is True
 
 

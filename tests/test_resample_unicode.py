@@ -114,10 +114,13 @@ def test_clean_ascii_unchanged(spark):
     assert got[0] == "already clean" and not changed[0]
 
 
-def test_null_text_normalizes_to_empty(spark):
+def test_null_text_propagates_null(spark):
+    # r10 contract (ADVICE fix): missing text stays NULL — it is
+    # distinguishable from genuinely empty text downstream
     df = spark.createDataFrame([(1, None)], "i long, t string")
     out = unicode_normalize_text(df, "t").toPandas()
-    assert out.loc[0, "norm_text"] == ""
+    assert out.loc[0, "norm_text"] is None
+    assert out.loc[0, "changed"] is None
 
 
 def test_unknown_form_rejected(spark):
