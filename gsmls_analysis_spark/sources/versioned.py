@@ -2702,8 +2702,16 @@ def _assemble_dvs_executor(
 
     if not rel_of_sfx:
         return {}
+    # pandas-built local relations throughout: Arrow ships them as true
+    # LocalRelations, so their broadcasts never cost a Spark job
     map_df = spark.createDataFrame(
-        [(s, r) for s, r in rel_of_sfx.items()], "__sfx string, __rel string"
+        pd.DataFrame(
+            {
+                "__sfx": list(rel_of_sfx.keys()),
+                "__rel": list(rel_of_sfx.values()),
+            }
+        ),
+        "__sfx string, __rel string",
     )
     new_pos = (
         hits.join(F.broadcast(map_df), on="__sfx", how="inner")
@@ -2712,13 +2720,16 @@ def _assemble_dvs_executor(
         )
     )
     if existing:
-        old_rows = [
-            (f, None, bytes(b)) for f, (b, _c) in existing.items()
-        ]
+        old_pdf = pd.DataFrame(
+            {
+                "__rel": list(existing.keys()),
+                "__blob": [bytes(b) for b, _c in existing.values()],
+            }
+        )
         all_pos = new_pos.unionByName(
-            spark.createDataFrame(
-                old_rows, "__rel string, __ri long, __blob binary"
-            )
+            spark.createDataFrame(old_pdf, "__rel string, __blob binary")
+            .withColumn("__ri", F.lit(None).cast("long"))
+            .select("__rel", "__ri", "__blob")
         )
     else:
         all_pos = new_pos
@@ -2849,6 +2860,10 @@ def _load_dv_blobs(
 
 
 _DV_RI_BITS = 40  # row index < 2^40 (a trillion rows/file); fid gets the rest
+# positions at or below this decode driver-side in _dv_join's blob
+# branch (8 MB packed — they land in the driver-JVM broadcast relation
+# either way); above it the decode moves to executors
+_DV_DRIVER_DECODE_MAX = 1_000_000
 
 
 def _dv_join(
@@ -2884,21 +2899,61 @@ def _dv_join(
     fid = {s: i for i, s in enumerate(sfx)}
     sample = next(iter(dv_idx.values()), None)
     if isinstance(sample, tuple):
-        rows = [
-            (fid[_dv_suffix(f, suffix_parts)], bytes(b))
-            for f, (b, _c) in dv_idx.items()
-        ]
-        bdf = spark.createDataFrame(rows, "__dv_fid long, __dv_blob binary")
+        total = sum(int(c) for _b, c in dv_idx.values())
+        if total <= _DV_DRIVER_DECODE_MAX:
+            # bounded fast path: the broadcast relation materializes
+            # every position in the driver JVM regardless, so for
+            # vectors that fit the broadcast budget a local decode adds
+            # no asymptotic exposure and SAVES the two fixed jobs the
+            # executor-decode path costs (mapInPandas + broadcast
+            # build) — the same principle as Spark's own broadcast
+            # threshold.  Beyond the cap, decode stays executor-side.
+            parts = []
+            for f, (b, _c) in dv_idx.items():
+                arr = np.asarray(_dv_decode(bytes(b)), dtype=np.int64)
+                parts.append(
+                    (np.int64(fid[_dv_suffix(f, suffix_parts)])
+                     << _DV_RI_BITS) | arr
+                )
+            keys = (
+                np.concatenate(parts) if parts else np.array([], np.int64)
+            )
+            pos_df = spark.createDataFrame(
+                pd.DataFrame({"__dv_key": keys}), "__dv_key long"
+            )
+        else:
+            # pandas + Arrow => a true LocalRelation (a list input
+            # builds an RDD-backed plan whose broadcast costs a job)
+            bdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "__dv_fid": [
+                            fid[_dv_suffix(f, suffix_parts)] for f in dv_idx
+                        ],
+                        "__dv_blob": [
+                            bytes(b) for b, _c in dv_idx.values()
+                        ],
+                    }
+                ),
+                "__dv_fid long, __dv_blob binary",
+            )
 
-        def _unpack(batches):
-            for pdf in batches:
-                for fi, blob in zip(pdf["__dv_fid"], pdf["__dv_blob"]):
-                    arr = np.asarray(_dv_decode(bytes(blob)), dtype=np.int64)
-                    yield pd.DataFrame(
-                        {"__dv_key": (np.int64(int(fi)) << _DV_RI_BITS) | arr}
-                    )
+            def _unpack(batches):
+                for pdf in batches:
+                    for fi, blob in zip(pdf["__dv_fid"], pdf["__dv_blob"]):
+                        arr = np.asarray(
+                            _dv_decode(bytes(blob)), dtype=np.int64
+                        )
+                        yield pd.DataFrame(
+                            {
+                                "__dv_key": (
+                                    np.int64(int(fi)) << _DV_RI_BITS
+                                )
+                                | arr
+                            }
+                        )
 
-        pos_df = bdf.mapInPandas(_unpack, "__dv_key long")
+            pos_df = bdf.mapInPandas(_unpack, "__dv_key long")
     else:
         parts = []
         for f, ix in dv_idx.items():
@@ -3012,8 +3067,13 @@ def _delete_dv_attempt(spark: SparkSession, path: str, predicate: Column) -> int
                 reader.parquet(*[os.path.join(root, f) for f in sorted(candidates)])
             )
             cand_blobs = _load_dv_blobs(root, pm, files=candidates)
-            if cand_blobs:
-                aug = _dv_join(aug, spark, cand_blobs, "left_anti")
+            # no anti-join against the existing vectors here: DELETE's
+            # kernel merge (old blob ∪ new positions) dedupes re-deleted
+            # rows and computes growth exactly, so subtracting them
+            # first would only save shuffle bytes while costing two
+            # fixed jobs (executor blob decode + broadcast build) per
+            # commit — the update/merge/replaceWhere paths DO anti-join,
+            # because there a DV'd row must not re-match semantically
             aug = _logical_view(aug, pm)  # predicate speaks logical names
             hits = aug.filter(predicate).select("__sfx", "__ri")
             # enforcement of the selective-delete contract: positions are

@@ -117,6 +117,9 @@ def test_redelete_same_predicate_reports_no_growth(spark, heavy_dv_table):
 def test_mor_update_on_heavy_dv_table_blob_only(
     spark, heavy_dv_table, monkeypatch
 ):
+    # force the executor-decode branch (the bounded driver fast path
+    # would otherwise absorb this toy-sized vector)
+    monkeypatch.setattr(V, "_DV_DRIVER_DECODE_MAX", 0)
     spy = _Spy(monkeypatch, spark)
     versioned_update(
         spark,
@@ -140,6 +143,7 @@ def test_mor_update_on_heavy_dv_table_blob_only(
 def test_mor_merge_on_heavy_dv_table_blob_only(
     spark, heavy_dv_table, monkeypatch
 ):
+    monkeypatch.setattr(V, "_DV_DRIVER_DECODE_MAX", 0)
     src = spark.createDataFrame(
         [(2500, 7, "x"), (9999, 8, "y")], "k long, v long, grp string"
     )
@@ -189,3 +193,19 @@ def test_load_dv_blobs_matches_load_dvs(spark, heavy_dv_table):
         blob, count = blobs[f]
         assert count == len(pos[f])
         assert sorted(V._dv_decode(blob)) == sorted(pos[f])
+
+
+def test_dv_join_fast_path_is_count_bounded(spark, heavy_dv_table, monkeypatch):
+    """The driver-side decode fast path in _dv_join's blob branch only
+    fires when the TOTAL deleted count fits _DV_DRIVER_DECODE_MAX —
+    the same positions land in the driver-JVM broadcast relation either
+    way, so the bound, not the decode site, is the exposure.  Above the
+    bound the executor branch produces identical results."""
+    got_fast = sorted(
+        r["k"] for r in versioned_read(spark, heavy_dv_table).collect()
+    )
+    monkeypatch.setattr(V, "_DV_DRIVER_DECODE_MAX", 0)
+    got_exec = sorted(
+        r["k"] for r in versioned_read(spark, heavy_dv_table).collect()
+    )
+    assert got_fast == got_exec == list(range(2000, 4000))
