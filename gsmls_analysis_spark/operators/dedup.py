@@ -863,3 +863,94 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"), "cosine")
     )
+
+
+def remove_duplicate_token_spans(
+    df: DataFrame, id_col: str, text_col: str, span: int = 8
+) -> DataFrame:
+    """Exact substring DEDUP — the REMOVAL half of Lee et al. 2022
+    (``dup_span_stats`` is the measurement half): every ``span``-token
+    window whose text occurs MORE THAN ONCE in the corpus — across or
+    within documents — is excised from every occurrence except the
+    globally FIRST (smallest (id, position): deterministic and
+    partitioning-independent, the rule the paper's suffix-array
+    implementation applies corpus-wide), and each document's text is
+    rebuilt from its surviving tokens.  Whole-document and near-dup
+    dedup miss partial copies (boilerplate paragraphs, licence blocks,
+    quoted chunks); span removal is what actually shrinks memorization.
+
+    Returns (id, clean_text, n_tokens, n_removed) for EVERY input row:
+    clean_text is the space-joined surviving tokens (documents shorter
+    than ``span`` or with no duplicated window pass through verbatim
+    modulo whitespace normalization; a fully-duplicated document comes
+    back empty — exactly the paper's behaviour on exact copies).
+
+    Scale shape (reference: dup_span_stats's docstring — same window
+    machinery): windows reduce per-row to md5 keys, so span TEXT never
+    shuffles; keep-first ranking is one shuffle on the key carrying
+    (key, id, start) triples; marked spans explode to at most
+    span × duplicated-window rows (duplication-bounded, not
+    corpus-bounded); the rebuild is one anti-join on (id, pos) plus a
+    per-document sort of its own tokens.  No self-joins, no suffix
+    array — the md5 window key IS the suffix-array bucket at fixed
+    length.  At 100 TB every shuffle carries keys/positions, and the
+    dominant term is the one pass over the corpus that any tokenizer
+    already pays."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    ids = F.col(id_col)
+    base = df.select(ids.alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+    wins = (
+        base.filter(F.size("__toks") >= span)
+        .select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {span} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(__toks, i, {span}))))"
+                )
+            ).alias("__w0", "k"),
+        )
+        .select("__id", (F.col("__w0") + 1).alias("__start"), "k")
+    )
+    per_key = Window.partitionBy("k")
+    first_first = Window.partitionBy("k").orderBy("__id", "__start")
+    marked = (
+        wins.withColumn("__rn", F.row_number().over(first_first))
+        .withColumn("__n", F.count(F.lit(1)).over(per_key))
+        .filter((F.col("__n") > 1) & (F.col("__rn") > 1))
+        .select("__id", "__start")
+    )
+    removed_pos = marked.select(
+        "__id",
+        F.explode(
+            F.expr(f"sequence(__start, __start + {span} - 1)")
+        ).alias("__pos"),
+    ).distinct()
+    toks = base.select(
+        "__id", F.posexplode("__toks").alias("__p0", "__tok")
+    ).select("__id", (F.col("__p0") + 1).alias("__pos"), "__tok")
+    kept = toks.join(removed_pos, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (
+                F.size("__toks") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

@@ -47,6 +47,7 @@ _DRIVER_WINDOW = [
     # (c) added in round 10 — never driver-checked
     "q_versioned_bucket_evolution",  # era-scoped bucket-spec evolution
     "q_audio_resample_polyphase",  # polyphase FIR hour-scale resample
+    "q_exact_substring_dedup",  # Lee et al. duplicate-span REMOVAL
     # (b) the metadata-plane family the r9 verdict (task 8) asked back
     # in: rotated out in r9 session 2, code-touched AGAIN this round by
     # the name-segment serialization (every commit and every read now
@@ -105,7 +106,6 @@ _DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q_multimodal_jpeg_decode",
-    "q_image_phash_dups",
     # Window stays exactly 50; everything rotated out keeps its r9
     # driver greens plus fresh r10 3-SF gate rows (docs/GATE_r10_*).
 ]

@@ -571,6 +571,93 @@ def q_dup_span_stats(spark, sf_dir):
     return dup_span_stats(docs, "doc_id", "text", span=20)
 
 
+@query(
+    "q_exact_substring_dedup",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+    trim(text)
+    || CASE WHEN doc_id % 3 = 0 THEN
+         ' creative commons attribution license applies to this shared header block'
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN
+         ' alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta'
+       ELSE '' END AS t
+  FROM documents
+), docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS words
+  FROM raw WHERE len(trim(t)) > 0
+), toks AS (
+  SELECT doc_id, i AS pos, words[i] AS tok, len(words) AS n
+  FROM docs, unnest(range(1, len(words) + 1)) AS u(i)
+), wins AS (
+  SELECT doc_id, i AS s, array_to_string(words[i:i+7], ' ') AS k
+  FROM docs, unnest(range(1, len(words) - 8 + 2)) AS u(i)
+  WHERE len(words) >= 8
+), marked AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY k ORDER BY doc_id, s) AS rn,
+           count(*) OVER (PARTITION BY k) AS nk
+    FROM wins)
+  WHERE nk > 1 AND rn > 1
+), rem AS (
+  SELECT DISTINCT m.doc_id, m.s + o.i AS pos
+  FROM marked m, unnest(range(0, 8)) AS o(i)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM toks p LEFT JOIN rem r ON r.doc_id = p.doc_id AND r.pos = p.pos
+  WHERE r.pos IS NULL
+)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(d.n - (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id)
+            AS BIGINT) AS n_removed
+FROM (SELECT DISTINCT doc_id, n FROM toks) d
+""",
+    doc="exact substring DEDUP, removal half (operators/dedup.py::"
+    "remove_duplicate_token_spans; Lee et al. 2022): every 8-token "
+    "window occurring more than once in the corpus — planted cross-doc "
+    "boilerplate on doc_id%3, a planted within-doc-and-cross-doc "
+    "repeat on doc_id%5, plus whatever the synthetic text collides "
+    "naturally — is excised from every occurrence except the globally "
+    "first (smallest (doc_id, position)), and each document's text is "
+    "rebuilt from its surviving tokens.  Window TEXT never shuffles "
+    "(md5 keys); keep-first is one ranked shuffle on the key; the "
+    "rebuild is a positional anti-join.  The oracle replays the whole "
+    "algorithm independently in SQL (window strings, global ranking, "
+    "span->position explosion, ordered re-aggregation), so the exact "
+    "rebuilt TEXTS must hash-match, not just the counts.",
+)
+def q_exact_substring_dedup(spark, sf_dir):
+    from ..operators.dedup import remove_duplicate_token_spans
+
+    i = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.trim(F.col("text")),
+            F.when(
+                i % 3 == 0,
+                F.lit(
+                    " creative commons attribution license applies to "
+                    "this shared header block"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 == 0,
+                F.lit(
+                    " alpha beta gamma delta epsilon zeta eta theta "
+                    "alpha beta gamma delta epsilon zeta eta theta"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return remove_duplicate_token_spans(docs, "doc_id", "t", span=8)
+
+
 def _lsh_incr_oracle(num_hashes: int = 8, bands: int = 4,
                      t_num: int = 3, t_den: int = 5) -> str:
     """Incremental-dedup oracle: recompute both sides' band signatures

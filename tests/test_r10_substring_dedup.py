@@ -1,0 +1,79 @@
+"""Exact substring (duplicate-span) removal — Lee et al. 2022's
+removal half (operators/dedup.py::remove_duplicate_token_spans).
+Edge cases the corpus oracle can't isolate: keep-first determinism
+under repartitioning, exact-copy documents, within-document repeats,
+short documents, and boundary windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.dedup import remove_duplicate_token_spans
+
+
+def _run(spark, rows, span=4, parts=None):
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    if parts:
+        df = df.repartition(parts)
+    out = remove_duplicate_token_spans(df, "doc_id", "t", span=span)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_exact_copy_doc_fully_removed_keep_first(spark):
+    text = "a b c d e f"
+    got = _run(spark, [(1, text), (2, text)], span=4)
+    assert got[1]["clean_text"] == text  # globally first: untouched
+    assert got[1]["n_removed"] == 0
+    # doc 2: windows at 1..3 all duplicated -> every token covered
+    assert got[2]["clean_text"] == ""
+    assert got[2]["n_removed"] == 6
+
+
+def test_partial_overlap_removes_only_covered_tokens(spark):
+    got = _run(
+        spark,
+        [(1, "x y z w unique one"), (2, "x y z w other tail here")],
+        span=4,
+    )
+    # only the 4-token window 'x y z w' is shared; doc 2 loses exactly it
+    assert got[1]["clean_text"] == "x y z w unique one"
+    assert got[2]["clean_text"] == "other tail here"
+    assert got[2]["n_removed"] == 4
+
+
+def test_within_doc_repeat_second_occurrence_removed(spark):
+    got = _run(spark, [(7, "p q r s junk p q r s")], span=4)
+    assert got[7]["clean_text"] == "p q r s junk"
+    assert got[7]["n_removed"] == 4
+
+
+def test_short_docs_pass_through(spark):
+    got = _run(spark, [(1, "a b c"), (2, "a b c")], span=4)
+    assert got[1]["clean_text"] == "a b c" and got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "a b c" and got[2]["n_removed"] == 0
+
+
+def test_whitespace_normalization_and_empty(spark):
+    got = _run(spark, [(1, "  a   b\tc  "), (2, "")], span=4)
+    assert got[1]["clean_text"] == "a b c"
+    assert got[2]["clean_text"] == "" and got[2]["n_tokens"] == 0
+
+
+def test_keep_first_is_partitioning_independent(spark):
+    rows = [
+        (i, f"head{i} common span tokens here tail{i}") for i in range(20)
+    ]
+    a = _run(spark, rows, span=4, parts=1)
+    b = _run(spark, rows, span=4, parts=16)
+    assert {k: (v["clean_text"], v["n_removed"]) for k, v in a.items()} == {
+        k: (v["clean_text"], v["n_removed"]) for k, v in b.items()
+    }
+    # doc 0 keeps the shared middle; every other doc loses it
+    assert "common span tokens here" in a[0]["clean_text"]
+    assert all(
+        "common span tokens here" not in a[i]["clean_text"]
+        for i in range(1, 20)
+    )
+    # heads and tails are unique and survive everywhere
+    assert all(f"head{i}" in a[i]["clean_text"] for i in range(20))
+    assert all(f"tail{i}" in a[i]["clean_text"] for i in range(20))
