@@ -83,6 +83,7 @@ HEADLINE = [
     # r10: bucket-spec evolution cycle + the polyphase resample path
     "q_versioned_bucket_evolution",  # evolve -> append -> OPTIMIZE -> SPJ
     "q_audio_resample_polyphase",  # polyphase FIR (hour-scale path)
+    "q_exact_substring_dedup",  # corpus-wide duplicate-span removal
 ]
 
 
