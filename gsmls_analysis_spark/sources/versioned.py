@@ -206,8 +206,21 @@ def _check_writer_features(pm: dict | None, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 _SEG_DIR = "segments"
-_SEG_MAX_REFS = 64  # max segments a manifest references (fold beyond)
-_SEG_CHUNK = 4096  # max entries per newly-written segment
+# Max segments a manifest references before LSM folding kicks in.  The
+# cap bounds a cold read's file-open COUNT; read BYTES are bounded by
+# the live-entry volume regardless, so the cap can sit well above the
+# r8 value of 64 — folding past the cap rewrites the folded entries
+# (amortized O(log), but the first commit past a too-small cap pays a
+# large one-time compaction; measured at 1M files in
+# docs/METADATA_SCALE.md).  256 refs x 4096 entries carries ~1M files
+# of stats (and, with the larger name chunk, ~2M files of names)
+# before any fold.
+_SEG_MAX_REFS = 256
+_SEG_CHUNK = 4096  # max entries per newly-written stats segment
+# name entries are ~20x smaller than stats entries, so name chunks pack
+# more entries per file: the rewrite unit stays ~1.5 MB and a manifest
+# stays under the ref cap to ~2M files x (file+dv) entries
+_NSEG_CHUNK = 16384
 _SEG_CACHE: dict[tuple[str, str], dict] = {}
 
 
@@ -422,7 +435,7 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
                     del n_remaining[k]
         n_refs.sort(key=lambda t: -t[1])
         while n_refs and len(n_refs) + max(
-            1, -(-len(n_remaining) // _SEG_CHUNK)
+            1, -(-len(n_remaining) // _NSEG_CHUNK)
         ) > _SEG_MAX_REFS:
             nm, _n = n_refs.pop()
             n_remaining.update(_load_segment(root, nm))
@@ -430,8 +443,8 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
         if n_remaining:
             os.makedirs(os.path.join(root, _SEG_DIR), exist_ok=True)
             keys = sorted(n_remaining)
-            for i in range(0, len(keys), _SEG_CHUNK):
-                chunk = {k: n_remaining[k] for k in keys[i : i + _SEG_CHUNK]}
+            for i in range(0, len(keys), _NSEG_CHUNK):
+                chunk = {k: n_remaining[k] for k in keys[i : i + _NSEG_CHUNK]}
                 name = f"nseg-v{manifest['version']}-{_commit_token()}.json"
                 seg_path = os.path.join(root, _SEG_DIR, name)
                 with open(seg_path + ".tmp", "w") as fh:

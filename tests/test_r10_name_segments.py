@@ -59,7 +59,7 @@ def test_dv_map_rides_name_segments(spark, tmp_path):
 def test_append_carries_parent_name_chunks_by_reference(
     spark, tmp_path, monkeypatch
 ):
-    monkeypatch.setattr(V, "_SEG_CHUNK", 4)
+    monkeypatch.setattr(V, "_NSEG_CHUNK", 4)
     path = str(tmp_path / "t")
     versioned_write(spark.range(160).repartition(16), path)
     # a COW delete enumerates the 15 untouched files as data_files —
@@ -78,7 +78,7 @@ def test_append_carries_parent_name_chunks_by_reference(
 def test_delete_rewrites_only_touched_name_chunks(
     spark, tmp_path, monkeypatch
 ):
-    monkeypatch.setattr(V, "_SEG_CHUNK", 4)
+    monkeypatch.setattr(V, "_NSEG_CHUNK", 4)
     path = str(tmp_path / "t")
     versioned_write(spark.range(160).repartition(16), path)
     versioned_delete(spark, path, F.col("id") == 3)  # -> data_files shape

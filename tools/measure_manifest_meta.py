@@ -330,7 +330,10 @@ def main() -> None:
         )
         print("|---|---|---|---|---|---|---|")
         nrows = []
-        for n in (1_000, 10_000, 100_000):
+        nsizes = (1_000, 10_000, 100_000)
+        if "--names-xl" in sys.argv:
+            nsizes = (1_000, 10_000, 100_000, 1_000_000)
+        for n in nsizes:
             r = bench_names(n)
             nrows.append(r)
             ratio = r["commit_bytes_r9_inline_names"] / max(
