@@ -207,3 +207,27 @@ def test_bucketed_scan_registration_makes_no_per_file_symlinks(
         F.max("v").alias("m")
     )
     assert _shuffles(_plan(agg)) == 0
+
+
+def test_vacuum_never_materializes_stats_segments(spark, tmp_path, monkeypatch):
+    """Vacuum is a liveness sweep: it needs the names a version pins,
+    never per-file stats — the refs-only manifest read must not open a
+    single stats segment (at 1M files that is the difference between
+    ~1.6 MB and ~1.9 GB read per retained version)."""
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(200).repartition(4), path)
+    versioned_write(spark.range(100), path)  # v2 overwrite: v1 dies
+    loads: list[str] = []
+    real = V._load_segment
+
+    def spy(root, name):
+        loads.append(name)
+        return real(root, name)
+
+    monkeypatch.setattr(V, "_load_segment", spy)
+    V._SEG_CACHE.clear()
+    deleted = versioned_vacuum(path, keep_last=1, orphan_grace_seconds=1e9)
+    assert deleted, "expected v1 data to be reclaimed"
+    stats_loads = [n for n in loads if not n.startswith("nseg-")]
+    assert stats_loads == [], f"vacuum opened stats segments: {stats_loads}"
+    assert versioned_read(spark, path).count() == 100
