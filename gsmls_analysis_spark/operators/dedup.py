@@ -888,14 +888,20 @@ def remove_duplicate_token_spans(
     Scale shape (reference: dup_span_stats's docstring — same window
     machinery): windows reduce per-row to md5 keys, so span TEXT never
     shuffles; keep-first ranking is one shuffle on the key carrying
-    (key, id, start) triples; marked spans explode to at most
-    span × duplicated-window rows (duplication-bounded, not
-    corpus-bounded); the rebuild is one anti-join on (id, pos) plus a
-    per-document sort of its own tokens.  No self-joins, no suffix
+    (key, id, start) triples.  The REBUILD is doc-level, never
+    token-level: marked spans aggregate to ONE sorted position array
+    per affected document (duplication-bounded rows, one shuffle of
+    position arrays), which left-joins back to the corpus on the doc
+    id alone — broadcastable whenever the duplicated-doc set is small,
+    and at worst one doc-row shuffle — and each document excises its
+    own tokens in place with array_except over a position sequence
+    (O(n_tokens + n_removed) per doc, no per-token array_contains
+    scan).  Tokens never explode into rows: the corpus text stays
+    inside its array column end to end.  No self-joins, no suffix
     array — the md5 window key IS the suffix-array bucket at fixed
-    length.  At 100 TB every shuffle carries keys/positions, and the
-    dominant term is the one pass over the corpus that any tokenizer
-    already pays."""
+    length.  At 100 TB the shuffled bytes are window keys + bounded
+    position arrays, and the dominant term is the one pass over the
+    corpus that any tokenizer already pays."""
     from pyspark.sql import Window
 
     from .text import tokens
@@ -923,34 +929,33 @@ def remove_duplicate_token_spans(
         .filter((F.col("__n") > 1) & (F.col("__rn") > 1))
         .select("__id", "__start")
     )
-    removed_pos = marked.select(
-        "__id",
-        F.explode(
-            F.expr(f"sequence(__start, __start + {span} - 1)")
-        ).alias("__pos"),
-    ).distinct()
-    toks = base.select(
-        "__id", F.posexplode("__toks").alias("__p0", "__tok")
-    ).select("__id", (F.col("__p0") + 1).alias("__pos"), "__tok")
-    kept = toks.join(removed_pos, ["__id", "__pos"], "left_anti")
-    rebuilt = kept.groupBy("__id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("__n_kept"),
+    removed = marked.groupBy("__id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.expr(f"sequence(__start, __start + {span} - 1)")
+                    )
+                )
+            )
+        ).alias("__rm")
+    )
+    # sequence(1, 0) DESCENDS in Spark, so empty docs need the guard.
+    all_pos = F.when(
+        F.size("__toks") > 0, F.expr("sequence(1, size(__toks))")
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    kept_pos = F.array_except(
+        all_pos, F.coalesce(F.col("__rm"), F.expr("array()").cast("array<int>"))
     )
     return (
-        base.join(rebuilt, "__id", "left")
+        base.join(removed, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.array_join(
+                F.transform(kept_pos, lambda p: F.element_at("__toks", p)),
+                " ",
+            ).alias("clean_text"),
             F.size("__toks").cast("long").alias("n_tokens"),
-            (
-                F.size("__toks") - F.coalesce(F.col("__n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed"),
+            F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
