@@ -1,0 +1,191 @@
+"""Spark-bit-exact Murmur3 hashing of Arrow data in Python.
+
+Why this exists: the engine-native versioned_table SINKS (batch and
+stream; sources/versioned_stream.py) stage parquet files from inside
+Arrow writer tasks, where Spark's ``bucketBy`` writer (a ``saveAsTable``
+leg) is unreachable.  To append to a HASH-BUCKETED table they must
+assign each row the SAME bucket Spark's own writer would — bucket id =
+``pmod(murmur3(cols, seed=42), n)`` (HashPartitioning's
+partitionIdExpression) — or every storage-partitioned join over the
+table silently returns wrong rows.  So this module re-implements
+catalyst's Murmur3Hash (the SQL ``hash()`` function) over Arrow arrays,
+numpy-vectorized for fixed-width types, and the test suite proves
+bit-exactness against ``F.hash(...)`` / Spark's bucketBy file names on
+randomized data (tests/test_r11_bucketed_stream.py).
+
+Semantics mirrored from Spark's Murmur3Hash expression + Murmur3_x86_32:
+- multi-column: h = 42; for each column, NULL leaves h unchanged, else
+  h = hash(value, seed=h).  (No final mix across columns.)
+- int8/16/32/date32 → hashInt; int64/timestamp → hashLong (micros);
+  float/double → hashInt/hashLong of the IEEE bits with -0.0
+  normalized to 0.0; boolean → hashInt(0|1); string/binary →
+  hashUnsafeBytes (4-byte little-endian blocks, then each TAIL byte
+  SIGNED and mixed as its own round — catalyst's convention, NOT the
+  reference murmur3 tail).
+- the result is a SIGNED 32-bit int; pmod(h, n) = ((h % n) + n) % n.
+
+Scale shape: fixed-width columns hash in O(1) numpy passes per column;
+variable-length (string/binary) columns group rows BY BYTE LENGTH and
+hash each length class vectorized (4-byte block loop over the class),
+so the per-row Python cost is O(distinct lengths), not O(rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SEED = np.uint32(42)
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+_M5 = np.uint32(5)
+_N1 = np.uint32(0xE6546B64)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _mix_k1(k1: np.ndarray) -> np.ndarray:
+    k1 = k1 * _C1
+    k1 = _rotl(k1, 15)
+    return k1 * _C2
+
+
+def _mix_h1(h1: np.ndarray, k1: np.ndarray) -> np.ndarray:
+    h1 = h1 ^ k1
+    h1 = _rotl(h1, 13)
+    return h1 * _M5 + _N1
+
+
+def _fmix(h1: np.ndarray, length: int) -> np.ndarray:
+    h1 = h1 ^ np.uint32(length)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    return h1 ^ (h1 >> np.uint32(16))
+
+
+def _hash_int(vals: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    """Murmur3_x86_32.hashInt over a uint32 bit-pattern array."""
+    return _fmix(_mix_h1(seed, _mix_k1(vals)), 4)
+
+
+def _hash_long(vals: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    """Murmur3_x86_32.hashLong over a uint64 bit-pattern array."""
+    low = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    high = (vals >> np.uint64(32)).astype(np.uint32)
+    h1 = _mix_h1(seed, _mix_k1(low))
+    h1 = _mix_h1(h1, _mix_k1(high))
+    return _fmix(h1, 8)
+
+
+def _hash_bytes_grouped(
+    data: np.ndarray, offsets: np.ndarray, seed: np.ndarray
+) -> np.ndarray:
+    """hashUnsafeBytes for every row of an Arrow string/binary buffer,
+    vectorized by grouping rows of equal byte length: each 4-byte block
+    position is one numpy gather+mix over the whole length class."""
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    starts = offsets[:-1].astype(np.int64)
+    out = np.empty(len(lengths), dtype=np.uint32)
+    for ln in np.unique(lengths):
+        idx = np.nonzero(lengths == ln)[0]
+        s = starts[idx]
+        h1 = seed[idx].copy() if seed.ndim else np.full(len(idx), seed)
+        n_blocks = int(ln) // 4
+        for b in range(n_blocks):
+            base = s + 4 * b
+            k1 = (
+                data[base].astype(np.uint32)
+                | (data[base + 1].astype(np.uint32) << np.uint32(8))
+                | (data[base + 2].astype(np.uint32) << np.uint32(16))
+                | (data[base + 3].astype(np.uint32) << np.uint32(24))
+            )
+            h1 = _mix_h1(h1, _mix_k1(k1))
+        for t in range(n_blocks * 4, int(ln)):
+            # catalyst tail: each byte SIGNED, mixed as a full round
+            byte = data[s + t].astype(np.int8).astype(np.int32)
+            h1 = _mix_h1(h1, _mix_k1(byte.astype(np.uint32)))
+        out[idx] = _fmix(h1, int(ln))
+    return out
+
+
+def _column_update(h: np.ndarray, arr: pa.Array) -> np.ndarray:
+    """One column's contribution: h' = hash(value, seed=h) where
+    non-null, h unchanged where null.  Raises TypeError on types the
+    sink does not support as bucket columns."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    t = arr.type
+    valid = (
+        np.ones(len(arr), dtype=bool)
+        if arr.null_count == 0
+        else ~np.asarray(arr.is_null())
+    )
+    if pa.types.is_boolean(t):
+        vals = np.asarray(arr.fill_null(False)).astype(np.uint32)
+        new = _hash_int(vals, h)
+    elif pa.types.is_integer(t) and t.bit_width <= 32:
+        vals = np.asarray(arr.fill_null(0)).astype(np.int32).view(np.uint32)
+        new = _hash_int(vals, h)
+    elif pa.types.is_integer(t):  # int64 / uint64
+        vals = np.asarray(arr.fill_null(0)).astype(np.int64).view(np.uint64)
+        new = _hash_long(vals, h)
+    elif pa.types.is_date32(t):
+        vals = arr.cast(pa.int32())
+        vals = np.asarray(vals.fill_null(0)).astype(np.int32).view(np.uint32)
+        new = _hash_int(vals, h)
+    elif pa.types.is_timestamp(t):
+        if t.unit != "us":
+            arr = arr.cast(pa.timestamp("us", tz=t.tz))
+        vals = arr.cast(pa.int64())
+        vals = np.asarray(vals.fill_null(0)).astype(np.int64).view(np.uint64)
+        new = _hash_long(vals, h)
+    elif pa.types.is_float32(t):
+        f = np.asarray(arr.fill_null(0.0)).astype(np.float32)
+        f = np.where(f == np.float32(0.0), np.float32(0.0), f)  # -0.0 → 0.0
+        new = _hash_int(f.view(np.uint32), h)
+    elif pa.types.is_float64(t):
+        f = np.asarray(arr.fill_null(0.0)).astype(np.float64)
+        f = np.where(f == 0.0, 0.0, f)  # -0.0 → 0.0 (NaNs pass through)
+        new = _hash_long(f.view(np.uint64), h)
+    elif pa.types.is_string(t) or pa.types.is_binary(t):
+        if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            arr = arr.cast(pa.string() if pa.types.is_large_string(t) else pa.binary())
+        filled = arr.fill_null("" if pa.types.is_string(t) else b"")
+        buffers = filled.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int32)[
+            filled.offset : filled.offset + len(filled) + 1
+        ]
+        databuf = (
+            np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        new = _hash_bytes_grouped(databuf, offsets, h)
+    else:
+        raise TypeError(
+            f"unsupported bucket-column type for the engine-native sink: "
+            f"{t} (supported: boolean, integers, date, timestamp, "
+            f"float/double, string, binary)"
+        )
+    return np.where(valid, new, h)
+
+
+def spark_hash(batch: pa.RecordBatch | pa.Table, cols: list[str]) -> np.ndarray:
+    """Row-wise catalyst ``hash(cols...)`` (seed 42) as signed int32."""
+    h = np.full(batch.num_rows, _SEED, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            h = _column_update(h, batch.column(batch.schema.names.index(c)))
+    return h.view(np.int32)
+
+
+def spark_bucket_ids(
+    batch: pa.RecordBatch | pa.Table, cols: list[str], n: int
+) -> np.ndarray:
+    """Spark bucket id per row: ``pmod(hash(cols), n)`` — identical to
+    HashPartitioning's partitionIdExpression / the bucketBy writer."""
+    h = spark_hash(batch, cols).astype(np.int64)
+    return np.mod(h, n)  # numpy floor-mod == Java pmod for n > 0

@@ -553,3 +553,57 @@ def q_stream_versioned_sink_native(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "q_stream_versioned_sink_bucketed",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    doc="r11: streaming appends into a HASH-BUCKETED versioned table "
+    "keep the zero-exchange storage-partitioned property — the r10 "
+    "refusal lifted.  The even event_ids seed the table through "
+    "versioned_write(bucket_by=(['user_id'], 16)); the odd half "
+    "arrives through writeStream.format('versioned_table'), whose "
+    "Arrow writer tasks split rows by pmod(murmur3(user_id), 16) "
+    "(bit-exact with Spark's bucketBy — functions/spark_hash.py, "
+    "tests/test_r11_bucketed_stream.py) into bucket-pure, bucket-"
+    "named, internally sorted staged files.  The final aggregate "
+    "reads through versioned_bucketed_scan, so the groupBy(user_id) "
+    "needs NO exchange: the scan itself reports HashPartitioning — "
+    "at 100 TB the shuffle this elides is the whole job.  Exactly-"
+    "once, spec-change aborts, and file purity are unit-pinned.",
+)
+def q_stream_versioned_sink_bucketed(spark, sf_dir):
+    from ..sources.catalog import load_table
+    from ..sources.versioned import versioned_bucketed_scan, versioned_write
+    from ..sources.versioned_stream import versioned_stream_sink
+
+    table = tempfile.mkdtemp(prefix="vsink_bucketed_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_vsink_bucketed_")
+    seed = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    versioned_write(seed, table, bucket_by=(["user_id"], 16))
+    for _ in range(2):  # second pass: offsets committed -> no new batch
+        sdf = (
+            events_file_stream(spark, sf_dir)
+            .filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "user_id", "value")
+        )
+        versioned_stream_sink(sdf, table, checkpoint=ckpt)
+    return (
+        versioned_bucketed_scan(spark, table)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

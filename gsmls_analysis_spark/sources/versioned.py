@@ -4746,7 +4746,12 @@ def versioned_bucketed_scan(
     ``_write_data_dir``, which re-hashes a bucketed table's rows into
     bucket-pure, bucket-NAMED files (Spark's own bucketBy writer, same
     murmur3+pmod as the catalog spec), so the invariant holds across
-    appends, CoW rewrites, MoR appends, and OPTIMIZE.  Deletion vectors
+    appends, CoW rewrites, MoR appends, and OPTIMIZE.  The engine-
+    native sinks (batch + stream data source) hold the same invariant
+    from inside their Arrow writer tasks with a Spark-BIT-EXACT Python
+    murmur3 (functions/spark_hash.py; r11 — exactness and file purity
+    pinned in tests/test_r11_bucketed_stream.py), so streaming appends
+    keep this scan exchange-free too.  Deletion vectors
     apply as a broadcast anti-join AFTER the scan — broadcast joins
     preserve the streamed side's partitioning, so the bucket info
     survives to the consuming join.

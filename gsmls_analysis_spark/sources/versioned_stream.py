@@ -821,12 +821,159 @@ def versioned_batch_source(
 # Caveat vs versioned_write: partition_by clustering cannot be imposed
 # from inside the sink (tasks see only their own rows) — pre-repartition
 # the DataFrame; pvals stay exact either way, so pruning stays sound.
+# Bucketing (r11) IS imposed from inside the sink: a bucket spec needs
+# no cross-task clustering, only that each FILE be bucket-pure, so each
+# task splits its own rows by pmod(murmur3(cols), n) — Spark-bit-exact
+# (functions/spark_hash.py) — into bucket-named sorted files.  Rows for
+# one bucket may span tasks (>1 file per bucket per commit), which
+# Spark's bucketed reader handles by grouping on the file-name bucket
+# id (and by dropping the sortedness claim beyond one file per bucket).
 # ---------------------------------------------------------------------------
 
 
 class _VersionedWriteMessage(WriterCommitMessage):
-    def __init__(self, rel_file: str):
-        self.rel_file = rel_file
+    def __init__(self, rel_files: list[str]):
+        self.rel_files = rel_files
+
+
+def _msg_files(messages) -> list[str]:
+    return [
+        f
+        for m in messages
+        if m is not None
+        for f in (m.rel_files or [])
+    ]
+
+
+def _pin_bucket_spec(
+    pm: dict | None, schema: StructType, renames: dict
+) -> tuple[list[str], int] | None:
+    """Pin the table's bucket spec for a sink writer: returns
+    ``(physical_cols, n)`` to hash staged files under, or None for an
+    unbucketed table.  Validates eagerly (before any task runs) that
+    every bucket column is present in the written schema and of a type
+    the Python murmur3 supports — a missing/unsupported column must
+    fail the WRITE, not silently publish mis-bucketed files."""
+    from .versioned import _bucket_of
+
+    spec = _bucket_of(pm)
+    if not spec:
+        return None
+    phys = {renames.get(f.name, f.name): f.dataType for f in schema.fields}
+    missing = [c for c in spec["columns"] if c not in phys]
+    if missing:
+        raise ValueError(
+            f"versioned_table sink: bucket columns {missing} not in the "
+            f"written schema {sorted(phys)} — every append to a bucketed "
+            "table must carry its bucket columns"
+        )
+    supported = (
+        "byte", "short", "integer", "long", "float", "double",
+        "string", "binary", "boolean", "date",
+    )
+    for c in spec["columns"]:
+        tn = phys[c].typeName()
+        if tn not in supported and not tn.startswith("timestamp"):
+            raise ValueError(
+                f"versioned_table sink: bucket column {c!r} has type "
+                f"{tn}, which the sink's Spark-exact murmur3 does not "
+                "cover; append through versioned_write instead"
+            )
+    return list(spec["columns"]), int(spec["n"])
+
+
+class _StagedTaskFiles:
+    """One write task's staged parquet files, under the pinned physical
+    renames and (when the table pins a bucket spec) Spark's hash-bucket
+    layout: rows split by ``pmod(murmur3(cols), n)`` (bit-exact with the
+    bucketBy writer — functions/spark_hash.py), one bucket-PURE file per
+    non-empty bucket, bucket id recorded in the file NAME in Spark's
+    ``part-*_{bid:05d}.c000`` convention so the bucketed reader groups
+    them, rows SORTED by the bucket columns inside each file (nulls
+    first, Spark's sortBy order) so the catalog entry's SORTED BY stays
+    sound in the single-file-per-bucket case — with >1 file per bucket
+    Spark itself drops the sortedness claim.
+
+    Memory: the bucketed path buffers the task's rows before the
+    sort+split (exactly the sort Spark's own bucketed write performs,
+    minus spilling) — bounded by the micro-batch/task input, which the
+    source's admission control already caps.  The unbucketed path
+    streams batches straight to one file, unchanged."""
+
+    def __init__(
+        self,
+        root: str,
+        staging: str,
+        renames: dict,
+        bucket: tuple[list[str], int] | None,
+    ):
+        self._root = root
+        self._staging = staging
+        self._renames = renames
+        self._bucket = bucket
+        self._writer = None
+        self._rel: str | None = None
+        self._tables: list = []
+
+    def _renamed(self, batch):
+        import pyarrow as pa
+
+        if not self._renames:
+            return batch
+        return pa.RecordBatch.from_arrays(
+            batch.columns,
+            names=[self._renames.get(n, n) for n in batch.schema.names],
+        )
+
+    def consume(self, batch) -> None:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batch = self._renamed(batch)
+        if self._bucket is not None:
+            self._tables.append(pa.Table.from_batches([batch]))
+            return
+        if self._writer is None:
+            self._rel = f"{self._staging}/part-{uuid.uuid4().hex}.parquet"
+            self._writer = pq.ParquetWriter(
+                os.path.join(self._root, self._rel), batch.schema
+            )
+        self._writer.write_batch(batch)
+
+    def close(self) -> list[str]:
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._bucket is None:
+            if self._writer is None:
+                return []
+            self._writer.close()
+            return [self._rel]
+        if not self._tables:
+            return []
+        from ..functions.spark_hash import spark_bucket_ids
+
+        cols, n = self._bucket
+        tbl = pa.concat_tables(self._tables)
+        self._tables = []
+        if tbl.num_rows == 0:
+            return []
+        bids = spark_bucket_ids(tbl, cols, n)
+        out: list[str] = []
+        tok = uuid.uuid4().hex
+        for bid in np.unique(bids):
+            part = tbl.filter(pa.array(bids == bid)).sort_by(
+                [(c, "ascending") for c in cols], null_placement="at_start"
+            )
+            rel = f"{self._staging}/part-{tok}_{int(bid):05d}.c000.parquet"
+            pq.write_table(part, os.path.join(self._root, rel))
+            out.append(rel)
+        return out
 
 
 def _publish_staged(
@@ -841,6 +988,7 @@ def _publish_staged(
     token: str,
     meta: dict | None = None,
     on_rename=None,
+    staged_bucket_spec: tuple[list[str], int] | None = None,
 ) -> None:
     """Shared commit leg of the engine-native batch AND stream sinks:
     rename the staged directory (containing exactly this commit's files,
@@ -875,22 +1023,42 @@ def _publish_staged(
         _tombstones_of,
     )
 
-    from .versioned import _check_writer_features, _identity_of
+    from .versioned import _bucket_of, _check_writer_features, _identity_of
+
+    def _check_bucket_spec(pm):
+        """The staged files were hashed under the PINNED spec (or not
+        hashed at all); publishing them under any OTHER spec would
+        silently break every storage-partitioned join — abort instead
+        (the bucket-spec analog of Delta's MetadataChanged)."""
+        spec = _bucket_of(pm)
+        now = (list(spec["columns"]), int(spec["n"])) if spec else None
+        pinned = (
+            (list(staged_bucket_spec[0]), int(staged_bucket_spec[1]))
+            if staged_bucket_spec
+            else None
+        )
+        if now == pinned:
+            return
+        if pinned is None:
+            raise ValueError(
+                "versioned_table sink: the table declares a bucket_by "
+                "spec but the staged files were not bucket-hashed "
+                "(the spec was added during the write, or the caller "
+                "bypassed the writer's spec pin) — publishing them "
+                "would silently break every storage-partitioned join."
+            )
+        raise CommitConflictError(
+            f"versioned_table sink: the table's bucket spec changed "
+            f"during the write (staged under {pinned}, table now "
+            f"declares {now}) — the staged files hash under the old "
+            "spec; re-run the write."
+        )
 
     versions = table_versions(path)
     parent = versions[-1] if versions else 0
     pm = _read_manifest(path, parent) if parent else None
     _check_writer_features(pm, path)
-    from .versioned import _bucket_of
-
-    if _bucket_of(pm):
-        raise ValueError(
-            "versioned_table sink: the table declares a bucket_by spec; "
-            "the sink's staged files are not bucket-hashed and would "
-            "silently break every storage-partitioned join.  Append "
-            "through versioned_write (it re-hashes), or drop the spec "
-            "with versioned_set_bucketing(path)."
-        )
+    _check_bucket_spec(pm)
     if _identity_of(pm):
         raise ValueError(
             "versioned_table sink: the table declares identity columns, "
@@ -966,6 +1134,17 @@ def _publish_staged(
                 manifest["partition_by"] = pm["partition_by"]
             if pm.get("bucket_spec_history"):
                 manifest["bucket_spec_history"] = pm["bucket_spec_history"]
+            if pm.get("bucket_by"):
+                # the staged files were hashed under this spec (checked
+                # above); carry it or the table silently loses its layout
+                manifest["bucket_by"] = pm["bucket_by"]
+        elif staged_bucket_spec:
+            # overwrite of a bucketed table: fresh single-era layout
+            # under the pinned spec (versioned_write's convention)
+            manifest["bucket_by"] = {
+                "columns": list(staged_bucket_spec[0]),
+                "n": int(staged_bucket_spec[1]),
+            }
         if cons:
             manifest["constraints"] = cons
         if pm and pm.get("generated"):
@@ -979,10 +1158,12 @@ def _publish_staged(
         parent = versions[-1]
         pm = _read_manifest(path, parent)
         # re-gate against the WINNER's manifest: an unknown writer
-        # feature would be silently dropped by our rebuild, and a newly
+        # feature would be silently dropped by our rebuild, a newly
         # declared identity column needs sequence assignment the sink
-        # cannot do — both abort (Delta's MetadataChanged contract)
+        # cannot do, and a changed bucket spec invalidates the staged
+        # files' hashes — all abort (Delta's MetadataChanged contract)
         _check_writer_features(pm, path)
+        _check_bucket_spec(pm)
         if _identity_of(pm):
             raise CommitConflictError(
                 "versioned_table sink: an identity column was declared "
@@ -1049,41 +1230,18 @@ class VersionedBatchWriter(DataSourceArrowWriter):
             self._mapping0 = ({}, [])
         self._staging = f"data/stage-{self._token}"
         os.makedirs(os.path.join(self._root, self._staging), exist_ok=True)
+        self._bucket = _pin_bucket_spec(pm, schema, self._renames)
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rel = f"{self._staging}/part-{uuid.uuid4().hex}.parquet"
-        full = os.path.join(self._root, rel)
-        writer = None
-        try:
-            for batch in iterator:
-                if self._renames:
-                    batch = pa.RecordBatch.from_arrays(
-                        batch.columns,
-                        names=[
-                            self._renames.get(n, n) for n in batch.schema.names
-                        ],
-                    )
-                if writer is None:
-                    writer = pq.ParquetWriter(full, batch.schema)
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return _VersionedWriteMessage(None)  # empty task: no file
-        return _VersionedWriteMessage(rel)
+        task = _StagedTaskFiles(
+            self._root, self._staging, self._renames, self._bucket
+        )
+        for batch in iterator:
+            task.consume(batch)
+        return _VersionedWriteMessage(task.close())
 
     def commit(self, messages):
-        files = [
-            m.rel_file
-            for m in messages
-            if m is not None and m.rel_file is not None
-        ]
+        files = _msg_files(messages)
         # zero-row write: still a commit (empty version / no-op append)
         phys_schema = StructType(
             [
@@ -1109,6 +1267,7 @@ class VersionedBatchWriter(DataSourceArrowWriter):
             self._token,
             meta=None,
             on_rename=on_rename,
+            staged_bucket_spec=self._bucket,
         )
 
     def abort(self, messages):
@@ -1199,35 +1358,15 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         self._staging = f"data/stage-stream-{self._token}"
         os.makedirs(os.path.join(self._root, self._staging), exist_ok=True)
         self._attempt_dir: str | None = None
+        self._bucket = _pin_bucket_spec(pm, schema, self._renames)
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rel = f"{self._staging}/part-{uuid.uuid4().hex}.parquet"
-        full = os.path.join(self._root, rel)
-        writer = None
-        try:
-            for batch in iterator:
-                if self._renames:
-                    batch = pa.RecordBatch.from_arrays(
-                        batch.columns,
-                        names=[
-                            self._renames.get(n, n)
-                            for n in batch.schema.names
-                        ],
-                    )
-                if writer is None:
-                    writer = pq.ParquetWriter(full, batch.schema)
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return _VersionedWriteMessage(None)  # empty task: no file
-        return _VersionedWriteMessage(rel)
+        task = _StagedTaskFiles(
+            self._root, self._staging, self._renames, self._bucket
+        )
+        for batch in iterator:
+            task.consume(batch)
+        return _VersionedWriteMessage(task.close())
 
     def _discard(self, files: list) -> None:
         for rel in files:
@@ -1239,11 +1378,7 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId):
         from .versioned import _commit_token, committed_meta
 
-        files = [
-            m.rel_file
-            for m in messages
-            if m is not None and m.rel_file is not None
-        ]
+        files = _msg_files(messages)
         txn = f"{self._app}/{batchId}"
         if txn in committed_meta(self._path, "txn"):
             # replayed micro-batch (commit landed, checkpoint didn't):
@@ -1286,6 +1421,7 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
             tok,
             meta={"txn": txn},
             on_rename=on_rename,
+            staged_bucket_spec=self._bucket,
         )
         self._attempt_dir = None
         if self._added_mapping and not self._overwrite:
@@ -1299,13 +1435,7 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
     def abort(self, messages, batchId):
         import shutil
 
-        self._discard(
-            [
-                m.rel_file
-                for m in messages
-                if m is not None and m.rel_file is not None
-            ]
-        )
+        self._discard(_msg_files(messages))
         if self._attempt_dir:
             full = os.path.join(self._root, self._attempt_dir)
             if os.path.isdir(full):

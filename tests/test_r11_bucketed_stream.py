@@ -1,0 +1,294 @@
+"""Round-11 task 2: the engine-native sinks (batch + stream data
+source) append to HASH-BUCKETED versioned tables, preserving the
+zero-exchange storage-partitioned-join property — the r10 refusal is
+lifted by bucket-hashing staged files inside the Arrow writer tasks
+with a Spark-bit-exact Python murmur3 (functions/spark_hash.py).
+
+Matrix: hash bit-exactness vs F.hash on randomized typed data; stream
+append -> bucket-pure/bucket-named/sorted files -> SPJ zero-exchange;
+replay discards multi-file messages; mid-stream spec change aborts
+(MetadataChanged analog); unbucketed-staging refusal preserved; batch
+sink path; mixed-era loud degradation unchanged."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.functions.spark_hash import (
+    spark_bucket_ids,
+    spark_hash,
+)
+from gsmls_analysis_spark.sources.versioned import (
+    CommitConflictError,
+    table_versions,
+    versioned_bucketed_scan,
+    versioned_join_bucketed,
+    versioned_read,
+    versioned_set_bucketing,
+    versioned_write,
+)
+from gsmls_analysis_spark.sources.versioned_stream import (
+    VersionedTableDataSource,
+    versioned_stream_sink,
+)
+from tests.test_r9_bucketed import _no_shuffle_join, _plan
+
+
+def _typed_table(n=3000, seed=7):
+    import datetime as dt
+
+    rng = np.random.default_rng(seed)
+    ls = [None if k % 13 == 0 else int(rng.integers(-(2**62), 2**62)) for k in range(n)]
+    ss = [
+        None if k % 11 == 0 else ("x" * (k % 9) + str(int(rng.integers(0, 10**12))))
+        for k in range(n)
+    ]
+    ds = [float(x) for x in rng.uniform(-1e6, 1e6, n)]
+    ds[0], ds[1] = -0.0, 0.0
+    return pa.table(
+        {
+            "l": pa.array(ls, pa.int64()),
+            "i": pa.array([int(x) for x in rng.integers(-(2**31), 2**31 - 1, n)], pa.int32()),
+            "s": pa.array(ss, pa.string()),
+            "d": pa.array(ds, pa.float64()),
+            "b": pa.array([bool(x) for x in rng.integers(0, 2, n)], pa.bool_()),
+            "dt": pa.array(
+                [dt.date(2000, 1, 1) + dt.timedelta(days=int(k % 9000)) for k in range(n)],
+                pa.date32(),
+            ),
+            "ts": pa.array(
+                [
+                    dt.datetime(2000, 1, 1)
+                    + dt.timedelta(microseconds=int(rng.integers(0, 10**14)))
+                    for _ in range(n)
+                ],
+                pa.timestamp("us", tz="UTC"),
+            ),
+        }
+    )
+
+
+def test_spark_hash_bit_exact(spark, tmp_path):
+    """The Python murmur3 matches catalyst's hash()/pmod on every
+    supported type, including nulls, negatives, -0.0 and empty/odd-tail
+    strings — the property every storage-partitioned join rests on."""
+    tbl = _typed_table()
+    p = str(tmp_path / "h.parquet")
+    pq.write_table(tbl, p)
+    cols = ["l", "i", "s", "d", "b", "dt", "ts"]
+    got = (
+        spark.read.parquet(p)
+        .select(
+            F.hash(*cols).alias("h"),
+            F.expr(f"pmod(hash({','.join(cols)}), 16)").alias("bid"),
+        )
+        .toPandas()
+    )
+    assert (spark_hash(tbl, cols) == got["h"].to_numpy()).all()
+    assert (spark_bucket_ids(tbl, cols, 16) == got["bid"].to_numpy()).all()
+
+
+def test_spark_hash_matches_bucketby_files(spark, tmp_path):
+    """End-to-end vs Spark's OWN bucketBy writer: for every file Spark
+    writes, our Python bucket id of every row equals the bucket id in
+    the file name."""
+    name = "t_r11_hashchk"
+    out = str(tmp_path / "bb")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("s")
+    )
+    (
+        df.repartition(8, "k", "s")
+        .write.bucketBy(8, "k", "s")
+        .option("path", out)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    spark.sql(f"DROP TABLE `{name}`")
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    for f in files:
+        m = re.search(r"_(\d+)(?:\..*)?$", os.path.basename(f))
+        t = pq.read_table(f)
+        assert (spark_bucket_ids(t, ["k", "s"], 8) == int(m.group(1))).all()
+
+
+def _stream_rows(spark, src_dir, pdf, parts=2):
+    spark.createDataFrame(pdf).coalesce(parts).write.mode("append").parquet(src_dir)
+
+
+def test_stream_sink_bucketed_append(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64), "v": np.arange(100, dtype=np.int64)}
+    )
+    versioned_write(spark.createDataFrame(pdf), tbl, bucket_by=(["k"], 8))
+    pdf2 = pd.DataFrame(
+        {"k": np.arange(100, 250, dtype=np.int64), "v": np.arange(100, 250, dtype=np.int64)}
+    )
+    _stream_rows(spark, src, pdf2)
+    sdf = spark.readStream.schema("k long, v long").parquet(src)
+    versioned_stream_sink(sdf, tbl, checkpoint=str(tmp_path / "ckpt"))
+    assert table_versions(tbl) == [1, 2]
+
+    # every streamed file is bucket-named, bucket-pure, and sorted
+    v2files = glob.glob(os.path.join(tbl, "data", "v2-*", "*.parquet"))
+    assert v2files
+    for f in v2files:
+        m = re.search(r"_(\d+)(?:\..*)?$", os.path.basename(f))
+        assert m, f"streamed file not bucket-named: {f}"
+        t = pq.read_table(f)
+        assert (spark_bucket_ids(t, ["k"], 8) == int(m.group(1))).all()
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks)
+
+    # scan sees all rows; SPJ against a batch-written table: 0 shuffles
+    got = versioned_bucketed_scan(spark, tbl)
+    assert got.count() == 250
+    other = str(tmp_path / "o")
+    versioned_write(
+        spark.range(250).select(F.col("id").alias("k"), F.lit(1).alias("w")),
+        other,
+        bucket_by=(["k"], 8),
+    )
+    j = versioned_join_bucketed(spark, tbl, other, on=["k"])
+    assert j.count() == 250
+    assert _no_shuffle_join(_plan(j))
+
+
+def test_stream_sink_replay_discards_bucket_files(spark, tmp_path):
+    """A replayed micro-batch (commit landed, checkpoint didn't) must
+    discard EVERY re-staged file — the message now carries a LIST of
+    per-bucket files, all of which must go."""
+    from gsmls_analysis_spark.sources import versioned_stream as VS
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tbl = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(10, dtype=np.int64), "v": np.arange(10, dtype=np.int64)})
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    w = VS.VersionedStreamWriter(schema, False, {"path": tbl, "txnappid": "app1"})
+    batch = pa.record_batch(
+        {"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([1, 2, 3], pa.int64())}
+    )
+    msg = w.write(iter([batch]))
+    assert len(msg.rel_files) >= 2  # split across buckets
+    w.commit([msg], 0)
+    v_after = table_versions(tbl)
+    # replay batch 0: re-stage, then commit must discard, not re-publish
+    msg2 = w.write(iter([batch]))
+    staged = [os.path.join(tbl, r) for r in msg2.rel_files]
+    assert all(os.path.exists(p) for p in staged)
+    w.commit([msg2], 0)
+    assert table_versions(tbl) == v_after
+    assert not any(os.path.exists(p) for p in staged)
+
+
+def test_stream_sink_spec_change_mid_stream_aborts(spark, tmp_path):
+    """versioned_set_bucketing between pin and commit -> the staged
+    files hash under the OLD spec; publishing would mis-bucket every
+    SPJ, so the commit aborts (MetadataChanged analog)."""
+    from gsmls_analysis_spark.sources import versioned_stream as VS
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tbl = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(10, dtype=np.int64), "v": np.arange(10, dtype=np.int64)})
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    w = VS.VersionedStreamWriter(schema, False, {"path": tbl, "txnappid": "a2"})
+    msg = w.write(
+        iter([pa.record_batch({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})])
+    )
+    versioned_set_bucketing(spark, tbl, ["k"], 8)
+    with pytest.raises(CommitConflictError, match="bucket spec changed"):
+        w.commit([msg], 0)
+
+
+def test_sink_refuses_unhashed_staging(spark, tmp_path):
+    """_publish_staged with no pinned spec against a bucketed table
+    still refuses — the r10 purity guard survives for any caller that
+    bypasses the writer's pin."""
+    from gsmls_analysis_spark.sources.versioned_stream import _publish_staged
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tbl = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(10, dtype=np.int64), "v": np.arange(10, dtype=np.int64)})
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    root = os.path.abspath(tbl)
+    os.makedirs(os.path.join(root, "data/stage-x"), exist_ok=True)
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    with pytest.raises(ValueError, match="not bucket-hashed"):
+        _publish_staged(root, tbl, "data/stage-x", schema, False, {}, ({}, []), False, "x")
+
+
+def test_batch_sink_bucketed(spark, tmp_path):
+    """df.write.format('versioned_table') appends to a bucketed table
+    through the same bucket-hashing leg."""
+    tbl = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(50, dtype=np.int64), "v": np.arange(50, dtype=np.int64)})
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    spark.dataSource.register(VersionedTableDataSource)
+    df = spark.range(50, 120).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    df.write.format("versioned_table").option("path", tbl).mode("append").save()
+    assert versioned_read(spark, tbl).count() == 120
+    for f in glob.glob(os.path.join(tbl, "data", "v2-*", "*.parquet")):
+        m = re.search(r"_(\d+)(?:\..*)?$", os.path.basename(f))
+        t = pq.read_table(f)
+        assert m and (spark_bucket_ids(t, ["k"], 4) == int(m.group(1))).all()
+    j = versioned_join_bucketed(spark, tbl, tbl, on=["k"])
+    assert _no_shuffle_join(_plan(j))
+
+
+def test_stream_append_into_mixed_era_still_degrades_loudly(spark, tmp_path):
+    """Spec evolved with old-era files live: the stream append itself
+    lands under the CURRENT spec (its dir parses to a commit >= since),
+    but the scan still refuses on the older-era files — r10 semantics
+    unchanged by the sink."""
+    from gsmls_analysis_spark.sources.versioned import BucketLayoutMixedError
+
+    tbl = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(20, dtype=np.int64), "v": np.arange(20, dtype=np.int64)})
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    versioned_set_bucketing(spark, tbl, ["k"], 8)  # v1 files now old-era
+    _stream_rows(spark, src, pd.DataFrame({"k": np.arange(20, 40, dtype=np.int64), "v": np.arange(20, 40, dtype=np.int64)}))
+    sdf = spark.readStream.schema("k long, v long").parquet(src)
+    versioned_stream_sink(sdf, tbl, checkpoint=str(tmp_path / "ckpt"))
+    assert versioned_read(spark, tbl).count() == 40  # plain read fine
+    with pytest.raises(BucketLayoutMixedError):
+        versioned_bucketed_scan(spark, tbl)

@@ -90,7 +90,7 @@ def test_stream_sink_replayed_batch_is_skipped(spark, tmp_path):
 
     # replay of batch 0: freshly staged files, same batch id
     m2 = staged_message(w, [(1, "x"), (2, "y")])
-    staged_file = os.path.join(tbl, m2.rel_file)
+    staged_file = os.path.join(tbl, m2.rel_files[0])
     assert os.path.isfile(staged_file)
     w.commit([m2], 0)
     assert V.table_versions(tbl) == [1]  # nothing published
@@ -198,7 +198,7 @@ def test_stream_sink_abort_cleans_staging(tmp_path):
         StructType.fromDDL("k long"), False, {"path": tbl, "txnappid": "app"}
     )
     m = w.write(iter([pa.record_batch({"k": pa.array([1], pa.int64())})]))
-    staged = os.path.join(tbl, m.rel_file)
+    staged = os.path.join(tbl, m.rel_files[0])
     assert os.path.isfile(staged)
     w.abort([m], 0)
     assert not os.path.exists(staged)
