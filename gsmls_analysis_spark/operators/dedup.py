@@ -904,11 +904,32 @@ def remove_duplicate_token_spans(
     corpus that any tokenizer already pays."""
     from pyspark.sql import Window
 
+    base = _span_base(df, id_col, text_col)
+    wins = _span_windows(base, span)
+    per_key = Window.partitionBy("k")
+    first_first = Window.partitionBy("k").orderBy("__id", "__start")
+    marked = (
+        wins.withColumn("__rn", F.row_number().over(first_first))
+        .withColumn("__n", F.count(F.lit(1)).over(per_key))
+        .filter((F.col("__n") > 1) & (F.col("__rn") > 1))
+        .select("__id", "__start")
+    )
+    return _rebuild_without_spans(base, marked, id_col, span)
+
+
+def _span_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from .text import tokens
 
-    ids = F.col(id_col)
-    base = df.select(ids.alias("__id"), tokens(F.col(text_col)).alias("__toks"))
-    wins = (
+    return df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    )
+
+
+def _span_windows(base: DataFrame, span: int) -> DataFrame:
+    """Every ``span``-token window as (__id, __start, k) where k is the
+    md5 of the space-joined window text — computed per-row inside the
+    array, so window TEXT never becomes rows, only 32-char keys do."""
+    return (
         base.filter(F.size("__toks") >= span)
         .select(
             "__id",
@@ -921,14 +942,15 @@ def remove_duplicate_token_spans(
         )
         .select("__id", (F.col("__w0") + 1).alias("__start"), "k")
     )
-    per_key = Window.partitionBy("k")
-    first_first = Window.partitionBy("k").orderBy("__id", "__start")
-    marked = (
-        wins.withColumn("__rn", F.row_number().over(first_first))
-        .withColumn("__n", F.count(F.lit(1)).over(per_key))
-        .filter((F.col("__n") > 1) & (F.col("__rn") > 1))
-        .select("__id", "__start")
-    )
+
+
+def _rebuild_without_spans(
+    base: DataFrame, marked: DataFrame, id_col: str, span: int
+) -> DataFrame:
+    """Doc-level array-native rebuild shared by the batch-global and
+    incremental span-removal paths: see remove_duplicate_token_spans's
+    scale note — marked spans aggregate to one sorted position array
+    per doc, join back on the doc id alone, tokens excise in place."""
     removed = marked.groupBy("__id").agg(
         F.array_sort(
             F.array_distinct(
@@ -959,3 +981,86 @@ def remove_duplicate_token_spans(
             F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def substring_window_index(
+    df: DataFrame, id_col: str, text_col: str, span: int = 8
+) -> DataFrame:
+    """The persistable window-key index for INCREMENTAL exact-substring
+    dedup: one row per distinct ``span``-token window key in the corpus
+    with its first occurrence ``(k, first_id, first_start)`` — the same
+    corpus-side artifact ``lsh_incremental_new_docs`` keeps for the
+    near-dup family (its band index).  Write it to the versioned layer
+    (``versioned_write``, optionally ``bucket_by=(["k"], n)``) and each
+    daily batch dedups against history in O(batch windows) instead of
+    re-paying the full-corpus window pass.
+
+    Scale: one keys-only shuffle (groupBy k of 32-char keys + two
+    ints); the index is at most one row per corpus window, typically
+    far fewer after text dedup.  Maintenance: after admitting a cleaned
+    batch, append ``substring_window_index(cleaned_batch)`` keys that
+    anti-join the existing index — O(batch) again."""
+    base = _span_base(df, id_col, text_col)
+    return (
+        _span_windows(base, span)
+        .groupBy("k")
+        .agg(F.min(F.struct("__id", "__start")).alias("__f"))
+        .select(
+            "k",
+            F.col("__f.__id").alias("first_id"),
+            F.col("__f.__start").alias("first_start"),
+        )
+    )
+
+
+def remove_duplicate_token_spans_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 8,
+) -> DataFrame:
+    """Incremental leg of ``remove_duplicate_token_spans`` — the shape
+    a 100 TB corpus with daily ingest actually runs (the batch-global
+    function recomputes corpus windows from scratch every time).  The
+    CORPUS never recomputes: its persisted window-key index (built by
+    ``substring_window_index``) stands in for history, and only the
+    batch tokenizes.
+
+    Removal rule (the incremental contract): a batch window whose key
+    exists in the index is excised from EVERY batch occurrence — the
+    corpus already holds the keeper, and history wins regardless of id
+    order; a key NOT in history keeps its batch-first occurrence
+    (smallest (id, start)) and excises the rest, exactly the
+    batch-global rule restricted to new keys.  When corpus ids sort
+    before batch ids and the corpus is already span-deduped, this
+    equals running the batch-global algorithm over corpus ∪ batch and
+    keeping the batch rows (equivalence pinned in
+    tests/test_r11_substring_incremental.py).
+
+    Returns (id, clean_text, n_tokens, n_removed) for every BATCH row;
+    corpus rows are untouched by construction.
+
+    Scale shape: batch windows are O(batch); the history probe is one
+    join on 32-char keys (keys-only shuffle at worst — at 100 TB
+    prefer the index bucketed on k, or let AQE broadcast the batch
+    side); the batch-internal ranking shuffles only batch window keys;
+    the rebuild is the shared doc-level array-native leg (zero
+    token-level shuffles)."""
+    from pyspark.sql import Window
+
+    base = _span_base(batch, id_col, text_col)
+    wins = _span_windows(base, span)
+    ikeys = index.select("k").distinct()
+    hist_marks = wins.join(ikeys, "k", "left_semi").select("__id", "__start")
+    fresh = wins.join(ikeys, "k", "left_anti")
+    per_key = Window.partitionBy("k")
+    first_first = Window.partitionBy("k").orderBy("__id", "__start")
+    internal_marks = (
+        fresh.withColumn("__rn", F.row_number().over(first_first))
+        .withColumn("__n", F.count(F.lit(1)).over(per_key))
+        .filter((F.col("__n") > 1) & (F.col("__rn") > 1))
+        .select("__id", "__start")
+    )
+    marked = hist_marks.unionByName(internal_marks)
+    return _rebuild_without_spans(base, marked, id_col, span)

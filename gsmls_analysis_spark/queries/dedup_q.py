@@ -626,7 +626,9 @@ FROM (SELECT DISTINCT doc_id, n FROM toks) d
     "first (smallest (doc_id, position)), and each document's text is "
     "rebuilt from its surviving tokens.  Window TEXT never shuffles "
     "(md5 keys); keep-first is one ranked shuffle on the key; the "
-    "rebuild is a positional anti-join.  The oracle replays the whole "
+    "rebuild (r11) is doc-level and array-native — removed positions "
+    "aggregate to one array per doc, tokens excise in place via "
+    "array_except, no token-level exchange.  The oracle replays the whole "
     "algorithm independently in SQL (window strings, global ranking, "
     "span->position explosion, ordered re-aggregation), so the exact "
     "rebuilt TEXTS must hash-match, not just the counts.",
@@ -743,3 +745,103 @@ def q_lsh_incremental_dedup(spark, sf_dir):
         batch, corpus, "doc_id", "text", num_hashes=8, bands=4, index=index
     )
     return kept.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_substring_dedup_incremental",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+    trim(text)
+    || CASE WHEN doc_id % 3 = 0 THEN
+         ' creative commons attribution license applies to this shared header block'
+       ELSE '' END
+    || CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 0 THEN
+         ' qq ww ee rr tt yy uu ii oo pp'
+       ELSE '' END AS t
+  FROM documents
+), docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS words
+  FROM raw WHERE len(trim(t)) > 0
+), cwins AS (
+  SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS k
+  FROM docs, unnest(range(1, len(words) - 8 + 2)) AS u(i)
+  WHERE doc_id % 2 = 0 AND len(words) >= 8
+), btoks AS (
+  SELECT doc_id, i AS pos, words[i] AS tok, len(words) AS n
+  FROM docs, unnest(range(1, len(words) + 1)) AS u(i)
+  WHERE doc_id % 2 = 1
+), bwins AS (
+  SELECT doc_id, i AS s, array_to_string(words[i:i+7], ' ') AS k
+  FROM docs, unnest(range(1, len(words) - 8 + 2)) AS u(i)
+  WHERE doc_id % 2 = 1 AND len(words) >= 8
+), flagged AS (
+  SELECT w.doc_id, w.s,
+    row_number() OVER (PARTITION BY w.k ORDER BY w.doc_id, w.s) AS rn,
+    count(*) OVER (PARTITION BY w.k) AS nk,
+    CASE WHEN c.k IS NOT NULL THEN 1 ELSE 0 END AS hist
+  FROM bwins w LEFT JOIN cwins c ON c.k = w.k
+), marked AS (
+  SELECT doc_id, s FROM flagged WHERE hist = 1 OR (nk > 1 AND rn > 1)
+), rem AS (
+  SELECT DISTINCT m.doc_id, m.s + o.i AS pos
+  FROM marked m, unnest(range(0, 8)) AS o(i)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM btoks p LEFT JOIN rem r ON r.doc_id = p.doc_id AND r.pos = p.pos
+  WHERE r.pos IS NULL
+)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(d.n - (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id)
+            AS BIGINT) AS n_removed
+FROM (SELECT DISTINCT doc_id, n FROM btoks) d
+""",
+    doc="r11: INCREMENTAL exact-substring dedup (operators/dedup.py::"
+    "remove_duplicate_token_spans_incremental + substring_window_index)"
+    " — the daily-ingest leg the batch-global algorithm lacks.  Even "
+    "doc_ids are yesterday's corpus: their window keys reduce to the "
+    "persistable (k, first_id, first_start) index and are never "
+    "recomputed.  Odd doc_ids arrive as today's batch: windows hitting "
+    "a history key are excised from EVERY batch occurrence (history "
+    "holds the keeper — planted cross-batch boilerplate on doc_id%3); "
+    "new keys keep their batch-first occurrence (planted batch-"
+    "internal repeat on odd doc_id%5).  O(batch windows) work: the "
+    "history probe joins 32-char keys, the internal ranking shuffles "
+    "only batch keys, and the rebuild is the shared doc-level array-"
+    "native leg (no token-level shuffles).  The oracle replays both "
+    "batches' window semantics independently in SQL, so the rebuilt "
+    "batch TEXTS must hash-match.",
+)
+def q_substring_dedup_incremental(spark, sf_dir):
+    from ..operators.dedup import (
+        remove_duplicate_token_spans_incremental,
+        substring_window_index,
+    )
+
+    i = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.trim(F.col("text")),
+            F.when(
+                i % 3 == 0,
+                F.lit(
+                    " creative commons attribution license applies to "
+                    "this shared header block"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                (i % 2 == 1) & (i % 5 == 0),
+                F.lit(" qq ww ee rr tt yy uu ii oo pp"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    corpus = docs.filter(i % 2 == 0)
+    batch = docs.filter(i % 2 == 1)
+    idx = substring_window_index(corpus, "doc_id", "t", span=8)
+    return remove_duplicate_token_spans_incremental(
+        batch, idx, "doc_id", "t", span=8
+    )
