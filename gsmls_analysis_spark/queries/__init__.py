@@ -43,71 +43,70 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # ROUND 10 window (policy + slot accounting in docs/ROUND10_NOTES.md).
-    # (c) added in round 10 — never driver-checked
-    "q_versioned_bucket_evolution",  # era-scoped bucket-spec evolution
-    "q_audio_resample_polyphase",  # polyphase FIR hour-scale resample
-    "q_exact_substring_dedup",  # Lee et al. duplicate-span REMOVAL
-    # (b) the metadata-plane family the r9 verdict (task 8) asked back
-    # in: rotated out in r9 session 2, code-touched AGAIN this round by
-    # the name-segment serialization (every commit and every read now
-    # routes data_dirs/data_files/dvs through segment files)
-    "q_versioned_restore",
-    "q_versioned_clone",
-    "q_versioned_rename",
-    "q_versioned_history",
-    "q_versioned_generated",
-    "q_stream_versioned_source",
-    "q_stream_versioned_cdf",
-    "q_versioned_replace_where",  # + r10 localCheckpoint containment fix
-    "q_versioned_replace_where_mor",
-    # (b) DV writes/reads moved to executor-side blob merge; bucketed
-    # scans re-registered through partition locations — the whole
-    # versioned layer re-verifies through the driver
-    "q_versioned_delete_dv",
-    "q_versioned_dv_read",
-    "q_versioned_merge_dv",
-    "q_versioned_spj_join",
-    "q_versioned_detail",
-    "q_versioned_dfp_join",
-    "q_versioned_partition_evolution",
-    "q_versioned_partitioned",
-    "q_versioned_identity",
-    "q_versioned_optimize_where",
-    "q_versioned_constraints",
-    "q_versioned_batch_source",
-    "q_versioned_sink_roundtrip",
-    "q_versioned_delete",
-    "q_versioned_delete_bloom",
-    "q_versioned_update",
-    "q_versioned_merge",
-    "q_versioned_compact",
-    "q_versioned_changes",
-    "q_table_changes_feed",
-    "q_lakehouse_lifecycle",
-    "q_stream_versioned_ingest",
-    "q_stream_versioned_upsert",
+    # ROUND 11 window (policy + slot accounting in docs/ROUND11_NOTES.md).
+    # This round's theme: FLUSH THE STALENESS TAIL (r10 verdict task 5)
+    # — 57 queries had no independent check since r1/r2; the whole r1
+    # cohort and the oldest 21 of the r2 cohort rotate in.
+    # (c) added in round 11 — never driver-checked
+    "q_stream_versioned_sink_bucketed",  # bucketed stream sink, SPJ kept
+    "q_substring_dedup_incremental",  # window-index incremental dedup
+    # (b) code changed since last check: array-native rebuild (dedup),
+    # list-valued sink commit messages (both engine-native sinks), and
+    # the table_detail -> _table_health refactor behind versioned_maintain
+    "q_exact_substring_dedup",
     "q_stream_versioned_sink_native",
-    "q_continuous_aggregate",
-    "q_ivm_join_delta",
-    "q_zorder_orders",
-    "q_ivf_index_incremental",  # versioned-layer-backed ANN index
-    # (b) operators touched by the r9 ADVICE fixes this round: AVI hdrl
-    # bounds + every_k guards (video), userinfo/IPv6 canonicalization,
-    # NULL propagation (unicode), resample_audio method dispatch
-    "q_multimodal_video_decode",
-    "q_multimodal_video_sample",
-    "q_video_frame_dedup",
-    "q_multimodal_av_demux",
-    "q_url_canonical_dedup",
-    "q_unicode_normalize",
-    "q_multimodal_audio_resample",
-    # (d) representative greens in registration order
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q_multimodal_jpeg_decode",
-    # Window stays exactly 50; everything rotated out keeps its r9
-    # driver greens plus fresh r10 3-SF gate rows (docs/GATE_r10_*).
+    "q_versioned_detail",
+    # (a) last driver-checked in ROUND 1 — the full cohort, registration
+    # order (all hold r10 3-SF gate greens; this is recency, not doubt)
+    "q_customers_without_orders",
+    "q07_volume_shipping",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q_lot_size_parse",
+    "q_town_suffix_strip",
+    "q_apn_normalize",
+    "q_remarks_concat",
+    "q_year_bounds_repair",
+    "q_date_derivations",
+    "q_validate_quarantine",
+    "q_condition_labels",
+    "q_address_normalize",
+    "q_upper_and_zero_pad",
+    "q_latest_order_per_customer",
+    "q_possession_time_lag",
+    "q_conditional_sum",
+    "q_set_ops",
+    "q_minhash_signature",
+    "q_ngram_jaccard_pairs",
+    "q_token_stats",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_text_classifier_cascade",
+    # (a) last driver-checked in ROUND 2 — oldest 21 in registration
+    # order; the 12 remaining r2-cohort queries lead the r12 window
+    "q04_late_shipment_priority",
+    "q_currency_clean",
+    "q_multi_hot_attrs",
+    "q_prefix_lookup_join",
+    "q_coalesce_enrichment",
+    "q_scalar_subquery",
+    "q_iqr_outliers",
+    "q_asof_latest_order",
+    "q_exact_dup_groups",
+    "q_simhash_votes",
+    "q_doc_stats_by_source",
+    "q_embedding_label_centroid_sim",
+    "q_embedding_near_dups",
+    "q_events_tumbling_hour",
+    "q_events_sessionize",
+    "q_events_dedup_latest_per_user",
+    "q_events_json_quarantine",
+    "q_user_gap_stats_pandas",
+    "q_image_extract_classify",
+    "q_room_category_counts",
+    "q_style_resolve",
+    # Window stays exactly 50; everything rotated out keeps its r10
+    # driver greens plus fresh r11 3-SF gate rows (docs/GATE_r11_*).
 ]
 
 _DRIVER_WINDOW_R7 = [

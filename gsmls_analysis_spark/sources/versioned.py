@@ -4992,6 +4992,68 @@ def table_detail(
     (thresholds are parameters; the MoR penalty curve behind the DV
     default is measured in docs/DV_READ.md, the small-file cost in the
     OPTIMIZE docstring)."""
+    h = _table_health(path, version, small_file_bytes, dv_fraction_threshold)
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("committed_at", DoubleType()),
+            StructField("num_files", LongType()),
+            StructField("size_bytes", LongType()),
+            StructField("num_rows", LongType()),
+            StructField("num_deleted_rows", LongType()),
+            StructField("num_live_rows", LongType()),
+            StructField("deleted_fraction", DoubleType()),
+            StructField("num_dv_files", LongType()),
+            StructField("avg_file_bytes", LongType()),
+            StructField("partition_columns", StringType()),
+            StructField("bucket_columns", StringType()),
+            StructField("bucket_n", LongType()),
+            StructField("num_stat_segments", LongType()),
+            StructField("needs_optimize", BooleanType()),
+            StructField("optimize_reason", StringType()),
+        ]
+    )
+    row = (
+        int(h["version"]),
+        float(h["committed_at"]),
+        h["num_files"],
+        int(h["size_bytes"]),
+        None if h["num_rows"] is None else int(h["num_rows"]),
+        int(h["num_deleted_rows"]),
+        None if h["num_live_rows"] is None else int(h["num_live_rows"]),
+        None
+        if h["deleted_fraction"] is None
+        else float(h["deleted_fraction"]),
+        h["num_dv_files"],
+        int(h["avg_file_bytes"]),
+        ",".join(h["partition_columns"]),
+        h["bucket_columns"],
+        h["bucket_n"],
+        h["num_stat_segments"],
+        bool(h["reasons"]),
+        "; ".join(h["reasons"]) or None,
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def _table_health(
+    path: str,
+    version: int | None = None,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    dv_fraction_threshold: float = 0.10,
+) -> dict:
+    """The metadata-only facts + maintenance reasons behind
+    ``table_detail`` and ``versioned_maintain``: manifest, footer stats
+    already in it, and one stat() per file — no data page reads, no
+    Spark job, O(metadata) at any table size."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -5050,53 +5112,83 @@ def table_detail(
             f"avg file {avg_file} B < {small_file_bytes // 4} B "
             f"across {len(files)} files (per-file scan overhead)"
         )
-    from pyspark.sql.types import (
-        BooleanType,
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-    )
+    return {
+        "version": int(v),
+        "committed_at": float(pm.get("committed_at") or 0.0),
+        "num_files": len(files),
+        "size_bytes": int(size_bytes),
+        "num_rows": num_rows,
+        "num_deleted_rows": int(num_deleted),
+        "num_live_rows": num_live,
+        "deleted_fraction": deleted_fraction,
+        "num_dv_files": len(dvs),
+        "avg_file_bytes": int(avg_file),
+        "partition_columns": part_cols,
+        "bucket_columns": bucket_cols,
+        "bucket_n": bucket_n,
+        "num_stat_segments": len(pm.get("stats_segments") or []),
+        "reasons": reasons,
+    }
 
-    schema = StructType(
-        [
-            StructField("version", LongType()),
-            StructField("committed_at", DoubleType()),
-            StructField("num_files", LongType()),
-            StructField("size_bytes", LongType()),
-            StructField("num_rows", LongType()),
-            StructField("num_deleted_rows", LongType()),
-            StructField("num_live_rows", LongType()),
-            StructField("deleted_fraction", DoubleType()),
-            StructField("num_dv_files", LongType()),
-            StructField("avg_file_bytes", LongType()),
-            StructField("partition_columns", StringType()),
-            StructField("bucket_columns", StringType()),
-            StructField("bucket_n", LongType()),
-            StructField("num_stat_segments", LongType()),
-            StructField("needs_optimize", BooleanType()),
-            StructField("optimize_reason", StringType()),
-        ]
+
+def versioned_maintain(
+    spark: SparkSession,
+    path: str,
+    dv_fraction_threshold: float = 0.10,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    zorder: tuple[str, ...] | None = None,
+) -> dict:
+    """Self-executing maintenance policy: the measured OPTIMIZE cadence
+    (docs/CDC_DECAY.md, DV_READ.md) as a callable instead of advice.
+    Inspects the current snapshot's DV + small-file debt from the
+    manifest alone (``_table_health`` — O(metadata), no data pages, no
+    Spark job) and runs ``versioned_compact`` ONLY when a threshold is
+    crossed; otherwise returns without touching the table.  Interleave
+    it with a MoR write loop (every batch, or on a timer) and the
+    table's merge-on-read penalty stays bounded at the threshold
+    forever — no human watching ``table_detail.needs_optimize``.
+
+    Returns a report dict: ``ran`` (whether a compaction published),
+    ``reasons`` (the debt findings that triggered it, empty when
+    skipped), ``version`` (new version when ran, inspected version
+    otherwise), and the inspected ``deleted_fraction`` /
+    ``num_files`` / ``avg_file_bytes`` facts.
+
+    At 100 TB: the inspection is manifest-only, and the compaction it
+    triggers should usually be scoped — pass ``cluster_by``/``zorder``
+    to restore skipping, and prefer threshold tuning over frequency
+    tuning (the check is free; the rewrite is not).  A compaction that
+    races a concurrent commit retries under the standard OCC protocol
+    inside ``versioned_compact``."""
+    h = _table_health(
+        path,
+        None,
+        small_file_bytes=small_file_bytes,
+        dv_fraction_threshold=dv_fraction_threshold,
     )
-    row = (
-        int(v),
-        float(pm.get("committed_at") or 0.0),
-        len(files),
-        int(size_bytes),
-        None if num_rows is None else int(num_rows),
-        int(num_deleted),
-        None if num_live is None else int(num_live),
-        None if deleted_fraction is None else float(deleted_fraction),
-        len(dvs),
-        int(avg_file),
-        ",".join(part_cols),
-        bucket_cols,
-        bucket_n,
-        len(pm.get("stats_segments") or []),
-        bool(reasons),
-        "; ".join(reasons) or None,
+    report = {
+        "ran": False,
+        "reasons": h["reasons"],
+        "version": h["version"],
+        "deleted_fraction": h["deleted_fraction"],
+        "num_deleted_rows": h["num_deleted_rows"],
+        "num_files": h["num_files"],
+        "avg_file_bytes": h["avg_file_bytes"],
+    }
+    if not h["reasons"]:
+        return report
+    new_v = versioned_compact(
+        spark,
+        path,
+        target_file_bytes=target_file_bytes,
+        cluster_by=cluster_by,
+        zorder=zorder,
     )
-    return spark.createDataFrame([row], schema)
+    report["ran"] = True
+    report["version"] = int(new_v)
+    return report
 
 
 def versioned_restore(spark: SparkSession, path: str, version: int) -> int:

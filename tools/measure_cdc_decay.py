@@ -9,8 +9,12 @@ hash-spread) record live files, DV'd rows, full-scan wall, and whether
 `table_detail` has tripped its needs-OPTIMIZE advisory; then run
 OPTIMIZE once and record the recovery.
 
-Usage: python tools/measure_cdc_decay.py [sf_dir] [n_batches]
-Prints one JSON line; a human-readable table goes to stderr.
+Usage: python tools/measure_cdc_decay.py [sf_dir] [n_batches] [mode]
+mode = "manual" (default; one OPTIMIZE at the end — the r9 curve) or
+"maintain" (r11: versioned_maintain(dv_debt, small-file thresholds)
+interleaved after every batch — the self-executing cadence; records
+when the policy fired and what the scan cost looked like between
+firings).  Prints one JSON line; a human-readable table to stderr.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ def _scan_sec(spark, path) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    mode = sys.argv[3] if len(sys.argv) > 3 else "manual"
     spark = get_spark("cdc-decay")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -68,20 +73,39 @@ def main() -> None:
         V.versioned_merge(spark, path, batch, on=["o_orderkey"], mor=True)
         t_commit = round(time.time() - t0, 3)
         t_total += t_commit
-        if i in (1, 5, 10, 15, n_batches):
+        maintain_sec, ran = 0.0, False
+        if mode == "maintain":
+            t0 = time.time()
+            # DV threshold from docs/DV_READ.md; small-file floor kept
+            # permissive (2 MB avg) so the DV policy is what's measured
+            # at this toy file size, as in production-sized files
+            r = V.versioned_maintain(
+                spark, path,
+                dv_fraction_threshold=0.01,
+                small_file_bytes=8 * 1024 * 1024,
+            )
+            maintain_sec, ran = round(time.time() - t0, 3), r["ran"]
+        if i in (1, 5, 10, 15, n_batches) or ran:
             d = _detail(spark, path)
             d.update(
                 {"batch": i, "commit_sec": t_commit, "scan_sec": _scan_sec(spark, path)}
             )
+            if mode == "maintain":
+                d.update({"maintain_sec": maintain_sec, "maintain_ran": ran})
             steps.append(d)
-    t0 = time.time()
-    V.versioned_compact(spark, path)
-    t_opt = round(time.time() - t0, 3)
-    after = _detail(spark, path)
+    if mode == "maintain":
+        t_opt = 0.0
+        after = _detail(spark, path)
+    else:
+        t0 = time.time()
+        V.versioned_compact(spark, path)
+        t_opt = round(time.time() - t0, 3)
+        after = _detail(spark, path)
     after.update({"scan_sec": _scan_sec(spark, path), "optimize_sec": t_opt})
     out = {
         "sf_dir": sf_dir,
         "n_batches": n_batches,
+        "mode": mode,
         "base_scan_sec": base_scan,
         "total_merge_sec": round(t_total, 2),
         "steps": steps,
@@ -89,10 +113,16 @@ def main() -> None:
     }
     print(json.dumps(out))
     for s in steps:
+        extra = (
+            f", maintain {s['maintain_sec']}s ran={s['maintain_ran']}"
+            if "maintain_ran" in s
+            else ""
+        )
         print(
             f"batch {s['batch']:>3}: files {s['files']:>3}, dv_rows "
             f"{s['dv_rows']:>6}, scan {s['scan_sec']}s, commit "
-            f"{s['commit_sec']}s, needs_optimize={s['needs_optimize']}",
+            f"{s['commit_sec']}s, needs_optimize={s['needs_optimize']}"
+            + extra,
             file=sys.stderr,
         )
     print(
