@@ -5404,10 +5404,31 @@ def versioned_vacuum(
     live_sidecars: set[str] = set()
     live_cdf: set[str] = set()
     live_segs: set[str] = set()
+
+    # Dir listings memoized across versions (r11): data dirs are
+    # immutable between commits and most versions reference the same
+    # dirs, so one vacuum over 100 retained versions of a million-file
+    # table pays O(distinct dirs) walks, not O(versions) — the walk,
+    # not the manifest read, was the residual super-linear term
+    # (docs/VACUUM_SCALE.md).  Deletions below never consult the memo
+    # for existence (each remove re-checks isfile), so the snapshot
+    # listing staying stale during the sweep is harmless.
+    _dir_memo: dict[str, list[str]] = {}
+
+    def expand(entries: list[str]) -> list[str]:
+        out: list[str] = []
+        for e in entries:
+            got = _dir_memo.get(e)
+            if got is None:
+                got = _expand_files(root, [e])
+                _dir_memo[e] = got
+            out.extend(got)
+        return out
+
     for v in kept:
         # refs-only read: vacuum needs names, never per-file stats
         m = _read_manifest_refs(path, v)
-        live_files.update(_expand_files(root, _entries(m)))
+        live_files.update(expand(_entries(m)))
         live_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
         live_cdf.update(m.get("cdf") or [])
         live_segs.update(m.get("stats_segments") or [])
@@ -5424,7 +5445,7 @@ def versioned_vacuum(
         drop_segs.update(m.get("stats_segments") or [])
         drop_segs.update(m.get("names_segments") or [])
         for e in _entries(m):
-            for f in _expand_files(root, [e]):
+            for f in expand([e]):
                 drop_dirs.add(os.path.dirname(f))
                 if f not in live_files and os.path.isfile(os.path.join(root, f)):
                     if not dry_run:

@@ -1,0 +1,166 @@
+"""Vacuum at metadata scale: refs-only manifest reads (r10,
+`_read_manifest_refs`) vs the pre-r10 full-stats reads — the wall-clock
+table ROUND10_NOTES claimed but never recorded (r10 verdict task 7).
+
+Setup per case: a table whose v1 carries N files of realistic stats
+entries (same synthetic shape as tools/measure_manifest_meta.py —
+8 min/max/null columns + a 1 KiB Bloom per file), then R+4 DV-grow
+commits (one vector per commit, stats inherited — the CDC shape), all
+published through the REAL `_publish`.  Data files and DV sidecars
+exist as zero-byte stand-ins so vacuum's filesystem legs
+(`_expand_files` listings, sidecar deletes) run for real and are paid
+IDENTICALLY by both read modes.
+
+Measured: `versioned_vacuum(keep_last=R, dry_run=True)` wall with the
+shipped refs-only reads, then the same call with `_read_manifest_refs`
+monkeypatched to the full `_read_manifest` (exactly the pre-r10 code
+path).  Segment caches cleared before each timing; on-disk stats vs
+names segment bytes reported alongside (the read-volume the two modes
+face).
+
+Usage: python tools/measure_vacuum_scale.py [n_files ...]
+Defaults to 100000 1000000.  Prints one JSON line; markdown to stderr
+(pasted into docs/VACUUM_SCALE.md).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+
+
+def synth_entry(i: int) -> dict:
+    blob = hashlib.sha256(f"bloom-{i}".encode()).digest() * 32  # 1 KiB
+    return {
+        "rows": 10_000,
+        "cols": {
+            f"c{j}": {"min": i * 8 + j, "max": i * 8 + j + 1000, "nulls": 0}
+            for j in range(8)
+        },
+        "bloom": {"k": base64.b64encode(blob).decode()},
+        "pvals": {"year": [2020 + (i % 5)]},
+    }
+
+
+def _seg_sizes(path: str) -> tuple[int, int]:
+    stats_b = names_b = 0
+    seg_dir = os.path.join(path, "segments")
+    if os.path.isdir(seg_dir):
+        for f in os.listdir(seg_dir):
+            sz = os.path.getsize(os.path.join(seg_dir, f))
+            if f.startswith("nseg-"):
+                names_b += sz
+            else:
+                stats_b += sz
+    return stats_b, names_b
+
+
+def build_table(n_files: int, n_versions: int) -> str:
+    path = tempfile.mkdtemp(prefix=f"vacscale_{n_files}_")
+    dir1 = "data/v1-aaaaaaaa"
+    os.makedirs(os.path.join(path, dir1))
+    t0 = time.perf_counter()
+    for i in range(n_files):
+        open(os.path.join(path, dir1, f"part-{i:07d}.parquet"), "w").close()
+    t_touch = time.perf_counter() - t0
+    stats = {
+        f"{dir1}/part-{i:07d}.parquet": synth_entry(i) for i in range(n_files)
+    }
+    m1 = {
+        "version": 1,
+        "parent": 0,
+        "data_dirs": [dir1],
+        "schema": None,
+        "stats": stats,
+        "txns": {},
+    }
+    t0 = time.perf_counter()
+    assert V._publish(path, m1)
+    t_init = time.perf_counter() - t0
+    os.makedirs(os.path.join(path, "dv"))
+    dvs: dict = {}
+    t0 = time.perf_counter()
+    for v in range(2, n_versions + 1):
+        side = f"dv/dv-{v}.bin"
+        open(os.path.join(path, side), "w").close()
+        dvs[f"{dir1}/part-{(v % n_files):07d}.parquet"] = {
+            "path": side,
+            "count": v,
+        }
+        m = {
+            "version": v,
+            "parent": v - 1,
+            "data_dirs": [dir1],
+            "schema": None,
+            "stats": stats,
+            "dvs": dict(dvs),
+            "txns": {},
+        }
+        assert V._publish(path, m)
+    t_grow = time.perf_counter() - t0
+    print(
+        f"built n_files={n_files} versions={n_versions}: touch {t_touch:.1f}s, "
+        f"v1 publish {t_init:.1f}s, {n_versions - 1} DV commits {t_grow:.1f}s",
+        file=sys.stderr,
+    )
+    return path
+
+
+def time_vacuum(path: str, keep_last: int, full_stats: bool) -> float:
+    V._SEG_CACHE.clear()
+    orig = V._read_manifest_refs
+    if full_stats:
+        V._read_manifest_refs = V._read_manifest  # the pre-r10 read path
+    try:
+        t0 = time.perf_counter()
+        V.versioned_vacuum(path, keep_last=keep_last, dry_run=True)
+        return time.perf_counter() - t0
+    finally:
+        V._read_manifest_refs = orig
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    rows = []
+    for n_files in sizes:
+        n_versions = 104  # drop 4 at keep_last=100, 94 at keep_last=10
+        path = build_table(n_files, n_versions)
+        try:
+            stats_b, names_b = _seg_sizes(path)
+            for keep in (10, 100):
+                refs_s = time_vacuum(path, keep, full_stats=False)
+                full_s = time_vacuum(path, keep, full_stats=True)
+                r = {
+                    "n_files": n_files,
+                    "retained": keep,
+                    "vacuum_refs_s": round(refs_s, 2),
+                    "vacuum_fullstats_s": round(full_s, 2),
+                    "speedup": round(full_s / refs_s, 1) if refs_s else None,
+                    "stats_seg_bytes": stats_b,
+                    "names_seg_bytes": names_b,
+                }
+                rows.append(r)
+                print(
+                    f"n={n_files} keep={keep}: refs {r['vacuum_refs_s']}s vs "
+                    f"full {r['vacuum_fullstats_s']}s ({r['speedup']}x); "
+                    f"segments on disk: stats {stats_b:,} B, names "
+                    f"{names_b:,} B",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    print(json.dumps({"cases": rows}))
+
+
+if __name__ == "__main__":
+    main()
