@@ -84,6 +84,9 @@ HEADLINE = [
     "q_versioned_bucket_evolution",  # evolve -> append -> OPTIMIZE -> SPJ
     "q_audio_resample_polyphase",  # polyphase FIR (hour-scale path)
     "q_exact_substring_dedup",  # corpus-wide duplicate-span removal
+    # r11: the two new operator legs join the headline set
+    "q_substring_dedup_incremental",  # window-index incremental dedup
+    "q_stream_versioned_sink_bucketed",  # bucketed stream sink + SPJ agg
 ]
 
 

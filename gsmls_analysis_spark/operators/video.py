@@ -38,6 +38,24 @@ def encode_avi_mjpeg(
     LIST hdrl (avih + one 'vids'/'MJPG' stream with strh/strf) ->
     LIST movi ('00dc' chunks, RIFF-even-padded) -> idx1 (one KEYFRAME
     entry per frame; MJPEG is intra-only, every frame seekable)."""
+    return _encode_avi_container(
+        frames, width, height, fps, b"MJPG", [True] * len(frames)
+    )
+
+
+def _encode_avi_container(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int,
+    fourcc: bytes,
+    keyframe: list[bool],
+) -> bytes:
+    """Shared AVI writer for the intra-only (MJPEG) and temporal-delta
+    (GDLT) codecs: identical container, differing only in the stream
+    fourcc and in WHICH idx1 entries carry AVIIF_KEYFRAME — for an
+    inter-frame codec only the I frames are seek targets and the index
+    must say so honestly."""
     if not frames:
         raise ValueError("an AVI needs at least one frame")
     sugbuf = max(len(f) for f in frames)
@@ -57,7 +75,7 @@ def encode_avi_mjpeg(
     strh = struct.pack(
         "<4s4sIHHIIIIIIIi4H",
         b"vids",
-        b"MJPG",
+        fourcc,
         0,
         0,
         0,
@@ -81,7 +99,7 @@ def encode_avi_mjpeg(
         height,
         1,
         24,
-        b"MJPG",
+        fourcc,
         width * height * 3,
         0,
         0,
@@ -101,17 +119,20 @@ def encode_avi_mjpeg(
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
     movi_body = b"movi"
     idx_entries = []
-    for f in frames:
+    for f, key in zip(frames, keyframe):
         # idx1 offsets are measured from the 'movi' fourcc (the common
         # convention; the reader accepts this one)
-        idx_entries.append((len(movi_body), len(f)))
+        idx_entries.append((len(movi_body), len(f), key))
         movi_body += chunk(b"00dc", f)
     movi = chunk(b"LIST", movi_body)
     idx1 = chunk(
         b"idx1",
         b"".join(
-            b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
-            for off, size in idx_entries
+            b"00dc"
+            + struct.pack(
+                "<III", _AVIIF_KEYFRAME if key else 0, off, size
+            )
+            for off, size, key in idx_entries
         ),
     )
     body = b"AVI " + hdrl + movi + idx1
@@ -124,6 +145,18 @@ def parse_avi(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
     movi '00dc' chunks with RIFF padding) and, when an idx1 index is
     present, VERIFIES it against the walk — a lying index is corruption
     (ValueError), not something to silently trust or ignore."""
+    w, h, frames, _flags = parse_avi_indexed(payload)
+    return w, h, frames
+
+
+def parse_avi_indexed(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int]], list[bool] | None]:
+    """``parse_avi`` plus the idx1 KEYFRAME flags (None when the file
+    carries no idx1) — the seek map an inter-frame codec needs: a
+    predicted frame is only decodable from the nearest earlier
+    keyframe, and the index is what locates it without reading any
+    frame bytes."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload (bad RIFF/AVI magic)")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
@@ -162,20 +195,23 @@ def parse_avi(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
                     sub += 8 + ssz + (ssz & 1)
         elif cid == b"idx1":
             idx = []
+            flags = []
             for i in range(csize // 16):
-                ckid, _fl, off, size = struct.unpack_from(
+                ckid, fl, off, size = struct.unpack_from(
                     "<4sIII", payload, body_at + i * 16
                 )
                 if ckid == b"00dc":
                     idx.append((off, size))
+                    flags.append(bool(fl & _AVIIF_KEYFRAME))
         pos = body_at + csize + (csize & 1)
     if width is None or not frames:
         raise ValueError("AVI missing hdrl dims or movi frames")
-    if idx is not None:
-        resolved = [(movi_four_abs + off + 8, size) for off, size in idx]
-        if resolved != frames:
-            raise ValueError("AVI idx1 disagrees with the movi chunk walk")
-    return width, height, frames
+    if idx is None:
+        return width, height, frames, None
+    resolved = [(movi_four_abs + off + 8, size) for off, size in idx]
+    if resolved != frames:
+        raise ValueError("AVI idx1 disagrees with the movi chunk walk")
+    return width, height, frames, flags
 
 
 def sample_avi_frames(
@@ -621,4 +657,229 @@ def synthesize_av_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(F.col(id_col).cast("long").alias("_id")).mapInPandas(
         gen, "asset_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal-delta codec (r11): intra + PREDICTED frames — the first
+# inter-frame video path in the repo, built from scratch on the shared
+# AVI container.  H.264/VP9 stay honestly stubbed (they need ffmpeg;
+# multimodal.py::decode_media(codec='real')); this codec exercises the
+# STRUCTURE those codecs share — keyframe cadence, prediction from the
+# previous reconstructed frame, GOP-bounded seeks — with a lossless
+# delta+deflate coder simple enough to verify bit-for-bit.
+#
+# Frame payload: b'GD01' + type byte (I/P) + zlib(deflate) body.
+#   I: the raw H*W*3 uint8 RGB plane.
+#   P: (frame - previous) mod 256 as uint8 — temporally-correlated
+#      content yields near-zero deltas that deflate collapses; decode
+#      adds the delta back mod 256 (exact for any content: lossless).
+# idx1 marks ONLY I frames AVIIF_KEYFRAME, so the index tells the
+# truth about seekability; sampling a P frame seeks to the nearest
+# earlier keyframe and rolls forward through its GOP — O(key_interval)
+# per sampled frame, the standard inter-frame cost, touching no bytes
+# outside the GOP (corruption past it cannot affect the sample — see
+# tests/test_r11_tdelta.py).
+# ---------------------------------------------------------------------------
+
+GTDV_MAGIC = b"GD01"
+
+
+def encode_video_tdelta(
+    frames: list, fps: int = 10, key_interval: int = 8
+) -> bytes:
+    """Encode uint8 RGB frames (each HxWx3 numpy array, same dims) as a
+    temporal-delta AVI ('GDLT' fourcc)."""
+    import zlib
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("a video needs at least one frame")
+    if key_interval < 1:
+        raise ValueError(f"key_interval must be >= 1, got {key_interval}")
+    h, w, _c = frames[0].shape
+    payloads: list[bytes] = []
+    keys: list[bool] = []
+    prev = None
+    for i, f in enumerate(frames):
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError(
+                f"frame {i}: expected uint8 ({h}, {w}, 3), got "
+                f"{f.dtype} {f.shape}"
+            )
+        if i % key_interval == 0:
+            body, t = f.tobytes(), b"I"
+        else:
+            delta = (f.astype(np.int16) - prev.astype(np.int16)) % 256
+            body, t = delta.astype(np.uint8).tobytes(), b"P"
+        payloads.append(GTDV_MAGIC + t + zlib.compress(body, 6))
+        keys.append(t == b"I")
+        prev = f
+    return _encode_avi_container(payloads, w, h, fps, b"GDLT", keys)
+
+
+def _decode_tdelta_frame(payload: bytes, w: int, h: int, prev):
+    """One GD01 frame -> (reconstructed HxWx3 uint8, type byte)."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 5 or payload[:4] != GTDV_MAGIC:
+        raise ValueError("not a GD01 temporal-delta frame")
+    t = payload[4:5]
+    try:
+        body = zlib.decompress(payload[5:])
+    except zlib.error as e:
+        raise ValueError(f"corrupt deflate body: {e}") from None
+    if len(body) != h * w * 3:
+        raise ValueError(
+            f"frame plane is {len(body)} B, expected {h * w * 3}"
+        )
+    plane = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+    if t == b"I":
+        return plane.copy(), t
+    if t != b"P":
+        raise ValueError(f"unknown GD01 frame type {t!r}")
+    if prev is None:
+        raise ValueError("P frame with no reference (stream starts mid-GOP)")
+    return (prev.astype(np.int16) + plane.astype(np.int16)).astype(
+        "uint8"
+    ), t
+
+
+def decode_video_tdelta(payload: bytes) -> tuple[int, int, list]:
+    """Full decode: (width, height, [HxWx3 uint8 frames]) — lossless by
+    construction, so decode(encode(frames)) == frames exactly."""
+    w, h, frames, _flags = parse_avi_indexed(payload)
+    out = []
+    prev = None
+    for off, size in frames:
+        prev, _t = _decode_tdelta_frame(payload[off : off + size], w, h, prev)
+        out.append(prev)
+    return w, h, out
+
+
+def sample_tdelta_frames(
+    payload: bytes, every_k: int = 1
+) -> list[tuple[int, str, "object"]]:
+    """Every k-th frame RECONSTRUCTED via the GOP seek path: locate the
+    nearest earlier keyframe through the verified idx1 flags (no frame
+    bytes read), then decode only that GOP's prefix.  Returns
+    [(frame_idx, ftype, HxWx3 uint8)].  O(key_interval) decode work per
+    sampled frame; bytes outside the sampled frames' GOPs are never
+    touched past the container parse."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    w, h, frames, flags = parse_avi_indexed(payload)
+    if flags is None:
+        raise ValueError(
+            "temporal-delta sampling needs the idx1 keyframe index"
+        )
+    out = []
+    decoded: dict[int, object] = {}  # frame idx -> plane, within one GOP
+
+    def frame_at(i):
+        if i in decoded:
+            return decoded[i]
+        k = i
+        while k > 0 and not flags[k]:
+            k -= 1
+        prev = None
+        for j in range(k, i + 1):
+            if j in decoded:
+                prev = decoded[j]
+                continue
+            off, size = frames[j]
+            prev, _t = _decode_tdelta_frame(
+                payload[off : off + size], w, h, prev
+            )
+            decoded[j] = prev
+        return decoded[i]
+
+    for i in range(0, len(frames), every_k):
+        plane = frame_at(i)
+        out.append((i, "I" if flags[i] else "P", plane))
+    return out
+
+
+def synthesize_tdelta_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Executor-side synthesis of genuinely ENCODED temporal-delta AVIs
+    with analytically-known content (the MJPEG synthesis convention):
+    doc ``i`` has ``i % 5 + 3`` frames of 16x12 RGB where channel ``c``
+    of frame ``f`` is the constant ``(i*7 + f*13 + c*29) % 200`` plus a
+    moving 4x4 block at ``((f*3) % 12, (f*2) % 8)`` raised by 40 — so
+    per-frame channel SUMS are exact integers an oracle recomputes from
+    the rule, frames are temporally correlated (the block moves, the
+    base drifts), and keyframes land every 4th frame."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = i % 5 + 3
+                fr = []
+                for f in range(n):
+                    plane = np.empty((12, 16, 3), dtype=np.uint8)
+                    for c in range(3):
+                        plane[:, :, c] = (i * 7 + f * 13 + c * 29) % 200
+                    x0, y0 = (f * 3) % 12, (f * 2) % 8
+                    plane[y0 : y0 + 4, x0 : x0 + 4, :] += 40
+                    fr.append(plane)
+                ids.append(i)
+                payloads.append(
+                    encode_video_tdelta(fr, fps=10, key_interval=4)
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def decode_tdelta_stats(assets: DataFrame, every_k: int = 1) -> DataFrame:
+    """Temporal-delta decode over Arrow batches: per sampled frame,
+    frame type (I/P from the verified index) and exact per-channel
+    pixel SUMS of the reconstruction — integers, so an oracle that
+    knows the construction rule matches bit-for-bit; any prediction,
+    GOP-seek, index, or deflate bug breaks the hash.  Undecodable
+    payloads quarantine into decode_error."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = (
+            "asset_id", "frame_idx", "ftype",
+            "sum_r", "sum_g", "sum_b", "decode_error",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+
+            def emit(aid, fi=None, t=None, r=None, g=None, b=None, e=None):
+                for c, v in zip(cols, (aid, fi, t, r, g, b, e)):
+                    out[c].append(v)
+
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    sampled = sample_tdelta_frames(bytes(payload), every_k)
+                except ValueError as e:
+                    emit(asset_id, e=str(e))
+                    continue
+                for fi, t, plane in sampled:
+                    wide = plane.astype(np.int64)
+                    emit(
+                        asset_id, fi, t,
+                        int(wide[:, :, 0].sum()),
+                        int(wide[:, :, 1].sum()),
+                        int(wide[:, :, 2].sum()),
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, frame_idx long, ftype string, "
+        "sum_r long, sum_g long, sum_b long, decode_error string",
     )

@@ -1111,3 +1111,46 @@ def q_multimodal_av_demux(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return demux_avi_stats(synthesize_av_assets(docs, "doc_id"))
+
+
+@query(
+    "q_video_tdelta_decode",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, t.f
+  FROM documents, range(0, 8) t(f)
+  WHERE t.f < doc_id % 5 + 3 AND t.f % 2 = 0
+)
+SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+  CASE WHEN f % 4 = 0 THEN 'I' ELSE 'P' END AS ftype,
+  CAST(16*12*((doc_id*7 + f*13) % 200) + 16*40 AS BIGINT) AS sum_r,
+  CAST(16*12*((doc_id*7 + f*13 + 29) % 200) + 16*40 AS BIGINT) AS sum_g,
+  CAST(16*12*((doc_id*7 + f*13 + 58) % 200) + 16*40 AS BIGINT) AS sum_b,
+  CAST(NULL AS VARCHAR) AS decode_error
+FROM fr
+""",
+    doc="r11 spike: TEMPORAL-DELTA video — the first INTER-frame codec "
+    "path (operators/video.py::encode_video_tdelta / "
+    "decode_tdelta_stats; H.264/VP9 stay honestly stubbed behind "
+    "decode_media(codec='real')).  Per doc, doc_id%5+3 frames of "
+    "analytically-known 16x12 RGB (constant base + a moving 4x4 "
+    "block) encode as I frames every 4th and PREDICTED frames "
+    "in between (delta from the previous reconstruction mod 256, "
+    "deflated; lossless by construction); idx1 marks only I frames "
+    "KEYFRAME.  The query samples every 2nd frame, so odd-GOP "
+    "targets exercise the real seek path: nearest-earlier-keyframe "
+    "via the VERIFIED index, then roll-forward through the GOP — "
+    "O(key_interval) per sample, no bytes outside the sampled GOPs "
+    "(corruption-isolation pinned in tests/test_r11_tdelta.py).  "
+    "Output is exact per-channel pixel SUMS of the reconstruction; "
+    "the oracle recomputes them from the construction rule, so any "
+    "prediction, GOP-seek, index, container, or deflate bug breaks "
+    "the hash.",
+)
+def q_video_tdelta_decode(spark, sf_dir):
+    from ..operators.video import decode_tdelta_stats, synthesize_tdelta_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_tdelta_stats(synthesize_tdelta_assets(docs, "doc_id"), every_k=2)

@@ -5425,9 +5425,11 @@ def versioned_vacuum(
             out.extend(got)
         return out
 
+    live_entries: set[str] = set()
     for v in kept:
         # refs-only read: vacuum needs names, never per-file stats
         m = _read_manifest_refs(path, v)
+        live_entries.update(_entries(m))
         live_files.update(expand(_entries(m)))
         live_sidecars.update(e["path"] for e in (m.get("dvs") or {}).values())
         live_cdf.update(m.get("cdf") or [])
@@ -5445,6 +5447,15 @@ def versioned_vacuum(
         drop_segs.update(m.get("stats_segments") or [])
         drop_segs.update(m.get("names_segments") or [])
         for e in _entries(m):
+            if e in live_entries:
+                # a kept manifest references this exact entry, so every
+                # file it expands to is live and nothing here can be
+                # deleted or emptied — skip the per-file sweep entirely.
+                # This is what makes vacuum O(dead entries), not
+                # O(dropped versions x table files): CDC-cadence tables
+                # share one big dir across hundreds of versions
+                # (docs/VACUUM_SCALE.md).
+                continue
             for f in expand([e]):
                 drop_dirs.add(os.path.dirname(f))
                 if f not in live_files and os.path.isfile(os.path.join(root, f)):

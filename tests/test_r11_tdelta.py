@@ -1,0 +1,127 @@
+"""Round-11 optional spike (r10 verdict task 8): temporal-delta video
+codec — intra + PREDICTED frames over the shared AVI machinery; the
+first inter-frame path (H.264/VP9 stay honestly stubbed behind
+decode_media(codec='real'))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsmls_analysis_spark.operators.video import (
+    decode_tdelta_stats,
+    decode_video_tdelta,
+    encode_video_tdelta,
+    parse_avi_indexed,
+    sample_tdelta_frames,
+    synthesize_tdelta_assets,
+)
+
+
+def _frames(n=11, h=12, w=16, seed=3):
+    rng = np.random.default_rng(seed)
+    cur = rng.integers(0, 200, (h, w, 3)).astype(np.uint8)
+    out = []
+    for f in range(n):
+        cur = cur.copy()
+        cur[(f * 2) % 8 : (f * 2) % 8 + 3, (f * 3) % 12 : (f * 3) % 12 + 3, :] += 17
+        out.append(cur)
+    return out
+
+
+def test_roundtrip_lossless_and_compresses():
+    frames = _frames()
+    enc = encode_video_tdelta(frames, key_interval=4)
+    w, h, dec = decode_video_tdelta(enc)
+    assert (w, h) == (16, 12)
+    assert all((a == b).all() for a, b in zip(frames, dec))
+    # temporally-correlated content must beat raw (the codec's point)
+    assert len(enc) < sum(f.nbytes for f in frames)
+
+
+def test_roundtrip_random_noise_still_lossless():
+    # worst case: zero temporal correlation — bigger, never wrong
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, (8, 8, 3)).astype(np.uint8) for _ in range(5)
+    ]
+    _w, _h, dec = decode_video_tdelta(encode_video_tdelta(frames, key_interval=2))
+    assert all((a == b).all() for a, b in zip(frames, dec))
+
+
+def test_index_flags_match_cadence_and_payload_types():
+    enc = encode_video_tdelta(_frames(11), key_interval=4)
+    _w, _h, frames, flags = parse_avi_indexed(enc)
+    assert flags == [i % 4 == 0 for i in range(11)]
+    for i, (off, size) in enumerate(frames):
+        assert enc[off : off + 4] == b"GD01"
+        assert enc[off + 4 : off + 5] == (b"I" if flags[i] else b"P")
+
+
+def test_gop_seek_matches_full_decode():
+    frames = _frames(11)
+    enc = encode_video_tdelta(frames, key_interval=4)
+    for k in (1, 2, 3, 5):
+        for i, t, plane in sample_tdelta_frames(enc, k):
+            assert (plane == frames[i]).all()
+            assert t == ("I" if i % 4 == 0 else "P")
+
+
+def test_sampling_never_touches_other_gops():
+    """Corrupt a frame in the LAST GOP: sampling that only lands in
+    earlier GOPs still reconstructs exactly — the index-driven seek
+    reads nothing outside the sampled frames' GOPs."""
+    frames = _frames(11)
+    enc = encode_video_tdelta(frames, key_interval=4)
+    _w, _h, fr, _fl = parse_avi_indexed(enc)
+    ba = bytearray(enc)
+    off, _size = fr[10]  # P frame of the GOP starting at 8
+    ba[off + 10] ^= 0xFF
+    got = sample_tdelta_frames(bytes(ba), 7)  # samples 0 and 7 only
+    assert [(i, (p == frames[i]).all()) for i, _t, p in got] == [
+        (0, True),
+        (7, True),
+    ]
+    with pytest.raises(ValueError, match="corrupt deflate"):
+        sample_tdelta_frames(bytes(ba), 5)  # 0, 5, 10 -> hits the damage
+
+
+def test_single_frame_and_all_key():
+    one = _frames(1)
+    _w, _h, dec = decode_video_tdelta(encode_video_tdelta(one))
+    assert (dec[0] == one[0]).all()
+    allkey = encode_video_tdelta(_frames(4), key_interval=1)
+    _w, _h, _fr, flags = parse_avi_indexed(allkey)
+    assert flags == [True] * 4
+
+
+def test_p_frame_without_reference_rejected():
+    frames = _frames(5)
+    enc = encode_video_tdelta(frames, key_interval=4)
+    _w, _h, fr, _ = parse_avi_indexed(enc)
+    from gsmls_analysis_spark.operators.video import _decode_tdelta_frame
+
+    off, size = fr[1]  # a P frame
+    with pytest.raises(ValueError, match="no reference"):
+        _decode_tdelta_frame(enc[off : off + size], 16, 12, None)
+
+
+def test_stats_quarantine_and_exactness(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(1, 9))}))
+    assets = synthesize_tdelta_assets(docs)
+    got = decode_tdelta_stats(assets).toPandas()
+    assert got["decode_error"].isna().all()
+    for _, r in got.iterrows():
+        i, f = int(r["asset_id"]), int(r["frame_idx"])
+        for c, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            base = (i * 7 + f * 13 + c * 29) % 200
+            assert int(r[col]) == 16 * 12 * base + 16 * 40
+        assert r["ftype"] == ("I" if f % 4 == 0 else "P")
+    # corrupted payload quarantines, never crashes the task
+    bad = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [99], "payload": [b"RIFFjunk"]})
+    )
+    q = decode_tdelta_stats(bad).toPandas()
+    assert len(q) == 1 and q["decode_error"].notna().all()
