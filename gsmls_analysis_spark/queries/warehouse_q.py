@@ -2821,3 +2821,43 @@ def q_versioned_replace_where_mor(spark, sf_dir):
     return versioned_read(
         spark, path, predicate=F.col("order_year").isin(1994, 1995)
     )
+
+
+@query(
+    "q_versioned_maintain",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE NOT doc_id % 7 = 2 AND NOT doc_id % 11 = 3
+""",
+    doc="r11: versioned_maintain — the measured OPTIMIZE cadence "
+    "(docs/CDC_DECAY.md) as a self-executing policy.  Two MoR "
+    "DV-deletes push the table's deleted fraction past the threshold; "
+    "maintain() inspects the debt from the MANIFEST ALONE "
+    "(_table_health: no Spark job, no data pages — the O(metadata) "
+    "health check a 100 TB table can afford per batch), runs one "
+    "compaction, and a second maintain() declines (debt reset).  The "
+    "oracle checks the surviving rows exactly — a policy that "
+    "compacted the wrong files or double-applied vectors breaks the "
+    "hash; fire/decline/bounded-debt behavior is unit-pinned in "
+    "tests/test_r11_maintain.py.",
+)
+def q_versioned_maintain(spark, sf_dir):
+    import tempfile
+
+    from ..sources.versioned import (
+        versioned_delete_dv,
+        versioned_maintain,
+        versioned_read,
+        versioned_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="versioned_maintain_")
+    versioned_write(docs, path)
+    versioned_delete_dv(spark, path, F.col("doc_id") % 7 == 2)
+    versioned_delete_dv(spark, path, F.col("doc_id") % 11 == 3)
+    r1 = versioned_maintain(spark, path, dv_fraction_threshold=0.10)
+    r2 = versioned_maintain(spark, path, dv_fraction_threshold=0.10)
+    assert r1["ran"] and not r2["ran"], (r1, r2)
+    return versioned_read(spark, path).select("doc_id", "lang")
