@@ -150,9 +150,16 @@ def _column_update(h: np.ndarray, arr: pa.Array) -> np.ndarray:
         f = np.asarray(arr.fill_null(0.0)).astype(np.float64)
         f = np.where(f == 0.0, 0.0, f)  # -0.0 → 0.0 (NaNs pass through)
         new = _hash_long(f.view(np.uint64), h)
-    elif pa.types.is_string(t) or pa.types.is_binary(t):
-        if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-            arr = arr.cast(pa.string() if pa.types.is_large_string(t) else pa.binary())
+    elif (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        if pa.types.is_large_string(t):
+            arr, t = arr.cast(pa.string()), pa.string()
+        elif pa.types.is_large_binary(t):
+            arr, t = arr.cast(pa.binary()), pa.binary()
         filled = arr.fill_null("" if pa.types.is_string(t) else b"")
         buffers = filled.buffers()
         offsets = np.frombuffer(buffers[1], dtype=np.int32)[

@@ -292,3 +292,14 @@ def test_stream_append_into_mixed_era_still_degrades_loudly(spark, tmp_path):
     assert versioned_read(spark, tbl).count() == 40  # plain read fine
     with pytest.raises(BucketLayoutMixedError):
         versioned_bucketed_scan(spark, tbl)
+
+
+def test_spark_hash_large_types_match_small():
+    """Arrow large_string/large_binary hash identically to their small
+    twins (a stream source can legally deliver either layout)."""
+    ls = pa.table({"s": pa.array(["", "abc", None, "hello world"], pa.large_string())})
+    ss = pa.table({"s": pa.array(["", "abc", None, "hello world"], pa.string())})
+    assert (spark_hash(ls, ["s"]) == spark_hash(ss, ["s"])).all()
+    lb = pa.table({"x": pa.array([b"", b"\x01\x02\x03", None], pa.large_binary())})
+    sb = pa.table({"x": pa.array([b"", b"\x01\x02\x03", None], pa.binary())})
+    assert (spark_hash(lb, ["x"]) == spark_hash(sb, ["x"])).all()
