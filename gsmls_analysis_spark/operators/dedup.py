@@ -1064,3 +1064,22 @@ def remove_duplicate_token_spans_incremental(
     )
     marked = hist_marks.unionByName(internal_marks)
     return _rebuild_without_spans(base, marked, id_col, span)
+
+
+def substring_window_index_delta(
+    cleaned_batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 8,
+) -> DataFrame:
+    """The index MAINTENANCE leg: the window keys an admitted (already
+    span-cleaned) batch adds to corpus history — its windows anti-joined
+    against the existing index.  Append the result to the persisted
+    index (``versioned_write(..., mode="append")``) and the next batch
+    dedups against yesterday ∪ today.  O(batch windows) + one keys-only
+    anti-join; the corpus is never re-read.  Same columns as
+    ``substring_window_index`` so appends are schema-stable."""
+    return substring_window_index(cleaned_batch, id_col, text_col, span).join(
+        index.select("k"), "k", "left_anti"
+    )

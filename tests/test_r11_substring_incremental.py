@@ -93,9 +93,13 @@ def test_index_roundtrips_versioned_layer(spark, tmp_path):
     ).collect()[0]
     assert out["n_removed"] == 8
     # index delta for the admitted (cleaned) batch: only NEW keys append
+    from gsmls_analysis_spark.operators.dedup import (
+        substring_window_index_delta,
+    )
+
     cleaned = _docs(spark, [(10, out["clean_text"])])
-    delta = substring_window_index(cleaned, "doc_id", "t", span=8).join(
-        versioned_read(spark, p).select("k"), "k", "left_anti"
+    delta = substring_window_index_delta(
+        cleaned, versioned_read(spark, p), "doc_id", "t", span=8
     )
     versioned_write(delta, p, mode="append")
     n1 = versioned_read(spark, p).count()
