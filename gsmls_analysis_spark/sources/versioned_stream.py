@@ -828,6 +828,12 @@ def versioned_batch_source(
 # one bucket may span tasks (>1 file per bucket per commit), which
 # Spark's bucketed reader handles by grouping on the file-name bucket
 # id (and by dropping the sortedness claim beyond one file per bucket).
+# File-count amplification is the price: a T-task batch writes up to
+# T x n files, so at stream cadence schedule versioned_maintain — its
+# small-file policy triggers an OPTIMIZE whose rewrite goes through
+# Spark's own bucketBy writer, returning the table to one sorted file
+# per bucket with SPJ zero-exchange intact (test-pinned:
+# test_maintain_collapses_stream_file_amplification).
 # ---------------------------------------------------------------------------
 
 

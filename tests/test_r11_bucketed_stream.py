@@ -303,3 +303,62 @@ def test_spark_hash_large_types_match_small():
     lb = pa.table({"x": pa.array([b"", b"\x01\x02\x03", None], pa.large_binary())})
     sb = pa.table({"x": pa.array([b"", b"\x01\x02\x03", None], pa.binary())})
     assert (spark_hash(lb, ["x"]) == spark_hash(sb, ["x"])).all()
+
+
+def test_maintain_collapses_stream_file_amplification(spark, tmp_path):
+    """The sink's per-task-per-bucket staging amplifies file count (a
+    T-task batch can write up to T x n files); versioned_maintain /
+    OPTIMIZE is the documented recovery: compaction re-buckets through
+    Spark's own bucketBy writer, so the table returns to ONE file per
+    bucket with purity, zero-exchange SPJ, and the single-file sorted-
+    scan trust all intact."""
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_compact,
+        versioned_maintain,
+    )
+
+    tbl = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"k": np.arange(64, dtype=np.int64), "v": np.arange(64, dtype=np.int64)}
+            )
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    # three stream commits, 4 source partitions each -> up to 12 files
+    # per commit on a 4-bucket table
+    for lo in (64, 128, 192):
+        pdf = pd.DataFrame(
+            {
+                "k": np.arange(lo, lo + 64, dtype=np.int64),
+                "v": np.arange(lo, lo + 64, dtype=np.int64),
+            }
+        )
+        spark.createDataFrame(pdf).repartition(4).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema("k long, v long").parquet(src)
+    versioned_stream_sink(sdf, tbl, checkpoint=str(tmp_path / "ckpt"))
+    pre = len(glob.glob(os.path.join(tbl, "data", "v*", "*.parquet")))
+    assert pre > 8  # amplification actually happened
+    r = versioned_maintain(
+        spark, tbl, small_file_bytes=64 * 1024 * 1024, target_file_bytes=1 << 30
+    )
+    assert r["ran"]  # small-file debt tripped the policy
+    post = glob.glob(os.path.join(tbl, "data", "v*", "*.parquet"))
+    from gsmls_analysis_spark.sources.versioned import _entries, _expand_files, _read_manifest, table_versions as _tv
+
+    pm = _read_manifest(tbl, _tv(tbl)[-1])
+    live = _expand_files(os.path.abspath(tbl), _entries(pm))
+    assert len(live) == 4  # one file per bucket again
+    for f in live:
+        full = os.path.join(tbl, f)
+        m = re.search(r"_(\d+)(?:\..*)?$", os.path.basename(full))
+        t = pq.read_table(full)
+        assert m and (spark_bucket_ids(t, ["k"], 4) == int(m.group(1))).all()
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks)  # bucketBy+sortBy rewrite: sorted again
+    j = versioned_join_bucketed(spark, tbl, tbl, on=["k"])
+    assert j.count() == 256
+    assert _no_shuffle_join(_plan(j))
