@@ -1,0 +1,116 @@
+"""Incremental vs batch-global exact-substring dedup as the CORPUS
+grows — the r11 task-3 claim measured: with a persisted window-key
+index, a fixed-size daily batch pays O(batch windows) work plus one
+keys-only index probe, while the batch-global algorithm re-pays the
+full-corpus window pass every time.
+
+Per scale point (sf0.1 = 5k docs, x10 = 50k, x100 = 500k):
+- index_build_s  — one-time corpus reduction (amortized across days),
+  written to parquet like a real pipeline would persist it;
+- incremental_s  — dedup a FIXED 2,000-doc batch against the persisted
+  index (probe + batch-internal ranking + array-native rebuild);
+- batch_global_s — remove_duplicate_token_spans over corpus ∪ batch,
+  keeping the batch rows: what you re-pay per day without the index.
+
+Batch = the sf0.1 documents' first 2,000 texts with shifted ids, so
+cross-corpus collisions are real at every scale.  Timings are medians
+of 3 full materializations (noop-sink count()).
+
+Usage: python tools/measure_substring_scale.py [scale_dir ...]
+Prints one JSON line; markdown to stderr (docs/SUBSTRING_INCR_SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.operators.dedup import (  # noqa: E402
+    remove_duplicate_token_spans,
+    remove_duplicate_token_spans_incremental,
+    substring_window_index,
+)
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+
+SPAN = 8
+BATCH_DOCS = 2000
+
+
+def _timed(fn, n=3):
+    outs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        outs.append(time.perf_counter() - t0)
+    return round(statistics.median(outs), 2)
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        "/tmp/spark_graft_sf1",
+        "/tmp/spark_graft_sf10",
+    ]
+    spark = get_spark("substring-scale")
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(F.col("doc_id") < BATCH_DOCS)
+        .select((F.col("doc_id") + 10**9).alias("doc_id"), "text")
+    ).localCheckpoint()
+    rows = []
+    for d in dirs:
+        corpus = spark.read.parquet(os.path.join(d, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        n_docs = corpus.count()
+        idx_path = tempfile.mkdtemp(prefix="span_idx_") + "/idx"
+        t0 = time.perf_counter()
+        substring_window_index(corpus, "doc_id", "text", span=SPAN).write.parquet(
+            idx_path
+        )
+        t_index = round(time.perf_counter() - t0, 2)
+        idx = spark.read.parquet(idx_path)
+
+        t_inc = _timed(
+            lambda: remove_duplicate_token_spans_incremental(
+                batch, idx, "doc_id", "text", span=SPAN
+            ).write.format("noop").mode("overwrite").save()
+        )
+        t_full = _timed(
+            lambda: remove_duplicate_token_spans(
+                corpus.unionByName(batch), "doc_id", "text", span=SPAN
+            )
+            .filter(F.col("doc_id") >= 10**9)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        r = {
+            "dir": d,
+            "corpus_docs": n_docs,
+            "index_build_s": t_index,
+            "incremental_s": t_inc,
+            "batch_global_s": t_full,
+            "ratio": round(t_full / t_inc, 1) if t_inc else None,
+        }
+        rows.append(r)
+        print(
+            f"{d}: corpus={n_docs:,} index_build={t_index}s "
+            f"incremental={t_inc}s batch_global={t_full}s "
+            f"({r['ratio']}x)",
+            file=sys.stderr,
+        )
+    print(json.dumps({"span": SPAN, "batch_docs": BATCH_DOCS, "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
