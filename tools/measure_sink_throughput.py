@@ -1,0 +1,98 @@
+"""Engine-native sink throughput: the Python-Arrow writer tasks
+(pyspark.sql.datasource) vs the JVM `versioned_write` path, unbucketed
+and bucketed — the honest number behind the advice "bulk backfills
+through versioned_write, continuous ingest through the sink".
+
+Four legs over the same rows (events at the given scale dir, 3 cols):
+- versioned_write (JVM parquet writer, one commit)
+- versioned_write(bucket_by) (JVM bucketBy+sortBy writer)
+- batch sink: df.write.format('versioned_table') (Arrow writer tasks)
+- batch sink into a bucketed table (Arrow tasks + Python murmur3
+  split + per-bucket sort)
+
+Each leg = fresh table, median of 3, rows/s.  The STREAM sink shares
+the batch sink's write() byte path (same _StagedTaskFiles), so these
+numbers bound its per-batch cost too.
+
+Usage: python tools/measure_sink_throughput.py [sf_dir] [n_buckets]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+from gsmls_analysis_spark.sources.versioned_stream import (  # noqa: E402
+    VersionedTableDataSource,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = get_spark("sink-throughput")
+    spark.dataSource.register(VersionedTableDataSource)
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "value")
+        .localCheckpoint()  # isolate write cost from scan cost
+    )
+    n = df.count()
+
+    def timed(leg, fn):
+        outs = []
+        for _ in range(3):
+            root = tempfile.mkdtemp(prefix="sinktp_")
+            path = os.path.join(root, "t")
+            t0 = time.perf_counter()
+            fn(path)
+            outs.append(time.perf_counter() - t0)
+            shutil.rmtree(root, ignore_errors=True)
+        med = statistics.median(outs)
+        return {"leg": leg, "sec": round(med, 2), "rows_per_s": int(n / med)}
+
+    def jvm(path):
+        V.versioned_write(df, path)
+
+    def jvm_bucketed(path):
+        V.versioned_write(df, path, bucket_by=(["user_id"], n_buckets))
+
+    def sink(path):
+        os.makedirs(path, exist_ok=True)
+        df.write.format("versioned_table").option("path", path).mode(
+            "append"
+        ).save()
+
+    def sink_bucketed(path):
+        V.versioned_write(
+            df.limit(0), path, bucket_by=(["user_id"], n_buckets)
+        )  # declare the spec with an empty seed commit
+        df.write.format("versioned_table").option("path", path).mode(
+            "append"
+        ).save()
+
+    rows = [
+        timed("versioned_write", jvm),
+        timed("versioned_write bucketed", jvm_bucketed),
+        timed("arrow sink", sink),
+        timed("arrow sink bucketed", sink_bucketed),
+    ]
+    for r in rows:
+        print(f"{r['leg']:>26}: {r['sec']}s  {r['rows_per_s']:,} rows/s", file=sys.stderr)
+    print(json.dumps({"rows": n, "n_buckets": n_buckets, "legs": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
