@@ -1172,3 +1172,141 @@ def unicode_normalize_text(
         df.withColumn("__text", F.col(text_col))
         .mapInPandas(run, schema + ", norm_text string, changed boolean")
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards — the MULTIMODAL twin of write_training_shards:
+# image/audio/video training loaders (webdataset, torchdata) stream
+# POSIX tar files of {key}.bin/{key}.json member pairs, not parquet.
+# Same deterministic layout contract as the parquet leg (shard_assign's
+# md5 shard + in-shard order), so the byte stream is rerun-, engine-,
+# and partitioning-independent; tar metadata is zeroed (mtime/uid/gid,
+# fixed mode), so equal inputs produce BYTE-IDENTICAL shards.
+# ---------------------------------------------------------------------------
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    payload_col: str,
+    n_shards: int,
+    meta_cols: tuple[str, ...] = (),
+    salt: str = "shards-v1",
+) -> DataFrame:
+    """Materialize WebDataset-format shards: ``out_dir/shard-K.tar``
+    holds shard K's samples in deterministic replay order, each sample
+    as ``{key}.bin`` (the payload bytes) + ``{key}.json`` (sorted-key
+    JSON of ``meta_cols``).  Returns the per-shard receipt
+    (shard, n_samples, tar_bytes, tar_path) — write it next to the
+    shards as the loader-facing manifest.
+
+    Plan shape: one groupBy(shard) applyInPandas — each group IS one
+    shard, written by exactly one task (the one unavoidable full
+    shuffle of a training-data export, same as the parquet leg).  A
+    shard must fit in task memory: size n_shards for ~100 MB-1 GB tars
+    (the WebDataset convention) — at 100 TB that is ~100k+ shards,
+    which is healthy parallelism, not overhead.  ``out_dir`` must be
+    storage every executor can reach (local FS on local[N], shared/
+    object storage on a cluster)."""
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    out = shard_assign(df, key_col, n_shards, salt)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("shard_order")
+        shard = int(pdf["shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+
+        def member(name: str, data: bytes, tf: tarfile.TarFile) -> None:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+
+        with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for _, row in pdf.iterrows():
+                key = str(row[key_col])
+                member(f"{key}.bin", bytes(row[payload_col]), tf)
+                meta = {
+                    c: (None if pd.isna(row[c]) else str(row[c]))
+                    for c in meta_cols
+                }
+                member(
+                    f"{key}.json",
+                    _json.dumps(meta, sort_keys=True).encode("utf-8"),
+                    tf,
+                )
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_samples": [len(pdf)],
+                "tar_bytes": [os.path.getsize(path)],
+                "tar_path": [path],
+            }
+        )
+
+    return out.groupBy("shard").applyInPandas(
+        write_group,
+        "shard int, n_samples long, tar_bytes long, tar_path string",
+    )
+
+
+def read_webdataset_shards(spark, shard_dir: str) -> DataFrame:
+    """Scan WebDataset shards back into rows (shard, seq, key, payload,
+    meta_json): each tar is read executor-side by one task, pairing
+    ``{key}.bin``/``{key}.json`` members in file order — ``seq`` is the
+    sample's replay position inside its shard, so the loader order the
+    writer promised is checkable as data.  The driver touches only the
+    shard file LIST (mapInPandas over paths)."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    paths = sorted(_glob.glob(os.path.join(shard_dir, "shard-*.tar")))
+
+    def read_tars(batches):
+        import tarfile
+
+        for pdf in batches:
+            rows = {"shard": [], "seq": [], "key": [], "payload": [], "meta_json": []}
+            for p in pdf["path"]:
+                shard = int(os.path.basename(p)[len("shard-") : -len(".tar")])
+                with tarfile.open(p, "r") as tf:
+                    seq = 0
+                    pending: dict[str, dict] = {}
+                    for m in tf:
+                        key, ext = os.path.splitext(m.name)
+                        data = tf.extractfile(m).read()
+                        slot = pending.setdefault(key, {})
+                        slot[ext] = data
+                        if ".bin" in slot and ".json" in slot:
+                            rows["shard"].append(shard)
+                            rows["seq"].append(seq)
+                            rows["key"].append(key)
+                            rows["payload"].append(slot[".bin"])
+                            rows["meta_json"].append(
+                                slot[".json"].decode("utf-8")
+                            )
+                            pending.pop(key)
+                            seq += 1
+                    if pending:
+                        raise ValueError(
+                            f"{p}: unpaired members {sorted(pending)}"
+                        )
+            yield pd.DataFrame(rows)
+
+    fdf = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    return fdf.mapInPandas(
+        read_tars,
+        "shard int, seq long, key string, payload binary, meta_json string",
+    )

@@ -52,6 +52,7 @@ _DRIVER_WINDOW = [
     "q_substring_dedup_incremental",  # window-index incremental dedup
     "q_video_tdelta_decode",  # inter-frame temporal-delta codec (spike)
     "q_versioned_maintain",  # self-executing OPTIMIZE-cadence policy
+    "q_webdataset_roundtrip",  # tar-shard multimodal export round-trip
     # (b) code changed since last check: array-native rebuild (dedup),
     # list-valued sink commit messages (both engine-native sinks), and
     # the table_detail -> _table_health refactor behind versioned_maintain
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "q_events_dedup_latest_per_user",
     "q_events_json_quarantine",
     "q_user_gap_stats_pandas",
-    "q_image_extract_classify",
     # Window stays exactly 50; everything rotated out keeps its r10
     # driver greens plus fresh r11 3-SF gate rows (docs/GATE_r11_*).
 ]

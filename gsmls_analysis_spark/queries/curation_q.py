@@ -1445,3 +1445,67 @@ def q_unicode_normalize(spark, sf_dir):
         "norm_text",
         (F.col("norm_text") != F.col("raw")).alias("changed"),
     )
+
+
+@query(
+    "q_webdataset_roundtrip",
+    oracle="""
+WITH a AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shards-v1'), 1, 15))
+              AS BIGINT) % 8 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || 'shards-v1/order') AS ord,
+         text, lang
+  FROM documents
+)
+SELECT key, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord) - 1
+            AS BIGINT) AS seq,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CASE WHEN lang IS NULL THEN '{"lang": null}'
+            ELSE '{"lang": "' || lang || '"}' END AS meta_json
+FROM a
+""",
+    doc="r11: WebDataset TAR shards round-trip (operators/curation.py::"
+    "write_webdataset_shards / read_webdataset_shards) — the MULTIMODAL "
+    "twin of q_training_shards: image/audio training loaders stream "
+    "POSIX tars of {key}.bin/{key}.json pairs, not parquet.  Documents "
+    "become payload bytes + lang metadata, shard into 8 tars under the "
+    "same md5 layout contract as the parquet leg (one "
+    "groupBy(shard) applyInPandas — each shard written by exactly one "
+    "task, samples in deterministic replay order, tar metadata zeroed "
+    "so re-runs are BYTE-identical: tests/test_r11_webdataset.py), "
+    "then scan back executor-side pairing members in file order.  The "
+    "oracle recomputes every sample's shard, replay position, byte "
+    "length, payload md5, and exact JSON metadata from the md5 layout "
+    "rule — a container, pairing, ordering, or encoding bug breaks "
+    "the hash.",
+)
+def q_webdataset_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..operators.curation import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        "lang",
+    )
+    out = tempfile.mkdtemp(prefix="wds_")
+    write_webdataset_shards(
+        docs, out, "key", "payload", n_shards=8, meta_cols=("lang",)
+    ).collect()
+    rb = read_webdataset_shards(spark, out)
+    return rb.select(
+        "key",
+        "shard",
+        F.col("seq").cast("long").alias("seq"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "meta_json",
+    )

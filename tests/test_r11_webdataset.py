@@ -1,0 +1,85 @@
+"""Round-11: WebDataset tar shards — the multimodal twin of the
+parquet training-shard writer (same deterministic md5 layout, POSIX
+tar container, byte-identical re-runs)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.curation import (
+    read_webdataset_shards,
+    shard_assign,
+    write_webdataset_shards,
+)
+
+
+def _df(spark, n=60):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [f"doc{i:04d}" for i in range(n)],
+                "payload": [f"payload-{i}-{'x' * (i % 17)}".encode() for i in range(n)],
+                "lang": [("en", "de", "fr")[i % 3] for i in range(n)],
+            }
+        )
+    )
+
+
+def test_roundtrip_and_replay_order(spark, tmp_path):
+    df = _df(spark)
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    receipt = write_webdataset_shards(
+        df, out, "k", "payload", n_shards=4, meta_cols=("lang",)
+    ).toPandas()
+    assert receipt["n_samples"].sum() == 60
+    assert sorted(receipt["shard"]) == sorted(set(receipt["shard"]))
+    rb = read_webdataset_shards(spark, out).toPandas()
+    assert len(rb) == 60
+    src = df.toPandas().set_index("k")
+    for _, r in rb.iterrows():
+        assert bytes(r["payload"]) == bytes(src.loc[r["key"], "payload"])
+        assert f'"lang": "{src.loc[r["key"], "lang"]}"' in r["meta_json"]
+    # replay order inside each shard == shard_order ranking
+    expect = shard_assign(df, "k", 4).toPandas()
+    expect["rank"] = expect.groupby("shard")["shard_order"].rank(method="first").astype(int) - 1
+    got = rb.set_index("key")
+    for _, e in expect.iterrows():
+        assert got.loc[e["k"], "shard"] == e["shard"]
+        assert got.loc[e["k"], "seq"] == e["rank"]
+
+
+def test_byte_identical_reruns_and_partitioning_independence(spark, tmp_path):
+    df = _df(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    write_webdataset_shards(df, a, "k", "payload", 4, ("lang",)).collect()
+    write_webdataset_shards(
+        df.repartition(13), b, "k", "payload", 4, ("lang",)
+    ).collect()
+    for pa_ in sorted(glob.glob(os.path.join(a, "*.tar"))):
+        pb = os.path.join(b, os.path.basename(pa_))
+        da = hashlib.md5(open(pa_, "rb").read()).hexdigest()
+        db = hashlib.md5(open(pb, "rb").read()).hexdigest()
+        assert da == db, f"shard {pa_} not byte-identical across runs"
+
+
+def test_unpaired_member_detected(spark, tmp_path):
+    import io
+    import tarfile
+
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    p = os.path.join(out, "shard-000000.tar")
+    with tarfile.open(p, "w") as tf:
+        info = tarfile.TarInfo("orphan.bin")
+        info.size = 3
+        tf.addfile(info, io.BytesIO(b"abc"))
+    with pytest.raises(Exception, match="unpaired"):
+        read_webdataset_shards(spark, out).collect()
