@@ -145,10 +145,16 @@ def _column_update(h: np.ndarray, arr: pa.Array) -> np.ndarray:
     elif pa.types.is_float32(t):
         f = np.asarray(arr.fill_null(0.0)).astype(np.float32)
         f = np.where(f == np.float32(0.0), np.float32(0.0), f)  # -0.0 → 0.0
+        # Spark hashes via floatToIntBits, which canonicalizes every NaN
+        # payload to 0x7fc00000 — mirror it or non-canonical NaNs land in
+        # the wrong bucket and break storage-partitioned joins.
+        f = np.where(np.isnan(f), np.float32("nan"), f)
         new = _hash_int(f.view(np.uint32), h)
     elif pa.types.is_float64(t):
         f = np.asarray(arr.fill_null(0.0)).astype(np.float64)
-        f = np.where(f == 0.0, 0.0, f)  # -0.0 → 0.0 (NaNs pass through)
+        f = np.where(f == 0.0, 0.0, f)  # -0.0 → 0.0
+        # doubleToLongBits canonicalizes NaN to 0x7ff8000000000000.
+        f = np.where(np.isnan(f), np.float64("nan"), f)
         new = _hash_long(f.view(np.uint64), h)
     elif (
         pa.types.is_string(t)

@@ -1219,9 +1219,16 @@ def write_webdataset_shards(
     out = shard_assign(df, key_col, n_shards, salt)
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
         pdf = pdf.sort_values("shard_order")
         shard = int(pdf["shard"].iloc[0])
         path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        # Task-attempt commit protocol: build the tar under a uuid temp
+        # name and os.replace() into place once closed — a retried or
+        # speculative attempt (routine on a cluster) then swaps in one
+        # complete tar instead of interleaving writes into the final path.
+        tmp_path = os.path.join(out_dir, f".shard-{shard:06d}.{uuid.uuid4().hex}.tmp")
 
         def member(name: str, data: bytes, tf: tarfile.TarFile) -> None:
             info = tarfile.TarInfo(name)
@@ -1232,7 +1239,7 @@ def write_webdataset_shards(
             info.mode = 0o644
             tf.addfile(info, io.BytesIO(data))
 
-        with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        with tarfile.open(tmp_path, "w", format=tarfile.USTAR_FORMAT) as tf:
             for _, row in pdf.iterrows():
                 key = str(row[key_col])
                 member(f"{key}.bin", bytes(row[payload_col]), tf)
@@ -1245,6 +1252,7 @@ def write_webdataset_shards(
                     _json.dumps(meta, sort_keys=True).encode("utf-8"),
                     tf,
                 )
+        os.replace(tmp_path, path)
         return pd.DataFrame(
             {
                 "shard": [shard],

@@ -777,7 +777,8 @@ def sample_tdelta_frames(
             "temporal-delta sampling needs the idx1 keyframe index"
         )
     out = []
-    decoded: dict[int, object] = {}  # frame idx -> plane, within one GOP
+    decoded: dict[int, object] = {}  # frame idx -> plane, current GOP only
+    gop_start = [-1]
 
     def frame_at(i):
         if i in decoded:
@@ -785,6 +786,13 @@ def sample_tdelta_frames(
         k = i
         while k > 0 and not flags[k]:
             k -= 1
+        if k != gop_start[0]:
+            # Crossing into a new GOP: earlier GOPs' planes can never be
+            # referenced again (prediction chains start at keyframes), so
+            # evict them — bounds memory at O(key_interval) planes instead
+            # of every reconstructed frame of the video (r11 ADVICE).
+            decoded.clear()
+            gop_start[0] = k
         prev = None
         for j in range(k, i + 1):
             if j in decoded:

@@ -46,7 +46,7 @@ _DRIVER_WINDOW = [
     # ROUND 11 window (policy + slot accounting in docs/ROUND11_NOTES.md).
     # This round's theme: FLUSH THE STALENESS TAIL (r10 verdict task 5)
     # — 57 queries had no independent check since r1/r2; the whole r1
-    # cohort and the oldest 21 of the r2 cohort rotate in.
+    # cohort and the oldest 18 of the r2 cohort rotate in.
     # (c) added in round 11 — never driver-checked
     "q_stream_versioned_sink_bucketed",  # bucketed stream sink, SPJ kept
     "q_substring_dedup_incremental",  # window-index incremental dedup
@@ -85,8 +85,8 @@ _DRIVER_WINDOW = [
     "q_lang_id",
     "q_fingerprint",
     "q_text_classifier_cascade",
-    # (a) last driver-checked in ROUND 2 — oldest 21 in registration
-    # order; the 12 remaining r2-cohort queries lead the r12 window
+    # (a) last driver-checked in ROUND 2 — oldest 18 in registration
+    # order; the 15 remaining r2-cohort queries lead the r12 window
     "q04_late_shipment_priority",
     "q_currency_clean",
     "q_multi_hot_attrs",

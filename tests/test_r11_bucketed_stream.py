@@ -97,6 +97,31 @@ def test_spark_hash_bit_exact(spark, tmp_path):
     assert (spark_bucket_ids(tbl, cols, 16) == got["bid"].to_numpy()).all()
 
 
+def test_spark_hash_canonicalizes_nan_bits(spark, tmp_path):
+    """Spark's hash() goes through double/floatToIntBits, which collapses
+    EVERY NaN payload to the canonical quiet NaN (0x7ff8…0, 0x7fc0…0).
+    A payload-carrying NaN read from parquet must hash the same way or a
+    float bucket column stages rows into the wrong bucket (r11 ADVICE)."""
+    d = np.array([0x7FF8000000000001, 0x7FF8000000000000, 0xFFF0000000000123], np.uint64).view(
+        np.float64
+    )
+    f = np.array([0x7FC00001, 0x7FC00000, 0xFFC00123], np.uint32).view(np.float32)
+    tbl = pa.table({"d": pa.array(d, pa.float64()), "f": pa.array(f, pa.float32())})
+    p = str(tmp_path / "nan.parquet")
+    pq.write_table(tbl, p)
+    back = pq.read_table(p)
+    # parquet round-trips the raw bits — the non-canonical payloads survive
+    assert np.asarray(back["d"]).view(np.uint64)[0] == 0x7FF8000000000001
+    got = (
+        spark.read.parquet(p)
+        .select(F.hash("d").alias("hd"), F.hash("f").alias("hf"), F.hash("d", "f").alias("hdf"))
+        .toPandas()
+    )
+    assert (spark_hash(back, ["d"]) == got["hd"].to_numpy()).all()
+    assert (spark_hash(back, ["f"]) == got["hf"].to_numpy()).all()
+    assert (spark_hash(back, ["d", "f"]) == got["hdf"].to_numpy()).all()
+
+
 def test_spark_hash_matches_bucketby_files(spark, tmp_path):
     """End-to-end vs Spark's OWN bucketBy writer: for every file Spark
     writes, our Python bucket id of every row equals the bucket id in
