@@ -1455,6 +1455,9 @@ def versioned_stream_sink(
     checkpoint: str | None = None,
     txn_app_id: str | None = None,
     output_mode: str = "append",
+    maintain_after_drain: bool = False,
+    maintain_opts: dict | None = None,
+    repartition_by_bucket: bool = True,
 ) -> None:
     """Register the data source (idempotent) and drain ``sdf`` into
     ``path`` through the ENGINE-NATIVE stream sink
@@ -1464,7 +1467,30 @@ def versioned_stream_sink(
     batch numbering is a property OF the checkpoint (same rationale as
     ``stream_to_versioned``): a restart from the same checkpoint shares
     the identity so replays dedupe, while a fresh checkpoint gets a
-    fresh identity and is never falsely skipped."""
+    fresh identity and is never falsely skipped.
+
+    ``maintain_after_drain=True`` runs ``versioned_maintain`` once the
+    drain finishes (manifest-only debt check; compaction only past
+    threshold).  Per-batch cadence is NOT offered here on purpose: the
+    native writer's ``commit()`` hook runs inside the Python data-source
+    worker, which has no SparkSession to drive a compaction — and an
+    availableNow drain IS the pipeline's batch unit, so post-drain
+    maintenance gives the same bounded-debt property the foreachBatch
+    sinks get from ``maintain_every`` (see streaming/ingest.py).
+
+    ``repartition_by_bucket`` (default True): when the target table is
+    bucketed, repartition each micro-batch on the bucket columns into
+    exactly ``n`` partitions BEFORE the writer — ``repartition(n, cols)``
+    places rows by ``pmod(murmur3(cols), n)``, which IS the bucket id,
+    so every task holds exactly one bucket and each commit adds
+    ~``n_buckets`` files instead of ``tasks x n_buckets`` (the r11
+    amplification debt).  Measured (docs/SINK_THROUGHPUT.md r12): the
+    one narrow shuffle per batch is CHEAPER than the amplified write it
+    replaces at every batch size tried — 16x fewer files per commit and
+    1.4-2.3x higher sink throughput — so it is on by default; pass
+    False to reproduce the raw staging behavior (the JVM
+    ``versioned_write`` path has always done this same pre-repartition,
+    sources/versioned.py::_write_bucketed)."""
     import tempfile
 
     spark = sdf.sparkSession
@@ -1474,6 +1500,20 @@ def versioned_stream_sink(
     if txn_app_id is None:
         txn_app_id = os.path.basename(checkpoint.rstrip("/"))
     os.makedirs(path, exist_ok=True)
+    if repartition_by_bucket:
+        from .versioned import _bucket_of, _mapping_of
+
+        versions = table_versions(path)
+        spec = _bucket_of(_read_manifest(path, versions[-1])) if versions else None
+        if spec:
+            p2l = _mapping_of(_read_manifest(path, versions[-1]))
+            cols = [p2l.get(c, c) for c in spec["columns"]]
+            if all(c in sdf.columns for c in cols):
+                from pyspark.sql import functions as F
+
+                sdf = sdf.repartition(
+                    int(spec["n"]), *[F.col(c) for c in cols]
+                )
     q = (
         sdf.writeStream.format("versioned_table")
         .option("path", path)
@@ -1484,3 +1524,7 @@ def versioned_stream_sink(
         .start()
     )
     q.awaitTermination()
+    if maintain_after_drain:
+        from .versioned import versioned_maintain
+
+        versioned_maintain(spark, path, **(maintain_opts or {}))

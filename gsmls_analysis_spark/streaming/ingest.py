@@ -359,11 +359,37 @@ def foreach_batch_ingest(
     _record_drain("foreach_batch_ingest", q)
 
 
+def _maintain_if_due(
+    spark,
+    table_path: str,
+    batch_id: int,
+    maintain_every: int | None,
+    maintain_opts: dict | None,
+) -> None:
+    """Per-batch maintenance hook shared by the versioned sinks: every
+    ``maintain_every`` batches, run ``versioned_maintain`` — whose
+    inspection is manifest-only (``_table_health``: O(metadata), no data
+    pages, no Spark job) and whose compaction fires ONLY when a DV or
+    small-file threshold is crossed.  The cadence is therefore cheap to
+    set aggressively (``maintain_every=1`` checks every batch and still
+    compacts only at the measured docs/CDC_DECAY.md cadence).  Runs
+    AFTER the batch's own commit: a crash between them at worst skips
+    one maintenance window — the next due batch's check sees the same
+    debt, so maintenance needs no txn ledger of its own."""
+    if not maintain_every or (batch_id + 1) % maintain_every:
+        return
+    from ..sources.versioned import versioned_maintain
+
+    versioned_maintain(spark, table_path, **(maintain_opts or {}))
+
+
 def stream_to_versioned(
     sdf: DataFrame,
     table_path: str,
     checkpoint: str | None = None,
     app_id: str | None = None,
+    maintain_every: int | None = None,
+    maintain_opts: dict | None = None,
 ) -> None:
     """Exactly-once streaming ingest into a versioned table: each
     micro-batch commits as one atomic versioned append whose manifest
@@ -386,7 +412,14 @@ def stream_to_versioned(
     version N is unaffected by batches landing behind it.  At 100 TB the
     ledger read is one small JSON per committed version — vacuum bounds
     it (and can never drop the newest manifest, the only one a live
-    replay can need)."""
+    replay can need).
+
+    ``maintain_every=N`` makes maintenance SELF-EXECUTING: every N
+    committed batches the sink runs ``versioned_maintain`` (manifest-only
+    debt check; compaction only past threshold — see
+    ``_maintain_if_due``), so a pipeline holds its small-file debt
+    bounded with no external OPTIMIZE caller.  ``maintain_opts`` passes
+    thresholds/cluster_by/zorder through."""
     from ..sources.versioned import committed_meta, versioned_write
 
     if checkpoint is None:
@@ -399,6 +432,9 @@ def stream_to_versioned(
         if txn in committed_meta(table_path, "txn"):
             return  # replayed batch: already durably committed
         versioned_write(batch_df, table_path, mode="append", meta={"txn": txn})
+        _maintain_if_due(
+            batch_df.sparkSession, table_path, batch_id, maintain_every, maintain_opts
+        )
 
     os.makedirs(table_path, exist_ok=True)
     q = (
@@ -421,6 +457,8 @@ def stream_to_versioned_merge(
     matched_condition: str | None = None,
     bloom_cols: list[str] | None = None,
     mor: bool = False,
+    maintain_every: int | None = None,
+    maintain_opts: dict | None = None,
 ) -> None:
     """Exactly-once streaming CDC APPLY: maintain a keyed current-state
     table by upserting each micro-batch through
@@ -446,8 +484,11 @@ def stream_to_versioned_merge(
     each batch MERGE-ON-READ (versioned_merge(mor=True)): matched rows
     DV-mark in place and only post-images/inserts append — the
     write-amp win docs/MERGE_AMP.md measured (93-155x), at CDC cadence
-    where it matters most; pair with OPTIMIZE when table_detail's
-    advisory trips (decay curve: docs/CDC_DECAY.md)."""
+    where it matters most.  ``maintain_every=N`` closes the MoR loop
+    in-pipeline: every N batches the sink runs ``versioned_maintain``
+    (manifest-only debt check, compaction only past threshold — see
+    ``_maintain_if_due``), so DV debt holds at the docs/CDC_DECAY.md
+    cadence with NO external OPTIMIZE caller."""
     from ..operators.dedup import keep_last_dedup
     from ..sources.versioned import (
         committed_meta,
@@ -491,6 +532,9 @@ def stream_to_versioned_merge(
                 meta={"txn": txn},
                 mor=mor,
             )
+        _maintain_if_due(
+            b.sparkSession, table_path, batch_id, maintain_every, maintain_opts
+        )
 
     os.makedirs(table_path, exist_ok=True)
     q = (

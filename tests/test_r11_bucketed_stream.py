@@ -364,7 +364,11 @@ def test_maintain_collapses_stream_file_amplification(spark, tmp_path):
         )
         spark.createDataFrame(pdf).repartition(4).write.mode("append").parquet(src)
     sdf = spark.readStream.schema("k long, v long").parquet(src)
-    versioned_stream_sink(sdf, tbl, checkpoint=str(tmp_path / "ckpt"))
+    # repartition_by_bucket=False: this test is about the RECOVERY path,
+    # so reproduce the raw per-task-per-bucket staging deliberately
+    versioned_stream_sink(
+        sdf, tbl, checkpoint=str(tmp_path / "ckpt"), repartition_by_bucket=False
+    )
     pre = len(glob.glob(os.path.join(tbl, "data", "v*", "*.parquet")))
     assert pre > 8  # amplification actually happened
     r = versioned_maintain(

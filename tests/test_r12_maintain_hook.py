@@ -1,0 +1,264 @@
+"""Round 12: SELF-EXECUTING maintenance in the versioned sinks.
+
+r11 verdict task 3: ``versioned_maintain`` existed as a callable policy
+but the pipelines had to remember to invoke it.  These tests pin the new
+in-sink hooks — ``maintain_every`` on the two foreachBatch sinks
+(streaming/ingest.py::_maintain_if_due) and ``maintain_after_drain`` on
+the engine-native sink — holding DV debt and file count bounded over a
+long loop with NO external ``versioned_maintain``/``OPTIMIZE`` calls.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gsmls_analysis_spark.sources.versioned import (
+    _table_health,
+    table_history,
+    versioned_read,
+    versioned_write,
+)
+from gsmls_analysis_spark.sources.versioned_stream import versioned_stream_sink
+from gsmls_analysis_spark.streaming.ingest import (
+    stream_to_versioned,
+    stream_to_versioned_merge,
+)
+
+
+def _n_optimize(spark, tbl) -> int:
+    return (
+        table_history(spark, tbl)
+        .filter("operation = 'OPTIMIZE'")
+        .count()
+    )
+
+
+def _file_stream(spark, src_dir, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+
+
+def test_mor_merge_loop_holds_dv_debt_bounded_in_pipeline(spark, tmp_path):
+    """8 CDC batches, every one a full-table MoR update (worst-case DV
+    accrual: debt would reach ~88% untended — docs/CDC_DECAY.md), with
+    maintain_every=1 and NO external maintain() call: the sink's own
+    hook must keep deleted_fraction at/below the threshold and leave the
+    final state exactly last-batch-wins."""
+    src = tmp_path / "src"
+    src.mkdir()
+    n_keys = 40
+    for i in range(8):
+        pd.DataFrame(
+            {
+                "k": np.arange(n_keys, dtype=np.int64),
+                "seq": np.int64(i),
+                "v": [f"b{i}r{k}" for k in range(n_keys)],
+            }
+        ).pipe(spark.createDataFrame).coalesce(1).write.parquet(
+            str(src / f"f{i}.parquet")
+        )
+    tbl = str(tmp_path / "state")
+    stream_to_versioned_merge(
+        _file_stream(spark, src, "k long, seq long, v string"),
+        tbl,
+        on=["k"],
+        order_col="seq",
+        checkpoint=str(tmp_path / "ckpt"),
+        mor=True,
+        maintain_every=1,
+        maintain_opts={"dv_fraction_threshold": 0.10},
+    )
+    h = _table_health(tbl)
+    # bounded: the post-loop snapshot sits at/below the policy threshold
+    # (untended, 7 full-table MoR updates leave 7/8 = 0.875 deleted)
+    assert h["deleted_fraction"] is not None and h["deleted_fraction"] <= 0.10
+    # the hook really fired (multiple times over 8 batches of 100% churn)
+    assert _n_optimize(spark, tbl) >= 2
+    # and the table is still exactly last-writer-wins
+    got = versioned_read(spark, tbl).orderBy("k").toPandas()
+    assert len(got) == n_keys
+    assert (got["seq"] == 7).all()
+    assert got["v"].tolist() == [f"b7r{k}" for k in range(n_keys)]
+
+
+def test_append_stream_small_file_debt_self_compacts(spark, tmp_path):
+    """10 tiny append batches with maintain_every=2: small-file debt
+    trips the policy inside the pipeline (the >8-file guard means the
+    batch-9 check is the one that fires) and the live file count ends
+    far below the 10+ files an untended loop accrues, with zero rows
+    lost."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(10):
+        pd.DataFrame(
+            {"k": np.arange(i * 10, (i + 1) * 10, dtype=np.int64)}
+        ).pipe(spark.createDataFrame).coalesce(1).write.parquet(
+            str(src / f"f{i}.parquet")
+        )
+    tbl = str(tmp_path / "t")
+    stream_to_versioned(
+        _file_stream(spark, src, "k long"),
+        tbl,
+        checkpoint=str(tmp_path / "ckpt"),
+        maintain_every=2,
+        maintain_opts={
+            "small_file_bytes": 64 * 1024 * 1024,
+            "target_file_bytes": 1 << 30,
+        },
+    )
+    assert _n_optimize(spark, tbl) >= 1
+    h = _table_health(tbl)
+    assert h["num_files"] <= 2  # untended: 10+
+    got = versioned_read(spark, tbl)
+    assert got.count() == 100
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(100))
+
+
+def test_maintain_every_none_never_compacts(spark, tmp_path):
+    """Opt-in means opt-in: the default (maintain_every=None) leaves the
+    loop exactly as before — every batch a new version, no OPTIMIZE."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        pd.DataFrame({"k": np.arange(5, dtype=np.int64) + i * 5}).pipe(
+            spark.createDataFrame
+        ).coalesce(1).write.parquet(str(src / f"f{i}.parquet"))
+    tbl = str(tmp_path / "t")
+    stream_to_versioned(
+        _file_stream(spark, src, "k long"),
+        tbl,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert _n_optimize(spark, tbl) == 0
+    assert versioned_read(spark, tbl).count() == 20
+
+
+def test_bucketed_sink_maintain_after_drain_collapses_amplification(
+    spark, tmp_path
+):
+    """The engine-native bucketed sink's per-task-per-bucket staging
+    amplifies file count (versioned_stream.py:~831, reproduced here with
+    repartition_by_bucket=False); with maintain_after_drain=True the
+    drain itself restores one-file-per-bucket — no external maintain()
+    call, bucketed-scan rows intact."""
+    tbl = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": np.arange(64, dtype=np.int64),
+                    "v": np.arange(64, dtype=np.int64),
+                }
+            )
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    for lo in (64, 128, 192):
+        pdf = pd.DataFrame(
+            {
+                "k": np.arange(lo, lo + 64, dtype=np.int64),
+                "v": np.arange(lo, lo + 64, dtype=np.int64),
+            }
+        )
+        spark.createDataFrame(pdf).repartition(4).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema("k long, v long").parquet(src)
+    versioned_stream_sink(
+        sdf,
+        tbl,
+        checkpoint=str(tmp_path / "ckpt"),
+        maintain_after_drain=True,
+        maintain_opts={
+            "small_file_bytes": 64 * 1024 * 1024,
+            "target_file_bytes": 1 << 30,
+        },
+        repartition_by_bucket=False,
+    )
+    assert _n_optimize(spark, tbl) == 1
+    h = _table_health(tbl)
+    assert h["num_files"] == 4  # one per bucket again
+    assert h["bucket_n"] == 4
+    assert versioned_read(spark, tbl).count() == 256
+
+
+def test_bucketed_sink_repartitions_by_bucket_by_default(spark, tmp_path):
+    """r12: versioned_stream_sink pre-repartitions each micro-batch on
+    the bucket columns (repartition(n, cols) = pmod(murmur3, n) = the
+    bucket id), so every commit adds exactly n_buckets files instead of
+    tasks x n_buckets — measured 2x cheaper end-to-end than
+    write-amplified-then-maintain (docs/SINK_THROUGHPUT.md r12).  Files
+    stay bucket-pure and the SPJ join stays zero-exchange."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from gsmls_analysis_spark.functions.spark_hash import spark_bucket_ids
+    from gsmls_analysis_spark.sources.versioned import (
+        _entries,
+        _expand_files,
+        _read_manifest,
+        table_versions,
+        versioned_join_bucketed,
+    )
+    from tests.test_r9_bucketed import _no_shuffle_join, _plan
+
+    tbl = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    versioned_write(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": np.arange(64, dtype=np.int64),
+                    "v": np.arange(64, dtype=np.int64),
+                }
+            )
+        ),
+        tbl,
+        bucket_by=(["k"], 4),
+    )
+    for lo in (64, 128):
+        pdf = pd.DataFrame(
+            {
+                "k": np.arange(lo, lo + 64, dtype=np.int64),
+                "v": np.arange(lo, lo + 64, dtype=np.int64),
+            }
+        )
+        spark.createDataFrame(pdf).repartition(8).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    versioned_stream_sink(sdf, tbl, checkpoint=str(tmp_path / "ckpt"))
+    root = os.path.abspath(tbl)
+    per_version_files = []
+    for v in table_versions(tbl):
+        pm = _read_manifest(tbl, v)
+        per_version_files.append(len(_expand_files(root, _entries(pm))))
+    # seed commit: 4 files; each of the 2 stream commits adds EXACTLY 4
+    # (one per bucket) despite 8 source partitions per batch
+    assert per_version_files[0] == 4
+    deltas = [
+        b - a for a, b in zip(per_version_files, per_version_files[1:])
+    ]
+    assert deltas == [4] * (len(per_version_files) - 1)
+    # purity + zero-exchange SPJ survive the repartitioned write path
+    pm = _read_manifest(tbl, table_versions(tbl)[-1])
+    for f in _expand_files(root, _entries(pm)):
+        full = os.path.join(root, f)
+        m = re.search(r"_(\d+)(?:\..*)?$", os.path.basename(full))
+        t = pq.read_table(full)
+        assert m and (spark_bucket_ids(t, ["k"], 4) == int(m.group(1))).all()
+    j = versioned_join_bucketed(spark, tbl, tbl, on=["k"])
+    assert j.count() == 192
+    assert _no_shuffle_join(_plan(j))

@@ -1,0 +1,144 @@
+"""Bucketed-sink file amplification: pay at WRITE time (repartition the
+batch on its bucket id before the writer) or pay LATER (write amplified,
+collapse via the versioned_maintain cadence)?  r11 verdict task 2 said
+measure before building — this is the measurement.
+
+Three legs, each a 5-commit append loop into a fresh 16-bucket table
+through the engine-native Arrow sink (the stream sink shares its
+write() byte path, so these numbers transfer):
+
+- direct            : batches arrive in T=16 arbitrary partitions; every
+                      task writes one file per bucket it sees ->
+                      ~T x n_buckets files per commit, never compacted.
+- direct+maintain   : same writes, versioned_maintain after every commit
+                      (the r11 answer: manifest-only check, threshold-
+                      gated compaction).
+- repart            : batch.repartition(n, bucket_cols) before the
+                      writer — repartition places rows by
+                      pmod(murmur3(cols), n), which IS the bucket id
+                      (and the Python writer's murmur3 is bit-exact with
+                      it — tested), so each task holds exactly one
+                      bucket and every commit adds exactly n_buckets
+                      files.  Cost: one extra narrow-width shuffle of
+                      the batch per commit.  This is what
+                      versioned_stream_sink(repartition_by_bucket=True)
+                      now does, and what the JVM _write_bucketed path
+                      always did.
+
+Reported per leg and batch size: total wall for the 5 commits (incl.
+maintain where applicable), live file count after each commit, and the
+end-state live file count.  Usage:
+
+    python tools/measure_bucket_amplification.py [rows_per_batch ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources import versioned as V  # noqa: E402
+from gsmls_analysis_spark.sources.versioned_stream import (  # noqa: E402
+    VersionedTableDataSource,
+)
+
+N_BUCKETS = 16
+N_TASKS = 16
+N_COMMITS = 5
+
+
+def _batch(spark, lo: int, n: int):
+    # T arbitrary input partitions, keys spread over every bucket —
+    # the shape a shuffle-fed micro-batch actually has
+    return (
+        spark.range(lo, lo + n, 1, N_TASKS)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 99991).alias("user_id"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _seed(spark, path: str) -> None:
+    V.versioned_write(
+        _batch(spark, 0, 64).coalesce(1),
+        path,
+        bucket_by=(["user_id"], N_BUCKETS),
+    )
+
+
+def _live_files(path: str) -> int:
+    pm = V._read_manifest(path, V.table_versions(path)[-1])
+    return len(V._expand_files(os.path.abspath(path), V._entries(pm)))
+
+
+def _write(df, path: str) -> None:
+    df.write.format("versioned_table").option("path", path).mode(
+        "append"
+    ).save()
+
+
+def run_leg(spark, leg: str, rows: int) -> dict:
+    root = tempfile.mkdtemp(prefix="bamp_")
+    path = os.path.join(root, "t")
+    _seed(spark, path)
+    batches = [_batch(spark, 1_000_000 + i * rows, rows) for i in range(N_COMMITS)]
+    files_after = []
+    t0 = time.perf_counter()
+    for i, b in enumerate(batches):
+        if leg == "repart":
+            b = b.repartition(N_BUCKETS, F.col("user_id"))
+        _write(b, path)
+        if leg == "direct+maintain":
+            V.versioned_maintain(
+                spark,
+                path,
+                small_file_bytes=64 * 1024 * 1024,
+                target_file_bytes=1 << 30,
+            )
+        files_after.append(_live_files(path))
+    wall = time.perf_counter() - t0
+    for b in batches:
+        b.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "leg": leg,
+        "rows_per_batch": rows,
+        "wall_s": round(wall, 2),
+        "rows_per_s": int(rows * N_COMMITS / wall),
+        "files_after_each_commit": files_after,
+        "final_files": files_after[-1],
+    }
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 500_000, 2_000_000]
+    spark = get_spark("bucket-amp")
+    spark.dataSource.register(VersionedTableDataSource)
+    out = []
+    for rows in sizes:
+        for leg in ("direct", "direct+maintain", "repart"):
+            r = run_leg(spark, leg, rows)
+            out.append(r)
+            print(
+                f"{leg:>16} @ {rows:>9,} rows/batch: {r['wall_s']:>6}s "
+                f"({r['rows_per_s']:,} rows/s)  files {r['files_after_each_commit']}",
+                file=sys.stderr,
+            )
+    print(json.dumps({"n_buckets": N_BUCKETS, "n_tasks": N_TASKS, "legs": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
