@@ -87,6 +87,9 @@ HEADLINE = [
     # r11: the two new operator legs join the headline set
     "q_substring_dedup_incremental",  # window-index incremental dedup
     "q_stream_versioned_sink_bucketed",  # bucketed stream sink + SPJ agg
+    # r12: the composed incremental daily-batch chain (write-inclusive:
+    # seed commit + batch commit + read-back)
+    "q_incremental_ingest_chain",
 ]
 
 

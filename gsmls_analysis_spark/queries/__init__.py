@@ -43,70 +43,73 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # ROUND 11 window (policy + slot accounting in docs/ROUND11_NOTES.md).
-    # This round's theme: FLUSH THE STALENESS TAIL (r10 verdict task 5)
-    # — 57 queries had no independent check since r1/r2; the whole r1
-    # cohort and the oldest 18 of the r2 cohort rotate in.
-    # (c) added in round 11 — never driver-checked
-    "q_stream_versioned_sink_bucketed",  # bucketed stream sink, SPJ kept
-    "q_substring_dedup_incremental",  # window-index incremental dedup
-    "q_video_tdelta_decode",  # inter-frame temporal-delta codec (spike)
-    "q_versioned_maintain",  # self-executing OPTIMIZE-cadence policy
-    "q_webdataset_roundtrip",  # tar-shard multimodal export round-trip
-    # (b) code changed since last check: array-native rebuild (dedup),
-    # list-valued sink commit messages (both engine-native sinks), and
-    # the table_detail -> _table_health refactor behind versioned_maintain
-    "q_exact_substring_dedup",
+    # ROUND 12 window (policy + slot accounting in docs/ROUND12_NOTES.md).
+    # Theme: FINISH THE STALENESS FLUSH (r11 verdict task 1) — the 15
+    # r2-cohort leftovers named there, then the oldest 30 of the 35
+    # r3-cohort queries in registration order.
+    # (c) added in round 12 — never driver-checked
+    "q_incremental_ingest_chain",  # 5-stage incremental daily-batch chain
+    # (b) code changed since last driver check: versioned_stream_sink
+    # grew bucket pre-repartition + maintain_after_drain; WebDataset tar
+    # writes go through the uuid-temp commit protocol; tdelta sampling
+    # evicts prior GOPs; spark_hash canonicalizes float NaNs
     "q_stream_versioned_sink_native",
-    "q_versioned_detail",
-    # (a) last driver-checked in ROUND 1 — the full cohort, registration
-    # order (all hold r10 3-SF gate greens; this is recency, not doubt)
-    "q_customers_without_orders",
-    "q07_volume_shipping",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
-    "q_lot_size_parse",
-    "q_town_suffix_strip",
-    "q_apn_normalize",
-    "q_remarks_concat",
-    "q_year_bounds_repair",
-    "q_date_derivations",
-    "q_validate_quarantine",
-    "q_condition_labels",
-    "q_address_normalize",
-    "q_upper_and_zero_pad",
-    "q_latest_order_per_customer",
-    "q_possession_time_lag",
-    "q_conditional_sum",
-    "q_set_ops",
-    "q_minhash_signature",
-    "q_ngram_jaccard_pairs",
-    "q_token_stats",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_text_classifier_cascade",
-    # (a) last driver-checked in ROUND 2 — oldest 18 in registration
-    # order; the 15 remaining r2-cohort queries lead the r12 window
-    "q04_late_shipment_priority",
-    "q_currency_clean",
-    "q_multi_hot_attrs",
-    "q_prefix_lookup_join",
-    "q_coalesce_enrichment",
-    "q_scalar_subquery",
-    "q_iqr_outliers",
-    "q_asof_latest_order",
-    "q_exact_dup_groups",
-    "q_simhash_votes",
-    "q_doc_stats_by_source",
-    "q_embedding_label_centroid_sim",
-    "q_embedding_near_dups",
-    "q_events_tumbling_hour",
-    "q_events_sessionize",
-    "q_events_dedup_latest_per_user",
-    "q_events_json_quarantine",
-    "q_user_gap_stats_pandas",
-    # Window stays exactly 50; everything rotated out keeps its r10
-    # driver greens plus fresh r11 3-SF gate rows (docs/GATE_r11_*).
+    "q_stream_versioned_sink_bucketed",
+    "q_webdataset_roundtrip",
+    "q_video_tdelta_decode",
+    # (a) last driver-checked in ROUND 2 — the 15 remaining r2-cohort
+    # queries (all hold r11 3-SF gate greens; recency, not doubt)
+    "q_image_extract_classify",
+    "q_room_category_counts",
+    "q_style_resolve",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_fake_decode",
+    "q_tax_pipeline_e2e",
+    "q_rnt_pipeline_e2e",
+    "q_mul_pipeline_e2e",
+    "q_lnd_pipeline_e2e",
+    "q_pii_scrub",
+    "q_quality_filter",
+    "q_stratified_sample",
+    "q_domain_mix",
+    "q_sample_rate_audit",
+    # (a) last driver-checked in ROUND 3 — oldest 30 of 35 in
+    # registration order; the 5 remaining (q20_excess_shipments,
+    # q_nation_year_rollup_gid, q_priority_status_pivot,
+    # q_scd2_user_history, q_quantiles_by_priority) lead the r13 window
+    "q_price_ratio",
+    "q_salted_join_revenue",
+    "q_range_bucket_join",
+    "q_salted_event_stats",
+    "q_minhash_lsh_pairs",
+    "q_verified_near_dups",
+    "q_vocab_topk",
+    "q_word_entropy",
+    "q_cosine_topk_bruteforce",
+    "q_lsh_sign_buckets",
+    "q_events_sliding_window",
+    "q_res_pipeline_e2e",
+    "q_repetition_signals",
+    "q_train_split",
+    "q_contamination_check",
+    "q_pack_sequences",
+    "q_adaptive_quality_cutoff",
+    "q_incremental_ingest_dedup",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+    "q22_inactive_customer_balance",
+    "q08_market_share",
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_by_delay_bucket",
+    "q15_top_supplier",
+    "q16_part_supplier_relation",
+    # Window stays exactly 50; everything rotated out keeps its r11
+    # driver greens plus fresh r12 3-SF gate rows (docs/GATE_r12_*).
 ]
 
 _DRIVER_WINDOW_R7 = [

@@ -1509,3 +1509,310 @@ def q_webdataset_roundtrip(spark, sf_dir):
         F.md5("payload").alias("payload_md5"),
         "meta_json",
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: the INCREMENTAL ingest chain — the daily-batch twin of
+# q_curation_pipeline_chain.  Exact-hash ingest dedup -> near-dup vs the
+# persisted LSH band index -> incremental substring dedup vs the persisted
+# window index (+ the index-delta maintenance leg) -> quality filter ->
+# versioned append, with ONE SQL oracle replaying every stage.
+# ---------------------------------------------------------------------------
+
+
+_CC_BLOCK = (
+    " creative commons attribution license applies to this shared header block"
+)
+_QQ_BLOCK = " qq ww ee rr tt yy uu ii oo pp"
+
+
+def _incr_chain_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> str:
+    """Two-batch SQL replay of the whole incremental chain: plant text,
+    split corpus (doc_id%5!=0) vs batch (doc_id%5==0), then replay the
+    exact-md5 anti-join, the full MinHash band join + integer-Jaccard
+    verify (same CTE arithmetic as dedup_q._lsh_incr_oracle), the
+    window-key substring excision with history-wins semantics (same CTEs
+    as q_substring_dedup_incremental's oracle), the Gopher quality
+    cascade (same conditions as q_curation_pipeline_chain's oracle), the
+    index-delta count per admitted doc, and the seed∪append read-back."""
+    from ..operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+
+    def hmin_expr(i: int) -> str:
+        a, c = coeffs[i]
+        return (
+            f"CAST(min(({a} * base + {c}) % {MINHASH_PRIME}) AS BIGINT)"
+            "::VARCHAR"
+        )
+
+    band_exprs = []
+    for bidx in range(bands):
+        parts = " || '|' || ".join(
+            hmin_expr(bidx * rows_per_band + j) for j in range(rows_per_band)
+        )
+        band_exprs.append(f"md5({parts}) AS band{bidx}")
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bidx} AS band, band{bidx} AS sig FROM sig"
+        for bidx in range(bands)
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    trim(text)
+    || CASE WHEN doc_id % 3 = 0 THEN '{_CC_BLOCK}' ELSE '' END
+    || CASE WHEN doc_id % 15 = 0 THEN '{_QQ_BLOCK}' ELSE '' END AS t0
+  FROM documents
+), pl AS (
+  SELECT r.doc_id,
+    CASE WHEN r.doc_id % 20 = 5  AND d.t0 IS NOT NULL THEN d.t0
+         WHEN r.doc_id % 20 = 10 AND d.t0 IS NOT NULL THEN d.t0 || ' zz'
+         ELSE r.t0 END AS t
+  FROM raw r LEFT JOIN raw d ON d.doc_id = r.doc_id + 1
+), corp AS (SELECT * FROM pl WHERE doc_id % 5 <> 0
+), bat AS (SELECT * FROM pl WHERE doc_id % 5 = 0
+), s1 AS (
+  SELECT b.* FROM bat b WHERE md5(b.t) NOT IN (SELECT md5(t) FROM corp)
+), msh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(t), '\\s+')) - 2, 1) + 1),
+           i -> array_to_string(regexp_split_to_array(trim(t), '\\s+')[i:i+2], ' ')
+         )) AS shingle
+  FROM pl
+), mb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % {MINHASH_PRIME} AS BIGINT) AS base
+  FROM msh
+), sig AS (
+  SELECT doc_id,
+    {", ".join(band_exprs)}
+  FROM mb GROUP BY doc_id
+), stacked AS (
+  {stacked}
+), cand AS (
+  SELECT DISTINCT bb.doc_id AS bid, cc.doc_id AS cid
+  FROM (SELECT s.* FROM stacked s WHERE s.doc_id IN (SELECT doc_id FROM s1)) bb
+  JOIN (SELECT s.* FROM stacked s WHERE s.doc_id % 5 <> 0) cc
+    ON bb.band = cc.band AND bb.sig = cc.sig
+), vsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(t), '\\s+')) - 2, 1) + 1),
+           i -> array_to_string(regexp_split_to_array(trim(t), '\\s+')[i:i+2], ' ')
+         )) AS s
+  FROM pl
+), dup AS (
+  SELECT DISTINCT cand.bid FROM cand
+  JOIN vsh a ON a.doc_id = cand.bid
+  JOIN vsh c ON c.doc_id = cand.cid
+  WHERE {t_den} * len(list_intersect(a.s, c.s))
+        >= {t_num} * len(list_distinct(a.s || c.s))
+), s2 AS (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT bid FROM dup)
+), cdocs AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS words
+  FROM corp WHERE len(trim(t)) > 0
+), cwins AS (
+  SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS k
+  FROM cdocs, unnest(range(1, len(words) - 8 + 2)) AS u(i)
+  WHERE len(words) >= 8
+), bdocs AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS words
+  FROM s2 WHERE len(trim(t)) > 0
+), btoks AS (
+  SELECT doc_id, i AS pos, words[i] AS tok, len(words) AS n
+  FROM bdocs, unnest(range(1, len(words) + 1)) AS u(i)
+), bwins AS (
+  SELECT doc_id, i AS s, array_to_string(words[i:i+7], ' ') AS k
+  FROM bdocs, unnest(range(1, len(words) - 8 + 2)) AS u(i)
+  WHERE len(words) >= 8
+), flagged AS (
+  SELECT w.doc_id, w.s,
+    row_number() OVER (PARTITION BY w.k ORDER BY w.doc_id, w.s) AS rn,
+    count(*) OVER (PARTITION BY w.k) AS nk,
+    CASE WHEN c.k IS NOT NULL THEN 1 ELSE 0 END AS hist
+  FROM bwins w LEFT JOIN cwins c ON c.k = w.k
+), marked AS (
+  SELECT doc_id, s FROM flagged WHERE hist = 1 OR (nk > 1 AND rn > 1)
+), rem AS (
+  SELECT DISTINCT m.doc_id, m.s + o.i AS pos
+  FROM marked m, unnest(range(0, 8)) AS o(i)
+), keptt AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM btoks p LEFT JOIN rem r ON r.doc_id = p.doc_id AND r.pos = p.pos
+  WHERE r.pos IS NULL
+), clean AS (
+  SELECT d.doc_id,
+    coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+              FROM keptt k WHERE k.doc_id = d.doc_id), '') AS clean_text,
+    CAST(d.n AS BIGINT) AS n_tokens,
+    CAST(d.n - (SELECT count(*) FROM keptt k WHERE k.doc_id = d.doc_id)
+         AS BIGINT) AS n_removed
+  FROM (SELECT DISTINCT doc_id, n FROM btoks) d
+), cw AS (
+  SELECT doc_id, clean_text, n_tokens, n_removed,
+    regexp_split_to_array(trim(clean_text), '\\s+') AS words,
+    len(clean_text) AS nch,
+    len(regexp_replace(clean_text, '[^A-Za-z0-9\\s]', '', 'g')) AS ncl
+  FROM clean
+), adm AS (
+  SELECT doc_id, clean_text, n_tokens, n_removed FROM cw
+  WHERE len(words) >= 10 AND len(words) <= 100000
+    AND (CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+         / len(words)) BETWEEN 2.0 AND 12.0
+    AND (CASE WHEN nch > 0
+              THEN CAST(nch - ncl AS DOUBLE) / nch
+              ELSE 0.0 END) <= 0.1
+    AND len(list_intersect(words, ['the', 'a', 'of', 'and', 'to'])) > 0
+), adocs AS (
+  SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS words
+  FROM adm WHERE len(trim(clean_text)) > 0
+), firsts AS (
+  SELECT doc_id, k,
+    row_number() OVER (PARTITION BY k ORDER BY doc_id, s) AS rn
+  FROM (
+    SELECT doc_id, i AS s, array_to_string(words[i:i+7], ' ') AS k
+    FROM adocs, unnest(range(1, len(words) - 8 + 2)) AS u(i)
+    WHERE len(words) >= 8
+  ) WHERE k NOT IN (SELECT k FROM cwins)
+), nk AS (
+  SELECT doc_id, count(*) AS c FROM firsts WHERE rn = 1 GROUP BY doc_id
+)
+SELECT c.doc_id, c.t AS clean_text,
+  CAST(CASE WHEN len(trim(c.t)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(c.t), '\\s+')) END AS BIGINT)
+    AS n_tokens,
+  CAST(0 AS BIGINT) AS n_removed,
+  CAST(0 AS BIGINT) AS n_new_keys,
+  'corpus' AS stage
+FROM corp c
+UNION ALL
+SELECT a.doc_id, a.clean_text, a.n_tokens, a.n_removed,
+  CAST(coalesce(nk.c, 0) AS BIGINT) AS n_new_keys,
+  'batch' AS stage
+FROM adm a LEFT JOIN nk ON nk.doc_id = a.doc_id
+"""
+
+
+@query(
+    "q_incremental_ingest_chain",
+    oracle=_incr_chain_oracle(),
+    doc="r12: the INCREMENTAL ingest chain — how a daily batch actually "
+    "lands on a 100 TB corpus (r11 verdict task 4).  History (doc_id%5!=0)"
+    " is never recomputed: the batch (doc_id%5==0) flows through exact-"
+    "hash ingest dedup (anti-join on md5 — planted full-copy dups on "
+    "doc_id%20==5), near-dup dedup against the PERSISTED LSH band index "
+    "(planted tail-edited copies on doc_id%20==10; integer-Jaccard "
+    "verify), incremental substring excision against the PERSISTED "
+    "window-key index (planted cross-batch boilerplate on doc_id%3 — "
+    "history wins; planted batch-internal repeats on doc_id%15 — batch-"
+    "first wins), the Gopher quality cascade on the REBUILT text, and a "
+    "versioned append onto the corpus seed (read back as the result — "
+    "the atomic-admission leg).  The index-delta maintenance leg is "
+    "checked as data: n_new_keys = window keys each admitted doc adds "
+    "to history.  Every stage shuffles keys/ids, never corpus text; the "
+    "one SQL oracle replays all five stages end-to-end.",
+)
+def q_incremental_ingest_chain(spark, sf_dir):
+    import tempfile
+
+    from ..operators.curation import incremental_ingest_dedup
+    from ..operators.dedup import (
+        lsh_band_rows,
+        lsh_incremental_new_docs,
+        remove_duplicate_token_spans_incremental,
+        substring_window_index,
+        substring_window_index_delta,
+    )
+    from ..sources.versioned import versioned_read, versioned_write
+
+    i = F.col("doc_id")
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.trim(F.col("text")),
+            F.when(i % 3 == 0, F.lit(_CC_BLOCK)).otherwise(F.lit("")),
+            F.when(i % 15 == 0, F.lit(_QQ_BLOCK)).otherwise(F.lit("")),
+        ).alias("t0"),
+    )
+    donor = raw.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("t0").alias("src_t")
+    )
+    pl = raw.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when((i % 20 == 5) & F.col("src_t").isNotNull(), F.col("src_t"))
+        .when(
+            (i % 20 == 10) & F.col("src_t").isNotNull(),
+            F.concat(F.col("src_t"), F.lit(" zz")),
+        )
+        .otherwise(F.col("t0"))
+        .alias("t"),
+    )
+    corpus = pl.filter(i % 5 != 0)
+    batch = pl.filter(i % 5 == 0)
+    # stage 1: exact-hash ingest dedup (anti-join on md5; corpus side
+    # ships 32-char hashes, never text)
+    s1 = incremental_ingest_dedup(corpus, batch, "t").drop("content_md5")
+    # stage 2: near-dup vs the PERSISTED corpus band index — the corpus
+    # is never re-signed
+    idx = lsh_band_rows(
+        corpus, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3
+    )
+    s2 = lsh_incremental_new_docs(
+        s1, corpus, "doc_id", "t",
+        num_hashes=8, bands=4, shingle_n=3, index=idx,
+    )
+    # stage 3: incremental substring excision vs the PERSISTED window
+    # index; rebuild is the doc-level array-native leg
+    widx = substring_window_index(corpus, "doc_id", "t", span=8)
+    s3 = remove_duplicate_token_spans_incremental(
+        s2, widx, "doc_id", "t", span=8
+    )
+    # stage 4: Gopher quality cascade on the REBUILT text
+    adm = (
+        quality_filter(s3, "clean_text")
+        .filter(F.col("keep"))
+        .select("doc_id", "clean_text", "n_tokens", "n_removed")
+    )
+    # index maintenance: the window keys the admitted batch adds to
+    # history (O(batch windows) + one keys-only anti-join)
+    delta = substring_window_index_delta(
+        adm, widx, "doc_id", "clean_text", span=8
+    )
+    nk = delta.groupBy(F.col("first_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("__nk")
+    )
+    out_batch = adm.join(nk, "doc_id", "left").select(
+        "doc_id",
+        "clean_text",
+        "n_tokens",
+        "n_removed",
+        F.coalesce(F.col("__nk"), F.lit(0)).cast("long").alias("n_new_keys"),
+        F.lit("batch").alias("stage"),
+    )
+    # stage 5: versioned append — the corpus seed is history; admission
+    # is one atomic commit, read back as the result
+    words = F.split(F.trim(F.col("t")), r"\s+")
+    seed = corpus.select(
+        "doc_id",
+        F.col("t").alias("clean_text"),
+        F.when(F.length(F.trim(F.col("t"))) == 0, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit(0).cast("long").alias("n_new_keys"),
+        F.lit("corpus").alias("stage"),
+    )
+    path = tempfile.mkdtemp(prefix="incr_chain_") + "/t"
+    versioned_write(seed, path)
+    versioned_write(out_batch, path, mode="append")
+    return versioned_read(spark, path)

@@ -105,20 +105,45 @@ def bench_synthetic(n_files: int) -> dict:
         )
 
         # --- "before" baseline: the same commit with inline stats ---
-        inline = {k: v for k, v in m2.items()}
+        # Lite mode at >= 2M files: the inline blob would be a tens-of-GB
+        # in-memory string (it scales exactly linearly — the three
+        # measured decades pin the slope), so stream the serialization in
+        # 64k-entry slabs: same bytes, same "serialize everything every
+        # commit" cost, bounded memory.
         t0 = time.perf_counter()
-        blob = json.dumps(inline)
+        inline_bytes = 0
         with open(os.path.join(path, "_inline.tmp"), "w") as fh:
-            fh.write(blob)
+            if n_files >= 2_000_000:
+                head = {k: v for k, v in m2.items() if k != "stats"}
+                inline_bytes += fh.write(json.dumps(head)[:-1] + ', "stats": {')
+                keys = list(stats2)
+                for lo in range(0, len(keys), 65536):
+                    slab = ",".join(
+                        f"{json.dumps(k)}: {json.dumps(stats2[k])}"
+                        for k in keys[lo : lo + 65536]
+                    )
+                    inline_bytes += fh.write(
+                        (", " if lo else "") + slab
+                    )
+                inline_bytes += fh.write("}}")
+            else:
+                blob = json.dumps({k: v for k, v in m2.items()})
+                inline_bytes = fh.write(blob)
         t_inline = time.perf_counter() - t0
-        inline_bytes = len(blob)
 
         # --- read path: cold (no segment cache) and warm ---
         V._SEG_CACHE.clear()
         t0 = time.perf_counter()
         got = V._read_manifest(path, 2)
         t_cold = time.perf_counter() - t0
-        assert got["stats"] == stats2, "segmented readback != original"
+        if n_files >= 2_000_000:
+            # full dict equality at 10M doubles peak memory for a pure
+            # CPU re-check; sample instead (every 9973rd key + the new one)
+            assert len(got["stats"]) == len(stats2)
+            ks = list(stats2)[:: 9973] + [new_key]
+            assert all(got["stats"][k] == stats2[k] for k in ks)
+        else:
+            assert got["stats"] == stats2, "segmented readback != original"
         t0 = time.perf_counter()
         V._read_manifest(path, 2)
         t_warm = time.perf_counter() - t0
@@ -302,7 +327,12 @@ def bench_names(n_files: int) -> dict:
 
 
 def main() -> None:
-    rows = [bench_synthetic(n) for n in (1_000, 10_000, 100_000)]
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
+        1_000,
+        10_000,
+        100_000,
+    ]
+    rows = [bench_synthetic(n) for n in sizes]
     print("\n## Metadata microbench: 1-file append on an N-file table\n")
     print(
         "| files | commit bytes before | after | ratio | "
