@@ -685,11 +685,83 @@ def synthesize_av_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 GTDV_MAGIC = b"GD01"
 
 
+def _mc_grid(w: int, h: int, block: int) -> tuple[int, int]:
+    return (h + block - 1) // block, (w + block - 1) // block
+
+
+def _mc_encode_frame(f, prev, block: int, search: int):
+    """Block-search motion estimation (r12): for each ``block``-square,
+    exhaustively search the previous RECONSTRUCTED frame over motion
+    vectors within ``±search`` px (restricted so the referenced block
+    lies fully inside the frame — always includes (0,0)), pick the
+    minimum-SAD vector with the deterministic tie-break
+    (sad, |dx|+|dy|, dy, dx) — zero motion wins ties — short-circuiting
+    at the first EXACT match in scan order (dy asc, dx asc; a zero-SAD
+    block can only be tied, never beaten, so the residual stays
+    optimal and the output stays deterministic).  Emit the mod-256
+    residual against the motion-compensated reference.  The all-zero-MV
+    case degenerates to exactly the whole-frame 'P' delta — the
+    built-in fallback.  Returns (dys, dxs, residual_plane)."""
+    import numpy as np
+
+    h, w, _ = f.shape
+    nby, nbx = _mc_grid(w, h, block)
+    dys = np.zeros((nby, nbx), np.int8)
+    dxs = np.zeros((nby, nbx), np.int8)
+    resid = np.empty((h, w, 3), np.uint8)
+    fi = f.astype(np.int16)
+    pi = prev.astype(np.int16)
+    for by in range(nby):
+        y0 = by * block
+        bh = min(block, h - y0)
+        for bx in range(nbx):
+            x0 = bx * block
+            bw = min(block, w - x0)
+            cur = fi[y0 : y0 + bh, x0 : x0 + bw]
+            best = None
+            # fixed scan order + early exit on the first exact match:
+            # deterministic either way (the scan order is part of the
+            # format's encoder spec), and a zero-SAD block cannot be
+            # beaten — only tied — so the residual stays optimal
+            for dy in range(max(-search, -y0), min(search, h - y0 - bh) + 1):
+                for dx in range(
+                    max(-search, -x0), min(search, w - x0 - bw) + 1
+                ):
+                    ref = pi[y0 + dy : y0 + dy + bh, x0 + dx : x0 + dx + bw]
+                    sad = int(np.abs(cur - ref).sum())
+                    key = (sad, abs(dx) + abs(dy), dy, dx)
+                    if best is None or key < best[0]:
+                        best = (key, dy, dx, ref)
+                        if sad == 0:
+                            break
+                else:
+                    continue
+                break
+            _key, dy, dx, ref = best
+            dys[by, bx], dxs[by, bx] = dy, dx
+            resid[y0 : y0 + bh, x0 : x0 + bw] = (cur - ref) % 256
+    return dys, dxs, resid
+
+
 def encode_video_tdelta(
-    frames: list, fps: int = 10, key_interval: int = 8
+    frames: list,
+    fps: int = 10,
+    key_interval: int = 8,
+    motion: bool = False,
+    block: int = 8,
+    search: int = 4,
 ) -> bytes:
     """Encode uint8 RGB frames (each HxWx3 numpy array, same dims) as a
-    temporal-delta AVI ('GDLT' fourcc)."""
+    temporal-delta AVI ('GDLT' fourcc).
+
+    ``motion=True`` (r12): non-key frames become 'M' frames — per-block
+    motion-compensated prediction (``_mc_encode_frame``) instead of the
+    whole-frame delta.  Body = MV grid (int8 dy then dx, row-major) +
+    mod-256 residual plane, deflated.  Still lossless by construction
+    for ANY content and ANY vector choice (the residual is exact);
+    moving content yields near-zero residuals the whole-frame delta
+    cannot, static content degenerates to the 'P' delta plus a
+    ~2-byte-per-block zero MV grid."""
     import zlib
 
     import numpy as np
@@ -698,6 +770,10 @@ def encode_video_tdelta(
         raise ValueError("a video needs at least one frame")
     if key_interval < 1:
         raise ValueError(f"key_interval must be >= 1, got {key_interval}")
+    if motion and not 1 <= block <= 255:
+        raise ValueError(f"block must fit one byte, got {block}")
+    if motion and not 0 <= search <= 127:
+        raise ValueError(f"search must fit int8, got {search}")
     h, w, _c = frames[0].shape
     payloads: list[bytes] = []
     keys: list[bool] = []
@@ -709,12 +785,16 @@ def encode_video_tdelta(
                 f"{f.dtype} {f.shape}"
             )
         if i % key_interval == 0:
-            body, t = f.tobytes(), b"I"
+            head, body = GTDV_MAGIC + b"I", f.tobytes()
+        elif motion:
+            dys, dxs, resid = _mc_encode_frame(f, prev, block, search)
+            head = GTDV_MAGIC + b"M" + bytes([block])
+            body = dys.tobytes() + dxs.tobytes() + resid.tobytes()
         else:
             delta = (f.astype(np.int16) - prev.astype(np.int16)) % 256
-            body, t = delta.astype(np.uint8).tobytes(), b"P"
-        payloads.append(GTDV_MAGIC + t + zlib.compress(body, 6))
-        keys.append(t == b"I")
+            head, body = GTDV_MAGIC + b"P", delta.astype(np.uint8).tobytes()
+        payloads.append(head + zlib.compress(body, 6))
+        keys.append(head[4:5] == b"I")
         prev = f
     return _encode_avi_container(payloads, w, h, fps, b"GDLT", keys)
 
@@ -728,10 +808,52 @@ def _decode_tdelta_frame(payload: bytes, w: int, h: int, prev):
     if len(payload) < 5 or payload[:4] != GTDV_MAGIC:
         raise ValueError("not a GD01 temporal-delta frame")
     t = payload[4:5]
+    if t not in (b"I", b"P", b"M"):
+        raise ValueError(f"unknown GD01 frame type {t!r}")
+    hdr = 6 if t == b"M" else 5
+    if t == b"M" and len(payload) < 6:
+        raise ValueError("truncated GD01 M header")
     try:
-        body = zlib.decompress(payload[5:])
+        body = zlib.decompress(payload[hdr:])
     except zlib.error as e:
         raise ValueError(f"corrupt deflate body: {e}") from None
+    if t == b"M":
+        if prev is None:
+            raise ValueError(
+                "M frame with no reference (stream starts mid-GOP)"
+            )
+        block = payload[5]
+        if block < 1:
+            raise ValueError("GD01 M block size 0")
+        nby, nbx = _mc_grid(w, h, block)
+        nmv = nby * nbx
+        if len(body) != 2 * nmv + h * w * 3:
+            raise ValueError(
+                f"M body is {len(body)} B, expected {2 * nmv + h * w * 3}"
+            )
+        dys = np.frombuffer(body[:nmv], np.int8).reshape(nby, nbx)
+        dxs = np.frombuffer(body[nmv : 2 * nmv], np.int8).reshape(nby, nbx)
+        resid = np.frombuffer(body[2 * nmv :], np.uint8).reshape(h, w, 3)
+        pi = prev.astype(np.int16)
+        out = np.empty((h, w, 3), np.uint8)
+        for by in range(nby):
+            y0 = by * block
+            bh = min(block, h - y0)
+            for bx in range(nbx):
+                x0 = bx * block
+                bw = min(block, w - x0)
+                dy, dx = int(dys[by, bx]), int(dxs[by, bx])
+                ry, rx = y0 + dy, x0 + dx
+                if not (0 <= ry and ry + bh <= h and 0 <= rx and rx + bw <= w):
+                    raise ValueError(
+                        f"M motion vector ({dy},{dx}) at block "
+                        f"({by},{bx}) references outside the frame"
+                    )
+                out[y0 : y0 + bh, x0 : x0 + bw] = (
+                    pi[ry : ry + bh, rx : rx + bw]
+                    + resid[y0 : y0 + bh, x0 : x0 + bw]
+                ) % 256
+        return out, t
     if len(body) != h * w * 3:
         raise ValueError(
             f"frame plane is {len(body)} B, expected {h * w * 3}"
@@ -739,8 +861,6 @@ def _decode_tdelta_frame(payload: bytes, w: int, h: int, prev):
     plane = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
     if t == b"I":
         return plane.copy(), t
-    if t != b"P":
-        raise ValueError(f"unknown GD01 frame type {t!r}")
     if prev is None:
         raise ValueError("P frame with no reference (stream starts mid-GOP)")
     return (prev.astype(np.int16) + plane.astype(np.int16)).astype(
@@ -807,7 +927,12 @@ def sample_tdelta_frames(
 
     for i in range(0, len(frames), every_k):
         plane = frame_at(i)
-        out.append((i, "I" if flags[i] else "P", plane))
+        # true frame type from the payload's type byte (idx1 flags only
+        # say SEEKABLE — they cannot distinguish 'P' from 'M' predicted
+        # frames, r12)
+        off, _size = frames[i]
+        t = payload[off + 4 : off + 5].decode("ascii", "replace")
+        out.append((i, t, plane))
     return out
 
 
@@ -840,6 +965,51 @@ def synthesize_tdelta_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 ids.append(i)
                 payloads.append(
                     encode_video_tdelta(fr, fps=10, key_interval=4)
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_mc_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Executor-side synthesis of TRANSLATING scenes for the r12
+    motion-compensated leg: doc ``i`` has ``i % 5 + 3`` frames, each the
+    16x12 LCG texture ``((1103515245*(x + 16*y + 192*c + 576*i)
+    + 12345) mod 2^31) mod 199`` cyclically rolled by
+    ``((f*2) % 12, (f*3) % 16)`` — consecutive frames differ by a pure
+    (2, 3) translation inside the ±4 search window, so interior blocks
+    motion-predict to ZERO residual while the wrap band stays nonzero
+    (exercising both the MC-hit and residual paths); the texture is
+    high-entropy, the content class where MC beats the whole-frame
+    delta (1.4x at 48x64 — tests/test_r12_mc.py).  Rolling preserves
+    the pixel multiset, so per-frame channel SUMS are frame-independent
+    integers an oracle recomputes from the rule.  Encoded with
+    motion=True, key_interval=4, block=4."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        yy, xx = np.mgrid[0:12, 0:16]
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                base = np.empty((12, 16, 3), dtype=np.uint8)
+                for c in range(3):
+                    n = (xx + 16 * yy + 192 * c + 576 * i).astype(np.int64)
+                    base[:, :, c] = (
+                        (1103515245 * n + 12345) % 2147483648
+                    ) % 199
+                frames = [
+                    np.roll(base, ((f * 2) % 12, (f * 3) % 16), axis=(0, 1))
+                    for f in range(i % 5 + 3)
+                ]
+                ids.append(i)
+                payloads.append(
+                    encode_video_tdelta(
+                        frames, fps=10, key_interval=4,
+                        motion=True, block=4, search=4,
+                    )
                 )
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 

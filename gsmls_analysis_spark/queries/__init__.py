@@ -45,10 +45,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _DRIVER_WINDOW = [
     # ROUND 12 window (policy + slot accounting in docs/ROUND12_NOTES.md).
     # Theme: FINISH THE STALENESS FLUSH (r11 verdict task 1) — the 15
-    # r2-cohort leftovers named there, then the oldest 30 of the 35
+    # r2-cohort leftovers named there, then the oldest 29 of the 35
     # r3-cohort queries in registration order.
     # (c) added in round 12 — never driver-checked
     "q_incremental_ingest_chain",  # 5-stage incremental daily-batch chain
+    "q_video_mc_decode",  # block-search motion-compensated codec leg
     # (b) code changed since last driver check: versioned_stream_sink
     # grew bucket pre-repartition + maintain_after_drain; WebDataset tar
     # writes go through the uuid-temp commit protocol; tdelta sampling
@@ -74,10 +75,11 @@ _DRIVER_WINDOW = [
     "q_stratified_sample",
     "q_domain_mix",
     "q_sample_rate_audit",
-    # (a) last driver-checked in ROUND 3 — oldest 30 of 35 in
-    # registration order; the 5 remaining (q20_excess_shipments,
-    # q_nation_year_rollup_gid, q_priority_status_pivot,
-    # q_scd2_user_history, q_quantiles_by_priority) lead the r13 window
+    # (a) last driver-checked in ROUND 3 — oldest 29 of 35 in
+    # registration order; the 6 remaining (q16_part_supplier_relation,
+    # q20_excess_shipments, q_nation_year_rollup_gid,
+    # q_priority_status_pivot, q_scd2_user_history,
+    # q_quantiles_by_priority) lead the r13 window
     "q_price_ratio",
     "q_salted_join_revenue",
     "q_range_bucket_join",
@@ -107,7 +109,6 @@ _DRIVER_WINDOW = [
     "q11_important_parts",
     "q12_priority_by_delay_bucket",
     "q15_top_supplier",
-    "q16_part_supplier_relation",
     # Window stays exactly 50; everything rotated out keeps its r11
     # driver greens plus fresh r12 3-SF gate rows (docs/GATE_r12_*).
 ]

@@ -1154,3 +1154,53 @@ def q_video_tdelta_decode(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return decode_tdelta_stats(synthesize_tdelta_assets(docs, "doc_id"), every_k=2)
+
+
+@query(
+    "q_video_mc_decode",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, t.f
+  FROM documents, range(0, 8) t(f)
+  WHERE t.f < doc_id % 5 + 3 AND t.f % 2 = 0
+), sums AS (
+  SELECT d.doc_id,
+    CAST((SELECT SUM(((1103515245*(x.x + 16*y.y + 576*d.doc_id) + 12345)
+                      % 2147483648) % 199)
+          FROM range(0, 16) x(x), range(0, 12) y(y)) AS BIGINT) AS s_r,
+    CAST((SELECT SUM(((1103515245*(x.x + 16*y.y + 192 + 576*d.doc_id) + 12345)
+                      % 2147483648) % 199)
+          FROM range(0, 16) x(x), range(0, 12) y(y)) AS BIGINT) AS s_g,
+    CAST((SELECT SUM(((1103515245*(x.x + 16*y.y + 384 + 576*d.doc_id) + 12345)
+                      % 2147483648) % 199)
+          FROM range(0, 16) x(x), range(0, 12) y(y)) AS BIGINT) AS s_b
+  FROM (SELECT DISTINCT doc_id FROM fr) d
+)
+SELECT fr.doc_id AS asset_id, CAST(fr.f AS BIGINT) AS frame_idx,
+  CASE WHEN fr.f % 4 = 0 THEN 'I' ELSE 'M' END AS ftype,
+  s.s_r AS sum_r, s.s_g AS sum_g, s.s_b AS sum_b,
+  CAST(NULL AS VARCHAR) AS decode_error
+FROM fr JOIN sums s ON s.doc_id = fr.doc_id
+""",
+    doc="r12 spike: MOTION-COMPENSATED temporal-delta video "
+    "(operators/video.py::_mc_encode_frame — block-search inter "
+    "prediction, the next honest step after r11's whole-frame delta; "
+    "H.264/VP9 stay stubbed behind the native seam).  Per doc, a "
+    "high-entropy 16x12 LCG texture translates by (2,3) per frame "
+    "(cyclic roll): interior blocks motion-predict to ZERO residual, "
+    "the wrap band exercises real residuals, and every non-key frame "
+    "encodes as an 'M' frame (MV grid + mod-256 residual, deflated — "
+    "lossless for ANY content and ANY vector choice by construction).  "
+    "Sampling every 2nd frame drives the GOP seek path THROUGH M-frame "
+    "prediction chains.  Rolling preserves the pixel multiset, so the "
+    "oracle recomputes the frame-independent per-channel sums from the "
+    "LCG rule — any motion-search, reference-sampling, residual, "
+    "container, or index bug breaks the hash.",
+)
+def q_video_mc_decode(spark, sf_dir):
+    from ..operators.video import decode_tdelta_stats, synthesize_mc_assets
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return decode_tdelta_stats(synthesize_mc_assets(docs, "doc_id"), every_k=2)
