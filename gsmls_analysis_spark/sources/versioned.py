@@ -329,6 +329,10 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
     manifest link; a crash in between orphans them (invisible — vacuum
     reclaims)."""
     stats = manifest.get("stats") or {}
+    # one-shot audit hint (versioned_maintain(audit_completeness=True)):
+    # recompute stats_complete with the FULL walk even when inheritance
+    # would apply — the remediation path for out-of-band file drops
+    force_audit = bool(manifest.pop("__stats_full_audit__", False))
     if not stats:
         return manifest
     remaining = dict(stats)
@@ -336,17 +340,26 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
     seg_meta: dict[str, dict] = {}
     parent_v = manifest.get("parent")
     praw: dict = {}
+    # parent_subset: every stats entry the PARENT published is provably
+    # still present and identical in this commit's stats — true iff every
+    # parent segment is either re-referenced intact or folded (folding
+    # re-serializes intact-verified entries).  Legacy inline-stats parents
+    # can't be verified cheaply, so they disable the subset claim.  This
+    # flag gates the O(touched-dirs) stats_complete inheritance below.
+    parent_subset = False
     if parent_v:
         try:
             with open(os.path.join(path, f"manifest-v{parent_v}.json")) as fh:
                 praw = json.load(fh)
         except (OSError, ValueError):
             praw = {}
+        parent_subset = bool(praw) and "stats" not in praw
         parent_meta = praw.get("stats_segment_meta") or {}
         for name in praw.get("stats_segments") or []:
             try:
                 entries = _load_segment(root, name)
             except (OSError, ValueError, KeyError):
+                parent_subset = False
                 continue  # segment missing/corrupt: rewrite its entries
             intact = bool(entries)
             for k, e in entries.items():
@@ -354,6 +367,8 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
                 if v is None or (v is not e and v != e):
                     intact = False
                     break
+            if not intact:
+                parent_subset = False
             if intact:
                 refs.append((name, len(entries)))
                 # carried segments keep their envelope (recomputed from
@@ -393,10 +408,46 @@ def _segment_stats(path: str, root: str, manifest: dict) -> dict:
     disk["stats_segment_meta"] = seg_meta
     # every live file has a stats entry -> a pruned reader may soundly
     # DROP files it finds no loaded entry for (they live in segments
-    # whose envelope excluded the predicate)
+    # whose envelope excluded the predicate).
+    #
+    # Metadata-scale shape (the 10M-file decade exposed this): the naive
+    # check walks EVERY data dir on EVERY commit — O(table files) of
+    # getdents per commit, ~40-60 s at 10M files, turning a DV-grow
+    # commit whose serialized delta is a few KB into a minute of
+    # filesystem scanning.  Data dirs are write-once under the commit
+    # protocol (each commit stages its own token-named dir; rewrites
+    # happen only to the CURRENT commit's dir, which is never inherited),
+    # so completeness is inherited instead: if the parent stamped
+    # stats_complete AND every parent stats entry is provably still
+    # present (parent_subset), then inherited dirs stay complete and only
+    # the dirs THIS commit introduced are walked — O(touched files) like
+    # everything else on the commit path.  Any break in the chain (entry
+    # removed or changed, corrupt segment, legacy inline parent) falls
+    # back to the full walk.  Like Delta/Iceberg, files placed into data
+    # dirs out-of-band are outside the correctness contract; any commit
+    # whose inheritance chain breaks (OPTIMIZE, COW delete, RESTORE)
+    # re-audits with the full walk.
     try:
-        live = _expand_files(root, _entries(manifest))
-        disk["stats_complete"] = all(f in stats for f in live)
+        dirs_now = list(manifest.get("data_dirs") or [])
+        files_now = list(manifest.get("data_files") or [])
+        pdirs = (
+            _disk_dir_entries(praw, root)
+            if not force_audit
+            and parent_subset
+            and praw.get("stats_complete") is True
+            else None
+        )
+        if pdirs is not None:
+            pdirset = set(pdirs)
+            live = _expand_files(
+                root, [d for d in dirs_now if d not in pdirset]
+            )
+            disk["stats_complete"] = all(f in stats for f in live) and all(
+                f in stats for f in files_now
+            )
+        else:
+            live = _expand_files(root, dirs_now + files_now)
+            disk["stats_complete"] = all(f in stats for f in live)
     except OSError:
         disk["stats_complete"] = False
     # --- name lists (r10): data_dirs/data_files/dvs — the manifest's
@@ -2058,18 +2109,41 @@ def _bloom_cols_of(manifest: dict) -> list[str]:
     return sorted(cols)
 
 
+def _disk_dir_entries(praw: dict, root: str) -> list[str] | None:
+    """Dir entries of a raw (disk-form) manifest without materializing
+    it: inline ``data_dirs`` directly, or the ``d:``-prefixed keys of its
+    name segments (cached loads — the commit path has usually already
+    touched them).  None when a chunk is unreadable, which callers treat
+    as "unknown" and fall back to the full filesystem walk."""
+    if praw.get("names_segments"):
+        dirs: list[str] = []
+        for name in praw["names_segments"]:
+            try:
+                for k in _load_segment(root, name):
+                    if k.startswith("d:"):
+                        dirs.append(k[2:])
+            except (OSError, ValueError, KeyError):
+                return None
+        return dirs
+    return list(praw.get("data_dirs") or [])
+
+
 def _expand_files(root: str, entries: list[str]) -> list[str]:
     """Resolve dir entries to their parquet files (relative to root) so a
     commit can keep untouched files by reference; file entries pass
-    through.  Metadata-scale work: one listing per referenced directory."""
+    through.  Metadata-scale work: one listing per referenced directory;
+    the rel-path prefix is computed once per DIRECTORY, not per file (at
+    10M files the per-file relpath() alone cost seconds)."""
     out: list[str] = []
     for e in entries:
         p = os.path.join(root, e)
         if os.path.isdir(p):
             for dirpath, _dirs, files in os.walk(p):
+                rel_dir = os.path.relpath(dirpath, root)
+                prefix = "" if rel_dir == os.curdir else rel_dir + os.sep
                 for f in sorted(files):
                     if f.endswith(".parquet"):
-                        out.append(os.path.relpath(os.path.join(dirpath, f), root))
+                        out.append(prefix + f)
         else:
             out.append(e)
     return out
@@ -5139,6 +5213,7 @@ def versioned_maintain(
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
     zorder: tuple[str, ...] | None = None,
+    audit_completeness: bool = False,
 ) -> dict:
     """Self-executing maintenance policy: the measured OPTIMIZE cadence
     (docs/CDC_DECAY.md, DV_READ.md) as a callable instead of advice.
@@ -5161,7 +5236,75 @@ def versioned_maintain(
     to restore skipping, and prefer threshold tuning over frequency
     tuning (the check is free; the rewrite is not).  A compaction that
     races a concurrent commit retries under the standard OCC protocol
-    inside ``versioned_compact``."""
+    inside ``versioned_compact``.
+
+    ``audit_completeness=True`` adds the O(table-files) audit the
+    per-commit path deliberately stopped paying (r12: ``stats_complete``
+    is inherited from a complete parent instead of re-walking every dir
+    on every commit): one full filesystem walk comparing the live file
+    set against stats coverage.  Files present on disk with no stats
+    entry (out-of-band drops — outside the write-once-dir contract) are
+    reported as ``audit_uncovered``; if the current manifest stamps
+    ``stats_complete`` while uncovered files exist, the stamp is a
+    pruned-read hazard and maintain publishes a metadata-only commit
+    re-computed under the full walk (clearing the stamp) so pruned
+    readers soundly degrade to full reads — reported as
+    ``audit_remediated``.  Stats entries whose files no longer exist are
+    reported as ``audit_dangling`` (harmless to pruning; they indicate
+    external deletes).  The audit is maintenance-cadence work by design:
+    per-commit it would re-impose the 10M-file minute-per-commit walk
+    the inheritance removed."""
+    report_audit: dict = {}
+    if audit_completeness:
+        versions = table_versions(path)
+        if versions:
+            root = os.path.abspath(path)
+            m = _read_manifest(path, versions[-1])
+            stats = m.get("stats") or {}
+            live = _expand_files(root, _entries(m))
+            live_set = set(live)
+            uncovered = sorted(f for f in live if f not in stats)
+            dangling = sorted(k for k in stats if k not in live_set)
+            with open(
+                os.path.join(path, f"manifest-v{versions[-1]}.json")
+            ) as fh:
+                stamped = json.load(fh).get("stats_complete") is True
+            report_audit = {
+                "audit_uncovered": uncovered,
+                "audit_dangling": dangling,
+                "audit_remediated": False,
+            }
+            if uncovered and stamped:
+                nm = {
+                    k: v
+                    for k, v in m.items()
+                    if k
+                    not in (
+                        "version",
+                        "parent",
+                        "committed_at",
+                        "txns",
+                        "meta",
+                        "reader_features",
+                        "writer_features",
+                        "stats_segments",
+                        "stats_segment_meta",
+                        "names_segments",
+                        "stats_complete",
+                        "__stats_pruned_complete",
+                        # cdf is PER-COMMIT change data: a metadata-only
+                        # commit has none (copying the parent's would
+                        # replay its changes into this commit's feed)
+                        "cdf",
+                    )
+                }
+                nm["version"] = versions[-1] + 1
+                nm["parent"] = versions[-1]
+                nm["txns"] = _merge_txns(m, None)
+                nm["meta"] = {"stats_audit_from": versions[-1]}
+                nm["__stats_full_audit__"] = True
+                if _publish(path, nm):
+                    report_audit["audit_remediated"] = True
     h = _table_health(
         path,
         None,
@@ -5176,6 +5319,7 @@ def versioned_maintain(
         "num_deleted_rows": h["num_deleted_rows"],
         "num_files": h["num_files"],
         "avg_file_bytes": h["avg_file_bytes"],
+        **report_audit,
     }
     if not h["reasons"]:
         return report

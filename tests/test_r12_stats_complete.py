@@ -1,0 +1,269 @@
+"""Incremental ``stats_complete`` (r12, third metadata decade): the
+per-commit completeness stamp must NOT re-walk every data dir of the
+table — at 10M files that walk alone cost ~a minute per DV-grow commit
+whose serialized delta is a few KB.  Completeness is inherited from a
+complete parent whenever every parent stats entry is provably still
+present (``parent_subset``); only dirs the commit INTRODUCES are walked.
+
+Pure metadata-plane tests (no Spark): manifests published through the
+real ``_publish`` with zero-byte stand-in files, walks counted via an
+``_expand_files`` spy.  The soundness bar: ``stats_complete`` may stamp
+True ONLY when every live file has a stats entry — a wrong True lets a
+pruned reader (``_read_manifest_pruned``) silently drop live files.
+"""
+
+import json
+import os
+
+import pytest
+
+from gsmls_analysis_spark.sources import versioned as V
+
+
+def _entry(i):
+    return {
+        "rows": 10,
+        "cols": {"c0": {"min": i, "max": i + 1, "nulls": 0}},
+        "pvals": {},
+    }
+
+
+def _mk_dir(root, rel, files):
+    os.makedirs(os.path.join(root, rel), exist_ok=True)
+    out = []
+    for f in files:
+        p = f"{rel}/{f}"
+        open(os.path.join(root, p), "w").close()
+        out.append(p)
+    return out
+
+
+def _raw(path, v):
+    with open(os.path.join(path, f"manifest-v{v}.json")) as fh:
+        return json.load(fh)
+
+
+@pytest.fixture()
+def walk_spy(monkeypatch):
+    """Counts _expand_files invocations FROM _segment_stats that hit at
+    least one real directory (i.e. paid a filesystem walk)."""
+    calls = {"walked_dirs": []}
+    real = V._expand_files
+
+    def spy(root, entries):
+        for e in entries:
+            if os.path.isdir(os.path.join(root, e)):
+                calls["walked_dirs"].append(e)
+        return real(root, entries)
+
+    monkeypatch.setattr(V, "_expand_files", spy)
+    return calls
+
+
+def test_append_walks_only_the_new_dir(tmp_path, walk_spy):
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": {f: _entry(i) for i, f in enumerate(f1)},
+          "txns": {}}
+    assert V._publish(path, m1)
+    assert _raw(path, 1)["stats_complete"] is True
+    v1_walks = list(walk_spy["walked_dirs"])
+    assert "data/v1-aaaaaaaa" in v1_walks  # introducing commit walks it
+
+    f2 = _mk_dir(path, "data/v2-bbbbbbbb", ["c.parquet"])
+    m2 = {"version": 2, "parent": 1,
+          "data_dirs": ["data/v1-aaaaaaaa", "data/v2-bbbbbbbb"],
+          "schema": None,
+          "stats": {**m1["stats"], f2[0]: _entry(9)}, "txns": {}}
+    walk_spy["walked_dirs"].clear()
+    assert V._publish(path, m2)
+    assert _raw(path, 2)["stats_complete"] is True
+    # inherited dir NOT re-walked; only the commit's own new dir
+    assert walk_spy["walked_dirs"] == ["data/v2-bbbbbbbb"]
+
+
+def test_dv_grow_commit_walks_nothing(tmp_path, walk_spy):
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    stats = {f: _entry(i) for i, f in enumerate(f1)}
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": stats, "txns": {}}
+    assert V._publish(path, m1)
+    os.makedirs(os.path.join(path, "dv"))
+    open(os.path.join(path, "dv/dv-2.bin"), "w").close()
+    m2 = {"version": 2, "parent": 1, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": dict(stats),
+          "dvs": {f1[0]: {"path": "dv/dv-2.bin", "count": 1}}, "txns": {}}
+    walk_spy["walked_dirs"].clear()
+    assert V._publish(path, m2)
+    assert _raw(path, 2)["stats_complete"] is True
+    assert walk_spy["walked_dirs"] == []  # the 10M-decade invariant
+
+
+def test_removed_entry_breaks_inheritance_and_recomputes(tmp_path, walk_spy):
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    stats = {f: _entry(i) for i, f in enumerate(f1)}
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": stats, "txns": {}}
+    assert V._publish(path, m1)
+    # a commit that DROPS one file's stats entry but keeps the dir entry:
+    # inheritance must break (parent_subset False) and the full walk must
+    # find the uncovered live file -> stats_complete False
+    partial = {f1[0]: stats[f1[0]]}
+    m2 = {"version": 2, "parent": 1, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": partial, "txns": {}}
+    walk_spy["walked_dirs"].clear()
+    assert V._publish(path, m2)
+    assert _raw(path, 2)["stats_complete"] is False
+    assert walk_spy["walked_dirs"] == ["data/v1-aaaaaaaa"]  # re-audited
+
+
+def test_changed_entry_breaks_inheritance(tmp_path, walk_spy):
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    stats = {f: _entry(i) for i, f in enumerate(f1)}
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": stats, "txns": {}}
+    assert V._publish(path, m1)
+    changed = {f1[0]: _entry(100), f1[1]: stats[f1[1]]}
+    m2 = {"version": 2, "parent": 1, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": changed, "txns": {}}
+    walk_spy["walked_dirs"].clear()
+    assert V._publish(path, m2)
+    # all live files still covered -> complete, but via the FULL walk
+    assert _raw(path, 2)["stats_complete"] is True
+    assert walk_spy["walked_dirs"] == ["data/v1-aaaaaaaa"]
+
+
+def test_incomplete_parent_never_inherits_complete(tmp_path, walk_spy):
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    # v1 covers only ONE of its two files -> stamped incomplete
+    stats = {f1[0]: _entry(0)}
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": stats, "txns": {}}
+    assert V._publish(path, m1)
+    assert _raw(path, 1)["stats_complete"] is False
+    m2 = {"version": 2, "parent": 1, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": dict(stats), "txns": {}}
+    walk_spy["walked_dirs"].clear()
+    assert V._publish(path, m2)
+    # no complete parent to inherit from: full walk, still incomplete
+    assert _raw(path, 2)["stats_complete"] is False
+    assert walk_spy["walked_dirs"] == ["data/v1-aaaaaaaa"]
+
+
+def test_file_entries_checked_without_walk(tmp_path, walk_spy):
+    """data_files (COW-delete keep-by-reference) entries are verified by
+    dict lookup on every commit — no filesystem walk, and a missing
+    entry still flips the stamp to False."""
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    stats = {f: _entry(i) for i, f in enumerate(f1)}
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": stats, "txns": {}}
+    assert V._publish(path, m1)
+    # v2: COW shape — dir entry replaced by explicit file list, one file
+    # dropped (deleted), stats for the kept file only
+    m2 = {"version": 2, "parent": 1, "data_dirs": [],
+          "data_files": [f1[0]], "schema": None,
+          "stats": {f1[0]: stats[f1[0]]}, "txns": {}}
+    assert V._publish(path, m2)
+    assert _raw(path, 2)["stats_complete"] is True
+    # v3 on top of complete v2: file entries verified, nothing walked
+    m3 = {"version": 3, "parent": 2, "data_dirs": [],
+          "data_files": [f1[0]], "schema": None,
+          "stats": {f1[0]: stats[f1[0]]}, "txns": {}}
+    walk_spy["walked_dirs"].clear()
+    assert V._publish(path, m3)
+    assert _raw(path, 3)["stats_complete"] is True
+    assert walk_spy["walked_dirs"] == []
+
+
+def test_disk_dir_entries_reads_name_segments(tmp_path):
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet"])
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": {f1[0]: _entry(0)}, "txns": {}}
+    assert V._publish(path, m1)
+    raw = _raw(path, 1)
+    assert "names_segments" in raw  # r10 name-segment form
+    got = V._disk_dir_entries(raw, os.path.abspath(path))
+    assert got == ["data/v1-aaaaaaaa"]
+
+
+def test_pruned_read_soundness_after_inherited_stamp(tmp_path):
+    """End-to-end guard: after a chain of inherited stamps, the live file
+    set derived from the manifest still exactly matches what a full walk
+    finds — the property a pruned reader's correctness rests on."""
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    stats = {f: _entry(i) for i, f in enumerate(f1)}
+    m = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+         "schema": None, "stats": stats, "txns": {}}
+    assert V._publish(path, m)
+    for v in range(2, 6):
+        rel = f"data/v{v}-cccccccc"
+        fs = _mk_dir(path, rel, [f"p{v}.parquet"])
+        stats = {**stats, fs[0]: _entry(v)}
+        dirs = [f"data/v{k}-cccccccc" for k in range(2, v + 1)]
+        m = {"version": v, "parent": v - 1,
+             "data_dirs": ["data/v1-aaaaaaaa"] + dirs,
+             "schema": None, "stats": dict(stats), "txns": {}}
+        assert V._publish(path, m)
+    raw = _raw(path, 5)
+    assert raw["stats_complete"] is True
+    got = V._read_manifest(path, 5)
+    root = os.path.abspath(path)
+    live = set(V._expand_files(root, V._entries(got)))
+    assert live == set(stats)          # walk and metadata agree
+    assert set(got["stats"]) == set(stats)  # every live file has an entry
+
+
+def test_maintain_audit_detects_and_remediates_foreign_file(tmp_path):
+    """The closing of the loop: an out-of-band file dropped into a live
+    dir is invisible to inherited stamps (the documented contract), but
+    maintain(audit_completeness=True) finds it, publishes a metadata-only
+    commit recomputed under the full walk (stamp -> False), and pruned
+    readers degrade soundly.  A second audit reports the hazard without
+    committing again (the stamp is already safe)."""
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet", "b.parquet"])
+    stats = {f: _entry(i) for i, f in enumerate(f1)}
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": stats, "txns": {}}
+    assert V._publish(path, m1)
+    # inherited-complete chain
+    m2 = {"version": 2, "parent": 1, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": dict(stats), "txns": {}}
+    assert V._publish(path, m2)
+    assert _raw(path, 2)["stats_complete"] is True
+    # out-of-band drop AFTER v2: inherited stamp can't see it
+    open(os.path.join(path, "data/v1-aaaaaaaa/foreign.parquet"), "w").close()
+    rep = V.versioned_maintain(None, path, audit_completeness=True)
+    assert rep["audit_uncovered"] == ["data/v1-aaaaaaaa/foreign.parquet"]
+    assert rep["audit_remediated"] is True
+    v3 = _raw(path, 3)
+    assert v3["stats_complete"] is False         # full-walk recompute
+    assert v3.get("meta", {}).get("stats_audit_from") == 2
+    assert "cdf" not in v3                        # metadata-only commit
+    # second audit: hazard reported, no new commit needed
+    rep2 = V.versioned_maintain(None, path, audit_completeness=True)
+    assert rep2["audit_uncovered"] == ["data/v1-aaaaaaaa/foreign.parquet"]
+    assert rep2["audit_remediated"] is False
+    assert V.table_versions(path)[-1] == 3
+
+
+def test_maintain_audit_clean_table_reports_empty(tmp_path):
+    path = str(tmp_path)
+    f1 = _mk_dir(path, "data/v1-aaaaaaaa", ["a.parquet"])
+    m1 = {"version": 1, "parent": 0, "data_dirs": ["data/v1-aaaaaaaa"],
+          "schema": None, "stats": {f1[0]: _entry(0)}, "txns": {}}
+    assert V._publish(path, m1)
+    rep = V.versioned_maintain(None, path, audit_completeness=True)
+    assert rep["audit_uncovered"] == []
+    assert rep["audit_dangling"] == []
+    assert rep["audit_remediated"] is False
+    assert V.table_versions(path)[-1] == 1

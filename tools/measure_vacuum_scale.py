@@ -26,6 +26,7 @@ Defaults to 100000 1000000.  Prints one JSON line; markdown to stderr
 from __future__ import annotations
 
 import base64
+import gc
 import hashlib
 import json
 import os
@@ -33,6 +34,11 @@ import shutil
 import sys
 import tempfile
 import time
+
+# Acyclic multi-GB synthetic fixtures: gen-2 collections rescanning the
+# growing entry graph dominate the build otherwise (6.5x at 500k entries,
+# superlinear beyond).  Refcounting alone frees everything here.
+gc.disable()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
