@@ -4207,17 +4207,35 @@ def _merge_attempt(
     # independent inserts — rejecting them would be stricter than the
     # documented contract).  Null-safe mode: NULL keys DO match, so
     # duplicate null-key rows are genuinely ambiguous and stay in.
-    dup_src = source
+    # ONE pass over the source keys serves both the Delta
+    # multiple-source-rows-match check AND the manifest-prune key bounds:
+    # per-key counts reduce to (max dup count, min/max/null-flag per key
+    # column, distinct-key count) in a single two-level aggregation —
+    # previously two separate source-wide jobs (dup check, then bounds).
+    # Values are identical: min/max over distinct keys equal min/max over
+    # all keys, and the dup check sees the same per-key counts.
+    dup_src = source.select(*on)
     if not null_safe_keys:
-        for c in on:
-            dup_src = dup_src.filter(F.col(c).isNotNull())
-    if (
+        dup_src = dup_src.dropna(how="any", subset=list(on))
+    key_stats = (
         dup_src.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .count()
-    ):
+        .agg(
+            F.max("__n").alias("__mxn"),
+            *[F.min(c).alias(f"__lo_{c}") for c in on],
+            *[F.max(c).alias(f"__hi_{c}") for c in on],
+            *[
+                F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"__nl_{c}"
+                )
+                for c in on
+            ],
+            F.count(F.lit(1)).alias("__nk"),
+        )
+        .collect()
+    )
+    b = key_stats[0] if key_stats else None
+    if b is not None and (b["__mxn"] or 0) > 1:
         raise ValueError("merge source has duplicate keys on " + ", ".join(on))
     all_files = _expand_files(root, _entries(pm))
     parent_stats = pm.get("stats") or {}
@@ -4229,24 +4247,13 @@ def _merge_attempt(
         keys = source.select(*on).dropna(how="any", subset=list(on)).distinct()
     touched: set[str] = set()
     if all_files:
-        # (a) manifest prune from the source key RANGE: one metadata-sized
-        # agg; sound because a file outside [min,max] on ANY key column
-        # cannot contain a match.  Null-safe mode additionally keeps any
-        # file that may contain a NULL in a key column the source has
-        # NULLs in (per-column null flags ride the same one-row agg).
-        bounds = keys.agg(
-            *[F.min(c).alias(f"__lo_{c}") for c in on],
-            *[F.max(c).alias(f"__hi_{c}") for c in on],
-            *[
-                F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
-                    f"__nl_{c}"
-                )
-                for c in on
-            ],
-            F.count(F.lit(1)).alias("__nk"),
-        ).collect()
+        # (a) manifest prune from the source key RANGE (computed by the
+        # fused aggregation above): sound because a file outside
+        # [min,max] on ANY key column cannot contain a match.  Null-safe
+        # mode additionally keeps any file that may contain a NULL in a
+        # key column the source has NULLs in (per-column null flags ride
+        # the same one-row agg).
         candidates = list(all_files)
-        b = bounds[0] if bounds else None
         if b is None or b["__nk"] == 0:
             candidates = []  # empty source: nothing matches
         else:
