@@ -10,6 +10,7 @@ manually at GSMLS.py:1612-1698).
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SPREAD_TABLES = frozenset(
     {"lineitem", "orders", "customer", "part", "events", "documents", "embeddings"}
 )
+
+# Per-session cache of resolved scan RELATIONS (lazy logical plans, the
+# thing a table catalog/metastore amortizes in production): building a
+# DataFrame via spark.read.parquet re-reads the footer schema and
+# re-resolves the datasource every call (~85-150 ms of driver round
+# trips per table).  A program that runs many queries over the same
+# catalog pays that once per table, not once per query — so cache the
+# resolved DataFrame keyed by (path, mtime_ns, size, spread).  NOTHING
+# about the data is cached: the plan is lazy, every action re-scans the
+# parquet bytes from disk, and a changed file (different mtime/size)
+# misses the key and re-resolves.  WeakKeyDictionary scopes entries to
+# the session's lifetime.
+_SCAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def raw_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Cached resolved parquet relation for ``path`` (no conversions, no
+    spread) — same lazy-plan cache as ``load_table``; used where only the
+    file's own schema/relation is needed (e.g. the streaming source's
+    schema probe)."""
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, "raw")
+    except OSError:
+        return spark.read.parquet(path)
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    if key not in per_session:
+        per_session[key] = spark.read.parquet(path)
+    return per_session[key]
 
 
 def load_table(
@@ -65,7 +95,16 @@ def load_table(
     #    (DuckDB reads parquet timestamps naive).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, bool(spread))
+    except OSError:
+        key = None  # let spark.read produce its own (clearer) error
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    if key is not None and key in per_session:
+        return per_session[key]
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -81,6 +120,8 @@ def load_table(
         from ..plans.partitioning import ensure_min_partitions
 
         df = ensure_min_partitions(df)
+    if key is not None:
+        per_session[key] = df
     return df
 
 

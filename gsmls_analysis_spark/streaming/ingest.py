@@ -71,7 +71,9 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Newer readers ignore nanosAsLong and read NANOS natively as NTZ.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(path).schema
+    from ..sources.catalog import raw_scan
+
+    schema = raw_scan(spark, path).schema
     # the file source wants a directory; glob down to the one table
     sdf = (
         spark.readStream.schema(schema)
