@@ -969,13 +969,41 @@ def _lanczos_axis_matrix(np, src: int, dst: int) -> "np.ndarray":
     return m
 
 
+# Module-level axis-matrix cache, PID-guarded (guide §4.5: reused Python
+# workers keep module globals across tasks, so a kernel that is a pure
+# function of (src, dst) is built once per worker, not once per row).
+# Real corpora cluster on few distinct lengths (fixed-duration clips,
+# fixed-size thumbnails), so hit rates are high; FIFO-bounded at 128
+# entries so pathological length diversity cannot hold unbounded memory.
+# Fork-safety: a new worker PID starts with a cleared cache.
+_AXIS_MATRIX_CACHE: dict = {}
+_AXIS_MATRIX_PID: int | None = None
+
+
+def _lanczos_axis_matrix_cached(np, src: int, dst: int) -> "np.ndarray":
+    global _AXIS_MATRIX_PID
+    import os as _os
+
+    pid = _os.getpid()
+    if _AXIS_MATRIX_PID != pid:
+        _AXIS_MATRIX_CACHE.clear()
+        _AXIS_MATRIX_PID = pid
+    m = _AXIS_MATRIX_CACHE.get((src, dst))
+    if m is None:
+        if len(_AXIS_MATRIX_CACHE) >= 128:
+            _AXIS_MATRIX_CACHE.pop(next(iter(_AXIS_MATRIX_CACHE)))
+        m = _lanczos_axis_matrix(np, src, dst)
+        _AXIS_MATRIX_CACHE[(src, dst)] = m
+    return m
+
+
 def _lanczos(np, px, w: int, h: int, width: int, height: int):
     """Separable Lanczos-3 resample (see ``_lanczos_axis_matrix``).
     Rounds via floor(v + 0.5) — the engine-portable half-up rule a SQL
     oracle can replicate with ``floor(x + 0.5)`` (the bilinear leg's
     round-half-even has no single-function SQL equivalent)."""
-    mx = _lanczos_axis_matrix(np, w, width)
-    my = _lanczos_axis_matrix(np, h, height)
+    mx = _lanczos_axis_matrix_cached(np, w, width)
+    my = _lanczos_axis_matrix_cached(np, h, height)
     out = np.einsum("Yy,yxc,Xx->YXc", my, px.astype(np.float64), mx)
     return np.ascontiguousarray(
         np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
@@ -1302,7 +1330,7 @@ def resample_audio(
                     out_len = len(pcm) * dst_rate // src_rate
                     if out_len == 0:
                         continue
-                    m = _lanczos_axis_matrix(np, len(pcm), out_len)
+                    m = _lanczos_axis_matrix_cached(np, len(pcm), out_len)
                     out = m @ pcm.astype(np.float64)
                     res = np.clip(
                         np.floor(out + 0.5), -32768, 32767
