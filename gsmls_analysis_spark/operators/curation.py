@@ -26,7 +26,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import materialize, truncate_lineage
+from ..plans.partitioning import truncate_lineage
 
 # ---------------------------------------------------------------------------
 # connected components: near-dup pairs -> dedup clusters
@@ -73,14 +73,18 @@ def connected_components(
     """
     # checkpoint the incoming pairs before composing: complex upstream
     # plans (e.g. the MinHash-LSH window pipeline) can crash Spark 4's
-    # InferFiltersFromConstraints when unioned/self-joined below
-    edges = (
+    # InferFiltersFromConstraints when unioned/self-joined below.  The
+    # self-loop filter and the distinct ride INSIDE the checkpointed
+    # plan (they compose fine pre-checkpoint — the crash needs the
+    # union/self-join, which still sees a flat checkpoint scan), so the
+    # round-0 edge set needs no separate persist+count materialization:
+    # the checkpoint IS the materialization.
+    e = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .transform(truncate_lineage)
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .transform(truncate_lineage)
     )
-    e = edges.transform(materialize)
     converged = False
     rounds = 0
     for _ in range(max_iter):
