@@ -1,0 +1,115 @@
+"""Round-12 optimization pins: each test locks the EQUIVALENCE of an
+optimized internal against first-principles recomputation, so a future
+edit can't silently trade correctness for speed.
+
+1. lsh_incremental_new_docs pre-shingles each side before the candidate
+   join (was: per-pair shingle evaluation) — survivors must equal a
+   pandas ground-truth that verifies EVERY banding candidate.
+2. The catalog scan-relation cache returns the same lazy plan for an
+   unchanged file and invalidates when the file changes (mtime/size key)
+   — nothing about the data may be memoized.
+3. The per-worker Lanczos kernel cache returns bit-identical matrices to
+   fresh builds and respects its size bound.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.dedup import (
+    lsh_band_rows,
+    lsh_incremental_new_docs,
+)
+from gsmls_analysis_spark.operators.multimodal import (
+    _AXIS_MATRIX_CACHE,
+    _lanczos_axis_matrix,
+    _lanczos_axis_matrix_cached,
+)
+from gsmls_analysis_spark.sources.catalog import _SCAN_CACHE, load_table
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    toks = text.strip().split()
+    if len(toks) <= n:
+        return {" ".join(toks[:n])}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_lsh_incremental_matches_exhaustive_candidate_verify(spark):
+    """The pre-shingled verify must keep exactly the batch docs with NO
+    banding candidate at Jaccard >= 3/5 — recomputed here per candidate
+    pair from raw python sets."""
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    corpus_rows = [(i, f"{base} variant {i} " + "filler word " * (i % 4))
+                   for i in range(0, 40, 2)]
+    batch_rows = (
+        [(100 + i, corpus_rows[i][1]) for i in range(0, 8, 2)]  # near-dups
+        + [(200 + i, f"completely different text about topic {i} "
+                     f"with unrelated vocabulary entry {i * 7}")
+           for i in range(6)]
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, t string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, t string")
+    kept = sorted(
+        r["doc_id"]
+        for r in lsh_incremental_new_docs(
+            batch, corpus, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3
+        ).collect()
+    )
+    # ground truth: every (batch, corpus) pair sharing a band signature,
+    # verified with exact set Jaccard
+    bidx = lsh_band_rows(batch, "doc_id", "t", 8, 4, 3).toPandas()
+    cidx = lsh_band_rows(corpus, "doc_id", "t", 8, 4, 3).toPandas()
+    cand = bidx.merge(cidx, on=["band", "sig"], suffixes=("_b", "_c"))
+    ctext = dict(corpus_rows)
+    btext = dict(batch_rows)
+    dup_bids = set()
+    for bid, cid in zip(cand["doc_b"], cand["doc_c"]):
+        a = _shingle_set(btext[int(bid)])
+        b = _shingle_set(ctext[int(cid)])
+        if 5 * len(a & b) >= 3 * len(a | b):
+            dup_bids.add(int(bid))
+    expect = sorted(set(btext) - dup_bids)
+    assert kept == expect
+
+
+def test_scan_cache_hits_and_invalidates(spark, tmp_path):
+    src = "/root/testdata/sf0.001/nation.parquet"
+    sf_dir = str(tmp_path)
+    shutil.copy(src, os.path.join(sf_dir, "nation.parquet"))
+    df1 = load_table(spark, sf_dir, "nation")
+    df2 = load_table(spark, sf_dir, "nation")
+    assert df1 is df2  # unchanged file: same cached lazy plan
+    n1 = df1.count()
+    # rewrite the file (new mtime) -> the cache must re-resolve
+    time.sleep(0.01)
+    os.utime(os.path.join(sf_dir, "nation.parquet"))
+    df3 = load_table(spark, sf_dir, "nation")
+    assert df3 is not df1
+    assert df3.count() == n1
+    # the cache is per-session and holds only plans, never rows
+    assert spark in _SCAN_CACHE
+
+
+def test_lanczos_kernel_cache_bitexact_and_bounded():
+    _AXIS_MATRIX_CACHE.clear()
+    for src, dst in [(64, 32), (444, 222), (16, 24), (8, 8)]:
+        fresh = _lanczos_axis_matrix(np, src, dst)
+        cached1 = _lanczos_axis_matrix_cached(np, src, dst)
+        cached2 = _lanczos_axis_matrix_cached(np, src, dst)
+        assert cached1 is cached2  # second call hits
+        assert np.array_equal(fresh, cached1)
+    # bound: 200 distinct shapes never hold more than 128 entries
+    for n in range(2, 202):
+        _lanczos_axis_matrix_cached(np, 2 * n, n)
+    assert len(_AXIS_MATRIX_CACHE) <= 128
+    # evicted entries rebuild bit-identically
+    m = _lanczos_axis_matrix_cached(np, 64, 32)
+    assert np.array_equal(m, _lanczos_axis_matrix(np, 64, 32))
