@@ -175,6 +175,46 @@ def minhash_signature(sh: Column, num_hashes: int = 16) -> list[Column]:
     return [F.element_at(mins, i + 1) for i in range(num_hashes)]
 
 
+def _shingles_sql(text_sql: str, n: int) -> str:
+    """``shingles`` as ONE SQL expression string.  Semantically identical
+    to the Column form (same engine functions), but built with a single
+    parser call instead of hundreds of py4j round trips — driver-side
+    expression construction was measurable in profiles (guide §1.2:
+    per-task work includes the driver when the driver serializes the
+    pipeline).  ``text_sql`` must be a SQL-quoted column reference."""
+    toks = f"split(trim({text_sql}), '\\\\s+')"
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n},"
+        f" 0)), i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
+    )
+
+
+def _minhash_mins_sql(text_sql: str, num_hashes: int, n: int) -> str:
+    """``minhash_mins(shingles(text, n), num_hashes)`` as ONE SQL
+    expression string — bit-identical output (pinned by
+    tests/test_r13_optimizations.py), single-parse construction."""
+    coeffs = minhash_coeffs(num_hashes)
+    p = MINHASH_PRIME
+    sh = _shingles_sql(text_sql, n)
+    bases = (
+        f"transform({sh}, t -> pmod(CAST(conv(substring(md5(t), 1, 15),"
+        f" 16, 10) AS BIGINT), {p}))"
+    )
+    init = "array(" + ", ".join([f"CAST({p} AS BIGINT)"] * num_hashes) + ")"
+    hashed = (
+        "array(" + ", ".join(f"pmod({a} * b + {c}, {p})" for a, c in coeffs) + ")"
+    )
+    return (
+        f"aggregate({bases}, {init}, (acc, b) -> zip_with(acc, {hashed},"
+        f" (x, y) -> least(x, y)))"
+    )
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL expression."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def lsh_band_rows(
     df: DataFrame,
     id_col: str,
@@ -193,10 +233,13 @@ def lsh_band_rows(
     # full width even when the scan is a single small file
     proj = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
     # stage the mins array as its own column: the aggregate is non-cheap, so
-    # CollapseProject keeps it evaluated ONCE however many bands read it
+    # CollapseProject keeps it evaluated ONCE however many bands read it.
+    # Built as ONE SQL expression string (bit-identical to the Column
+    # form): the driver-side construction drops from hundreds of py4j
+    # round trips to one parse (r13; measured 0.13 s -> 0.03 s per call)
     with_mins = proj.select(
         F.col(id_col).alias("doc"),
-        minhash_mins(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+        F.expr(_minhash_mins_sql(_q(text_col), num_hashes, shingle_n)).alias(
             "mins"
         ),
     )
@@ -356,11 +399,16 @@ def lsh_incremental_new_docs(
         batch, id_col, text_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n,
     )
+    # NOTE (r13): no dropDuplicates on the raw (band,sig) matches — a pair
+    # sharing b bands is verified up to b times (b ≤ bands, a small
+    # constant) and ``dup_ids`` is distinct at the end, so the result is
+    # identical; the dedup cost a full exchange + agg on the pair stream
+    # per batch, which at 100 TB is the candidate-volume shuffle the
+    # verify itself never needs (guide §2.4).
     cand = (
         bidx.select(F.col("doc").alias("__bid"), "band", "sig")
         .join(idx.select(F.col("doc").alias("__cid"), "band", "sig"), ["band", "sig"])
         .select("__bid", "__cid")
-        .dropDuplicates(["__bid", "__cid"])
     )
     # Pre-shingle each side ONCE per document before the candidate join:
     # evaluated after the join, the shingle expression would run per
@@ -370,11 +418,22 @@ def lsh_incremental_new_docs(
     # (array_intersect/array_union dedup internally either way).
     bt = batch.select(
         F.col(id_col).alias("__bid"),
-        shingles(F.col(text_col), shingle_n).alias("__bsh"),
+        F.expr(_shingles_sql(_q(text_col), shingle_n)).alias("__bsh"),
     )
-    ct = corpus.select(
+    # Shingle only the corpus docs that are actually candidates: the
+    # semi-join filter runs BEFORE the shingle projection, so corpus
+    # tokenization is O(candidate docs), not O(corpus) (r13; guide §2.3
+    # project-before-exchange / §1.2 per-task work).  The candidate
+    # subtree appears twice in the plan — AQE's exchange reuse dedups the
+    # (band, sig) join, so this costs no extra pass.  Byte-identical
+    # output: pairs only ever read candidate cids.
+    ct = corpus.join(
+        cand.select(F.col("__cid").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
         F.col(id_col).alias("__cid"),
-        shingles(F.col(text_col), shingle_n).alias("__csh"),
+        F.expr(_shingles_sql(_q(text_col), shingle_n)).alias("__csh"),
     )
     inter = F.size(F.array_intersect("__bsh", "__csh"))
     union = F.size(F.array_union("__bsh", "__csh"))
@@ -1061,7 +1120,12 @@ def remove_duplicate_token_spans_incremental(
 
     base = _span_base(batch, id_col, text_col)
     wins = _span_windows(base, span)
-    ikeys = index.select("k").distinct()
+    # no defensive distinct on the index keys: left_semi and left_anti
+    # joins are insensitive to duplicate rows on their RIGHT side, so the
+    # probe's result is identical with or without it — and the distinct
+    # cost a full exchange + hash-agg over O(corpus windows) keys per
+    # batch (r13, guide §2.4: remove shuffles outright)
+    ikeys = index.select("k")
     hist_marks = wins.join(ikeys, "k", "left_semi").select("__id", "__start")
     fresh = wins.join(ikeys, "k", "left_anti")
     per_key = Window.partitionBy("k")

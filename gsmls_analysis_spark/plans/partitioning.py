@@ -34,6 +34,30 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     # the estimate is unavailable or small, the repartition is a shuffle of
     # small data — cheap by the same estimate that triggered it.
     try:
+        # FAST PATH (r13): if the frame is already a projection/filter
+        # over an explicit round-robin Repartition(n >= target), it is
+        # provably wide enough — no stats, no physical planning.  This is
+        # the shape every pre-spread input has (load_table's spread, a
+        # caller-level ensure_min_partitions), so operators that
+        # defensively re-ensure pay ~1 ms of plan-walk instead of ~150 ms
+        # of physical planning (guide §1.2: driver work is per-task work
+        # too when the driver is the bottleneck).
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(8):  # Project/Filter keep partition count
+            cls = node.getClass().getSimpleName()
+            if cls in ("Project", "Filter"):
+                node = node.children().head()
+                continue
+            if (
+                cls == "Repartition"
+                and node.shuffle()
+                and int(node.numPartitions()) >= target
+            ):
+                return df
+            break
+    except Exception:  # plan walk is best-effort; fall through
+        pass
+    try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
         )

@@ -1,0 +1,49 @@
+"""Isolated per-query A/B timer (r13): bench.py methodology (warm pass +
+N timed noop-sink passes, median reported) over a caller-chosen subset.
+
+Usage: python tools/ab_time_r13.py q_name [q_name ...] [--reps N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gsmls_analysis_spark.queries import load_all  # noqa: E402
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--reps"):
+            reps = int(a.split("=", 1)[1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("ab-time-r13")
+    reg = load_all()
+    for name in args:
+        reg[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm
+    out = {}
+    for name in args:
+        ts = []
+        for _ in range(reps):
+            spark.sparkContext.setJobDescription(name)
+            t0 = time.time()
+            reg[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        out[name] = sorted(ts)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

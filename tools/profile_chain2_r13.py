@@ -1,0 +1,144 @@
+"""Stage attribution for the RESTRUCTURED chain (r13): times each leg of
+the new persisted-seed structure in sequence, so the per-leg wall is the
+marginal cost (persists make upstream reuse explicit)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.queries.curation_q import _CC_BLOCK, _QQ_BLOCK  # noqa: E402
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources.catalog import load_table  # noqa: E402
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_once(spark, sf_dir, times):
+    from gsmls_analysis_spark.operators.curation import (
+        incremental_ingest_dedup,
+        quality_filter,
+    )
+    from gsmls_analysis_spark.operators.dedup import (
+        lsh_band_rows,
+        lsh_incremental_new_docs,
+        remove_duplicate_token_spans_incremental,
+        substring_window_index,
+        substring_window_index_delta,
+    )
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_read,
+        versioned_write,
+    )
+
+    def mark(name, t0):
+        t1 = time.time()
+        times.setdefault(name, []).append(round(t1 - t0, 3))
+        return t1
+
+    i = F.col("doc_id")
+    t0 = time.time()
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.trim(F.col("text")),
+            F.when(i % 3 == 0, F.lit(_CC_BLOCK)).otherwise(F.lit("")),
+            F.when(i % 15 == 0, F.lit(_QQ_BLOCK)).otherwise(F.lit("")),
+        ).alias("t0"),
+    )
+    donor = raw.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("t0").alias("src_t")
+    )
+    pl = raw.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when((i % 20 == 5) & F.col("src_t").isNotNull(), F.col("src_t"))
+        .when(
+            (i % 20 == 10) & F.col("src_t").isNotNull(),
+            F.concat(F.col("src_t"), F.lit(" zz")),
+        )
+        .otherwise(F.col("t0"))
+        .alias("t"),
+    )
+    corpus = pl.filter(i % 5 != 0)
+    batch = pl.filter(i % 5 == 0)
+    words = F.split(F.trim(F.col("t")), r"\s+")
+    seed = corpus.select(
+        "doc_id",
+        F.col("t").alias("clean_text"),
+        F.when(F.length(F.trim(F.col("t"))) == 0, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit(0).cast("long").alias("n_new_keys"),
+        F.lit("corpus").alias("stage"),
+    )
+    path = tempfile.mkdtemp(prefix="prof2_chain_") + "/t"
+    t0 = mark("build_dag", t0)
+    versioned_write(seed, path)
+    t0 = mark("seed_write", t0)
+    hist = versioned_read(spark, path).select(
+        "doc_id", F.col("clean_text").alias("t")
+    )
+    s1 = incremental_ingest_dedup(hist, batch, "t").drop("content_md5").persist()
+    s1.count()
+    t0 = mark("s1_exact_dedup", t0)
+    idx = lsh_band_rows(hist, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3)
+    s2 = lsh_incremental_new_docs(
+        s1, hist, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3, index=idx
+    ).persist()
+    s2.count()
+    t0 = mark("s2_lsh_verify", t0)
+    widx = substring_window_index(hist, "doc_id", "t", span=8)
+    s3 = remove_duplicate_token_spans_incremental(s2, widx, "doc_id", "t", span=8)
+    adm = (
+        quality_filter(s3, "clean_text")
+        .filter(F.col("keep"))
+        .select("doc_id", "clean_text", "n_tokens", "n_removed")
+        .persist()
+    )
+    adm.count()
+    t0 = mark("s3s4_excise_quality", t0)
+    delta = substring_window_index_delta(adm, widx, "doc_id", "clean_text", span=8)
+    nk = delta.groupBy(F.col("first_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("__nk")
+    )
+    out_batch = adm.join(nk, "doc_id", "left").select(
+        "doc_id",
+        "clean_text",
+        "n_tokens",
+        "n_removed",
+        F.coalesce(F.col("__nk"), F.lit(0)).cast("long").alias("n_new_keys"),
+        F.lit("batch").alias("stage"),
+    )
+    versioned_write(out_batch, path, mode="append")
+    t0 = mark("append_write", t0)
+    s1.unpersist()
+    s2.unpersist()
+    adm.unpersist()
+    noop(versioned_read(spark, path))
+    mark("readback", t0)
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("profile-chain2-r13")
+    times: dict[str, list[float]] = {}
+    run_once(spark, sf_dir, {})  # warm
+    for _ in range(reps):
+        run_once(spark, sf_dir, times)
+    for k, v in times.items():
+        print(f"{k}: {sorted(v)}")
+
+
+if __name__ == "__main__":
+    main()

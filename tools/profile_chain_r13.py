@@ -1,0 +1,165 @@
+"""Stage-level profile of q_incremental_ingest_chain (r13 optimization
+round).  Replicates the chain's stages and times each intermediate with
+the noop sink so the per-stage cost is attributable (guide §1.4/§1.5).
+
+Usage: python tools/profile_chain_r13.py [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.queries.curation_q import _CC_BLOCK, _QQ_BLOCK  # noqa: E402
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+from gsmls_analysis_spark.sources.catalog import load_table  # noqa: E402
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build(spark, sf_dir):
+    from gsmls_analysis_spark.operators.curation import (
+        incremental_ingest_dedup,
+        quality_filter,
+    )
+    from gsmls_analysis_spark.operators.dedup import (
+        lsh_band_rows,
+        lsh_incremental_new_docs,
+        remove_duplicate_token_spans_incremental,
+        substring_window_index,
+        substring_window_index_delta,
+    )
+
+    i = F.col("doc_id")
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.trim(F.col("text")),
+            F.when(i % 3 == 0, F.lit(_CC_BLOCK)).otherwise(F.lit("")),
+            F.when(i % 15 == 0, F.lit(_QQ_BLOCK)).otherwise(F.lit("")),
+        ).alias("t0"),
+    )
+    donor = raw.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("t0").alias("src_t")
+    )
+    pl = raw.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when((i % 20 == 5) & F.col("src_t").isNotNull(), F.col("src_t"))
+        .when(
+            (i % 20 == 10) & F.col("src_t").isNotNull(),
+            F.concat(F.col("src_t"), F.lit(" zz")),
+        )
+        .otherwise(F.col("t0"))
+        .alias("t"),
+    )
+    corpus = pl.filter(i % 5 != 0)
+    batch = pl.filter(i % 5 == 0)
+    s1 = incremental_ingest_dedup(corpus, batch, "t").drop("content_md5")
+    idx = lsh_band_rows(corpus, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3)
+    s2 = lsh_incremental_new_docs(
+        s1, corpus, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3, index=idx
+    )
+    widx = substring_window_index(corpus, "doc_id", "t", span=8)
+    s3 = remove_duplicate_token_spans_incremental(s2, widx, "doc_id", "t", span=8)
+    adm = (
+        quality_filter(s3, "clean_text")
+        .filter(F.col("keep"))
+        .select("doc_id", "clean_text", "n_tokens", "n_removed")
+    )
+    delta = substring_window_index_delta(adm, widx, "doc_id", "clean_text", span=8)
+    nk = delta.groupBy(F.col("first_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("__nk")
+    )
+    out_batch = adm.join(nk, "doc_id", "left").select(
+        "doc_id",
+        "clean_text",
+        "n_tokens",
+        "n_removed",
+        F.coalesce(F.col("__nk"), F.lit(0)).cast("long").alias("n_new_keys"),
+        F.lit("batch").alias("stage"),
+    )
+    words = F.split(F.trim(F.col("t")), r"\s+")
+    seed = corpus.select(
+        "doc_id",
+        F.col("t").alias("clean_text"),
+        F.when(F.length(F.trim(F.col("t"))) == 0, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit(0).cast("long").alias("n_new_keys"),
+        F.lit("corpus").alias("stage"),
+    )
+    return dict(
+        pl=pl, corpus=corpus, batch=batch, s1=s1, idx=idx, s2=s2, widx=widx,
+        s3=s3, adm=adm, out_batch=out_batch, seed=seed,
+    )
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("profile-chain-r13")
+    from gsmls_analysis_spark.queries import load_all
+    from gsmls_analysis_spark.sources.versioned import (
+        versioned_read,
+        versioned_write,
+    )
+
+    reg = load_all()
+
+    # warm pass (codegen etc.)
+    noop(reg["q_incremental_ingest_chain"].fn(spark, sf_dir))
+
+    # end-to-end timings (bench methodology)
+    e2e = []
+    for _ in range(reps):
+        t0 = time.time()
+        noop(reg["q_incremental_ingest_chain"].fn(spark, sf_dir))
+        e2e.append(time.time() - t0)
+    print(f"e2e: {sorted(e2e)}")
+
+    # per-intermediate noop timings (each includes its upstream recompute)
+    frames = build(spark, sf_dir)
+    for name in ["pl", "s1", "idx", "s2", "widx", "s3", "adm", "out_batch", "seed"]:
+        ts = []
+        for _ in range(reps):
+            spark.sparkContext.setJobDescription(f"chain:{name}")
+            t0 = time.time()
+            noop(frames[name])
+            ts.append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        print(f"{name}: {sorted(ts)}")
+
+    # the two commit legs, isolated (fresh temp table per rep)
+    for leg in ["seed_write", "append_write", "readback"]:
+        ts = []
+        for _ in range(reps):
+            path = tempfile.mkdtemp(prefix="prof_chain_") + "/t"
+            t0 = time.time()
+            versioned_write(frames["seed"], path)
+            t1 = time.time()
+            versioned_write(frames["out_batch"], path, mode="append")
+            t2 = time.time()
+            noop(versioned_read(spark, path))
+            t3 = time.time()
+            ts.append(
+                {
+                    "seed_write": round(t1 - t0, 3),
+                    "append_write": round(t2 - t1, 3),
+                    "readback": round(t3 - t2, 3),
+                }[leg]
+            )
+        print(f"{leg}: {sorted(ts)}")
+
+
+if __name__ == "__main__":
+    main()
