@@ -40,7 +40,14 @@ GROUP BY window_start, event_type
 def q_stream_tumbling_hour_native(spark, sf_dir):
     sdf = events_file_stream(spark, sf_dir)
     return drain_to_memory(
-        tumbling_counts(sdf), "stream_tumbling_hour", output_mode="complete"
+        tumbling_counts(sdf),
+        "stream_tumbling_hour",
+        output_mode="complete",
+        # state-store commit cost scales with the partition count, not
+        # the data (drain_to_memory docstring; r11 precedent on the
+        # stream-stream join).  8 stores right-size this bounded drain's
+        # state volume; results are identical at any count.
+        state_partitions=8,
     )
 
 
@@ -71,7 +78,14 @@ GROUP BY user_id, session_id
 def q_stream_sessionize_native(spark, sf_dir):
     sdf = events_file_stream(spark, sf_dir)
     return drain_to_memory(
-        session_counts(sdf), "stream_sessionize", output_mode="complete"
+        session_counts(sdf),
+        "stream_sessionize",
+        output_mode="complete",
+        # state-store commit cost scales with the partition count, not
+        # the data (drain_to_memory docstring; r11 precedent on the
+        # stream-stream join).  8 stores right-size this bounded drain's
+        # state volume; results are identical at any count.
+        state_partitions=8,
     )
 
 
@@ -88,7 +102,13 @@ def q_stream_dedup_within_watermark(spark, sf_dir):
     sdf = events_file_stream(spark, sf_dir)
     deduped = stream_dedup_within_watermark(sdf, ["event_id"])
     return drain_to_memory(
-        deduped.select("event_id", "user_id", "event_type"), "stream_dedup"
+        deduped.select("event_id", "user_id", "event_type"),
+        "stream_dedup",
+        # state-store commit cost scales with the partition count, not
+        # the data (drain_to_memory docstring; r11 precedent on the
+        # stream-stream join).  8 stores right-size this bounded drain's
+        # state volume; results are identical at any count.
+        state_partitions=8,
     )
 
 
@@ -208,7 +228,11 @@ def q_stream_status_transitions_native(spark, sf_dir):
 
     sdf = events_file_stream(spark, sf_dir)
     return drain_to_memory(
-        status_transitions(sdf), "stream_status_transitions"
+        status_transitions(sdf),
+        "stream_status_transitions",
+        # 8 state stores right-size the bounded drain (r11 pattern);
+        # results identical at any partition count
+        state_partitions=8,
     )
 
 
@@ -240,7 +264,12 @@ GROUP BY window_start, event_type
 def q_stream_sliding_window_native(spark, sf_dir):
     sdf = events_file_stream(spark, sf_dir)
     return drain_to_memory(
-        sliding_counts(sdf), "stream_sliding_window", output_mode="complete"
+        sliding_counts(sdf),
+        "stream_sliding_window",
+        output_mode="complete",
+        # 8 state stores right-size the bounded drain (r11 pattern);
+        # results identical at any partition count
+        state_partitions=8,
     )
 
 
@@ -278,7 +307,14 @@ def q_stream_static_enrich_native(spark, sf_dir):
             "total_value"
         ),
     )
-    return drain_to_memory(agg, "stream_static_enrich", output_mode="complete")
+    return drain_to_memory(
+        agg,
+        "stream_static_enrich",
+        output_mode="complete",
+        # 8 state stores right-size the bounded drain (r11 pattern);
+        # results identical at any partition count
+        state_partitions=8,
+    )
 
 
 @query(
@@ -427,7 +463,14 @@ def q_stream_versioned_source(spark, sf_dir):
             F.when(F.col("_commit_version") == 1, 1).otherwise(0)
         ).cast("long").alias("n_first_commit"),
     )
-    return drain_to_memory(agg, "versioned_source_agg", output_mode="complete")
+    return drain_to_memory(
+        agg,
+        "versioned_source_agg",
+        output_mode="complete",
+        # 8 state stores right-size the bounded drain (r11 pattern);
+        # results identical at any partition count
+        state_partitions=8,
+    )
 
 
 @query(

@@ -10,7 +10,8 @@ manually at GSMLS.py:1612-1698).
 from __future__ import annotations
 
 import os
-from weakref import WeakKeyDictionary
+import stat as _stat
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,22 +47,59 @@ _SPREAD_TABLES = frozenset(
 # resolved DataFrame keyed by (path, mtime_ns, size, spread).  NOTHING
 # about the data is cached: the plan is lazy, every action re-scans the
 # parquet bytes from disk, and a changed file (different mtime/size)
-# misses the key and re-resolves.  WeakKeyDictionary scopes entries to
-# the session's lifetime.
-_SCAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+# misses the key and re-resolves.
+#
+# Eviction (r13, ADVICE fix): entries are keyed by id(session) with a
+# weakref finalizer that drops the whole per-session dict when the
+# session object is collected — a WeakKeyDictionary could NOT evict
+# here, because the cached DataFrames strongly reference their session,
+# making every entry self-keeping.  The per-session dict is additionally
+# size-bounded (plans are small, but a pathological caller cycling
+# thousands of paths should not grow the driver unboundedly).
+_SCAN_CACHE: dict[int, dict] = {}
+_SCAN_CACHE_MAX = 512  # per session; cleared wholesale on overflow
+
+
+def _session_scan_cache(spark: SparkSession) -> dict:
+    key = id(spark)
+    cache = _SCAN_CACHE.get(key)
+    if cache is None:
+        cache = _SCAN_CACHE[key] = {}
+        weakref.finalize(spark, _SCAN_CACHE.pop, key, None)
+    elif len(cache) > _SCAN_CACHE_MAX:
+        cache.clear()  # resolution re-pays ~100 ms per table; safe
+    return cache
+
+
+def _file_cache_key(path: str, tag) -> tuple | None:
+    """Cache key for a REGULAR file, or None when the path must not be
+    cached: directories (multi-file parquet tables) keep their mtime/size
+    when a contained file is rewritten in place, so only plain files get
+    the stat-based coherence guarantee (r13, ADVICE fix)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not _stat.S_ISREG(st.st_mode):
+        return None
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size, tag)
 
 
 def raw_scan(spark: SparkSession, path: str) -> DataFrame:
     """Cached resolved parquet relation for ``path`` (no conversions, no
     spread) — same lazy-plan cache as ``load_table``; used where only the
     file's own schema/relation is needed (e.g. the streaming source's
-    schema probe)."""
-    try:
-        st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, "raw")
-    except OSError:
+    schema probe).  Sets the same correctness confs as ``load_table``
+    (r13, ADVICE fix): schema resolution depends on them, so a caller
+    reading the same path under different conf must not see a relation
+    resolved under the old one — and with them pinned here, the cache
+    key needs no conf component."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = _file_cache_key(path, "raw")
+    if key is None:
         return spark.read.parquet(path)
-    per_session = _SCAN_CACHE.setdefault(spark, {})
+    per_session = _session_scan_cache(spark)
     if key not in per_session:
         per_session[key] = spark.read.parquet(path)
     return per_session[key]
@@ -96,12 +134,10 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, bool(spread))
-    except OSError:
-        key = None  # let spark.read produce its own (clearer) error
-    per_session = _SCAN_CACHE.setdefault(spark, {})
+    # missing path → key None → let spark.read produce its own error;
+    # directory path → key None → resolve uncached (see _file_cache_key)
+    key = _file_cache_key(path, bool(spread))
+    per_session = _session_scan_cache(spark)
     if key is not None and key in per_session:
         return per_session[key]
     df = spark.read.parquet(path)

@@ -4200,6 +4200,15 @@ def _merge_attempt(
         list(phys_schema.fields) + new_phys_fields
     ).json()
     full_map = {**_mapping_of(pm), **added_mapping}
+    # MATERIALIZE the CDC source once (Delta's merge-source
+    # materialization, r13; guide §5): the source expression is otherwise
+    # re-evaluated by every downstream job — the dup-key/bounds
+    # aggregation, the touched-file probe, the merge join feeding the
+    # data write, the DV assembly, and the CDF record each re-ran the
+    # caller's whole source plan (measured: an aggregated CDC source cost
+    # ~0.5 s per re-evaluation at sf0.1).  A CDC batch is the small side
+    # of a merge by construction, so the checkpoint is O(batch).
+    source = source.localCheckpoint()
     # Delta's multiple-source-rows-match check: duplicate source keys make
     # the merge ambiguous (which update wins?) — fail loudly up front.
     # Default mode: NULL-key rows are excluded (groupBy would treat NULLs
@@ -4277,7 +4286,17 @@ def _merge_attempt(
         # deletion vectors subtract first: a file whose only key matches
         # are DV-deleted rows is not touched (the source rows become
         # plain inserts, which is exactly the logical state).
-        if candidates:
+        # MERGE-ON-READ skips the probe entirely (r13; guide §2.4): MoR
+        # keeps every parent file regardless, so ``touched`` only decides
+        # which files the join SCANS — and a candidate file with no key
+        # match simply yields target rows that survive in place (no DV
+        # entry, no append row).  The probe's exact answer costs a full
+        # candidate scan + semi-join + collect per commit and buys
+        # nothing MoR uses; copy-on-write still probes, because there
+        # ``touched`` decides which files are REWRITTEN (write amp).
+        if candidates and mor:
+            touched = set(candidates)
+        elif candidates:
             tgt = _with_scan_position(
                 spark.read.schema(phys_schema).parquet(
                     *[os.path.join(root, f) for f in sorted(candidates)]
@@ -4356,6 +4375,15 @@ def _merge_attempt(
         j = t_side.withColumn("__t", F.lit(True)).join(
             s_side, on=list(on), how="full_outer"
         )
+    # The merge join feeds SEVERAL jobs when merge-on-read or CDF is on
+    # (the data write, the DV assembly, the change-file write) — persist
+    # it so the touched-file scan + join run once instead of once per
+    # consumer (r13; guide §5: cache when reuse pays).  MEMORY_AND_DISK
+    # spills, and the cached set is O(touched rows + source rows) — the
+    # same rows the write shuffles anyway.  Unpersisted before publish.
+    j_cached = mor or change_feed
+    if j_cached:
+        j = j.persist()
     is_t = F.coalesce(F.col("__t"), F.lit(False))
     is_s = F.coalesce(F.col("__s"), F.lit(False))
     cond = F.lit(True)
@@ -4611,6 +4639,8 @@ def _merge_attempt(
         manifest["meta"] = meta
     if idn_insert_part is not None:
         idn_insert_part.unpersist()
+    if j_cached:
+        j.unpersist()
     _publish_or_race(path, manifest)
     return version
 

@@ -743,16 +743,52 @@ class VersionedBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        return [
-            InputPartition(
-                (
-                    os.path.join(self._root, f),
-                    sorted(self._dvs.get(f, [])) or None,
-                    _file_commit_version(f),
-                )
+        # PACK small files into shared partitions (r13; guide §6 input
+        # split size): a Python data source pays a worker round trip per
+        # InputPartition, so one-partition-per-file turns a many-small-
+        # file table into many tiny Python invocations.  Mirror Spark's
+        # own scan packing — each file charges its byte size plus
+        # openCostInBytes, partitions close at maxPartitionBytes — so
+        # locally small commits read in a handful of worker calls while
+        # at scale every large file still gets its own partition.
+        entries = [
+            (
+                os.path.join(self._root, f),
+                sorted(self._dvs.get(f, [])) or None,
+                _file_commit_version(f),
             )
             for f in self._files
         ]
+        max_pb, open_cost = 128 << 20, 4 << 20
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                from ..plans.partitioning import _bytes_conf
+
+                max_pb = _bytes_conf(
+                    spark, "spark.sql.files.maxPartitionBytes", max_pb
+                )
+                open_cost = _bytes_conf(
+                    spark, "spark.sql.files.openCostInBytes", open_cost
+                )
+            except Exception:
+                pass
+        parts: list[list] = []
+        acc: list = []
+        acc_cost = 0
+        for e in entries:
+            try:
+                cost = os.path.getsize(e[0]) + open_cost
+            except OSError:
+                cost = open_cost
+            if acc and acc_cost + cost > max_pb:
+                parts.append(acc)
+                acc, acc_cost = [], 0
+            acc.append(e)
+            acc_cost += cost
+        if acc:
+            parts.append(acc)
+        return [InputPartition(tuple(p)) for p in parts]
 
     def read(self, partition: InputPartition):
         import numpy as np
@@ -760,24 +796,24 @@ class VersionedBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        file_path, dv_positions, commit_v = partition.value
         target = to_arrow_schema(self._schema)
-        tbl = pq.read_table(file_path)
-        if dv_positions:
-            mask = np.ones(tbl.num_rows, dtype=bool)
-            mask[np.asarray(dv_positions, dtype=np.int64)] = False
-            tbl = tbl.filter(pa.array(mask))
-        n = tbl.num_rows
-        cols = []
-        for field in target:
-            phys = self._l2p.get(field.name, field.name)
-            if field.name == COMMIT_VERSION_COL:
-                cols.append(pa.array([commit_v] * n, type=field.type))
-            elif phys in tbl.column_names:
-                cols.append(tbl[phys].combine_chunks().cast(field.type))
-            else:
-                cols.append(pa.nulls(n, type=field.type))
-        yield from pa.table(cols, schema=target).to_batches()
+        for file_path, dv_positions, commit_v in partition.value:
+            tbl = pq.read_table(file_path)
+            if dv_positions:
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[np.asarray(dv_positions, dtype=np.int64)] = False
+                tbl = tbl.filter(pa.array(mask))
+            n = tbl.num_rows
+            cols = []
+            for field in target:
+                phys = self._l2p.get(field.name, field.name)
+                if field.name == COMMIT_VERSION_COL:
+                    cols.append(pa.array([commit_v] * n, type=field.type))
+                elif phys in tbl.column_names:
+                    cols.append(tbl[phys].combine_chunks().cast(field.type))
+                else:
+                    cols.append(pa.nulls(n, type=field.type))
+            yield from pa.table(cols, schema=target).to_batches()
 
 
 def versioned_batch_source(

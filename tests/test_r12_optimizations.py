@@ -15,13 +15,9 @@ edit can't silently trade correctness for speed.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 import numpy as np
-import pandas as pd
-import pytest
-from pyspark.sql import functions as F
 
 from gsmls_analysis_spark.operators.dedup import (
     lsh_band_rows,
@@ -81,21 +77,45 @@ def test_lsh_incremental_matches_exhaustive_candidate_verify(spark):
 
 
 def test_scan_cache_hits_and_invalidates(spark, tmp_path):
-    src = "/root/testdata/sf0.001/nation.parquet"
+    # self-contained fixture: a tiny single-FILE parquet (the cache only
+    # engages for regular files), no dependence on external test data
     sf_dir = str(tmp_path)
-    shutil.copy(src, os.path.join(sf_dir, "nation.parquet"))
+    path = os.path.join(sf_dir, "nation.parquet")
+    pdf = spark.createDataFrame(
+        [(0, "ALGERIA"), (1, "ARGENTINA"), (2, "BRAZIL")],
+        "n_nationkey long, n_name string",
+    ).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), path)
     df1 = load_table(spark, sf_dir, "nation")
     df2 = load_table(spark, sf_dir, "nation")
     assert df1 is df2  # unchanged file: same cached lazy plan
     n1 = df1.count()
     # rewrite the file (new mtime) -> the cache must re-resolve
     time.sleep(0.01)
-    os.utime(os.path.join(sf_dir, "nation.parquet"))
+    os.utime(path)
     df3 = load_table(spark, sf_dir, "nation")
     assert df3 is not df1
     assert df3.count() == n1
     # the cache is per-session and holds only plans, never rows
-    assert spark in _SCAN_CACHE
+    assert id(spark) in _SCAN_CACHE
+
+
+def test_scan_cache_skips_directories(spark, tmp_path):
+    """A directory-shaped table must NOT be cached: rewriting a contained
+    file does not change the directory's stat, so a cached relation would
+    go stale (r13 ADVICE fix)."""
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "nation.parquet")
+    spark.range(3).selectExpr(
+        "id as n_nationkey", "concat('N', id) as n_name"
+    ).coalesce(1).write.parquet(path)
+    df1 = load_table(spark, sf_dir, "nation")
+    df2 = load_table(spark, sf_dir, "nation")
+    assert df1 is not df2  # uncached: fresh relation per call
+    assert df1.count() == 3
 
 
 def test_lanczos_kernel_cache_bitexact_and_bounded():

@@ -1,0 +1,134 @@
+"""Round-13 optimization pins.
+
+1. The SQL-string minhash/shingle expression builders used by
+   lsh_band_rows / lsh_incremental_new_docs are BIT-IDENTICAL to the
+   Column-built forms they replaced (driver-side construction is ~4x
+   cheaper; the data-plane semantics must not move).
+2. lsh_incremental_new_docs without the intermediate candidate-pair
+   dedup and with the corpus-side semi-join prefilter still equals the
+   exhaustive per-candidate ground truth (extends the r12 pin).
+3. connected_components runs directly on the DEEP MinHash-LSH window
+   plan (r12 ADVICE: the Spark-4 InferFiltersFromConstraints crash
+   workaround narrowed when the distinct folded into the checkpoint —
+   this catches a Spark upgrade re-triggering the optimizer crash in CI
+   rather than in the gate sweep).
+4. ensure_min_partitions' plan-walk fast path: a projection/filter over
+   an explicit wide repartition is returned as-is; a narrow input still
+   widens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gsmls_analysis_spark.operators.dedup import (
+    _minhash_mins_sql,
+    _q,
+    _shingles_sql,
+    minhash_mins,
+    shingles,
+)
+from gsmls_analysis_spark.plans.partitioning import ensure_min_partitions
+
+
+def test_minhash_sql_expression_bitexact(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a b c"),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "repeated repeated repeated repeated tokens tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    for n, k in ((3, 8), (2, 4), (5, 16)):
+        col_form = df.select(
+            "doc_id",
+            shingles(F.col("t"), n).alias("sh"),
+            minhash_mins(shingles(F.col("t"), n), k).alias("m"),
+        )
+        sql_form = df.select(
+            "doc_id",
+            F.expr(_shingles_sql(_q("t"), n)).alias("sh"),
+            F.expr(_minhash_mins_sql(_q("t"), k, n)).alias("m"),
+        )
+        assert col_form.exceptAll(sql_form).count() == 0
+        assert sql_form.exceptAll(col_form).count() == 0
+
+
+def test_lsh_incremental_still_matches_exhaustive_verify(spark):
+    """Re-pin the r12 exhaustive ground truth against the r13 plan shape
+    (no pair dedup before verify; corpus semi-join prefilter)."""
+    from gsmls_analysis_spark.operators.dedup import (
+        lsh_band_rows,
+        lsh_incremental_new_docs,
+    )
+
+    def shingle_set(text, n=3):
+        toks = text.strip().split()
+        if len(toks) <= n:
+            return {" ".join(toks[:n])}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        (i, f"{base} tail {i} " + "pad token " * (i % 3)) for i in range(0, 30)
+    ]
+    batch_rows = [(100 + i, corpus_rows[i][1]) for i in range(0, 10, 2)] + [
+        (200 + i, f"novel subject {i} with fresh vocabulary {i * 13}")
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, t string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, t string")
+    kept = sorted(
+        r["doc_id"]
+        for r in lsh_incremental_new_docs(
+            batch, corpus, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3
+        ).collect()
+    )
+    bidx = lsh_band_rows(batch, "doc_id", "t", 8, 4, 3).toPandas()
+    cidx = lsh_band_rows(corpus, "doc_id", "t", 8, 4, 3).toPandas()
+    cand = bidx.merge(cidx, on=["band", "sig"], suffixes=("_b", "_c"))
+    ctext, btext = dict(corpus_rows), dict(batch_rows)
+    dup = set()
+    for bid, cid in zip(cand["doc_b"], cand["doc_c"]):
+        a, b = shingle_set(btext[int(bid)]), shingle_set(ctext[int(cid)])
+        if 5 * len(a & b) >= 3 * len(a | b):
+            dup.add(int(bid))
+    assert kept == sorted(set(btext) - dup)
+
+
+def test_connected_components_on_deep_lsh_plan(spark):
+    """CC consumed directly from the un-materialized MinHash-LSH window
+    pipeline — the plan shape that historically triggered the Spark-4
+    InferFiltersFromConstraints optimizer crash.  Passing = the
+    checkpoint-at-entry workaround still isolates the deep plan."""
+    from gsmls_analysis_spark.operators.curation import connected_components
+    from gsmls_analysis_spark.operators.dedup import minhash_lsh_candidates
+
+    text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, text + (f" v{i % 7}" if i % 3 else "")) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    pairs = minhash_lsh_candidates(df, "doc_id", "t", num_hashes=8, bands=4)
+    res = connected_components(pairs)
+    assert res.converged
+    labels = res.labels.toPandas()
+    # every labeled node maps to its component minimum: spot-check the
+    # fixpoint property (cluster_id <= doc id, clusters non-empty)
+    assert len(labels) > 0
+    assert (labels["cluster_id"] <= labels["doc_id"]).all()
+
+
+def test_ensure_min_partitions_fast_path(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    wide = ensure_min_partitions(df)
+    proj = wide.select("k")
+    assert ensure_min_partitions(proj) is proj  # provably wide: no-op
+    filt = wide.filter(F.col("k") > 10).select("k", "v")
+    assert ensure_min_partitions(filt) is filt
+    # a narrow frame still widens
+    narrow = spark.range(10).coalesce(1)
+    out = ensure_min_partitions(narrow)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

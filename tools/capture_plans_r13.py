@@ -1,0 +1,106 @@
+"""Capture .explain('formatted') for the r13-touched queries into
+plans/r13/<query>_after.txt (the judge checks plan claims against these;
+the _before side is git history — regenerate with `git stash`+rerun or
+use plans/r12/*_before.txt where the query existed then).
+
+Write-inclusive queries (the chain, merge/changes) execute their commits
+eagerly inside the query fn, so their declared plan is the final
+read-back; for those the interesting internal stage plans are captured
+separately below.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsmls_analysis_spark.queries import load_all  # noqa: E402
+from gsmls_analysis_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "q_incremental_ingest_chain",
+    "q_lsh_incremental_dedup",
+    "q_substring_dedup_incremental",
+    "q_minhash_lsh_pairs",
+    "q_versioned_merge_dv",
+    "q_versioned_changes",
+    "q_versioned_batch_source",
+    "q_stream_tumbling_hour_native",
+    "q_stream_sessionize_native",
+    "q_stream_sliding_window_native",
+]
+
+SUFFIX = os.environ.get("PLAN_SUFFIX", "after")
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get("PLAN_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r13",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture-plans-r13")
+    reg = load_all()
+    for name in QUERIES:
+        df = reg[name].fn(spark, sf_dir)
+        with open(os.path.join(out_dir, f"{name}_{SUFFIX}.txt"), "w") as fh:
+            fh.write(formatted(df))
+        print("captured", name)
+
+    # dedicated stage capture: the LSH incremental verify subplan (the
+    # chain executes eagerly; its declared plan is just the read-back)
+    from gsmls_analysis_spark.operators.dedup import (
+        lsh_band_rows,
+        lsh_incremental_new_docs,
+    )
+    from gsmls_analysis_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("t")
+    )
+    b = docs.filter(F.col("doc_id") % 5 == 0)
+    c = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = lsh_band_rows(c, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3)
+    s2 = lsh_incremental_new_docs(
+        b, c, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3, index=idx
+    )
+    with open(
+        os.path.join(out_dir, f"q_incremental_ingest_chain_lsh_verify_{SUFFIX}.txt"),
+        "w",
+    ) as fh:
+        fh.write(formatted(s2))
+    print("captured lsh_verify stage plan")
+
+    # dedicated stage capture: the incremental excision probe (the
+    # defensive distinct on index keys was removed in r13)
+    from gsmls_analysis_spark.operators.dedup import (
+        remove_duplicate_token_spans_incremental,
+        substring_window_index,
+    )
+
+    widx = substring_window_index(c, "doc_id", "t", span=8)
+    s3 = remove_duplicate_token_spans_incremental(b, widx, "doc_id", "t", span=8)
+    with open(
+        os.path.join(out_dir, f"q_substring_excise_probe_{SUFFIX}.txt"), "w"
+    ) as fh:
+        fh.write(formatted(s3))
+    print("captured excision probe stage plan")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Measured scaling curve (r12 verdict item 3): the heaviest compute
+queries at sf0.1 across core counts, with per-SQL-execution spans from
+the event log so a flat curve can be attributed to its serial stage.
+
+One process per core count (the master is fixed at session start):
+
+    for c in 4 8 16 32; do SPARK_GRAFT_CPUS=$c python tools/scale_curve_r13.py; done
+
+Appends one JSON line per run to /tmp/scale_curve_r13.jsonl.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q_incremental_ingest_chain",
+    "q_prefix_jaccard_pairs",
+    "q_ivf_pq_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    log_dir = f"/tmp/scale_evlog_{cpus}"
+    os.makedirs(log_dir, exist_ok=True)
+    for f in glob.glob(f"{log_dir}/*"):
+        import shutil
+
+        shutil.rmtree(f, ignore_errors=True)
+
+    from gsmls_analysis_spark.queries import load_all
+    from gsmls_analysis_spark.session import get_spark
+
+    spark = get_spark(
+        f"scale-curve-{cpus}",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{log_dir}",
+        },
+    )
+    reg = load_all()
+    for name in QUERIES:  # warm: codegen + relation caches
+        reg[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    walls: dict[str, list[float]] = {}
+    for _ in range(3):
+        for name in QUERIES:
+            spark.sparkContext.setJobDescription(f"SCALE::{name}")
+            t0 = time.time()
+            reg[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.setdefault(name, []).append(round(time.time() - t0, 3))
+    spark.sparkContext.setJobDescription(None)
+    spark.stop()
+
+    # per-execution spans, attributed to the query whose job description
+    # was active when the execution's first job started
+    import pyarrow as pa
+
+    spans: dict[str, list[float]] = {}
+    path = glob.glob(f"{log_dir}/eventlog_v2_local-*/events_*.zstd")
+    events = []
+    if path:
+        data = pa.input_stream(path[0], compression="zstd").read()
+        for line in data.decode(errors="replace").splitlines():
+            try:
+                events.append(json.loads(line))
+            except Exception:
+                pass
+    execs: dict[int, dict] = {}
+    exec_of_job: dict[int, int] = {}
+    for e in events:
+        ev = e.get("Event", "")
+        if ev.endswith("SQLExecutionStart"):
+            execs[e["executionId"]] = {"t0": e["time"], "q": None}
+        elif ev.endswith("SQLExecutionEnd"):
+            if e["executionId"] in execs:
+                execs[e["executionId"]]["t1"] = e["time"]
+        elif ev == "SparkListenerJobStart":
+            props = e.get("Properties") or {}
+            desc = props.get("spark.job.description") or ""
+            eid = props.get("spark.sql.execution.id")
+            if eid is not None and desc.startswith("SCALE::"):
+                ex = execs.get(int(eid))
+                if ex is not None and ex["q"] is None:
+                    ex["q"] = desc.split("::", 1)[1]
+    for ex in execs.values():
+        if ex.get("q") and "t1" in ex:
+            spans.setdefault(ex["q"], []).append(
+                round((ex["t1"] - ex["t0"]) / 1000.0, 3)
+            )
+    row = {
+        "cpus": cpus,
+        "sf_dir": sf_dir,
+        "wall_median": {n: sorted(v)[len(v) // 2] for n, v in walls.items()},
+        "wall_all": walls,
+        "exec_spans": spans,
+    }
+    with open("/tmp/scale_curve_r13.jsonl", "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+    print(json.dumps(row["wall_median"]))
+
+
+if __name__ == "__main__":
+    main()
