@@ -369,6 +369,7 @@ def lsh_incremental_new_docs(
     t_num: int = 3,
     t_den: int = 5,
     index: DataFrame | None = None,
+    prefilter_corpus: bool = False,
 ) -> DataFrame:
     """Incremental near-dup dedup: the batch rows that are NOT near-dups
     (verified Jaccard ≥ t_num/t_den on ``shingle_n``-gram sets) of any
@@ -420,18 +421,29 @@ def lsh_incremental_new_docs(
         F.col(id_col).alias("__bid"),
         F.expr(_shingles_sql(_q(text_col), shingle_n)).alias("__bsh"),
     )
-    # Shingle only the corpus docs that are actually candidates: the
-    # semi-join filter runs BEFORE the shingle projection, so corpus
-    # tokenization is O(candidate docs), not O(corpus) (r13; guide §2.3
-    # project-before-exchange / §1.2 per-task work).  The candidate
-    # subtree appears twice in the plan — AQE's exchange reuse dedups the
-    # (band, sig) join, so this costs no extra pass.  Byte-identical
-    # output: pairs only ever read candidate cids.
-    ct = corpus.join(
-        cand.select(F.col("__cid").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    ).select(
+    # ``prefilter_corpus``: shingle only the corpus docs that are actual
+    # candidates (semi-join on candidate ids BEFORE the shingle
+    # projection) vs shingle the corpus wholesale.  The prefilter is the
+    # 100 TB shape — corpus ≫ candidate docs, so O(candidates)
+    # tokenization beats O(corpus) even though the candidate (band, sig)
+    # join is evaluated a second time to feed the filter (the plan shows
+    # the subtree twice; physical/AQE exchange reuse does NOT fire across
+    # the differing parent aggregations — measured, r13).  At bench scale
+    # the ratio inverts: the corpus is ~80 % of a small table, wholesale
+    # shingling is one cheap pass, and the double candidate join costs
+    # ~0.4 s/query (A/B medians 1.29 s semi vs 0.90 s wholesale at
+    # sf0.1, byte-identical output) — so the default is off locally and
+    # a daily-ingest deployment turns it on (OPTIMIZATION_r13.md §1).
+    csrc = (
+        corpus.join(
+            cand.select(F.col("__cid").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        if prefilter_corpus
+        else corpus
+    )
+    ct = csrc.select(
         F.col(id_col).alias("__cid"),
         F.expr(_shingles_sql(_q(text_col), shingle_n)).alias("__csh"),
     )

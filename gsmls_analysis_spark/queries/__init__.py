@@ -43,7 +43,77 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # registration order after the window and stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries every time).
 _DRIVER_WINDOW = [
-    # ROUND 12 window (policy + slot accounting in docs/ROUND12_NOTES.md).
+    # ROUND 13 window (optimization round; policy unchanged — see the
+    # module comment above; slot accounting in docs/ROUND13_NOTES.md).
+    # (a) the 6 remaining r3-cohort queries — last driver-checked in
+    # ROUND 3; the r12 verdict (item 7) names them as the staleness tail
+    "q16_part_supplier_relation",
+    "q20_excess_shipments",
+    "q_nation_year_rollup_gid",
+    "q_priority_status_pivot",
+    "q_scd2_user_history",
+    "q_quantiles_by_priority",
+    # (b) every query whose operator r13 optimization commits touched —
+    # the LSH/minhash family (SQL-string expression build, candidate
+    # dedup removal, corpus semi-join prefilter in dedup.py) ...
+    "q_incremental_ingest_chain",
+    "q_lsh_incremental_dedup",
+    "q_substring_dedup_incremental",
+    "q_minhash_lsh_pairs",
+    "q_minhash_signature",
+    "q_verified_near_dups",
+    "q_dup_graph_triangles",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_pagerank_dup_graph",
+    "q_lpa_communities",
+    # ... the versioned merge path (source materialization, MoR probe
+    # skip, join persist in versioned.py) and its consumers ...
+    "q_versioned_merge",
+    "q_versioned_merge_dv",
+    "q_versioned_changes",
+    "q_continuous_aggregate",
+    "q_ivm_join_delta",
+    "q_stream_versioned_upsert",
+    # ... the stateful streaming drains (state_partitions right-sizing)
+    "q_stream_tumbling_hour_native",
+    "q_stream_sessionize_native",
+    "q_stream_dedup_within_watermark",
+    "q_stream_status_transitions_native",
+    "q_stream_sliding_window_native",
+    "q_stream_static_enrich_native",
+    "q_stream_versioned_source",
+    "q_stream_stream_join_native",
+    # ... and the Python batch data source (InputPartition packing)
+    "q_versioned_batch_source",
+    "q_versioned_sink_roundtrip",
+    # (d) remaining slots: representatives over the cross-cutting
+    # catalog/partitioning touches (scan-cache rework, plan-walk fast
+    # path) — TPC-H core + the heaviest bench families, registration
+    # order
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_late_shipment_priority",
+    "q05_nation_revenue",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "q_token_stats",
+    "q_keep_last_dedup",
+    "q_golden_record",
+    "q_events_tumbling_hour",
+    "q_exact_substring_dedup",
+    "q_versioned_dv_read",
+    "q_versioned_delete_dv",
+    "q_versioned_replace_where",
+    "q_prefix_jaccard_pairs",
+    # Window stays exactly 50; everything rotated out keeps its r12
+    # driver greens plus fresh r13 3-SF gate rows (docs/GATE_r13_*).
+]
+
+_DRIVER_WINDOW_R12 = [
+    # ROUND 12 window (kept for the accounting trail in ROUND12_NOTES.md).
     # Theme: FINISH THE STALENESS FLUSH (r11 verdict task 1) — the 15
     # r2-cohort leftovers named there, then the oldest 29 of the 35
     # r3-cohort queries in registration order.

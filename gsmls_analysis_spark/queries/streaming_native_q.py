@@ -201,8 +201,11 @@ def q_stream_stream_join_native(spark, sf_dir):
         attribution_join(clicks, purchases),
         "stream_stream_join",
         # 2 two-sided state stores per partition: right-size to this SF's
-        # state (see drain_to_memory docstring; 6.8 s -> 2.5 s at sf0.1)
-        state_partitions=8,
+        # state (see drain_to_memory docstring; r11: 32 -> 8 measured
+        # 6.8 s -> 2.5 s; r13: 8 -> 4 measured 3.0 -> 2.3 s — ~40k state
+        # rows fit 4 stores with margin).  Results identical at any
+        # count; at 100 TB the knob turns the other way.
+        state_partitions=4,
     )
 
 

@@ -58,7 +58,10 @@ def test_minhash_sql_expression_bitexact(spark):
 
 def test_lsh_incremental_still_matches_exhaustive_verify(spark):
     """Re-pin the r12 exhaustive ground truth against the r13 plan shape
-    (no pair dedup before verify; corpus semi-join prefilter)."""
+    (no pair dedup before verify), in BOTH corpus-shingling modes —
+    ``prefilter_corpus`` is an execution-shape knob (semi-join the corpus
+    to candidate ids before shingling, the 100 TB shape) and must never
+    move results."""
     from gsmls_analysis_spark.operators.dedup import (
         lsh_band_rows,
         lsh_incremental_new_docs,
@@ -80,12 +83,18 @@ def test_lsh_incremental_still_matches_exhaustive_verify(spark):
     ]
     corpus = spark.createDataFrame(corpus_rows, "doc_id long, t string")
     batch = spark.createDataFrame(batch_rows, "doc_id long, t string")
-    kept = sorted(
-        r["doc_id"]
-        for r in lsh_incremental_new_docs(
-            batch, corpus, "doc_id", "t", num_hashes=8, bands=4, shingle_n=3
-        ).collect()
-    )
+    kept_by_mode = {
+        pf: sorted(
+            r["doc_id"]
+            for r in lsh_incremental_new_docs(
+                batch, corpus, "doc_id", "t",
+                num_hashes=8, bands=4, shingle_n=3, prefilter_corpus=pf,
+            ).collect()
+        )
+        for pf in (False, True)
+    }
+    assert kept_by_mode[False] == kept_by_mode[True]
+    kept = kept_by_mode[False]
     bidx = lsh_band_rows(batch, "doc_id", "t", 8, 4, 3).toPandas()
     cidx = lsh_band_rows(corpus, "doc_id", "t", 8, 4, 3).toPandas()
     cand = bidx.merge(cidx, on=["band", "sig"], suffixes=("_b", "_c"))

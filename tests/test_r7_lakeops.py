@@ -395,8 +395,16 @@ def test_zorder_three_columns_prunes_on_every_axis(spark, tmp_path):
         (F.col("id") * 1299709 % 256).alias("c"),
     )
     versioned_write(df.repartition(8), tbl)
+    # target 1 KiB (~37 files), not 4 KiB (~10): with k output files the
+    # Morton curve has 7 internal top-octant boundaries and EVERY one
+    # flips the interleave's least-significant axis ('a'), so ~7/k of the
+    # files legitimately span ~255 on 'a'.  At k=10 the expected mean
+    # span on 'a' is ~205 — exactly the old 0.8*255 threshold, which is
+    # why this assert was knife-edge flaky (rdd.id-seeded range sampling
+    # nudged it either side).  At k≈37 the straddler fraction is 7/37 and
+    # the worst-axis mean sits near 110 with 2x margin, stably.
     v = versioned_compact(
-        spark, tbl, zorder=("a", "b", "c"), target_file_bytes=1 << 12
+        spark, tbl, zorder=("a", "b", "c"), target_file_bytes=1 << 10
     )
     pm = V._read_manifest(tbl, v)
     files = V._expand_files(os.path.abspath(tbl), V._entries(pm))
@@ -423,8 +431,16 @@ def test_zorder_three_columns_prunes_on_every_axis(spark, tmp_path):
                 for i in range(md.num_row_groups)
             )
             spans.append(mx - mn)
+        # Median is robust to the ~7/k legitimate octant-straddling files
+        # (see the comment at the compact call); the mean bound is the
+        # sanity check against a random layout (~0.99 * 255 per axis for
+        # files of hundreds of uniform rows).  Measured at k≈37: worst
+        # axis med=107 / mean=110, stable across reps.
+        spans.sort()
+        med_span = spans[len(spans) // 2]
         avg_span = sum(spans) / len(spans)
-        assert avg_span < 0.8 * 255, f"{col}: no locality (avg span {avg_span})"
+        assert med_span < 0.7 * 255, f"{col}: no locality (median span {med_span})"
+        assert avg_span < 0.7 * 255, f"{col}: no locality (avg span {avg_span})"
     # bit arithmetic pinned to the reference
     def ref(vals, k=16, nn=3):
         out = 0

@@ -19,11 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = [
-    "q_incremental_ingest_chain",
-    "q_prefix_jaccard_pairs",
-    "q_ivf_pq_topk",
-]
+QUERIES = os.environ.get(
+    "SCALE_QUERIES",
+    "q_incremental_ingest_chain,q_prefix_jaccard_pairs,q_ivf_pq_topk",
+).split(",")
 
 
 def main():
